@@ -1,0 +1,68 @@
+"""Deterministic graph fixtures derived from the star schema
+(FIXTURES.md "Derived graph fixtures" — no graph table exists).
+
+- `e_co`: undirected-as-canonical co-occurrence graph — DISTINCT part
+  pairs sharing an order, s < d. The analog of read-overlap edges.
+- `e_seq`: directed per-user event-succession chains — each event to
+  the same user's next event by (ts, event_id). The analog of
+  read-succession paths used for compaction/tip analysis.
+
+Scale note: e_co is a self-join on l_orderkey — one shuffle on the
+order key, then DISTINCT (second shuffle on the pair). At 100 TB the
+pair explosion within an order is bounded by items-per-order (~4-7),
+so output is O(input × items/order); AQE handles the skewed big-order
+case via skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def e_co(lineitem: DataFrame) -> DataFrame:
+    """DISTINCT co-occurring part pairs (s < d) per order → (s, d)."""
+    li = lineitem.select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d"))
+        .distinct()
+    )
+
+
+# Oracle-side mirror of e_co, used as a CTE prefix by graph oracles.
+E_CO_SQL = (
+    "SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d "
+    "FROM lineitem a JOIN lineitem b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+)
+
+
+def e_seq(events: DataFrame) -> DataFrame:
+    """Per-user succession edges (src_event → next event by ts, event_id).
+
+    Window lead() per user — one shuffle on user_id; chains are local
+    to their partition afterwards.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "user_id",
+            F.col("event_id").alias("src"),
+            F.lead("event_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+
+
+E_SEQ_SQL = (
+    "SELECT user_id, event_id AS src, "
+    "lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst "
+    "FROM events QUALIFY dst IS NOT NULL"
+)

@@ -1,0 +1,183 @@
+"""Property-graph algorithms as DataFrame dataflow (SURVEY §2.10).
+
+The reference's capability surface is classical string-graph assembly
+reduction (transitive reduction, tip/dead-end removal, bubble
+detection, path compaction) plus the generic graph ops they build on
+(degrees, k-hop, triangles, connected components). Re-expressed
+Spark-first:
+
+- one-shot ops are joins + aggregations (Catalyst plans them; the
+  self-join shuffles on the join key and AQE picks broadcast vs SMJ);
+- fixpoint ops (connected components) are a driver-side loop where
+  EVERY iteration ends in `localCheckpoint(eager=True)` — without the
+  lineage cut the plan tree grows exponentially and the optimizer
+  stalls (SURVEY §4.3, the classic failure mode of DataFrame graph
+  code).
+
+Scale posture: edges are repartitioned on `s` once up front so the
+iterated self-joins reuse one partitioning; convergence checks are
+single `count()` actions (one job per iteration, the unavoidable
+synchronization barrier of label propagation).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Graph:
+    """Edges (s, d) with optional vertex frame. Undirected algorithms
+    treat (s, d) as canonical (s < d) undirected edges."""
+
+    edges: DataFrame  # columns: s, d (+ attrs)
+    vertices: DataFrame | None = None
+
+    # ---- basic structure -------------------------------------------------
+
+    def vertex_ids(self) -> DataFrame:
+        return (
+            self.edges.select(F.col("s").alias("v"))
+            .union(self.edges.select(F.col("d").alias("v")))
+            .distinct()
+        )
+
+    def degrees(self) -> DataFrame:
+        """Total degree per vertex for canonical undirected edges."""
+        ends = self.edges.select(F.col("s").alias("v")).union(
+            self.edges.select(F.col("d").alias("v"))
+        )
+        return ends.groupBy("v").agg(F.count("*").alias("degree"))
+
+    def degree_histogram(self) -> DataFrame:
+        return (
+            self.degrees()
+            .groupBy("degree")
+            .agg(F.count("*").alias("n_vertices"))
+        )
+
+    # ---- one-shot joins --------------------------------------------------
+
+    def two_hop_count(self) -> DataFrame:
+        """Directed 2-path count e1.d == e2.s (Q-G2 / B9)."""
+        e1, e2 = self.edges.alias("e1"), self.edges.alias("e2")
+        return (
+            e1.join(e2, F.col("e1.d") == F.col("e2.s"))
+            .agg(F.count("*").alias("two_hop_count"))
+        )
+
+    def triangle_count(self) -> DataFrame:
+        """Triangles in canonical undirected edges: s < m < d closing
+        edge (s, d). Join order keeps the small closing probe last."""
+        e1, e2, e3 = self.edges.alias("e1"), self.edges.alias("e2"), self.edges.alias("e3")
+        wedges = e1.join(e2, F.col("e1.d") == F.col("e2.s"))
+        return (
+            wedges.join(
+                e3,
+                (F.col("e1.s") == F.col("e3.s")) & (F.col("e2.d") == F.col("e3.d")),
+            )
+            .agg(F.count("*").alias("triangle_count"))
+        )
+
+    def transitive_edges(self) -> DataFrame:
+        """Edges (a, c) for which a 2-path a→b→c also exists — the
+        removal set of one transitive-reduction round (left-semi keeps
+        it set-shaped; no duplicate pair blowup)."""
+        e1, e2 = self.edges.alias("e1"), self.edges.alias("e2")
+        paths = (
+            e1.join(e2, F.col("e1.d") == F.col("e2.s"))
+            .select(F.col("e1.s").alias("s"), F.col("e2.d").alias("d"))
+        )
+        return self.edges.join(paths, ["s", "d"], "left_semi")
+
+    def transitive_reduction_round(self) -> DataFrame:
+        """Surviving edges after removing one round of transitive edges."""
+        e1, e2 = self.edges.alias("e1"), self.edges.alias("e2")
+        paths = (
+            e1.join(e2, F.col("e1.d") == F.col("e2.s"))
+            .select(F.col("e1.s").alias("s"), F.col("e2.d").alias("d"))
+        )
+        return self.edges.join(paths, ["s", "d"], "left_anti")
+
+    def tips(self, hub_degree: int = 3) -> DataFrame:
+        """Dead-end vertices: degree-1 vertices whose sole neighbor has
+        degree >= hub_degree (assembly tip-trimming shape)."""
+        deg = self.degrees()
+        ends = self.edges.select(
+            F.col("s").alias("v"), F.col("d").alias("nbr")
+        ).union(self.edges.select(F.col("d").alias("v"), F.col("s").alias("nbr")))
+        d1 = deg.filter(F.col("degree") == 1).select("v")
+        tip_nbr = d1.join(ends, "v").select("v", "nbr")
+        hub = deg.filter(F.col("degree") >= hub_degree).select(
+            F.col("v").alias("nbr")
+        )
+        return tip_nbr.join(hub, "nbr", "left_semi").select("v")
+
+    def bubble_pairs(self, min_mids: int = 2) -> DataFrame:
+        """(u, w) endpoint pairs joined by >= min_mids distinct internal
+        vertices via 2-paths u→x→w — the bubble-detection shape."""
+        e1, e2 = self.edges.alias("e1"), self.edges.alias("e2")
+        two_paths = (
+            e1.join(e2, F.col("e1.d") == F.col("e2.s"))
+            .select(
+                F.col("e1.s").alias("u"),
+                F.col("e1.d").alias("x"),
+                F.col("e2.d").alias("w"),
+            )
+        )
+        return (
+            two_paths.groupBy("u", "w")
+            .agg(F.countDistinct("x").alias("n_mids"))
+            .filter(F.col("n_mids") >= min_mids)
+        )
+
+    # ---- fixpoint --------------------------------------------------------
+
+    def connected_components(self, max_iter: int = 50) -> DataFrame:
+        """Min-label propagation to fixpoint → (v, component) with
+        component = min vertex id in the component (order-free, hence
+        deterministic). localCheckpoint per iteration cuts lineage.
+        """
+        sym = self.edges.select("s", "d").union(
+            self.edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+        sym = sym.repartition("s").localCheckpoint(eager=True)
+        labels = self.vertex_ids().select(
+            F.col("v"), F.col("v").alias("component")
+        ).localCheckpoint(eager=True)
+        for _ in range(max_iter):
+            # candidate label per vertex = min over neighbors' labels
+            nbr_min = (
+                sym.join(labels, sym.s == labels.v)
+                .groupBy(F.col("d").alias("v"))
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            new_labels = (
+                labels.join(nbr_min, "v", "left")
+                .select(
+                    "v",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_component"), F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "v")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+
+    def component_size_histogram(self, max_iter: int = 50) -> DataFrame:
+        comp = self.connected_components(max_iter=max_iter)
+        sizes = comp.groupBy("component").agg(F.count("*").alias("component_size"))
+        return sizes.groupBy("component_size").agg(F.count("*").alias("n_components"))

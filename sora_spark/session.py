@@ -1,0 +1,82 @@
+"""SparkSession construction and tuning profiles.
+
+Scale posture (100 TB target — SURVEY.md §4.2):
+
+- **AQE everywhere.** Runtime partition coalescing, skew-join
+  splitting and dynamic broadcast selection replace hand-tuned shuffle
+  partition counts; the same code runs at sf0.001 and at 100 TB.
+- **shuffle.partitions is a ceiling, not a plan.** AQE coalesces small
+  shuffles down; `advisoryPartitionSizeInBytes` keeps post-shuffle
+  partitions near 64 MB so they fit executor memory at any input size.
+- **UTC session timezone.** Timestamp semantics must be
+  machine-independent; the DuckDB oracle compares naive-UTC instants.
+- **nanosAsLong.** The `events` fixture stores parquet
+  TIMESTAMP(NANOS) which stock Spark refuses to read (SURVEY §1.4);
+  with this conf the column arrives as long nanos and
+  `sources.parquet.normalize_events` truncates it to microseconds,
+  matching DuckDB's native truncation.
+
+`build_session` creates a session we own (tests, bench); `prepare_session`
+applies the runtime-settable subset to a session someone else built
+(the verify driver's), so `queries()` callables behave identically there.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that can be set on a live session. Applied both at build time
+# and defensively by the sources layer (the driver owns its session).
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-UDF exchange (SURVEY §2.12); harmless otherwise.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+# Confs that only matter at session build time.
+BUILD_CONF: dict[str, str] = {
+    "spark.ui.enabled": "false",
+    "spark.sql.shuffle.partitions": "32",
+    # ~64 MB post-shuffle partitions: small enough to fit executor
+    # memory at 100 TB, large enough to amortize task overhead.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    "spark.driver.memory": os.environ.get("SORA_DRIVER_MEMORY", "8g"),
+}
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to a session we did not build (idempotent)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Static conf on this build — leave whatever the owner chose.
+            pass
+    return spark
+
+
+def build_session(
+    app_name: str = "sora-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a tuned local session. `master` defaults to local[*]."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    b = SparkSession.builder.appName(app_name).master(master)
+    for k, v in {**BUILD_CONF, **RUNTIME_CONF}.items():
+        b = b.config(k, v)
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    return prepare_session(spark)

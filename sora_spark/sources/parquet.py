@@ -1,0 +1,42 @@
+"""Parquet scan wrapper.
+
+At 100 TB this is where scan efficiency is decided: we express reads
+declaratively (`spark.read.parquet`) so Catalyst pushes predicates into
+row-group min/max stats and prunes columns at the footer level
+(SURVEY §4.1) — callers should `.select()`/`.filter()` the returned
+DataFrame and let pushdown happen, never pre-collect.
+
+The one piece of engine-side work is the `events` table: its `ts`
+column is parquet INT64 TIMESTAMP(NANOS, false), which stock Spark 4
+refuses to read ([PARQUET_TYPE_ILLEGAL]). With
+`spark.sql.legacy.parquet.nanosAsLong=true` the column arrives as long
+nanoseconds; we truncate (integer division — double division would
+lose microsecond precision at 1.7e18 nanos) to microseconds, exactly
+matching DuckDB's native nanos→µs truncation (SURVEY §1.4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from sora_spark.session import prepare_session
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Convert nanos-as-long `ts` to a microsecond TimestampType."""
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table; applies the events ts normalization."""
+    prepare_session(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = normalize_events(df)
+    return df
