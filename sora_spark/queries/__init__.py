@@ -2,5 +2,8 @@
 
 from sora_spark.queries.registry import REGISTRY, Query, query  # noqa: F401
 from sora_spark.queries import bench_core  # noqa: F401
+from sora_spark.queries import relational  # noqa: F401
+from sora_spark.queries import joins  # noqa: F401
+from sora_spark.queries import aggs  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "query"]

@@ -1,0 +1,245 @@
+"""Declared queries: aggregation family Q-A2..Q-A9 (SURVEY §2.4).
+
+Q-A1 (the B1 pricing summary) lives in bench_core. Grouping-set /
+rollup / cube outputs COALESCE their nullable keys to 'ALL' in both
+engines — fixture values can never collide with it, and it removes the
+NULL-ordering dialect trap (SURVEY §5.5 trap 7) entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sora_spark.catalog import tables
+from sora_spark.queries.registry import query
+
+
+@query(
+    "qa2_count_distinct_multi",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    doc="Q-A2: multi-column count(DISTINCT) per group (planned via "
+    "EXPAND + two-level aggregate).",
+    tags=("agg",),
+)
+def qa2_count_distinct_multi(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "qa3_grouping_sets",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY returnflag, linestatus
+""",
+    doc="Q-A3: GROUPING SETS over two keys plus grand total.",
+    tags=("agg", "groupingsets"),
+)
+def qa3_grouping_sets(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "qa4_rollup",
+    oracle="""
+SELECT coalesce(r_name, 'ALL') AS region_name,
+       coalesce(n_name, 'ALL') AS nation_name,
+       count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY region_name, nation_name
+""",
+    doc="Q-A4: ROLLUP over the region→nation hierarchy of customer "
+    "counts (dimension joins broadcast).",
+    tags=("agg", "rollup"),
+)
+def qa4_rollup(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    j = t.customer.join(
+        F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+@query(
+    "qa5_cube",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+""",
+    doc="Q-A5: CUBE over status x priority.",
+    tags=("agg", "cube"),
+)
+def qa5_cube(spark, sf_dir):
+    orders = tables(spark, sf_dir).orders
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "sum_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@query(
+    "qa6_max_by",
+    oracle="""
+SELECT n_name, arg_max(c_name, c_acctbal) AS top_customer,
+       round(max(c_acctbal), 2) AS top_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+    doc="Q-A6: argmax — customer with max acctbal per nation "
+    "(fixtures verified tie-free; DuckDB arg_max ↔ Spark max_by).",
+    tags=("agg", "argmax"),
+)
+def qa6_max_by(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    j = t.customer.join(
+        F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.expr("max_by(c_name, c_acctbal)").alias("top_customer"),
+            F.round(F.max("c_acctbal"), 2).alias("top_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "qa7_percentile",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+       round(quantile_cont(l_quantity, 0.5), 4)  AS median,
+       round(quantile_cont(l_quantity, 0.75), 4) AS p75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    doc="Q-A7: exact percentiles (both engines use linear interpolation).",
+    tags=("agg", "percentile"),
+)
+def qa7_percentile(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", 0.25), 4).alias("p25"),
+            F.round(F.percentile("l_quantity", 0.5), 4).alias("median"),
+            F.round(F.percentile("l_quantity", 0.75), 4).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "qa8_stats",
+    oracle="""
+SELECT l_linestatus,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_samp(l_discount), 6) AS var_disc,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+""",
+    doc="Q-A8: statistical aggregates (sample stddev/variance, "
+    "correlation, covariance).",
+    tags=("agg", "stats"),
+)
+def qa8_stats(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "qa9_collect_list",
+    oracle="""
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+""",
+    doc="Q-A9: collect_list order-normalized via array_sort (collect "
+    "order is nondeterministic by design; sorting makes it declarable).",
+    tags=("agg", "collect"),
+)
+def qa9_collect_list(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    j = t.nation.join(
+        F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return (
+        j.groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            )
+        )
+        .orderBy("r_name")
+    )

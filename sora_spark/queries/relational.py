@@ -1,0 +1,354 @@
+"""Declared queries: scans/sinks (Q-P*, Q-C*), filters/predicates
+(Q-F*), sorts (Q-T*), set operations (Q-SO*). SURVEY §2.1/2.2/2.6/2.7.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from sora_spark.catalog import TABLE_NAMES, tables
+from sora_spark.queries.registry import query
+
+# Spark-reported schema of every fixture table (probed; FIXTURES.md is
+# the parquet-footer view, this is the engine's type surface for it).
+_EXPECTED_SCHEMA: list[tuple[str, int, str, str]] = [
+    ("region", 1, "r_regionkey", "int"), ("region", 2, "r_name", "string"),
+    ("nation", 1, "n_nationkey", "int"), ("nation", 2, "n_name", "string"),
+    ("nation", 3, "n_regionkey", "int"),
+    ("customer", 1, "c_custkey", "bigint"), ("customer", 2, "c_name", "string"),
+    ("customer", 3, "c_nationkey", "int"), ("customer", 4, "c_acctbal", "double"),
+    ("customer", 5, "c_mktsegment", "string"),
+    ("supplier", 1, "s_suppkey", "bigint"), ("supplier", 2, "s_name", "string"),
+    ("supplier", 3, "s_nationkey", "int"), ("supplier", 4, "s_acctbal", "double"),
+    ("part", 1, "p_partkey", "bigint"), ("part", 2, "p_name", "string"),
+    ("part", 3, "p_brand", "string"), ("part", 4, "p_type", "string"),
+    ("part", 5, "p_size", "int"), ("part", 6, "p_retailprice", "double"),
+    ("orders", 1, "o_orderkey", "bigint"), ("orders", 2, "o_custkey", "bigint"),
+    ("orders", 3, "o_orderstatus", "string"), ("orders", 4, "o_totalprice", "double"),
+    ("orders", 5, "o_orderdate", "timestamp_ntz"),
+    ("orders", 6, "o_orderpriority", "string"),
+    ("lineitem", 1, "l_orderkey", "bigint"), ("lineitem", 2, "l_partkey", "bigint"),
+    ("lineitem", 3, "l_suppkey", "bigint"), ("lineitem", 4, "l_linenumber", "int"),
+    ("lineitem", 5, "l_quantity", "double"),
+    ("lineitem", 6, "l_extendedprice", "double"),
+    ("lineitem", 7, "l_discount", "double"), ("lineitem", 8, "l_tax", "double"),
+    ("lineitem", 9, "l_returnflag", "string"),
+    ("lineitem", 10, "l_linestatus", "string"),
+    ("lineitem", 11, "l_shipdate", "timestamp_ntz"),
+    ("events", 1, "event_id", "bigint"), ("events", 2, "ts", "timestamp"),
+    ("events", 3, "user_id", "bigint"), ("events", 4, "event_type", "string"),
+    ("events", 5, "value", "double"), ("events", 6, "props", "string"),
+    ("documents", 1, "doc_id", "bigint"), ("documents", 2, "text", "string"),
+    ("documents", 3, "lang", "string"), ("documents", 4, "source", "string"),
+    ("documents", 5, "n_chars", "bigint"),
+    ("embeddings", 1, "vec_id", "bigint"),
+    ("embeddings", 2, "embedding", "array<float>"),
+    ("embeddings", 3, "label", "int"),
+]
+
+
+# ---- Q-P: scans ---------------------------------------------------------
+
+@query(
+    "qp1_table_counts",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}"
+        for t in TABLE_NAMES
+    )
+    + " ORDER BY table_name",
+    doc="Q-P1: row count of every fixture table (parquet scan smoke; "
+    "counts come from parquet metadata, no data read).",
+    tags=("source",),
+)
+def qp1_table_counts(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    parts = [
+        t.table(n).agg(F.lit(n).alias("table_name"), F.count("*").alias("n_rows"))
+        for n in TABLE_NAMES
+    ]
+    return reduce(lambda a, b: a.unionAll(b), parts).orderBy("table_name")
+
+
+@query(
+    "qp2_schema_check",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"('{t}', {i}, '{c}', '{ty}')" for t, i, c, ty in _EXPECTED_SCHEMA)
+    + ") AS v(table_name, ordinal, col_name, col_type) "
+    "ORDER BY table_name, ordinal",
+    doc="Q-P2: engine-reported schema of every table equals the declared "
+    "expectation (oracle side is the literal FIXTURES.md mapping).",
+    tags=("source",),
+)
+def qp2_schema_check(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    rows = []
+    for name in TABLE_NAMES:
+        for i, f_ in enumerate(t.table(name).schema.fields, start=1):
+            rows.append((name, i, f_.name, f_.dataType.simpleString()))
+    return spark.createDataFrame(
+        rows, "table_name string, ordinal int, col_name string, col_type string"
+    ).orderBy("table_name", "ordinal")
+
+
+# ---- Q-C: sink→source roundtrips ---------------------------------------
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+def _roundtrip_dir(name: str) -> str:
+    d = os.path.join(_SCRATCH, "roundtrip", f"{name}-{os.getpid()}")
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
+
+
+@query(
+    "qc1_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    doc="Q-C1: engine writes nation as CSV and reads it back with an "
+    "explicit schema; values must survive the roundtrip bit-for-bit.",
+    tags=("source", "sink"),
+)
+def qc1_csv_roundtrip(spark, sf_dir):
+    nation = tables(spark, sf_dir).nation
+    path = _roundtrip_dir("csv_nation")
+    nation.write.mode("overwrite").option("header", "true").csv(path)
+    return (
+        spark.read.schema(nation.schema).option("header", "true").csv(path)
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "qc2_json_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    doc="Q-C2: engine writes region as JSON-lines and reads it back with "
+    "an explicit schema.",
+    tags=("source", "sink"),
+)
+def qc2_json_roundtrip(spark, sf_dir):
+    region = tables(spark, sf_dir).region
+    path = _roundtrip_dir("json_region")
+    region.write.mode("overwrite").json(path)
+    return spark.read.schema(region.schema).json(path).orderBy("r_regionkey")
+
+
+# ---- Q-F: projection / filter / predicates ------------------------------
+
+@query(
+    "qf1_project_arithmetic",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS net_price
+FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500
+""",
+    doc="Q-F1: projection + arithmetic expression.",
+    tags=("filter",),
+)
+def qf1_project_arithmetic(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                2,
+            ).alias("net_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)
+    )
+
+
+@query(
+    "qf3_in_predicate",
+    oracle="SELECT count(*) AS n FROM orders "
+    "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')",
+    doc="Q-F3: IN-list predicate.",
+    tags=("filter",),
+)
+def qf3_in_predicate(spark, sf_dir):
+    orders = tables(spark, sf_dir).orders
+    return orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "qf4_like_prefix",
+    oracle="SELECT count(*) AS n FROM part WHERE p_brand LIKE 'Brand#1%'",
+    doc="Q-F4: LIKE prefix predicate (pushed to the scan as StartsWith).",
+    tags=("filter",),
+)
+def qf4_like_prefix(spark, sf_dir):
+    part = tables(spark, sf_dir).part
+    return part.filter(F.col("p_brand").like("Brand#1%")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "qf5_null_handling",
+    oracle="SELECT count(*) AS n_total, count(nullif(l_discount, 0)) AS n_nonzero "
+    "FROM lineitem",
+    doc="Q-F5: NULL semantics — fixtures are NULL-free, so NULLs are "
+    "manufactured via nullif; count() skips them identically.",
+    tags=("filter", "null"),
+)
+def qf5_null_handling(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return li.agg(
+        F.count("*").alias("n_total"),
+        F.count(F.nullif(F.col("l_discount"), F.lit(0))).alias("n_nonzero"),
+    )
+
+
+@query(
+    "qf6_case_when",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 150000 THEN 'mid'
+            ELSE 'high' END AS band,
+       count(*) AS n
+FROM orders GROUP BY band ORDER BY band
+""",
+    doc="Q-F6: CASE WHEN bucketing + count per band.",
+    tags=("filter",),
+)
+def qf6_case_when(spark, sf_dir):
+    orders = tables(spark, sf_dir).orders
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return (
+        orders.groupBy(band.alias("band"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("band")
+    )
+
+
+# ---- Q-T: sorts / limits ------------------------------------------------
+
+@query(
+    "qt1_sort_nulls_last",
+    oracle="""
+SELECT l_orderkey, l_linenumber, round(nullif(l_discount, 0), 2) AS disc
+FROM lineitem
+ORDER BY disc DESC NULLS LAST, l_orderkey, l_linenumber
+LIMIT 100
+""",
+    doc="Q-T1: multi-column sort with explicit NULLS LAST (Spark and "
+    "DuckDB default NULL ordering differs — SURVEY trap 7).",
+    tags=("sort",),
+)
+def qt1_sort_nulls_last(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.nullif(F.col("l_discount"), F.lit(0)), 2).alias("disc"),
+        )
+        .orderBy(
+            F.col("disc").desc_nulls_last(), "l_orderkey", "l_linenumber"
+        )
+        .limit(100)
+    )
+
+
+# ---- Q-SO: set operations ----------------------------------------------
+
+@query(
+    "qso1_union_counts",
+    oracle="""
+SELECT count(*) AS n_all, count(DISTINCT k) AS n_distinct
+FROM (SELECT c_nationkey AS k FROM customer
+      UNION ALL SELECT s_nationkey FROM supplier) u
+""",
+    doc="Q-SO1: UNION ALL multiplicity + dedup count.",
+    tags=("setop",),
+)
+def qso1_union_counts(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    u = t.customer.select(F.col("c_nationkey").alias("k")).unionAll(
+        t.supplier.select(F.col("s_nationkey").alias("k"))
+    )
+    return u.agg(
+        F.count("*").alias("n_all"), F.countDistinct("k").alias("n_distinct")
+    )
+
+
+@query(
+    "qso2_intersect",
+    oracle="""
+SELECT c_nationkey AS k FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+ORDER BY k
+""",
+    doc="Q-SO2: INTERSECT (distinct semantics).",
+    tags=("setop",),
+)
+def qso2_intersect(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return (
+        t.customer.select(F.col("c_nationkey").alias("k"))
+        .intersect(t.supplier.select(F.col("s_nationkey").alias("k")))
+        .orderBy("k")
+    )
+
+
+@query(
+    "qso3_except",
+    oracle="""
+SELECT c_custkey AS k FROM customer
+EXCEPT
+SELECT o_custkey FROM orders
+ORDER BY k
+LIMIT 100
+""",
+    doc="Q-SO3: EXCEPT — customers with no orders (cross-checks the "
+    "left-anti family Q-J5/Q-J2).",
+    tags=("setop",),
+)
+def qso3_except(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return (
+        t.customer.select(F.col("c_custkey").alias("k"))
+        .subtract(t.orders.select(F.col("o_custkey").alias("k")))
+        .orderBy("k")
+        .limit(100)
+    )
+
+
+@query(
+    "qso4_intersect_except_all",
+    oracle="""
+SELECT
+  (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+                         INTERSECT ALL
+                         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') a)
+      AS n_intersect_all,
+  (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+                         EXCEPT ALL
+                         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') b)
+      AS n_except_all
+""",
+    doc="Q-SO4: multiplicity-preserving INTERSECT ALL / EXCEPT ALL over "
+    "two multisets of o_custkey.",
+    tags=("setop",),
+)
+def qso4_intersect_except_all(spark, sf_dir):
+    orders = tables(spark, sf_dir).orders
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.intersectAll(b).agg(F.count("*").alias("n_intersect_all")).crossJoin(
+        a.exceptAll(b).agg(F.count("*").alias("n_except_all"))
+    )
