@@ -5,5 +5,8 @@ from sora_spark.queries import bench_core  # noqa: F401
 from sora_spark.queries import relational  # noqa: F401
 from sora_spark.queries import joins  # noqa: F401
 from sora_spark.queries import aggs  # noqa: F401
+from sora_spark.queries import windows  # noqa: F401
+from sora_spark.queries import scalars  # noqa: F401
+from sora_spark.queries import udf  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "query"]

@@ -1,0 +1,290 @@
+"""Declared queries: scalar function families Q-X1..Q-X7 (SURVEY §2.8).
+
+One wide single-scan query certifies each family. Dialect rules
+(SURVEY §5.5): POSIX-safe regex subset only; literal single-space
+split; md5/sha256 as the only cross-engine hashes; sign() cast to INT
+(DuckDB returns TINYINT, Spark DOUBLE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sora_spark.catalog import tables
+from sora_spark.queries.registry import query
+
+
+@query(
+    "qx1_string_functions",
+    oracle="""
+SELECT p_partkey,
+       concat(p_brand, '-', p_type)                    AS brand_type,
+       substr(p_name, 1, 10)                           AS name10,
+       upper(p_name)                                   AS uname,
+       lower(p_type)                                   AS ltype,
+       CAST(length(p_name) AS INT)                     AS name_len,
+       lpad(p_brand, 12, '*')                          AS padded,
+       replace(p_type, 'O', '0')                       AS replaced,
+       reverse(p_brand)                                AS rbrand,
+       CAST(levenshtein(p_brand, 'Brand#10') AS INT)   AS lev,
+       regexp_extract(p_name, '([a-z]+)', 1)           AS first_word,
+       regexp_replace(p_type, '[AEIOU]', '_', 'g')     AS devoweled,
+       trim(concat(' ', p_name, ' '))                  AS trimmed,
+       string_split(p_name, ' ')[1]                    AS head_token
+FROM part ORDER BY p_partkey LIMIT 200
+""",
+    doc="Q-X1: string family — concat/substr/case/length/lpad/replace/"
+    "reverse/levenshtein/regexp_extract/regexp_replace/trim/split.",
+    tags=("scalar", "string"),
+)
+def qx1_string_functions(spark, sf_dir):
+    part = tables(spark, sf_dir).part
+    return (
+        part.select(
+            "p_partkey",
+            F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
+            F.substring("p_name", 1, 10).alias("name10"),
+            F.upper("p_name").alias("uname"),
+            F.lower("p_type").alias("ltype"),
+            F.length("p_name").alias("name_len"),
+            F.lpad("p_brand", 12, "*").alias("padded"),
+            F.replace(F.col("p_type"), F.lit("O"), F.lit("0")).alias("replaced"),
+            F.reverse("p_brand").alias("rbrand"),
+            F.levenshtein(F.col("p_brand"), F.lit("Brand#10")).alias("lev"),
+            F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+            F.regexp_replace("p_type", "[AEIOU]", "_").alias("devoweled"),
+            F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+            F.element_at(F.split("p_name", " "), 1).alias("head_token"),
+        )
+        .orderBy("p_partkey")
+        .limit(200)
+    )
+
+
+@query(
+    "qx2_datetime_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT)                           AS y,
+       CAST(month(o_orderdate) AS INT)                          AS m,
+       CAST(day(o_orderdate) AS INT)                            AS d,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')   AS month_start,
+       strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d')     AS plus30,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(quarter(o_orderdate) AS INT)                        AS q
+FROM orders ORDER BY o_orderkey LIMIT 200
+""",
+    doc="Q-X2: date/time family over o_orderdate — year/month/day/"
+    "date_trunc/date_add/datediff/last_day/quarter (date outputs "
+    "formatted to strings in both engines).",
+    tags=("scalar", "datetime"),
+)
+def qx2_datetime_functions(spark, sf_dir):
+    orders = tables(spark, sf_dir).orders
+    od = F.col("o_orderdate")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.year(od).alias("y"),
+            F.month(od).alias("m"),
+            F.dayofmonth(od).alias("d"),
+            F.date_format(F.date_trunc("month", od), "yyyy-MM-dd").alias("month_start"),
+            F.date_format(F.date_add(od.cast("date"), 30), "yyyy-MM-dd").alias("plus30"),
+            F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+                "days_since"
+            ),
+            F.date_format(F.last_day(od.cast("date")), "yyyy-MM-dd").alias("month_end"),
+            F.quarter(od).alias("q"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+@query(
+    "qx2b_time_events",
+    oracle="""
+SELECT event_id,
+       epoch_us(ts)                                   AS us,
+       CAST(hour(ts) AS INT)                          AS h,
+       CAST(minute(ts) AS INT)                        AS mi,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f')           AS ts_str
+FROM events ORDER BY event_id LIMIT 200
+""",
+    doc="Q-X2b: epoch-micros / hour / minute / full µs formatting over "
+    "the nanos-normalized events.ts.",
+    tags=("scalar", "datetime"),
+)
+def qx2b_time_events(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    return (
+        ev.select(
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+            F.hour("ts").alias("h"),
+            F.minute("ts").alias("mi"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+@query(
+    "qx3_math_functions",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(abs(l_discount - 0.05), 6)          AS a,
+       CAST(ceil(l_quantity / 7) AS BIGINT)      AS c,
+       CAST(floor(l_extendedprice / 1000) AS BIGINT) AS f,
+       round(sqrt(l_extendedprice), 6)           AS sq,
+       round(ln(l_extendedprice), 6)             AS lg,
+       round(exp(l_discount), 6)                 AS ex,
+       round(pow(l_quantity, 1.5), 6)            AS pw,
+       CAST(l_linenumber % 3 AS INT)             AS md,
+       CAST(sign(l_discount - 0.05) AS INT)      AS sg,
+       round(greatest(l_quantity, l_discount * 100), 2) AS gr,
+       round(least(l_quantity, l_tax * 100), 2)  AS le
+FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 200
+""",
+    doc="Q-X3: math family — abs/ceil/floor/sqrt/ln/exp/power/mod/sign/"
+    "greatest/least (sign cast to INT: DuckDB TINYINT vs Spark DOUBLE).",
+    tags=("scalar", "math"),
+)
+def qx3_math_functions(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("a"),
+            F.ceil(F.col("l_quantity") / 7).cast("bigint").alias("c"),
+            F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("f"),
+            F.round(F.sqrt("l_extendedprice"), 6).alias("sq"),
+            F.round(F.log(F.col("l_extendedprice")), 6).alias("lg"),
+            F.round(F.exp("l_discount"), 6).alias("ex"),
+            F.round(F.pow("l_quantity", F.lit(1.5)), 6).alias("pw"),
+            (F.col("l_linenumber") % 3).cast("int").alias("md"),
+            F.signum(F.col("l_discount") - 0.05).cast("int").alias("sg"),
+            F.round(F.greatest(F.col("l_quantity"), F.col("l_discount") * 100), 2).alias("gr"),
+            F.round(F.least(F.col("l_quantity"), F.col("l_tax") * 100), 2).alias("le"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(200)
+    )
+
+
+@query(
+    "qx4_conditional_functions",
+    oracle="""
+SELECT count(*) AS n,
+       round(sum(coalesce(nullif(l_discount, 0), -1)), 2) AS s,
+       count(CASE WHEN l_discount IS NULL THEN 1 END) AS n_null,
+       count(CASE WHEN nullif(l_discount, 0) IS NULL THEN 1 END) AS n_zero_as_null,
+       round(sum(CASE WHEN l_quantity > 25 THEN l_quantity ELSE 0 END), 2) AS s_big
+FROM lineitem
+""",
+    doc="Q-X4: conditional family — coalesce/nullif/CASE/IS NULL "
+    "(NULLs manufactured via nullif; fixtures are NULL-free).",
+    tags=("scalar", "conditional"),
+)
+def qx4_conditional_functions(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    nz = F.nullif(F.col("l_discount"), F.lit(0))
+    return li.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.coalesce(nz, F.lit(-1.0))), 2).alias("s"),
+        F.count(F.when(F.col("l_discount").isNull(), 1)).alias("n_null"),
+        F.count(F.when(nz.isNull(), 1)).alias("n_zero_as_null"),
+        F.round(
+            F.sum(F.when(F.col("l_quantity") > 25, F.col("l_quantity")).otherwise(0.0)),
+            2,
+        ).alias("s_big"),
+    )
+
+
+@query(
+    "qx5_array_functions",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INT)                                       AS n,
+       round(list_sum(CAST(embedding[1:8] AS DOUBLE[])), 5)              AS s8,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT)             AS n_pos,
+       round(list_sum(list_transform(CAST(embedding[1:8] AS DOUBLE[]),
+                                     x -> x * 2)), 5)                    AS s2x,
+       round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 5)      AS mx,
+       round(list_sum(CAST(flatten([embedding[1:2], embedding[3:4]])
+                           AS DOUBLE[])), 5)                             AS sflat
+FROM embeddings ORDER BY vec_id LIMIT 200
+""",
+    doc="Q-X5: array family — size/slice/aggregate/filter/transform/"
+    "array_max/flatten over the 64-dim embedding column.",
+    tags=("scalar", "array"),
+)
+def qx5_array_functions(spark, sf_dir):
+    emb = tables(spark, sf_dir).embeddings
+    e = F.col("embedding")
+    ed = F.transform(e, lambda x: x.cast("double"))
+    def asum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+    return (
+        emb.select(
+            "vec_id",
+            F.size(e).alias("n"),
+            F.round(asum(F.slice(ed, 1, 8)), 5).alias("s8"),
+            F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+            F.round(asum(F.transform(F.slice(ed, 1, 8), lambda x: x * 2)), 5).alias("s2x"),
+            F.round(F.array_max(ed), 5).alias("mx"),
+            F.round(
+                asum(F.flatten(F.array(F.slice(ed, 1, 2), F.slice(ed, 3, 2)))), 5
+            ).alias("sflat"),
+        )
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+
+@query(
+    "qx6_json_functions",
+    oracle="""
+SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS total_k,
+       count(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 500
+                  THEN 1 END) AS n_big
+FROM events
+""",
+    doc="Q-X6: JSON scalar extraction (get_json_object ↔ "
+    "json_extract_string) + from_json struct access.",
+    tags=("scalar", "json"),
+)
+def qx6_json_functions(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    k = F.get_json_object("props", "$.k").cast("int")
+    k2 = F.from_json("props", "k INT").getField("k")
+    return ev.agg(
+        F.sum(k).alias("total_k"),
+        F.count(F.when(k2 > 500, 1)).alias("n_big"),
+    )
+
+
+@query(
+    "qx7_hash_functions",
+    oracle="""
+SELECT doc_id, md5(text) AS m, sha256(text) AS s
+FROM documents ORDER BY doc_id LIMIT 100
+""",
+    doc="Q-X7: cross-engine hashes md5/sha256 (the only portable ones — "
+    "SURVEY trap 5; xxhash64 stays engine-internal).",
+    tags=("scalar", "hash"),
+)
+def qx7_hash_functions(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return (
+        docs.select(
+            "doc_id",
+            F.md5("text").alias("m"),
+            F.sha2(F.col("text"), 256).alias("s"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )

@@ -1,0 +1,148 @@
+"""Declared queries: UDF/UDAF/UDTF surface (SURVEY §2.12).
+
+The slow-path rules (SURVEY §4.2): Arrow-batched pandas UDFs over
+row-at-a-time Python UDFs everywhere it matters; Q-U1 deliberately
+runs BOTH against the same oracle to pin down identical semantics.
+applyInPandas / grouped-agg / mapInPandas each get a declared query
+whose oracle is the equivalent window/aggregate SQL.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+
+from sora_spark.catalog import tables
+from sora_spark.queries.registry import query
+
+
+@query(
+    "qu1_scalar_udf",
+    oracle="""
+SELECT p_partkey, reverse(p_name) AS rev_row, reverse(p_name) AS rev_arrow
+FROM part ORDER BY p_partkey LIMIT 200
+""",
+    doc="Q-U1: the same string reversal via a row-at-a-time Python UDF "
+    "AND an Arrow-batched pandas UDF; both must hash-match the builtin.",
+    tags=("udf",),
+)
+def qu1_scalar_udf(spark, sf_dir):
+    part = tables(spark, sf_dir).part
+
+    @udf("string")
+    def rev_row(s: str) -> str:
+        return s[::-1] if s is not None else None
+
+    @pandas_udf("string")
+    def rev_arrow(s: pd.Series) -> pd.Series:
+        return s.str[::-1]
+
+    return (
+        part.select(
+            "p_partkey",
+            rev_row("p_name").alias("rev_row"),
+            rev_arrow("p_name").alias("rev_arrow"),
+        )
+        .orderBy("p_partkey")
+        .limit(200)
+    )
+
+
+@query(
+    "qu2_apply_in_pandas_zscore",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
+             / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 4) AS z
+FROM customer ORDER BY c_custkey
+""",
+    doc="Q-U2: grouped-map applyInPandas — per-segment z-score "
+    "normalization; oracle is the window-function formulation.",
+    tags=("udf", "applyInPandas"),
+)
+def qu2_apply_in_pandas_zscore(spark, sf_dir):
+    customer = tables(spark, sf_dir).customer
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        m, s = pdf["c_acctbal"].mean(), pdf["c_acctbal"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "z": ((pdf["c_acctbal"] - m) / s).round(4),
+            }
+        )
+
+    return (
+        customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInPandas(zscore, "c_custkey bigint, c_mktsegment string, z double")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "qu3_grouped_agg_trimmed_mean",
+    oracle="""
+WITH r AS (
+  SELECT c_mktsegment, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS ra,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey DESC) AS rd,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer)
+SELECT c_mktsegment, round(avg(c_acctbal), 4) AS trimmed_mean
+FROM r WHERE ra > n // 10 AND rd > n // 10
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    doc="Q-U3: grouped-agg pandas UDAF — 10%-trimmed mean of acctbal "
+    "per segment; oracle trims by rank (tie order is irrelevant to the "
+    "mean because equal values are interchangeable).",
+    tags=("udf", "grouped-agg"),
+)
+def qu3_grouped_agg_trimmed_mean(spark, sf_dir):
+    customer = tables(spark, sf_dir).customer
+
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        s = v.sort_values().reset_index(drop=True)
+        k = len(s) // 10
+        return round(float(s.iloc[k : len(s) - k].mean()), 4)
+
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(trimmed_mean("c_acctbal").alias("trimmed_mean"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "qu4_map_in_pandas_splitter",
+    oracle="""
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+FROM documents ORDER BY doc_id
+""",
+    doc="Q-U4: mapInPandas record-splitting table function — fan out "
+    "documents to tokens in Arrow batches, then count per doc.",
+    tags=("udf", "mapInPandas"),
+)
+def qu4_map_in_pandas_splitter(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+
+    def split_records(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                toks = row["text"].split(" ")
+                yield pd.DataFrame(
+                    {"doc_id": [row["doc_id"]] * len(toks), "token": toks}
+                )
+
+    tokens = docs.select("doc_id", "text").mapInPandas(
+        split_records, "doc_id bigint, token string"
+    )
+    return (
+        tokens.groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_tokens"))
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,177 @@
+"""Declared queries: window-function family Q-W2..Q-W6 (SURVEY §2.5).
+
+Q-W1 (row_number top-k) lives in bench_core. Every window spec carries
+a total ordering (ties broken by a unique key) so results are
+engine-independent. Each query costs exactly one shuffle on its
+partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sora_spark.catalog import tables
+from sora_spark.queries.registry import query
+
+
+@query(
+    "qw2_rank_dense_ntile",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(rank() OVER w AS INT) AS rnk, CAST(dense_rank() OVER w AS INT) AS drnk,
+       CAST(ntile(4) OVER w AS INT) AS nt
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_custkey, o_orderkey LIMIT 200
+""",
+    doc="Q-W2: rank / dense_rank / ntile over one window spec.",
+    tags=("window",),
+)
+def qw2_rank_dense_ntile(spark, sf_dir):
+    orders = tables(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("nt"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(200)
+    )
+
+
+@query(
+    "qw3_lag_deltas",
+    oracle="""
+WITH d AS (
+  SELECT user_id,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS delta
+  FROM events)
+SELECT user_id, round(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END), 2) AS gain
+FROM d GROUP BY user_id
+ORDER BY gain DESC, user_id LIMIT 50
+""",
+    doc="Q-W3: lag deltas per user; top-50 users by summed positive delta.",
+    tags=("window",),
+)
+def qw3_lag_deltas(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    return (
+        ev.select("user_id", delta.alias("delta"))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("delta") > 0, F.col("delta")).otherwise(0.0)), 2
+            ).alias("gain")
+        )
+        .orderBy(F.desc("gain"), "user_id")
+        .limit(50)
+    )
+
+
+@query(
+    "qw4_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS cum_spend
+FROM orders WHERE o_custkey < 50
+ORDER BY o_custkey, o_orderkey
+""",
+    doc="Q-W4: cumulative sum with explicit ROWS frame (sample custkey<50).",
+    tags=("window",),
+)
+def qw4_running_sum(spark, sf_dir):
+    orders = tables(spark, sf_dir).orders
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.filter(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "qw5_moving_range_window",
+    oracle="""
+WITH c AS (
+  SELECT count(*) OVER (PARTITION BY event_type ORDER BY ts
+                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+           AS n_in_window
+  FROM events)
+SELECT n_in_window, count(*) AS n_events
+FROM c GROUP BY n_in_window ORDER BY n_in_window
+""",
+    doc="Q-W5: moving 1-hour RANGE frame per event_type; output the "
+    "histogram of in-window counts. Spark side orders by unix_micros "
+    "(long) with an equivalent numeric range frame — identical "
+    "inclusive-boundary semantics, and the DataFrame API stays usable.",
+    tags=("window", "range-frame"),
+)
+def qw5_moving_range_window(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(F.count("*").over(w).alias("n_in_window"))
+        .groupBy("n_in_window")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("n_in_window")
+    )
+
+
+@query(
+    "qw6_distribution_functions",
+    oracle="""
+SELECT o_orderstatus, o_orderkey,
+       round(percent_rank() OVER w, 5) AS pr,
+       round(cume_dist() OVER w, 5) AS cd,
+       first_value(o_orderkey) OVER w AS cheapest,
+       last_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_totalprice, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS priciest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderstatus, o_orderkey LIMIT 200
+""",
+    doc="Q-W6: percent_rank / cume_dist / first_value / last_value "
+    "(last_value needs the full-partition frame in both engines).",
+    tags=("window",),
+)
+def qw6_distribution_functions(spark, sf_dir):
+    orders = tables(spark, sf_dir).orders
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 5).alias("pr"),
+            F.round(F.cume_dist().over(w), 5).alias("cd"),
+            F.first("o_orderkey").over(w).alias("cheapest"),
+            F.last("o_orderkey").over(w_full).alias("priciest"),
+        )
+        .orderBy("o_orderstatus", "o_orderkey")
+        .limit(200)
+    )
