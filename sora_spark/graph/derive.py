@@ -44,6 +44,20 @@ E_CO_SQL = (
 )
 
 
+# Bounded subgraph (both endpoints < 500) used by the fixpoint/reduction
+# oracles so the DuckDB recursive-CTE side stays tractable (SURVEY Q-G4).
+E_CO_SMALL_SQL = (
+    "SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d "
+    "FROM lineitem a JOIN lineitem b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+    "WHERE a.l_partkey < 500 AND b.l_partkey < 500"
+)
+
+
+def e_co_small(lineitem: DataFrame, bound: int = 500) -> DataFrame:
+    return e_co(lineitem).filter((F.col("s") < bound) & (F.col("d") < bound))
+
+
 def e_seq(events: DataFrame) -> DataFrame:
     """Per-user succession edges (src_event → next event by ts, event_id).
 

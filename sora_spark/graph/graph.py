@@ -177,6 +177,46 @@ class Graph:
                 break
         return labels
 
+    def compact_chains(self, max_iter: int = 30) -> DataFrame:
+        """Compact maximal non-branching chains (unitigs) by pointer
+        doubling → (start, end, length). Requires a chain-union graph
+        (every vertex in/out-degree ≤ 1); path lengths double each
+        round, so convergence is O(log longest-chain) shuffles instead
+        of O(length) — the difference that matters at 100 TB.
+        """
+        p = self.edges.select(
+            F.col("s").alias("v"), F.col("d").alias("end"), F.lit(1).alias("dist")
+        ).localCheckpoint(eager=True)
+        prev_total = None
+        for _ in range(max_iter):
+            a, b = p.alias("a"), p.alias("b")
+            p = (
+                a.join(b, F.col("a.end") == F.col("b.v"), "left")
+                .select(
+                    F.col("a.v").alias("v"),
+                    F.coalesce(F.col("b.end"), F.col("a.end")).alias("end"),
+                    (
+                        F.col("a.dist") + F.coalesce(F.col("b.dist"), F.lit(0))
+                    ).alias("dist"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            total = p.agg(F.sum("dist")).collect()[0][0]
+            if total == prev_total:
+                break
+            prev_total = total
+        starts = self.edges.select(F.col("s").alias("v")).subtract(
+            self.edges.select(F.col("d").alias("v"))
+        )
+        return (
+            p.join(starts, "v", "left_semi")
+            .select(
+                F.col("v").alias("start"),
+                "end",
+                F.col("dist").alias("length"),
+            )
+        )
+
     def component_size_histogram(self, max_iter: int = 50) -> DataFrame:
         comp = self.connected_components(max_iter=max_iter)
         sizes = comp.groupBy("component").agg(F.count("*").alias("component_size"))

@@ -1,0 +1,202 @@
+"""Declared queries: graph / overlap-reduction family Q-G1..Q-G8
+(SURVEY §2.10 — the SORA capability core: degree analysis, k-hop,
+triangles, connected components, transitive reduction, tip removal,
+path compaction, bubble detection).
+
+Q-G2 (2-hop count) lives in bench_core as qj9. Fixpoint and
+reduction queries run on the bounded subgraph (partkeys < 500) so the
+DuckDB recursive-CTE oracle stays tractable; the Spark implementations
+in sora_spark.graph are scale-free (iterative joins + localCheckpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sora_spark.catalog import tables
+from sora_spark.graph import Graph, e_co, e_seq
+from sora_spark.graph.derive import E_CO_SMALL_SQL, E_CO_SQL, e_co_small
+from sora_spark.queries.registry import query
+
+
+@query(
+    "qg1_degree_histogram",
+    oracle=f"""
+WITH eco AS ({E_CO_SQL}),
+deg AS (
+  SELECT v, count(*) AS degree
+  FROM (SELECT s AS v FROM eco UNION ALL SELECT d FROM eco) ends
+  GROUP BY v)
+SELECT degree, count(*) AS n_vertices
+FROM deg GROUP BY degree ORDER BY degree
+""",
+    doc="Q-G1: total-degree histogram over the co-occurrence graph.",
+    tags=("graph",),
+)
+def qg1_degree_histogram(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return Graph(e_co(li)).degree_histogram().orderBy("degree")
+
+
+@query(
+    "qg3_triangle_count",
+    oracle=f"""
+WITH eco AS ({E_CO_SQL})
+SELECT count(*) AS triangle_count
+FROM eco e1
+JOIN eco e2 ON e1.d = e2.s
+JOIN eco e3 ON e1.s = e3.s AND e2.d = e3.d
+""",
+    doc="Q-G3: triangle count (s<m<d canonical closing condition holds "
+    "because E_co edges are already s<d).",
+    tags=("graph",),
+)
+def qg3_triangle_count(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return Graph(e_co(li)).triangle_count()
+
+
+@query(
+    "qg4_connected_components",
+    oracle=f"""
+WITH RECURSIVE eco AS ({E_CO_SMALL_SQL}),
+edges AS (SELECT s, d FROM eco UNION SELECT d, s FROM eco),
+verts AS (SELECT DISTINCT s AS v FROM edges),
+reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.v
+),
+comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+sizes AS (SELECT component, count(*) AS component_size FROM comp GROUP BY component)
+SELECT component_size, count(*) AS n_components
+FROM sizes GROUP BY component_size ORDER BY component_size
+""",
+    doc="Q-G4: connected components via min-label propagation to "
+    "fixpoint (labels = min vertex id ⇒ order-free); output the "
+    "component-size histogram. Oracle: recursive-CTE reachability "
+    "closure + min per vertex on the bounded subgraph.",
+    tags=("graph", "fixpoint"),
+)
+def qg4_connected_components(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        Graph(e_co_small(li))
+        .component_size_histogram()
+        .orderBy("component_size")
+    )
+
+
+@query(
+    "qg5_transitive_reduction",
+    oracle=f"""
+WITH eco AS ({E_CO_SMALL_SQL}),
+paths AS (SELECT DISTINCT e1.s AS s, e2.d AS d
+          FROM eco e1 JOIN eco e2 ON e1.d = e2.s)
+SELECT
+  (SELECT count(*) FROM eco e
+    WHERE EXISTS (SELECT 1 FROM paths p WHERE p.s = e.s AND p.d = e.d))
+      AS n_removed,
+  (SELECT count(*) FROM eco e
+    WHERE NOT EXISTS (SELECT 1 FROM paths p WHERE p.s = e.s AND p.d = e.d))
+      AS n_surviving
+""",
+    doc="Q-G5: one transitive-reduction round — edges shadowed by a "
+    "2-path are removed (left-semi/anti against the path set).",
+    tags=("graph", "reduction"),
+)
+def qg5_transitive_reduction(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    g = Graph(e_co_small(li))
+    removed = g.transitive_edges().agg(F.count("*").alias("n_removed"))
+    surviving = g.transitive_reduction_round().agg(
+        F.count("*").alias("n_surviving")
+    )
+    return removed.crossJoin(surviving)
+
+
+@query(
+    "qg6_tips",
+    oracle=f"""
+WITH eco AS ({E_CO_SMALL_SQL}),
+deg AS (
+  SELECT v, count(*) AS degree
+  FROM (SELECT s AS v FROM eco UNION ALL SELECT d FROM eco) ends
+  GROUP BY v),
+ends AS (SELECT s AS v, d AS nbr FROM eco UNION ALL SELECT d, s FROM eco)
+SELECT
+  (SELECT count(*) FROM deg d1 JOIN ends e ON d1.v = e.v
+                   JOIN deg d2 ON e.nbr = d2.v
+    WHERE d1.degree = 1 AND d2.degree >= 3) AS n_tips,
+  (SELECT count(*) FROM (SELECT user_id FROM events
+                         GROUP BY user_id HAVING count(*) >= 2) u)
+      AS n_chain_ends
+""",
+    doc="Q-G6: dead-end (tip) removal shape — degree-1 vertices hanging "
+    "off a hub (degree ≥ 3), plus E_seq chain-end count (one end per "
+    "user chain with ≥1 edge).",
+    tags=("graph", "reduction"),
+)
+def qg6_tips(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    tips = (
+        Graph(e_co_small(t.lineitem))
+        .tips(hub_degree=3)
+        .agg(F.count("*").alias("n_tips"))
+    )
+    chain_ends = (
+        t.events.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .agg(F.count("*").alias("n_chain_ends"))
+    )
+    return tips.crossJoin(chain_ends)
+
+
+@query(
+    "qg7_path_compaction",
+    oracle="""
+WITH chains AS (
+  SELECT user_id, count(*) - 1 AS chain_length
+  FROM events GROUP BY user_id HAVING count(*) >= 2)
+SELECT chain_length, count(*) AS n_chains
+FROM chains GROUP BY chain_length ORDER BY chain_length
+""",
+    doc="Q-G7: path compaction over E_seq — each user's event chain "
+    "compacts to one unitig; histogram of chain lengths (edge counts). "
+    "Computed from the derived edge list itself; the generic no-key "
+    "pointer-doubling compaction is unit-tested in tests/test_graph.py.",
+    tags=("graph", "compaction"),
+)
+def qg7_path_compaction(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    edges = e_seq(ev)
+    return (
+        edges.groupBy("user_id")
+        .agg(F.count("*").alias("chain_length"))
+        .groupBy("chain_length")
+        .agg(F.count("*").alias("n_chains"))
+        .orderBy("chain_length")
+    )
+
+
+@query(
+    "qg8_bubbles",
+    oracle=f"""
+WITH eco AS ({E_CO_SMALL_SQL}),
+tp AS (SELECT e1.s AS u, e1.d AS x, e2.d AS w
+       FROM eco e1 JOIN eco e2 ON e1.d = e2.s)
+SELECT count(*) AS n_bubble_pairs
+FROM (SELECT u, w FROM tp GROUP BY u, w HAVING count(DISTINCT x) >= 2) b
+""",
+    doc="Q-G8: bubble detection — endpoint pairs (u, w) connected by "
+    "≥ 2 distinct internal vertices via 2-paths.",
+    tags=("graph", "reduction"),
+)
+def qg8_bubbles(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        Graph(e_co_small(li))
+        .bubble_pairs(min_mids=2)
+        .agg(F.count("*").alias("n_bubble_pairs"))
+    )

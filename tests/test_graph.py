@@ -1,0 +1,72 @@
+"""Unit tests for graph algorithms on small synthetic graphs with
+hand-computed expected results (the declared Q-G* queries cover the
+fixture-derived graphs; these pin the algorithms themselves).
+"""
+
+from __future__ import annotations
+
+from sora_spark.graph import Graph
+
+
+def _g(spark, edges):
+    return Graph(spark.createDataFrame(edges, "s long, d long"))
+
+
+def test_connected_components(spark):
+    # components: {1,2,3}, {4,5}, labels = min id
+    g = _g(spark, [(1, 2), (2, 3), (4, 5)])
+    comp = {r["v"]: r["component"] for r in g.connected_components().collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+    hist = {
+        r["component_size"]: r["n_components"]
+        for r in g.component_size_histogram().collect()
+    }
+    assert hist == {3: 1, 2: 1}
+
+
+def test_transitive_reduction(spark):
+    # a->b->c with shortcut a->c: shortcut is removed
+    g = _g(spark, [(1, 2), (2, 3), (1, 3)])
+    removed = {(r["s"], r["d"]) for r in g.transitive_edges().collect()}
+    surviving = {
+        (r["s"], r["d"]) for r in g.transitive_reduction_round().collect()
+    }
+    assert removed == {(1, 3)}
+    assert surviving == {(1, 2), (2, 3)}
+
+
+def test_tips(spark):
+    # hub 1 with neighbors 2,3,4; vertex 5 hangs off 2 (degree-2 nbr -> not a tip)
+    g = _g(spark, [(1, 2), (1, 3), (1, 4), (2, 5)])
+    tips = {r["v"] for r in g.tips(hub_degree=3).collect()}
+    # 2 has degree 2 (edges to 1 and 5) -> not a tip; 5's neighbor 2 is
+    # no hub -> excluded; 3 and 4 are degree-1 off hub 1.
+    assert tips == {3, 4}
+
+def test_bubbles(spark):
+    # 1->2->4 and 1->3->4: bubble pair (1,4) with mids {2,3}
+    g = _g(spark, [(1, 2), (1, 3), (2, 4), (3, 4)])
+    pairs = {
+        (r["u"], r["w"]): r["n_mids"] for r in g.bubble_pairs(2).collect()
+    }
+    assert pairs == {(1, 4): 2}
+
+
+def test_compact_chains(spark):
+    # chains: 1->2->3->4 (len 3), 5->6 (len 1), 7->8->9 (len 2)
+    g = _g(spark, [(1, 2), (2, 3), (3, 4), (5, 6), (7, 8), (8, 9)])
+    chains = {
+        (r["start"], r["end"], r["length"])
+        for r in g.compact_chains().collect()
+    }
+    assert chains == {(1, 4, 3), (5, 6, 1), (7, 9, 2)}
+
+
+def test_degrees_and_two_hop(spark):
+    g = _g(spark, [(1, 2), (2, 3)])
+    hist = {
+        r["degree"]: r["n_vertices"] for r in g.degree_histogram().collect()
+    }
+    assert hist == {1: 2, 2: 1}
+    assert g.two_hop_count().collect()[0]["two_hop_count"] == 1
+    assert g.triangle_count().collect()[0]["triangle_count"] == 0
