@@ -21,18 +21,23 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     """Word n-grams as space-joined strings, 1-based positions.
 
     Matches the Q-L2 oracle spec exactly: shingle i is
-    `w[i] || ' ' || w[i+1] || ... || w[i+n-1]`. Docs shorter than n
-    words yield a single shingle of all their words (range collapses
-    to position 1), mirroring DuckDB `range(1, greatest(len(w)-n+2, 2))`.
+    `w[i] || ' ' || w[i+1] || ... || w[i+n-1]` for i in 1..len(w)-n+1.
+    Docs shorter than n words yield NO shingles (empty array) —
+    mirroring DuckDB `unnest(range(1, greatest(len(w)-(n-2), 1)))`,
+    which is empty for short docs.
     """
     w = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
 
 
 def char_shingles(text: Column, k: int = 4) -> Column:
-    """Character k-grams (document fingerprinting, rolling-hash style)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)))
+    """Character k-grams; strict (empty for texts shorter than k)."""
+    idx = F.when(
+        F.length(text) >= k, F.sequence(F.lit(1), F.length(text) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.substring(text, i, k))
 
 

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (SURVEY §2.11 Q-L3/Q-L4).
+
+Two tiers:
+- `brute_force_topk`: broadcast the (small) probe set, cosine against
+  every vector, window top-k. Exact; O(|probes| × |corpus|) — the
+  baseline and the oracle for recall tests.
+- `lsh_topk`: random-hyperplane LSH — vectors bucket by the sign
+  pattern of `n_planes` fixed hyperplanes; probes only scan their own
+  bucket. The scale path: the corpus-side work drops from all-pairs to
+  per-bucket, and buckets are just a groupBy key (no custom index
+  structure, shuffles bounded by bucket size).
+
+Hyperplanes are generated from a fixed seed so plans are deterministic
+across runs and executors (they are literals in the plan — broadcast
+with the closure, no data-dependent state).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sora_spark.functions import vector
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per probe (self excluded) →
+    (probe_id, rn, neighbor_id, sim). Ranks on the ROUNDED similarity
+    with neighbor-id tie-break so results are engine-independent."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    j = corpus.join(F.broadcast(p), F.col(id_col) != F.col("probe_id"))
+    sim = F.round(
+        vector.cosine(F.col(vec_col), F.col("probe_vec")), sim_decimals
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        j.select("probe_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "rn", "neighbor_id", "sim")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def bucket_key(vec_col, planes: list[list[float]]):
+    """Sign-pattern LSH bucket id as a bit string column."""
+    bits = [
+        F.when(
+            vector.dot(vec_col, F.array(*[F.lit(x) for x in plane])) >= 0, "1"
+        ).otherwise("0")
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with multi-probe: each probe scans its own
+    bucket plus every hamming-1 bucket (flip one sign bit), i.e.
+    (n_planes+1)/2^n_planes of the corpus instead of all of it. Recall
+    is tested against brute_force_topk (tolerance tier, SURVEY §5.3)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.withColumn("_bucket", bucket_key(F.col(vec_col), planes))
+    key = bucket_key(F.col("probe_vec"), planes)
+    # candidate buckets: exact key + each single-bit flip
+    flips = [
+        F.concat(
+            F.substring(key, 1, i),
+            F.when(F.substring(key, i + 1, 1) == "1", "0").otherwise("1"),
+            F.substring(key, i + 2, n_planes - i - 1),
+        )
+        for i in range(n_planes)
+    ]
+    p = (
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+        )
+        .withColumn("_bucket", F.explode(F.array(key, *flips)))
+    )
+    j = c.join(F.broadcast(p), "_bucket").filter(
+        F.col(id_col) != F.col("probe_id")
+    )
+    sim = F.round(vector.cosine(F.col(vec_col), F.col("probe_vec")), 5)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        j.select("probe_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "rn", "neighbor_id", "sim")
+    )
+
+
+def near_duplicate_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_bound: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, sim ≥ threshold).
+    `id_bound` caps the blocked all-pairs join for oracle-checked runs;
+    at scale, route through lsh bucket keys first."""
+    e = emb if id_bound is None else emb.filter(F.col(id_col) < id_bound)
+    a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    sim = F.round(vector.cosine(F.col("va"), F.col("vb")), 5)
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

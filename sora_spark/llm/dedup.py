@@ -1,0 +1,152 @@
+"""Deduplication operators (SURVEY §2.11, Q-L1/Q-L2 + extensions).
+
+Scale design: every variant is shuffle-bounded —
+- exact: one hash-groupBy on a fingerprint (never on raw text; the
+  md5 keeps shuffle rows small at 100 TB);
+- MinHash-LSH: explode shingles map-side → per-doc signatures (one
+  groupBy) → band buckets → self-join per bucket. Candidate pairs are
+  bounded by bucket sizes, never all-pairs;
+- SimHash: one explode + one groupBy; fingerprints join on themselves
+  or banded substrings;
+- embedding near-dup: bounded/blocked cosine join (ann.py provides the
+  LSH-bucketed path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sora_spark.functions.text import minhash_salted, tokens, word_shingles
+
+
+def exact_fingerprint(text: Column, normalize: bool = True) -> Column:
+    """md5 dedup key (lower/trim normalization optional)."""
+    t = F.lower(F.trim(text)) if normalize else text
+    return F.md5(t)
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", normalize: bool = True) -> DataFrame:
+    """Keep the first (min doc_id) row per fingerprint."""
+    fp = exact_fingerprint(F.col(text_col), normalize)
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    return (
+        df.withColumn("_fp", fp)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature under `num_perm` salted-md5
+    permutations → (id, perm, sig). One explode + one groupBy."""
+    sh = word_shingles(F.col(text_col), shingle_n)
+    sigs = [
+        minhash_salted(sh, salt).alias(f"sig_{salt}") for salt in range(num_perm)
+    ]
+    wide = df.select(F.col(id_col).alias("id"), *sigs)
+    stack = ", ".join(f"{s}, sig_{s}" for s in range(num_perm))
+    return wide.selectExpr("id", f"stack({num_perm}, {stack}) AS (perm, sig)")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Multi-band MinHash LSH: band key = concatenated signatures of
+    the band's permutations; docs sharing any band key are candidates.
+    Returns distinct (a, b) with a < b."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm)
+    band_keys = (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list("sig"))).alias("bkey"))
+    )
+    a, b = band_keys.alias("a"), band_keys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
+
+
+def simhash_fast(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash via xxhash64 (engine-internal fast path — NOT
+    cross-engine comparable; the declared query qd1 uses the portable
+    md5-nibble formulation instead). One explode + one groupBy."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bits = tok.select(
+        "id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+    ).select(
+        "id",
+        "bit",
+        (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1).alias("contrib"),
+    )
+    per_bit = bits.groupBy("id", "bit").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def jaccard_over_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate (a, b) pairs: |A∩B| / |A∪B|
+    over DISTINCT word shingles. Joins shingle sets only for candidate
+    docs (the LSH prefilter keeps this tractable at scale)."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col("id").alias("a"), "sh"), "a")
+        .join(sh.select(F.col("id").alias("b"), F.col("sh").alias("sh2")), "b")
+        .filter(F.col("sh") == F.col("sh2"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,111 @@
+"""Text analysis operators (SURVEY §2.11 + the training-data-pipeline
+extensions): language-ID (stopword heuristic), quality scoring,
+token counting, TF-IDF, document fingerprinting.
+
+All pure Column/DataFrame compositions — explode + groupBy shapes that
+stay inside whole-stage codegen; nothing here crosses into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sora_spark.functions.text import char_shingles, tokens
+
+# Tiny per-language stopword lexicon for the language-ID heuristic.
+# Deliberately small and fixed: the declared query mirrors it as a SQL
+# VALUES table, so both engines share one lexicon.
+STOPWORDS: list[tuple[str, str]] = [
+    ("the", "en"), ("and", "en"), ("of", "en"), ("to", "en"), ("in", "en"),
+    ("der", "de"), ("die", "de"), ("und", "de"), ("das", "de"), ("ist", "de"),
+    ("el", "es"), ("los", "es"), ("que", "es"), ("y", "es"), ("una", "es"),
+    ("le", "fr"), ("et", "fr"), ("les", "fr"), ("des", "fr"), ("dans", "fr"),
+    ("的", "zh"), ("是", "zh"), ("不", "zh"), ("了", "zh"), ("在", "zh"),
+]
+
+
+def stopword_lexicon(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(STOPWORDS, "tok string, lang_cand string")
+
+
+def language_id(df: DataFrame, spark: SparkSession, text_col: str = "text") -> DataFrame:
+    """Predicted language per doc = argmax stopword hits (ties broken
+    by language name; docs with zero hits are absent)."""
+    tok = df.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    hits = (
+        tok.join(F.broadcast(stopword_lexicon(spark)), "tok")
+        .groupBy("doc_id", "lang_cand")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), "lang_cand")
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang_cand").alias("pred_lang"), "n_hits")
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / token / stopword-ratio features + a fixed score blend.
+
+    score = 0.4·min(n_tokens/100, 1) + 0.3·(1 − |avg_len − 5|/5 capped)
+          + 0.3·stop_ratio — arbitrary but deterministic and monotone
+    in the usual quality signals.
+    """
+    w = tokens(F.col(text_col))
+    en_stop = F.array(*[F.lit(s) for s, lang in STOPWORDS if lang == "en"])
+    n_tok = F.size(w)
+    avg_len = (F.length(F.col(text_col)) - (n_tok - 1)) / n_tok  # chars sans spaces
+    stop_ratio = F.size(F.filter(w, lambda x: F.array_contains(en_stop, x))) / n_tok
+    score = (
+        0.4 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (1 - F.least(F.abs(avg_len - 5) / F.lit(5.0), F.lit(1.0)))
+        + 0.3 * stop_ratio
+    )
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, top_k: int = 5, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Top-k terms per group by tf·ln(N/df), N = #groups, df = #groups
+    containing the term. Two aggregations + a broadcast scalar join."""
+    tok = df.select(group_col, F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = tok.groupBy(group_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_groups = df.agg(F.countDistinct(group_col).alias("n_groups"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_groups))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_groups") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select(group_col, "rn", "term", "score")
+    )
+
+
+def fingerprint(df: DataFrame, k: int = 4, text_col: str = "text") -> DataFrame:
+    """Rolling char-k-gram fingerprint: min md5 over all k-grams (the
+    deterministic core of winnowing-style fingerprinting)."""
+    return df.select(
+        "doc_id",
+        F.array_min(F.transform(char_shingles(F.col(text_col), k), F.md5)).alias(
+            "fingerprint"
+        ),
+    )

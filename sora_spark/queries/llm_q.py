@@ -1,0 +1,429 @@
+"""Declared queries: LLM-data-pipeline family (SURVEY §2.11) plus the
+training-data extensions — dedup variants (MinHash candidates, SimHash,
+n-gram Jaccard, embedding near-dup), kNN join, TF-IDF, corpus stats,
+text analysis (language-ID, quality, token counts, fingerprints), and
+multimodal binary columns. Q-L1/L3/L5 live in bench_core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sora_spark.catalog import tables
+from sora_spark.functions.text import minhash_one, word_shingles
+from sora_spark.llm import ann, dedup, multimodal, textstats
+from sora_spark.queries.registry import query
+
+# Shared oracle CTE: doc word-3-gram shingles + 1-perm minhash signature
+# (the exact Q-L2 spec: DuckDB range() is empty for docs under 3 words,
+# matching the strict word_shingles()).
+_SHINGLE_SQL = """
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh0 AS (SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w FROM w),
+shingle_all AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM sh0),
+shingle AS (SELECT DISTINCT doc_id, sh FROM shingle_all),
+sig AS (SELECT doc_id, min(md5(sh)) AS sig FROM shingle_all GROUP BY doc_id),
+cand AS (SELECT a.doc_id AS a, b.doc_id AS b
+         FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id)
+"""
+
+
+def _minhash_pairs(docs):
+    """1-band MinHash candidates, the Q-L2 spec (min md5 over word
+    3-gram shingles; docs sharing the signature pair up, a < b)."""
+    sig = docs.select(
+        "doc_id", minhash_one(word_shingles(F.col("text"), 3)).alias("sig")
+    )
+    a = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    return a.join(
+        b, (F.col("sig_a") == F.col("sig_b")) & (F.col("a") < F.col("b"))
+    ).select("a", "b")
+
+
+@query(
+    "ql2_minhash_candidates",
+    oracle=f"""
+WITH {_SHINGLE_SQL}
+SELECT a, b FROM cand ORDER BY a, b LIMIT 100
+""",
+    doc="Q-L2: near-dup candidate pairs via 1-band MinHash (shingle → "
+    "min-md5 signature → bucket self-join).",
+    tags=("llm", "dedup"),
+)
+def ql2_minhash_candidates(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return _minhash_pairs(docs).orderBy("a", "b").limit(100)
+
+
+@query(
+    "ql4_knn_join",
+    oracle="""
+WITH s AS (
+  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(p.embedding AS DOUBLE[])), 5) AS sim
+  FROM embeddings p, embeddings e
+  WHERE p.vec_id < 20 AND e.vec_id <> p.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM s)
+SELECT probe_id, CAST(rn AS INT) AS rn, neighbor_id, sim
+FROM r WHERE rn <= 3 ORDER BY probe_id, rn
+""",
+    doc="Q-L4: batch kNN join — top-3 cosine neighbors for each probe "
+    "vec_id < 20 (broadcast probes; ranks on ROUNDED sim, id tiebreak).",
+    tags=("llm", "vector"),
+)
+def ql4_knn_join(spark, sf_dir):
+    emb = tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 20)
+    return ann.brute_force_topk(emb, probes, k=3).orderBy("probe_id", "rn")
+
+
+@query(
+    "ql6_tfidf",
+    oracle="""
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT source) AS n_groups FROM documents),
+scored AS (
+  SELECT tf.source, tf.term,
+         round(tf.tf * ln(n.n_groups * 1.0 / dfreq.df), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY score DESC, term) AS rn
+      FROM scored)
+SELECT source, CAST(rn AS INT) AS rn, term, score
+FROM r WHERE rn <= 5 AND source IN ('src0','src1','src2','src3','src4')
+ORDER BY source, rn
+""",
+    doc="Q-L6: TF-IDF top-5 terms per source (df over all sources, "
+    "output filtered to src0..src4).",
+    tags=("llm", "text"),
+)
+def ql6_tfidf(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    scored = textstats.tfidf_top_terms(docs, top_k=5)
+    return (
+        scored.filter(
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+        )
+        .select("source", "rn", "term", "score")
+        .orderBy("source", "rn")
+    )
+
+
+@query(
+    "ql7_corpus_stats",
+    oracle="""
+SELECT lang, source, count(*) AS n,
+       count(CASE WHEN n_chars = length(text) THEN 1 END) AS n_len_match
+FROM documents GROUP BY lang, source ORDER BY lang, source
+""",
+    doc="Q-L7: corpus stats — counts per lang × source + metadata "
+    "consistency check (n_chars vs length(text)).",
+    tags=("llm", "text"),
+)
+def ql7_corpus_stats(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(
+                F.when(F.col("n_chars") == F.length("text"), 1)
+            ).alias("n_len_match"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "ql8_embedding_class_stats",
+    oracle="""
+SELECT label, count(*) AS n,
+       round(avg(list_sum(CAST(embedding AS DOUBLE[]))), 5) AS avg_vec_sum
+FROM embeddings GROUP BY label ORDER BY label
+""",
+    doc="Q-L8: per-label embedding stats via higher-order array sums.",
+    tags=("llm", "vector"),
+)
+def ql8_embedding_class_stats(spark, sf_dir):
+    from sora_spark.functions import vector
+
+    emb = tables(spark, sf_dir).embeddings
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(vector.vec_sum(F.col("embedding"))), 5).alias(
+                "avg_vec_sum"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "qd1_simhash",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+nib AS (SELECT doc_id, h, unnest(range(1, 9)) AS p FROM h),
+dig AS (SELECT doc_id, p,
+               strpos('0123456789abcdef', substr(h, CAST(p AS INT), 1)) - 1 AS digit
+        FROM nib),
+bits AS (SELECT doc_id, p, digit, unnest(range(0, 4)) AS b FROM dig),
+s AS (SELECT doc_id, p, b,
+             sum(CASE WHEN (digit >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM bits GROUP BY 1, 2, 3),
+hexd AS (SELECT doc_id, p,
+                sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS hd
+         FROM s GROUP BY 1, 2)
+SELECT doc_id,
+       string_agg(substr('0123456789abcdef', CAST(hd + 1 AS INT), 1),
+                  '' ORDER BY p) AS simhash
+FROM hexd GROUP BY doc_id ORDER BY doc_id LIMIT 200
+""",
+    doc="qd1: portable 32-bit SimHash — md5-nibble bit votes per token, "
+    "sign-aggregated into a hex fingerprint. The fast engine path "
+    "(xxhash64, 64-bit) is llm.dedup.simhash_fast (engine-internal).",
+    tags=("llm", "dedup"),
+)
+def qd1_simhash(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("h"))
+    nib = tok.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(1), F.lit(8))).alias("p")
+    ).withColumn(
+        "digit",
+        F.expr("instr('0123456789abcdef', substring(h, p, 1))").cast("int") - 1,
+    )
+    bits = nib.select(
+        "doc_id",
+        "p",
+        "digit",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).withColumn(
+        "contrib",
+        F.when(
+            F.expr("(digit div CAST(pow(2, b) AS INT)) % 2") == 1, 1
+        ).otherwise(-1),
+    )
+    s = bits.groupBy("doc_id", "p", "b").agg(F.sum("contrib").alias("s"))
+    hexd = s.groupBy("doc_id", "p").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(pow(2, b) AS INT)")).otherwise(0)
+        ).alias("hd")
+    ).withColumn("c", F.expr("substring('0123456789abcdef', CAST(hd + 1 AS INT), 1)"))
+    return (
+        hexd.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "c"))),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "qd2_ngram_jaccard",
+    oracle=f"""
+WITH {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id),
+inter AS (SELECT p.a, p.b, count(*) AS ni
+          FROM cand p
+          JOIN shingle sa ON sa.doc_id = p.a
+          JOIN shingle sb ON sb.doc_id = p.b AND sa.sh = sb.sh
+          GROUP BY 1, 2)
+SELECT p.a AS a, p.b AS b,
+       round(coalesce(i.ni, 0) * 1.0
+             / (na.n + nb.n - coalesce(i.ni, 0)), 5) AS jaccard
+FROM cand p
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+JOIN sizes na ON na.doc_id = p.a
+JOIN sizes nb ON nb.doc_id = p.b
+ORDER BY p.a, p.b LIMIT 100
+""",
+    doc="qd2: exact word-3-gram Jaccard over the MinHash candidate "
+    "pairs (LSH prefilter keeps the shingle join tractable at scale).",
+    tags=("llm", "dedup"),
+)
+def qd2_ngram_jaccard(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    pairs = _minhash_pairs(docs)
+    j = dedup.jaccard_over_pairs(pairs, docs, shingle_n=3)
+    return (
+        j.select("a", "b", F.round("jaccard", 5).alias("jaccard"))
+        .orderBy("a", "b")
+        .limit(100)
+    )
+
+
+@query(
+    "qd3_embedding_neardup",
+    oracle="""
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 5) AS sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id AND a.vec_id < 150 AND b.vec_id < 150
+  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 5) >= 0.3
+ORDER BY a, b
+""",
+    doc="qd3: embedding-cosine near-dup pairs (sim ≥ 0.3, blocked to "
+    "vec_id < 150 for the oracle; LSH bucketing is the scale path).",
+    tags=("llm", "dedup", "vector"),
+)
+def qd3_embedding_neardup(spark, sf_dir):
+    emb = tables(spark, sf_dir).embeddings
+    return (
+        ann.near_duplicate_pairs(emb, threshold=0.3, id_bound=150)
+        .orderBy("a", "b")
+    )
+
+
+_LEX_VALUES = ", ".join(
+    f"('{tok}', '{lang}')" for tok, lang in textstats.STOPWORDS
+)
+
+
+@query(
+    "qta1_language_id",
+    oracle=f"""
+WITH lex(tok, lang_cand) AS (VALUES {_LEX_VALUES}),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+hits AS (SELECT doc_id, lang_cand, count(*) AS n_hits
+         FROM tok JOIN lex USING (tok) GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY n_hits DESC, lang_cand) AS rn
+      FROM hits)
+SELECT doc_id, lang_cand AS pred_lang, n_hits
+FROM r WHERE rn = 1 ORDER BY doc_id
+""",
+    doc="qta1: language-ID heuristic — argmax stopword hits per doc "
+    "over a fixed 25-word lexicon shared by both engines.",
+    tags=("llm", "text-analysis"),
+)
+def qta1_language_id(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return textstats.language_id(docs, spark).orderBy("doc_id")
+
+
+@query(
+    "qta2_quality_score",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+           / len(string_split(text, ' ')) AS avg_len,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains(['the','and','of','to','in'], x))) * 1.0
+           / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents)
+SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
+       round(avg_len, 4) AS avg_token_len,
+       round(stop_ratio, 4) AS stop_ratio,
+       round(0.4 * least(n_tok / 100.0, 1.0)
+             + 0.3 * (1 - least(abs(avg_len - 5) / 5.0, 1.0))
+             + 0.3 * stop_ratio, 6) AS quality_score
+FROM f ORDER BY doc_id
+""",
+    doc="qta2: quality features — token count, mean token length, "
+    "stopword ratio, blended score.",
+    tags=("llm", "text-analysis"),
+)
+def qta2_quality_score(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return textstats.quality_features(docs).orderBy("doc_id")
+
+
+@query(
+    "qta3_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS INT)
+         AS n_bpe_ish
+FROM documents ORDER BY doc_id
+""",
+    doc="qta3: token counting — whitespace tokens vs regex token "
+    "classes (BPE-ish splitter, POSIX-safe pattern).",
+    tags=("llm", "text-analysis"),
+)
+def qta3_token_count(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_ws"),
+            F.regexp_count("text", F.lit("[a-z]+")).alias("n_alpha"),
+            F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]+")).alias(
+                "n_bpe_ish"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "qta4_fingerprint",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, unnest(range(1, greatest(length(text) - 2, 1))) AS i, text
+  FROM documents)
+SELECT doc_id, min(md5(substr(text, CAST(i AS INT), 4))) AS fingerprint
+FROM g GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="qta4: document fingerprint — min md5 over rolling char "
+    "4-grams (winnowing-style deterministic core).",
+    tags=("llm", "text-analysis"),
+)
+def qta4_fingerprint(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return textstats.fingerprint(docs, k=4).orderBy("doc_id")
+
+
+@query(
+    "qm1_multimodal_binary",
+    oracle="""
+SELECT doc_id,
+       'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       md5(text) AS checksum,
+       decode(encode(text)) = text AS decoded_ok
+FROM documents ORDER BY doc_id
+""",
+    doc="qm1: multimodal binary columns — payload encode + typed "
+    "metadata struct + lossless decode roundtrip (the decode/feature "
+    "stage itself is the mapInPandas stub in llm.multimodal).",
+    tags=("llm", "multimodal"),
+)
+def qm1_multimodal_binary(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    with_payload = multimodal.attach_payload(docs, "text", "text/plain")
+    return (
+        with_payload.select(
+            "doc_id",
+            F.col("media_meta.mime").alias("mime"),
+            F.col("media_meta.n_bytes").alias("n_bytes"),
+            F.col("media_meta.checksum").alias("checksum"),
+            (F.decode(F.col("payload"), "UTF-8") == F.col("text")).alias(
+                "decoded_ok"
+            ),
+        )
+        .orderBy("doc_id")
+    )

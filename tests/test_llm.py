@@ -1,0 +1,70 @@
+"""Tolerance / self-consistency tests for the LLM ops that sit outside
+the hash set (SURVEY §5.3/§5.4): ANN recall vs exact, multi-band LSH
+superset property, SimHash fast path, multimodal plumbing, exact dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sora_spark.catalog import tables
+from sora_spark.llm import ann, dedup, multimodal
+
+
+def test_lsh_ann_recall(spark, sf_dir):
+    emb = tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = ann.brute_force_topk(emb, probes, k=3)
+    approx = ann.lsh_topk(emb, probes, k=3, n_planes=4)
+    e = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 4 planes + hamming-1 multi-probe -> each probe scans ~5/16 of the
+    # corpus; on unclustered random vectors expect recall well above
+    # that scan fraction (neighbors correlate with bucket signs).
+    assert recall >= 0.4, f"LSH recall {recall:.2f} too low"
+    # approx results must be a subset of valid neighbors (sane sims)
+    assert all(r["sim"] <= 1.0 for r in approx.collect())
+
+
+def test_multiband_lsh_superset_of_1band(spark, sf_dir):
+    """More bands can only ADD candidate pairs relative to one of its
+    bands alone; sanity: pairs are (a < b) and distinct."""
+    docs = tables(spark, sf_dir).documents
+    pairs = dedup.lsh_candidate_pairs(docs, num_perm=8, bands=4)
+    rows = pairs.collect()
+    assert all(r["a"] < r["b"] for r in rows)
+    assert len(rows) == len({(r["a"], r["b"]) for r in rows})
+
+
+def test_simhash_fast_path(spark, sf_dir):
+    """xxhash64 SimHash: 64-bit fingerprints, deterministic across runs,
+    identical texts get identical fingerprints."""
+    docs = tables(spark, sf_dir).documents.limit(50)
+    fp1 = {r["id"]: r["simhash"] for r in dedup.simhash_fast(docs).collect()}
+    fp2 = {r["id"]: r["simhash"] for r in dedup.simhash_fast(docs).collect()}
+    assert fp1 == fp2
+    assert all(isinstance(v, int) for v in fp1.values())
+
+
+def test_multimodal_feature_plumbing(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents.limit(20)
+    with_payload = multimodal.attach_payload(docs, "text", "text/plain")
+    feats = multimodal.extract_features(with_payload, n_features=8).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r["features"]) == 8
+        assert all(0.0 <= v < 1.0 for v in r["features"])
+    # deterministic stub: same payload -> same features
+    again = multimodal.extract_features(with_payload, n_features=8).collect()
+    assert sorted(map(tuple, ((r["doc_id"], tuple(r["features"])) for r in feats))) == \
+           sorted(map(tuple, ((r["doc_id"], tuple(r["features"])) for r in again)))
+
+
+def test_dedup_exact_keeps_first(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    deduped = dedup.dedup_exact(docs)
+    n_distinct = docs.select(
+        F.countDistinct(F.md5(F.lower(F.trim(F.col("text")))))
+    ).collect()[0][0]
+    assert deduped.count() == n_distinct
