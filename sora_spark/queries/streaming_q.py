@@ -1,0 +1,135 @@
+"""Declared queries: batch-oracle forms of the streaming operators
+Q-S2..Q-S4 (SURVEY §2.9). Q-S1 (tumbling) lives in bench_core. DuckDB
+cannot stream, so the t2 contract row for each streaming op is its
+batch-equivalent query; replay self-consistency (stream == batch) is
+asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sora_spark.catalog import tables
+from sora_spark.queries.registry import query
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "qs2_sliding_window",
+    oracle="""
+WITH assigned AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+         event_type, value
+  FROM events
+  UNION ALL
+  SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S'),
+         event_type, value
+  FROM events)
+SELECT win_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="Q-S2: sliding 2h/1h window — batch form via F.window (the same "
+    "operator the stream uses); every event lands in exactly 2 windows.",
+    tags=("streaming-batch",),
+)
+def qs2_sliding_window(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("window.start", _FMT).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+@query(
+    "qs3_session_windows",
+    oracle="""
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess_id
+      FROM d),
+per_session AS (
+  SELECT user_id, sess_id, count(*) AS n_events,
+         date_diff('microsecond', min(ts), max(ts)) / 1000000.0 AS len_s
+  FROM s GROUP BY user_id, sess_id)
+SELECT count(*) AS n_sessions,
+       round(avg(len_s), 2) AS avg_session_len_s,
+       count(DISTINCT user_id) AS n_users,
+       max(n_events) AS max_session_events
+FROM per_session
+""",
+    doc="Q-S3: session windows (30-min gap) — batch gaps-and-islands "
+    "form; a gap >= 30 min starts a new session (matching Spark "
+    "session_window merge semantics, where an event merges only while "
+    "strictly inside last_ts + gap).",
+    tags=("streaming-batch", "session"),
+)
+def qs3_session_windows(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    d = ev.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us >= 1_800_000_000), 1).otherwise(0),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = d.withColumn("sess_id", F.sum("new_sess").over(wsum))
+    per_session = s.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000.0
+        ).alias("len_s"),
+    )
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("len_s"), 2).alias("avg_session_len_s"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+@query(
+    "qs4_streaming_dedup",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT count(*) AS n_first, round(sum(value), 2) AS sum_value
+FROM r WHERE rn = 1
+""",
+    doc="Q-S4: streaming dedup — first occurrence per (user, "
+    "event_type) by event time; batch form is row_number() = 1.",
+    tags=("streaming-batch", "dedup"),
+)
+def qs4_streaming_dedup(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .agg(
+            F.count("*").alias("n_first"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

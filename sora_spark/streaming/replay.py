@@ -1,0 +1,70 @@
+"""Replay the events fixture as a file stream.
+
+The nanos-timestamp normalization happens once at materialization
+(batch read through sources.parquet), so the streaming scan sees plain
+microsecond timestamps — streaming readers never need the legacy conf.
+`n_files` + `maxFilesPerTrigger=1` turns the replay into that many
+micro-batches; `shuffled=True` hash-scatters rows across files to
+simulate out-of-order arrival for watermark tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sora_spark.sources.parquet import read_table
+
+_SCRATCH = "/root/repo/.scratch/stream"
+
+
+def materialize_replay_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    n_files: int = 4,
+    shuffled: bool = False,
+) -> str:
+    """Write the normalized events table into `n_files` parquet files
+    (time-ranged when ordered, md5-scattered when shuffled)."""
+    path = os.path.join(_SCRATCH, f"{name}-{os.getpid()}")
+    ev = read_table(spark, sf_dir, "events")
+    if shuffled:
+        part = ev.repartition(n_files, F.md5(F.col("event_id").cast("string")))
+    else:
+        part = ev.repartitionByRange(n_files, "ts")
+    part.write.mode("overwrite").parquet(path)
+    return path
+
+
+def events_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
+    """File-source stream over a materialized replay dir, one file per
+    micro-batch."""
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drain a streaming frame into a memory sink and return the final
+    table (blocks until all available input is processed)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,117 @@
+"""Streaming self-consistency tier (SURVEY §5.4): each streaming
+operator replayed from files must equal its declared batch-oracle
+form; shuffled replay under a generous watermark must equal ordered
+replay (late data tolerated, none dropped); a sentinel event advances
+the watermark to flush append-mode state.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from sora_spark.queries.registry import REGISTRY
+from sora_spark.streaming import ops, replay
+
+SENTINEL_USER = -999
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _qname() -> str:
+    return "mem_" + uuid.uuid4().hex[:10]
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    d = replay.materialize_replay_dir(spark, sf_dir, "tumb", n_files=4)
+    stream = ops.tumbling_counts(replay.events_stream(spark, d))
+    got = replay.run_to_memory(stream, _qname(), "complete")
+    want = REGISTRY["qs1_tumbling_window"].spark_fn(spark, sf_dir)
+    assert _rows(got) == _rows(want)
+
+
+def test_tumbling_shuffled_replay_matches(spark, sf_dir):
+    d = replay.materialize_replay_dir(
+        spark, sf_dir, "tumb-shuf", n_files=6, shuffled=True
+    )
+    stream = ops.tumbling_counts(replay.events_stream(spark, d))
+    got = replay.run_to_memory(stream, _qname(), "complete")
+    want = REGISTRY["qs1_tumbling_window"].spark_fn(spark, sf_dir)
+    assert _rows(got) == _rows(want)
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir):
+    d = replay.materialize_replay_dir(spark, sf_dir, "slide", n_files=4)
+    stream = ops.sliding_counts(replay.events_stream(spark, d))
+    got = replay.run_to_memory(stream, _qname(), "complete")
+    want = REGISTRY["qs2_sliding_window"].spark_fn(spark, sf_dir)
+    assert _rows(got) == _rows(want)
+
+
+def _write_sentinel(spark, d):
+    """Append a far-future event file: advances the watermark past all
+    real data so append-mode state flushes."""
+    spark.createDataFrame(
+        [(10**9, "2030-01-01 00:00:00", SENTINEL_USER, "flush", 0.0, "{}")],
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("append").parquet(d)
+
+
+def test_session_window_append_with_watermark(spark, sf_dir):
+    d = replay.materialize_replay_dir(spark, sf_dir, "sess", n_files=3)
+    stream = ops.session_counts(
+        replay.events_stream(spark, d), watermark="40 days"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_mem")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_sentinel(spark, d)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sessions = spark.table("sess_mem").filter(
+        F.col("user_id") != SENTINEL_USER
+    )
+    got_n = sessions.count()
+    got_max = sessions.agg(F.max("n_events")).collect()[0][0]
+    want = REGISTRY["qs3_session_windows"].spark_fn(spark, sf_dir).collect()[0]
+    assert got_n == want["n_sessions"]
+    assert got_max == want["max_session_events"]
+
+
+def test_stream_dedup_matches_batch_keys(spark, sf_dir):
+    # single sorted file -> arrival order == event-time order
+    from sora_spark.sources.parquet import read_table
+    import os
+
+    d = replay._SCRATCH + f"/dedup-{uuid.uuid4().hex[:6]}"
+    (
+        read_table(spark, sf_dir, "events")
+        .orderBy("ts", "event_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    stream = ops.stream_dedup(replay.events_stream(spark, d))
+    got = replay.run_to_memory(stream, _qname(), "append")
+    want = REGISTRY["qs4_streaming_dedup"].spark_fn(spark, sf_dir).collect()[0]
+    assert got.count() == want["n_first"]
+    # key set equals the batch first-occurrence key set
+    batch_keys = {
+        (r["user_id"], r["event_type"])
+        for r in read_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    got_keys = {(r["user_id"], r["event_type"]) for r in got.collect()}
+    assert got_keys == batch_keys
