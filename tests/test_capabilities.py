@@ -1,0 +1,126 @@
+"""Capability rows outside the hash set (SURVEY §5.3/§5.4): approx
+aggregates under tolerance, seeded sampling, map functions, decimal /
+interval types, UDTF, FASTA text source, foreachBatch sink.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import uuid
+
+from pyspark.sql import functions as F
+
+from sora_spark.catalog import tables
+from sora_spark.sources.text import read_fasta
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    exact = li.select(F.countDistinct("l_partkey")).collect()[0][0]
+    approx = li.select(F.approx_count_distinct("l_partkey")).collect()[0][0]
+    assert abs(approx - exact) / exact <= 0.05
+
+
+def test_percentile_approx_tolerance(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    exact = li.select(F.percentile("l_quantity", 0.5)).collect()[0][0]
+    approx = li.select(
+        F.percentile_approx("l_quantity", 0.5, 10000)
+    ).collect()[0][0]
+    assert abs(approx - exact) <= 1.0  # quantity domain is 1..50
+
+
+def test_sampling(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    n = li.count()
+    frac = 0.1
+    # NOTE (probed on PySpark 4.1.2): re-evaluating the SAME sample plan
+    # is deterministic, but two freshly-built sample(…, seed=42) plans
+    # can differ — so determinism is asserted per-plan only.
+    s = li.sample(frac, seed=42)
+    c1, c2 = s.count(), s.count()
+    assert c1 == c2, "re-evaluating one sample plan must be deterministic"
+    sigma = math.sqrt(n * frac * (1 - frac))
+    assert abs(c1 - n * frac) <= 4 * sigma
+
+
+def test_map_functions(spark):
+    df = spark.sql(
+        "SELECT map('a', 1, 'b', 2) AS m"
+    ).select(
+        F.map_keys("m").alias("ks"),
+        F.map_values("m").alias("vs"),
+        F.element_at("m", "b").alias("b"),
+    )
+    row = df.collect()[0]
+    assert sorted(row["ks"]) == ["a", "b"]
+    assert sorted(row["vs"]) == [1, 2]
+    assert row["b"] == 2
+
+
+def test_decimal_and_interval(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem.limit(100)
+    dec = li.select(
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 2).alias("d")
+    ).collect()
+    assert all(r["d"] is not None for r in dec)
+    iv = li.select(
+        (F.col("l_shipdate") + F.expr("INTERVAL '3' DAY")).alias("later"),
+        "l_shipdate",
+    ).collect()
+    assert all((r["later"] - r["l_shipdate"]).days == 3 for r in iv)
+
+
+def test_python_udtf(spark):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, n: int")
+    class Splitter:
+        def eval(self, text: str):
+            for w in text.split(" "):
+                yield w, len(w)
+
+    spark.udtf.register("splitter", Splitter)
+    rows = spark.sql(
+        "SELECT * FROM splitter('spark graft engine')"
+    ).collect()
+    assert [(r["word"], r["n"]) for r in rows] == [
+        ("spark", 5), ("graft", 5), ("engine", 6),
+    ]
+
+
+def test_fasta_source(spark):
+    path = f"/root/repo/.scratch/fasta-{uuid.uuid4().hex[:6]}.txt"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(">read1 desc\nACGT\nTTAA\n>read2\nGGCC\n")
+    recs = {
+        r["header"]: r["sequence"] for r in read_fasta(spark, path).collect()
+    }
+    assert recs == {"read1 desc": "ACGTTTAA", "read2": "GGCC"}
+
+
+def test_foreach_batch_sink(spark, sf_dir):
+    from sora_spark.streaming import ops, replay
+
+    d = replay.materialize_replay_dir(spark, sf_dir, "feb", n_files=3)
+    stream = ops.tumbling_counts(replay.events_stream(spark, d))
+    seen: list[int] = []
+
+    def sink(batch_df, batch_id: int):
+        seen.append(batch_df.count())
+
+    q = stream.writeStream.outputMode("complete").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen, "foreachBatch never invoked"
+    want = (
+        tables(spark, sf_dir).events
+        .select(F.date_trunc("hour", "ts"), "event_type")
+        .distinct()
+        .count()
+    )
+    assert seen[-1] == want

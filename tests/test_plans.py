@@ -1,0 +1,78 @@
+"""Plan-level regression tests (SURVEY §4.1): the physical plans the
+engine relies on at 100 TB must not silently regress — predicate
+pushdown into parquet, broadcast joins for dimensions, top-k pushdown.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from sora_spark.queries import REGISTRY
+
+
+def _plan(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    df = REGISTRY[name].spark_fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_selective_filter_pushes_down(spark, sf_dir):
+    p = _plan(spark, sf_dir, "qf2_selective_filter_sum")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed, "no PushedFilters line in scan"
+    line = pushed[0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in line, f"{frag} not pushed to parquet scan: {line}"
+
+
+def test_join_topk_plan(spark, sf_dir):
+    p = _plan(spark, sf_dir, "qj1_segment_revenue_topk")
+    assert "BroadcastHashJoin" in p, "filtered customer side should broadcast"
+    assert "TakeOrderedAndProject" in p, "top-10 should plan as TakeOrdered"
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    p = _plan(spark, sf_dir, "qa4_rollup")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, "dimension joins must not SMJ"
+
+
+def test_knn_broadcasts_probes(spark, sf_dir):
+    p = _plan(spark, sf_dir, "ql4_knn_join")
+    assert "Broadcast" in p, "probe side must broadcast, not shuffle"
+
+
+def test_column_pruning(spark, sf_dir):
+    p = _plan(spark, sf_dir, "qf2_selective_filter_sum")
+    read = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read, "no ReadSchema in scan"
+    # 11-column lineitem pruned to the 4 referenced columns
+    assert "l_returnflag" not in read[0]
+    assert "l_extendedprice" in read[0]
+
+
+@pytest.mark.parametrize(
+    "name", ["qa1_pricing_summary", "ql5_wordcount_topk"]
+)
+def test_partial_aggregation(spark, sf_dir, name):
+    """Aggregations must combine map-side (partial -> exchange -> final)
+    — the property that keeps the shuffle small at 100 TB."""
+    p = _plan(spark, sf_dir, name, mode="simple")
+    assert "partial_" in p, "no map-side partial aggregation in plan"
+    assert p.index("partial_") > p.index("HashAggregate")
+
+
+def test_wholestage_codegen_after_execution(spark, sf_dir):
+    """The executed (final adaptive) plan runs inside whole-stage
+    codegen spans."""
+    df = REGISTRY["qa1_pricing_summary"].spark_fn(spark, sf_dir)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    assert "*(" in buf.getvalue()
