@@ -19,7 +19,15 @@ assembly using Apache Spark, BioHPC lab).
 
 from sora_spark.session import build_session, prepare_session
 from sora_spark.catalog import Tables, TABLE_NAMES
+from sora_spark.engine import Engine
 
 __version__ = "0.1.0"
 
-__all__ = ["build_session", "prepare_session", "Tables", "TABLE_NAMES", "__version__"]
+__all__ = [
+    "Engine",
+    "build_session",
+    "prepare_session",
+    "Tables",
+    "TABLE_NAMES",
+    "__version__",
+]

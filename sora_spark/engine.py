@@ -1,0 +1,82 @@
+"""Engine facade — the user-facing entry points (SURVEY §3).
+
+One object wires the whole stack together over a dataset root:
+
+    eng = Engine.local()                     # or Engine(existing_spark)
+    eng.attach("/root/testdata/sf0.01")
+    eng.sql("SELECT count(*) FROM lineitem") # §3.2 SQL string
+    eng.table("lineitem").filter(...)        # §3.3 DataFrame chain
+    eng.graph_co()                           # §3.4 graph program
+    eng.read_stream("events")                # §3.5 streaming
+
+`attach` registers every fixture table as a temp view (including the
+derived graph views e_co / e_seq), so the SQL surface covers the same
+inventory the DataFrame API does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sora_spark.catalog import DEFAULT_SF_DIR, TABLE_NAMES, Tables
+from sora_spark.graph import Graph, e_co, e_seq
+from sora_spark.session import build_session, prepare_session
+from sora_spark.streaming import replay
+
+
+class Engine:
+    def __init__(self, spark: SparkSession):
+        self.spark = prepare_session(spark)
+        self._tables: Tables | None = None
+        self._sf_dir: str | None = None
+
+    @classmethod
+    def local(cls, **session_kwargs) -> "Engine":
+        return cls(build_session(**session_kwargs))
+
+    # ---- catalog --------------------------------------------------------
+
+    def attach(self, sf_dir: str = DEFAULT_SF_DIR) -> "Engine":
+        """Point the engine at a dataset root and register SQL views."""
+        self._sf_dir = sf_dir
+        self._tables = Tables(self.spark, sf_dir)
+        self._tables.register_views()
+        e_co(self._tables.lineitem).createOrReplaceTempView("e_co")
+        e_seq(self._tables.events).createOrReplaceTempView("e_seq")
+        return self
+
+    def _require_attached(self) -> Tables:
+        if self._tables is None:
+            raise RuntimeError("call attach(sf_dir) first")
+        return self._tables
+
+    # ---- entry points ---------------------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        self._require_attached()
+        return self.spark.sql(query)
+
+    def table(self, name: str) -> DataFrame:
+        return self._require_attached().table(name)
+
+    def tables(self) -> tuple[str, ...]:
+        return TABLE_NAMES
+
+    def graph_co(self) -> Graph:
+        """Co-occurrence overlap graph (the SORA-shaped entry point)."""
+        return Graph(e_co(self._require_attached().lineitem))
+
+    def graph_seq(self) -> Graph:
+        return Graph(e_seq(self._require_attached().events).select("src", "dst")
+                     .withColumnRenamed("src", "s").withColumnRenamed("dst", "d"))
+
+    def read_stream(self, name: str = "events", n_files: int = 4,
+                    shuffled: bool = False) -> DataFrame:
+        """Replay a fixture table as a micro-batched stream."""
+        if name != "events":
+            raise ValueError("streaming replay is defined for 'events'")
+        assert self._sf_dir is not None
+        d = replay.materialize_replay_dir(
+            self.spark, self._sf_dir, f"engine-{name}", n_files, shuffled
+        )
+        return replay.events_stream(self.spark, d)

@@ -117,6 +117,108 @@ def lsh_topk(
     )
 
 
+def _dist2(vec_col, centroid: list[float]):
+    carr = F.array(*[F.lit(float(x)) for x in centroid])
+    diff = F.zip_with(
+        vector.to_double(vec_col), carr, lambda a, b: (a - b) * (a - b)
+    )
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd iterations entirely in DataFrame ops: init =
+    first `n_centroids` vectors by id; assignment is an argmin over
+    literal centroid arrays (JVM-side); means via posexplode + avg.
+    Only the (tiny) centroid set ever reaches the driver."""
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in corpus.orderBy(id_col).limit(n_centroids).collect()
+    ]
+    for _ in range(iters):
+        dists = F.array(*[_dist2(F.col(vec_col), c) for c in cents])
+        assigned = corpus.select(
+            vec_col,
+            F.array_position(dists, F.array_min(dists)).alias("cid"),
+        )
+        means = (
+            assigned.select(
+                "cid", F.posexplode(vector.to_double(F.col(vec_col)))
+            )
+            .groupBy("cid", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(int(r["cid"]) - 1, {})[int(r["pos"])] = r["m"]
+        cents = [
+            [by_cid[i][d] for d in range(len(cents[i]))] if i in by_cid else cents[i]
+            for i in range(len(cents))
+        ]
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in inverted lists
+    keyed by nearest centroid; each probe searches only its `n_probe`
+    nearest lists (≈ n_probe/n_centroids of the corpus). The inverted
+    list is a plain partition key — at 100 TB, write the corpus
+    bucketed by cid and probing prunes whole files."""
+    cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    dists = F.array(*[_dist2(F.col(vec_col), c) for c in cents])
+    c_assigned = corpus.withColumn(
+        "_cid", F.array_position(dists, F.array_min(dists))
+    )
+    # per-probe: n_probe nearest centroid ids via sorted (dist, cid) structs
+    pd_structs = F.array(
+        *[
+            F.struct(_dist2(F.col("probe_vec"), c).alias("d"),
+                     F.lit(i + 1).cast("long").alias("cid"))
+            for i, c in enumerate(cents)
+        ]
+    )
+    p = (
+        probes.select(
+            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+        )
+        .withColumn(
+            "_cid",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(pd_structs), 1, n_probe),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+    )
+    j = c_assigned.join(F.broadcast(p), "_cid").filter(
+        F.col(id_col) != F.col("probe_id")
+    )
+    sim = F.round(vector.cosine(F.col(vec_col), F.col("probe_vec")), 5)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        j.select("probe_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "rn", "neighbor_id", "sim")
+    )
+
+
 def near_duplicate_pairs(
     emb: DataFrame,
     threshold: float,

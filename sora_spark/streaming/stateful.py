@@ -1,0 +1,73 @@
+"""Custom stateful streaming operators (SURVEY §2.9 'stateful custom
+op' and 'stream-stream join' rows — no-oracle tier, checked by batch
+equivalence in tests/test_streaming.py).
+
+`running_user_counts` keeps one counter per user in the state store
+via applyInPandasWithState (Arrow-batched; state size = #users, bounded
+by the key domain, not the stream length). `purchases_after_views` is
+a watermarked stream-stream inner join — both sides' state is evicted
+once the watermark passes the 1-hour join range.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Running per-user event counters; emits the updated total for
+    each user touched in a micro-batch."""
+
+    def update_counts(key, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_counts,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def purchases_after_views(
+    events: DataFrame, watermark: str = "40 days"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's views in the preceding hour → (user_id, purchase_id,
+    view_id). Watermarks on both sides + the time-range condition
+    bound the join state."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "view_id"
+    )

@@ -1,0 +1,39 @@
+"""Engine facade: SQL entry point over registered views must agree
+with the DataFrame API, including the derived graph views."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sora_spark.engine import Engine
+
+
+def test_sql_entrypoint_matches_dataframe(spark, sf_dir):
+    eng = Engine(spark).attach(sf_dir)
+    via_sql = eng.sql(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).collect()
+    via_df = (
+        eng.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert via_sql == via_df
+
+
+def test_graph_views_registered(spark, sf_dir):
+    eng = Engine(spark).attach(sf_dir)
+    n_sql = eng.sql("SELECT count(*) AS n FROM e_co").collect()[0]["n"]
+    n_api = eng.graph_co().edges.count()
+    assert n_sql == n_api > 0
+    assert eng.sql("SELECT count(*) AS n FROM e_seq").collect()[0]["n"] > 0
+
+
+def test_stream_entrypoint(spark, sf_dir):
+    eng = Engine(spark).attach(sf_dir)
+    s = eng.read_stream("events", n_files=2)
+    assert s.isStreaming
+    assert "ts" in s.columns

@@ -27,6 +27,19 @@ def test_lsh_ann_recall(spark, sf_dir):
     assert all(r["sim"] <= 1.0 for r in approx.collect())
 
 
+def test_ivf_ann_recall(spark, sf_dir):
+    emb = tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = ann.brute_force_topk(emb, probes, k=3)
+    approx = ann.ivf_topk(emb, probes, k=3, n_centroids=8, n_probe=4)
+    e = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # probes scan ~n_probe/n_centroids of the corpus; nearest-centroid
+    # correlation should beat that fraction comfortably
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
 def test_multiband_lsh_superset_of_1band(spark, sf_dir):
     """More bands can only ADD candidate pairs relative to one of its
     bands alone; sanity: pairs are (a < b) and distinct."""

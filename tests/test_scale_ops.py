@@ -1,0 +1,68 @@
+"""Scale-path operators: salted joins agree with plain joins; bucketed
+tables co-locate their join (no shuffle exchange between scan and
+join) — the 100 TB join strategies from SCALE.md, checked small.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import uuid
+
+from pyspark.sql import functions as F
+
+from sora_spark.catalog import tables
+from sora_spark.operators.skew import salted_join
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey")
+    part = t.part.select("p_partkey", "p_brand")
+    plain = li.join(part, F.col("l_partkey") == F.col("p_partkey")).count()
+    salted = salted_join(li, part, "l_partkey", "p_partkey", n_salts=4).count()
+    assert salted == plain
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    suffix = uuid.uuid4().hex[:6]
+    li_tbl, o_tbl = f"li_b_{suffix}", f"o_b_{suffix}"
+    (
+        t.lineitem.select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(li_tbl)
+    )
+    (
+        t.orders.select("o_orderkey", "o_totalprice")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable(o_tbl)
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(li_tbl).join(
+            spark.table(o_tbl), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("simple")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, (
+            "bucketed join must not re-shuffle:\n" + plan
+        )
+        # and it is still correct
+        want = t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+        assert j.count() == want
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")

@@ -88,6 +88,61 @@ def test_session_window_append_with_watermark(spark, sf_dir):
     assert got_max == want["max_session_events"]
 
 
+def test_stateful_running_counts(spark, sf_dir):
+    from sora_spark.sources.parquet import read_table
+    from sora_spark.streaming import stateful
+
+    d = replay.materialize_replay_dir(spark, sf_dir, "stateful", n_files=3)
+    stream = stateful.running_user_counts(replay.events_stream(spark, d))
+    got = replay.run_to_memory(stream, _qname(), "update")
+    # update mode emits one row per (user, batch); the final counter per
+    # user is the max (counts are monotone)
+    final = {
+        r["user_id"]: r["mx"]
+        for r in got.groupBy("user_id").agg(F.max("n_events").alias("mx")).collect()
+    }
+    want = {
+        r["user_id"]: r["n"]
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from sora_spark.sources.parquet import read_table
+    from sora_spark.streaming import stateful
+
+    d = replay.materialize_replay_dir(spark, sf_dir, "ssjoin", n_files=3)
+    stream = stateful.purchases_after_views(replay.events_stream(spark, d))
+    got = replay.run_to_memory(stream, _qname(), "append")
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"),
+    )
+    want = (
+        p.join(
+            v,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .count()
+    )
+    assert got.count() == want
+    got_pairs = {
+        (r["purchase_id"], r["view_id"]) for r in got.collect()
+    }
+    assert len(got_pairs) == want, "duplicate join results emitted"
+
+
 def test_stream_dedup_matches_batch_keys(spark, sf_dir):
     # single sorted file -> arrival order == event-time order
     from sora_spark.sources.parquet import read_table
