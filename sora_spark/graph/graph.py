@@ -177,6 +177,58 @@ class Graph:
                 break
         return labels
 
+    def bfs_hops(self, sources: DataFrame, max_hops: int = 10) -> DataFrame:
+        """Multi-source BFS over the undirected graph → (v, hop) with
+        hop = min #edges from any source (≤ max_hops). Frontier
+        iteration: each round is one join + one anti-join, frontier
+        checkpointed to cut lineage; rounds = graph diameter."""
+        sym = self.edges.select("s", "d").union(
+            self.edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        ).localCheckpoint(eager=True)
+        dist = sources.select(F.col("v"), F.lit(0).alias("hop")).localCheckpoint(
+            eager=True
+        )
+        frontier = dist.select("v")
+        for h in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(sym, frontier.v == sym.s)
+                .select(F.col("d").alias("v"))
+                .distinct()
+                .join(dist.select("v"), "v", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            dist = dist.union(
+                nxt.select("v", F.lit(h).alias("hop"))
+            ).localCheckpoint(eager=True)
+            frontier = nxt
+        return dist
+
+    def reduce_pipeline(self, max_iter: int = 5, hub_degree: int = 3) -> DataFrame:
+        """The SORA-shaped overlap-reduction loop: alternately remove
+        transitive edges and trim tips until a fixpoint (or max_iter).
+        Returns the surviving edge set. Each round = two bounded join
+        passes + a checkpoint; the convergence count() is the
+        per-round barrier (SURVEY §3.4)."""
+        edges = self.edges.localCheckpoint(eager=True)
+        prev = edges.count()
+        for _ in range(max_iter):
+            g = Graph(edges)
+            edges = g.transitive_reduction_round()
+            tips = Graph(edges).tips(hub_degree=hub_degree)
+            edges = (
+                edges.join(tips.withColumnRenamed("v", "s"), "s", "left_anti")
+                .join(tips.withColumnRenamed("v", "d"), "d", "left_anti")
+                .select("s", "d")
+                .localCheckpoint(eager=True)
+            )
+            n = edges.count()
+            if n == prev:
+                break
+            prev = n
+        return edges
+
     def compact_chains(self, max_iter: int = 30) -> DataFrame:
         """Compact maximal non-branching chains (unitigs) by pointer
         doubling → (start, end, length). Requires a chain-union graph

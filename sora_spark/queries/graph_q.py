@@ -88,6 +88,39 @@ def qg4_connected_components(spark, sf_dir):
 
 
 @query(
+    "qg9_bfs_hops",
+    oracle=f"""
+WITH RECURSIVE eco AS ({E_CO_SMALL_SQL}),
+edges AS (SELECT s, d FROM eco UNION SELECT d, s FROM eco),
+src AS (SELECT min(s) AS v FROM eco),
+walk(v, hop) AS (
+  SELECT v, 0 FROM src
+  UNION
+  SELECT e.d, walk.hop + 1 FROM walk JOIN edges e ON e.s = walk.v
+  WHERE walk.hop < 10
+),
+d AS (SELECT v, CAST(min(hop) AS INT) AS hop FROM walk GROUP BY v)
+SELECT hop, count(*) AS n_vertices
+FROM d GROUP BY hop ORDER BY hop
+""",
+    doc="qg9: BFS hop-distance histogram from the minimum vertex over "
+    "the bounded co-occurrence graph (frontier iteration vs recursive "
+    "walk + min-hop oracle).",
+    tags=("graph", "bfs"),
+)
+def qg9_bfs_hops(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    g = Graph(e_co_small(li))
+    src = g.edges.agg(F.min("s").alias("v"))
+    return (
+        g.bfs_hops(src, max_hops=10)
+        .groupBy("hop")
+        .agg(F.count("*").alias("n_vertices"))
+        .orderBy("hop")
+    )
+
+
+@query(
     "qg5_transitive_reduction",
     oracle=f"""
 WITH eco AS ({E_CO_SMALL_SQL}),

@@ -62,6 +62,26 @@ def test_compact_chains(spark):
     assert chains == {(1, 4, 3), (5, 6, 1), (7, 9, 2)}
 
 
+def test_bfs_hops(spark):
+    # path 1-2-3-4 plus offshoot 2-5; from source 1
+    g = _g(spark, [(1, 2), (2, 3), (3, 4), (2, 5)])
+    src = spark.createDataFrame([(1,)], "v long")
+    hops = {r["v"]: r["hop"] for r in g.bfs_hops(src).collect()}
+    assert hops == {1: 0, 2: 1, 3: 2, 5: 2, 4: 3}
+
+
+def test_reduce_pipeline(spark):
+    # a->b->c with transitive shortcut a->c; hub 1 with tips 6,7,8 and
+    # a 2-path through 6 (so 6 is not a tip; 7,8 are)
+    g = _g(spark, [(1, 2), (2, 3), (1, 3), (1, 6), (1, 7), (1, 8), (6, 9)])
+    reduced = {(r["s"], r["d"]) for r in g.reduce_pipeline().collect()}
+    # (1,3) removed as transitive; 7,8 trimmed as tips off hub 1;
+    # fixpoint then keeps the 1-2-3 path and the 1-6-9 chain
+    assert (1, 3) not in reduced
+    assert not any(7 in e or 8 in e for e in reduced)
+    assert (1, 2) in reduced and (2, 3) in reduced
+
+
 def test_degrees_and_two_hop(spark):
     g = _g(spark, [(1, 2), (2, 3)])
     hist = {
