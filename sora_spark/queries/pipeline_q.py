@@ -1,0 +1,122 @@
+"""Declared queries: composed / scale-path operators — salted join
+equivalence, multi-band MinHash LSH, and an end-to-end training-data
+pipeline (dedup → quality filter → token accounting). Each is the
+oracle-checked form of an operator whose scale story lives in
+SCALE.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sora_spark.catalog import tables
+from sora_spark.llm import dedup, textstats
+from sora_spark.operators.skew import salted_join
+from sora_spark.queries.registry import query
+
+
+@query(
+    "qsk1_salted_join",
+    oracle="""
+SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+""",
+    doc="qsk1: salted join (hot-key scatter + small-side replication) "
+    "must be observationally identical to the plain equi-join.",
+    tags=("join", "skew"),
+)
+def qsk1_salted_join(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    j = salted_join(
+        t.lineitem.select("l_partkey", "l_quantity"),
+        t.part.select("p_partkey", "p_brand"),
+        "l_partkey",
+        "p_partkey",
+        n_salts=4,
+    )
+    return (
+        j.groupBy("p_brand")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "qd4_lsh_multiband",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh0 AS (SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w FROM w),
+shingle AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM sh0),
+perms AS (SELECT unnest(range(0, 4)) AS perm),
+sig AS (SELECT doc_id, perm, min(md5(perm || '|' || sh)) AS sig
+        FROM shingle CROSS JOIN perms GROUP BY doc_id, perm),
+bands AS (SELECT doc_id, perm // 2 AS band,
+                 string_agg(sig, '|' ORDER BY sig) AS bkey
+          FROM sig GROUP BY doc_id, band),
+pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+SELECT a, b FROM pairs ORDER BY a, b LIMIT 100
+""",
+    doc="qd4: multi-band MinHash LSH (4 salted-md5 permutations, 2 "
+    "bands of 2) — candidate pairs sharing any band key; the full "
+    "banding machinery under oracle check.",
+    tags=("llm", "dedup", "lsh"),
+)
+def qd4_lsh_multiband(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return (
+        dedup.lsh_candidate_pairs(docs, num_perm=4, bands=2)
+        .orderBy("a", "b")
+        .limit(100)
+    )
+
+
+@query(
+    "qpipe1_training_data_pipeline",
+    oracle="""
+WITH dedup AS (
+  SELECT doc_id, text, md5(lower(trim(text))) AS fp,
+         row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                            ORDER BY doc_id) AS rn
+  FROM documents),
+kept AS (SELECT doc_id, text FROM dedup WHERE rn = 1),
+feat AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains(['the','and','of','to','in'], x))) * 1.0
+           / len(string_split(text, ' ')) AS stop_ratio
+  FROM kept)
+SELECT count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       count(CASE WHEN n_tok >= 24 AND stop_ratio <= 0.5 THEN 1 END)
+         AS n_quality
+FROM feat
+""",
+    doc="qpipe1: end-to-end training-data pipeline — exact dedup (keep "
+    "min doc_id per normalized fingerprint) → token accounting → "
+    "quality gate (length + stopword-ratio).",
+    tags=("llm", "pipeline"),
+)
+def qpipe1_training_data_pipeline(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    kept = dedup.dedup_exact(docs)
+    w = textstats.tokens(F.col("text"))
+    en_stop = F.array(
+        *[F.lit(s) for s, lang in textstats.STOPWORDS if lang == "en"]
+    )
+    feat = kept.select(
+        F.size(w).alias("n_tok"),
+        (
+            F.size(F.filter(w, lambda x: F.array_contains(en_stop, x)))
+            / F.size(w)
+        ).alias("stop_ratio"),
+    )
+    return feat.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.count(
+            F.when((F.col("n_tok") >= 24) & (F.col("stop_ratio") <= 0.5), 1)
+        ).alias("n_quality"),
+    )

@@ -60,11 +60,28 @@ def canon_rows(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
     return sorted(zip(*col_vals)) if col_vals and col_vals[0] else []
 
 
+def _dtype_class(dtype) -> str:
+    kind = getattr(dtype, "kind", "O")
+    return {
+        "i": "int", "u": "int", "f": "float", "b": "bool",
+        "M": "datetime", "O": "object",
+    }.get(kind, "object")
+
+
 def compare(spark_df, duck_con, oracle: str, name: str = "") -> None:
     spark_pdf = spark_df.toPandas()
     duck_pdf = duck_con.execute(oracle).fetchdf()
     s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
     assert s_cols == d_cols, f"{name}: column mismatch spark={s_cols} duck={d_cols}"
+    # coarse schema check mirroring the driver's: same dtype class per
+    # column (int-width drift DuckDB↔Spark should be caught here, not
+    # by the value hash)
+    for c in s_cols:
+        sc, dc = _dtype_class(spark_pdf[c].dtype), _dtype_class(duck_pdf[c].dtype)
+        assert sc == dc, (
+            f"{name}: dtype class mismatch on {c}: spark={spark_pdf[c].dtype} "
+            f"duck={duck_pdf[c].dtype}"
+        )
     s_rows, d_rows = canon_rows(spark_pdf), canon_rows(duck_pdf)
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count mismatch spark={len(s_rows)} duck={len(d_rows)}"
