@@ -61,16 +61,22 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tok = F.size(w)
     avg_len = (F.length(F.col(text_col)) - (n_tok - 1)) / n_tok  # chars sans spaces
     stop_ratio = F.size(F.filter(w, lambda x: F.array_contains(en_stop, x))) / n_tok
+    # Blend from PRE-ROUNDED components: both engines agree exactly on
+    # the rounded features, so the blend sums bitwise-identical doubles
+    # — blending the raw ratios hit a 1-ulp rounding-boundary mismatch
+    # at sf0.1 (score exactly 0.5213125, SURVEY trap 2).
+    avg_r = F.round(avg_len, 4)
+    stop_r = F.round(stop_ratio, 4)
     score = (
         0.4 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
-        + 0.3 * (1 - F.least(F.abs(avg_len - 5) / F.lit(5.0), F.lit(1.0)))
-        + 0.3 * stop_ratio
+        + 0.3 * (1 - F.least(F.abs(avg_r - 5) / F.lit(5.0), F.lit(1.0)))
+        + 0.3 * stop_r
     )
     return df.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.round(avg_len, 4).alias("avg_token_len"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
+        avg_r.alias("avg_token_len"),
+        stop_r.alias("stop_ratio"),
         F.round(score, 6).alias("quality_score"),
     )
 

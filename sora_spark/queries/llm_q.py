@@ -327,18 +327,18 @@ def qta1_language_id(spark, sf_dir):
 WITH f AS (
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_tok,
-         (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
-           / len(string_split(text, ' ')) AS avg_len,
-         len(list_filter(string_split(text, ' '),
-             x -> list_contains(['the','and','of','to','in'], x))) * 1.0
-           / len(string_split(text, ' ')) AS stop_ratio
+         round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+               / len(string_split(text, ' ')), 4) AS avg_r,
+         round(len(list_filter(string_split(text, ' '),
+               x -> list_contains(['the','and','of','to','in'], x))) * 1.0
+               / len(string_split(text, ' ')), 4) AS stop_r
   FROM documents)
 SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
-       round(avg_len, 4) AS avg_token_len,
-       round(stop_ratio, 4) AS stop_ratio,
+       avg_r AS avg_token_len,
+       stop_r AS stop_ratio,
        round(0.4 * least(n_tok / 100.0, 1.0)
-             + 0.3 * (1 - least(abs(avg_len - 5) / 5.0, 1.0))
-             + 0.3 * stop_ratio, 6) AS quality_score
+             + 0.3 * (1 - least(abs(avg_r - 5) / 5.0, 1.0))
+             + 0.3 * stop_r, 6) AS quality_score
 FROM f ORDER BY doc_id
 """,
     doc="qta2: quality features — token count, mean token length, "

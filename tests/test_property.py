@@ -133,12 +133,79 @@ def render_spark(spark, sf_dir, spec):
     return df.agg(*_agg_cols(spec))
 
 
-@settings(
+# derandomize: examples are a deterministic function of the code, so a
+# later test run can never surface a brand-new failing example (drift
+# hunting happens in-session, not as a flake at gate time)
+_SETTINGS = dict(
     max_examples=15,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+
+
+@settings(**_SETTINGS)
 @given(spec=query_spec())
 def test_random_filter_agg_matches_oracle(spec, spark, duck, sf_dir):
     compare(render_spark(spark, sf_dir, spec), duck, render_sql(spec),
             name=f"property:{spec}")
+
+
+# ---- join-shape family --------------------------------------------------
+
+DIMS = {
+    "orders": ("o_orderkey", "l_orderkey", ["o_orderstatus", "o_orderpriority"]),
+    "part": ("p_partkey", "l_partkey", ["p_brand", "p_type"]),
+}
+
+
+@st.composite
+def join_spec(draw):
+    dim = draw(st.sampled_from(sorted(DIMS)))
+    dim_key, fact_key, group_cands = DIMS[dim]
+    group = draw(st.sampled_from(group_cands))
+    how = draw(st.sampled_from(["inner", "left"]))
+    n_preds = draw(st.integers(0, 1))
+    preds = []
+    for _ in range(n_preds):
+        col = draw(st.sampled_from(sorted(NUM_COLS)))
+        lo, hi = NUM_COLS[col]
+        val = round(draw(st.floats(lo, hi, allow_nan=False)), 3)
+        preds.append(("num", col, draw(st.sampled_from(OPS)), val))
+    return {"dim": dim, "dim_key": dim_key, "fact_key": fact_key,
+            "group": group, "how": how, "preds": preds}
+
+
+@settings(**_SETTINGS)
+@given(spec=join_spec())
+def test_random_join_agg_matches_oracle(spec, spark, duck, sf_dir):
+    t = tables(spark, sf_dir)
+    fact = t.lineitem
+    for p in spec["preds"]:
+        fact = fact.filter(_pred_col(p))
+    joined = fact.join(
+        t.table(spec["dim"]),
+        F.col(spec["fact_key"]) == F.col(spec["dim_key"]),
+        spec["how"],
+    )
+    got = (
+        joined.groupBy(spec["group"])
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("s"),
+        )
+    )
+    where = (
+        " WHERE " + " AND ".join(_pred_sql(p) for p in spec["preds"])
+        if spec["preds"]
+        else ""
+    )
+    join_kw = "JOIN" if spec["how"] == "inner" else "LEFT JOIN"
+    sql = (
+        f"SELECT {spec['group']}, count(*) AS n, "
+        f"round(sum(l_extendedprice), 2) AS s "
+        f"FROM (SELECT * FROM lineitem{where}) f "
+        f"{join_kw} {spec['dim']} ON f.{spec['fact_key']} = {spec['dim_key']} "
+        f"GROUP BY {spec['group']}"
+    )
+    compare(got, duck, sql, name=f"join-property:{spec}")
