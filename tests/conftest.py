@@ -18,6 +18,11 @@ SF_DIR = os.environ.get("SORA_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    # drop replay/roundtrip leftovers from earlier sessions (gitignored
+    # scratch space; regenerated on demand)
+    import shutil
+
+    shutil.rmtree("/root/repo/.scratch", ignore_errors=True)
     s = build_session(
         app_name="sora-tests",
         master=os.environ.get("SORA_TEST_MASTER", "local[4]"),
