@@ -88,6 +88,86 @@ def qg4_connected_components(spark, sf_dir):
 
 
 @query(
+    "qg1b_directed_degrees",
+    oracle="""
+WITH eseq AS (
+  SELECT user_id, event_id AS src,
+         lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events),
+e AS (SELECT src, dst FROM eseq WHERE dst IS NOT NULL),
+deg AS (
+  SELECT v, CAST(sum(outd) AS BIGINT) AS out_degree,
+         CAST(sum(ind) AS BIGINT) AS in_degree
+  FROM (SELECT src AS v, 1 AS outd, 0 AS ind FROM e
+        UNION ALL SELECT dst, 0, 1 FROM e) u
+  GROUP BY v)
+SELECT out_degree, in_degree, count(*) AS n_vertices
+FROM deg GROUP BY out_degree, in_degree ORDER BY out_degree, in_degree
+""",
+    doc="qg1b: in/out-degree histogram over the directed succession "
+    "graph (chain graphs: internal vertices are 1/1, ends 1/0 or 0/1).",
+    tags=("graph",),
+)
+def qg1b_directed_degrees(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    e = e_seq(ev).select("src", "dst")
+    ends = e.select(
+        F.col("src").alias("v"), F.lit(1).alias("outd"), F.lit(0).alias("ind")
+    ).union(
+        e.select(F.col("dst").alias("v"), F.lit(0).alias("outd"), F.lit(1).alias("ind"))
+    )
+    deg = ends.groupBy("v").agg(
+        F.sum("outd").alias("out_degree"), F.sum("ind").alias("in_degree")
+    )
+    return (
+        deg.groupBy("out_degree", "in_degree")
+        .agg(F.count("*").alias("n_vertices"))
+        .orderBy("out_degree", "in_degree")
+    )
+
+
+@query(
+    "qg10_weighted_edges",
+    oracle="""
+WITH ew AS (
+  SELECT a.l_partkey AS s, b.l_partkey AS d, count(*) AS weight
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2)
+SELECT weight, count(*) AS n_edges,
+       CAST(sum(weight) AS BIGINT) AS total_cooccurrences
+FROM ew GROUP BY weight ORDER BY weight
+""",
+    doc="qg10: weighted overlap edges — co-occurrence count per part "
+    "pair (the analog of overlap length on assembly edges); histogram "
+    "of edge weights.",
+    tags=("graph", "weighted"),
+)
+def qg10_weighted_edges(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    ew = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
+        )
+        .agg(F.count("*").alias("weight"))
+    )
+    return (
+        ew.groupBy("weight")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.sum("weight").cast("bigint").alias("total_cooccurrences"),
+        )
+        .orderBy("weight")
+    )
+
+
+@query(
     "qg9_bfs_hops",
     oracle=f"""
 WITH RECURSIVE eco AS ({E_CO_SMALL_SQL}),

@@ -108,6 +108,45 @@ def qs3_session_windows(spark, sf_dir):
 
 
 @query(
+    "qs3b_sessions_per_user",
+    oracle="""
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+per_user AS (
+  SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions
+  FROM d GROUP BY user_id)
+SELECT n_sessions, count(*) AS n_users
+FROM per_user GROUP BY n_sessions ORDER BY n_sessions
+""",
+    doc="Q-S3 (full form): per-user session-count histogram under the "
+    "same 30-minute-gap semantics.",
+    tags=("streaming-batch", "session"),
+)
+def qs3b_sessions_per_user(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    d = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us >= 1_800_000_000), 1
+        ).otherwise(0),
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.sum("new_sess").cast("bigint").alias("n_sessions")
+    )
+    return (
+        per_user.groupBy("n_sessions")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("n_sessions")
+    )
+
+
+@query(
     "qs4_streaming_dedup",
     oracle="""
 WITH r AS (
