@@ -38,6 +38,40 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_counts_tws(events: DataFrame) -> DataFrame:
+    """Spark 4 transformWithState variant of running_user_counts —
+    ValueState per user via the StatefulProcessor API. Requires the
+    RocksDB state store provider (CLUSTER_CONF) AND the `protobuf`
+    package, which this container lacks — the state-message protocol
+    imports google.protobuf in the driver worker. The test gates on
+    that import; applyInPandasWithState above is the portable path."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                total += len(pdf)
+            self._count.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserCounter(),
+        outputStructType="user_id bigint, n_events bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def purchases_after_views(
     events: DataFrame, watermark: str = "40 days"
 ) -> DataFrame:

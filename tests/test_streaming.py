@@ -111,6 +111,34 @@ def test_stateful_running_counts(spark, sf_dir):
     assert final == want
 
 
+def test_stateful_tws_running_counts(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor API).
+    Environment-gated: the TWS driver worker needs google.protobuf,
+    absent from this container (probed 2026-08-13 — worker crashes
+    with ImportError)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("protobuf unavailable: transformWithState worker "
+                    "cannot start in this container")
+    from sora_spark.sources.parquet import read_table
+    from sora_spark.streaming import stateful
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    d = replay.materialize_replay_dir(spark, sf_dir, "tws", n_files=3)
+    stream = stateful.running_user_counts_tws(replay.events_stream(spark, d))
+    got = replay.run_to_memory(stream, _qname(), "update")
+    final = got.groupBy("user_id").agg(F.max("n_events").alias("n"))
+    total = final.agg(F.sum("n")).collect()[0][0]
+    assert total == read_table(spark, sf_dir, "events").count()
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir):
     from sora_spark.sources.parquet import read_table
     from sora_spark.streaming import stateful
