@@ -101,6 +101,32 @@ def test_fasta_source(spark):
     assert recs == {"read1 desc": "ACGTTTAA", "read2": "GGCC"}
 
 
+def test_partitioned_parquet_sink_and_pruning(spark, sf_dir):
+    """Hive-partitioned parquet write + partition pruning on read —
+    the layout SCALE.md prescribes for 100 TB date-keyed facts."""
+    import contextlib
+    import io
+
+    from sora_spark.catalog import tables as _tables
+
+    li = _tables(spark, sf_dir).lineitem
+    path = f"/root/repo/.scratch/part-{uuid.uuid4().hex[:6]}"
+    li.write.partitionBy("l_returnflag").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
+    pruned = back.filter(F.col("l_returnflag") == "A")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "l_returnflag" in pf[0], (
+        "filter on the partition column must prune partitions:\n" + plan
+    )
+    want = li.filter(F.col("l_returnflag") == "A").count()
+    assert pruned.count() == want
+
+
 def test_foreach_batch_sink(spark, sf_dir):
     from sora_spark.streaming import ops, replay
 
