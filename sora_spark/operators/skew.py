@@ -29,7 +29,19 @@ def salted_join(
     Row→salt assignment uses rand(); ANY assignment yields the same
     join result (each big row still meets every copy of its key), so
     retry nondeterminism is harmless.
+
+    Only big-side-preserving join types are supported: with 'right' or
+    'full', each unmatched small-side row would surface once PER SALT
+    REPLICA (n_salts null-extended duplicates), so those are rejected.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi",
+               "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+               "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — small-side replication"
+            " duplicates unmatched rows under right/full joins"
+        )
     big_s = big.withColumn(
         "_salt", F.floor(F.rand(7) * n_salts).cast("int")
     )

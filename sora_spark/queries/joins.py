@@ -183,3 +183,46 @@ def qj8_asof_join(spark, sf_dir):
         F.count("last_view").alias("n_matched"),
         F.round(F.avg(gap_s), 2).alias("avg_gap_s"),
     )
+
+
+@query(
+    "qj8b_asof_value_join",
+    oracle="""
+WITH ev AS (SELECT * FROM events WHERE event_type IN ('view', 'purchase')),
+m AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts,
+                          CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END,
+                          event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_value
+  FROM ev)
+SELECT count(asof_value) AS n_matched,
+       round(avg(asof_value), 2) AS avg_view_value
+FROM m WHERE event_type = 'purchase'
+""",
+    doc="Q-J8 via the generic operators/asof.py asof_join: for each "
+    "purchase, the VALUE of the same user's latest strictly-earlier "
+    "view. `value` is non-monotone in time, so this catches a max-vs-"
+    "last regression the timestamp variant (qj8) cannot.",
+    tags=("join", "asof"),
+)
+def qj8b_asof_value_join(spark, sf_dir):
+    from sora_spark.operators.asof import asof_join
+
+    ev = tables(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    joined = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        time_col="ts",
+        tiebreak_col="event_id",
+        right_value_col="value",
+    )
+    return joined.agg(
+        F.count("asof_value").alias("n_matched"),
+        F.round(F.avg("asof_value"), 2).alias("avg_view_value"),
+    )

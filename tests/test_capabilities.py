@@ -150,3 +150,34 @@ def test_foreach_batch_sink(spark, sf_dir):
         .count()
     )
     assert seen[-1] == want
+
+
+def test_asof_join_operator(spark):
+    """trades (left, with payload col) x quotes (right, non-monotone px):
+    each trade gets the latest strictly-earlier quote px — catches side
+    inversion, max-vs-last, and left-only-column resolution."""
+    from sora_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame(
+        [(1, 10, 100, "buy"), (1, 20, 101, "sell"), (2, 15, 102, "buy"),
+         (1, 5, 103, "buy")],
+        "sym INT, t INT, seq INT, side STRING",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 8, 200, 99.0), (1, 12, 201, 95.0), (1, 20, 202, 97.0),
+         (2, 15, 203, 50.0)],
+        "sym INT, t INT, seq INT, px DOUBLE",
+    )
+    out = asof_join(
+        trades, quotes, key="sym", time_col="t", tiebreak_col="seq",
+        right_value_col="px", out_col="asof_px",
+    )
+    rows = {(r["sym"], r["t"], r["seq"]): (r["asof_px"], r["side"])
+            for r in out.collect()}
+    assert len(rows) == 4, "output must be the LEFT (trades) side"
+    assert rows[(1, 5, 103)] == (None, "buy")       # no earlier quote
+    assert rows[(1, 10, 100)] == (99.0, "buy")      # t=8 quote
+    # latest earlier is px=95 (t=12), NOT max(99,95) — catches max-vs-last
+    assert rows[(1, 20, 101)] == (95.0, "sell")     # t=20 quote excluded (not strict)
+    # equal-time quote is NOT strictly earlier
+    assert rows[(2, 15, 102)] == (None, "buy")

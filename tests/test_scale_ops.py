@@ -66,3 +66,15 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+
+
+def test_salted_join_rejects_replication_unsafe_how(spark):
+    import pytest as _pt
+
+    from sora_spark.operators.skew import salted_join
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "sk")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with _pt.raises(ValueError, match="unsupported"):
+            salted_join(big, small, "k", "sk", how=how)
