@@ -238,3 +238,44 @@ def near_duplicate_pairs(
         .select("a", "b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def near_duplicate_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs, SCALE path: bucket every vector by its
+    random-hyperplane sign pattern, equi-join on the bucket key, cosine
+    threshold INSIDE buckets. Work is sum of per-bucket squares instead
+    of n² — the bucket key shuffles like any groupBy key, so this
+    survives a 100× scale-up where the all-pairs form
+    (`near_duplicate_pairs`) cannot. Recall caveat: only pairs sharing a
+    bucket surface (sign-LSH recall rises with more/narrower bands);
+    `near_duplicate_pairs` on a blocked sample is the recall oracle."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    e = emb.select(id_col, vec_col).withColumn(
+        "_bucket", bucket_key(F.col(vec_col), planes)
+    )
+    a = e.select(
+        F.col("_bucket").alias("_ba"),
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = e.select(
+        F.col("_bucket").alias("_bb"),
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+    )
+    # bucket equality is IN the join condition (equi key for the
+    # planner — pinned by tests/test_plans.py), a<b dedups within bucket
+    j = a.join(b, (F.col("_ba") == F.col("_bb")) & (F.col("a") < F.col("b")))
+    sim = F.round(vector.cosine(F.col("va"), F.col("vb")), 5)
+    return (
+        j.select("a", "b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

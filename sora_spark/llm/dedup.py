@@ -129,10 +129,17 @@ def jaccard_over_pairs(
         .distinct()
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    shb = sh.select(F.col("id").alias("b2"), F.col("sh").alias("sh2"))
     inter = (
         pairs.join(sh.select(F.col("id").alias("a"), "sh"), "a")
-        .join(sh.select(F.col("id").alias("b"), F.col("sh").alias("sh2")), "b")
-        .filter(F.col("sh") == F.col("sh2"))
+        # shingle equality is IN the join condition (with the doc key),
+        # so the planner MUST treat (b, sh) as a composite equi-join key
+        # — never |A|x|B| intermediate rows per pair (pinned by
+        # tests/test_plans.py::test_jaccard_candidates_equi_join)
+        .join(
+            shb,
+            (F.col("b") == F.col("b2")) & (F.col("sh") == F.col("sh2")),
+        )
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
     )

@@ -294,6 +294,45 @@ def qd3_embedding_neardup(spark, sf_dir):
     )
 
 
+def _plane_lit(p):
+    return "[" + ", ".join(repr(x) for x in p) + "]"
+
+
+_QD3B_PLANES = ann._hyperplanes(64, 6, 7)
+_QD3B_BUCKET = " || ".join(
+    f"(CASE WHEN list_dot_product(v, {_plane_lit(p)}) >= 0"
+    " THEN '1' ELSE '0' END)"
+    for p in _QD3B_PLANES
+)
+
+
+@query(
+    "qd3b_embedding_neardup_lsh",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bk AS (SELECT vec_id, v, {_QD3B_BUCKET} AS bucket FROM e)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_cosine_similarity(x.v, y.v), 5) AS sim
+FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE round(list_cosine_similarity(x.v, y.v), 5) >= 0.3
+ORDER BY a, b
+""",
+    doc="qd3b: embedding near-dup, SCALE path — sign-LSH bucket as the "
+    "equi-join key (64 buckets from 6 fixed hyperplanes), cosine "
+    "threshold inside buckets, NO blocking bound. Replaces qd3's "
+    "all-pairs form at scale; the oracle recomputes the identical "
+    "buckets from the same literal hyperplanes. Plan pinned "
+    "equi-join-only in tests/test_plans.py.",
+    tags=("llm", "dedup", "vector", "scale"),
+)
+def qd3b_embedding_neardup_lsh(spark, sf_dir):
+    emb = tables(spark, sf_dir).embeddings
+    return (
+        ann.near_duplicate_pairs_lsh(emb, threshold=0.3, dim=64, n_planes=6)
+        .orderBy("a", "b")
+    )
+
+
 _LEX_VALUES = ", ".join(
     f"('{tok}', '{lang}')" for tok, lang in textstats.STOPWORDS
 )

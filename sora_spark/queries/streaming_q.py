@@ -172,3 +172,28 @@ def qs4_streaming_dedup(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "qs5_stream_stream_join",
+    oracle="""
+SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts >  p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+ORDER BY 1, 2, 3
+""",
+    doc="SURVEY §2.9 stream-stream join, batch-oracle form: the EXACT "
+    "streaming operator (streaming/stateful.py purchases_after_views — "
+    "watermarked interval join; state evicted past the 1-hour range) run "
+    "on the batch frame, where withWatermark is a no-op. Streaming-vs-"
+    "batch equivalence is separately pinned in tests/test_streaming.py.",
+    tags=("streaming-batch", "join"),
+)
+def qs5_stream_stream_join(spark, sf_dir):
+    from sora_spark.streaming.stateful import purchases_after_views
+
+    ev = tables(spark, sf_dir).events
+    return purchases_after_views(ev).orderBy("user_id", "purchase_id", "view_id")

@@ -76,3 +76,23 @@ def test_wholestage_codegen_after_execution(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         df.explain("simple")
     assert "*(" in buf.getvalue()
+
+
+def test_lsh_neardup_is_equi_join(spark, sf_dir):
+    """qd3b's bucket join must plan as a hash/sort-merge EQUI join on
+    the bucket key — never a BroadcastNestedLoopJoin or cartesian (the
+    all-pairs shape it exists to avoid)."""
+    p = _plan(spark, sf_dir, "qd3b_embedding_neardup_lsh")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
+        "ShuffledHashJoin" in p
+    ), f"no equi join in plan:\n{p}"
+
+
+def test_jaccard_candidates_equi_join(spark, sf_dir):
+    """qd2's shingle join must keep `sh == sh2` as an equi-join key
+    (never a pair-exploding non-equi shape)."""
+    p = _plan(spark, sf_dir, "qd2_ngram_jaccard")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
