@@ -26,6 +26,10 @@ BENCH_QUERIES = {
     "q7": "ql5_wordcount_topk",
     "q8": "ql1_exact_dedup",
     "q9": "qj9_two_hop_count",
+    # B10: the SORA iterative reduction loop (transitive-edge removal +
+    # tip trim to fixpoint) on the FULL co-occurrence graph — the
+    # engine's hardest path; per-round edge counts ride in the result row.
+    "q10": "qg12_reduce_pipeline",
 }
 
 

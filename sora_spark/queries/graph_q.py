@@ -88,6 +88,38 @@ def qg4_connected_components(spark, sf_dir):
 
 
 @query(
+    "qg4b_connected_components_twophase",
+    oracle=f"""
+WITH RECURSIVE eco AS ({E_CO_SMALL_SQL}),
+edges AS (SELECT s, d FROM eco UNION SELECT d, s FROM eco),
+verts AS (SELECT DISTINCT s AS v FROM edges),
+reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.v
+),
+comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+sizes AS (SELECT component, count(*) AS component_size FROM comp GROUP BY component)
+SELECT component_size, count(*) AS n_components
+FROM sizes GROUP BY component_size ORDER BY component_size
+""",
+    doc="Q-G4 scale variant: connected components via alternating "
+    "large-star/small-star contraction (O(log n) rounds vs min-label's "
+    "O(diameter) — the difference that matters on high-diameter graphs "
+    "at 100 TB). Same component-size-histogram contract and oracle as "
+    "qg4; round-count comparison recorded in tests/test_graph.py.",
+    tags=("graph", "fixpoint", "scale"),
+)
+def qg4b_connected_components_twophase(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        Graph(e_co_small(li))
+        .component_size_histogram(method="twophase")
+        .orderBy("component_size")
+    )
+
+
+@query(
     "qg1b_directed_degrees",
     oracle="""
 WITH eseq AS (
@@ -312,4 +344,58 @@ def qg8_bubbles(spark, sf_dir):
         Graph(e_co_small(li))
         .bubble_pairs(min_mids=2)
         .agg(F.count("*").alias("n_bubble_pairs"))
+    )
+
+
+def _reduce_round_sql(prev: str, i: int) -> str:
+    """One unrolled reduction round (transitive-edge removal + tip
+    trim) as DuckDB CTEs — the oracle twin of Graph.reduce_rounds."""
+    return f"""
+p{i} AS (SELECT e1.s AS s, e2.d AS d FROM {prev} e1 JOIN {prev} e2 ON e1.d = e2.s),
+s{i} AS (SELECT e.s, e.d FROM {prev} e WHERE NOT EXISTS
+         (SELECT 1 FROM p{i} WHERE p{i}.s = e.s AND p{i}.d = e.d)),
+ends{i} AS (SELECT s AS v, d AS nbr FROM s{i} UNION ALL SELECT d, s FROM s{i}),
+deg{i} AS (SELECT v, count(*) AS degree FROM ends{i} GROUP BY v),
+tips{i} AS (SELECT DISTINCT e.v FROM ends{i} e
+            JOIN deg{i} dv ON dv.v = e.v AND dv.degree = 1
+            JOIN deg{i} dn ON dn.v = e.nbr AND dn.degree >= 3),
+r{i} AS (SELECT s, d FROM s{i} WHERE s NOT IN (SELECT v FROM tips{i})
+                                 AND d NOT IN (SELECT v FROM tips{i}))"""
+
+
+@query(
+    "qg11_reduce_two_rounds",
+    oracle=(
+        f"WITH eco AS ({E_CO_SMALL_SQL}),"
+        f"{_reduce_round_sql('eco', 1)},{_reduce_round_sql('r1', 2)}\n"
+        "SELECT s, d FROM r2 ORDER BY s, d"
+    ),
+    doc="Two unrolled rounds of the SORA reduction loop (transitive "
+    "edge removal + tip trim) on the bounded co-occurrence graph — the "
+    "SQL-expressible twin of Graph.reduce_pipeline, hash-checked edge "
+    "list. The full fixpoint (qg12) and the sf0.1 bench (q10) build on "
+    "the same loop body.",
+    tags=("graph", "reduction"),
+)
+def qg11_reduce_two_rounds(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return Graph(e_co_small(li)).reduce_rounds(2).orderBy("s", "d")
+
+
+@query(
+    "qg12_reduce_pipeline",
+    oracle=None,  # iterative fixpoint — rows-only tier (SURVEY §2.0)
+    doc="Full SORA reduction loop to fixpoint on the FULL co-occurrence "
+    "graph: per-round edge counts + rounds as a single summary row. "
+    "Bench q10 measures this path at sf0.1.",
+    tags=("graph", "reduction", "fixpoint"),
+)
+def qg12_reduce_pipeline(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    stats: dict = {}
+    edges = Graph(e_co(li)).reduce_pipeline(max_iter=5, stats=stats)
+    n_final = edges.count()
+    return spark.createDataFrame(
+        [(n_final, stats["rounds"], str(stats["edge_counts"]))],
+        "n_edges_final BIGINT, rounds BIGINT, edge_counts STRING",
     )

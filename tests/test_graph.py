@@ -90,3 +90,34 @@ def test_degrees_and_two_hop(spark):
     assert hist == {1: 2, 2: 1}
     assert g.two_hop_count().collect()[0]["two_hop_count"] == 1
     assert g.triangle_count().collect()[0]["triangle_count"] == 0
+
+
+def test_twophase_cc_on_long_chain(spark):
+    """A 64-vertex chain: min-label needs ~63 rounds (diameter), the
+    two-phase contraction must finish in O(log n) — both agree on the
+    single component."""
+    from sora_spark.graph import Graph
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)] + [(100, 101), (102, 102)],
+        "s BIGINT, d BIGINT",
+    )
+    g = Graph(edges)
+    stats = {}
+    comp = g.connected_components_twophase(stats=stats)
+    rows = {r["v"]: r["component"] for r in comp.collect()}
+    assert all(rows[v] == 0 for v in range(64))
+    assert rows[100] == rows[101] == 100
+    assert rows[102] == 102  # self-loop-only vertex is its own component
+    assert stats["rounds"] <= 8, f"not logarithmic: {stats['rounds']} rounds"
+
+
+def test_twophase_matches_minlabel(spark, sf_dir):
+    from sora_spark.catalog import tables
+    from sora_spark.graph import Graph
+    from sora_spark.graph.derive import e_co_small
+
+    g = Graph(e_co_small(tables(spark, sf_dir).lineitem))
+    a = sorted(map(tuple, g.connected_components().collect()))
+    b = sorted(map(tuple, g.connected_components_twophase().collect()))
+    assert a == b
