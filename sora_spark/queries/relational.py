@@ -352,3 +352,72 @@ def qso4_intersect_except_all(spark, sf_dir):
     return a.intersectAll(b).agg(F.count("*").alias("n_intersect_all")).crossJoin(
         a.exceptAll(b).agg(F.count("*").alias("n_except_all"))
     )
+
+
+# ---- Q-R: reshape (pivot / unpivot) -------------------------------------
+
+@query(
+    "qr1_pivot",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    doc="Pivot: lineitem quantity and row count spread over the two "
+    "l_linestatus values per l_returnflag — df.groupBy().pivot(values) "
+    "with explicit value list (no extra distinct-scan job; one pass, "
+    "map-side partial agg like any groupBy). Oracle is the CASE-WHEN "
+    "expansion pivot desugars to.",
+    tags=("reshape",),
+)
+def qr1_pivot(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("F_qty").alias("qty_f"),
+            F.col("O_qty").alias("qty_o"),
+            F.col("F_n").alias("n_f"),
+            F.col("O_n").alias("n_o"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "qr2_unpivot",
+    oracle="""
+SELECT p_partkey, metric, val FROM (
+  SELECT p_partkey, 'p_size' AS metric,
+         round(CAST(p_size AS DOUBLE), 2) AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_retailprice', round(p_retailprice, 2) FROM part
+) ORDER BY p_partkey, metric LIMIT 400
+""",
+    doc="Unpivot (melt): part's numeric columns to long form via "
+    "df.unpivot — narrow transform, no shuffle until the presentation "
+    "sort. Oracle is the UNION ALL expansion.",
+    tags=("reshape",),
+)
+def qr2_unpivot(spark, sf_dir):
+    p = tables(spark, sf_dir).part
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            "p_retailprice",
+        )
+        .unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "val")
+        .select("p_partkey", "metric", F.round("val", 2).alias("val"))
+        .orderBy("p_partkey", "metric")
+        .limit(400)
+    )
