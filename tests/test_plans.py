@@ -96,3 +96,40 @@ def test_jaccard_candidates_equi_join(spark, sf_dir):
     p = _plan(spark, sf_dir, "qd2_ngram_jaccard")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Joining a Hive-partitioned fact against a filtered dimension
+    must inject a DPP subquery into the fact scan's PartitionFilters —
+    at 100 TB this is the difference between scanning one date
+    partition and scanning the table. Pins `dynamicpruning` in the
+    formatted plan and the pruned row count against the static filter."""
+    from pyspark.sql import functions as F
+
+    from sora_spark.catalog import tables
+
+    li = tables(spark, sf_dir).lineitem
+    fact_path = str(tmp_path / "fact")
+    li.write.partitionBy("l_returnflag").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [("A", "returned"), ("N", "kept"), ("R", "returned-late")],
+        "flag STRING, meaning STRING",
+    ).write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("meaning") == "kept")
+
+    joined = fact.join(dim, fact.l_returnflag == dim.flag).groupBy("flag").agg(
+        F.count("*").alias("n")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "dynamicpruning" in pf[0].lower(), (
+        "no DPP expression in fact scan PartitionFilters:\n" + plan
+    )
+    [(flag, n)] = joined.collect()
+    assert (flag, n) == ("N", li.filter(F.col("l_returnflag") == "N").count())
