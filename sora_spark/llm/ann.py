@@ -219,6 +219,95 @@ def ivf_topk(
     )
 
 
+def assign_cids(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus + `_cid` = 1-based nearest-centroid id (JVM-side argmin)."""
+    dists = F.array(*[_dist2(F.col(vec_col), c) for c in cents])
+    return corpus.withColumn("_cid", F.array_position(dists, F.array_min(dists)))
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Materialize the IVF inverted lists as a Hive-partitioned parquet
+    layout: one partition directory per `_cid`, plus a tiny sibling
+    `<path>_centroids` table. At scale this is the on-disk ANN index —
+    probing reads only the `n_probe` matching partition directories
+    (file pruning, pinned by tests/test_llm.py), never the full corpus.
+    """
+    cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    assign_cids(corpus, cents, vec_col).write.partitionBy("_cid").mode(
+        "overwrite"
+    ).parquet(path)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(cents)],
+        "cid BIGINT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_centroids")
+    return cents
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against a `write_ivf_index` layout. The candidate cid
+    set (union over probes of their n_probe nearest lists) is collected
+    driver-side — bounded by n_centroids, NOT by probe count — and
+    applied as a static `_cid IN (...)` filter, so partition pruning
+    drops non-candidate inverted lists at the file level before the
+    bucket equi-join."""
+    cents_rows = spark.read.parquet(path + "_centroids").orderBy("cid").collect()
+    cents = [list(r["centroid"]) for r in cents_rows]
+    pd_structs = F.array(
+        *[
+            F.struct(_dist2(F.col("probe_vec"), c).alias("d"),
+                     F.lit(i + 1).cast("long").alias("cid"))
+            for i, c in enumerate(cents)
+        ]
+    )
+    p = (
+        probes.select(
+            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+        )
+        .withColumn(
+            "_cid",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(pd_structs), 1, n_probe),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+    )
+    cand_cids = [r["_cid"] for r in p.select("_cid").distinct().collect()]
+    corpus = spark.read.parquet(path).filter(F.col("_cid").isin(cand_cids))
+    j = corpus.join(F.broadcast(p), "_cid").filter(
+        F.col(id_col) != F.col("probe_id")
+    )
+    sim = F.round(vector.cosine(F.col(vec_col), F.col("probe_vec")), 5)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        j.select("probe_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "rn", "neighbor_id", "sim")
+    )
+
+
 def near_duplicate_pairs(
     emb: DataFrame,
     threshold: float,

@@ -81,3 +81,32 @@ def test_dedup_exact_keeps_first(spark, sf_dir):
         F.countDistinct(F.md5(F.lower(F.trim(F.col("text")))))
     ).collect()[0][0]
     assert deduped.count() == n_distinct
+
+
+def test_ivf_index_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """write_ivf_index -> Hive-partitioned inverted lists; probing via
+    ivf_topk_indexed must (a) reach only the candidate cid partitions
+    (PartitionFilters on _cid in the scan) and (b) return exactly what
+    the in-memory ivf_topk computes with the same deterministic
+    centroids."""
+    import contextlib
+    import io
+
+    emb = tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf")
+    ann.write_ivf_index(emb, path, n_centroids=8, iters=2)
+
+    res = ann.ivf_topk_indexed(spark, path, probes, k=3, n_probe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("formatted")
+    pf = [l for l in buf.getvalue().splitlines() if "PartitionFilters" in l]
+    assert pf and "_cid" in pf[0], (
+        "probe scan must prune inverted-list partitions:\n" + buf.getvalue()
+    )
+
+    mem = ann.ivf_topk(emb, probes, k=3, n_centroids=8, n_probe=2, iters=2)
+    got = sorted(map(tuple, res.collect()))
+    want = sorted(map(tuple, mem.collect()))
+    assert got == want
