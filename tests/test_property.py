@@ -209,3 +209,177 @@ def test_random_join_agg_matches_oracle(spec, spark, duck, sf_dir):
         f"GROUP BY {spec['group']}"
     )
     compare(got, duck, sql, name=f"join-property:{spec}")
+
+
+# ---- window-function family --------------------------------------------
+
+WIN_FUNCS = ["row_number", "rank", "dense_rank", "lag", "lead", "running_sum"]
+
+
+@st.composite
+def window_spec(draw):
+    part = draw(
+        st.lists(st.sampled_from(GROUP_COLS), min_size=1, max_size=2,
+                 unique=True)
+    )
+    order_col = draw(st.sampled_from(sorted(NUM_COLS)))
+    desc = draw(st.booleans())
+    func = draw(st.sampled_from(WIN_FUNCS))
+    return {"part": sorted(part), "order_col": order_col, "desc": desc,
+            "func": func}
+
+
+def _win_order_sql(spec, unique: bool) -> str:
+    d = "DESC" if spec["desc"] else "ASC"
+    keys = [f"{spec['order_col']} {d}"]
+    if unique:
+        keys += ["l_orderkey", "l_linenumber"]
+    return ", ".join(keys)
+
+
+def test_window_property_family(spark, duck, sf_dir):
+    # hypothesis-driven but executed as one test: each example is a
+    # full Spark job, so the derandomized examples are drawn once and
+    # looped (keeps suite wall-time bounded).
+    from pyspark.sql.window import Window
+
+    examples = []
+    @settings(max_examples=8, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(spec=window_spec())
+    def _collect(spec):
+        if spec not in examples:
+            examples.append(spec)
+    _collect()
+
+    base_filter = "l_quantity <= 10"
+    for spec in examples:
+        oc, dsc, part = spec["order_col"], spec["desc"], spec["part"]
+        # rank/dense_rank are tie-stable on the bare order key; the
+        # others need the unique (orderkey, linenumber) tiebreak
+        unique = spec["func"] not in ("rank", "dense_rank")
+        okeys = [F.col(oc).desc() if dsc else F.col(oc).asc()]
+        if unique:
+            okeys += [F.col("l_orderkey"), F.col("l_linenumber")]
+        w = Window.partitionBy(*part).orderBy(*okeys)
+        m = {
+            "row_number": F.row_number().over(w),
+            "rank": F.rank().over(w),
+            "dense_rank": F.dense_rank().over(w),
+            "lag": F.lag(oc, 1).over(w),
+            "lead": F.lead(oc, 1).over(w),
+            "running_sum": F.round(
+                F.sum(oc).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+                2,
+            ),
+        }
+        df = (
+            tables(spark, sf_dir).lineitem
+            .filter(F.col("l_quantity") <= 10)
+            .select(
+                *part, "l_orderkey", "l_linenumber",
+                m[spec["func"]].alias("wval"),
+            )
+        )
+        sql_fn = {
+            "row_number": "row_number()",
+            "rank": "rank()",
+            "dense_rank": "dense_rank()",
+            "lag": f"lag({oc}, 1)",
+            "lead": f"lead({oc}, 1)",
+            "running_sum": f"sum({oc})",
+        }[spec["func"]]
+        frame = (
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            if spec["func"] == "running_sum"
+            else ""
+        )
+        expr = (
+            f"{sql_fn} OVER (PARTITION BY {', '.join(part)} "
+            f"ORDER BY {_win_order_sql(spec, unique)}{frame})"
+        )
+        if spec["func"] == "running_sum":
+            expr = f"round({expr}, 2)"
+        sql = (
+            f"SELECT {', '.join(part)}, l_orderkey, l_linenumber, "
+            f"{expr} AS wval FROM lineitem WHERE {base_filter}"
+        )
+        compare(df, duck, sql, name=f"window-property:{spec}")
+
+
+# ---- set-operation family ----------------------------------------------
+
+SETOPS = ["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+          "INTERSECT ALL", "EXCEPT ALL"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@st.composite
+def setop_spec(draw):
+    op = draw(st.sampled_from(SETOPS))
+    branches = []
+    for _ in range(2):
+        cut = round(draw(st.floats(10_000.0, 400_000.0, allow_nan=False)), 2)
+        cmp_op = draw(st.sampled_from(OPS))
+        pris = draw(
+            st.lists(st.sampled_from(PRIORITIES), min_size=1, max_size=4,
+                     unique=True)
+        )
+        branches.append({"cut": cut, "op": cmp_op, "pris": sorted(pris)})
+    return {"op": op, "branches": branches}
+
+
+def _branch_sql(b) -> str:
+    quoted = ", ".join(f"'{p}'" for p in b["pris"])
+    return (
+        "SELECT o_orderstatus, o_orderpriority FROM orders "
+        f"WHERE o_totalprice {b['op']} {b['cut']!r} "
+        f"AND o_orderpriority IN ({quoted})"
+    )
+
+
+def test_setop_property_family(spark, duck, sf_dir):
+    examples = []
+    @settings(max_examples=8, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(spec=setop_spec())
+    def _collect(spec):
+        if spec not in examples:
+            examples.append(spec)
+    _collect()
+
+    for spec in examples:
+        orders = tables(spark, sf_dir).orders
+        dfs = []
+        for b in spec["branches"]:
+            c = F.col("o_totalprice")
+            cond = {"<": c < b["cut"], "<=": c <= b["cut"],
+                    ">": c > b["cut"], ">=": c >= b["cut"]}[b["op"]]
+            dfs.append(
+                orders.filter(cond & F.col("o_orderpriority").isin(b["pris"]))
+                .select("o_orderstatus", "o_orderpriority")
+            )
+        a, b_ = dfs
+        combined = {
+            "UNION": lambda: a.union(b_).distinct(),
+            "UNION ALL": lambda: a.union(b_),
+            "INTERSECT": lambda: a.intersect(b_),
+            "EXCEPT": lambda: a.subtract(b_),
+            "INTERSECT ALL": lambda: a.intersectAll(b_),
+            "EXCEPT ALL": lambda: a.exceptAll(b_),
+        }[spec["op"]]()
+        got = combined.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"),
+            F.count_distinct("o_orderpriority").alias("n_pri"),
+        )
+        sql = (
+            "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_pri FROM ("
+            + _branch_sql(spec["branches"][0])
+            + f" {spec['op']} "
+            + _branch_sql(spec["branches"][1])
+            + ") GROUP BY o_orderstatus"
+        )
+        compare(got, duck, sql, name=f"setop-property:{spec}")
