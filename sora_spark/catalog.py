@@ -8,9 +8,20 @@ an action) plus temp-view registration for the SQL entry point
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 from sora_spark.sources.parquet import read_table
+
+# Session-scoped plan cache: `spark.read.parquet` costs a driver-side
+# file listing + footer schema read (~120-200 ms locally, worse on
+# object stores) every call, and fixture tables are immutable — so the
+# analyzed scan plan is cached per (session, sf_dir, table). This is
+# the engine's catalog metadata cache; weak keys let sessions die.
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 TABLE_NAMES = (
     "region",
@@ -40,7 +51,11 @@ class Tables:
         if name not in TABLE_NAMES:
             raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
         if name not in self._cache:
-            self._cache[name] = read_table(self._spark, self._sf_dir, name)
+            per = _PLAN_CACHE.setdefault(self._spark, {})
+            key = (self._sf_dir, name)
+            if key not in per:
+                per[key] = read_table(self._spark, self._sf_dir, name)
+            self._cache[name] = per[key]
         return self._cache[name]
 
     def __getattr__(self, name: str) -> DataFrame:
