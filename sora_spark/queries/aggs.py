@@ -243,3 +243,58 @@ def qa9_collect_list(spark, sf_dir):
         )
         .orderBy("r_name")
     )
+
+
+@query(
+    "qa10_median",
+    oracle="""
+SELECT l_returnflag,
+       round(median(l_quantity), 4) AS med_qty,
+       round(median(l_extendedprice), 4) AS med_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    doc="Exact median (interpolated 50th percentile) per group — "
+    "Spark's median() matches DuckDB's median() on doubles; complements "
+    "the approx-percentile tolerance tier (Q-A7).",
+    tags=("agg",),
+)
+def qa10_median(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_quantity"), 4).alias("med_qty"),
+            F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "qx8_string_agg",
+    oracle="""
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+""",
+    doc="Deterministic string aggregation: nations per region, "
+    "sorted-within-group so both engines produce the identical string "
+    "(Spark: array_join(array_sort(collect_list())); DuckDB: "
+    "string_agg ORDER BY).",
+    tags=("agg", "string"),
+)
+def qx8_string_agg(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return (
+        t.nation.join(
+            F.broadcast(t.region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            )
+        )
+        .orderBy("r_name")
+    )

@@ -421,3 +421,35 @@ def qr2_unpivot(spark, sf_dir):
         .orderBy("p_partkey", "metric")
         .limit(400)
     )
+
+
+@query(
+    "qc3_orc_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    doc="ORC source/sink: the urgent-orders slice is written as ORC "
+    "(Spark native reader/writer, predicate pushdown + column pruning "
+    "like parquet) and read back; the aggregate must match the "
+    "parquet-direct oracle exactly — i.e. the roundtrip is lossless.",
+    tags=("source", "sink"),
+)
+def qc3_orc_roundtrip(spark, sf_dir):
+    orders = tables(spark, sf_dir).orders
+    path = _roundtrip_dir("orc_orders")
+    orders.filter(F.col("o_orderpriority") == "1-URGENT").write.mode(
+        "overwrite"
+    ).orc(path)
+    return (
+        spark.read.orc(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1,0 +1,56 @@
+"""SQL-entry-point queries (SURVEY §3.2): the engine's `spark.sql`
+surface over registered fixture views, exercising planner features the
+DataFrame API queries don't — correlated EXISTS and correlated scalar
+subqueries. Both desugar to joins in Catalyst (EXISTS → left-semi,
+scalar subquery → aggregate + join), so they scale exactly like the
+declared join family; the point here is the SQL surface contract.
+"""
+
+from __future__ import annotations
+
+from sora_spark.catalog import tables
+from sora_spark.queries.registry import query
+
+_EXISTS_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 300000)
+ORDER BY c_custkey
+LIMIT 100
+"""
+
+_SCALAR_SUB_SQL = """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_above_avg
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+@query(
+    "qsub1_correlated_exists",
+    oracle=_EXISTS_SQL,
+    doc="Correlated EXISTS subquery through the SQL entry point — the "
+    "identical text runs on both engines; Catalyst plans it as a "
+    "left-semi join (same shape as Q-J4).",
+    tags=("sql", "subquery"),
+)
+def qsub1_correlated_exists(spark, sf_dir):
+    tables(spark, sf_dir).register_views()
+    return spark.sql(_EXISTS_SQL)
+
+
+@query(
+    "qsub2_correlated_scalar_subquery",
+    oracle=_SCALAR_SUB_SQL,
+    doc="Correlated scalar subquery (per-nation average) through the "
+    "SQL entry point; Catalyst rewrites it to an aggregate + join, so "
+    "the customer table is scanned twice but shuffled only on the "
+    "(tiny) nation key.",
+    tags=("sql", "subquery"),
+)
+def qsub2_correlated_scalar_subquery(spark, sf_dir):
+    tables(spark, sf_dir).register_views()
+    return spark.sql(_SCALAR_SUB_SQL)

@@ -175,3 +175,41 @@ def qw6_distribution_functions(spark, sf_dir):
         .orderBy("o_orderstatus", "o_orderkey")
         .limit(200)
     )
+
+
+@query(
+    "qw7_first_last_nth_value",
+    oracle="""
+SELECT l_returnflag, l_orderkey, l_linenumber,
+       first_value(l_orderkey) OVER w AS first_ok,
+       last_value(l_orderkey)  OVER w AS last_ok,
+       nth_value(l_orderkey, 3) OVER w AS third_ok
+FROM lineitem WHERE l_quantity <= 2
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY l_returnflag, l_orderkey, l_linenumber
+""",
+    doc="first_value / last_value / nth_value over the full-partition "
+    "frame (explicit UNBOUNDED frame — last_value's default frame ends "
+    "at CURRENT ROW in both engines, a classic trap) with a unique "
+    "order key so ties cannot drift.",
+    tags=("window",),
+)
+def qw7_first_last_nth_value(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        li.filter(F.col("l_quantity") <= 2)
+        .select(
+            "l_returnflag", "l_orderkey", "l_linenumber",
+            F.first("l_orderkey").over(w).alias("first_ok"),
+            F.last("l_orderkey").over(w).alias("last_ok"),
+            F.nth_value("l_orderkey", 3).over(w).alias("third_ok"),
+        )
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    )
