@@ -80,11 +80,18 @@ def lsh_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Approximate top-k with multi-probe: each probe scans its own
     bucket plus every hamming-1 bucket (flip one sign bit), i.e.
     (n_planes+1)/2^n_planes of the corpus instead of all of it. Recall
-    is tested against brute_force_topk (tolerance tier, SURVEY §5.3)."""
+    is tested against brute_force_topk (tolerance tier, SURVEY §5.3).
+
+    `broadcast_probes=True` (default) fits the query-serving shape —
+    a small probe set against a huge corpus. For probe sets beyond
+    broadcast size (batch kNN-join of one corpus against another),
+    pass False: the join shuffles BOTH sides on `_bucket`, which is an
+    ordinary equi-key shuffle bounded by bucket width."""
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.withColumn("_bucket", bucket_key(F.col(vec_col), planes))
     key = bucket_key(F.col("probe_vec"), planes)
@@ -104,7 +111,7 @@ def lsh_topk(
         )
         .withColumn("_bucket", F.explode(F.array(key, *flips)))
     )
-    j = c.join(F.broadcast(p), "_bucket").filter(
+    j = c.join(F.broadcast(p) if broadcast_probes else p, "_bucket").filter(
         F.col(id_col) != F.col("probe_id")
     )
     sim = F.round(vector.cosine(F.col(vec_col), F.col("probe_vec")), 5)
@@ -173,12 +180,15 @@ def ivf_topk(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in inverted lists
     keyed by nearest centroid; each probe searches only its `n_probe`
     nearest lists (≈ n_probe/n_centroids of the corpus). The inverted
     list is a plain partition key — at 100 TB, write the corpus
-    bucketed by cid and probing prunes whole files."""
+    bucketed by cid and probing prunes whole files (`write_ivf_index`
+    / `ivf_topk_indexed`). `broadcast_probes=False` flips the `_cid`
+    join to a two-sided shuffle for beyond-broadcast probe sets."""
     cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
     dists = F.array(*[_dist2(F.col(vec_col), c) for c in cents])
     c_assigned = corpus.withColumn(
@@ -206,7 +216,7 @@ def ivf_topk(
             ),
         )
     )
-    j = c_assigned.join(F.broadcast(p), "_cid").filter(
+    j = c_assigned.join(F.broadcast(p) if broadcast_probes else p, "_cid").filter(
         F.col(id_col) != F.col("probe_id")
     )
     sim = F.round(vector.cosine(F.col(vec_col), F.col("probe_vec")), 5)

@@ -110,3 +110,19 @@ def test_ivf_index_write_prunes_partitions(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, res.collect()))
     want = sorted(map(tuple, mem.collect()))
     assert got == want
+
+
+def test_ann_shuffle_probe_path_matches_broadcast(spark, sf_dir):
+    """broadcast_probes=False (the beyond-broadcast batch shape) must
+    return identical results via a two-sided shuffle on the bucket key."""
+    emb = tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 10)
+    for fn in (
+        lambda b: ann.lsh_topk(emb, probes, k=3, n_planes=4,
+                               broadcast_probes=b),
+        lambda b: ann.ivf_topk(emb, probes, k=3, n_centroids=8, n_probe=2,
+                               broadcast_probes=b),
+    ):
+        want = sorted(map(tuple, fn(True).collect()))
+        got = sorted(map(tuple, fn(False).collect()))
+        assert got == want
