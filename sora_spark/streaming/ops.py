@@ -67,3 +67,16 @@ def stream_dedup(events: DataFrame, watermark: str = "31 days") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(
         ["user_id", "event_type"]
     )
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame, delay: str = "31 days"
+) -> DataFrame:
+    """`dropDuplicatesWithinWatermark`: like `stream_dedup` but state
+    for a key is dropped once the watermark passes its first-seen ts +
+    `delay` — the BOUNDED-state dedup for infinite streams (plain
+    streaming dropDuplicates holds every key forever). With `delay`
+    covering the replay span it must equal the unbounded form."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )

@@ -198,3 +198,62 @@ def test_stream_dedup_matches_batch_keys(spark, sf_dir):
     }
     got_keys = {(r["user_id"], r["event_type"]) for r in got.collect()}
     assert got_keys == batch_keys
+
+
+def test_dedup_within_watermark_matches_unbounded(spark, sf_dir):
+    """Bounded-state dedup == unbounded dedup when the watermark delay
+    covers the whole replay (the state-expiry knob changes memory, not
+    results, within the delay window)."""
+    d = replay.materialize_replay_dir(spark, sf_dir, "dwm", n_files=4)
+    got = replay.run_to_memory(
+        ops.stream_dedup_within_watermark(replay.events_stream(spark, d)),
+        _qname(), "append",
+    )
+    want = replay.run_to_memory(
+        ops.stream_dedup(replay.events_stream(spark, d)), _qname(), "append"
+    )
+    assert _rows(got.select("user_id", "event_type")) == _rows(
+        want.select("user_id", "event_type")
+    )
+
+
+def test_checkpointed_file_sink_exactly_once_across_restart(spark, sf_dir):
+    """Stop a checkpointed parquet-sink stream mid-input, deliver more
+    files, restart from the SAME checkpoint: the sink must hold every
+    input row exactly once (no replays, no loss) — the file-sink
+    exactly-once contract that makes streaming ingestion safe at scale."""
+    import os
+    import uuid
+
+    base = f"/root/repo/.scratch/eos-{uuid.uuid4().hex[:8]}"
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    ev = replay.read_table(spark, sf_dir, "events")
+    first, second = (
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+    )
+    os.makedirs(src, exist_ok=True)
+    first.coalesce(2).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            replay.events_stream(spark, src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == first.count()
+    second.coalesce(2).write.mode("append").parquet(src)
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count(), "restart lost or replayed rows"
+    assert got.select("event_id").distinct().count() == ev.count()
