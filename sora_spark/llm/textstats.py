@@ -115,3 +115,54 @@ def fingerprint(df: DataFrame, k: int = 4, text_col: str = "text") -> DataFrame:
             "fingerprint"
         ),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition features, per doc:
+
+    - dup_word_frac   = 1 − distinct_words / words
+    - top_word_frac   = occurrences of the most frequent word / words
+    - dup_bigram_frac = 1 − distinct_bigrams / bigrams (0 if < 2 words)
+
+    High values flag templated / keyword-stuffed documents. All three
+    are array expressions + one explode/groupBy (the wordcount shape):
+    per-doc state never materializes outside the shuffle, so this runs
+    at corpus scale like any aggregation.
+    """
+    ws = tokens(F.col(text_col))
+    n = F.size(ws)
+    n_distinct = F.size(F.array_distinct(ws))
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        "doc_id",
+        "source",
+        n.alias("n_words"),
+        (1.0 - n_distinct / n).alias("dup_word_frac"),
+        (
+            F.when(n >= 2, 1.0 - F.size(F.array_distinct(bigrams)) / (n - 1))
+            .otherwise(F.lit(0.0))
+        ).alias("dup_bigram_frac"),
+    )
+    top = (
+        df.select("doc_id", F.explode(ws).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_words",
+        "dup_word_frac",
+        (F.col("top_c") / F.col("n_words")).alias("top_word_frac"),
+        "dup_bigram_frac",
+    )

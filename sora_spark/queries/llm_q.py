@@ -466,3 +466,46 @@ def qm1_multimodal_binary(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "qta5_repetition_stats",
+    oracle="""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+base AS (SELECT doc_id, source, len(ws) AS n_words,
+                1.0 - len(list_distinct(ws)) * 1.0 / len(ws) AS dupw,
+                CASE WHEN len(ws) >= 2 THEN
+                  1.0 - len(list_distinct(list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i+1]))) * 1.0 / (len(ws) - 1)
+                ELSE 0.0 END AS dupb
+         FROM w),
+tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+top AS (SELECT doc_id, max(c) AS top_c FROM
+        (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2)
+        GROUP BY 1)
+SELECT b.doc_id, CAST(b.n_words AS INT) AS n_words,
+       round(dupw, 4) AS dup_word_frac,
+       round(top_c * 1.0 / b.n_words, 4) AS top_word_frac,
+       round(dupb, 4) AS dup_bigram_frac
+FROM base b JOIN top USING (doc_id) ORDER BY b.doc_id
+""",
+    doc="qta5: Gopher-style within-document repetition features — "
+    "duplicate-word fraction, most-frequent-word coverage, duplicate-"
+    "bigram fraction — the standard templated/keyword-stuffed document "
+    "filters for training-data curation. Array expressions + one "
+    "wordcount-shaped explode/groupBy; scales like any aggregation.",
+    tags=("llm", "text-analysis", "quality"),
+)
+def qta5_repetition_stats(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    r = textstats.repetition_stats(docs)
+    return (
+        r.select(
+            "doc_id",
+            "n_words",
+            F.round("dup_word_frac", 4).alias("dup_word_frac"),
+            F.round("top_word_frac", 4).alias("top_word_frac"),
+            F.round("dup_bigram_frac", 4).alias("dup_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
