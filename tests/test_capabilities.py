@@ -235,3 +235,35 @@ def test_streaming_upsert_sink_latest_per_key(spark, sf_dir):
     g = sorted(map(tuple, got.select("user_id", "event_type", "ts").collect()))
     e = sorted(map(tuple, want.select("user_id", "event_type", "ts").collect()))
     assert g == e
+
+
+def test_resample_and_gap_fill(spark, sf_dir):
+    """Hourly resample of events per user, then dense-grid gap fill:
+    no holes, values forward-filled, original buckets preserved."""
+    from sora_spark.operators.timeseries import fill_gaps, resample
+    from sora_spark.streaming.replay import read_table
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    b = resample(ev, "user_id", "ts", "1 hour",
+                 [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v")])
+    filled = fill_gaps(b, "user_id", "bucket", "1 hour", ["n", "v"])
+
+    # dense: per key, rows == hours between first and last bucket + 1
+    spans = (
+        filled.groupBy("user_id")
+        .agg(
+            F.count("*").alias("rows"),
+            (
+                (F.unix_timestamp(F.max("bucket"))
+                 - F.unix_timestamp(F.min("bucket"))) / 3600 + 1
+            ).cast("long").alias("expect"),
+        )
+    )
+    assert spans.filter(F.col("rows") != F.col("expect")).count() == 0
+    # original buckets intact
+    orig = b.count()
+    assert filled.filter(F.col("_present")).count() == orig
+    assert filled.count() >= orig
+    # forward fill leaves no NULLs (every key's grid starts at a
+    # present bucket by construction)
+    assert filled.filter(F.col("v").isNull() | F.col("n").isNull()).count() == 0
