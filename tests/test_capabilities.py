@@ -8,7 +8,9 @@ from __future__ import annotations
 import math
 import os
 import uuid
+from typing import Iterator
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from sora_spark.catalog import tables
@@ -267,3 +269,60 @@ def test_resample_and_gap_fill(spark, sf_dir):
     # forward fill leaves no NULLs (every key's grid starts at a
     # present bucket by construction)
     assert filled.filter(F.col("v").isNull() | F.col("n").isNull()).count() == 0
+
+
+def test_pandas_udf_iterator_form(spark, sf_dir):
+    """SCALAR_ITER pandas UDF (Iterator[pd.Series] -> Iterator[pd.Series]):
+    amortizes per-batch init (model loads, dictionaries) across Arrow
+    batches — the shape for expensive-setup UDFs at scale. Must equal
+    the plain column expression."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def disc_price(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        factor = 1.0  # stands in for per-worker init
+        for s in it:
+            yield s * factor * 2.0
+
+    li = tables(spark, sf_dir).lineitem.limit(500)
+    got = li.select(
+        F.round(disc_price("l_extendedprice"), 2).alias("x"), "l_orderkey",
+        "l_linenumber",
+    )
+    want = li.select(
+        F.round(F.col("l_extendedprice") * 2.0, 2).alias("x"), "l_orderkey",
+        "l_linenumber",
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_count_min_sketch_frequent_items(spark, sf_dir):
+    """count_min_sketch + freqItems: approximate heavy hitters over the
+    wordcount stream — sketch estimates must over-count only (CMS
+    guarantee) and stay within eps*N of exact."""
+    from pyspark.sql.functions import count_min_sketch
+
+    docs = tables(spark, sf_dir).documents
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    n_total = words.count()
+    exact = {r["w"]: r["c"] for r in
+             words.groupBy("w").agg(F.count("*").alias("c")).collect()}
+    top = sorted(exact, key=exact.get, reverse=True)[:5]
+
+    import pyspark
+    sk = words.agg(
+        F.hex(count_min_sketch("w", F.lit(0.001), F.lit(0.99), F.lit(1))).alias("sk")
+    ).collect()[0]["sk"]
+    # estimate via the JVM CountMinSketch (deserialize the sketch bytes)
+    jvm = spark.sparkContext._jvm
+    import base64
+    ba = bytes.fromhex(sk)
+    bis = jvm.java.io.ByteArrayInputStream(ba)
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    for w in top:
+        est = cms.estimateCount(w)
+        assert est >= exact[w], "CMS must never under-count"
+        assert est - exact[w] <= 0.001 * n_total * 2 + 5
+
+    fi = words.stat.freqItems(["w"], 0.01).collect()[0][0]
+    assert set(top) <= set(fi), "freqItems must contain the true top-5"
