@@ -133,3 +133,23 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     )
     [(flag, n)] = joined.collect()
     assert (flag, n) == ("N", li.filter(F.col("l_returnflag") == "N").count())
+
+
+def test_global_sort_shapes(spark, sf_dir):
+    """Global sorts must take one of the two scalable shapes: with a
+    LIMIT, TakeOrderedAndProject (per-partition top-k, no global
+    exchange — pinned via qt1); without, a range-partitioned sort
+    (sample-based boundaries, partitions sort independently). A
+    single-partition global sort would bottleneck at 100 TB."""
+    from sora_spark.catalog import tables
+
+    p = _plan(spark, sf_dir, "qt1_sort_nulls_last", mode="simple")
+    assert "TakeOrderedAndProject" in p, f"limited sort not top-k:\n{p}"
+
+    full = tables(spark, sf_dir).lineitem.orderBy("l_extendedprice")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        full.explain("simple")
+    assert "rangepartitioning" in buf.getvalue().lower(), (
+        "unlimited global sort must range-partition:\n" + buf.getvalue()
+    )

@@ -383,3 +383,74 @@ def test_setop_property_family(spark, duck, sf_dir):
             + ") GROUP BY o_orderstatus"
         )
         compare(got, duck, sql, name=f"setop-property:{spec}")
+
+
+# ---- scalar string-function family --------------------------------------
+
+STR_FNS = ["upper", "lower", "reverse", "substr", "lpad", "replace",
+           "trim_x", "len"]
+
+
+@st.composite
+def scalar_spec(draw):
+    chain = draw(st.lists(st.sampled_from(STR_FNS), min_size=1, max_size=3))
+    k = draw(st.integers(1, 12))
+    return {"chain": chain, "k": k}
+
+
+def _apply_chain_spark(col, spec):
+    out = col
+    for fn in spec["chain"]:
+        k = spec["k"]
+        out = {
+            "upper": lambda c: F.upper(c),
+            "lower": lambda c: F.lower(c),
+            "reverse": lambda c: F.reverse(c),
+            "substr": lambda c: F.substring(c, 1, k),
+            "lpad": lambda c: F.lpad(c, k + 4, "_"),
+            "replace": lambda c: F.replace(c, F.lit("a"), F.lit("@")),
+            "trim_x": lambda c: F.trim(c),
+            "len": lambda c: F.length(c).cast("string"),
+        }[fn](out)
+    return out
+
+
+def _apply_chain_sql(expr, spec):
+    for fn in spec["chain"]:
+        k = spec["k"]
+        expr = {
+            "upper": f"upper({expr})",
+            "lower": f"lower({expr})",
+            "reverse": f"reverse({expr})",
+            "substr": f"substr({expr}, 1, {k})",
+            "lpad": f"lpad({expr}, {k + 4}, '_')",
+            "replace": f"replace({expr}, 'a', '@')",
+            "trim_x": f"trim({expr})",
+            "len": f"CAST(length({expr}) AS VARCHAR)",
+        }[fn]
+    return expr
+
+
+def test_scalar_string_property_family(spark, duck, sf_dir):
+    examples = []
+    @settings(max_examples=10, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(spec=scalar_spec())
+    def _collect(spec):
+        if spec not in examples:
+            examples.append(spec)
+    _collect()
+
+    for spec in examples:
+        df = (
+            tables(spark, sf_dir).part
+            .select("p_partkey",
+                    _apply_chain_spark(F.col("p_name"), spec).alias("s"))
+            .orderBy("p_partkey")
+            .limit(300)
+        )
+        sql = (
+            f"SELECT p_partkey, {_apply_chain_sql('p_name', spec)} AS s "
+            "FROM part ORDER BY p_partkey LIMIT 300"
+        )
+        compare(df, duck, sql, name=f"scalar-property:{spec}")
