@@ -363,6 +363,107 @@ class Graph:
             )
         return edges
 
+    def pagerank(
+        self,
+        n_iter: int = 10,
+        damping: float = 0.85,
+        stats: dict | None = None,
+    ) -> DataFrame:
+        """Power-iteration PageRank over the DIRECTED edge set →
+        (v, rank), ranks summing to |V| (the classic normalization).
+        Dangling-vertex mass is redistributed uniformly each round.
+
+        Each round is one join (rank → out-edges) + one groupBy (sum
+        contributions at the destination) — the standard two-shuffle
+        PageRank dataflow; `localCheckpoint` per round keeps the plan
+        flat. Dangling mass is a scalar `collect` (one double)."""
+        verts = self.vertex_ids().localCheckpoint(eager=True)
+        n_v = verts.count()
+        out_deg = self.edges.groupBy("s").agg(F.count("*").alias("_od"))
+        ranks = verts.select("v", F.lit(1.0).alias("rank")).localCheckpoint(
+            eager=True
+        )
+        for _ in range(n_iter):
+            with_deg = ranks.join(
+                out_deg, ranks.v == out_deg.s, "left"
+            ).select(ranks.v, "rank", "_od")
+            # mass of vertices with no out-edges, spread uniformly
+            dangling = (
+                with_deg.filter(F.col("_od").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .first()[0]
+            )
+            contrib = (
+                self.edges.join(
+                    with_deg.filter(F.col("_od").isNotNull()),
+                    self.edges.s == with_deg.v,
+                )
+                .select(
+                    F.col("d").alias("v"),
+                    (F.col("rank") / F.col("_od")).alias("c"),
+                )
+                .groupBy("v")
+                .agg(F.sum("c").alias("c"))
+            )
+            base = (1.0 - damping) + damping * dangling / n_v
+            ranks = (
+                verts.join(contrib, "v", "left")
+                .select(
+                    "v",
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        if stats is not None:
+            stats["rounds"] = n_iter
+        return ranks
+
+    def shortest_paths(
+        self,
+        sources: DataFrame,
+        weight_col: str | None = None,
+        max_iter: int = 20,
+    ) -> DataFrame:
+        """Single/multi-source shortest path over DIRECTED edges →
+        (v, dist): Bellman-Ford as iterative relaxation. `weight_col`
+        names a non-negative edge weight (default: every edge = 1.0,
+        i.e. weighted BFS). Converges when no distance improves —
+        checked with one count() per round; each round is one join +
+        one min-aggregation, checkpointed."""
+        w = (
+            F.col(weight_col)
+            if weight_col is not None
+            else F.lit(1.0)
+        )
+        e = self.edges.select("s", "d", w.cast("double").alias("_w"))
+        dist = sources.select(
+            F.col("v"), F.lit(0.0).alias("dist")
+        ).localCheckpoint(eager=True)
+        for _ in range(max_iter):
+            cand = (
+                e.join(dist, e.s == dist.v)
+                .select(F.col("d").alias("v"), (F.col("dist") + F.col("_w")).alias("dist"))
+                .union(dist)
+                .groupBy("v")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            improved = (
+                cand.alias("c")
+                .join(dist.alias("p"), "v", "left")
+                .filter(
+                    F.col("p.dist").isNull() | (F.col("c.dist") < F.col("p.dist"))
+                )
+                .count()
+            )
+            dist = cand
+            if improved == 0:
+                break
+        return dist
+
     def compact_chains(self, max_iter: int = 30) -> DataFrame:
         """Compact maximal non-branching chains (unitigs) by pointer
         doubling → (start, end, length). Requires a chain-union graph

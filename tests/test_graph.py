@@ -5,6 +5,9 @@ fixture-derived graphs; these pin the algorithms themselves).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from sora_spark.catalog import tables
 from sora_spark.graph import Graph
 
 
@@ -121,3 +124,61 @@ def test_twophase_matches_minlabel(spark, sf_dir):
     a = sorted(map(tuple, g.connected_components().collect()))
     b = sorted(map(tuple, g.connected_components_twophase().collect()))
     assert a == b
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """PageRank on a fixed 5-vertex digraph vs a numpy reference doing
+    the identical damped power iteration with dangling redistribution."""
+    import numpy as np
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]  # 4 is dangling+isolated? no: keep 4 via edge
+    edges.append((2, 4))
+    e = spark.createDataFrame(edges, "s LONG, d LONG")
+    g = Graph(e)
+    got = {r["v"]: r["rank"] for r in g.pagerank(n_iter=15).collect()}
+
+    n = 5
+    out = {0: [1, 2], 1: [2], 2: [0, 4], 3: [2], 4: []}
+    r = np.ones(n)
+    d = 0.85
+    for _ in range(15):
+        nxt = np.zeros(n)
+        dangling = sum(r[v] for v in range(n) if not out[v])
+        for v in range(n):
+            for u in out[v]:
+                nxt[u] += d * r[v] / len(out[v])
+        nxt += (1 - d) + d * dangling / n
+        r = nxt
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
+    assert abs(sum(got.values()) - n) < 1e-6
+
+
+def test_shortest_paths_weighted(spark):
+    """Bellman-Ford relaxation on a weighted digraph with a shorter
+    indirect route — catches greedy/hop-limited mistakes."""
+    e = spark.createDataFrame(
+        [(0, 1, 10.0), (0, 2, 1.0), (2, 1, 2.0), (1, 3, 1.0), (2, 3, 100.0)],
+        "s LONG, d LONG, w DOUBLE",
+    )
+    src = spark.createDataFrame([(0,)], "v LONG")
+    got = {r["v"]: r["dist"] for r in
+           Graph(e).shortest_paths(src, weight_col="w").collect()}
+    assert got == {0: 0.0, 1: 3.0, 2: 1.0, 3: 4.0}
+
+
+def test_shortest_paths_unweighted_equals_bfs(spark, sf_dir):
+    """Unit-weight shortest paths must equal bfs_hops on the same
+    (directed) edge set."""
+    from sora_spark.queries.graph_q import e_co_small
+    li = tables(spark, sf_dir).lineitem
+    e = e_co_small(li)
+    g = Graph(e)
+    srcs = g.vertex_ids().orderBy("v").limit(3)
+    # bfs_hops is undirected; symmetrize for the comparison
+    sym = Graph(e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))))
+    got = {r["v"]: r["dist"] for r in
+           sym.shortest_paths(srcs, max_iter=15).collect()}
+    want = {r["v"]: float(r["hop"]) for r in
+            g.bfs_hops(srcs, max_hops=15).collect()}
+    assert got == want
