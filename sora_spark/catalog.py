@@ -8,8 +8,6 @@ an action) plus temp-view registration for the SQL entry point
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame, SparkSession
 
 from sora_spark.sources.parquet import read_table
@@ -17,11 +15,20 @@ from sora_spark.sources.parquet import read_table
 # Session-scoped plan cache: `spark.read.parquet` costs a driver-side
 # file listing + footer schema read (~120-200 ms locally, worse on
 # object stores) every call, and fixture tables are immutable — so the
-# analyzed scan plan is cached per (session, sf_dir, table). This is
-# the engine's catalog metadata cache; weak keys let sessions die.
-_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
-    weakref.WeakKeyDictionary()
-)
+# analyzed scan plan is cached per (sf_dir, table) in a dict attached
+# to the SparkSession itself. Attachment (not a module-level weak map)
+# makes cache lifetime exactly the session's: cached DataFrames hold a
+# strong reference back to their session, which would keep a
+# WeakKeyDictionary entry immortal (review finding, round 2).
+_CACHE_ATTR = "_sora_plan_cache"
+
+
+def _session_cache(spark: SparkSession) -> dict:
+    cache = getattr(spark, _CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _CACHE_ATTR, cache)
+    return cache
 
 TABLE_NAMES = (
     "region",
@@ -51,7 +58,7 @@ class Tables:
         if name not in TABLE_NAMES:
             raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
         if name not in self._cache:
-            per = _PLAN_CACHE.setdefault(self._spark, {})
+            per = _session_cache(self._spark)
             key = (self._sf_dir, name)
             if key not in per:
                 per[key] = read_table(self._spark, self._sf_dir, name)

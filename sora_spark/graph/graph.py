@@ -91,7 +91,15 @@ class Graph:
 
     def _bc(self, broadcast_edges: bool | None) -> bool:
         if broadcast_edges is None:
-            return self.edges.count() < self.BROADCAST_EDGE_LIMIT
+            # cache per Graph instance: callers invoking several
+            # reduction ops on one (possibly un-checkpointed) edge
+            # plan must not pay a full re-materializing count() each
+            # time (review finding, round 2)
+            n = getattr(self, "_n_edges", None)
+            if n is None:
+                n = self.edges.count()
+                object.__setattr__(self, "_n_edges", n)
+            return n < self.BROADCAST_EDGE_LIMIT
         return broadcast_edges
 
     def _two_paths(self) -> DataFrame:
@@ -379,7 +387,13 @@ class Graph:
         flat. Dangling mass is a scalar `collect` (one double)."""
         verts = self.vertex_ids().localCheckpoint(eager=True)
         n_v = verts.count()
-        out_deg = self.edges.groupBy("s").agg(F.count("*").alias("_od"))
+        # checkpoint the edge set and degree table once: each round
+        # runs two actions (dangling scalar + ranks checkpoint) that
+        # would otherwise re-evaluate the full edge derivation
+        edges = self.edges.select("s", "d").localCheckpoint(eager=True)
+        out_deg = edges.groupBy("s").agg(
+            F.count("*").alias("_od")
+        ).localCheckpoint(eager=True)
         ranks = verts.select("v", F.lit(1.0).alias("rank")).localCheckpoint(
             eager=True
         )
@@ -394,9 +408,9 @@ class Graph:
                 .first()[0]
             )
             contrib = (
-                self.edges.join(
+                edges.join(
                     with_deg.filter(F.col("_od").isNotNull()),
-                    self.edges.s == with_deg.v,
+                    edges.s == with_deg.v,
                 )
                 .select(
                     F.col("d").alias("v"),
@@ -432,7 +446,9 @@ class Graph:
         names a non-negative edge weight (default: every edge = 1.0,
         i.e. weighted BFS). Converges when no distance improves —
         checked with one count() per round; each round is one join +
-        one min-aggregation, checkpointed."""
+        one min-aggregation, checkpointed. Raises RuntimeError if
+        max_iter rounds still improve distances (a silent truncation
+        would return plausible but incomplete/non-minimal rows)."""
         w = (
             F.col(weight_col)
             if weight_col is not None
@@ -461,8 +477,11 @@ class Graph:
             )
             dist = cand
             if improved == 0:
-                break
-        return dist
+                return dist
+        raise RuntimeError(
+            f"shortest_paths: still improving after max_iter={max_iter}"
+            " rounds — raise max_iter (needs up to |V|-1 on a path graph)"
+        )
 
     def compact_chains(self, max_iter: int = 30) -> DataFrame:
         """Compact maximal non-branching chains (unitigs) by pointer
@@ -509,7 +528,12 @@ class Graph:
     ) -> DataFrame:
         if method == "twophase":
             comp = self.connected_components_twophase(max_iter=max_iter)
-        else:
+        elif method == "minlabel":
             comp = self.connected_components(max_iter=max_iter)
+        else:
+            raise ValueError(
+                f"component_size_histogram: unknown method {method!r}"
+                " (expected 'minlabel' or 'twophase')"
+            )
         sizes = comp.groupBy("component").agg(F.count("*").alias("component_size"))
         return sizes.groupBy("component_size").agg(F.count("*").alias("n_components"))

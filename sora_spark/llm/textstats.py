@@ -158,7 +158,9 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_c"))
     )
-    return base.join(top, "doc_id").select(
+    # left join: docs with NULL text produce no exploded rows; they
+    # must surface with NULL features, not vanish (review finding)
+    return base.join(top, "doc_id", "left").select(
         "doc_id",
         "source",
         "n_words",

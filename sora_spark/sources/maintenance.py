@@ -46,11 +46,19 @@ def compact_parquet(
     {"files_before", "files_after", "bytes"}. Uses coalesce (no
     shuffle — merges input splits) since compaction only reduces file
     count; row order within files is not part of the parquet contract."""
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    # recover from a previous crashed run (review finding, round 2):
+    # crash between the two renames leaves data at _old and nothing at
+    # `path` — restore it; any remaining _old/_tmp is then dead state
+    if os.path.isdir(old) and not os.path.isdir(path):
+        os.rename(old, path)
+    for stale in (old, tmp):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
     before = _n_data_files(path)
     total = _dir_bytes(path)
     n_out = max(1, math.ceil(total / target_file_bytes))
-    tmp = path.rstrip("/") + "._compact_tmp"
-    old = path.rstrip("/") + "._compact_old"
     spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
     os.rename(tmp, path)

@@ -2,22 +2,20 @@
 records (the reference's native input shape — sequencing reads — per
 SURVEY §2.1) parsed into (record_id, header, sequence) rows.
 
-Spark-first parse: `spark.read.text` keeps line order within each file
-split; records are rebuilt with a running header count. Window is
-partitioned per input file so parallelism scales with file count (the
-normal case for sequencing data at scale: many files); lines within
-one file split stay ordered by `monotonically_increasing_id`.
+ORDERING CONTRACT: each file is read WHOLE (`wholetext=True`), so line
+order is simply character position inside the file's string value —
+`posexplode(split(value, '\\r?\\n'))` — with no dependence on input
+splits at all. (The previous formulation ordered lines by
+`monotonically_increasing_id` across splits, whose split→partition
+order is not a documented guarantee; review finding, round 2.)
 
-SPLIT-ORDERING CONTRACT: `monotonically_increasing_id` encodes the
-partition index, and Spark assigns one split per partition in listing
-order for a given file — but split→partition ORDER is not a documented
-API guarantee. `read_fasta` therefore asserts every input file fits a
-SINGLE split (file length <= spark.sql.files.maxPartitionBytes, a
-metadata-only check; partition-count scan fallback without a JVM
-gateway) and fails loudly otherwise, instead of silently scrambling
-sequence lines across split boundaries. For
-multi-TB single files, pre-split upstream (bgzip chunks / one file per
-shard) — the many-small-files layout is the scale path anyway.
+The cost of the whole-file read is per-file memory ∝ file size, so
+files above `max_file_bytes` (default 1 GiB) are rejected loudly up
+front (metadata-only listing; best-effort skip where no JVM gateway
+exists, e.g. Spark Connect). For multi-GB single files, pre-split
+upstream (bgzip chunks / one file per shard) — the many-small-files
+layout is the scale path for sequencing data anyway, and parallelism
+here scales with file count.
 """
 
 from __future__ import annotations
@@ -26,62 +24,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+DEFAULT_MAX_FILE_BYTES = 1 << 30
 
-def _assert_single_split(spark: SparkSession, path: str) -> None:
-    """Fail loudly if any input file spans >1 read split (see module
-    docstring): line order across splits is not a guaranteed contract.
-    """
-    try:  # metadata-only check via Hadoop FS (classic mode)
+
+def _assert_file_sizes(
+    spark: SparkSession, path: str, max_file_bytes: int
+) -> None:
+    """Fail loudly if any input file exceeds the whole-file read bound
+    (see module docstring). Metadata-only; best-effort without a JVM
+    gateway."""
+    try:
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
-        max_bytes = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
-        )
         jpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = jpath.getFileSystem(hconf)
         it = fs.listFiles(jpath, True)
         while it.hasNext():
             st = it.next()
-            if st.getLen() > max_bytes:
+            if st.getLen() > max_file_bytes:
                 raise ValueError(
                     f"read_fasta: {st.getPath()} is {st.getLen()} bytes >"
-                    f" maxPartitionBytes={max_bytes}; it would be read as"
-                    " multiple splits with undefined line order. Pre-split"
-                    " the file or raise spark.sql.files.maxPartitionBytes."
+                    f" max_file_bytes={max_file_bytes}; whole-file reads"
+                    " bound memory per file — pre-split the file upstream."
                 )
     except ValueError:
         raise
     except Exception:
-        # No JVM gateway (e.g. Spark Connect): fall back to counting
-        # actual read partitions per file — one extra scan, same contract.
-        bad = (
-            spark.read.text(path)
-            .select(
-                F.input_file_name().alias("file"),
-                F.spark_partition_id().alias("pid"),
-            )
-            .groupBy("file")
-            .agg(F.countDistinct("pid").alias("n_splits"))
-            .filter(F.col("n_splits") > 1)
-            .count()
-        )
-        if bad:
-            raise ValueError(
-                f"read_fasta: {bad} input file(s) span multiple read splits;"
-                " line order across splits is undefined — pre-split upstream."
-            )
+        pass  # no JVM gateway — size guard is best-effort by contract
 
 
-def read_fasta(spark: SparkSession, path: str) -> DataFrame:
+def read_fasta(
+    spark: SparkSession,
+    path: str,
+    max_file_bytes: int = DEFAULT_MAX_FILE_BYTES,
+) -> DataFrame:
     """Parse FASTA-style text: '>header' lines start records; following
     lines concatenate into the record's sequence."""
-    _assert_single_split(spark, path)
+    _assert_file_sizes(spark, path, max_file_bytes)
     lines = (
-        spark.read.text(path)
+        spark.read.text(path, wholetext=True)
         .select(
             F.input_file_name().alias("file"),
-            F.monotonically_increasing_id().alias("line_id"),
-            F.col("value").alias("line"),
+            F.posexplode(F.split("value", r"\r?\n")).alias("line_id", "line"),
         )
         .filter(F.length("line") > 0)
     )
@@ -94,9 +78,11 @@ def read_fasta(spark: SparkSession, path: str) -> DataFrame:
         with_rec.filter(F.col("record_id") > 0)
         .groupBy("file", "record_id")
         .agg(
-            F.max(F.when(F.col("line").startswith(">"), F.expr("substring(line, 2)"))).alias(
-                "header"
-            ),
+            F.max(
+                F.when(
+                    F.col("line").startswith(">"), F.expr("substring(line, 2)")
+                )
+            ).alias("header"),
             F.concat_ws(
                 "",
                 F.transform(

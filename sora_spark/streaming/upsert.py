@@ -37,8 +37,12 @@ def merge_batch(
         allrows = cur.unionByName(new)
     else:
         allrows = new
+    # final tiebreak: content hash — two same-key same-ts rows in ONE
+    # batch would otherwise pick a nondeterministic winner, breaking
+    # the idempotent-replay contract this sink exists for
+    row_hash = F.xxhash64(F.struct(*batch_df.columns))
     w = Window.partitionBy(*key_cols).orderBy(
-        F.desc(ts_col), F.desc("_src")
+        F.desc(ts_col), F.desc("_src"), F.desc(row_hash)
     )
     merged = (
         allrows.withColumn("_rn", F.row_number().over(w))
