@@ -326,3 +326,35 @@ def test_count_min_sketch_frequent_items(spark, sf_dir):
 
     fi = words.stat.freqItems(["w"], 0.01).collect()[0][0]
     assert set(top) <= set(fi), "freqItems must contain the true top-5"
+
+
+def test_corrupt_json_ingestion_modes(spark):
+    """Real-world ingestion robustness: PERMISSIVE mode quarantines bad
+    JSON lines in _corrupt_record; DROPMALFORMED silently drops them;
+    FAILFAST raises. All three contracts pinned."""
+    import pytest
+
+    path = f"/root/repo/.scratch/badjson-{uuid.uuid4().hex[:6]}.jsonl"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write('{"k": 1, "v": "a"}\n')
+        f.write('NOT JSON AT ALL\n')
+        f.write('{"k": 2, "v": "b"}\n')
+    schema = "k INT, v STRING, _corrupt_record STRING"
+
+    perm = spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+    rows = perm.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["k"] is None
+
+    dropped = (
+        spark.read.schema("k INT, v STRING")
+        .option("mode", "DROPMALFORMED").json(path)
+    )
+    assert sorted(r["k"] for r in dropped.collect()) == [1, 2]
+
+    with pytest.raises(Exception):
+        spark.read.schema("k INT, v STRING").option(
+            "mode", "FAILFAST"
+        ).json(path).collect()

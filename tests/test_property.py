@@ -454,3 +454,57 @@ def test_scalar_string_property_family(spark, duck, sf_dir):
             "FROM part ORDER BY p_partkey LIMIT 300"
         )
         compare(df, duck, sql, name=f"scalar-property:{spec}")
+
+
+# ---- semi/anti join family ---------------------------------------------
+
+@st.composite
+def semi_spec(draw):
+    dim = draw(st.sampled_from(sorted(DIMS)))
+    anti = draw(st.booleans())
+    col = draw(st.sampled_from(sorted(NUM_COLS)))
+    lo, hi = NUM_COLS[col]
+    val = round(draw(st.floats(lo, hi, allow_nan=False)), 3)
+    op = draw(st.sampled_from(OPS))
+    dim_frac = draw(st.sampled_from([("o_orderstatus", "'O'"),
+                                     ("p_brand", "'Brand#11'")]))
+    return {"dim": dim, "anti": anti, "pred": ("num", col, op, val),
+            "dim_col_val": dim_frac}
+
+
+def test_semi_anti_join_property_family(spark, duck, sf_dir):
+    examples = []
+    @settings(max_examples=8, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(spec=semi_spec())
+    def _collect(spec):
+        if spec not in examples:
+            examples.append(spec)
+    _collect()
+
+    for spec in examples:
+        dim_name = spec["dim"]
+        dim_key, fact_key, _ = DIMS[dim_name]
+        dcol, dval = spec["dim_col_val"]
+        if (dim_name == "orders") != (dcol == "o_orderstatus"):
+            dcol, dval = ("o_orderstatus", "'O'") if dim_name == "orders" \
+                else ("p_brand", "'Brand#11'")
+        t = tables(spark, sf_dir)
+        fact = t.lineitem.filter(_pred_col(spec["pred"]))
+        dim = t.table(dim_name).filter(
+            F.expr(f"{dcol} = {dval}")
+        )
+        how = "left_anti" if spec["anti"] else "left_semi"
+        got = (
+            fact.join(dim, F.col(fact_key) == F.col(dim_key), how)
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"))
+        )
+        exists = "NOT EXISTS" if spec["anti"] else "EXISTS"
+        sql = (
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n "
+            f"FROM lineitem f WHERE {_pred_sql(spec['pred'])} AND {exists} "
+            f"(SELECT 1 FROM {dim_name} d WHERE d.{dim_key} = f.{fact_key} "
+            f"AND d.{dcol} = {dval}) GROUP BY l_returnflag"
+        )
+        compare(got, duck, sql, name=f"semi-property:{spec}")
