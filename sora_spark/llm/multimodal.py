@@ -68,3 +68,33 @@ def extract_features(
             )
 
     return df.select("doc_id", payload_col).mapInPandas(decode_batches, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    frame_bytes: int = 16,
+    stride: int = 32,
+) -> DataFrame:
+    """Video-style frame sampling: every `stride` bytes, slice a
+    `frame_bytes` window out of the payload → (doc_id, frame_idx,
+    frame) rows. The slicing is pure JVM expressions (sequence +
+    posexplode + substring on binary) — whole-stage codegen, no Python,
+    no shuffle; a real decoder then runs per-frame via
+    `extract_features`-style mapInPandas. Payloads shorter than one
+    frame yield no rows (same strictness as the shingle operators)."""
+    n = F.octet_length(F.col(payload_col))
+    offsets = F.when(
+        n >= frame_bytes,
+        F.sequence(F.lit(1), n - frame_bytes + 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select("doc_id", payload_col, F.posexplode(offsets).alias("frame_idx", "_off"))
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.substring(F.col(payload_col), F.col("_off"), frame_bytes).alias(
+                "frame"
+            ),
+        )
+    )

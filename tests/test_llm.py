@@ -126,3 +126,27 @@ def test_ann_shuffle_probe_path_matches_broadcast(spark, sf_dir):
         want = sorted(map(tuple, fn(True).collect()))
         got = sorted(map(tuple, fn(False).collect()))
         assert got == want
+
+
+def test_multimodal_frame_sampling(spark, sf_dir):
+    """sample_frames: JVM-side strided binary slicing — frame counts
+    follow the stride formula, bytes match the payload slice, and short
+    payloads yield no frames."""
+    from sora_spark.llm.multimodal import attach_payload, sample_frames
+
+    docs = tables(spark, sf_dir).documents.limit(50)
+    with_payload = attach_payload(docs, "text", "video/fake")
+    frames = sample_frames(with_payload, frame_bytes=16, stride=32)
+    rows = frames.collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    seen_docs = set()
+    for r in rows:
+        raw = texts[r["doc_id"]].encode()
+        off = r["frame_idx"] * 32
+        assert bytes(r["frame"]) == raw[off:off + 16]
+        seen_docs.add(r["doc_id"])
+    for doc_id, t in texts.items():
+        n = len(t.encode())
+        expect = 0 if n < 16 else (n - 16) // 32 + 1
+        got_n = sum(1 for r in rows if r["doc_id"] == doc_id)
+        assert got_n == expect, (doc_id, n, got_n, expect)
