@@ -168,3 +168,28 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         (F.col("top_c") / F.col("n_words")).alias("top_word_frac"),
         "dup_bigram_frac",
     )
+
+
+# PII / boilerplate scrub patterns — POSIX-safe subset (portable to
+# RE2/Java); deliberately conservative: emails, bare URLs, long digit
+# runs (phone/ids). Order matters: URLs before digit runs.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[+]?[0-9][0-9 ()+.-]{6,}[0-9]", "<NUM>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data scrub: replace emails / URLs / long digit runs
+    with typed placeholder tokens, plus a per-doc count of
+    replacements. Pure regexp_replace/regexp_count column expressions
+    — JVM-side, scales with the scan."""
+    scrubbed = F.col(text_col)
+    n_hits = F.lit(0)
+    for pat, token in PII_PATTERNS:
+        n_hits = n_hits + F.regexp_count(scrubbed, F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.withColumn("text_scrubbed", scrubbed).withColumn(
+        "n_scrubbed", n_hits.cast("int")
+    )

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sora_spark.catalog import tables
-from sora_spark.llm import ann, dedup, multimodal
+from sora_spark.llm import ann, dedup, multimodal, textstats
 
 
 def test_lsh_ann_recall(spark, sf_dir):
@@ -150,3 +150,21 @@ def test_multimodal_frame_sampling(spark, sf_dir):
         expect = 0 if n < 16 else (n - 16) // 32 + 1
         got_n = sum(1 for r in rows if r["doc_id"] == doc_id)
         assert got_n == expect, (doc_id, n, got_n, expect)
+
+
+def test_scrub_pii(spark):
+    """Emails/URLs/digit runs replaced with typed tokens; counts per
+    doc; clean text untouched."""
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or visit https://ex.com/a?b=1 now"),
+            (2, "call +1 (555) 123-4567 today"),
+            (3, "perfectly clean text"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: (r["text_scrubbed"], r["n_scrubbed"])
+           for r in textstats.scrub_pii(docs).collect()}
+    assert out[1] == ("contact <EMAIL> or visit <URL> now", 2)
+    assert out[2] == ("call <NUM> today", 1)
+    assert out[3] == ("perfectly clean text", 0)
