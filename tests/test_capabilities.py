@@ -358,3 +358,37 @@ def test_corrupt_json_ingestion_modes(spark):
         spark.read.schema("k INT, v STRING").option(
             "mode", "FAILFAST"
         ).json(path).collect()
+
+
+def test_stratified_sampling(spark, sf_dir):
+    """sampleBy: per-stratum fractions honored within binomial noise;
+    unlisted strata excluded entirely."""
+    orders = tables(spark, sf_dir).orders
+    fracs = {"1-URGENT": 0.5, "5-LOW": 0.1}
+    s = orders.sampleBy("o_orderpriority", fractions=fracs, seed=11)
+    got = {r["o_orderpriority"]: r["n"] for r in
+           s.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()}
+    base = {r["o_orderpriority"]: r["n"] for r in
+            orders.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= set(fracs), "unlisted strata must be excluded"
+    for k, frac in fracs.items():
+        n, exp = got.get(k, 0), base[k] * frac
+        sigma = math.sqrt(base[k] * frac * (1 - frac))
+        assert abs(n - exp) <= 4 * sigma, (k, n, exp)
+
+
+def test_parquet_schema_evolution_merge(spark):
+    """mergeSchema: files written with different column sets read as a
+    unioned schema with NULLs for absent columns — the additive schema
+    evolution contract partitioned long-lived tables rely on."""
+    path = f"/root/repo/.scratch/evolve-{uuid.uuid4().hex[:6]}"
+    spark.createDataFrame([(1, "a")], "id LONG, v1 STRING").write.parquet(
+        path + "/p=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id LONG, v1 STRING, v2 DOUBLE"
+    ).write.parquet(path + "/p=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert sorted(merged.columns) == ["id", "p", "v1", "v2"]
+    rows = {r["id"]: (r["v1"], r["v2"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
