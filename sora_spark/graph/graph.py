@@ -371,6 +371,33 @@ class Graph:
             )
         return edges
 
+    def k_core(self, k: int = 2, max_iter: int = 50) -> DataFrame:
+        """Vertices of the k-core (maximal subgraph where every vertex
+        has degree ≥ k, undirected) → (v,). Iterative peeling: drop
+        sub-k vertices, recompute degrees, repeat to fixpoint — each
+        round is one groupBy + two semi-joins on a checkpointed,
+        shrinking edge set; rounds bounded by peeling depth."""
+        e = (
+            self.edges.select("s", "d")
+            .union(self.edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_iter):
+            deg = e.groupBy("s").agg(F.count("*").alias("_deg"))
+            keep = deg.filter(F.col("_deg") >= k).select("s")
+            e2 = (
+                e.join(keep, "s", "left_semi")
+                .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
+                .select("s", "d")
+                .localCheckpoint(eager=True)
+            )
+            if e2.count() == e.count():
+                e = e2
+                break
+            e = e2
+        return e.select(F.col("s").alias("v")).distinct()
+
     def pagerank(
         self,
         n_iter: int = 10,

@@ -1,0 +1,42 @@
+"""Quantile discretization (feature engineering): continuous column →
+integer bucket ids with approximately equal mass.
+
+Boundaries come from `approxQuantile` (Greenwald-Khanna sketch — one
+pass, driver receives only n_buckets-1 doubles); assignment is a
+literal-array binary search via JVM expressions (`array_position` on a
+filtered boundary array would be O(n); `width_bucket` needs uniform
+widths — instead we use the SQL `find_in_set`-free form: sum of
+boundary comparisons, which codegen compiles to straight-line
+branches). No shuffle at any point: one sketch pass + one map pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantile_discretize(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 4,
+    out_col: str | None = None,
+    rel_err: float = 0.001,
+) -> tuple[DataFrame, list[float]]:
+    """Returns (df + bucket column in [0, n_buckets-1], boundaries).
+    bucket(x) = #{b in boundaries : x > b} — monotone, NULL-safe
+    (NULL stays NULL)."""
+    out_col = out_col or f"{col}_bucket"
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.approxQuantile(col, probs, rel_err)
+    bucket = None
+    for b in bounds:
+        term = F.when(F.col(col) > b, 1).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    if bucket is None:
+        bucket = F.lit(0)
+    out = df.withColumn(
+        out_col,
+        F.when(F.col(col).isNotNull(), bucket).otherwise(F.lit(None)),
+    )
+    return out, bounds

@@ -392,3 +392,26 @@ def test_parquet_schema_evolution_merge(spark):
     assert sorted(merged.columns) == ["id", "p", "v1", "v2"]
     rows = {r["id"]: (r["v1"], r["v2"]) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_quantile_discretize(spark, sf_dir):
+    """4-bucket discretization of l_extendedprice: buckets are
+    monotone in the value, masses within 10% of equal, NULLs preserved."""
+    from sora_spark.operators.discretize import quantile_discretize
+
+    li = tables(spark, sf_dir).lineitem
+    out, bounds = quantile_discretize(li, "l_extendedprice", n_buckets=4)
+    assert len(bounds) == 3 and bounds == sorted(bounds)
+    n = li.count()
+    counts = {r["l_extendedprice_bucket"]: r["c"] for r in
+              out.groupBy("l_extendedprice_bucket").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {0, 1, 2, 3}
+    for b, c in counts.items():
+        assert abs(c - n / 4) <= 0.1 * n, (b, c)
+    # monotone: max value in bucket i < min value in bucket i+1
+    stats = {r["l_extendedprice_bucket"]: (r["lo"], r["hi"]) for r in
+             out.groupBy("l_extendedprice_bucket")
+             .agg(F.min("l_extendedprice").alias("lo"),
+                  F.max("l_extendedprice").alias("hi")).collect()}
+    for i in range(3):
+        assert stats[i][1] <= stats[i + 1][0]

@@ -182,3 +182,14 @@ def test_shortest_paths_unweighted_equals_bfs(spark, sf_dir):
     want = {r["v"]: float(r["hop"]) for r in
             g.bfs_hops(srcs, max_hops=15).collect()}
     assert got == want
+
+
+def test_k_core(spark):
+    """2-core of a graph with a pendant chain: the triangle survives,
+    the chain peels away (including cascades)."""
+    # triangle 0-1-2 plus chain 2-3-4
+    g = _g(spark, [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)])
+    core = sorted(r["v"] for r in g.k_core(k=2).collect())
+    assert core == [0, 1, 2]
+    # 3-core empty (triangle is only 2-degree each)
+    assert g.k_core(k=3).count() == 0

@@ -153,3 +153,38 @@ def test_global_sort_shapes(spark, sf_dir):
     assert "rangepartitioning" in buf.getvalue().lower(), (
         "unlimited global sort must range-partition:\n" + buf.getvalue()
     )
+
+
+def test_parquet_aggregate_pushdown(spark, sf_dir):
+    """count/min/max with no filter can be answered from parquet FOOTER
+    statistics (V2 reader + aggregatePushdown): the scan decodes zero
+    data pages. At 100 TB that turns full-table count/min/max into a
+    metadata operation. Pinned: PushedAggregation in the plan + values
+    equal to the row-decoding path."""
+    from sora_spark.catalog import tables
+
+    want = (
+        tables(spark, sf_dir)
+        .lineitem.selectExpr(
+            "count(*) AS n", "min(l_quantity) AS lo", "max(l_quantity) AS hi"
+        )
+        .collect()
+    )
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    old_push = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        import os
+        df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        agg = df.selectExpr(
+            "count(*) AS n", "min(l_quantity) AS lo", "max(l_quantity) AS hi"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            agg.explain("formatted")
+        assert "PushedAggregation: [COUNT(*)" in buf.getvalue(), buf.getvalue()
+        assert agg.collect() == want
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", old_push)
