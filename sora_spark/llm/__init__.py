@@ -8,4 +8,4 @@ Everything stays JVM-side (built-in functions over exploded shingles /
 higher-order array ops) except the clearly-marked pandas-UDF paths.
 """
 
-from sora_spark.llm import ann, dedup, multimodal, textstats  # noqa: F401
+from sora_spark.llm import ann, curate, dedup, multimodal, textstats  # noqa: F401

@@ -1,0 +1,84 @@
+"""End-to-end training-data curation pipeline: the composed form of
+the individual operators (dedup → repetition filter → PII scrub →
+token accounting), returning both the surviving corpus and a
+per-source yield report.
+
+Stage order matters at scale: exact dedup FIRST (cheapest shuffle —
+md5 fingerprints), then the map-only repetition/scrub/token stages on
+the deduped survivors. Every stage is a column expression or a
+wordcount-shaped groupBy; nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sora_spark.functions.text import tokens
+from sora_spark.llm import textstats
+
+
+def curate(
+    docs: DataFrame,
+    max_dup_word_frac: float = 0.5,
+    max_top_word_frac: float = 0.3,
+    min_words: int = 5,
+) -> DataFrame:
+    """Surviving corpus: exact-deduped (md5 of normalized text,
+    keep-lowest-doc_id), repetition-filtered, PII-scrubbed, with
+    `n_tokens` accounting. Columns: doc_id, source, text_scrubbed,
+    n_tokens + the repetition features that justified survival."""
+    fp = F.md5(F.lower(F.trim("text")))
+    w = F.row_number().over(Window.partitionBy("_fp").orderBy("doc_id"))
+    deduped = (
+        docs.withColumn("_fp", fp)
+        .withColumn("_rn", w)
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+    rep = textstats.repetition_stats(deduped).select(
+        "doc_id", "n_words", "dup_word_frac", "top_word_frac"
+    )
+    kept = (
+        deduped.join(rep, "doc_id")
+        .filter(
+            (F.col("n_words") >= min_words)
+            & (F.col("dup_word_frac") <= max_dup_word_frac)
+            & (F.col("top_word_frac") <= max_top_word_frac)
+        )
+    )
+    scrubbed = textstats.scrub_pii(kept)
+    return scrubbed.select(
+        "doc_id",
+        "source",
+        "text_scrubbed",
+        F.size(tokens(F.col("text_scrubbed"))).alias("n_tokens"),
+        "n_words",
+        F.round("dup_word_frac", 4).alias("dup_word_frac"),
+        F.round("top_word_frac", 4).alias("top_word_frac"),
+        "n_scrubbed",
+    )
+
+
+def yield_report(docs: DataFrame, curated: DataFrame) -> DataFrame:
+    """Per-source curation yield: docs in/out, token totals — the
+    accounting table a data-curation run ships with."""
+    inn = docs.groupBy("source").agg(F.count("*").alias("docs_in"))
+    out = curated.groupBy("source").agg(
+        F.count("*").alias("docs_out"),
+        F.sum("n_tokens").alias("tokens_out"),
+    )
+    return (
+        inn.join(out, "source", "left")
+        .select(
+            "source",
+            "docs_in",
+            F.coalesce("docs_out", F.lit(0)).alias("docs_out"),
+            F.coalesce("tokens_out", F.lit(0)).alias("tokens_out"),
+            F.round(
+                F.coalesce("docs_out", F.lit(0)) / F.col("docs_in"), 4
+            ).alias("doc_yield"),
+        )
+        .orderBy("source")
+    )

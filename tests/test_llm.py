@@ -168,3 +168,60 @@ def test_scrub_pii(spark):
     assert out[1] == ("contact <EMAIL> or visit <URL> now", 2)
     assert out[2] == ("call <NUM> today", 1)
     assert out[3] == ("perfectly clean text", 0)
+
+
+def test_curation_pipeline(spark, sf_dir):
+    """End-to-end curate(): dedup keeps lowest doc_id per normalized
+    text; repetition/min-word filters applied; yield report accounts
+    every input doc exactly once."""
+    from sora_spark.llm import curate
+
+    docs = tables(spark, sf_dir).documents
+    curated = curate.curate(docs, max_dup_word_frac=0.9,
+                            max_top_word_frac=0.9, min_words=3)
+    n_in, n_out = docs.count(), curated.count()
+    assert 0 < n_out <= n_in
+    # dedup: no two surviving docs share normalized text
+    assert (
+        curated.join(
+            docs.select("doc_id", "text"), "doc_id"
+        ).select(F.md5(F.lower(F.trim("text")))).distinct().count() == n_out
+    )
+    # filters honored
+    assert curated.filter(
+        (F.col("n_words") < 3) | (F.col("dup_word_frac") > 0.9)
+    ).count() == 0
+    rep = curate.yield_report(docs, curated)
+    rows = rep.collect()
+    assert sum(r["docs_in"] for r in rows) == n_in
+    assert sum(r["docs_out"] for r in rows) == n_out
+    assert all(0 <= r["doc_yield"] <= 1 for r in rows)
+
+
+def test_streaming_rate_source(spark):
+    """The rate source (synthetic benchmark stream) produces
+    monotonically timestamped rows — the load-generator surface for
+    streaming tests without fixture files."""
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .load()
+        .writeStream.format("memory")
+        .queryName("rate_probe")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+        deadline = time.time() + 20
+        n = 0
+        while time.time() < deadline:
+            n = spark.table("rate_probe").count()
+            if n >= 50:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert n >= 50
+    vals = [r["value"] for r in spark.table("rate_probe").collect()]
+    assert sorted(vals) == list(range(len(vals))), "values must be gapless"
