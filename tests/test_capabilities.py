@@ -415,3 +415,21 @@ def test_quantile_discretize(spark, sf_dir):
                   F.max("l_extendedprice").alias("hi")).collect()}
     for i in range(3):
         assert stats[i][1] <= stats[i + 1][0]
+
+
+def test_snapshot_diff(spark):
+    """CDC diff: added/removed/changed detected; unchanged omitted;
+    NULL payloads distinguished from the string 'NULL'."""
+    from sora_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0)],
+        "id LONG, v STRING, x DOUBLE",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "CHANGED", 3.0), (4, "NULL", 4.0), (5, "e", 5.0)],
+        "id LONG, v STRING, x DOUBLE",
+    )
+    got = {r["id"]: r["change"] for r in
+           snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
