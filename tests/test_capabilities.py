@@ -433,3 +433,67 @@ def test_snapshot_diff(spark):
     got = {r["id"]: r["change"] for r in
            snapshot_diff(old, new, ["id"]).collect()}
     assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+
+def test_cogroup_apply_in_pandas(spark, sf_dir):
+    """Cogrouped pandas UDF: per-key merge of two frames (orders x
+    customer) must equal the equivalent join+agg — the UDF surface for
+    custom two-sided per-key logic."""
+    t = tables(spark, sf_dir)
+    orders = t.orders.select("o_custkey", "o_totalprice").filter(
+        F.col("o_custkey") < 200
+    )
+    cust = t.customer.select("c_custkey", "c_acctbal").filter(
+        F.col("c_custkey") < 200
+    )
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        bal = float(right["c_acctbal"].iloc[0]) if len(right) else None
+        return pd.DataFrame(
+            {
+                "custkey": [key[0]],
+                "n_orders": [len(left)],
+                "total": [round(float(left["o_totalprice"].sum()), 2)],
+                "acctbal": [bal],
+            }
+        )
+
+    got = (
+        orders.groupBy("o_custkey")
+        .cogroup(cust.groupBy("c_custkey"))
+        .applyInPandas(
+            merge,
+            "custkey LONG, n_orders LONG, total DOUBLE, acctbal DOUBLE",
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    want = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(
+            F.col("o_custkey").alias("custkey"), "n_orders", "total",
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_observe_metrics(spark, sf_dir):
+    """df.observe: pipeline-side accounting metrics collected during
+    the action with zero extra passes."""
+    from pyspark.sql import Observation
+
+    obs = Observation("acct")
+    li = tables(spark, sf_dir).lineitem
+    out = li.observe(
+        obs, F.count(F.lit(1)).alias("rows"),
+        F.sum("l_quantity").alias("qty"),
+    ).filter(F.col("l_quantity") > 10)
+    n_filtered = out.count()
+    assert obs.get["rows"] == li.count()
+    assert obs.get["rows"] >= n_filtered
+    assert abs(obs.get["qty"] - li.agg(F.sum("l_quantity")).first()[0]) < 1e-6
