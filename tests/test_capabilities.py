@@ -497,3 +497,28 @@ def test_observe_metrics(spark, sf_dir):
     assert obs.get["rows"] == li.count()
     assert obs.get["rows"] >= n_filtered
     assert abs(obs.get["qty"] - li.agg(F.sum("l_quantity")).first()[0]) < 1e-6
+
+
+def test_explode_outer_and_inline(spark):
+    """explode_outer keeps empty/NULL-array rows (NULL element);
+    inline expands struct arrays to columns — both common flattening
+    surfaces."""
+    df = spark.createDataFrame(
+        [(1, [10, 20]), (2, []), (3, None)],
+        "id LONG, xs ARRAY<INT>",
+    )
+    got = sorted(
+        (r["id"], r["x"]) for r in
+        df.select("id", F.explode_outer("xs").alias("x")).collect()
+    )
+    assert got == [(1, 10), (1, 20), (2, None), (3, None)]
+    plain = sorted(
+        (r["id"], r["x"]) for r in
+        df.select("id", F.explode("xs").alias("x")).collect()
+    )
+    assert plain == [(1, 10), (1, 20)], "plain explode drops empty rows"
+
+    sdf = spark.sql(
+        "SELECT inline(array(struct(1 AS a, 'x' AS b), struct(2, 'y')))"
+    )
+    assert sorted(map(tuple, sdf.collect())) == [(1, "x"), (2, "y")]
