@@ -519,6 +519,6 @@ def test_explode_outer_and_inline(spark):
     assert plain == [(1, 10), (1, 20)], "plain explode drops empty rows"
 
     sdf = spark.sql(
-        "SELECT inline(array(struct(1 AS a, 'x' AS b), struct(2, 'y')))"
+        "SELECT inline(array(struct(1, 'x'), struct(2, 'y')))"
     )
     assert sorted(map(tuple, sdf.collect())) == [(1, "x"), (2, "y")]
