@@ -1,0 +1,81 @@
+"""FASTA as a first-class Spark data source (Python DataSource API,
+Spark 4): `spark.read.format("fasta").load(path)` → (file, record_id,
+header, sequence).
+
+Compared to the DataFrame-parse path (`sources.text.read_fasta`), this
+is the *engine-integrated* form: one InputPartition per file, so reads
+parallelize across files (the scale layout for sequencing data), the
+schema is fixed at plan time, and record grouping happens inside the
+partition reader — line order is trivially correct because each reader
+owns its whole file. The reader streams records and never holds more
+than one record in memory beyond the raw line iteration."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+
+class _FastaPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class FastaReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("fasta source requires a path")
+
+    def partitions(self):
+        if os.path.isdir(self.path):
+            files = sorted(
+                p for p in glob.glob(os.path.join(self.path, "*"))
+                if os.path.isfile(p)
+            )
+        else:
+            files = sorted(glob.glob(self.path)) or [self.path]
+        return [_FastaPartition(p) for p in files]
+
+    def read(self, partition: _FastaPartition):
+        rec_id = 0
+        header = None
+        seq: list[str] = []
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\r\n")
+                if not line:
+                    continue
+                if line.startswith(">"):
+                    if header is not None:
+                        yield (partition.path, rec_id, header, "".join(seq))
+                    rec_id += 1
+                    header = line[1:]
+                    seq = []
+                elif header is not None:
+                    seq.append(line)
+            if header is not None:
+                yield (partition.path, rec_id, header, "".join(seq))
+
+
+class FastaDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "fasta"
+
+    def schema(self) -> str:
+        return (
+            "file string, record_id int, header string, sequence string"
+        )
+
+    def reader(self, schema: StructType) -> FastaReader:
+        return FastaReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration: `spark.read.format("fasta")` works
+    afterwards."""
+    spark.dataSource.register(FastaDataSource)

@@ -522,3 +522,25 @@ def test_explode_outer_and_inline(spark):
         "SELECT inline(array(struct(1, 'x'), struct(2, 'y')))"
     )
     assert sorted(map(tuple, sdf.collect())) == [(1, "x"), (2, "y")]
+
+
+def test_fasta_custom_datasource(spark):
+    """The Python DataSource API form of the FASTA reader: one input
+    partition per file (reads parallelize across files), same records
+    as the DataFrame-parse path."""
+    from sora_spark.sources.fasta_datasource import register
+
+    d = f"/root/repo/.scratch/fastads-{uuid.uuid4().hex[:6]}"
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "a.fa"), "w") as f:
+        f.write(">r1 first\nACGT\nTT\n>r2\nGG\n")
+    with open(os.path.join(d, "b.fa"), "w") as f:
+        f.write(">r3\nCCCC\n")
+    register(spark)
+    df = spark.read.format("fasta").load(d)
+    rows = {(r["header"], r["sequence"]) for r in df.collect()}
+    assert rows == {("r1 first", "ACGTTT"), ("r2", "GG"), ("r3", "CCCC")}
+    assert df.rdd.getNumPartitions() == 2, "one partition per file"
+    # engine-parse path agrees
+    recs = {(r["header"], r["sequence"]) for r in read_fasta(spark, d).collect()}
+    assert recs == rows

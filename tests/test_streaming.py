@@ -257,3 +257,28 @@ def test_checkpointed_file_sink_exactly_once_across_restart(spark, sf_dir):
     got = spark.read.parquet(out)
     assert got.count() == ev.count(), "restart lost or replayed rows"
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_static_dimension_enrichment(spark, sf_dir):
+    """Stream-static join: the streaming side enriches against a static
+    dimension (broadcast per micro-batch, no stream state) — the
+    standard streaming-ETL lookup. Result must equal the batch join."""
+    d = replay.materialize_replay_dir(spark, sf_dir, "enrich", n_files=3)
+    dim = spark.createDataFrame(
+        [("click", "ui"), ("view", "ui"), ("purchase", "commerce")],
+        "event_type STRING, category STRING",
+    )
+    enriched = (
+        replay.events_stream(spark, d)
+        .join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(F.count("*").alias("n"))
+    )
+    got = replay.run_to_memory(enriched, _qname(), "complete")
+    want = (
+        replay.read_table(spark, sf_dir, "events")
+        .join(dim, "event_type")
+        .groupBy("category")
+        .agg(F.count("*").alias("n"))
+    )
+    assert _rows(got) == _rows(want)
