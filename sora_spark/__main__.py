@@ -58,7 +58,7 @@ def main(argv: list[str] | None = None) -> int:
         print("| --- | --- | --- | --- |")
         for q in REGISTRY.values():
             tier = "oracle" if q.oracle else "rows-only"
-            doc = " ".join((q.doc or "").split())
+            doc = " ".join((q.doc or "").split()).replace("|", "\\|")
             if len(doc) > 140:
                 doc = doc[:137] + "..."
             print(f"| {q.name} | {tier} | {','.join(q.tags)} | {doc} |")

@@ -383,20 +383,24 @@ class Graph:
             .distinct()
             .localCheckpoint(eager=True)
         )
+        prev = e.count()
         for _ in range(max_iter):
             deg = e.groupBy("s").agg(F.count("*").alias("_deg"))
             keep = deg.filter(F.col("_deg") >= k).select("s")
-            e2 = (
+            e = (
                 e.join(keep, "s", "left_semi")
                 .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
                 .select("s", "d")
                 .localCheckpoint(eager=True)
             )
-            if e2.count() == e.count():
-                e = e2
-                break
-            e = e2
-        return e.select(F.col("s").alias("v")).distinct()
+            n = e.count()  # one action per round; prev carried over
+            if n == prev:
+                return e.select(F.col("s").alias("v")).distinct()
+            prev = n
+        raise RuntimeError(
+            f"k_core: still peeling after max_iter={max_iter} rounds —"
+            " raise max_iter (a partial peel is NOT a k-core)"
+        )
 
     def pagerank(
         self,

@@ -13,10 +13,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from sora_spark.functions.text import tokens
-from sora_spark.llm import textstats
+from sora_spark.llm import dedup, textstats
 
 
 def curate(
@@ -29,14 +28,7 @@ def curate(
     keep-lowest-doc_id), repetition-filtered, PII-scrubbed, with
     `n_tokens` accounting. Columns: doc_id, source, text_scrubbed,
     n_tokens + the repetition features that justified survival."""
-    fp = F.md5(F.lower(F.trim("text")))
-    w = F.row_number().over(Window.partitionBy("_fp").orderBy("doc_id"))
-    deduped = (
-        docs.withColumn("_fp", fp)
-        .withColumn("_rn", w)
-        .filter(F.col("_rn") == 1)
-        .drop("_fp", "_rn")
-    )
+    deduped = dedup.dedup_exact(docs)
     rep = textstats.repetition_stats(deduped).select(
         "doc_id", "n_words", "dup_word_frac", "top_word_frac"
     )

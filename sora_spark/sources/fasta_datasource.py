@@ -37,10 +37,16 @@ class FastaReader(DataSourceReader):
                 if os.path.isfile(p)
             )
         else:
-            files = sorted(glob.glob(self.path)) or [self.path]
+            files = sorted(glob.glob(self.path))
+        if not files and not os.path.exists(self.path):
+            # fail fast at plan time, not as an executor traceback
+            raise FileNotFoundError(f"fasta source: no such path {self.path!r}")
         return [_FastaPartition(p) for p in files]
 
     def read(self, partition: _FastaPartition):
+        # file key matches input_file_name()'s URI form so this source
+        # joins/unions cleanly with the DataFrame-parse path
+        file_uri = "file://" + os.path.abspath(partition.path)
         rec_id = 0
         header = None
         seq: list[str] = []
@@ -51,14 +57,14 @@ class FastaReader(DataSourceReader):
                     continue
                 if line.startswith(">"):
                     if header is not None:
-                        yield (partition.path, rec_id, header, "".join(seq))
+                        yield (file_uri, rec_id, header, "".join(seq))
                     rec_id += 1
                     header = line[1:]
                     seq = []
                 elif header is not None:
                     seq.append(line)
             if header is not None:
-                yield (partition.path, rec_id, header, "".join(seq))
+                yield (file_uri, rec_id, header, "".join(seq))
 
 
 class FastaDataSource(DataSource):

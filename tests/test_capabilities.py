@@ -541,6 +541,10 @@ def test_fasta_custom_datasource(spark):
     rows = {(r["header"], r["sequence"]) for r in df.collect()}
     assert rows == {("r1 first", "ACGTTT"), ("r2", "GG"), ("r3", "CCCC")}
     assert df.rdd.getNumPartitions() == 2, "one partition per file"
+    # file keys use the same URI form as input_file_name(), so the two
+    # FASTA paths join/union cleanly
+    files = {r["file"] for r in df.select("file").distinct().collect()}
+    assert all(f.startswith("file://") for f in files), files
     # engine-parse path agrees
     recs = {(r["header"], r["sequence"]) for r in read_fasta(spark, d).collect()}
     assert recs == rows
