@@ -548,3 +548,58 @@ def test_fasta_custom_datasource(spark):
     # engine-parse path agrees
     recs = {(r["header"], r["sequence"]) for r in read_fasta(spark, d).collect()}
     assert recs == rows
+
+
+def test_bitwise_and_boolean_aggregates(spark):
+    df = spark.createDataFrame(
+        [(1, 0b1100, True), (1, 0b1010, True), (2, 0b0011, False),
+         (2, 0b0110, True)],
+        "g LONG, x LONG, b BOOLEAN",
+    )
+    rows = {r["g"]: r for r in
+            df.groupBy("g").agg(
+                F.bit_and("x").alias("band"), F.bit_or("x").alias("bor"),
+                F.bit_xor("x").alias("bxor"),
+                F.bool_and("b").alias("ball"), F.bool_or("b").alias("bany"),
+            ).collect()}
+    assert (rows[1]["band"], rows[1]["bor"], rows[1]["bxor"]) == (0b1000, 0b1110, 0b0110)
+    assert (rows[1]["ball"], rows[1]["bany"]) == (True, True)
+    assert (rows[2]["ball"], rows[2]["bany"]) == (False, True)
+
+
+def test_array_set_functions(spark):
+    r = spark.sql(
+        "SELECT array_union(array(1,2,3), array(3,4)) AS u, "
+        "array_intersect(array(1,2,3), array(2,3,4)) AS i, "
+        "array_except(array(1,2,3), array(2)) AS e, "
+        "arrays_zip(array(1,2), array('a','b')) AS z, "
+        "arrays_overlap(array(1,2), array(2,9)) AS o"
+    ).collect()[0]
+    assert sorted(r["u"]) == [1, 2, 3, 4]
+    assert sorted(r["i"]) == [2, 3]
+    assert sorted(r["e"]) == [1, 3]
+    assert [(x["0"], x["1"]) for x in r["z"]] == [(1, "a"), (2, "b")]
+    assert r["o"] is True
+
+
+def test_map_builders(spark):
+    r = spark.sql(
+        "SELECT str_to_map('a:1,b:2', ',', ':') AS m, "
+        "map_from_entries(array(struct('k', 10), struct('l', 20))) AS me, "
+        "map_concat(map('x', 1), map('y', 2)) AS mc"
+    ).collect()[0]
+    assert r["m"] == {"a": "1", "b": "2"}
+    assert r["me"] == {"k": 10, "l": 20}
+    assert r["mc"] == {"x": 1, "y": 2}
+
+
+def test_regex_family(spark):
+    df = spark.createDataFrame([("a1 b22 c333",)], "s STRING")
+    r = df.select(
+        F.regexp_extract_all("s", F.lit(r"[a-z]([0-9]+)"), 1).alias("nums"),
+        F.col("s").rlike(r"b[0-9]+").alias("has_b"),
+        F.split("s", " ", 2).alias("two"),
+    ).collect()[0]
+    assert r["nums"] == ["1", "22", "333"]
+    assert r["has_b"] is True
+    assert r["two"] == ["a1", "b22 c333"]
