@@ -603,3 +603,24 @@ def test_regex_family(spark):
     assert r["nums"] == ["1", "22", "333"]
     assert r["has_b"] is True
     assert r["two"] == ["a1", "b22 c333"]
+
+
+def test_filter_clause_aggregates(spark, sf_dir):
+    """SQL FILTER (WHERE ...) aggregates — the standard conditional
+    aggregation surface; must equal the CASE WHEN desugaring."""
+    tables(spark, sf_dir).register_views()
+    got = spark.sql(
+        "SELECT l_returnflag, "
+        "  count(*) FILTER (WHERE l_quantity > 25) AS n_big, "
+        "  round(sum(l_extendedprice) FILTER (WHERE l_linestatus = 'F'), 2)"
+        "    AS sum_f "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+    want = spark.sql(
+        "SELECT l_returnflag, "
+        "  count(CASE WHEN l_quantity > 25 THEN 1 END) AS n_big, "
+        "  round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2)"
+        "    AS sum_f "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

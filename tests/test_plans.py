@@ -188,3 +188,22 @@ def test_parquet_aggregate_pushdown(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
         spark.conf.set("spark.sql.parquet.aggregatePushdown", old_push)
+
+
+def test_aqe_coalesces_small_shuffles(spark, sf_dir):
+    """At small data volumes AQE must coalesce the 32 configured
+    shuffle partitions down (AQEShuffleRead coalesced) — the property
+    that makes one conf serve every scale factor."""
+    from sora_spark.catalog import tables
+
+    df = (
+        tables(spark, sf_dir).lineitem
+        .groupBy("l_returnflag", "l_linestatus")
+        .count()
+    )
+    df.collect()  # AQE re-plans at runtime; explain AFTER execution
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "AQEShuffleRead" in p and "coalesced" in p.lower(), p
