@@ -157,3 +157,41 @@ def jaccard_over_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    num_perm: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate CLUSTERING: LSH candidate pairs become edges of a
+    similarity graph; connected components give cluster ids; canonical
+    doc = min id per cluster → (doc_id, cluster_id, is_canonical).
+
+    This is the composed fuzzy-dedup operator a curation pipeline
+    actually wants (pairs alone under-merge: a≈b, b≈c must collapse to
+    ONE cluster even when a,c never share a bucket). Reuses the graph
+    layer's two-phase contraction, so cluster resolution is O(log n)
+    rounds over the candidate-pair edge set — which is LSH-bounded,
+    never all-pairs. Docs with no near-dup are their own singleton
+    cluster (cluster_id = doc_id)."""
+    from sora_spark.graph import Graph
+
+    pairs = lsh_candidate_pairs(
+        df, num_perm=num_perm, bands=bands, id_col=id_col, text_col=text_col
+    ).select(F.col("a").alias("s"), F.col("b").alias("d"))
+    comp = Graph(pairs).connected_components_twophase()
+    ids = df.select(F.col(id_col).alias("v"))
+    labeled = (
+        ids.join(comp, "v", "left")
+        .select(
+            F.col("v").alias(id_col),
+            F.coalesce("component", F.col("v")).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(id_col)
+    return labeled.withColumn(
+        "is_canonical", F.row_number().over(w) == 1
+    )

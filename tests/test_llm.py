@@ -225,3 +225,47 @@ def test_streaming_rate_source(spark):
     assert n >= 50
     vals = [r["value"] for r in spark.table("rate_probe").collect()]
     assert sorted(vals) == list(range(len(vals))), "values must be gapless"
+
+
+def test_near_dup_clusters_transitive_merge(spark):
+    """a≈b and b≈c (but a,c sharing no shingle bucket directly) must
+    land in ONE cluster; unrelated docs stay singletons; exactly one
+    canonical per cluster."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),     # ~ doc 1
+            (3, "gamma delta epsilon eta theta iota"),     # ~ doc 2
+            (10, "completely different words entirely here now"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = dedup.near_dup_clusters(docs, num_perm=8, bands=8)
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in out.collect()}
+    assert rows[1][0] == rows[2][0] == rows[3][0], rows
+    assert rows[10][0] == 10
+    canon = [d for d, (_, c) in rows.items() if c]
+    assert sorted(canon) == [1, 10]
+    # cluster count conservation: every doc labeled exactly once
+    assert len(rows) == 4
+
+
+def test_hll_sketch_merge(spark, sf_dir):
+    """Mergeable HLL sketches (Datasketches): per-group sketches
+    unioned equal a one-shot sketch estimate, and both land within 5%
+    of exact — the pre-aggregate-then-merge shape that makes
+    count-distinct feasible over 100 TB partitions."""
+    li = tables(spark, sf_dir).lineitem
+    exact = li.select(F.countDistinct("l_partkey")).first()[0]
+    per_group = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).first()["est"]
+    oneshot = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("est")
+    ).first()["est"]
+    assert abs(merged - exact) / exact <= 0.05
+    assert abs(oneshot - exact) / exact <= 0.05
