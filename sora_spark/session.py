@@ -55,6 +55,9 @@ CLUSTER_CONF: dict[str, str] = {
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.sql.cbo.enabled": "true",
+    # measured at sf0.1 (SCALE.md): zstd is ~20% smaller AND faster to
+    # write than the snappy default — tens of TB at the 100 TB target
+    "spark.sql.parquet.compression.codec": "zstd",
     # RocksDB-backed streaming state for session windows at scale
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state."

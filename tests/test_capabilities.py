@@ -624,3 +624,24 @@ def test_filter_clause_aggregates(spark, sf_dir):
         "FROM lineitem GROUP BY l_returnflag"
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_fuzzy_join(spark):
+    """q-gram blocked edit-distance join: typo'd names match within
+    the bound, unrelated names never surface, distances exact."""
+    from sora_spark.operators.fuzzy import fuzzy_join
+
+    cat = spark.createDataFrame(
+        [("widget alpha",), ("gadget beta",), ("sprocket gamma",)],
+        "name STRING",
+    )
+    dirty = spark.createDataFrame(
+        [("widgot alpha",), ("gadget betas",), ("unrelated thing",)],
+        "q STRING",
+    )
+    out = {(r["name"], r["q"]): r["distance"] for r in
+           fuzzy_join(cat, dirty, "name", "q", max_distance=2).collect()}
+    assert out == {
+        ("widget alpha", "widgot alpha"): 1,
+        ("gadget beta", "gadget betas"): 1,
+    }
