@@ -645,3 +645,32 @@ def test_fuzzy_join(spark):
         ("widget alpha", "widgot alpha"): 1,
         ("gadget beta", "gadget betas"): 1,
     }
+
+
+def test_interval_join_matches_theta_join(spark):
+    """Binned interval join == the naive theta join on overlap, across
+    bin boundaries and multi-bin spans; per-key blocking respected."""
+    from sora_spark.operators.interval import interval_join
+
+    left = spark.createDataFrame(
+        [("c1", 100, 250, "L1"), ("c1", 900, 1100, "L2"),
+         ("c2", 100, 250, "L3"), ("c1", 5000, 5010, "L4")],
+        "chrom STRING, start LONG, end LONG, lname STRING",
+    )
+    right = spark.createDataFrame(
+        [("c1", 200, 300, "R1"), ("c1", 1050, 2100, "R2"),
+         ("c2", 240, 260, "R3"), ("c1", 240, 900, "R4")],
+        "chrom STRING, start LONG, end LONG, rname STRING",
+    )
+    got = {(r["lname"], r["rname_r"]) for r in
+           interval_join(left, right, key="chrom", bin_size=256).collect()}
+    naive = left.alias("a").join(
+        right.alias("b"),
+        (F.col("a.chrom") == F.col("b.chrom"))
+        & (F.col("a.start") < F.col("b.end"))
+        & (F.col("b.start") < F.col("a.end")),
+    )
+    want = {(r["lname"], r["rname"]) for r in naive.collect()}
+    assert got == want
+    assert ("L1", "R1") in got and ("L2", "R2") in got
+    assert ("L3", "R3") in got and ("L1", "R3") not in got
