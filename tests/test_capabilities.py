@@ -674,3 +674,24 @@ def test_interval_join_matches_theta_join(spark):
     assert got == want
     assert ("L1", "R1") in got and ("L2", "R2") in got
     assert ("L3", "R3") in got and ("L1", "R3") not in got
+
+
+def test_persist_storage_levels(spark, sf_dir):
+    """persist/unpersist surface: cached plan reuses materialized data
+    (is_cached flag + identical results), DISK_ONLY accepted."""
+    from pyspark import StorageLevel
+
+    li = tables(spark, sf_dir).lineitem.filter(F.col("l_quantity") > 45)
+    cached = li.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n1 = cached.count()
+        assert cached.is_cached
+        assert cached.count() == n1
+    finally:
+        cached.unpersist(blocking=True)
+    assert not cached.is_cached
+    disk = li.persist(StorageLevel.DISK_ONLY)
+    try:
+        assert disk.count() == n1
+    finally:
+        disk.unpersist(blocking=True)

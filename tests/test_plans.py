@@ -207,3 +207,27 @@ def test_aqe_coalesces_small_shuffles(spark, sf_dir):
         df.explain("formatted")
     p = buf.getvalue()
     assert "AQEShuffleRead" in p and "coalesced" in p.lower(), p
+
+
+def test_join_strategy_hints_honored(spark, sf_dir):
+    """User-level join strategy control: merge and shuffle_hash hints
+    must override the planner's default choice."""
+    from sora_spark.catalog import tables
+
+    t = tables(spark, sf_dir)
+    li, orders = t.lineitem, t.orders
+
+    def plan_of(j):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("simple")
+        return buf.getvalue()
+
+    merged = li.join(
+        orders.hint("merge"), li.l_orderkey == orders.o_orderkey
+    )
+    assert "SortMergeJoin" in plan_of(merged)
+    hashed = li.join(
+        orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+    )
+    assert "ShuffledHashJoin" in plan_of(hashed)
