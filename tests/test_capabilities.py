@@ -695,3 +695,26 @@ def test_persist_storage_levels(spark, sf_dir):
         assert disk.count() == n1
     finally:
         disk.unpersist(blocking=True)
+
+
+def test_topk_per_group_combiner_matches_window(spark, sf_dir):
+    """Map-side partial top-k must equal the plain window top-k exactly
+    (unique total order via the orderkey/linenumber tiebreak)."""
+    from pyspark.sql.window import Window
+
+    from sora_spark.operators.topk import topk_per_group
+
+    li = tables(spark, sf_dir).lineitem
+    got = topk_per_group(
+        li, ["l_returnflag"], "l_extendedprice", 5,
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+    ).select("l_returnflag", "rn", "l_orderkey", "l_linenumber")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    want = (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("l_returnflag", "rn", "l_orderkey", "l_linenumber")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
