@@ -11,7 +11,14 @@ Shuffle volume drops from |rows| to ≲ k · groups · batches.
 
 Ties on `order_col` are broken by `tiebreak_cols` (required — without
 a total order, "top-k" is not well-defined and the partial pass could
-legally disagree with the final pass)."""
+legally disagree with the final pass).
+
+MEASURED trade (local[32], 4.8M rows, 3 groups, k=5): window 5.8 s vs
+combiner 6.8 s — on a single machine the shuffle is nearly free and
+the Arrow transit through Python dominates, so the combiner LOSES
+locally. It pays where shuffle crosses a network: volume drops
+~1000× here (4.8M rows → k·groups·batches), which is the binding cost
+on a real cluster. Use the plain window form on local/colocated data."""
 
 from __future__ import annotations
 
