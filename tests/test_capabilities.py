@@ -718,3 +718,69 @@ def test_topk_per_group_combiner_matches_window(spark, sf_dir):
         .select("l_returnflag", "rn", "l_orderkey", "l_linenumber")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_pandas_udf_array_in_array_out(spark, sf_dir):
+    """Arrow-batched pandas UDF over array<float> columns (embedding
+    transforms): L2-normalize in Python, verify against the JVM-side
+    aggregate expression."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def l2_normalize(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def norm(v):
+            a = np.asarray(v, dtype="float64")
+            n = np.linalg.norm(a)
+            return (a / n).tolist() if n else a.tolist()
+
+        return s.map(norm)
+
+    emb = tables(spark, sf_dir).embeddings.limit(50)
+    out = emb.select("vec_id", l2_normalize("embedding").alias("nv"))
+    norms = out.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate("nv", F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("n"),
+    )
+    assert all(r["n"] == 1.0 for r in norms.collect())
+
+
+def test_csv_dialect_robustness(spark):
+    """Quoted fields with embedded delimiters/newlines, custom escape,
+    and dateFormat parsing — the ingestion dialect surface."""
+    path = f"/root/repo/.scratch/csvdialect-{uuid.uuid4().hex[:6]}.csv"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write('id|name|when\n')
+        f.write('1|"has|pipe"|2024-01-15\n')
+        f.write('2|"multi\nline"|2024-02-20\n')
+        f.write('3|plain|2024-03-25\n')
+    df = (
+        spark.read.option("header", "true").option("sep", "|")
+        .option("multiLine", "true").option("dateFormat", "yyyy-MM-dd")
+        .schema("id INT, name STRING, when DATE")
+        .csv(path)
+    )
+    rows = {r["id"]: (r["name"], str(r["when"])) for r in df.collect()}
+    assert rows == {
+        1: ("has|pipe", "2024-01-15"),
+        2: ("multi\nline", "2024-02-20"),
+        3: ("plain", "2024-03-25"),
+    }
+
+
+def test_max_records_per_file(spark, sf_dir):
+    """maxRecordsPerFile caps output file size by row count — the
+    writer knob that bounds downstream task granularity."""
+    li = tables(spark, sf_dir).lineitem
+    n = li.count()
+    path = f"/root/repo/.scratch/maxrec-{uuid.uuid4().hex[:6]}"
+    li.coalesce(1).write.option("maxRecordsPerFile", 1000).mode(
+        "overwrite"
+    ).parquet(path)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) >= n // 1000, (len(files), n)
+    assert spark.read.parquet(path).count() == n

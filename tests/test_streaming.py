@@ -282,3 +282,27 @@ def test_stream_static_dimension_enrichment(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     assert _rows(got) == _rows(want)
+
+
+def test_session_window_dynamic_gap(spark, sf_dir):
+    """session_window with a per-row gap EXPRESSION (longer sessions
+    for purchases): streaming result equals the batch form."""
+    gap = F.when(F.col("event_type") == "purchase", F.lit("1 hour")).otherwise(
+        F.lit("30 minutes")
+    )
+    d = replay.materialize_replay_dir(spark, sf_dir, "dyngap", n_files=3)
+    stream = (
+        replay.events_stream(spark, d)
+        .withWatermark("ts", "31 days")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", "n")
+    )
+    got = replay.run_to_memory(stream, _qname(), "complete")
+    want = (
+        replay.read_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", "n")
+    )
+    assert _rows(got) == _rows(want)
