@@ -23,6 +23,7 @@ def asof_join(
     tiebreak_col: str,
     right_value_col: str,
     out_col: str = "asof_value",
+    tolerance: str | float | None = None,
 ) -> DataFrame:
     """Left rows + `out_col` = right's `right_value_col` at the latest
     strictly-earlier (time_col, tiebreak_col) for the same `key`.
@@ -30,31 +31,58 @@ def asof_join(
     Both frames must share key/time/tiebreak column names; right rows
     only contribute `right_value_col`. Left rows with no earlier right
     row get NULL.
+
+    `tolerance` (pandas merge_asof-style) bounds how stale the match
+    may be: matches older than `left.time - tolerance` become NULL.
+    Pass an interval string (e.g. "5 minutes") for timestamp time
+    columns or a number for numeric ones.
     """
-    lt = left.withColumn("_side", F.lit(0))
     rv_type = right.schema[right_value_col].dataType
-    lt = lt.withColumn("_rv", F.lit(None).cast(rv_type))
-    rt = right.select(
-        key, time_col, tiebreak_col, F.col(right_value_col).alias("_rv")
-    ).withColumn("_side", F.lit(1))
+    t_type = right.schema[time_col].dataType
+    pair_type = f"struct<_t:{t_type.simpleString()},_v:{rv_type.simpleString()}>"
+
+    lt = left.withColumn("_side", F.lit(0)).withColumn(
+        "_rp", F.lit(None).cast(pair_type)
+    )
+    rt = (
+        right.select(
+            key,
+            time_col,
+            tiebreak_col,
+            F.struct(
+                F.col(time_col).alias("_t"),
+                F.col(right_value_col).alias("_v"),
+            ).alias("_rp"),
+        )
+        .withColumn("_side", F.lit(1))
+    )
     # Left may carry arbitrary payload columns; pad the right side with
     # typed NULLs so the union resolves for any left schema.
-    shared = {key, time_col, tiebreak_col, "_rv", "_side"}
+    shared = {key, time_col, tiebreak_col, "_rp", "_side"}
     for f_ in left.schema.fields:
         if f_.name not in shared:
             rt = rt.withColumn(f_.name, F.lit(None).cast(f_.dataType))
     unioned = lt.unionByName(rt.select(*lt.columns))
     # Left rows sort BEFORE right rows at equal time (side 0 < 1), so the
     # preceding frame for a left row holds exactly the strictly-earlier
-    # right rows; `last` over it is the latest such value (max would be
-    # wrong for any non-monotone right value, e.g. a price).
+    # right rows; `last` over it is the latest such (time, value) pair
+    # (max would be wrong for any non-monotone right value, e.g. a price).
     w = (
         Window.partitionBy(key)
         .orderBy(time_col, "_side", tiebreak_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    matched = F.last("_rp", ignorenulls=True).over(w)
+    value = matched["_v"]
+    if tolerance is not None:
+        bound = (
+            F.col(time_col) - F.expr(f"INTERVAL {tolerance}")
+            if isinstance(tolerance, str)
+            else F.col(time_col) - F.lit(tolerance)
+        )
+        value = F.when(matched["_t"] >= bound, matched["_v"])
     return (
-        unioned.withColumn(out_col, F.last("_rv", ignorenulls=True).over(w))
+        unioned.withColumn(out_col, value)
         .filter(F.col("_side") == 0)
-        .drop("_side", "_rv")
+        .drop("_side", "_rp")
     )

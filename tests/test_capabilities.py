@@ -784,3 +784,26 @@ def test_max_records_per_file(spark, sf_dir):
     files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert len(files) >= n // 1000, (len(files), n)
     assert spark.read.parquet(path).count() == n
+
+
+def test_asof_join_tolerance(spark):
+    """merge_asof-style tolerance: matches staler than the bound go
+    NULL; in-bound matches unchanged."""
+    from sora_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame(
+        [(1, 100, 1, "a"), (1, 200, 2, "b")],
+        "sym INT, t INT, seq INT, tag STRING",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 95, 10, 9.0), (1, 120, 11, 8.0)],
+        "sym INT, t INT, seq INT, px DOUBLE",
+    )
+    out = asof_join(
+        trades, quotes, key="sym", time_col="t", tiebreak_col="seq",
+        right_value_col="px", out_col="apx", tolerance=10,
+    )
+    rows = {r["seq"]: r["apx"] for r in out.collect()}
+    # t=100: latest earlier quote at t=95 (age 5 <= 10) -> 9.0
+    # t=200: latest earlier at t=120 (age 80 > 10) -> NULL
+    assert rows == {1: 9.0, 2: None}
