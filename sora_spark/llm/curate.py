@@ -74,3 +74,60 @@ def yield_report(docs: DataFrame, curated: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def pack_documents(
+    docs: DataFrame,
+    token_budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing: assign each doc a `bin_id` such that every
+    bin's token total is ≤ `token_budget`; docs larger than the budget
+    get a bin of their own (capped contribution).
+
+    Distributed shape: greedy contiguous fill WITHIN each partition
+    (an Arrow `mapInPandas` pass — exact, sequential only inside a
+    partition), with bin ids made globally unique by a partition-id
+    prefix. This is how real training pipelines pack: shuffle docs,
+    pack per worker; a global greedy order would serialize the whole
+    corpus for no quality gain. At most one under-filled bin per
+    partition. Output: (id_col, n_tokens, bin_id)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    order_col = order_col or id_col
+    prepped = docs.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        F.spark_partition_id().alias("_pid"),
+        F.col(order_col).alias("_ord"),
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fill = 0
+        local_bin = 0
+        pid = None
+        started = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            bins = []
+            for tok in pdf.sort_values("_ord")["n_tokens"]:
+                t = min(int(tok), token_budget)
+                if started and fill + t > token_budget:
+                    local_bin += 1
+                    fill = 0
+                started = True
+                fill += t
+                bins.append((pid << 32) | local_bin)
+            res = pdf.sort_values("_ord").copy()
+            res["bin_id"] = bins
+            yield res[[id_col, "n_tokens", "bin_id"]]
+
+    return prepped.mapInPandas(
+        pack, f"{id_col} long, n_tokens long, bin_id long"
+    )

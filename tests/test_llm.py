@@ -269,3 +269,27 @@ def test_hll_sketch_merge(spark, sf_dir):
     ).first()["est"]
     assert abs(merged - exact) / exact <= 0.05
     assert abs(oneshot - exact) / exact <= 0.05
+
+
+def test_pack_documents_budget(spark):
+    """Per-partition greedy packing: every bin's capped-token fill is
+    <= budget (hard invariant), oversized docs sit alone in their bin,
+    every doc packed exactly once."""
+    from sora_spark.llm.curate import pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, 300) for i in range(10)] + [(100, 5000)],
+        "doc_id LONG, n_tokens LONG",
+    ).repartition(3)
+    out = pack_documents(docs, token_budget=1000)
+    rows = out.collect()
+    assert len(rows) == 11
+    assert len({r["doc_id"] for r in rows}) == 11
+    by_bin: dict = {}
+    for r in rows:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    for b, rs in by_bin.items():
+        fill = sum(min(r["n_tokens"], 1000) for r in rs)
+        assert fill <= 1000, (b, fill)
+    big = [r for r in rows if r["doc_id"] == 100][0]
+    assert [r["doc_id"] for r in by_bin[big["bin_id"]]] == [100]
