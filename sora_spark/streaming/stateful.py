@@ -105,3 +105,42 @@ def purchases_after_views(
     ).select(
         F.col("p_user").alias("user_id"), "purchase_id", "view_id"
     )
+
+
+def purchases_after_views_outer(
+    events: DataFrame, watermark: str = "40 days"
+) -> DataFrame:
+    """LEFT OUTER stream-stream variant: every purchase emits, matched
+    view_ids or NULL. Outer results only emit once the watermark
+    passes the join range (the engine must prove no match can still
+    arrive) — tests advance it with far-future sentinel events that
+    survive the event_type filters on BOTH sides; the generous delay
+    tolerates out-of-order file replay without late-drops, exactly as
+    the inner-join twin does."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "view_id"
+    )

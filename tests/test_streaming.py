@@ -306,3 +306,51 @@ def test_session_window_dynamic_gap(spark, sf_dir):
         .select("user_id", "n")
     )
     assert _rows(got) == _rows(want)
+
+
+def test_stream_stream_left_outer_join(spark, sf_dir):
+    """Left-outer stream-stream join: matched purchases equal the
+    inner join; unmatched purchases surface exactly once with NULL
+    view_id after the watermark flushes them (sentinel advances it)."""
+    from sora_spark.streaming import stateful
+
+    d = replay.materialize_replay_dir(spark, sf_dir, "ssoj", n_files=4)
+    # sentinels must SURVIVE the event_type filters to advance each
+    # side's watermark, and outer NULLs flush on the batch AFTER the
+    # watermark moves — so two far-future view+purchase files
+    for i, far_ts in enumerate(["2030-01-01 00:00:00", "2030-01-02 00:00:00"]):
+        spark.createDataFrame(
+            [
+                (10**9 + 2 * i, far_ts, SENTINEL_USER, "view", 0.0, "{}"),
+                (10**9 + 2 * i + 1, far_ts, SENTINEL_USER, "purchase", 0.0, "{}"),
+            ],
+            "event_id bigint, ts string, user_id bigint, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+    got = replay.run_to_memory(
+        stateful.purchases_after_views_outer(replay.events_stream(spark, d)),
+        _qname(), "append",
+    ).filter(F.col("user_id") != SENTINEL_USER)
+
+    ev = replay.read_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"),
+    )
+    want = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(F.col("p_user").alias("user_id"), "purchase_id", "view_id")
+    assert _rows(got.select("user_id", "purchase_id", "view_id")) == _rows(want)
+    assert got.filter(F.col("view_id").isNull()).count() > 0, (
+        "outer rows must actually flush"
+    )
