@@ -99,11 +99,17 @@ def pack_documents(
     import pandas as pd
 
     order_col = order_col or id_col
-    prepped = docs.select(
-        F.col(id_col),
-        F.col(token_col).cast("long").alias("n_tokens"),
-        F.spark_partition_id().alias("_pid"),
-        F.col(order_col).alias("_ord"),
+    # sortWithinPartitions makes the greedy order hold across Arrow
+    # batch boundaries (fill/local_bin carry over, but a per-batch
+    # sort alone would be batch-local — review finding)
+    prepped = (
+        docs.select(
+            F.col(id_col),
+            F.col(token_col).cast("long").alias("n_tokens"),
+            F.spark_partition_id().alias("_pid"),
+            F.col(order_col).alias("_ord"),
+        )
+        .sortWithinPartitions("_ord")
     )
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -116,7 +122,7 @@ def pack_documents(
                 continue
             pid = int(pdf["_pid"].iloc[0])
             bins = []
-            for tok in pdf.sort_values("_ord")["n_tokens"]:
+            for tok in pdf["n_tokens"]:
                 t = min(int(tok), token_budget)
                 if started and fill + t > token_budget:
                     local_bin += 1
@@ -124,7 +130,7 @@ def pack_documents(
                 started = True
                 fill += t
                 bins.append((pid << 32) | local_bin)
-            res = pdf.sort_values("_ord").copy()
+            res = pdf.copy()
             res["bin_id"] = bins
             yield res[[id_col, "n_tokens", "bin_id"]]
 

@@ -49,9 +49,15 @@ def asof_join(
             key,
             time_col,
             tiebreak_col,
-            F.struct(
-                F.col(time_col).alias("_t"),
-                F.col(right_value_col).alias("_v"),
+            # NULL right values stay a NULL struct so last(ignorenulls)
+            # skips them — a NULL quote falls through to the previous
+            # non-null one, matching the pre-tolerance behavior
+            F.when(
+                F.col(right_value_col).isNotNull(),
+                F.struct(
+                    F.col(time_col).alias("_t"),
+                    F.col(right_value_col).alias("_v"),
+                ),
             ).alias("_rp"),
         )
         .withColumn("_side", F.lit(1))

@@ -18,11 +18,20 @@ from pyspark.sql import functions as F
 
 def _row_hash(df: DataFrame, key_cols: list[str]):
     payload = [c for c in df.columns if c not in key_cols]
-    # xxhash64 over the typed columns: hashing happens at the binary
-    # level with per-column framing and native NULL handling, so no
-    # string-concatenation ambiguity (separator or NULL-sentinel
-    # collisions) is possible — review finding, round 2
-    return F.xxhash64(*[F.col(c) for c in sorted(payload)])
+    if not payload:
+        # every column is a key: rows are their keys — constant hash
+        # so the join reports only added/removed, never changed
+        return F.lit(0).cast("long")
+    # xxhash64 over (null-flag, value) per column: Spark's hash SKIPS
+    # null children without perturbing the accumulator, so without the
+    # explicit flags (NULL,'x') and ('x',NULL) would collide
+    # deterministically (review finding, round 2). The int flag is
+    # never null, so every column perturbs the hash exactly once.
+    parts = []
+    for c in sorted(payload):
+        parts.append(F.isnull(F.col(c)).cast("int"))
+        parts.append(F.col(c))
+    return F.xxhash64(*parts)
 
 
 def snapshot_diff(

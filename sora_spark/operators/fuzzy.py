@@ -31,15 +31,22 @@ def fuzzy_join(
     max_distance: int = 2,
     q: int = 3,
 ) -> DataFrame:
-    """Pairs (left row, right row, distance) with
-    levenshtein(left_col, right_col) <= max_distance. Output carries
-    all columns of both inputs plus `distance`."""
+    """Pairs (left row, right row with columns suffixed `_r`, distance)
+    with levenshtein(left_col, right_col) <= max_distance.
+
+    Dedup semantics: the gram join produces one candidate per SHARED
+    gram; duplicates are collapsed by full-row dropDuplicates, so the
+    output is distinct ROW-VALUE pairs. Rows that are bytewise
+    identical collapse too — carry a unique id column on each side
+    when row identity matters (then full-row dedup keys on it)."""
+    r = right
+    for c in right.columns:
+        r = r.withColumnRenamed(c, c + "_r")
+    right_col_r = right_col + "_r"
     lg = left.withColumn("_g", F.explode(_grams(F.col(left_col), q)))
-    rg = right.withColumn("_g", F.explode(_grams(F.col(right_col), q)))
-    cand = lg.join(rg, "_g").drop("_g").dropDuplicates(
-        [left_col, right_col]
-    )
-    dist = F.levenshtein(F.col(left_col), F.col(right_col))
+    rg = r.withColumn("_g", F.explode(_grams(F.col(right_col_r), q)))
+    cand = lg.join(rg, "_g").drop("_g").dropDuplicates()
+    dist = F.levenshtein(F.col(left_col), F.col(right_col_r))
     return cand.withColumn("distance", dist).filter(
         F.col("distance") <= max_distance
     )

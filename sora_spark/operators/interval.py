@@ -48,11 +48,14 @@ def interval_join(
         r = r.withColumnRenamed(c, c + "_r")
     lb = _with_bins(left, ls, le, bin_size)
     rb = _with_bins(r, rs, re_, bin_size)
-    on = ["_bin"] + ([] if key is None else [])
-    if key is not None:
+    if key is None:
+        on = ["_bin"]
+    else:
         rb = rb.withColumnRenamed(key + "_r", key)
         on = [key, "_bin"]
     overlap = (F.col(ls) < F.col(re_)) & (F.col(rs) < F.col(le))
     # a pair touching several shared bins appears once per bin; after
-    # dropping _bin those rows are identical — full-row dedup
+    # dropping _bin those rows are identical — full-row dedup. Output
+    # is therefore distinct ROW-VALUE pairs: bytewise-identical input
+    # rows collapse; carry a unique id column when row identity matters.
     return lb.join(rb, on).filter(overlap).drop("_bin").dropDuplicates()

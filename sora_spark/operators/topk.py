@@ -43,12 +43,21 @@ def topk_per_group(
     sort_cols = [order_col, *tiebreak_cols]
     ascending = [not descending] + [True] * len(tiebreak_cols)
 
+    # pandas mirrors of Spark's NULL ordering: desc == NULLS LAST,
+    # asc == NULLS FIRST (review finding — pandas defaults to NaN last
+    # in both directions and drops NaN group keys entirely).
+    # Tiebreak columns are assumed non-null (they define the total
+    # order; a null tiebreak makes "top-k" ill-defined anyway).
+    na_pos = "last" if descending else "first"
+
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
                 yield (
-                    pdf.sort_values(sort_cols, ascending=ascending)
-                    .groupby(group_cols, sort=False)
+                    pdf.sort_values(
+                        sort_cols, ascending=ascending, na_position=na_pos
+                    )
+                    .groupby(group_cols, sort=False, dropna=False)
                     .head(k)
                 )
 

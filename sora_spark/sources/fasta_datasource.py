@@ -36,6 +36,10 @@ class FastaReader(DataSourceReader):
                 p for p in glob.glob(os.path.join(self.path, "*"))
                 if os.path.isfile(p)
             )
+        elif os.path.isfile(self.path):
+            # literal file first: a name containing glob metacharacters
+            # (e.g. 'sample[1].fa') must read as itself, not as a pattern
+            files = [self.path]
         else:
             files = sorted(glob.glob(self.path))
         if not files and not os.path.exists(self.path):

@@ -639,7 +639,7 @@ def test_fuzzy_join(spark):
         [("widgot alpha",), ("gadget betas",), ("unrelated thing",)],
         "q STRING",
     )
-    out = {(r["name"], r["q"]): r["distance"] for r in
+    out = {(r["name"], r["q_r"]): r["distance"] for r in
            fuzzy_join(cat, dirty, "name", "q", max_distance=2).collect()}
     assert out == {
         ("widget alpha", "widgot alpha"): 1,
