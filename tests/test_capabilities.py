@@ -807,3 +807,40 @@ def test_asof_join_tolerance(spark):
     # t=100: latest earlier quote at t=95 (age 5 <= 10) -> 9.0
     # t=200: latest earlier at t=120 (age 80 > 10) -> NULL
     assert rows == {1: 9.0, 2: None}
+
+
+def test_snapshot_diff_null_position_swap(spark):
+    """(NULL,'x') -> ('x',NULL) must be detected as changed (Spark's
+    hash skips null children; the explicit null flags prevent the
+    collision); key-only tables diff without error."""
+    from sora_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame([(1, None, "x")], "id LONG, a STRING, b STRING")
+    new = spark.createDataFrame([(1, "x", None)], "id LONG, a STRING, b STRING")
+    got = {(r["id"], r["change"]) for r in
+           snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {(1, "changed")}
+
+    ko = spark.createDataFrame([(1,), (2,)], "id LONG")
+    kn = spark.createDataFrame([(2,), (3,)], "id LONG")
+    kd = {(r["id"], r["change"]) for r in
+          snapshot_diff(ko, kn, ["id"]).collect()}
+    assert kd == {(1, "removed"), (3, "added")}
+
+
+def test_topk_combiner_null_group_and_order(spark):
+    """NULL group keys survive the pandas partial pass; ascending
+    order ranks NULL order-values first (Spark NULLS FIRST)."""
+    from sora_spark.operators.topk import topk_per_group
+
+    df = spark.createDataFrame(
+        [("a", 5.0, 1), ("a", 7.0, 2), (None, 3.0, 3), (None, 9.0, 4),
+         ("a", None, 5)],
+        "g STRING, v DOUBLE, id LONG",
+    )
+    out = topk_per_group(df, ["g"], "v", 1, tiebreak_cols=["id"],
+                         descending=False)
+    rows = {r["g"]: (r["v"], r["id"]) for r in out.collect()}
+    # asc => NULLS FIRST: group 'a' top-1 is the NULL-v row
+    assert rows["a"] == (None, 5)
+    assert rows[None] == (3.0, 3)
