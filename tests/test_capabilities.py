@@ -844,3 +844,65 @@ def test_topk_combiner_null_group_and_order(spark):
     # asc => NULLS FIRST: group 'a' top-1 is the NULL-v row
     assert rows["a"] == (None, 5)
     assert rows[None] == (3.0, 3)
+
+
+def test_variant_semistructured(spark, sf_dir):
+    """VARIANT type (Spark 4): parse_json over events.props with typed
+    variant_get extraction — must equal the get_json_object path."""
+    tables(spark, sf_dir).register_views()
+    got = spark.sql(
+        "SELECT sum(variant_get(parse_json(props), '$.k', 'int')) AS s "
+        "FROM events"
+    ).first()["s"]
+    want = spark.sql(
+        "SELECT sum(CAST(get_json_object(props, '$.k') AS INT)) AS s "
+        "FROM events"
+    ).first()["s"]
+    assert got == want is not None
+
+
+def test_lateral_subquery(spark, sf_dir):
+    """Correlated LATERAL subquery: per-row derived relation joined
+    back — must equal the window formulation."""
+    tables(spark, sf_dir).register_views()
+    got = spark.sql("""
+        SELECT c.c_custkey, l.total
+        FROM customer c,
+        LATERAL (SELECT round(sum(o_totalprice), 2) AS total
+                 FROM orders o WHERE o.o_custkey = c.c_custkey) AS l
+        WHERE c.c_custkey < 100 AND l.total IS NOT NULL
+        ORDER BY c.c_custkey
+    """)
+    want = spark.sql("""
+        SELECT o_custkey AS c_custkey, round(sum(o_totalprice), 2) AS total
+        FROM orders WHERE o_custkey < 100 GROUP BY o_custkey
+        ORDER BY c_custkey
+    """)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_recursive_cte_reachability_matches_bfs(spark):
+    """WITH RECURSIVE (Spark 4) reachability over a small digraph must
+    equal the engine's iterative bfs_hops — the SQL surface and the
+    driver-loop engine agree on a fixpoint computation."""
+    from sora_spark.graph import Graph
+
+    edges = [(1, 2), (2, 3), (3, 4), (2, 5), (9, 1)]
+    e = spark.createDataFrame(edges, "s LONG, d LONG")
+    e.createOrReplaceTempView("edges_rc")
+    sym = e.union(e.selectExpr("d AS s", "s AS d"))
+    want = {(r["v"], r["hop"]) for r in
+            Graph(e).bfs_hops(spark.createDataFrame([(1,)], "v LONG"),
+                              max_hops=6).collect()}
+    got_rows = spark.sql("""
+        WITH RECURSIVE reach(v, hop) AS (
+          SELECT CAST(1 AS BIGINT), 0
+          UNION ALL
+          SELECT CASE WHEN e.s = r.v THEN e.d ELSE e.s END, r.hop + 1
+          FROM reach r JOIN edges_rc e ON e.s = r.v OR e.d = r.v
+          WHERE r.hop < 6
+        )
+        SELECT v, CAST(min(hop) AS INT) AS hop FROM reach GROUP BY v
+    """).collect()
+    got = {(r["v"], r["hop"]) for r in got_rows}
+    assert got == want
