@@ -137,7 +137,7 @@ def render_spark(spark, sf_dir, spec):
 # later test run can never surface a brand-new failing example (drift
 # hunting happens in-session, not as a flake at gate time)
 _SETTINGS = dict(
-    max_examples=15,
+    max_examples=25,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
