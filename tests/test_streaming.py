@@ -354,3 +354,61 @@ def test_stream_stream_left_outer_join(spark, sf_dir):
     assert got.filter(F.col("view_id").isNull()).count() > 0, (
         "outer rows must actually flush"
     )
+
+
+def test_stateful_agg_checkpoint_restart(spark, sf_dir):
+    """Windowed-count state survives a stop/restart from the same
+    checkpoint: after delivering the second half of the input to the
+    restarted query, counts equal the batch aggregate — stateful
+    exactly-once across restarts, not just sink idempotence."""
+    import os
+    import uuid
+
+    base = f"/root/repo/.scratch/ckptagg-{uuid.uuid4().hex[:8]}"
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    os.makedirs(src, exist_ok=True)
+    ev = replay.read_table(spark, sf_dir, "events")
+    first, second = (
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+    )
+    first.coalesce(2).write.mode("append").parquet(src)
+
+    results: dict = {}
+
+    def run_once():
+        stream = ops.tumbling_counts(replay.events_stream(spark, src))
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                results[(r["hour"], r["event_type"])] = (
+                    r["n"], r["sum_value"],
+                )
+
+        q = (
+            stream.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    second.coalesce(2).write.mode("append").parquet(src)
+    run_once()  # restarted from the SAME checkpoint
+
+    want = {
+        (r["w"], r["event_type"]): (r["n"], r["s"])
+        for r in ev.groupBy(
+            F.date_format(
+                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00"
+            ).alias("w"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")
+        ).collect()
+    }
+    assert results == want
