@@ -63,8 +63,9 @@ def query_spec(draw):
             unique=True,
         )
     )
+    having = draw(st.sampled_from([None, 10, 100, 1000]))
     return {"preds": preds, "conj": conj, "group": sorted(group),
-            "agg_col": agg_col, "aggs": sorted(aggs)}
+            "agg_col": agg_col, "aggs": sorted(aggs), "having": having}
 
 
 def _pred_sql(p) -> str:
@@ -117,6 +118,8 @@ def render_sql(spec) -> str:
         )
     if spec["group"]:
         sql += " GROUP BY " + ", ".join(spec["group"])
+        if spec.get("having") is not None:
+            sql += f" HAVING count(*) > {spec['having']}"
     return sql
 
 
@@ -129,7 +132,13 @@ def render_spark(spark, sf_dir, spec):
             cond = cond & c if spec["conj"] == "AND" else cond | c
         df = df.filter(cond)
     if spec["group"]:
-        return df.groupBy(*spec["group"]).agg(*_agg_cols(spec))
+        aggs = _agg_cols(spec)
+        if spec.get("having") is not None:
+            aggs = aggs + [F.count("*").alias("_hn")]
+        out = df.groupBy(*spec["group"]).agg(*aggs)
+        if spec.get("having") is not None:
+            out = out.filter(F.col("_hn") > spec["having"]).drop("_hn")
+        return out
     return df.agg(*_agg_cols(spec))
 
 
