@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sora_spark.functions.text import char_shingles
+from sora_spark.operators._util import suffix_columns
 
 
 def _grams(col, q: int):
@@ -39,9 +40,7 @@ def fuzzy_join(
     output is distinct ROW-VALUE pairs. Rows that are bytewise
     identical collapse too — carry a unique id column on each side
     when row identity matters (then full-row dedup keys on it)."""
-    r = right
-    for c in right.columns:
-        r = r.withColumnRenamed(c, c + "_r")
+    r = suffix_columns(right, "_r")
     right_col_r = right_col + "_r"
     lg = left.withColumn("_g", F.explode(_grams(F.col(left_col), q)))
     rg = r.withColumn("_g", F.explode(_grams(F.col(right_col_r), q)))

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sora_spark.operators._util import suffix_columns
+
 
 def _with_bins(df: DataFrame, start: str, end: str, bin_size: int):
     return df.withColumn(
@@ -43,9 +45,7 @@ def interval_join(
     match on both sides and keeps blocking per-key."""
     ls, le = start_cols[0], end_cols[0]
     rs, re_ = start_cols[1] + "_r", end_cols[1] + "_r"
-    r = right
-    for c in right.columns:
-        r = r.withColumnRenamed(c, c + "_r")
+    r = suffix_columns(right, "_r")
     lb = _with_bins(left, ls, le, bin_size)
     rb = _with_bins(r, rs, re_, bin_size)
     if key is None:

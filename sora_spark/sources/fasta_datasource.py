@@ -32,8 +32,10 @@ class FastaReader(DataSourceReader):
 
     def partitions(self):
         if os.path.isdir(self.path):
+            # escape the dir part: a directory named 'run[1]' must list
+            # its own contents, not be read as a character class
             files = sorted(
-                p for p in glob.glob(os.path.join(self.path, "*"))
+                p for p in glob.glob(os.path.join(glob.escape(self.path), "*"))
                 if os.path.isfile(p)
             )
         elif os.path.isfile(self.path):

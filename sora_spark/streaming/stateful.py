@@ -72,6 +72,38 @@ def running_user_counts_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def _purchase_view_join(
+    events: DataFrame, watermark: str, how: str
+) -> DataFrame:
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        how,
+    ).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "view_id"
+    )
+
+
 def purchases_after_views(
     events: DataFrame, watermark: str = "40 days"
 ) -> DataFrame:
@@ -79,68 +111,15 @@ def purchases_after_views(
     user's views in the preceding hour → (user_id, purchase_id,
     view_id). Watermarks on both sides + the time-range condition
     bound the join state."""
-    views = (
-        events.filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id").alias("v_user"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("v_ts"),
-        )
-        .withWatermark("v_ts", watermark)
-    )
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", watermark)
-    )
-    return purchases.join(
-        views,
-        (F.col("p_user") == F.col("v_user"))
-        & (F.col("v_ts") <= F.col("p_ts"))
-        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-    ).select(
-        F.col("p_user").alias("user_id"), "purchase_id", "view_id"
-    )
+    return _purchase_view_join(events, watermark, "inner")
 
 
 def purchases_after_views_outer(
     events: DataFrame, watermark: str = "40 days"
 ) -> DataFrame:
-    """LEFT OUTER stream-stream variant: every purchase emits, matched
-    view_ids or NULL. Outer results only emit once the watermark
-    passes the join range (the engine must prove no match can still
-    arrive) — tests advance it with far-future sentinel events that
-    survive the event_type filters on BOTH sides; the generous delay
-    tolerates out-of-order file replay without late-drops, exactly as
-    the inner-join twin does."""
-    views = (
-        events.filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id").alias("v_user"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("v_ts"),
-        )
-        .withWatermark("v_ts", watermark)
-    )
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", watermark)
-    )
-    return purchases.join(
-        views,
-        (F.col("p_user") == F.col("v_user"))
-        & (F.col("v_ts") <= F.col("p_ts"))
-        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-        "left_outer",
-    ).select(
-        F.col("p_user").alias("user_id"), "purchase_id", "view_id"
-    )
+    """LEFT OUTER variant of `purchases_after_views` (one shared
+    builder): every purchase emits, matched view_ids or NULL. Outer
+    results only emit once the watermark passes the join range — tests
+    advance it with far-future sentinel events that survive the
+    event_type filters on BOTH sides."""
+    return _purchase_view_join(events, watermark, "left_outer")

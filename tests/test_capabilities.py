@@ -890,7 +890,6 @@ def test_recursive_cte_reachability_matches_bfs(spark):
     edges = [(1, 2), (2, 3), (3, 4), (2, 5), (9, 1)]
     e = spark.createDataFrame(edges, "s LONG, d LONG")
     e.createOrReplaceTempView("edges_rc")
-    sym = e.union(e.selectExpr("d AS s", "s AS d"))
     want = {(r["v"], r["hop"]) for r in
             Graph(e).bfs_hops(spark.createDataFrame([(1,)], "v LONG"),
                               max_hops=6).collect()}
