@@ -137,3 +137,29 @@ def pack_documents(
     return prepped.mapInPandas(
         pack, f"{id_col} long, n_tokens long, bin_id long"
     )
+
+
+def split_by_hash(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 13,
+) -> DataFrame:
+    """Deterministic dataset split (train/val/test): bucket =
+    xxhash64(id, seed) mod 10_000 mapped onto cumulative fraction
+    ranges. Unlike `randomSplit`, membership is a pure function of the
+    id — stable across runs, partitionings, and engines, and new rows
+    join their split without reshuffling old ones (the property that
+    matters when a 100 TB corpus grows incrementally). Fractions must
+    sum to 1. Output: input columns + `split`."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
+    expr = None
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        cond = bucket < int(round(acc * 10_000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return docs.withColumn("split", expr)

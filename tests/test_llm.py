@@ -293,3 +293,25 @@ def test_pack_documents_budget(spark):
         assert fill <= 1000, (b, fill)
     big = [r for r in rows if r["doc_id"] == 100][0]
     assert [r["doc_id"] for r in by_bin[big["bin_id"]]] == [100]
+
+
+def test_split_by_hash_deterministic_and_proportional(spark, sf_dir):
+    """Hash splits: stable across repartitioning, proportions within
+    binomial noise, every row assigned exactly one split."""
+    import math
+
+    from sora_spark.llm.curate import split_by_hash
+
+    docs = tables(spark, sf_dir).documents
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = split_by_hash(docs, fr)
+    b = split_by_hash(docs.repartition(7), fr)
+    ra = {r["doc_id"]: r["split"] for r in a.select("doc_id", "split").collect()}
+    rb = {r["doc_id"]: r["split"] for r in b.select("doc_id", "split").collect()}
+    assert ra == rb, "split must be independent of partitioning"
+    n = len(ra)
+    counts = {s: sum(1 for v in ra.values() if v == s) for s in fr}
+    assert sum(counts.values()) == n
+    for s, frac in fr.items():
+        sigma = math.sqrt(n * frac * (1 - frac))
+        assert abs(counts[s] - n * frac) <= 4 * sigma + 1, (s, counts[s])
