@@ -517,3 +517,64 @@ def test_semi_anti_join_property_family(spark, duck, sf_dir):
             f"AND d.{dcol} = {dval}) GROUP BY l_returnflag"
         )
         compare(got, duck, sql, name=f"semi-property:{spec}")
+
+
+# ---- date/time-function family (dialect-riskiest per SURVEY 5.5) --------
+
+TRUNCS = ["year", "quarter", "month", "day"]
+PARTS = ["year", "quarter", "month", "day", "hour"]
+
+
+@st.composite
+def date_spec(draw):
+    trunc = draw(st.sampled_from(TRUNCS))
+    part = draw(st.sampled_from(PARTS))
+    months = draw(st.integers(-18, 18))
+    days = draw(st.integers(-400, 400))
+    return {"trunc": trunc, "part": part, "months": months, "days": days}
+
+
+def test_datetime_property_family(spark, duck, sf_dir):
+    examples = []
+    @settings(max_examples=10, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(spec=date_spec())
+    def _collect(spec):
+        if spec not in examples:
+            examples.append(spec)
+    _collect()
+
+    for spec in examples:
+        t, p, m, d = spec["trunc"], spec["part"], spec["months"], spec["days"]
+        df = (
+            tables(spark, sf_dir).orders
+            .select(
+                "o_orderkey",
+                F.date_format(
+                    F.date_trunc(t, "o_orderdate"), "yyyy-MM-dd HH:mm:ss"
+                ).alias("tr"),
+                F.expr(f"extract({p} FROM o_orderdate)").cast("long").alias("pt"),
+                F.date_format(
+                    F.add_months(F.to_date("o_orderdate"), m), "yyyy-MM-dd"
+                ).alias("am"),
+                F.date_format(
+                    F.date_add(F.to_date("o_orderdate"), d), "yyyy-MM-dd"
+                ).alias("da"),
+            )
+            .orderBy("o_orderkey")
+            .limit(400)
+        )
+        sql = f"""
+            SELECT o_orderkey,
+                   strftime(date_trunc('{t}', o_orderdate),
+                            '%Y-%m-%d %H:%M:%S') AS tr,
+                   CAST(extract({p} FROM o_orderdate) AS BIGINT) AS pt,
+                   strftime(CAST(o_orderdate AS DATE)
+                              + ({m}) * INTERVAL 1 MONTH,
+                            '%Y-%m-%d') AS am,
+                   strftime(CAST(o_orderdate AS DATE)
+                              + ({d}) * INTERVAL 1 DAY,
+                            '%Y-%m-%d') AS da
+            FROM orders ORDER BY o_orderkey LIMIT 400
+        """
+        compare(df, duck, sql, name=f"datetime-property:{spec}")
