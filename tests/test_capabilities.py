@@ -905,3 +905,35 @@ def test_recursive_cte_reachability_matches_bfs(spark):
     """).collect()
     got = {(r["v"], r["hop"]) for r in got_rows}
     assert got == want
+
+
+def test_cli_list_and_inventory():
+    """python -m sora_spark list/inventory run registry-only (no Spark
+    session) and emit well-formed output."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "sora_spark", "list"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 0
+    lines = out.stdout.strip().splitlines()
+    assert len(lines) >= 100
+    assert any("qa1_pricing_summary" in l for l in lines)
+
+    inv = subprocess.run(
+        [sys.executable, "-m", "sora_spark", "inventory"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert inv.returncode == 0
+    rows = inv.stdout.strip().splitlines()
+    assert rows[0].startswith("| query |")
+    ncols = rows[0].count("|")
+    assert all(r.count("|") == ncols for r in rows[2:]), "pipe-escape broken"
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "sora_spark", "run", "no_such_query"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert bad.returncode == 2
