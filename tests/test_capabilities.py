@@ -937,3 +937,31 @@ def test_cli_list_and_inventory():
         capture_output=True, text=True, cwd="/root/repo", timeout=120,
     )
     assert bad.returncode == 2
+
+
+def test_compact_parquet_crash_recovery(spark, sf_dir):
+    """A crash between the two swap renames leaves data at _old and
+    nothing at the table path; the next compaction must restore and
+    proceed — and stale _tmp dirs must not break it."""
+    import shutil
+
+    from sora_spark.sources.maintenance import compact_parquet
+
+    nation = tables(spark, sf_dir).nation
+    path = f"/root/repo/.scratch/crashrec-{uuid.uuid4().hex[:6]}"
+    nation.repartition(5).write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+
+    # simulate the mid-swap crash: data moved to _old, path missing,
+    # plus a stale partial _tmp
+    os.rename(path, path + "._compact_old")
+    os.makedirs(path + "._compact_tmp", exist_ok=True)
+    with open(path + "._compact_tmp/garbage", "w") as f:
+        f.write("partial")
+
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 20)
+    assert spark.read.parquet(path).count() == n
+    assert stats["files_after"] <= stats["files_before"]
+    assert not os.path.isdir(path + "._compact_old")
+    assert not os.path.isdir(path + "._compact_tmp")
+    shutil.rmtree(path)
