@@ -31,6 +31,17 @@ def merge_batch(
     """Merge one micro-batch into the parquet table at `table_path`,
     keeping the max-`ts_col` row per key (ties: batch side wins via
     the _src ordering)."""
+    # recover from a crash between a previous merge's two renames
+    # (same discipline as sources.maintenance.compact_parquet): data
+    # at _old with no table dir -> restore; stale _old/_tmp -> clear
+    old = table_path.rstrip("/") + "._merge_old"
+    tmp_stale = table_path.rstrip("/") + "._merge_tmp"
+    if os.path.isdir(old) and not os.path.isdir(table_path):
+        os.rename(old, table_path)
+    for stale in (old, tmp_stale):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+
     new = batch_df.withColumn("_src", F.lit(1))
     if os.path.isdir(table_path):
         cur = spark.read.parquet(table_path).withColumn("_src", F.lit(0))
