@@ -247,6 +247,7 @@ class Graph:
             .localCheckpoint(eager=True)
         )
         rounds = 0
+        converged = False
         for _ in range(max_iter):
             # large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
             sym = e.select("u", "v").union(
@@ -277,10 +278,17 @@ class Graph:
             rounds += 1
             if e2.count() == e.count() and e2.subtract(e).isEmpty():
                 e = e2
+                converged = True
                 break
             e = e2
         if stats is not None:
             stats["rounds"] = rounds
+        if not converged:
+            raise RuntimeError(
+                f"connected_components_twophase did not reach the "
+                f"star-forest fixpoint in max_iter={max_iter} rounds; "
+                f"raise max_iter (rounds are O(log n))"
+            )
         # at fixpoint e is a star forest: (vertex, component-min) pairs
         labels = e.groupBy("u").agg(F.min("v").alias("component")).select(
             F.col("u").alias("v"), "component"

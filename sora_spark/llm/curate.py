@@ -134,8 +134,9 @@ def pack_documents(
             res["bin_id"] = bins
             yield res[[id_col, "n_tokens", "bin_id"]]
 
+    id_type = docs.schema[id_col].dataType.simpleString()
     return prepped.mapInPandas(
-        pack, f"{id_col} long, n_tokens long, bin_id long"
+        pack, f"{id_col} {id_type}, n_tokens long, bin_id long"
     )
 
 

@@ -38,16 +38,31 @@ def snapshot_diff(
     old: DataFrame, new: DataFrame, key_cols: list[str]
 ) -> DataFrame:
     """→ (key_cols..., change). Unchanged rows are omitted."""
-    o = old.select(*key_cols, _row_hash(old, key_cols).alias("_ho"))
-    n = new.select(*key_cols, _row_hash(new, key_cols).alias("_hn"))
-    j = o.join(n, key_cols, "full_outer")
+    o = old.select(
+        *key_cols, _row_hash(old, key_cols).alias("_ho")
+    ).alias("o")
+    n = new.select(
+        *key_cols, _row_hash(new, key_cols).alias("_hn")
+    ).alias("n")
+    # eqNullSafe: a NULL in the key tuple matches a NULL on the other
+    # side, so such rows diff as unchanged/changed instead of showing
+    # up once as 'added' AND once as 'removed' (review finding)
+    cond = None
+    for k in key_cols:
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = c if cond is None else cond & c
+    j = o.join(n, cond, "full_outer")
     change = (
         F.when(F.col("_ho").isNull(), "added")
         .when(F.col("_hn").isNull(), "removed")
         .when(F.col("_ho") != F.col("_hn"), "changed")
     )
+    keys = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k)
+        for k in key_cols
+    ]
     return (
         j.withColumn("change", change)
         .filter(F.col("change").isNotNull())
-        .select(*key_cols, "change")
+        .select(*keys, "change")
     )

@@ -5,8 +5,13 @@ q-grams, candidates come from a gram EQUI-join (ordinary shuffle key,
 never all-pairs), then `levenshtein() <= max_distance` verifies. By
 q-gram count filtering, strings of length >= q·(d+1) within edit
 distance d always share at least one q-gram, so recall is exact for
-long-enough strings; shorter strings fall back to their whole text as
-a single gram (exact-prefix recall only — documented, not hidden).
+long-enough strings. Strings shorter than q + max_distance all share
+ONE dedicated short-string block key: if either side of a
+distance-<=d pair is shorter than q, the other is shorter than q+d,
+so both land in that bucket and recall stays exact. The short bucket
+is quadratic in the COUNT of sub-(q+d)-length strings — fine when
+short strings are rare (the normal case); raise q consciously if the
+corpus is dominated by very short strings.
 """
 
 from __future__ import annotations
@@ -18,10 +23,20 @@ from sora_spark.functions.text import char_shingles
 from sora_spark.operators._util import suffix_columns
 
 
-def _grams(col, q: int):
-    return F.when(
-        F.length(col) >= q, char_shingles(col, q)
-    ).otherwise(F.array(col))
+_SHORT_KEY = "\x01short\x01"  # cannot collide with a real q-gram
+
+
+def _grams(col, q: int, max_distance: int):
+    empty = F.expr("CAST(array() AS array<string>)")
+    shingles = F.when(F.length(col) >= q, char_shingles(col, q)).otherwise(
+        empty
+    )
+    # every string that COULD pair with a sub-q string joins the one
+    # short bucket; strings in [q, q+d) emit both gram kinds
+    short = F.when(
+        F.length(col) < q + max_distance, F.array(F.lit(_SHORT_KEY))
+    ).otherwise(empty)
+    return F.concat(shingles, short)
 
 
 def fuzzy_join(
@@ -42,8 +57,12 @@ def fuzzy_join(
     when row identity matters (then full-row dedup keys on it)."""
     r = suffix_columns(right, "_r")
     right_col_r = right_col + "_r"
-    lg = left.withColumn("_g", F.explode(_grams(F.col(left_col), q)))
-    rg = r.withColumn("_g", F.explode(_grams(F.col(right_col_r), q)))
+    lg = left.withColumn(
+        "_g", F.explode(_grams(F.col(left_col), q, max_distance))
+    )
+    rg = r.withColumn(
+        "_g", F.explode(_grams(F.col(right_col_r), q, max_distance))
+    )
     cand = lg.join(rg, "_g").drop("_g").dropDuplicates()
     dist = F.levenshtein(F.col(left_col), F.col(right_col_r))
     return cand.withColumn("distance", dist).filter(

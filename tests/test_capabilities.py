@@ -828,6 +828,40 @@ def test_snapshot_diff_null_position_swap(spark):
     assert kd == {(1, "removed"), (3, "added")}
 
 
+def test_snapshot_diff_null_key(spark):
+    """A NULL inside the key tuple matches null-safely: the row diffs
+    as changed/unchanged instead of surfacing as added + removed."""
+    from sora_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, "us", 1.0), (2, "eu", 5.0)],
+        "id LONG, region STRING, v DOUBLE",
+    )
+    new = spark.createDataFrame(
+        [(None, "us", 9.0), (2, "eu", 5.0)],
+        "id LONG, region STRING, v DOUBLE",
+    )
+    got = {(r["id"], r["region"], r["change"]) for r in
+           snapshot_diff(old, new, ["id", "region"]).collect()}
+    assert got == {(None, "us", "changed")}
+
+
+def test_fuzzy_join_short_strings(spark):
+    """Strings shorter than q still pair across lengths ('ab'~'abc',
+    'ab'~'bb') via the dedicated short bucket; recall stays exact for
+    every pair with a sub-q side."""
+    from sora_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame([("ab",), ("zz",)], "name STRING")
+    right = spark.createDataFrame(
+        [("abc",), ("bb",), ("unrelated thing",)], "q STRING"
+    )
+    out = {(r["name"], r["q_r"]): r["distance"] for r in
+           fuzzy_join(left, right, "name", "q",
+                      max_distance=1, q=3).collect()}
+    assert out == {("ab", "abc"): 1, ("ab", "bb"): 1}
+
+
 def test_topk_combiner_null_group_and_order(spark):
     """NULL group keys survive the pandas partial pass; ascending
     order ranks NULL order-values first (Spark NULLS FIRST)."""

@@ -115,6 +115,20 @@ def test_twophase_cc_on_long_chain(spark):
     assert stats["rounds"] <= 8, f"not logarithmic: {stats['rounds']} rounds"
 
 
+def test_twophase_cc_raises_on_exhausted_iterations(spark):
+    """Loop exhaustion without reaching the star-forest fixpoint is
+    loud (RuntimeError), never silently-wrong labels."""
+    import pytest
+
+    from sora_spark.graph import Graph
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "s BIGINT, d BIGINT"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        Graph(edges).connected_components_twophase(max_iter=1)
+
+
 def test_twophase_matches_minlabel(spark, sf_dir):
     from sora_spark.catalog import tables
     from sora_spark.graph import Graph

@@ -295,6 +295,24 @@ def test_pack_documents_budget(spark):
     assert [r["doc_id"] for r in by_bin[big["bin_id"]]] == [100]
 
 
+def test_pack_documents_string_ids(spark):
+    """Non-long id columns pack too: the output schema derives the id
+    type from the input instead of hardcoding long."""
+    from sora_spark.llm.curate import pack_documents
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", 400) for i in range(6)],
+        "doc_id STRING, n_tokens LONG",
+    ).coalesce(1)
+    rows = pack_documents(docs, token_budget=1000).collect()
+    assert {r["doc_id"] for r in rows} == {f"doc-{i}" for i in range(6)}
+    by_bin: dict = {}
+    for r in rows:
+        by_bin.setdefault(r["bin_id"], []).append(r["n_tokens"])
+    for fill in by_bin.values():
+        assert sum(fill) <= 1000
+
+
 def test_split_by_hash_deterministic_and_proportional(spark, sf_dir):
     """Hash splits: stable across repartitioning, proportions within
     binomial noise, every row assigned exactly one split."""
