@@ -349,24 +349,30 @@ def qg8_bubbles(spark, sf_dir):
 
 def _reduce_round_sql(prev: str, i: int) -> str:
     """One unrolled reduction round (transitive-edge removal + tip
-    trim) as DuckDB CTEs — the oracle twin of Graph.reduce_rounds."""
+    trim) as DuckDB CTEs — the oracle twin of Graph.reduce_rounds.
+
+    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    reference, so unrolling k rounds (each referencing the previous
+    round several times) would otherwise duplicate the base parquet
+    scan exponentially in k — at 3 rounds that exhausts file handles
+    before it finishes (round-3 finding)."""
     return f"""
-p{i} AS (SELECT e1.s AS s, e2.d AS d FROM {prev} e1 JOIN {prev} e2 ON e1.d = e2.s),
-s{i} AS (SELECT e.s, e.d FROM {prev} e WHERE NOT EXISTS
+p{i} AS MATERIALIZED (SELECT e1.s AS s, e2.d AS d FROM {prev} e1 JOIN {prev} e2 ON e1.d = e2.s),
+s{i} AS MATERIALIZED (SELECT e.s, e.d FROM {prev} e WHERE NOT EXISTS
          (SELECT 1 FROM p{i} WHERE p{i}.s = e.s AND p{i}.d = e.d)),
-ends{i} AS (SELECT s AS v, d AS nbr FROM s{i} UNION ALL SELECT d, s FROM s{i}),
-deg{i} AS (SELECT v, count(*) AS degree FROM ends{i} GROUP BY v),
-tips{i} AS (SELECT DISTINCT e.v FROM ends{i} e
+ends{i} AS MATERIALIZED (SELECT s AS v, d AS nbr FROM s{i} UNION ALL SELECT d, s FROM s{i}),
+deg{i} AS MATERIALIZED (SELECT v, count(*) AS degree FROM ends{i} GROUP BY v),
+tips{i} AS MATERIALIZED (SELECT DISTINCT e.v FROM ends{i} e
             JOIN deg{i} dv ON dv.v = e.v AND dv.degree = 1
             JOIN deg{i} dn ON dn.v = e.nbr AND dn.degree >= 3),
-r{i} AS (SELECT s, d FROM s{i} WHERE s NOT IN (SELECT v FROM tips{i})
+r{i} AS MATERIALIZED (SELECT s, d FROM s{i} WHERE s NOT IN (SELECT v FROM tips{i})
                                  AND d NOT IN (SELECT v FROM tips{i}))"""
 
 
 @query(
     "qg11_reduce_two_rounds",
     oracle=(
-        f"WITH eco AS ({E_CO_SMALL_SQL}),"
+        f"WITH eco AS MATERIALIZED ({E_CO_SMALL_SQL}),"
         f"{_reduce_round_sql('eco', 1)},{_reduce_round_sql('r1', 2)}\n"
         "SELECT s, d FROM r2 ORDER BY s, d"
     ),
@@ -380,6 +386,33 @@ r{i} AS (SELECT s, d FROM s{i} WHERE s NOT IN (SELECT v FROM tips{i})
 def qg11_reduce_two_rounds(spark, sf_dir):
     li = tables(spark, sf_dir).lineitem
     return Graph(e_co_small(li)).reduce_rounds(2).orderBy("s", "d")
+
+
+@query(
+    "qg11b_reduce_to_fixpoint",
+    oracle=(
+        f"WITH eco AS MATERIALIZED ({E_CO_SMALL_SQL}),"
+        f"{_reduce_round_sql('eco', 1)},{_reduce_round_sql('r1', 2)},"
+        f"{_reduce_round_sql('r2', 3)}\n"
+        "SELECT s, d FROM r3 ORDER BY s, d"
+    ),
+    doc="The FULL convergence loop (reduce_pipeline) on the bounded "
+    "co-occurrence graph, hash-checked against 3 unrolled SQL rounds. "
+    "Rounds only REMOVE edges, so any unroll >= rounds-to-fixpoint is "
+    "exactly the fixpoint (round applied at fixpoint is identity) — "
+    "measured 2 rounds at sf0.001/sf0.01, 3 gives margin. This "
+    "certifies the driver-side convergence check (count barrier) that "
+    "qg11's fixed 2-round unroll cannot, closing the one no-oracle "
+    "registry row flagged in round 2.",
+    tags=("graph", "reduction", "fixpoint"),
+)
+def qg11b_reduce_to_fixpoint(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        Graph(e_co_small(li))
+        .reduce_pipeline(max_iter=10)
+        .orderBy("s", "d")
+    )
 
 
 @query(
