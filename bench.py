@@ -1,15 +1,23 @@
-"""Bench harness: runs the nine headline queries (B1–B9, BASELINE.md)
+"""Bench harness: runs the ten headline queries (B1–B10, BASELINE.md)
 from the declared-query registry at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS], twice each, and prints ONE JSON
-line with warm (2nd-run) wall-clock seconds per query.
+sf0.1) on local[$SPARK_GRAFT_CPUS], 1 cold + 3 warm runs each, and
+prints ONE JSON line with the MEDIAN warm wall-clock seconds per query
+(median, not min: the gate compares against a budget, and a median is
+robust to one noisy run in either direction — round-2 finding on q1).
+
+The JSON line carries provenance (git SHA, session conf, versions) so
+cross-round comparisons can separate code changes from host drift.
 
 Gate (BASELINE.md): each warm time <= 2x the pyspark-stock warm column.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
@@ -51,16 +59,31 @@ def main() -> None:
     for key, name in BENCH_QUERIES.items():
         fn = REGISTRY[name].spark_fn
         times = []
-        for _ in range(3):
+        for _ in range(4):
+            # drop refs to the previous run's localCheckpoint RDDs so
+            # ContextCleaner frees their blocks — otherwise iterative
+            # queries (q10) accumulate block-manager pressure across
+            # runs and warm runs come out SLOWER than cold
+            gc.collect()
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             times.append(time.perf_counter() - t0)
-        # warm = best post-cold run (run 1 pays codegen/JIT)
-        warm[key] = round(min(times[1:]), 4)
+        # warm = median of the 3 post-cold runs (run 1 pays codegen/JIT)
+        warm[key] = round(statistics.median(times[1:]), 4)
         print(
-            f"[bench] {key} {name}: cold={times[0]:.3f}s warm={warm[key]:.3f}s",
+            f"[bench] {key} {name}: cold={times[0]:.3f}s "
+            f"warm={warm[key]:.3f}s runs={[round(t, 3) for t in times[1:]]}",
             file=sys.stderr,
         )
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.abspath(__file__)),
+        ).stdout.strip() or None
+    except OSError:
+        sha = None
 
     total = round(sum(warm.values()), 4)
     print(json.dumps({
@@ -69,6 +92,24 @@ def main() -> None:
         "unit": "sec",
         "queries": warm,
         "sf": sf,
+        "provenance": {
+            "git_sha": sha,
+            "warm_stat": "median_of_3",
+            "master": f"local[{cpus}]",
+            "spark_version": spark.version,
+            "python": sys.version.split()[0],
+            "conf": {
+                k: spark.conf.get(k, None)
+                for k in (
+                    "spark.sql.shuffle.partitions",
+                    "spark.sql.adaptive.enabled",
+                    "spark.sql.adaptive.coalescePartitions.enabled",
+                    "spark.sql.files.maxPartitionBytes",
+                    "spark.sql.execution.arrow.pyspark.enabled",
+                    "spark.driver.memory",
+                )
+            },
+        },
     }))
     spark.stop()
 
