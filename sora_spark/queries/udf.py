@@ -131,12 +131,13 @@ def qu4_map_in_pandas_splitter(spark, sf_dir):
     docs = tables(spark, sf_dir).documents
 
     def split_records(batches):
+        # vectorized: one str.split + explode per Arrow batch — no
+        # per-row Python loop (round-2 review finding)
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                toks = row["text"].split(" ")
-                yield pd.DataFrame(
-                    {"doc_id": [row["doc_id"]] * len(toks), "token": toks}
-                )
+            toks = pdf.set_index("doc_id")["text"].str.split(" ").explode()
+            yield pd.DataFrame(
+                {"doc_id": toks.index, "token": toks.to_numpy()}
+            )
 
     tokens = docs.select("doc_id", "text").mapInPandas(
         split_records, "doc_id bigint, token string"
