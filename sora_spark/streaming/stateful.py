@@ -38,13 +38,37 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def has_tws_support() -> bool:
+    """True when the Spark-4 transformWithState Python worker can run
+    here: its state-message protocol imports google.protobuf, which
+    some containers lack. Probed at call time, not import time, so an
+    env change (protobuf installed later) is picked up."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_counts_auto(events: DataFrame) -> DataFrame:
+    """Running per-user counters via the best stateful backend the
+    environment supports: transformWithStateInPandas (ValueState,
+    RocksDB-ready) when the protobuf runtime is present, else the
+    portable applyInPandasWithState path. Same schema, same semantics,
+    same output mode — callers never branch on the env."""
+    if has_tws_support():
+        return running_user_counts_tws(events)
+    return running_user_counts(events)
+
+
 def running_user_counts_tws(events: DataFrame) -> DataFrame:
     """Spark 4 transformWithState variant of running_user_counts —
     ValueState per user via the StatefulProcessor API. Requires the
     RocksDB state store provider (CLUSTER_CONF) AND the `protobuf`
-    package, which this container lacks — the state-message protocol
-    imports google.protobuf in the driver worker. The test gates on
-    that import; applyInPandasWithState above is the portable path."""
+    package — the state-message protocol imports google.protobuf in
+    the driver worker. Call through `running_user_counts_auto`, which
+    probes the env and falls back to applyInPandasWithState."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
