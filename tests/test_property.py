@@ -578,3 +578,127 @@ def test_datetime_property_family(spark, duck, sf_dir):
             FROM orders ORDER BY o_orderkey LIMIT 400
         """
         compare(df, duck, sql, name=f"datetime-property:{spec}")
+
+
+# ---- graph family: random digraphs vs a pure-Python oracle ----------------
+#
+# Self-loops, isolated-but-self-looped vertices, multi-edges, and long
+# chains all arise from the generator; the oracle is ~30 lines of
+# plain Python mirroring the documented operator contracts
+# (graph/graph.py): degrees count edge ENDS (a self-loop adds 2, each
+# duplicate edge adds 2 ends), CC treats edges as undirected with
+# component = min vertex id, one transitive-reduction round removes
+# every edge (a,c) with a 2-path a->b->c, tips are degree-1 vertices
+# whose sole neighbor has degree >= hub_degree.
+
+
+@st.composite
+def digraph_spec(draw):
+    n_vertices = draw(st.integers(4, 24))
+    n_edges = draw(st.integers(1, 60))
+    edges = draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, n_vertices - 1),
+                st.integers(0, n_vertices - 1),
+            ),
+            min_size=n_edges,
+            max_size=n_edges,
+        )
+    )
+    # bias in a chain sometimes: exercises O(diameter) vs O(log n) CC
+    if draw(st.booleans()):
+        edges += [(i, i + 1) for i in range(draw(st.integers(2, 12)))]
+    return edges
+
+
+def _py_degrees(edges):
+    deg: dict = {}
+    for s, d in edges:
+        deg[s] = deg.get(s, 0) + 1
+        deg[d] = deg.get(d, 0) + 1
+    return deg
+
+
+def _py_components(edges):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return {v: find(v) for v in parent}
+
+
+def _py_transitive_round(edges):
+    eset = set(edges)
+    outs: dict = {}
+    for s, d in eset:
+        outs.setdefault(s, set()).add(d)
+    removal = {
+        (a, c)
+        for (a, c) in eset
+        if any(c in outs.get(b, ()) for b in outs.get(a, ()))
+    }
+    return [e for e in edges if e not in removal]  # anti-join: multiset in
+
+
+def _py_tips(edges, hub_degree=3):
+    deg = _py_degrees(edges)
+    nbrs: dict = {}
+    for s, d in edges:
+        nbrs.setdefault(s, []).append(d)
+        nbrs.setdefault(d, []).append(s)
+    return {
+        v
+        for v, dg in deg.items()
+        if dg == 1 and any(deg[n] >= hub_degree for n in nbrs[v])
+    }
+
+
+def test_graph_property_family(spark):
+    from sora_spark.graph import Graph
+
+    examples = []
+
+    @settings(max_examples=8, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(edges=digraph_spec())
+    def _collect(edges):
+        if edges not in examples:
+            examples.append(edges)
+
+    _collect()
+
+    for edges in examples:
+        df = spark.createDataFrame(edges, "s BIGINT, d BIGINT")
+        g = Graph(df)
+
+        got_deg = {r["v"]: r["degree"] for r in g.degrees().collect()}
+        assert got_deg == _py_degrees(edges), f"degrees: {edges}"
+
+        want_cc = _py_components(edges)
+        for variant in ("connected_components",
+                        "connected_components_twophase"):
+            got_cc = {
+                r["v"]: r["component"]
+                for r in getattr(g, variant)().collect()
+            }
+            assert got_cc == want_cc, f"{variant}: {edges}"
+
+        got_tr = sorted(
+            (r["s"], r["d"])
+            for r in g.transitive_reduction_round().collect()
+        )
+        assert got_tr == sorted(_py_transitive_round(edges)), \
+            f"transitive round: {edges}"
+
+        got_tips = {r["v"] for r in g.tips().collect()}
+        assert got_tips == _py_tips(edges), f"tips: {edges}"
