@@ -345,6 +345,7 @@ def near_duplicate_pairs_lsh(
     dim: int = 64,
     n_planes: int = 6,
     seed: int = 7,
+    n_bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -353,28 +354,55 @@ def near_duplicate_pairs_lsh(
     threshold INSIDE buckets. Work is sum of per-bucket squares instead
     of n² — the bucket key shuffles like any groupBy key, so this
     survives a 100× scale-up where the all-pairs form
-    (`near_duplicate_pairs`) cannot. Recall caveat: only pairs sharing a
-    bucket surface (sign-LSH recall rises with more/narrower bands);
-    `near_duplicate_pairs` on a blocked sample is the recall oracle."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    e = emb.select(id_col, vec_col).withColumn(
-        "_bucket", bucket_key(F.col(vec_col), planes)
+    (`near_duplicate_pairs`) cannot.
+
+    `n_bands` repeats the bucketing with independent hyperplane sets
+    (seeds seed..seed+n_bands-1) and unions the candidates: a pair at
+    angle θ collides per band with p = (1-θ/π)^n_planes, so recall is
+    1-(1-p)^n_bands — the standard banding amplification. Measured
+    curve (sf0.1, threshold 0.3) in SCALE.md §recall; defaults keep
+    the single-band shape qd3b's oracle mirrors. Candidate volume
+    scales with n_bands, so narrow+many bands buys recall with work —
+    prune aggressively only at high thresholds where a single wide
+    band is already selective."""
+    bands = [
+        _hyperplanes(dim, n_planes, seed + i) for i in range(n_bands)
+    ]
+    band_arr = F.array(
+        *[bucket_key(F.col(vec_col), planes) for planes in bands]
+    )
+    e = (
+        emb.select(id_col, vec_col)
+        .withColumn("_bands", band_arr)
+        .select(
+            id_col,
+            vec_col,
+            F.posexplode("_bands").alias("_band", "_bucket"),
+        )
     )
     a = e.select(
+        F.col("_band").alias("_na"),
         F.col("_bucket").alias("_ba"),
         F.col(id_col).alias("a"),
         F.col(vec_col).alias("va"),
     )
     b = e.select(
+        F.col("_band").alias("_nb"),
         F.col("_bucket").alias("_bb"),
         F.col(id_col).alias("b"),
         F.col(vec_col).alias("vb"),
     )
-    # bucket equality is IN the join condition (equi key for the
-    # planner — pinned by tests/test_plans.py), a<b dedups within bucket
-    j = a.join(b, (F.col("_ba") == F.col("_bb")) & (F.col("a") < F.col("b")))
-    sim = F.round(vector.cosine(F.col("va"), F.col("vb")), 5)
-    return (
-        j.select("a", "b", sim.alias("sim"))
-        .filter(F.col("sim") >= threshold)
+    # (band, bucket) equality is IN the join condition (equi key for
+    # the planner — pinned by tests/test_plans.py), a<b dedups within
+    # bucket; distinct collapses pairs colliding in several bands
+    j = a.join(
+        b,
+        (F.col("_na") == F.col("_nb"))
+        & (F.col("_ba") == F.col("_bb"))
+        & (F.col("a") < F.col("b")),
     )
+    sim = F.round(vector.cosine(F.col("va"), F.col("vb")), 5)
+    out = j.select("a", "b", sim.alias("sim")).filter(
+        F.col("sim") >= threshold
+    )
+    return out.distinct() if n_bands > 1 else out

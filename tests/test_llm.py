@@ -22,7 +22,9 @@ def test_lsh_ann_recall(spark, sf_dir):
     # 4 planes + hamming-1 multi-probe -> each probe scans ~5/16 of the
     # corpus; on unclustered random vectors expect recall well above
     # that scan fraction (neighbors correlate with bucket signs).
-    assert recall >= 0.4, f"LSH recall {recall:.2f} too low"
+    # Deterministic (fixed data + seed): measured 0.467 at sf0.001
+    # (round-3 calibration, SCALE.md §recall) — floor is that − margin.
+    assert recall >= 0.45, f"LSH recall {recall:.2f} too low"
     # approx results must be a subset of valid neighbors (sane sims)
     assert all(r["sim"] <= 1.0 for r in approx.collect())
 
@@ -36,8 +38,9 @@ def test_ivf_ann_recall(spark, sf_dir):
     a = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     # probes scan ~n_probe/n_centroids of the corpus; nearest-centroid
-    # correlation should beat that fraction comfortably
-    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+    # correlation should beat that fraction comfortably.
+    # Deterministic: measured 0.85 at sf0.001 (round-3 calibration).
+    assert recall >= 0.75, f"IVF recall {recall:.2f} too low"
 
 
 def test_multiband_lsh_superset_of_1band(spark, sf_dir):
@@ -48,6 +51,59 @@ def test_multiband_lsh_superset_of_1band(spark, sf_dir):
     rows = pairs.collect()
     assert all(r["a"] < r["b"] for r in rows)
     assert len(rows) == len({(r["a"], r["b"]) for r in rows})
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    """qd4's default banding (4 perms, 2 bands) recalls essentially
+    every true J>=0.5 pair: measured 1.0 at sf0.001 and 0.996 at sf0.1
+    (round-3 calibration, SCALE.md §recall)."""
+    from sora_spark.functions.text import word_shingles
+
+    docs = tables(spark, sf_dir).documents
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_shingles(F.col("text"), 3)).alias("sh"),
+    ).distinct()
+    pairs = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.sh") == F.col("y.sh"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    jac = dedup.jaccard_over_pairs(pairs, docs)
+    truth = {(r["a"], r["b"]) for r in
+             jac.filter(F.col("jaccard") >= 0.5).collect()}
+    assert truth, "fixture should contain planted near-dup docs"
+    got = {(r["a"], r["b"]) for r in
+           dedup.lsh_candidate_pairs(docs, num_perm=4, bands=2).collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, f"MinHash LSH recall {recall:.2f} too low"
+
+
+def test_embedding_neardup_multiband_recall(spark, sf_dir):
+    """Banding amplification on sign-LSH: 8 narrow bands (3 planes,
+    seeds 7..14) recall = 1-(1-p^3)^8 — measured 0.87 at both sf0.001
+    and sf0.1 for threshold 0.3, vs 0.05 single-band (SCALE.md
+    §recall). Deterministic given data + seeds."""
+    emb = tables(spark, sf_dir).embeddings
+    truth = {(r["a"], r["b"]) for r in
+             ann.near_duplicate_pairs(emb, threshold=0.3).collect()}
+    multi = {(r["a"], r["b"]) for r in
+             ann.near_duplicate_pairs_lsh(
+                 emb, threshold=0.3, n_planes=3, n_bands=8).collect()}
+    single = {(r["a"], r["b"]) for r in
+              ann.near_duplicate_pairs_lsh(
+                  emb, threshold=0.3, n_planes=6).collect()}
+    # every candidate is a TRUE pair (thresholded inside buckets)
+    assert multi <= truth and single <= truth
+    r_multi = len(multi & truth) / len(truth)
+    r_single = len(single & truth) / len(truth)
+    assert r_multi >= 0.8, f"multi-band recall {r_multi:.2f} too low"
+    assert r_multi > r_single, "banding must amplify recall"
 
 
 def test_simhash_fast_path(spark, sf_dir):
