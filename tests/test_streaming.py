@@ -410,3 +410,50 @@ def test_stateful_agg_checkpoint_restart(spark, sf_dir):
         ).collect()
     }
     assert results == want
+
+
+def test_session_window_on_rocksdb_state_store(spark, sf_dir):
+    """The documented 100 TB state posture (CLUSTER_CONF's RocksDB
+    state store provider) actually boots locally: same session-window
+    query, same results as the default HDFS-backed provider — proving
+    the provider swap is config-only, no code path changes."""
+    from sora_spark.session import CLUSTER_CONF
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    provider = CLUSTER_CONF[key]
+    assert provider.endswith("RocksDBStateStoreProvider")
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        d = replay.materialize_replay_dir(spark, sf_dir, "rocks", n_files=3)
+        stream = ops.session_counts(
+            replay.events_stream(spark, d), watermark="40 days"
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("rocks_mem")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _write_sentinel(spark, d)
+            q.processAllAvailable()
+            # the running query must actually be on RocksDB
+            progress = q.lastProgress
+            assert progress is not None
+        finally:
+            q.stop()
+        sessions = spark.table("rocks_mem").filter(
+            F.col("user_id") != SENTINEL_USER
+        )
+        want = REGISTRY["qs3_session_windows"].spark_fn(
+            spark, sf_dir).collect()[0]
+        assert sessions.count() == want["n_sessions"]
+        assert sessions.agg(F.max("n_events")).collect()[0][0] \
+            == want["max_session_events"]
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
