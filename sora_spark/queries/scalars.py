@@ -288,3 +288,43 @@ def qx7_hash_functions(spark, sf_dir):
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+@query(
+    "qx9_decimal_agg",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price,
+       CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS min_price,
+       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS max_price,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="Q-X9: exact DECIMAL(18,2) aggregation — cast-then-sum/min/max "
+    "runs in decimal on both engines (no float accumulation error); "
+    "only the FINAL value is cast to DOUBLE for the cross-engine wire "
+    "compare, exact here because cents-scaled sums stay far below "
+    "2^53 (pandas maps Spark decimals to object but DuckDB decimals "
+    "to float64, so decimal-typed wire output cannot hash-match). "
+    "Upgrades decimal support from the unit tier to a hash-matched "
+    "CORRECTNESS entry.",
+    tags=("scalar", "decimal"),
+)
+def qx9_decimal_agg(spark, sf_dir):
+    orders = tables(spark, sf_dir).orders
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.sum(price).cast("double").alias("sum_price"),
+            F.min(price).cast("double").alias("min_price"),
+            F.max(price).cast("double").alias("max_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
