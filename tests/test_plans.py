@@ -231,3 +231,66 @@ def test_join_strategy_hints_honored(spark, sf_dir):
         orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
     )
     assert "ShuffledHashJoin" in plan_of(hashed)
+
+
+def test_aqe_skew_join_split_fires(spark, sf_dir, tmp_path):
+    """AQE's skew-reader must split a manufactured hot key at runtime
+    (complements qsk1's manual salting). Two conditions a 100 TB
+    deployment must know: (1) detection thresholds are in SHUFFLE
+    bytes, so the skewed payload has to survive column pruning, and
+    (2) splits happen along MAP-TASK boundaries — a single-file,
+    single-row-group source can never skew-split (or parallelize its
+    scan); the fact side is written as 8 files first, as any real
+    large table would be."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from sora_spark.catalog import tables
+
+        t = tables(spark, sf_dir)
+        d = str(tmp_path / "skewfact")
+        (
+            t.lineitem.select(
+                F.when(F.col("l_orderkey") % 3 == 0, F.lit(1))
+                .otherwise(F.col("l_orderkey"))
+                .alias("k"),
+                F.md5(
+                    F.concat_ws(
+                        "-", "l_orderkey", "l_linenumber", "l_partkey"
+                    )
+                ).alias("pad"),
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        fact = spark.read.parquet(d)
+        other = t.orders.select(
+            F.col("o_orderkey").alias("k"), "o_totalprice"
+        )
+        j = fact.join(other, "k").groupBy().agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("pad")).alias("padlen"),
+        )
+        [row] = j.collect()
+        assert row["n"] == t.lineitem.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE skew-join split did not fire"
+        assert "skewed" in plan, "no skewed AQEShuffleRead in final plan"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
