@@ -333,6 +333,52 @@ def qd3b_embedding_neardup_lsh(spark, sf_dir):
     )
 
 
+def _band_bucket_sql(planes) -> str:
+    return " || ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_lit(p)}) >= 0"
+        " THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+
+
+_QD3C_BANDS = [ann._hyperplanes(64, 4, 7 + i) for i in range(2)]
+_QD3C_B0 = _band_bucket_sql(_QD3C_BANDS[0])
+_QD3C_B1 = _band_bucket_sql(_QD3C_BANDS[1])
+
+
+@query(
+    "qd3c_embedding_neardup_multiband",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bk AS (SELECT vec_id, v, {_QD3C_B0} AS b0, {_QD3C_B1} AS b1 FROM e),
+cand AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, x.v AS va, y.v AS vb
+  FROM bk x JOIN bk y ON x.b0 = y.b0 AND x.vec_id < y.vec_id
+  UNION
+  SELECT x.vec_id AS a, y.vec_id AS b, x.v AS va, y.v AS vb
+  FROM bk x JOIN bk y ON x.b1 = y.b1 AND x.vec_id < y.vec_id)
+SELECT DISTINCT a, b, round(list_cosine_similarity(va, vb), 5) AS sim
+FROM cand
+WHERE round(list_cosine_similarity(va, vb), 5) >= 0.3
+ORDER BY a, b
+""",
+    doc="qd3c: multi-band sign-LSH near-dup (2 bands of 4 planes, "
+    "seeds 7 and 8) — banding amplification 1-(1-p^4)^2 under full "
+    "oracle check; the oracle recomputes both bands from the same "
+    "literal hyperplanes and unions candidates exactly like the "
+    "(band, bucket) equi-join. Recall curve in SCALE.md §recall.",
+    tags=("llm", "dedup", "vector", "scale"),
+)
+def qd3c_embedding_neardup_multiband(spark, sf_dir):
+    emb = tables(spark, sf_dir).embeddings
+    return (
+        ann.near_duplicate_pairs_lsh(
+            emb, threshold=0.3, dim=64, n_planes=4, n_bands=2
+        )
+        .orderBy("a", "b")
+    )
+
+
 _LEX_VALUES = ", ".join(
     f"('{tok}', '{lang}')" for tok, lang in textstats.STOPWORDS
 )
