@@ -164,3 +164,46 @@ def split_by_hash(
         cond = bucket < int(round(acc * 10_000))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return docs.withColumn("split", expr)
+
+
+def split_threshold_hex(fraction: float, digits: int = 8) -> str:
+    """Hex string h such that P(first `digits` md5 hex chars < h) =
+    `fraction` for a uniform hash — the cumulative-fraction boundary
+    used by `split_by_hash_portable`. Floor (not round): the boundary
+    must be writable as a plain hex literal in an oracle SQL."""
+    return format(int(fraction * 16**digits), f"0{digits}x")
+
+
+def split_by_hash_portable(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "-split13",
+) -> DataFrame:
+    """`split_by_hash` with a cross-engine hash: bucket = first 8 hex
+    chars of md5(id || salt), compared lexicographically against
+    cumulative-fraction hex thresholds (hex chars '0'-'9' < 'a'-'f'
+    sort correctly in ASCII, so string compare IS numeric compare).
+    Same membership on any engine with md5 — the variant to use when
+    the split must be reproduced outside Spark (DuckDB oracle, a
+    downstream data loader, an audit notebook)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+    )
+    expr = None
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        # the final cumulative threshold is 16^8 — a 9-digit hex
+        # string that would compare LESS than any 8-char hash; the
+        # last split must catch everything instead
+        cond = (
+            F.lit(True)
+            if acc >= 1.0 - 1e-12
+            else h < split_threshold_hex(acc)
+        )
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return docs.withColumn("split", expr)

@@ -120,3 +120,44 @@ def qpipe1_training_data_pipeline(spark, sf_dir):
             F.when((F.col("n_tok") >= 24) & (F.col("stop_ratio") <= 0.5), 1)
         ).alias("n_quality"),
     )
+
+
+@query(
+    "qcur1_hash_split",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, length(text) AS n_chars,
+         substr(md5(CAST(doc_id AS VARCHAR) || '-split13'), 1, 8) AS hx
+  FROM documents),
+s AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN hx < 'cccccccc' THEN 'train'
+              WHEN hx < 'e6666666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM h)
+SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY split ORDER BY split
+""",
+    doc="qcur1: deterministic 80/10/10 dataset split — membership is a "
+    "pure function of md5(id || salt) compared against cumulative hex "
+    "thresholds (0.8 -> 'cccccccc', 0.9 -> 'e6666666'), so any engine "
+    "with md5 reproduces the exact split; new rows join their split "
+    "with no reshuffle of old ones. The engine twin is "
+    "llm.curate.split_by_hash_portable.",
+    tags=("llm", "pipeline", "split"),
+)
+def qcur1_hash_split(spark, sf_dir):
+    from sora_spark.llm import curate
+
+    docs = tables(spark, sf_dir).documents
+    s = curate.split_by_hash_portable(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("split")
+    )
