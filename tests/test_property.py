@@ -702,3 +702,87 @@ def test_graph_property_family(spark):
 
         got_tips = {r["v"] for r in g.tips().collect()}
         assert got_tips == _py_tips(edges), f"tips: {edges}"
+
+
+# ---- as-of join family: random keyed event tables vs a Python oracle ------
+#
+# The union+window as-of join (operators/asof.py) has the subtlest
+# semantics in the package: strictly-earlier matches only, equal-time
+# right rows excluded, NULL right values fall through to the previous
+# non-null one, tolerance nullifies (never searches earlier), and the
+# latest match is by (time, tiebreak) order. The oracle is 15 lines of
+# plain Python applying exactly that contract.
+
+
+@st.composite
+def asof_spec(draw):
+    n_left = draw(st.integers(1, 25))
+    n_right = draw(st.integers(0, 25))
+    key = st.integers(0, 3)
+    t = st.integers(0, 20)
+    left = [
+        (draw(key), draw(t), i) for i in range(n_left)
+    ]
+    right = [
+        (
+            draw(key),
+            draw(t),
+            100 + i,
+            draw(st.one_of(st.none(), st.integers(-50, 50))),
+        )
+        for i in range(n_right)
+    ]
+    tol = draw(st.sampled_from([None, 0, 3, 10]))
+    return {"left": left, "right": right, "tol": tol}
+
+
+def _py_asof(left, right, tol):
+    out = {}
+    for k, t, tb in left:
+        cands = [
+            (rt, rtb, v)
+            for (rk, rt, rtb, v) in right
+            if rk == k and rt < t and v is not None
+        ]
+        if not cands:
+            out[tb] = None
+            continue
+        rt, rtb, v = max(cands, key=lambda c: (c[0], c[1]))
+        if tol is not None and rt < t - tol:
+            out[tb] = None
+        else:
+            out[tb] = v
+    return out
+
+
+def test_asof_join_property_family(spark):
+    from sora_spark.operators.asof import asof_join
+
+    examples = []
+
+    @settings(max_examples=8, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(spec=asof_spec())
+    def _collect(spec):
+        if spec not in examples:
+            examples.append(spec)
+
+    _collect()
+
+    for spec in examples:
+        left = spark.createDataFrame(
+            spec["left"], "k BIGINT, t BIGINT, seq BIGINT"
+        )
+        right = spark.createDataFrame(
+            [(k, t, tb, v) for (k, t, tb, v) in spec["right"]],
+            "k BIGINT, t BIGINT, seq BIGINT, quote BIGINT",
+        )
+        got = {
+            r["seq"]: r["asof_value"]
+            for r in asof_join(
+                left, right, key="k", time_col="t", tiebreak_col="seq",
+                right_value_col="quote", tolerance=spec["tol"],
+            ).collect()
+        }
+        want = _py_asof(spec["left"], spec["right"], spec["tol"])
+        assert got == want, f"asof mismatch: {spec}"
