@@ -161,3 +161,88 @@ def qcur1_hash_split(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+@query(
+    "qdiff1_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 10 != 3),
+new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 7 = 0 THEN '9-CHANGED'
+              ELSE o_orderpriority END AS prio,
+         o_totalprice AS price
+  FROM orders WHERE o_orderkey % 10 != 4)
+SELECT COALESCE(o.k, n.k) AS k,
+       CASE WHEN o.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            WHEN o.prio != n.prio OR o.price != n.price THEN 'changed'
+       END AS change
+FROM old o FULL OUTER JOIN new n ON o.k = n.k
+WHERE (o.k IS NULL OR n.k IS NULL
+       OR o.prio != n.prio OR o.price != n.price)
+ORDER BY k
+""",
+    doc="qdiff1: CDC snapshot diff — two deterministic views of orders "
+    "(rows %10=3 added, %10=4 removed, %7=0 priority-rewritten) "
+    "through operators.diff.snapshot_diff; the shuffle carries "
+    "key + 64-bit row hash, never the payload. Oracle is the naive "
+    "full-outer-join diff.",
+    tags=("cdc", "operator"),
+)
+def qdiff1_snapshot_diff(spark, sf_dir):
+    from sora_spark.operators.diff import snapshot_diff
+
+    orders = tables(spark, sf_dir).orders
+    old = orders.filter(F.col("o_orderkey") % 10 != 3).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 10 != 4).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 7 == 0, "9-CHANGED")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return snapshot_diff(old, new, ["k"]).orderBy("k")
+
+
+@query(
+    "qfz1_fuzzy_join",
+    oracle="""
+WITH names AS (
+  SELECT DISTINCT n_name AS name FROM nation WHERE length(n_name) >= 6),
+dirty AS (
+  SELECT 'x' || substr(name, 2) AS q FROM names)
+SELECT n.name, d.q AS q_r,
+       CAST(levenshtein(n.name, d.q) AS BIGINT) AS distance
+FROM names n JOIN dirty d ON levenshtein(n.name, d.q) <= 1
+ORDER BY name, q_r
+""",
+    doc="qfz1: edit-distance-bounded fuzzy join — q-gram blocked "
+    "(operators.fuzzy), verified by levenshtein <= 1. All names are "
+    ">= 6 chars = q(d+1), where q-gram blocking recall is exact, so "
+    "the blocked join equals the oracle's naive cross join.",
+    tags=("operator", "fuzzy"),
+)
+def qfz1_fuzzy_join(spark, sf_dir):
+    from sora_spark.operators.fuzzy import fuzzy_join
+
+    names = (
+        tables(spark, sf_dir).nation
+        .filter(F.length("n_name") >= 6)
+        .select(F.col("n_name").alias("name"))
+        .distinct()
+    )
+    dirty = names.select(
+        F.concat(F.lit("x"), F.expr("substr(name, 2)")).alias("q")
+    )
+    return (
+        fuzzy_join(names, dirty, "name", "q", max_distance=1, q=3)
+        .withColumn("distance", F.col("distance").cast("bigint"))
+        .orderBy("name", "q_r")
+    )
