@@ -246,3 +246,156 @@ def qfz1_fuzzy_join(spark, sf_dir):
         .withColumn("distance", F.col("distance").cast("bigint"))
         .orderBy("name", "q_r")
     )
+
+
+@query(
+    "qiv1_interval_join",
+    oracle="""
+WITH l AS (
+  SELECT o_orderkey AS lid, o_custkey % 20 AS key,
+         (o_custkey * 7) % 1000 AS s,
+         (o_custkey * 7) % 1000 + 1 + o_orderkey % 60 AS e
+  FROM orders WHERE o_orderkey % 10 = 0),
+r AS (
+  SELECT o_orderkey AS rid, o_custkey % 20 AS key,
+         (o_custkey * 13) % 1000 AS s,
+         (o_custkey * 13) % 1000 + 1 + o_orderkey % 45 AS e
+  FROM orders WHERE o_orderkey % 10 = 5)
+SELECT l.lid, r.rid
+FROM l JOIN r ON l.key = r.key AND l.s < r.e AND r.s < l.e
+ORDER BY lid, rid
+""",
+    doc="qiv1: binned interval-overlap join ([start,end) semantics) — "
+    "each interval explodes into fixed-size bins, candidates come "
+    "from a (key, bin) equi-join (never the all-pairs theta join "
+    "Spark would nested-loop at scale), overlap verified exactly, "
+    "pair-level dedup. Oracle is the naive theta join.",
+    tags=("operator", "interval"),
+)
+def qiv1_interval_join(spark, sf_dir):
+    from sora_spark.operators.interval import interval_join
+
+    orders = tables(spark, sf_dir).orders
+    left = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("lid"),
+        (F.col("o_custkey") % 20).alias("key"),
+        ((F.col("o_custkey") * 7) % 1000).alias("start"),
+        (
+            (F.col("o_custkey") * 7) % 1000
+            + 1
+            + F.col("o_orderkey") % 60
+        ).alias("end"),
+    )
+    right = orders.filter(F.col("o_orderkey") % 10 == 5).select(
+        F.col("o_orderkey").alias("rid"),
+        (F.col("o_custkey") % 20).alias("key"),
+        ((F.col("o_custkey") * 13) % 1000).alias("start"),
+        (
+            (F.col("o_custkey") * 13) % 1000
+            + 1
+            + F.col("o_orderkey") % 45
+        ).alias("end"),
+    )
+    return (
+        interval_join(left, right, key="key", bin_size=64)
+        .select("lid", F.col("rid_r").alias("rid"))
+        .orderBy("lid", "rid")
+    )
+
+
+@query(
+    "qtk1_topk_combiner",
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+FROM r WHERE rn <= 3 ORDER BY o_orderpriority, rn
+""",
+    doc="qtk1: map-side top-k combiner — a mapInPandas partial pass "
+    "keeps <= k rows per (group, Arrow batch) so only ~k*groups*"
+    "batches rows shuffle into the exact window pass (vs every row "
+    "for the plain window form). Must be observationally identical "
+    "to row_number()-filter, which is the oracle.",
+    tags=("operator", "topk"),
+)
+def qtk1_topk_combiner(spark, sf_dir):
+    from sora_spark.operators.topk import topk_per_group
+
+    orders = tables(spark, sf_dir).orders.select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return (
+        topk_per_group(
+            orders,
+            ["o_orderpriority"],
+            "o_totalprice",
+            3,
+            tiebreak_cols=["o_orderkey"],
+            descending=True,
+        )
+        .select(
+            "o_orderpriority",
+            F.col("rn").cast("bigint").alias("rn"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+@query(
+    "qts1_resample_fill",
+    oracle="""
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+  FROM b GROUP BY 1),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds),
+j AS (
+  SELECT g.event_type, g.bucket, b.n_events,
+         b.n_events IS NOT NULL AS present
+  FROM grid g LEFT JOIN b ON g.event_type = b.event_type
+                          AND g.bucket = b.bucket)
+SELECT event_type,
+       strftime(bucket, '%Y-%m-%d %H:00:00') AS hour,
+       CAST(last_value(n_events IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_events,
+       present
+FROM j ORDER BY event_type, hour
+""",
+    doc="qts1: time-series regularization — resample events to an "
+    "hourly grid per type, then dense per-key grid (sequence + "
+    "explode, generated distributed) with forward fill via "
+    "last(ignorenulls) over one key-partitioned window. `present` "
+    "marks real vs gap rows. Oracle mirrors with generate_series + "
+    "last_value IGNORE NULLS.",
+    tags=("operator", "timeseries"),
+)
+def qts1_resample_fill(spark, sf_dir):
+    from sora_spark.operators import timeseries
+
+    ev = tables(spark, sf_dir).events
+    b = timeseries.resample(ev, "event_type", "ts", step="1 hour")
+    filled = timeseries.fill_gaps(
+        b, "event_type", "bucket", "1 hour", ["n_events"]
+    )
+    return (
+        filled.select(
+            "event_type",
+            F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("hour"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("_present").alias("present"),
+        )
+        .orderBy("event_type", "hour")
+    )
