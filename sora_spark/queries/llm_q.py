@@ -555,3 +555,46 @@ def qta5_repetition_stats(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "qpii1_scrub",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+           '[+]?[0-9][0-9 ()+.-]{6,}[0-9]', '<NUM>', 'g') AS scrubbed,
+         len(regexp_extract_all(text, 'https?://[^\\s]+'))
+         + len(regexp_extract_all(
+             regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         + len(regexp_extract_all(
+             regexp_replace(
+               regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '[+]?[0-9][0-9 ()+.-]{6,}[0-9]')) AS n_scrubbed
+  FROM documents)
+SELECT doc_id, md5(scrubbed) AS scrubbed_md5,
+       CAST(n_scrubbed AS INT) AS n_scrubbed
+FROM s ORDER BY doc_id
+""",
+    doc="qpii1: PII scrub — URL -> email -> digit-run replacement in "
+    "that order (each count runs on the PREVIOUS stage's output, so "
+    "an email inside a URL is never double-counted). Patterns are "
+    "RE2-safe; DuckDB needs the 'g' flag Spark implies. Output is "
+    "md5(scrubbed) + replacement count per doc.",
+    tags=("llm", "pii", "text-analysis"),
+)
+def qpii1_scrub(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    s = textstats.scrub_pii(docs)
+    return s.select(
+        "doc_id",
+        F.md5("text_scrubbed").alias("scrubbed_md5"),
+        "n_scrubbed",
+    ).orderBy("doc_id")
