@@ -294,3 +294,23 @@ def test_aqe_skew_join_split_fires(spark, sf_dir, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["qiv1_interval_join", "qfz1_fuzzy_join", "qd2_ngram_jaccard"],
+)
+def test_blocked_joins_never_nested_loop(spark, sf_dir, name):
+    """The blocked similarity/overlap joins exist precisely to avoid
+    the theta-join nested loop — the planner must see an equi key
+    (bin, gram, shingle) and never fall back to Cartesian/BNLJ."""
+    p = _plan(spark, sf_dir, name, mode="simple")
+    assert "CartesianProduct" not in p, name
+    assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_topk_combiner_single_shuffle(spark, sf_dir):
+    """The map-side combiner's value is shuffle reduction: exactly ONE
+    hash exchange (on the group key) in the whole top-k plan."""
+    p = _plan(spark, sf_dir, "qtk1_topk_combiner", mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
