@@ -963,8 +963,15 @@ def test_cli_list_and_inventory():
     assert inv.returncode == 0
     rows = inv.stdout.strip().splitlines()
     assert rows[0].startswith("| query |")
-    ncols = rows[0].count("|")
-    assert all(r.count("|") == ncols for r in rows[2:]), "pipe-escape broken"
+    # cell delimiters = pipes NOT escaped as \| (docs may contain
+    # literal '||' — markdown keeps \| inside the cell)
+    import re
+
+    def ncells(r):
+        return len(re.findall(r"(?<!\\)\|", r))
+
+    ncols = ncells(rows[0])
+    assert all(ncells(r) == ncols for r in rows[2:]), "pipe-escape broken"
 
     bad = subprocess.run(
         [sys.executable, "-m", "sora_spark", "run", "no_such_query"],
