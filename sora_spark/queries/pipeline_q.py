@@ -399,3 +399,47 @@ def qts1_resample_fill(spark, sf_dir):
         )
         .orderBy("event_type", "hour")
     )
+
+
+@query(
+    "qd5_neardup_clusters",
+    oracle="""
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh0 AS (SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w FROM w),
+shingle AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM sh0),
+perms AS (SELECT unnest(range(0, 4)) AS perm),
+sig AS (SELECT doc_id, perm, min(md5(perm || '|' || sh)) AS sig
+        FROM shingle CROSS JOIN perms GROUP BY doc_id, perm),
+bands AS (SELECT doc_id, perm // 2 AS band,
+                 string_agg(sig, '|' ORDER BY sig) AS bkey
+          FROM sig GROUP BY doc_id, band),
+pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+e AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+reach(v, u) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.v, e.d FROM reach r JOIN e ON r.u = e.s),
+comp AS (SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v)
+SELECT doc_id, cluster_id,
+       row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) = 1
+         AS is_canonical
+FROM comp ORDER BY doc_id
+""",
+    doc="qd5: END-TO-END fuzzy dedup — MinHash banding (4 perms, 2 "
+    "bands) -> candidate-pair similarity graph -> two-phase connected "
+    "components -> canonical per cluster. The transitive a~b~c merge "
+    "that pair lists under-deliver, hash-checked whole: the oracle "
+    "rebuilds the same bands and closes the pair graph with a "
+    "recursive CTE (bounded: closure is per-component, components "
+    "are LSH-bucket-sized).",
+    tags=("llm", "dedup", "graph", "pipeline"),
+)
+def qd5_neardup_clusters(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return (
+        dedup.near_dup_clusters(docs, num_perm=4, bands=2)
+        .orderBy("doc_id")
+    )
