@@ -70,7 +70,14 @@ def lsh_candidate_pairs(
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, num_perm)
     band_keys = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        # docs with no shingles (fewer than shingle_n words) have NULL
+        # signatures; collect_list would drop them and give every such
+        # doc the SAME empty band key, pairing all short docs with
+        # each other (round-3 review finding). They have no MinHash
+        # evidence of similarity — exclude them from banding entirely,
+        # matching the SQL oracle (its shingle CTE omits them).
+        sig.filter(F.col("sig").isNotNull())
+        .withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy("id", "band")
         .agg(F.concat_ws("|", F.array_sort(F.collect_list("sig"))).alias("bkey"))
     )

@@ -4,14 +4,20 @@ Scale shape: q-gram blocking — each side explodes into character
 q-grams, candidates come from a gram EQUI-join (ordinary shuffle key,
 never all-pairs), then `levenshtein() <= max_distance` verifies. By
 q-gram count filtering, strings of length >= q·(d+1) within edit
-distance d always share at least one q-gram, so recall is exact for
-long-enough strings. Strings shorter than q + max_distance all share
-ONE dedicated short-string block key: if either side of a
-distance-<=d pair is shorter than q, the other is shorter than q+d,
-so both land in that bucket and recall stays exact. The short bucket
-is quadratic in the COUNT of sub-(q+d)-length strings — fine when
-short strings are rare (the normal case); raise q consciously if the
-corpus is dominated by very short strings.
+distance d always share at least one q-gram — BELOW that bound a
+distance-d pair can have fully disjoint gram sets (e.g. 'abcd' vs
+'abxcd' at d=1, q=3), so gram blocking alone is not exact. Every
+string shorter than q·(d+1) therefore also joins ONE dedicated
+short-string block key: either both sides of a distance-<=d pair meet
+the q·(d+1) bound (gram recall exact) or the shorter side is under it
+and the longer side is under q·(d+1)+d <= q·(d+2)... — precisely, if
+min(len) < q·(d+1) then max(len) < q·(d+1)+d, so the bucket cutoff
+includes both sides when set to q·(d+1)+d. Recall is exact overall.
+The short bucket is quadratic in the COUNT of sub-(q(d+1)+d)-length
+strings — for q=3, d=1 that is strings under 7 chars. Lower q (and
+the cutoff with it) or pre-filter very short strings consciously when
+the corpus is dominated by them; silent false negatives are worse
+than a measurable bucket cost (round-3 review finding).
 """
 
 from __future__ import annotations
@@ -31,10 +37,14 @@ def _grams(col, q: int, max_distance: int):
     shingles = F.when(F.length(col) >= q, char_shingles(col, q)).otherwise(
         empty
     )
-    # every string that COULD pair with a sub-q string joins the one
-    # short bucket; strings in [q, q+d) emit both gram kinds
+    # every string that COULD pair with a string below the q(d+1)
+    # exact-gram-recall bound joins the one short bucket: if
+    # min(len) < q(d+1) then max(len) < q(d+1)+d, so this cutoff
+    # catches both sides of every such pair; strings meeting the
+    # bound on both sides are covered by gram blocking alone
+    cutoff = q * (max_distance + 1) + max_distance
     short = F.when(
-        F.length(col) < q + max_distance, F.array(F.lit(_SHORT_KEY))
+        F.length(col) < cutoff, F.array(F.lit(_SHORT_KEY))
     ).otherwise(empty)
     return F.concat(shingles, short)
 

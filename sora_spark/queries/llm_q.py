@@ -298,12 +298,18 @@ def _plane_lit(p):
     return "[" + ", ".join(repr(x) for x in p) + "]"
 
 
+def _band_bucket_sql(planes) -> str:
+    """Sign-pattern bucket key as DuckDB SQL — the single source for
+    every sign-LSH oracle (qd3b single-band, qd3c multi-band)."""
+    return " || ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_lit(p)}) >= 0"
+        " THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+
+
 _QD3B_PLANES = ann._hyperplanes(64, 6, 7)
-_QD3B_BUCKET = " || ".join(
-    f"(CASE WHEN list_dot_product(v, {_plane_lit(p)}) >= 0"
-    " THEN '1' ELSE '0' END)"
-    for p in _QD3B_PLANES
-)
+_QD3B_BUCKET = _band_bucket_sql(_QD3B_PLANES)
 
 
 @query(
@@ -330,14 +336,6 @@ def qd3b_embedding_neardup_lsh(spark, sf_dir):
     return (
         ann.near_duplicate_pairs_lsh(emb, threshold=0.3, dim=64, n_planes=6)
         .orderBy("a", "b")
-    )
-
-
-def _band_bucket_sql(planes) -> str:
-    return " || ".join(
-        f"(CASE WHEN list_dot_product(v, {_plane_lit(p)}) >= 0"
-        " THEN '1' ELSE '0' END)"
-        for p in planes
     )
 
 

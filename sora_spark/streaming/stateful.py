@@ -53,11 +53,22 @@ def has_tws_support() -> bool:
 
 def running_user_counts_auto(events: DataFrame) -> DataFrame:
     """Running per-user counters via the best stateful backend the
-    environment supports: transformWithStateInPandas (ValueState,
-    RocksDB-ready) when the protobuf runtime is present, else the
-    portable applyInPandasWithState path. Same schema, same semantics,
-    same output mode — callers never branch on the env."""
+    environment supports: transformWithStateInPandas (ValueState) when
+    the protobuf runtime is present, else the portable
+    applyInPandasWithState path. Same schema, same semantics, same
+    output mode — callers never branch on the env.
+
+    Choosing TWS also sets the RocksDB state-store provider on the
+    session (TWS requires it; leaving the default HDFS-backed provider
+    would fail at query start, not fall back — round-3 review
+    finding). Driver-side probing is a local[*] heuristic: on a real
+    cluster, executor Python envs must match the driver's for TWS."""
     if has_tws_support():
+        events.sparkSession.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         return running_user_counts_tws(events)
     return running_user_counts(events)
 

@@ -862,6 +862,23 @@ def test_fuzzy_join_short_strings(spark):
     assert out == {("ab", "abc"): 1, ("ab", "bb"): 1}
 
 
+def test_fuzzy_join_mid_length_below_gram_bound(spark):
+    """Pairs whose shorter side sits in [q, q(d+1)) can have DISJOINT
+    q-gram sets at distance d ('abcd'~'abxcd', 'abc'~'abxc'); the
+    short bucket's q(d+1)+d cutoff must recall them (round-3 review
+    finding)."""
+    from sora_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame([("abc",), ("abcd",)], "name STRING")
+    right = spark.createDataFrame(
+        [("abxc",), ("abxcd",), ("completely different",)], "q STRING"
+    )
+    out = {(r["name"], r["q_r"]): r["distance"] for r in
+           fuzzy_join(left, right, "name", "q",
+                      max_distance=1, q=3).collect()}
+    assert out == {("abc", "abxc"): 1, ("abcd", "abxcd"): 1}
+
+
 def test_topk_combiner_null_group_and_order(spark):
     """NULL group keys survive the pandas partial pass; ascending
     order ranks NULL order-values first (Spark NULLS FIRST)."""

@@ -389,3 +389,21 @@ def test_split_by_hash_deterministic_and_proportional(spark, sf_dir):
     for s, frac in fr.items():
         sigma = math.sqrt(n * frac * (1 - frac))
         assert abs(counts[s] - n * frac) <= 4 * sigma + 1, (s, counts[s])
+
+
+def test_lsh_short_docs_never_pair(spark):
+    """Docs with fewer words than the shingle width have no MinHash
+    evidence — they must NOT all share an empty band key and collapse
+    into one cluster (round-3 review finding)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "totally different"), (3, "x"),
+         (4, "one two three four five"), (5, "one two three four five")],
+        "doc_id LONG, text STRING",
+    )
+    pairs = {(r["a"], r["b"]) for r in
+             dedup.lsh_candidate_pairs(docs, num_perm=4, bands=2).collect()}
+    assert pairs == {(4, 5)}, pairs
+    clusters = {r["doc_id"]: r["cluster_id"] for r in
+                dedup.near_dup_clusters(docs, num_perm=4,
+                                        bands=2).collect()}
+    assert clusters == {1: 1, 2: 2, 3: 3, 4: 4, 5: 4}

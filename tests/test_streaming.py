@@ -121,20 +121,24 @@ def test_stateful_tws_running_counts(spark, sf_dir):
     from sora_spark.sources.parquet import read_table
     from sora_spark.streaming import stateful
 
-    if stateful.has_tws_support():
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        d = replay.materialize_replay_dir(spark, sf_dir, "tws", n_files=3)
+        # the facade sets the RocksDB provider itself when it picks TWS
+        stream = stateful.running_user_counts_auto(
+            replay.events_stream(spark, d)
         )
-    d = replay.materialize_replay_dir(spark, sf_dir, "tws", n_files=3)
-    stream = stateful.running_user_counts_auto(
-        replay.events_stream(spark, d)
-    )
-    got = replay.run_to_memory(stream, _qname(), "update")
-    final = got.groupBy("user_id").agg(F.max("n_events").alias("n"))
-    total = final.agg(F.sum("n")).collect()[0][0]
-    assert total == read_table(spark, sf_dir, "events").count()
+        got = replay.run_to_memory(stream, _qname(), "update")
+        final = got.groupBy("user_id").agg(F.max("n_events").alias("n"))
+        total = final.agg(F.sum("n")).collect()[0][0]
+        assert total == read_table(spark, sf_dir, "events").count()
+    finally:
+        # don't leak a facade-chosen provider into later tests
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def test_stream_stream_join_matches_batch(spark, sf_dir):
