@@ -432,3 +432,149 @@ def qg12_reduce_pipeline(spark, sf_dir):
         [(n_final, stats["rounds"], str(stats["edge_counts"]))],
         "n_edges_final BIGINT, rounds BIGINT, edge_counts STRING",
     )
+
+
+def _kcore_round_sql(prev: str, i: int, k: int) -> str:
+    """One unrolled k-core peel round as MATERIALIZED DuckDB CTEs
+    (same unroll-past-fixpoint trick as the reduction oracle: peeling
+    only removes, so a round applied at the fixpoint is identity)."""
+    return f"""
+kd{i} AS MATERIALIZED (SELECT s FROM {prev} GROUP BY s
+                       HAVING count(*) >= {k}),
+ke{i} AS MATERIALIZED (SELECT e.s, e.d FROM {prev} e
+                       WHERE e.s IN (SELECT s FROM kd{i})
+                         AND e.d IN (SELECT s FROM kd{i}))"""
+
+
+_KCORE_K = 20
+_KCORE_ROUNDS = 9  # measured fixpoint: 7 rounds at sf0.01, 1 at sf0.001
+
+
+@query(
+    "qg13_kcore",
+    oracle=(
+        f"WITH eco AS MATERIALIZED ({E_CO_SMALL_SQL}),\n"
+        "sym AS MATERIALIZED (SELECT s, d FROM (SELECT s, d FROM eco "
+        "UNION SELECT d, s FROM eco)),\n"
+        + ",".join(
+            _kcore_round_sql("sym" if i == 0 else f"ke{i - 1}", i, _KCORE_K)
+            for i in range(_KCORE_ROUNDS)
+        )
+        + f"\nSELECT DISTINCT s AS v FROM ke{_KCORE_ROUNDS - 1} ORDER BY v"
+    ),
+    doc=f"qg13: {_KCORE_K}-core of the bounded co-occurrence graph — "
+    "iterative peeling to fixpoint (Spark side raises rather than "
+    "returning a partial peel), hash-matched against "
+    f"{_KCORE_ROUNDS} unrolled peel rounds (monotone: rounds only "
+    "remove, so unroll >= fixpoint IS the fixpoint; measured 7 rounds "
+    "at sf0.01). Upgrades k-core from the unit tier.",
+    tags=("graph", "kcore", "fixpoint"),
+)
+def qg13_kcore(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        Graph(e_co_small(li))
+        .k_core(k=_KCORE_K, max_iter=2 * _KCORE_ROUNDS)
+        .orderBy("v")
+    )
+
+
+def _sssp_weight_sql() -> str:
+    return "1 + (s + d) % 3"
+
+
+@query(
+    "qg15_weighted_sssp",
+    oracle=f"""
+WITH RECURSIVE eco AS MATERIALIZED ({E_CO_SMALL_SQL}),
+we AS MATERIALIZED (
+  SELECT s, d, {_sssp_weight_sql()} AS w FROM eco),
+src AS (SELECT min(s) AS v FROM eco),
+walk(v, dist) AS (
+  SELECT v, 0 FROM src
+  UNION
+  SELECT e.d, walk.dist + e.w FROM walk JOIN we e ON e.s = walk.v
+  WHERE walk.dist + e.w <= 40
+)
+SELECT v, CAST(min(dist) AS INT) AS dist
+FROM walk GROUP BY v ORDER BY v
+""",
+    doc="qg15: weighted single-source shortest paths (Bellman-Ford "
+    "relaxation to convergence, DIRECTED edges, integer weights "
+    "1+(s+d)%3) from the minimum vertex — hash-matched against a "
+    "bounded recursive-CTE walk with min-aggregation (distances are "
+    "small ints, so the walk's (v, dist) state space is |V|x40). "
+    "Upgrades weighted shortest paths from the unit tier.",
+    tags=("graph", "sssp", "fixpoint"),
+)
+def qg15_weighted_sssp(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    g = Graph(e_co_small(li))
+    e = g.edges.withColumn(
+        "w", (1 + (F.col("s") + F.col("d")) % 3).cast("double")
+    )
+    src = e.agg(F.min("s").alias("v"))
+    return (
+        Graph(e)
+        .shortest_paths(src, weight_col="w", max_iter=15)
+        .filter(F.col("dist") <= 40)
+        .select("v", F.col("dist").cast("int").alias("dist"))
+        .orderBy("v")
+    )
+
+
+def _pagerank_round_sql(prev: str, i: int, damping: float = 0.85) -> str:
+    """One unrolled PageRank power-iteration round as MATERIALIZED
+    CTEs, mirroring Graph.pagerank exactly: dangling mass (vertices
+    with no out-edges) redistributed uniformly, base = (1-d) +
+    d*dangling/n."""
+    return f"""
+dang{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.rank), 0.0) AS m FROM {prev} r
+  WHERE r.v NOT IN (SELECT s FROM od)),
+contrib{i} AS MATERIALIZED (
+  SELECT e.d AS v, sum(r.rank / od.od) AS c
+  FROM eco e JOIN {prev} r ON r.v = e.s JOIN od ON od.s = e.s
+  GROUP BY e.d),
+pr{i} AS MATERIALIZED (
+  SELECT verts.v,
+         (1.0 - {damping}) + {damping} * (SELECT m FROM dang{i}) / nv.n
+         + {damping} * coalesce(c.c, 0.0) AS rank
+  FROM verts CROSS JOIN nv LEFT JOIN contrib{i} c ON c.v = verts.v)"""
+
+
+_PR_ROUNDS = 10
+
+
+@query(
+    "qg14_pagerank",
+    oracle=(
+        f"WITH eco AS MATERIALIZED ({E_CO_SMALL_SQL}),\n"
+        "verts AS MATERIALIZED (SELECT DISTINCT v FROM "
+        "(SELECT s AS v FROM eco UNION SELECT d FROM eco)),\n"
+        "nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),\n"
+        "od AS MATERIALIZED (SELECT s, CAST(count(*) AS DOUBLE) AS od "
+        "FROM eco GROUP BY s),\n"
+        "pr0 AS MATERIALIZED (SELECT v, 1.0 AS rank FROM verts),\n"
+        + ",".join(
+            _pagerank_round_sql(f"pr{i}", i + 1) for i in range(_PR_ROUNDS)
+        )
+        + f"\nSELECT v, round(rank, 6) AS rank FROM pr{_PR_ROUNDS} ORDER BY v"
+    ),
+    doc=f"qg14: PageRank, {_PR_ROUNDS} power-iteration rounds over the "
+    "DIRECTED bounded co-occurrence graph (damping 0.85, dangling mass "
+    "redistributed uniformly, ranks normalized to sum |V|) — "
+    "hash-matched against the same rounds unrolled as SQL CTEs; "
+    "round(rank, 6) absorbs cross-engine float-summation order "
+    "(drift is ~1e-13 after 10 rounds, 7 orders under the rounding "
+    "grain). Upgrades PageRank from the numpy-verified unit tier.",
+    tags=("graph", "pagerank"),
+)
+def qg14_pagerank(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        Graph(e_co_small(li))
+        .pagerank(n_iter=_PR_ROUNDS, damping=0.85)
+        .select("v", F.round("rank", 6).alias("rank"))
+        .orderBy("v")
+    )
