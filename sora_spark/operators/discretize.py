@@ -22,17 +22,36 @@ def quantile_discretize(
     n_buckets: int = 4,
     out_col: str | None = None,
     rel_err: float = 0.001,
+    exact: bool = False,
+    boundary_decimals: int | None = None,
 ) -> tuple[DataFrame, list[float]]:
     """Returns (df + bucket column in [0, n_buckets-1], boundaries).
     bucket(x) = #{b in boundaries : x > b} — monotone, NULL-safe
-    (NULL stays NULL)."""
+    (NULL stays NULL).
+
+    `exact=True` computes boundaries with the exact `percentile`
+    aggregate (linear interpolation — the same semantics as DuckDB's
+    `quantile_cont`, proven portable by qa7) instead of the
+    Greenwald-Khanna sketch: one full agg pass instead of one sketch
+    pass, for when bucket edges must be engine-reproducible.
+    `boundary_decimals` rounds the boundaries before assignment so a
+    cross-engine comparison is immune to last-ulp interpolation
+    differences."""
     out_col = out_col or f"{col}_bucket"
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    if exact:
+        raw = df.agg(
+            F.percentile(col, [float(p) for p in probs]).alias("q")
+        ).collect()[0]["q"]
+    else:
+        raw = df.approxQuantile(col, probs, rel_err)
+    if boundary_decimals is not None:
+        raw = [round(b, boundary_decimals) for b in raw]
     # dedupe: heavily-tied columns repeat a quantile boundary, which
     # would leave unreachable bucket ids — collapsing ties means ids
     # stay contiguous in [0, len(bounds)] (possibly < n_buckets; the
     # equal-mass contract is only as fine as the value distribution)
-    bounds = sorted(set(df.approxQuantile(col, probs, rel_err)))
+    bounds = sorted(set(raw))
     bucket = None
     for b in bounds:
         term = F.when(F.col(col) > b, 1).otherwise(0)

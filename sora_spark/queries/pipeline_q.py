@@ -443,3 +443,48 @@ def qd5_neardup_clusters(spark, sf_dir):
         dedup.near_dup_clusters(docs, num_perm=4, bands=2)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "qdz1_quantile_discretize",
+    oracle="""
+WITH b AS (
+  SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS b1,
+         round(quantile_cont(o_totalprice, 0.5), 4)  AS b2,
+         round(quantile_cont(o_totalprice, 0.75), 4) AS b3
+  FROM orders)
+SELECT CAST((o_totalprice > b.b1) AS INT)
+       + CAST((o_totalprice > b.b2) AS INT)
+       + CAST((o_totalprice > b.b3) AS INT) AS bucket,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders CROSS JOIN b
+GROUP BY 1 ORDER BY bucket
+""",
+    doc="qdz1: exact quantile discretization — quartile boundaries via "
+    "the exact percentile aggregate (Spark `percentile` == DuckDB "
+    "`quantile_cont`, both linear interpolation; boundaries rounded "
+    "to 4 decimals on both sides so last-ulp interpolation drift "
+    "cannot flip a bucket), assignment = count of boundaries strictly "
+    "below. The sketch path (approxQuantile) stays the scale default; "
+    "this pins the exact mode.",
+    tags=("operator", "discretize"),
+)
+def qdz1_quantile_discretize(spark, sf_dir):
+    from sora_spark.operators.discretize import quantile_discretize
+
+    orders = tables(spark, sf_dir).orders
+    bucketed, _ = quantile_discretize(
+        orders, "o_totalprice", n_buckets=4, out_col="bucket",
+        exact=True, boundary_decimals=4,
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
