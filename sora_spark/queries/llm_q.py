@@ -596,3 +596,40 @@ def qpii1_scrub(spark, sf_dir):
         F.md5("text_scrubbed").alias("scrubbed_md5"),
         "n_scrubbed",
     ).orderBy("doc_id")
+
+
+@query(
+    "qm2_frame_sampling",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         hex(encode(text)) AS h
+  FROM documents),
+o AS (
+  SELECT doc_id, h, unnest(range(1, n - 16 + 2, 32)) AS off
+  FROM f WHERE n >= 16)
+SELECT doc_id, CAST((off - 1) // 32 AS INT) AS frame_idx,
+       md5(substr(h, (off - 1) * 2 + 1, 32)) AS frame_md5
+FROM o ORDER BY doc_id, frame_idx
+""",
+    doc="qm2: multimodal frame sampling — every 32 bytes, slice a "
+    "16-byte frame out of the binary payload (sequence + posexplode + "
+    "binary substring, pure JVM, no Python, no shuffle); frames are "
+    "compared as md5(hex(frame)) because byte slicing must agree on "
+    "BYTE offsets even for multi-byte UTF-8 docs (DuckDB has no BLOB "
+    "substring, but hex strings make the slice byte-exact on both "
+    "engines).",
+    tags=("llm", "multimodal"),
+)
+def qm2_frame_sampling(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    mm = multimodal.attach_payload(docs, "text", "text/plain")
+    frames = multimodal.sample_frames(mm, frame_bytes=16, stride=32)
+    return (
+        frames.select(
+            "doc_id",
+            "frame_idx",
+            F.md5(F.hex("frame")).alias("frame_md5"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )

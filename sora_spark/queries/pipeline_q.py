@@ -488,3 +488,46 @@ def qdz1_quantile_discretize(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "qcur2_yield_report",
+    oracle="""
+WITH dedup AS (
+  SELECT doc_id, source, text,
+         row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                            ORDER BY doc_id) AS rn
+  FROM documents),
+curated AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM dedup WHERE rn = 1 AND len(string_split(text, ' ')) >= 24),
+inn AS (SELECT source, count(*) AS docs_in FROM documents GROUP BY source),
+outn AS (SELECT source, count(*) AS docs_out,
+                CAST(sum(n_tokens) AS BIGINT) AS tokens_out
+         FROM curated GROUP BY source)
+SELECT i.source, i.docs_in,
+       coalesce(o.docs_out, 0) AS docs_out,
+       coalesce(o.tokens_out, 0) AS tokens_out,
+       round(coalesce(o.docs_out, 0) * 1.0 / i.docs_in, 4) AS doc_yield
+FROM inn i LEFT JOIN outn o ON i.source = o.source
+ORDER BY i.source
+""",
+    doc="qcur2: curation yield accounting — per-source docs in/out, "
+    "token totals and yield ratio after exact dedup + a min-length "
+    "gate (the report a curation run ships with; "
+    "llm.curate.yield_report over the same curated frame).",
+    tags=("llm", "pipeline", "curation"),
+)
+def qcur2_yield_report(spark, sf_dir):
+    from sora_spark.llm import curate, textstats
+
+    docs = tables(spark, sf_dir).documents
+    kept = dedup.dedup_exact(docs)
+    curated = kept.withColumn(
+        "n_tokens", F.size(textstats.tokens(F.col("text")))
+    ).filter(F.col("n_tokens") >= 24)
+    return (
+        curate.yield_report(docs, curated)
+        .withColumn("tokens_out", F.col("tokens_out").cast("bigint"))
+        .orderBy("source")
+    )
