@@ -27,30 +27,37 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY[_FLAGSHIP].spark_fn(spark, _SMOKE_SF_DIR)
 
 
-def _driver_green() -> set[str]:
-    """Query names already fully green in some past CORRECTNESS_r*.json."""
-    green: set[str] = set()
+def _last_green_round() -> dict[str, int]:
+    """Map query name -> latest round number with a fully-green
+    CORRECTNESS row (rows+schema+hash).  Absent = never green."""
+    latest: dict[str, int] = {}
     for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        base = os.path.basename(path)
+        try:
+            rnd = int(base[len("CORRECTNESS_r") : -len(".json")])
+        except ValueError:
+            continue
         try:
             with open(path) as fh:
                 rep = json.load(fh)
-            for name, row in rep.items():
-                if isinstance(row, dict) and all(
-                    row.get(k) for k in ("rows_match", "schema_match", "hash_match")
-                ):
-                    green.add(name)
         except (OSError, ValueError):
             continue
-    return green
+        for name, row in rep.items():
+            if isinstance(row, dict) and all(
+                row.get(k) for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def _ordered_names() -> list[str]:
-    """Registry order, rotated: queries WITHOUT a driver-green
-    CORRECTNESS row from a past round come first, so a driver that
-    checks only a prefix always covers the unverified ones."""
-    green = _driver_green()
+    """Registry order, rotated oldest-driver-check-first: queries whose
+    most recent driver-green CORRECTNESS row is oldest (never-checked =
+    oldest of all) come first, so a driver that checks only a 50-entry
+    prefix keeps re-certifying the stalest results each round."""
+    latest = _last_green_round()
     names = list(REGISTRY)
-    return [n for n in names if n not in green] + [n for n in names if n in green]
+    return sorted(names, key=lambda n: (latest.get(n, -1), names.index(n)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
