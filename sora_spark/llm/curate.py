@@ -170,8 +170,17 @@ def split_threshold_hex(fraction: float, digits: int = 8) -> str:
     """Hex string h such that P(first `digits` md5 hex chars < h) =
     `fraction` for a uniform hash — the cumulative-fraction boundary
     used by `split_by_hash_portable`. Floor (not round): the boundary
-    must be writable as a plain hex literal in an oracle SQL."""
-    return format(int(fraction * 16**digits), f"0{digits}x")
+    must be writable as a plain hex literal in an oracle SQL.
+
+    Exact rational arithmetic (Fraction of the decimal literal, not
+    float multiply): an external consumer recomputing the threshold
+    from the documented formula gets the identical hex literal without
+    reproducing any float rounding — Fraction(str(0.1)) is exactly
+    1/10 where 0.1 * 16**8 carries the binary representation error
+    (round-4 review)."""
+    from fractions import Fraction
+
+    return format(int(Fraction(str(fraction)) * 16**digits), f"0{digits}x")
 
 
 def split_by_hash_portable(

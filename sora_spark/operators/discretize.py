@@ -43,6 +43,10 @@ def quantile_discretize(
         raw = df.agg(
             F.percentile(col, [float(p) for p in probs]).alias("q")
         ).collect()[0]["q"]
+        # empty input: F.percentile aggregates to NULL (raw is None)
+        # where approxQuantile returns [] — normalize so both modes
+        # degrade to a single bucket
+        raw = raw or []
     else:
         raw = df.approxQuantile(col, probs, rel_err)
     if boundary_decimals is not None:

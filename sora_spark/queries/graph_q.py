@@ -11,12 +11,40 @@ in sora_spark.graph are scale-free (iterative joins + localCheckpoint).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from sora_spark.catalog import tables
 from sora_spark.graph import Graph, e_co, e_seq
 from sora_spark.graph.derive import E_CO_SMALL_SQL, E_CO_SQL, e_co_small
 from sora_spark.queries.registry import query
+
+# Fixpoint-unroll oracles (qg11b/qg13/qg15) hard-code an unroll count
+# measured at these scale factors; at a larger sf the unrolled SQL can
+# stop before the true fixpoint and the hash check would fail
+# SPURIOUSLY.  Guard: raise a clear calibration error instead of
+# letting scale-up surface as a silent-looking hash mismatch
+# (ADVICE r03).
+_CALIBRATED_MAX_SF = 0.01
+
+
+def _require_calibrated_sf(sf_dir: str, what: str) -> None:
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    if not m:
+        return  # custom fixture dir — calibration unknowable, skip
+    try:
+        sf = float(m.group(1))
+    except ValueError:
+        return
+    if sf > _CALIBRATED_MAX_SF + 1e-12:
+        raise ValueError(
+            f"{what}: unrolled-fixpoint oracle calibrated for "
+            f"sf <= {_CALIBRATED_MAX_SF}, got sf={sf}. Re-measure "
+            "rounds-to-fixpoint at this scale and raise the unroll "
+            "constant (see graph_q.py fixpoint queries) before "
+            "trusting the hash comparison."
+        )
 
 
 @query(
@@ -407,6 +435,7 @@ def qg11_reduce_two_rounds(spark, sf_dir):
     tags=("graph", "reduction", "fixpoint"),
 )
 def qg11b_reduce_to_fixpoint(spark, sf_dir):
+    _require_calibrated_sf(sf_dir, "qg11b (3 unrolled rounds)")
     li = tables(spark, sf_dir).lineitem
     return (
         Graph(e_co_small(li))
@@ -471,6 +500,7 @@ _KCORE_ROUNDS = 9  # measured fixpoint: 7 rounds at sf0.01, 1 at sf0.001
     tags=("graph", "kcore", "fixpoint"),
 )
 def qg13_kcore(spark, sf_dir):
+    _require_calibrated_sf(sf_dir, f"qg13 ({_KCORE_ROUNDS} unrolled peels)")
     li = tables(spark, sf_dir).lineitem
     return (
         Graph(e_co_small(li))
@@ -508,6 +538,7 @@ FROM walk GROUP BY v ORDER BY v
     tags=("graph", "sssp", "fixpoint"),
 )
 def qg15_weighted_sssp(spark, sf_dir):
+    _require_calibrated_sf(sf_dir, "qg15 (max_iter=15 relaxation bound)")
     li = tables(spark, sf_dir).lineitem
     g = Graph(e_co_small(li))
     e = g.edges.withColumn(

@@ -132,9 +132,18 @@ def qu4_map_in_pandas_splitter(spark, sf_dir):
 
     def split_records(batches):
         # vectorized: one str.split + explode per Arrow batch — no
-        # per-row Python loop (round-2 review finding)
+        # per-row Python loop (round-2 review finding). NULL text
+        # yields zero token rows (dropna: pandas str.split maps a
+        # missing value to NaN, which explode would otherwise keep as
+        # a phantom (doc_id, NULL) token — round-4 review finding;
+        # pinned by tests/test_capabilities.py NULL-text test).
         for pdf in batches:
-            toks = pdf.set_index("doc_id")["text"].str.split(" ").explode()
+            toks = (
+                pdf.set_index("doc_id")["text"]
+                .str.split(" ")
+                .explode()
+                .dropna()
+            )
             yield pd.DataFrame(
                 {"doc_id": toks.index, "token": toks.to_numpy()}
             )

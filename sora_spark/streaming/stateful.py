@@ -11,6 +11,8 @@ once the watermark passes the 1-hour join range.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -51,6 +53,31 @@ def has_tws_support() -> bool:
         return False
 
 
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def rocksdb_provider(spark):
+    """Scoped RocksDB state-store provider: streaming queries snapshot
+    SQL confs at `.start()`, so setting the provider for the duration
+    of the block and restoring it on exit gives queries started inside
+    the block RocksDB state without leaking the conf to the rest of
+    the session."""
+    prev = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev)
+
+
 def running_user_counts_auto(events: DataFrame) -> DataFrame:
     """Running per-user counters via the best stateful backend the
     environment supports: transformWithStateInPandas (ValueState) when
@@ -58,17 +85,18 @@ def running_user_counts_auto(events: DataFrame) -> DataFrame:
     applyInPandasWithState path. Same schema, same semantics, same
     output mode — callers never branch on the env.
 
-    Choosing TWS also sets the RocksDB state-store provider on the
-    session (TWS requires it; leaving the default HDFS-backed provider
-    would fail at query start, not fall back — round-3 review
-    finding). Driver-side probing is a local[*] heuristic: on a real
-    cluster, executor Python envs must match the driver's for TWS."""
+    SIDE EFFECT when TWS is chosen: sets the RocksDB state-store
+    provider on the SESSION and leaves it set — TWS requires RocksDB
+    and streaming confs are only read at query `.start()`, which
+    happens after this function returns, so the conf cannot be
+    restored here. Callers who don't want the provider to leak into
+    later queries should wrap build+start in `rocksdb_provider(spark)`
+    (scoped set/restore) — the round-3/4 review trade-off: a silent
+    session-global default change vs a query that fails at start.
+    Driver-side probing is a local[*] heuristic: on a real cluster,
+    executor Python envs must match the driver's for TWS."""
     if has_tws_support():
-        events.sparkSession.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
+        events.sparkSession.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
         return running_user_counts_tws(events)
     return running_user_counts(events)
 

@@ -1023,3 +1023,96 @@ def test_compact_parquet_crash_recovery(spark, sf_dir):
     assert not os.path.isdir(path + "._compact_old")
     assert not os.path.isdir(path + "._compact_tmp")
     shutil.rmtree(path)
+
+
+def test_splitter_null_text_yields_no_tokens(spark):
+    """Pins qu4's NULL-text semantics (ADVICE r03): a document with
+    NULL text contributes ZERO token rows — the vectorized
+    str.split+explode path must dropna the NaN that pandas maps a
+    missing value to, not emit a phantom (doc_id, NULL) token."""
+    from sora_spark.queries.udf import qu4_map_in_pandas_splitter
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "")],
+        "doc_id bigint, text string",
+    )
+    docs.createOrReplaceTempView("capability_null_docs")
+
+    def patched(spark_, sf_dir_):
+        return docs
+
+    import sora_spark.queries.udf as udf_mod
+    import sora_spark.catalog as catalog_mod
+
+    # run the declared query body against the in-memory frame
+    import types
+
+    orig = catalog_mod.tables
+    try:
+        catalog_mod.tables = lambda s, d: types.SimpleNamespace(documents=docs)
+        udf_mod.tables = catalog_mod.tables
+        out = {r["doc_id"]: r["n_tokens"] for r in
+               qu4_map_in_pandas_splitter(spark, "unused").collect()}
+    finally:
+        catalog_mod.tables = orig
+        udf_mod.tables = orig
+    # doc 2 (NULL text) absent entirely; doc 3 ("" splits to [""]) = 1
+    assert out == {1: 2, 3: 1}
+
+
+def test_quantile_discretize_empty_input_both_modes(spark):
+    """ADVICE r03: exact=True on an empty frame must degrade to a
+    single bucket exactly like the sketch path, not crash on the NULL
+    percentile aggregate."""
+    from sora_spark.operators.discretize import quantile_discretize
+
+    empty = spark.createDataFrame([], "x double")
+    for exact in (False, True):
+        out, bounds = quantile_discretize(empty, "x", 4, exact=exact)
+        assert bounds == []
+        assert out.count() == 0
+
+
+def test_split_threshold_hex_exact_rational():
+    """ADVICE r03: thresholds come from exact decimal arithmetic, so
+    an external consumer using Fraction reproduces them verbatim."""
+    from fractions import Fraction
+
+    from sora_spark.llm.curate import split_threshold_hex
+
+    # qcur1's hardcoded oracle literals must not move
+    assert split_threshold_hex(0.8) == "cccccccc"
+    assert split_threshold_hex(0.9) == "e6666666"
+    for frac in (0.1, 0.3, 0.7, 0.05, 1 / 3):
+        want = format(int(Fraction(str(frac)) * 16**8), "08x")
+        assert split_threshold_hex(frac) == want
+
+
+def test_fixpoint_oracle_sf_calibration_guard():
+    """ADVICE r03: unrolled-fixpoint oracle queries raise a clear
+    calibration error at a larger-than-calibrated sf instead of
+    surfacing as a spurious hash mismatch."""
+    import pytest
+
+    from sora_spark.queries.graph_q import _require_calibrated_sf
+
+    _require_calibrated_sf("/root/testdata/sf0.001", "t")  # ok
+    _require_calibrated_sf("/root/testdata/sf0.01", "t")  # ok
+    _require_calibrated_sf("/custom/fixture/dir", "t")  # unknowable → ok
+    with pytest.raises(ValueError, match="calibrated"):
+        _require_calibrated_sf("/root/testdata/sf0.1", "t")
+
+
+def test_rocksdb_provider_scoped(spark):
+    """ADVICE r03: the scoped provider helper restores the previous
+    state-store provider on exit (including the unset case)."""
+    from sora_spark.streaming.stateful import (
+        _PROVIDER_KEY,
+        ROCKSDB_PROVIDER,
+        rocksdb_provider,
+    )
+
+    prev = spark.conf.get(_PROVIDER_KEY, None)
+    with rocksdb_provider(spark):
+        assert spark.conf.get(_PROVIDER_KEY) == ROCKSDB_PROVIDER
+    assert spark.conf.get(_PROVIDER_KEY, None) == prev
