@@ -3,6 +3,11 @@ Q-S2..Q-S4 (SURVEY §2.9). Q-S1 (tumbling) lives in bench_core. DuckDB
 cannot stream, so the t2 contract row for each streaming op is its
 batch-equivalent query; replay self-consistency (stream == batch) is
 asserted in tests/test_streaming.py.
+
+qs1b is the exception that closes the loop: its Spark side really runs
+`readStream` micro-batches into a memory sink (complete mode), so the
+streaming EXECUTION itself — not just the batch twin — faces the hash
+gate.
 """
 
 from __future__ import annotations
@@ -14,6 +19,36 @@ from sora_spark.catalog import tables
 from sora_spark.queries.registry import query
 
 _FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "qs1b_tumbling_stream_sink",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    doc="Q-S1 at the hash tier: the ACTUAL Structured Streaming "
+    "execution — events replayed as a 4-file parquet stream "
+    "(maxFilesPerTrigger=1, so 4 real micro-batches), tumbling-window "
+    "aggregated with a watermark, drained through a memory sink in "
+    "complete mode — hash-matched against the same DuckDB oracle as the "
+    "batch qs1. This certifies the micro-batch state machine, not just "
+    "the batch twin.",
+    tags=("streaming", "bench-adjacent"),
+)
+def qs1b_tumbling_stream_sink(spark, sf_dir):
+    import uuid
+
+    from sora_spark.streaming import ops, replay
+
+    d = replay.materialize_replay_dir(spark, sf_dir, "qs1b", n_files=4)
+    stream = ops.tumbling_counts(replay.events_stream(spark, d))
+    # unique sink name: the driver may invoke this more than once per
+    # session and memory-sink tables are session-global
+    return replay.run_to_memory(stream, f"qs1b_sink_{uuid.uuid4().hex[:8]}", "complete")
 
 
 @query(

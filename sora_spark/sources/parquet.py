@@ -21,15 +21,26 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from sora_spark.session import prepare_session
 
 
 def normalize_events(df: DataFrame) -> DataFrame:
-    """Convert nanos-as-long `ts` to a microsecond TimestampType."""
-    if isinstance(df.schema["ts"].dataType, LongType):
+    """Normalize `ts` to a microsecond TimestampType regardless of the
+    fixture's physical encoding.
+
+    Two encodings exist in the wild: TIMESTAMP(NANOS) (arrives as long
+    nanoseconds under nanosAsLong — truncate to µs), and naive
+    timestamp[us] (arrives as TIMESTAMP_NTZ — cast; the session runs in
+    UTC so the wall-clock value is preserved exactly, matching DuckDB's
+    naive reading). Everything downstream assumes TimestampType.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
