@@ -328,3 +328,47 @@ def qx9_decimal_agg(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "qx10_map_functions",
+    oracle="""
+SELECT event_id,
+       array_to_string(json_keys(props), ',') || ',uid'    AS keys,
+       json_extract_string(props, '$.k') || ','
+         || CAST(user_id AS VARCHAR)                       AS vals,
+       CAST(json_extract(props, '$.k') AS BIGINT)          AS k_val,
+       user_id                                             AS uid_val,
+       CAST(len(json_keys(props)) + 1 AS INT)              AS n_entries,
+       list_contains(json_keys(props), 'k')                AS has_k,
+       list_contains(json_keys(props), 'zz')               AS has_zz
+FROM events ORDER BY event_id LIMIT 200
+""",
+    doc="Q-X10: map family at the hash tier — from_json(props) → "
+    "map<string,bigint>, extended with map_concat(create_map(uid)), "
+    "then map_keys / map_values / element_at / size / "
+    "map_contains_key, mirrored by DuckDB JSON-object functions "
+    "(json_keys / json_extract). Promotes the map functions from "
+    "unit-only (no map fixture exists) to a driver CORRECTNESS row.",
+    tags=("scalar", "map"),
+)
+def qx10_map_functions(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    m = F.map_concat(
+        F.from_json("props", "map<string,bigint>"),
+        F.create_map(F.lit("uid"), F.col("user_id")),
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.array_join(F.map_keys(m), ",").alias("keys"),
+            F.array_join(F.map_values(m).cast("array<string>"), ",").alias("vals"),
+            F.element_at(m, "k").alias("k_val"),
+            F.element_at(m, "uid").alias("uid_val"),
+            F.size(m).alias("n_entries"),
+            F.map_contains_key(m, "k").alias("has_k"),
+            F.map_contains_key(m, "zz").alias("has_zz"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+    )

@@ -40,15 +40,13 @@ ORDER BY 1, 2
     tags=("streaming", "bench-adjacent"),
 )
 def qs1b_tumbling_stream_sink(spark, sf_dir):
-    import uuid
-
     from sora_spark.streaming import ops, replay
 
     d = replay.materialize_replay_dir(spark, sf_dir, "qs1b", n_files=4)
     stream = ops.tumbling_counts(replay.events_stream(spark, d))
-    # unique sink name: the driver may invoke this more than once per
-    # session and memory-sink tables are session-global
-    return replay.run_to_memory(stream, f"qs1b_sink_{uuid.uuid4().hex[:8]}", "complete")
+    # fixed sink name: run_to_memory drops the session-global memory
+    # table before restart, so re-invocations replace instead of leak
+    return replay.run_to_memory(stream, "qs1b_sink", "complete")
 
 
 @query(

@@ -40,6 +40,17 @@ def normalize_events(df: DataFrame) -> DataFrame:
     if isinstance(dt, LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif isinstance(dt, TimestampNTZType):
+        # The NTZ→timestamp cast reinterprets the wall-clock value in the
+        # SESSION timezone; only UTC preserves the instant the oracle
+        # reads. prepare_session sets it but cannot on a static-conf
+        # session — fail loudly rather than hash shifted hours.
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise RuntimeError(
+                "events ts is TIMESTAMP_NTZ and spark.sql.session.timeZone="
+                f"{tz!r}; the cast to timestamp is only instant-preserving "
+                "under UTC. Set the session timezone to UTC."
+            )
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

@@ -10,7 +10,9 @@ simulate out-of-order arrival for watermark tests.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -18,6 +20,15 @@ from pyspark.sql import functions as F
 from sora_spark.sources.parquet import read_table
 
 _SCRATCH = "/root/repo/.scratch/stream"
+_CREATED: set[str] = set()
+
+
+def _cleanup_scratch() -> None:
+    for path in _CREATED:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+atexit.register(_cleanup_scratch)
 
 
 def materialize_replay_dir(
@@ -28,8 +39,19 @@ def materialize_replay_dir(
     shuffled: bool = False,
 ) -> str:
     """Write the normalized events table into `n_files` parquet files
-    (time-ranged when ordered, md5-scattered when shuffled)."""
-    path = os.path.join(_SCRATCH, f"{name}-{os.getpid()}")
+    (time-ranged when ordered, md5-scattered when shuffled).
+
+    The dir is keyed by (name, source sf, layout, pid) and reused when it
+    already holds a completed write — repeated invocations in one process
+    skip the rewrite — and every dir this process created is removed at
+    exit, so runs don't accumulate fixture copies on disk (ADVICE r04).
+    """
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    layout = f"shuf{n_files}" if shuffled else f"ord{n_files}"
+    path = os.path.join(_SCRATCH, f"{name}-{sf_tag}-{layout}-{os.getpid()}")
+    _CREATED.add(path)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
     ev = read_table(spark, sf_dir, "events")
     if shuffled:
         part = ev.repartition(n_files, F.md5(F.col("event_id").cast("string")))
@@ -55,8 +77,13 @@ def events_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drain a streaming frame into a memory sink and return the final
-    table (blocks until all available input is processed)."""
+    table (blocks until all available input is processed).
+
+    Memory-sink tables are session-global; a fixed `name` is dropped
+    before restart so repeated invocations replace rather than leak
+    catalog entries + driver memory (ADVICE r04)."""
     spark = stream_df.sparkSession
+    spark.catalog.dropTempView(name)
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
