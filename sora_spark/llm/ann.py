@@ -53,6 +53,60 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_shuffle(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors WITHOUT broadcasting the probes —
+    the shape for probe sets beyond broadcast size (batch kNN-join of
+    one corpus against another).
+
+    The corpus is hash-partitioned into `n_blocks` disjoint blocks and
+    the probes replicated once per block (explode), so the join is an
+    ordinary two-sided equi-key shuffle on `_blk`: every corpus row
+    meets every probe exactly once → results are identical to
+    brute_force_topk (same rounding, same tiebreak, same oracle).
+    A per-(probe, block) partial top-k runs before the global per-probe
+    merge, so the rank shuffle carries at most k·n_blocks rows per
+    probe instead of the full |corpus| candidate stream. Choose
+    n_blocks so one corpus block fits an executor's memory; probe
+    replication cost is n_blocks·|probes| keys, independent of corpus
+    size."""
+    c = corpus.withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    ).withColumn(
+        "_blk", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_blocks)]))
+    )
+    j = c.join(p, "_blk").filter(F.col(id_col) != F.col("probe_id"))
+    sim = F.round(
+        vector.cosine(F.col(vec_col), F.col("probe_vec")), sim_decimals
+    )
+    cand = j.select(
+        "probe_id", "_blk", F.col(id_col).alias("neighbor_id"), sim.alias("sim")
+    )
+    w_part = Window.partitionBy("probe_id", "_blk").orderBy(
+        F.desc("sim"), "neighbor_id"
+    )
+    partial = cand.withColumn("_prn", F.row_number().over(w_part)).filter(
+        F.col("_prn") <= k
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        partial.select("probe_id", "neighbor_id", "sim")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "rn", "neighbor_id", "sim")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     rng = random.Random(seed)
     return [

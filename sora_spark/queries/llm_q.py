@@ -82,6 +82,37 @@ def ql4_knn_join(spark, sf_dir):
 
 
 @query(
+    "ql4b_knn_join_shuffle",
+    oracle="""
+WITH s AS (
+  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(p.embedding AS DOUBLE[])), 5) AS sim
+  FROM embeddings p, embeddings e
+  WHERE p.vec_id < 20 AND e.vec_id <> p.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM s)
+SELECT probe_id, CAST(rn AS INT) AS rn, neighbor_id, sim
+FROM r WHERE rn <= 3 ORDER BY probe_id, rn
+""",
+    doc="Q-L4 beyond broadcast: the SAME exact-kNN contract as ql4 but "
+    "computed by the two-sided-shuffle path (ann.brute_force_topk_"
+    "shuffle) — corpus hash-blocked, probes replicated per block, "
+    "equi-join on the block key, per-block partial top-k before the "
+    "global merge. Hash-gates the cluster-scale probe-set shape that "
+    "was previously only unit-matched against the broadcast path.",
+    tags=("llm", "vector"),
+)
+def ql4b_knn_join_shuffle(spark, sf_dir):
+    emb = tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 20)
+    return ann.brute_force_topk_shuffle(emb, probes, k=3, n_blocks=8).orderBy(
+        "probe_id", "rn"
+    )
+
+
+@query(
     "ql6_tfidf",
     oracle="""
 WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),

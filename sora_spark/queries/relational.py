@@ -453,3 +453,40 @@ def qc3_orc_roundtrip(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "qsrc1_fasta_roundtrip",
+    oracle="""
+SELECT doc_id, md5(text) AS text_md5,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+""",
+    doc="FASTA source at the hash tier: documents are written as "
+    "60-char-wrapped FASTA text files (sources.text.write_fasta, one "
+    "file per partition) and read back through the Spark-4 Python "
+    "DataSource (sources/fasta_datasource.py — one InputPartition per "
+    "file); md5(sequence) + length must match DuckDB over the ORIGINAL "
+    "parquet, proving header parsing and multi-line sequence "
+    "reassembly are lossless. Promotes the FASTA source from the unit "
+    "tier to a driver CORRECTNESS row.",
+    tags=("source", "sink", "fasta"),
+)
+def qsrc1_fasta_roundtrip(spark, sf_dir):
+    from sora_spark.sources.fasta_datasource import register
+    from sora_spark.sources.text import write_fasta
+
+    docs = tables(spark, sf_dir).documents
+    path = _roundtrip_dir("fasta_documents")
+    write_fasta(docs, path, "doc_id", "text", wrap=60)
+    register(spark)
+    return (
+        spark.read.format("fasta")
+        .load(path)
+        .select(
+            F.col("header").cast("bigint").alias("doc_id"),
+            F.md5("sequence").alias("text_md5"),
+            F.length("sequence").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )

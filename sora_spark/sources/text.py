@@ -100,3 +100,32 @@ def read_fasta(
         )
         .select("record_id", "header", "sequence")
     )
+
+
+def write_fasta(
+    df: DataFrame,
+    path: str,
+    header_col: str,
+    seq_col: str,
+    wrap: int = 60,
+) -> None:
+    """Write (header, sequence) rows as FASTA files — one text file per
+    partition, each a self-contained valid FASTA (the many-files layout
+    IS the scale path: readers parallelize per file).
+
+    Sequences are wrapped at `wrap` chars per line (the conventional
+    FASTA form), which also makes the read side prove multi-line record
+    reassembly. Sequence values must not contain newlines or lines
+    starting with '>'; headers must be single-line. Enforced by the
+    regexp chunker only for newlines — callers own '>'-safety.
+    """
+    record = F.concat(
+        F.lit(">"),
+        F.col(header_col).cast("string"),
+        F.lit("\n"),
+        F.array_join(
+            F.regexp_extract_all(F.col(seq_col), F.lit(f".{{1,{wrap}}}"), 0),
+            "\n",
+        ),
+    )
+    df.select(record.alias("value")).write.mode("overwrite").text(path)

@@ -184,6 +184,30 @@ def test_ann_shuffle_probe_path_matches_broadcast(spark, sf_dir):
         assert got == want
 
 
+def test_exact_knn_shuffle_path_matches_broadcast(spark, sf_dir):
+    """brute_force_topk_shuffle (block-partitioned exact kNN, ql4b) must
+    equal the broadcast path even with auto-broadcast disabled — i.e. as
+    a genuine two-sided shuffle join, the way it would run when the
+    probe set exceeds broadcast size on a cluster."""
+    emb = tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 10)
+    want = sorted(map(tuple, ann.brute_force_topk(emb, probes, k=3).collect()))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = sorted(
+            map(
+                tuple,
+                ann.brute_force_topk_shuffle(
+                    emb, probes, k=3, n_blocks=4
+                ).collect(),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want
+
+
 def test_multimodal_frame_sampling(spark, sf_dir):
     """sample_frames: JVM-side strided binary slicing — frame counts
     follow the stride formula, bytes match the payload slice, and short
