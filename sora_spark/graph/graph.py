@@ -22,6 +22,7 @@ synchronization barrier of label propagation).
 
 from __future__ import annotations
 
+import gc
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -344,15 +345,23 @@ class Graph:
         rounds = 0
         for _ in range(max_iter):
             g = Graph(edges)
-            edges = g.transitive_reduction_round()
-            tips = Graph(edges).tips(hub_degree=hub_degree)
-            edges = (
-                edges.join(tips.withColumnRenamed("v", "s"), "s", "left_anti")
-                .join(tips.withColumnRenamed("v", "d"), "d", "left_anti")
-                .select("s", "d")
-                .localCheckpoint(eager=True)
+            # checkpoint the reduced edges BEFORE the tip trim: the trim
+            # plan references this subplan several times (edge stream +
+            # degree/tip derivation), and only the input exchanges — not
+            # the 2-path semi-join itself — get ReusedExchange'd, so
+            # without the cut the round's heaviest join runs 3-4x
+            reduced = g.transitive_reduction_round().localCheckpoint(
+                eager=True
             )
+            edges = self._trim_tips(
+                reduced, hub_degree, g._bc(None)
+            ).localCheckpoint(eager=True)
             n = edges.count()
+            # nudge the driver GC so py4j refs to the PREVIOUS round's
+            # checkpointed blocks release promptly — otherwise the
+            # ContextCleaner drops them at arbitrary times mid-run,
+            # which showed up as ~20% run-to-run bench variance
+            gc.collect()
             rounds += 1
             counts.append(n)
             if n == prev:
@@ -363,20 +372,31 @@ class Graph:
             stats["edge_counts"] = counts
         return edges
 
+    @staticmethod
+    def _trim_tips(edges: DataFrame, hub_degree: int, bc: bool) -> DataFrame:
+        """Remove edges touching a tip vertex. The tip set is bounded by
+        the degree-1 vertex count, far under the edge count, so under
+        the broadcast gate BOTH anti-joins are broadcast hash joins in
+        one whole-stage-codegen pass over the edges — the per-round
+        trim never shuffles the edge set (was: two shuffled anti-joins)."""
+        tips = Graph(edges).tips(hub_degree=hub_degree)
+        t = F.broadcast(tips) if bc else tips
+        return (
+            edges.join(t.withColumnRenamed("v", "s"), "s", "left_anti")
+            .join(t.withColumnRenamed("v", "d"), "d", "left_anti")
+            .select("s", "d")
+        )
+
     def reduce_rounds(self, n_rounds: int = 2, hub_degree: int = 3) -> DataFrame:
         """Exactly `n_rounds` of the reduction loop body, NO convergence
         check — the SQL-expressible (unrollable) twin of
         `reduce_pipeline`, used by the oracle-checked qg11."""
         edges = self.edges.localCheckpoint(eager=True)
         for _ in range(n_rounds):
-            edges = Graph(edges).transitive_reduction_round()
-            tips = Graph(edges).tips(hub_degree=hub_degree)
-            edges = (
-                edges.join(tips.withColumnRenamed("v", "s"), "s", "left_anti")
-                .join(tips.withColumnRenamed("v", "d"), "d", "left_anti")
-                .select("s", "d")
-                .localCheckpoint(eager=True)
-            )
+            g = Graph(edges)
+            edges = self._trim_tips(
+                g.transitive_reduction_round(), hub_degree, g._bc(None)
+            ).localCheckpoint(eager=True)
         return edges
 
     def k_core(self, k: int = 2, max_iter: int = 50) -> DataFrame:
@@ -423,12 +443,13 @@ class Graph:
         Each round is one join (rank → out-edges) + one groupBy (sum
         contributions at the destination) — the standard two-shuffle
         PageRank dataflow; `localCheckpoint` per round keeps the plan
-        flat. Dangling mass is a scalar `collect` (one double)."""
+        flat. Dangling mass rides the same round as a broadcast 1-row
+        aggregate (cross-join), so each round is exactly ONE action
+        (the ranks checkpoint) — no separate driver-side scalar job."""
         verts = self.vertex_ids().localCheckpoint(eager=True)
         n_v = verts.count()
-        # checkpoint the edge set and degree table once: each round
-        # runs two actions (dangling scalar + ranks checkpoint) that
-        # would otherwise re-evaluate the full edge derivation
+        # checkpoint the edge set and degree table once so the per-round
+        # action never re-evaluates the full edge derivation
         edges = self.edges.select("s", "d").localCheckpoint(eager=True)
         out_deg = edges.groupBy("s").agg(
             F.count("*").alias("_od")
@@ -440,11 +461,10 @@ class Graph:
             with_deg = ranks.join(
                 out_deg, ranks.v == out_deg.s, "left"
             ).select(ranks.v, "rank", "_od")
-            # mass of vertices with no out-edges, spread uniformly
-            dangling = (
-                with_deg.filter(F.col("_od").isNull())
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                .first()[0]
+            # mass of vertices with no out-edges, as a 1-row frame —
+            # broadcast into the update instead of collected
+            dangling = with_deg.filter(F.col("_od").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dmass")
             )
             contrib = (
                 edges.join(
@@ -458,14 +478,19 @@ class Graph:
                 .groupBy("v")
                 .agg(F.sum("c").alias("c"))
             )
-            base = (1.0 - damping) + damping * dangling / n_v
+            # same float op order as the collected-scalar form:
+            # ((1-d) + (d*D)/n) + d*c — keeps qg14's hash stable
+            base = (
+                F.lit(1.0 - damping)
+                + (F.lit(damping) * F.col("_dmass")) / F.lit(float(n_v))
+            )
             ranks = (
                 verts.join(contrib, "v", "left")
+                .crossJoin(F.broadcast(dangling))
                 .select(
                     "v",
                     (
-                        F.lit(base)
-                        + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                        base + F.lit(damping) * F.coalesce("c", F.lit(0.0))
                     ).alias("rank"),
                 )
                 .localCheckpoint(eager=True)
