@@ -431,3 +431,45 @@ def test_lsh_short_docs_never_pair(spark):
                 dedup.near_dup_clusters(docs, num_perm=4,
                                         bands=2).collect()}
     assert clusters == {1: 1, 2: 2, 3: 3, 4: 4, 5: 4}
+
+
+def test_ann_recall_on_clustered_corpus(spark):
+    """SCALE.md's round-3 caveat closed: the sf fixtures' UNIFORM
+    random embeddings are the worst case for partition-based ANN, so
+    recall floors measured there said nothing about real corpora.
+    On a deliberately clustered corpus (20 tight gaussian clusters on
+    the unit sphere, deterministic seed) IVF recall@10 jumps to 0.98
+    at a ~12% scan fraction (vs 0.76-0.85 at 37-50% scan on uniform;
+    full sweep in SCALE.md §clustered-recall). Floors here are the
+    round-5 measured values minus margin."""
+    import numpy as np
+    import pandas as pd
+
+    from sora_spark.llm import ann
+
+    rng = np.random.RandomState(42)
+    n_clusters, per, dim = 20, 100, 64
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.repeat(centers, per, axis=0) + 0.15 * rng.randn(n_clusters * per, dim)
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(len(pts)),
+                "embedding": [r.astype(float).tolist() for r in pts],
+            }
+        )
+    )
+    probes = corpus.filter("vec_id % 20 = 0")
+    exact = ann.brute_force_topk(corpus, probes, k=10)
+    e = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    ivf = ann.ivf_topk(corpus, probes, k=10, n_centroids=16, n_probe=2)
+    a = {(r["probe_id"], r["neighbor_id"]) for r in ivf.collect()}
+    ivf_recall = len(e & a) / len(e)
+    assert ivf_recall >= 0.95, f"clustered IVF recall {ivf_recall:.3f}"
+
+    lsh = ann.lsh_topk(corpus, probes, k=10, n_planes=4)
+    a = {(r["probe_id"], r["neighbor_id"]) for r in lsh.collect()}
+    lsh_recall = len(e & a) / len(e)
+    assert lsh_recall >= 0.60, f"clustered LSH recall {lsh_recall:.3f}"
