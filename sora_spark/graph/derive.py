@@ -80,3 +80,26 @@ E_SEQ_SQL = (
     "lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst "
     "FROM events QUALIFY dst IS NOT NULL"
 )
+
+
+def replicate_edges(edges: DataFrame, factor: int) -> DataFrame:
+    """Deterministic scale-stress generator: `factor` disjoint copies of
+    an edge set, vertex ids shifted by replica × stride (stride = one
+    action computing max id + 1, so replicas can never collide). Output
+    is factor·|E| edges / factor·|V| vertices with IDENTICAL per-replica
+    structure — component counts, reduction fixpoints, and round counts
+    of the original are exactly known multiples, which is what makes the
+    blown-up graph usable as a correctness oracle at sizes no DuckDB
+    recursive CTE could check."""
+    stride = (
+        edges.select(
+            (F.greatest(F.max("s"), F.max("d")) + 1).alias("m")
+        ).first()["m"]
+    )
+    reps = edges.sparkSession.range(factor).select(
+        (F.col("id") * stride).alias("_shift")
+    )
+    return edges.crossJoin(reps).select(
+        (F.col("s") + F.col("_shift")).alias("s"),
+        (F.col("d") + F.col("_shift")).alias("d"),
+    )

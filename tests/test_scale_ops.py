@@ -78,3 +78,54 @@ def test_salted_join_rejects_replication_unsafe_how(spark):
     for how in ("right", "full", "full_outer", "rightouter"):
         with _pt.raises(ValueError, match="unsupported"):
             salted_join(big, small, "k", "sk", how=how)
+
+
+def test_replicated_graph_stress_round_bound(spark, sf_dir):
+    """Scale-stress correctness on a deterministically blown-up graph
+    (graph.derive.replicate_edges — disjoint shifted replicas of e_co):
+
+    - two-phase CC round count must stay within the O(log n) bound and
+      NOT grow with the replication factor (measured flat at 3 rounds
+      from 1.2M to 12M edges at sf0.1, SCALE.md §scale-stress)
+    - component count and reduction fixpoint of the replicated graph
+      are exactly `factor` x the base graph's — a correctness oracle at
+      sizes far beyond what a DuckDB recursive CTE can check.
+
+    Runs at the suite's sf_dir (sf0.001 default, sf0.1 in the t2 tier);
+    the 10x-sf0.1 stress numbers in SCALE.md come from this same path.
+    """
+    import math
+
+    from sora_spark.catalog import tables as _tables
+    from sora_spark.graph.derive import e_co, replicate_edges
+    from sora_spark.graph.graph import Graph
+
+    factor = 12
+    base = e_co(_tables(spark, sf_dir).lineitem).localCheckpoint(eager=True)
+    big = replicate_edges(base, factor).localCheckpoint(eager=True)
+    assert big.count() == factor * base.count()
+
+    stats_b, stats = {}, {}
+    n_comp_base = (
+        Graph(base)
+        .connected_components_twophase(stats=stats_b)
+        .select("component")
+        .distinct()
+        .count()
+    )
+    cc = Graph(big).connected_components_twophase(stats=stats)
+    n_v = cc.count()
+    assert cc.select("component").distinct().count() == factor * n_comp_base
+    bound = math.ceil(math.log2(max(n_v, 2))) + 2
+    assert stats["rounds"] <= bound, (
+        f"two-phase rounds {stats['rounds']} exceed O(log n) bound {bound}"
+    )
+    # rounds must not grow with replication (disjoint copies contract
+    # in parallel): allow +1 slack for degenerate tiny fixtures
+    assert stats["rounds"] <= stats_b["rounds"] + 1
+
+    r_stats_b, r_stats = {}, {}
+    n_red_base = Graph(base).reduce_pipeline(stats=r_stats_b).count()
+    n_red = Graph(big).reduce_pipeline(stats=r_stats).count()
+    assert n_red == factor * n_red_base
+    assert r_stats["rounds"] == r_stats_b["rounds"]
