@@ -216,3 +216,51 @@ def split_by_hash_portable(
         )
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return docs.withColumn("split", expr)
+
+
+def mix_sources(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "-mix5",
+) -> DataFrame:
+    """Weighted corpus mixing: keep each source at its configured
+    sampling rate — the standard pre-training recipe step ("2 epochs of
+    wiki, 10% of crawl"). Membership is a pure function of
+    md5(id || salt) against the source's hex threshold (same
+    cross-engine scheme as split_by_hash_portable), so the mix is
+    reproducible on any engine, stable under corpus growth, and a
+    map-only filter — no shuffle, no sampling RNG state."""
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    h = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+    )
+
+    def thr(rate: float):
+        if rate >= 1.0 - 1e-12:
+            return F.lit(True)
+        if rate <= 0.0:
+            return F.lit(False)
+        return h < split_threshold_hex(rate)
+
+    keep = thr(default_rate)
+    for name, rate in rates.items():
+        keep = F.when(F.col(source_col) == name, thr(rate)).otherwise(keep)
+    return docs.filter(keep)
+
+
+def deterministic_shuffle_key(
+    id_col: str = "doc_id", seed: str = "7"
+) -> F.Column:
+    """Order key for a deterministic global shuffle of training order:
+    md5(seed || id). Sorting by it is a seeded permutation any engine
+    reproduces; at scale, ORDER BY runs as a range-partitioned sort
+    (or TakeOrderedAndProject when only a prefix is taken) — no
+    single-partition window, no RNG state."""
+    return F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))

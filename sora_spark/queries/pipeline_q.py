@@ -8,9 +8,10 @@ SCALE.md.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sora_spark.catalog import tables
-from sora_spark.llm import dedup, textstats
+from sora_spark.llm import curate, dedup, textstats
 from sora_spark.operators.skew import salted_join
 from sora_spark.queries.registry import query
 
@@ -530,4 +531,81 @@ def qcur2_yield_report(spark, sf_dir):
         curate.yield_report(docs, curated)
         .withColumn("tokens_out", F.col("tokens_out").cast("bigint"))
         .orderBy("source")
+    )
+
+
+@query(
+    "qcur3_weighted_mix",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, source, length(text) AS n_chars,
+         substr(md5(CAST(doc_id AS VARCHAR) || '-mix5'), 1, 8) AS hx
+  FROM documents),
+kept AS (
+  SELECT * FROM h
+  WHERE CASE source
+          WHEN 'src0' THEN TRUE
+          WHEN 'src1' THEN hx < 'c0000000'
+          WHEN 'src2' THEN hx < '80000000'
+          ELSE hx < '33333333'
+        END)
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM kept GROUP BY source ORDER BY source
+""",
+    doc="qcur3: weighted corpus mixing (the pre-training recipe step) — "
+    "src0 kept at 100%, src1 at 75%, src2 at 50%, everything else at "
+    "20%; membership is md5(id || salt) vs per-source hex thresholds "
+    "(llm.curate.mix_sources), so the mix is engine-reproducible, "
+    "stable under corpus growth, and a map-only filter with no "
+    "sampling RNG. Oracle mirrors the thresholds verbatim.",
+    tags=("llm", "pipeline", "mix"),
+)
+def qcur3_weighted_mix(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    kept = curate.mix_sources(
+        docs,
+        rates={"src0": 1.0, "src1": 0.75, "src2": 0.5},
+        default_rate=0.2,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "qcur4_deterministic_shuffle",
+    oracle="""
+WITH k AS (
+  SELECT doc_id, md5('7' || CAST(doc_id AS VARCHAR)) AS okey
+  FROM documents)
+SELECT CAST(row_number() OVER (ORDER BY okey, doc_id) AS INT) AS pos,
+       doc_id, okey
+FROM k ORDER BY okey, doc_id LIMIT 100
+""",
+    doc="qcur4: deterministic global shuffle of training order — sort "
+    "by md5(seed || id) (llm.curate.deterministic_shuffle_key): a "
+    "seeded permutation any engine reproduces with no RNG state. The "
+    "100-row prefix plans as TakeOrderedAndProject (no global sort, "
+    "no single-partition window — position is ranked on the tiny "
+    "prefix only).",
+    tags=("llm", "pipeline", "shuffle"),
+)
+def qcur4_deterministic_shuffle(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    key = curate.deterministic_shuffle_key("doc_id", "7")
+    prefix = (
+        docs.select("doc_id", key.alias("okey"))
+        .orderBy("okey", "doc_id")
+        .limit(100)
+    )
+    w = Window.orderBy("okey", "doc_id")
+    return (
+        prefix.withColumn("pos", F.row_number().over(w).cast("int"))
+        .select("pos", "doc_id", "okey")
+        .orderBy("pos")
     )
