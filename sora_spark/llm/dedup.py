@@ -202,3 +202,37 @@ def near_dup_clusters(
     return labeled.withColumn(
         "is_canonical", F.row_number().over(w) == 1
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per train doc, the number of DISTINCT
+    word n-grams it shares with the eval/benchmark corpus →
+    (train_id, n_shared). The standard pre-training hygiene pass
+    (drop or flag train docs that leak eval content).
+
+    Shape at 100 TB: both sides explode to distinct (doc, gram) pairs
+    map-side; the join key is the gram string, and the eval side —
+    benchmarks are tiny next to a crawl — broadcasts, so the train
+    corpus is never shuffled. Never all-pairs: a train doc meets only
+    the grams it contains."""
+    tsh = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    ).distinct()
+    esh = (
+        eval_docs.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+        )
+        .distinct()
+    )
+    return (
+        tsh.join(F.broadcast(esh), "sh", "left_semi")
+        .groupBy("train_id")
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -195,3 +195,38 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("text_scrubbed", scrubbed).withColumn(
         "n_scrubbed", n_hits.cast("int")
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Corpus-model quality score: mean log unigram probability per doc
+    → (doc_id, n_tokens, mean_logprob). The classic cheap perplexity
+    proxy for quality filtering (garbage/rare-token soup scores low,
+    fluent common-vocabulary text scores high).
+
+    Two aggregation passes, both wordcount-shaped: corpus term
+    frequencies (groupBy term), then a token→frequency join (term
+    dictionary shuffles once; at web scale the frequent-term skew is
+    exactly what AQE skew-split handles) and a per-doc mean. Corpus
+    total rides along as a broadcast 1-row aggregate — nothing leaves
+    the JVM."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count("*").alias("_tf"))
+    total = freq.agg(F.sum("_tf").cast("double").alias("_total"))
+    return (
+        tok.join(freq, "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("_tf") / F.col("_total"))), decimals
+            ).alias("mean_logprob"),
+        )
+    )

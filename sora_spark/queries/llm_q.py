@@ -664,3 +664,69 @@ def qm2_frame_sampling(spark, sf_dir):
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+@query(
+    "qcont1_ngram_contamination",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh0 AS (SELECT doc_id, unnest(range(1, greatest(len(w) - 3, 1))) AS i, w
+        FROM w),
+grams AS (SELECT DISTINCT doc_id,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                      || w[i+3] || ' ' || w[i+4] AS sh
+          FROM sh0),
+ev AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id, sh FROM grams WHERE doc_id % 50 <> 0)
+SELECT tr.doc_id AS train_id, count(*) AS n_shared
+FROM tr JOIN ev USING (sh)
+GROUP BY tr.doc_id
+ORDER BY n_shared DESC, train_id LIMIT 100
+""",
+    doc="qcont1: benchmark decontamination — per train doc (doc_id % "
+    "50 != 0) the number of distinct word 5-grams shared with the "
+    "eval slice (doc_id % 50 = 0), top-100 by overlap. Shape: distinct "
+    "(doc, gram) explode both sides, gram-key semi-join with the tiny "
+    "eval side broadcast — the train corpus never shuffles, never "
+    "all-pairs (llm.dedup.ngram_contamination).",
+    tags=("llm", "dedup", "contamination"),
+)
+def qcont1_ngram_contamination(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    return (
+        dedup.ngram_contamination(tr, ev, n=5)
+        .orderBy(F.desc("n_shared"), "train_id")
+        .limit(100)
+    )
+
+
+@query(
+    "qta6_unigram_logprob",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             FROM documents),
+freq AS (SELECT t, count(*) AS tf FROM tok GROUP BY t),
+total AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM freq)
+SELECT tok.doc_id, count(*) AS n_tokens,
+       round(avg(ln(freq.tf / total.n)), 6) AS mean_logprob
+FROM tok JOIN freq USING (t) CROSS JOIN total
+GROUP BY tok.doc_id
+ORDER BY tok.doc_id LIMIT 200
+""",
+    doc="qta6: mean log unigram probability per doc — the cheap "
+    "perplexity proxy for quality filtering (rare-token soup scores "
+    "low). Wordcount-shaped frequency pass + one token->frequency "
+    "join; the corpus total rides as a broadcast 1-row aggregate "
+    "(llm.textstats.unigram_logprob). round(,6) absorbs cross-engine "
+    "float-summation order.",
+    tags=("llm", "text", "quality"),
+)
+def qta6_unigram_logprob(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return (
+        textstats.unigram_logprob(docs)
+        .orderBy("doc_id")
+        .limit(200)
+    )
