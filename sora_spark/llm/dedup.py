@@ -216,15 +216,17 @@ def ngram_contamination(
     (train_id, n_shared). The standard pre-training hygiene pass
     (drop or flag train docs that leak eval content).
 
-    Shape at 100 TB: both sides explode to distinct (doc, gram) pairs
-    map-side; the join key is the gram string, and the eval side —
-    benchmarks are tiny next to a crawl — broadcasts, so the train
-    corpus is never shuffled. Never all-pairs: a train doc meets only
-    the grams it contains."""
+    Shape at 100 TB: the eval side — benchmarks are tiny next to a
+    crawl — deduplicates and broadcasts; the exploded train (doc, gram)
+    stream is semi-joined against it MAP-SIDE BEFORE any dedup, so the
+    only train data ever shuffled is the (rare) grams that actually hit
+    the eval set. Never all-pairs: a train doc meets only the grams it
+    contains. (Order matters: distinct-then-join would shuffle the full
+    train gram stream — review finding, round 5.)"""
     tsh = train.select(
         F.col(id_col).alias("train_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
-    ).distinct()
+    )
     esh = (
         eval_docs.select(
             F.explode(word_shingles(F.col(text_col), n)).alias("sh")
@@ -233,6 +235,7 @@ def ngram_contamination(
     )
     return (
         tsh.join(F.broadcast(esh), "sh", "left_semi")
+        .distinct()
         .groupBy("train_id")
         .agg(F.count("*").alias("n_shared"))
     )

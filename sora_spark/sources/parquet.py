@@ -43,9 +43,17 @@ def normalize_events(df: DataFrame) -> DataFrame:
         # The NTZ→timestamp cast reinterprets the wall-clock value in the
         # SESSION timezone; only UTC preserves the instant the oracle
         # reads. prepare_session sets it but cannot on a static-conf
-        # session — fail loudly rather than hash shifted hours.
+        # session — fail loudly rather than hash shifted hours. Any
+        # fixed-zero-offset zone id is instant-preserving, not just the
+        # literal "UTC" (cluster defaults often inject an alias).
+        _utc_aliases = {
+            "UTC", "Etc/UTC", "Etc/Universal", "Etc/Zulu", "Universal",
+            "Zulu", "GMT", "GMT0", "Etc/GMT", "Etc/GMT0", "Etc/GMT+0",
+            "Etc/GMT-0", "Etc/Greenwich", "Greenwich", "Z", "+00:00",
+            "UTC+00:00", "GMT+00:00",
+        }
         tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-        if tz != "UTC":
+        if tz not in _utc_aliases:
             raise RuntimeError(
                 "events ts is TIMESTAMP_NTZ and spark.sql.session.timeZone="
                 f"{tz!r}; the cast to timestamp is only instant-preserving "

@@ -115,17 +115,35 @@ def write_fasta(
 
     Sequences are wrapped at `wrap` chars per line (the conventional
     FASTA form), which also makes the read side prove multi-line record
-    reassembly. Sequence values must not contain newlines or lines
-    starting with '>'; headers must be single-line. Enforced by the
-    regexp chunker only for newlines — callers own '>'-safety.
+    reassembly. Sequence values must not contain newlines (the regexp
+    chunker would silently DROP them) and no wrap chunk may start with
+    '>' (readers would split the record) — both are rejected loudly
+    per-row via raise_error, JVM-side, no extra pass.
     """
-    record = F.concat(
-        F.lit(">"),
-        F.col(header_col).cast("string"),
-        F.lit("\n"),
-        F.array_join(
-            F.regexp_extract_all(F.col(seq_col), F.lit(f".{{1,{wrap}}}"), 0),
-            "\n",
+    chunks = F.regexp_extract_all(F.col(seq_col), F.lit(f".{{1,{wrap}}}"), 0)
+    bad = (
+        F.col(seq_col).contains("\n")
+        | F.col(seq_col).contains("\r")
+        | F.exists(chunks, lambda c: F.substring(c, 1, 1) == ">")
+    )
+    record = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "write_fasta: sequence contains a newline or a "
+                    f"{wrap}-char wrap chunk starting with '>' "
+                    "(roundtrip would corrupt) at header="
+                ),
+                F.col(header_col).cast("string"),
+            )
         ),
+    ).otherwise(
+        F.concat(
+            F.lit(">"),
+            F.col(header_col).cast("string"),
+            F.lit("\n"),
+            F.array_join(chunks, "\n"),
+        )
     )
     df.select(record.alias("value")).write.mode("overwrite").text(path)

@@ -31,6 +31,28 @@ def _cleanup_scratch() -> None:
 atexit.register(_cleanup_scratch)
 
 
+def _sweep_dead_pid_dirs() -> None:
+    """Remove scratch dirs left by crashed processes (atexit never ran):
+    any '<...>-pid<N>' dir whose pid is not alive is garbage."""
+    try:
+        entries = os.listdir(_SCRATCH)
+    except OSError:
+        return
+    for entry in entries:
+        pid_part = entry.rsplit("-pid", 1)
+        if len(pid_part) != 2 or not pid_part[1].isdigit():
+            continue
+        pid = int(pid_part[1])
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(_SCRATCH, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another user — leave it
+
+
 def materialize_replay_dir(
     spark: SparkSession,
     sf_dir: str,
@@ -41,14 +63,27 @@ def materialize_replay_dir(
     """Write the normalized events table into `n_files` parquet files
     (time-ranged when ordered, md5-scattered when shuffled).
 
-    The dir is keyed by (name, source sf, layout, pid) and reused when it
-    already holds a completed write — repeated invocations in one process
-    skip the rewrite — and every dir this process created is removed at
-    exit, so runs don't accumulate fixture copies on disk (ADVICE r04).
+    The dir is keyed by (name, source sf, layout, fixture content
+    stamp, pid) and reused when it already holds a completed write —
+    repeated invocations in one process skip the rewrite — and every
+    dir this process created is removed at exit, so runs don't
+    accumulate fixture copies on disk (ADVICE r04). The content stamp
+    (source mtime+size) means a regenerated fixture can never replay
+    stale data even if a crashed run's dir survives into a recycled
+    pid; dirs belonging to dead pids are swept opportunistically.
     """
+    _sweep_dead_pid_dirs()
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     layout = f"shuf{n_files}" if shuffled else f"ord{n_files}"
-    path = os.path.join(_SCRATCH, f"{name}-{sf_tag}-{layout}-{os.getpid()}")
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns:x}.{st.st_size:x}"
+    except OSError:
+        stamp = "nosrc"
+    path = os.path.join(
+        _SCRATCH, f"{name}-{sf_tag}-{layout}-{stamp}-pid{os.getpid()}"
+    )
     _CREATED.add(path)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path

@@ -1116,3 +1116,20 @@ def test_rocksdb_provider_scoped(spark):
     with rocksdb_provider(spark):
         assert spark.conf.get(_PROVIDER_KEY) == ROCKSDB_PROVIDER
     assert spark.conf.get(_PROVIDER_KEY, None) == prev
+
+
+def test_write_fasta_rejects_corrupting_sequences(spark, tmp_path):
+    """Roundtrip-corrupting sequences (embedded newline; wrap chunk
+    starting with '>') must fail loudly at write time, not hash wrong
+    later (round-5 review)."""
+    import pytest as _pt
+
+    from sora_spark.sources.text import write_fasta
+
+    ok = spark.createDataFrame([(1, "ACGT" * 5)], "id int, seq string")
+    write_fasta(ok, str(tmp_path / "ok"), "id", "seq", wrap=10)
+
+    for bad_seq in ["AC\nGT", "ACGTACGTAC>GT"]:  # 2nd: '>' at chunk 2 start
+        bad = spark.createDataFrame([(2, bad_seq)], "id int, seq string")
+        with _pt.raises(Exception, match="write_fasta"):
+            write_fasta(bad, str(tmp_path / "bad"), "id", "seq", wrap=10)
