@@ -314,3 +314,40 @@ def test_topk_combiner_single_shuffle(spark, sf_dir):
     hash exchange (on the group key) in the whole top-k plan."""
     p = _plan(spark, sf_dir, "qtk1_topk_combiner", mode="simple")
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_contamination_semi_join_before_dedup(spark, sf_dir):
+    """qcont1's scale contract: the exploded train gram stream is
+    broadcast-semi-joined against the eval set BEFORE any aggregation,
+    so the only exchanges in the plan sit ABOVE the semi join (the
+    surviving grams), never below it (the full corpus). In the simple-
+    mode plan tree that means no Exchange may appear deeper than the
+    BroadcastHashJoin LeftSemi (children print below with more
+    indentation)."""
+    p = _plan(spark, sf_dir, "qcont1_ngram_contamination", mode="simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    lines = p.splitlines()
+    semi = [
+        (i, len(l) - len(l.lstrip(" +-:")))
+        for i, l in enumerate(lines)
+        if "BroadcastHashJoin" in l and "LeftSemi" in l
+    ]
+    assert semi, f"no broadcast left-semi join in plan:\n{p}"
+    i0, depth0 = semi[0]
+    # the streamed (train) branch prints between the join line and its
+    # build side, which starts at the BroadcastExchange; exchanges under
+    # the broadcast subtree are the (tiny) eval-side distinct — fine
+    build = next(
+        i
+        for i, l in enumerate(lines)
+        if i > i0 and "BroadcastExchange" in l
+    )
+    below = [
+        l
+        for l in lines[i0 + 1 : build]
+        if "Exchange hashpartitioning" in l
+        and (len(l) - len(l.lstrip(" +-:"))) > depth0
+    ]
+    assert not below, (
+        "train grams are shuffled below the eval semi-join:\n" + p
+    )
