@@ -978,7 +978,11 @@ def test_cli_list_and_inventory():
         capture_output=True, text=True, cwd="/root/repo", timeout=120,
     )
     assert inv.returncode == 0
-    rows = inv.stdout.strip().splitlines()
+    all_lines = inv.stdout.strip().splitlines()
+    # preamble header precedes the table (lossless regeneration of
+    # QUERIES.md — round-5 review); table starts at the '| query |' row
+    assert all_lines[0].startswith("# QUERIES")
+    rows = [l for l in all_lines if l.startswith("|")]
     assert rows[0].startswith("| query |")
     # cell delimiters = pipes NOT escaped as \| (docs may contain
     # literal '||' — markdown keeps \| inside the cell)
@@ -1098,9 +1102,10 @@ def test_fixpoint_oracle_sf_calibration_guard():
 
     _require_calibrated_sf("/root/testdata/sf0.001", "t")  # ok
     _require_calibrated_sf("/root/testdata/sf0.01", "t")  # ok
+    _require_calibrated_sf("/root/testdata/sf0.1", "t")  # ok since r5
     _require_calibrated_sf("/custom/fixture/dir", "t")  # unknowable → ok
     with pytest.raises(ValueError, match="calibrated"):
-        _require_calibrated_sf("/root/testdata/sf0.1", "t")
+        _require_calibrated_sf("/root/testdata/sf1", "t")
 
 
 def test_rocksdb_provider_scoped(spark):
