@@ -351,3 +351,56 @@ def test_contamination_semi_join_before_dedup(spark, sf_dir):
     assert not below, (
         "train grams are shuffled below the eval semi-join:\n" + p
     )
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """100 TB posture: Spark's runtime bloom-filter join pruning (on by
+    default) injects a might_contain filter on the FACT side of a
+    shuffled join whose other side is selective — rows that cannot
+    match are dropped at the scan, before the shuffle. The
+    application-side size threshold is cluster-tuned (10 GB), so the
+    local pin lowers it to 0 to exercise the mechanism; at real scale
+    the defaults fire as-is. Result must equal the unfiltered join."""
+    from pyspark.sql import functions as F
+
+    from sora_spark.catalog import tables
+
+    t = tables(spark, sf_dir)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        ord_f = t.orders.filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        j = t.lineitem.select("l_orderkey", "l_quantity").join(
+            ord_f, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        p = buf.getvalue()
+        assert "might_contain" in p and "bloom_filter_agg" in p, (
+            "runtime bloom filter not injected:\n" + p
+        )
+        n = j.count()
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    want = (
+        t.lineitem.select("l_orderkey", "l_quantity")
+        .join(
+            t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert n == want
