@@ -230,3 +230,35 @@ def qs5_stream_stream_join(spark, sf_dir):
 
     ev = tables(spark, sf_dir).events
     return purchases_after_views(ev).orderBy("user_id", "purchase_id", "view_id")
+
+
+@query(
+    "qs2b_sliding_stream_sink",
+    oracle="""
+WITH assigned AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+         event_type, value
+  FROM events
+  UNION ALL
+  SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S'),
+         event_type, value
+  FROM events)
+SELECT win_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="Q-S2 at the hash tier: the ACTUAL sliding-window streaming "
+    "execution — 4 parquet micro-batches through ops.sliding_counts "
+    "(2h windows sliding 1h, watermarked), drained via a memory sink "
+    "in complete mode — against the same DuckDB oracle as the batch "
+    "qs2. Second true-streaming hash row after qs1b: certifies "
+    "overlapping-window state, not just tumbling.",
+    tags=("streaming", "hash-tier"),
+)
+def qs2b_sliding_stream_sink(spark, sf_dir):
+    from sora_spark.streaming import ops, replay
+
+    d = replay.materialize_replay_dir(spark, sf_dir, "qs2b", n_files=4)
+    stream = ops.sliding_counts(replay.events_stream(spark, d))
+    return replay.run_to_memory(stream, "qs2b_sink", "complete").orderBy(
+        "win_start", "event_type"
+    )

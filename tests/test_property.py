@@ -786,3 +786,45 @@ def test_asof_join_property_family(spark):
         }
         want = _py_asof(spec["left"], spec["right"], spec["tol"])
         assert got == want, f"asof mismatch: {spec}"
+
+
+def test_mix_split_membership_stability(spark, sf_dir):
+    """The md5-threshold curation ops (split_by_hash_portable,
+    mix_sources) must be GROWTH-STABLE: membership of a doc is a pure
+    function of its id, so restricting the corpus to any subset never
+    changes a surviving doc's assignment — the property that lets an
+    incremental corpus keep its split/mix without reshuffling history.
+    Also pins rate monotonicity: a higher rate keeps a superset."""
+    from sora_spark.llm.curate import mix_sources, split_by_hash_portable
+
+    docs = tables(spark, sf_dir).documents
+    subset = docs.filter(F.col("doc_id") % 3 == 0)
+
+    full_split = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash_portable(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).select("doc_id", "split").collect()
+    }
+    sub_split = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash_portable(
+            subset, {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).select("doc_id", "split").collect()
+    }
+    assert sub_split == {k: v for k, v in full_split.items() if k % 3 == 0}
+
+    kept_lo = {
+        r["doc_id"]
+        for r in mix_sources(docs, {"src0": 0.3}, default_rate=0.2).collect()
+    }
+    kept_hi = {
+        r["doc_id"]
+        for r in mix_sources(docs, {"src0": 0.7}, default_rate=0.5).collect()
+    }
+    assert kept_lo <= kept_hi, "raising rates must only ADD documents"
+    kept_sub = {
+        r["doc_id"]
+        for r in mix_sources(subset, {"src0": 0.3}, default_rate=0.2).collect()
+    }
+    assert kept_sub == {d for d in kept_lo if d % 3 == 0}
