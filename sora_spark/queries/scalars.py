@@ -372,3 +372,82 @@ def qx10_map_functions(spark, sf_dir):
         .orderBy("event_id")
         .limit(200)
     )
+
+
+@query(
+    "qx11_regexp_extract_all",
+    oracle="""
+WITH m AS (
+  SELECT p_partkey, unnest(regexp_extract_all(p_name, '[a-z]{6,}')) AS w
+  FROM part)
+SELECT w, count(*) AS n, count(DISTINCT p_partkey) AS n_parts
+FROM m GROUP BY w
+ORDER BY n DESC, w LIMIT 50
+""",
+    doc="Q-X11: regexp_extract_all + explode — every >=6-letter "
+    "lowercase run in part names, counted globally and per part "
+    "(the extract-all-matches text shape; POSIX-safe pattern per "
+    "SURVEY §5.5).",
+    tags=("scalar", "string", "regex"),
+)
+def qx11_regexp_extract_all(spark, sf_dir):
+    part = tables(spark, sf_dir).part
+    m = part.select(
+        "p_partkey",
+        F.explode(
+            F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]{6,}"), 0)
+        ).alias("w"),
+    )
+    return (
+        m.groupBy("w")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+        )
+        .orderBy(F.desc("n"), "w")
+        .limit(50)
+    )
+
+
+@query(
+    "qx12_higher_order_arrays",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+h AS (
+  SELECT doc_id,
+         CAST(len(list_filter(w, x -> length(x) >= 5)) AS INT) AS n_long,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+           AS total_chars,
+         array_to_string(list_transform(w[1:3], x -> upper(x)), '-')
+           AS head3
+  FROM t)
+SELECT doc_id, n_long, total_chars, head3
+FROM h ORDER BY doc_id LIMIT 200
+""",
+    doc="Q-X12: higher-order array functions — filter (length "
+    "predicate), transform (per-element length / upper), aggregate "
+    "(sum via transform+aggregate), slice — mirrored by DuckDB "
+    "list_filter/list_transform/list_sum lambdas. All JVM-side "
+    "Column expressions (no UDF).",
+    tags=("scalar", "array", "higher-order"),
+)
+def qx12_higher_order_arrays(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    w = F.split(F.col("text"), " ")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.filter(w, lambda x: F.length(x) >= 5)).alias("n_long"),
+            F.aggregate(
+                F.transform(w, lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("total_chars"),
+            F.array_join(
+                F.transform(F.slice(w, 1, 3), lambda x: F.upper(x)), "-"
+            ).alias("head3"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
