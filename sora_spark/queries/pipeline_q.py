@@ -609,3 +609,65 @@ def qcur4_deterministic_shuffle(spark, sf_dir):
         .select("pos", "doc_id", "okey")
         .orderBy("pos")
     )
+
+
+@query(
+    "qup1_upsert_merge",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price, o_orderdate AS ts, 0 AS src
+  FROM orders WHERE o_orderkey % 7 = 0),
+batch AS (
+  SELECT o_orderkey, o_orderstatus, round(o_totalprice + 1000, 2),
+         o_orderdate + INTERVAL 1 DAY, 1
+  FROM orders WHERE o_orderkey % 5 = 0),
+u AS (SELECT * FROM snap UNION ALL SELECT * FROM batch),
+r AS (SELECT *, row_number() OVER (PARTITION BY k
+                                   ORDER BY ts DESC, src DESC) AS rn
+      FROM u)
+SELECT k, st, price, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM r WHERE rn = 1 ORDER BY k
+""",
+    doc="qup1: the upsert (merge) sink's core at the hash tier — a "
+    "parquet snapshot (orders, key%7) merged with an update/insert "
+    "batch (key%5: +1000 price, +1 day ts) via "
+    "streaming.upsert.merge_batch (max-ts per key, batch wins ties, "
+    "atomic dir swap); the post-merge TABLE ON DISK is read back and "
+    "hash-matched against the SQL MERGE equivalent. Batch ts is "
+    "strictly newer so the content-hash tiebreak never decides — "
+    "deterministic cross-engine.",
+    tags=("sink", "cdc", "upsert"),
+)
+def qup1_upsert_merge(spark, sf_dir):
+    import os
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.streaming.upsert import merge_batch
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    batch = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") + 1000, 2).alias("price"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+    )
+    path = os.path.join(_roundtrip_dir("upsert_orders"), "table")
+    snap.write.mode("overwrite").parquet(path)
+    merge_batch(spark, path, batch, ["k"], "ts")
+    return (
+        spark.read.parquet(path)
+        .select(
+            "k",
+            "st",
+            "price",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+        .orderBy("k")
+    )
