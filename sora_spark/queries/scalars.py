@@ -378,13 +378,13 @@ def qx10_map_functions(spark, sf_dir):
     "qx11_regexp_extract_all",
     oracle="""
 WITH m AS (
-  SELECT p_partkey, unnest(regexp_extract_all(p_name, '[a-z]{6,}')) AS w
+  SELECT p_partkey, unnest(regexp_extract_all(p_name, '[a-z]{4,}')) AS w
   FROM part)
 SELECT w, count(*) AS n, count(DISTINCT p_partkey) AS n_parts
 FROM m GROUP BY w
 ORDER BY n DESC, w LIMIT 50
 """,
-    doc="Q-X11: regexp_extract_all + explode — every >=6-letter "
+    doc="Q-X11: regexp_extract_all + explode — every >=4-letter "
     "lowercase run in part names, counted globally and per part "
     "(the extract-all-matches text shape; POSIX-safe pattern per "
     "SURVEY §5.5).",
@@ -395,7 +395,7 @@ def qx11_regexp_extract_all(spark, sf_dir):
     m = part.select(
         "p_partkey",
         F.explode(
-            F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]{6,}"), 0)
+            F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]{4,}"), 0)
         ).alias("w"),
     )
     return (
