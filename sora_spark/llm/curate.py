@@ -264,3 +264,42 @@ def deterministic_shuffle_key(
     (or TakeOrderedAndProject when only a prefix is taken) — no
     single-partition window, no RNG state."""
     return F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 100,
+    overlap: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the context-window prep step (training sample windows, RAG
+    passages) → (doc_id, chunk_id, chunk_text).
+
+    Chunk i covers [i*(size-overlap) + 1, ... + size] (1-based);
+    chunks start while any text remains, so the last chunk may be
+    short but no character is dropped. Pure column expressions
+    (sequence + transform + substring + posexplode) — generated
+    DISTRIBUTED, no UDF, no driver-side loop; output rows ∝ input
+    chars / stride."""
+    if size <= overlap:
+        raise ValueError(f"size ({size}) must exceed overlap ({overlap})")
+    stride = size - overlap
+    n = F.length(F.col(text_col))
+    # number of chunks: ceil(max(n - overlap, 1) / stride), min 1
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)),
+        F.lit(1).cast("bigint"),
+    )
+    starts = F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)
+    chunks = F.transform(
+        starts,
+        lambda i: F.substring(
+            F.col(text_col), (i * stride + 1).cast("int"), size
+        ),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    )

@@ -671,3 +671,39 @@ def qup1_upsert_merge(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@query(
+    "qcur5_chunking",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, CAST(greatest(ceil((n - 20) / 80.0), 1)
+                                   AS BIGINT))) AS INT) AS chunk_id,
+         text, n
+  FROM d),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         substr(text, chunk_id * 80 + 1, 100) AS chunk_text
+  FROM c)
+SELECT doc_id, chunk_id, chunk_text,
+       CAST(length(chunk_text) AS INT) AS chunk_len
+FROM chunks ORDER BY doc_id, chunk_id
+""",
+    doc="qcur5: document chunking for context windows — 100-char "
+    "chunks with 20-char overlap (stride 80), chunk i = "
+    "substr(text, i*80+1, 100); the last chunk may be short but no "
+    "character is dropped (llm.curate.chunk_documents: sequence + "
+    "transform + posexplode, fully distributed, no UDF). Oracle "
+    "mirrors the stride arithmetic with range + substr.",
+    tags=("llm", "pipeline", "chunking"),
+)
+def qcur5_chunking(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return (
+        curate.chunk_documents(docs, size=100, overlap=20)
+        .withColumn("chunk_len", F.length("chunk_text").cast("int"))
+        .orderBy("doc_id", "chunk_id")
+    )

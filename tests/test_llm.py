@@ -473,3 +473,26 @@ def test_ann_recall_on_clustered_corpus(spark):
     a = {(r["probe_id"], r["neighbor_id"]) for r in lsh.collect()}
     lsh_recall = len(e & a) / len(e)
     assert lsh_recall >= 0.60, f"clustered LSH recall {lsh_recall:.3f}"
+
+
+def test_chunking_reconstructs_documents(spark, sf_dir):
+    """chunk_documents invariant: dropping each chunk's leading overlap
+    (after the first) and concatenating reconstructs the original text
+    exactly — no char dropped or duplicated at any boundary."""
+    from collections import defaultdict
+
+    from sora_spark.llm.curate import chunk_documents
+
+    docs = tables(spark, sf_dir).documents
+    size, overlap = 100, 20
+    rows = chunk_documents(docs, size=size, overlap=overlap).collect()
+    by_doc = defaultdict(dict)
+    for r in rows:
+        by_doc[r["doc_id"]][r["chunk_id"]] = r["chunk_text"]
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(by_doc) == set(texts)
+    for doc_id, chunks in by_doc.items():
+        ordered = [chunks[i] for i in range(len(chunks))]
+        rebuilt = ordered[0] + "".join(c[overlap:] for c in ordered[1:])
+        assert rebuilt == texts[doc_id], f"doc {doc_id} mangled"
+        assert all(len(c) <= size for c in ordered)
