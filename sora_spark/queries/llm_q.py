@@ -730,3 +730,43 @@ def qta6_unigram_logprob(spark, sf_dir):
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+_COV_DIMS = 6
+
+
+@query(
+    "ql9_embedding_covariance",
+    oracle="SELECT "
+    + ", ".join(
+        f"round(covar_pop(CAST(embedding[{i + 1}] AS DOUBLE), "
+        f"CAST(embedding[{j + 1}] AS DOUBLE)), 6) AS c{i}_{j}"
+        for i in range(_COV_DIMS)
+        for j in range(i, _COV_DIMS)
+    )
+    + " FROM embeddings",
+    doc=f"Q-L9: embedding covariance (upper triangle, first {_COV_DIMS} "
+    "dims) — the PCA/whitening precursor for embedding-space analytics. "
+    "ONE aggregation pass: every covar_pop combines map-side "
+    "(partial -> exchange -> final), so the shuffle carries a handful "
+    "of moment tuples regardless of corpus size; the driver-side "
+    "eigendecomposition this feeds is dim x dim, independent of row "
+    "count. round(,6) absorbs float-summation order.",
+    tags=("llm", "vector", "stats"),
+)
+def ql9_embedding_covariance(spark, sf_dir):
+    emb = tables(spark, sf_dir).embeddings
+    e = F.col("embedding")
+    return emb.agg(
+        *[
+            F.round(
+                F.covar_pop(
+                    F.element_at(e, i + 1).cast("double"),
+                    F.element_at(e, j + 1).cast("double"),
+                ),
+                6,
+            ).alias(f"c{i}_{j}")
+            for i in range(_COV_DIMS)
+            for j in range(i, _COV_DIMS)
+        ]
+    )
