@@ -387,6 +387,122 @@ class Graph:
             .select("s", "d")
         )
 
+    def pop_bubbles_round(
+        self, min_mids: int = 2, broadcast_edges: bool | None = None
+    ) -> DataFrame:
+        """One bubble-pop round: for every bubble pair (u, w) joined by
+        >= min_mids distinct internal vertices x via 2-paths u→x→w,
+        keep the path through the MINIMUM mid (order-free, hence
+        deterministic) and remove the edges (u, x), (x, w) of every
+        other mid. Returns the surviving edge set.
+
+        Monotone — only removes edges — so the fixpoint can be
+        certified by an unrolled-SQL oracle exactly like the reduction
+        loop (qg11b trick). Scale shape mirrors `transitive_edges`:
+        the 2-path stream is aggregated once on (u, w) (partial
+        map-side distinct), the bubble set is bounded by bubble-pair
+        count << |E| and is broadcast into both the mid lookup and the
+        final anti-join, so the edge set itself never shuffles."""
+        e1, e2 = self.edges.alias("e1"), self.edges.alias("e2")
+        tp = (
+            e1.join(e2, F.col("e1.d") == F.col("e2.s"))
+            .select(
+                F.col("e1.s").alias("u"),
+                F.col("e1.d").alias("x"),
+                F.col("e2.d").alias("w"),
+            )
+        )
+        bub = (
+            tp.groupBy("u", "w")
+            .agg(
+                F.countDistinct("x").alias("n_mids"),
+                F.min("x").alias("keep"),
+            )
+            .filter(F.col("n_mids") >= min_mids)
+            .select("u", "w", "keep")
+        )
+        bc = self._bc(broadcast_edges)
+        b = F.broadcast(bub) if bc else bub
+        doomed = (
+            tp.join(b, ["u", "w"])
+            .filter(F.col("x") != F.col("keep"))
+            .select("u", "x", "w")
+        )
+        removal = (
+            doomed.select(F.col("u").alias("s"), F.col("x").alias("d"))
+            .union(doomed.select(F.col("x").alias("s"), F.col("w").alias("d")))
+            .distinct()
+        )
+        rem = F.broadcast(removal) if bc else removal
+        return self.edges.join(rem, ["s", "d"], "left_anti")
+
+    def assembly_pipeline(
+        self,
+        max_iter: int = 5,
+        hub_degree: int = 3,
+        min_mids: int = 2,
+        stats: dict | None = None,
+    ) -> DataFrame:
+        """The FULL SORA assembly reduction (SURVEY §0.3 steps 2-4 as
+        staged fixpoints): (a) transitive-reduction + tip-trim loop to
+        fixpoint (`reduce_pipeline`), then (b) bubble-pop loop to
+        fixpoint. Returns the surviving edge set; compaction (step 5)
+        runs on the result via `chain_edges` + `compact_chains`
+        (qg17). Both stages only REMOVE edges, so an unrolled-SQL
+        oracle with unroll >= rounds-to-fixpoint is exactly the
+        fixpoint (qg11b argument, extended). Each bubble round is
+        checkpointed and ends in the count() convergence barrier;
+        `stats` records reduce/bubble round counts and edge counts."""
+        rstats: dict = {}
+        edges = self.reduce_pipeline(
+            max_iter=max_iter, hub_degree=hub_degree, stats=rstats
+        )
+        prev = rstats["edge_counts"][-1]
+        counts = list(rstats["edge_counts"])
+        bubble_rounds = 0
+        for _ in range(max_iter):
+            g = Graph(edges)
+            edges = g.pop_bubbles_round(
+                min_mids=min_mids
+            ).localCheckpoint(eager=True)
+            n = edges.count()
+            gc.collect()  # release prior round's checkpoint blocks
+            bubble_rounds += 1
+            counts.append(n)
+            if n == prev:
+                break
+            prev = n
+        if stats is not None:
+            stats["reduce_rounds"] = rstats["rounds"]
+            stats["bubble_rounds"] = bubble_rounds
+            stats["edge_counts"] = counts
+        return edges
+
+    def chain_edges(self) -> DataFrame:
+        """The non-branching (unitig-able) subgraph: directed edges
+        (s, d) where s has out-degree 1 and d has in-degree 1. Every
+        vertex then has <= 1 outgoing and <= 1 incoming chain edge, so
+        the result is a union of simple paths — the precondition
+        `compact_chains` needs. Two bounded degree aggregations + two
+        semi-joins; the degree tables are vertex-sized."""
+        out1 = (
+            self.edges.groupBy("s")
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") == 1)
+            .select("s")
+        )
+        in1 = (
+            self.edges.groupBy("d")
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") == 1)
+            .select("d")
+        )
+        return (
+            self.edges.join(out1, "s", "left_semi")
+            .join(in1, "d", "left_semi")
+            .select("s", "d")
+        )
+
     def reduce_rounds(self, n_rounds: int = 2, hub_degree: int = 3) -> DataFrame:
         """Exactly `n_rounds` of the reduction loop body, NO convergence
         check — the SQL-expressible (unrollable) twin of

@@ -467,6 +467,107 @@ def qg12_reduce_pipeline(spark, sf_dir):
     )
 
 
+def _bubble_round_sql(prev: str, i: int) -> str:
+    """One unrolled bubble-pop round as MATERIALIZED DuckDB CTEs — the
+    oracle twin of Graph.pop_bubbles_round (keep the minimum mid of
+    every >=2-mid bubble pair, remove the other mids' edges). Monotone
+    (only removes edges), so the qg11b unroll-past-fixpoint argument
+    applies unchanged."""
+    return f"""
+btp{i} AS MATERIALIZED (SELECT DISTINCT e1.s AS u, e1.d AS x, e2.d AS w
+            FROM {prev} e1 JOIN {prev} e2 ON e1.d = e2.s),
+bag{i} AS MATERIALIZED (SELECT u, w, min(x) AS keep FROM btp{i}
+            GROUP BY u, w HAVING count(DISTINCT x) >= 2),
+brm{i} AS MATERIALIZED (
+  SELECT u AS s, x AS d FROM btp{i} JOIN bag{i} USING (u, w) WHERE x <> keep
+  UNION
+  SELECT x AS s, w AS d FROM btp{i} JOIN bag{i} USING (u, w) WHERE x <> keep),
+b{i} AS MATERIALIZED (SELECT e.s, e.d FROM {prev} e WHERE NOT EXISTS
+        (SELECT 1 FROM brm{i} r WHERE r.s = e.s AND r.d = e.d))"""
+
+
+# Unrolled-round budget for the staged assembly fixpoint (qg16/qg17).
+# Measured rounds-to-fixpoint on e_co_small (round-6 calibration):
+# reduce 2/2/3 at sf0.001/0.01/0.1 (unroll 4, same as qg11b), bubble
+# pop 2 everywhere (unroll 3 gives margin).
+_ASSEMBLY_SQL_PREFIX = (
+    f"WITH RECURSIVE eco AS MATERIALIZED ({E_CO_SMALL_SQL}),"
+    f"{_reduce_round_sql('eco', 1)},{_reduce_round_sql('r1', 2)},"
+    f"{_reduce_round_sql('r2', 3)},{_reduce_round_sql('r3', 4)},"
+    f"{_bubble_round_sql('r4', 1)},{_bubble_round_sql('b1', 2)},"
+    f"{_bubble_round_sql('b2', 3)}"
+)
+
+
+@query(
+    "qg16_assembly_pipeline",
+    oracle=(
+        _ASSEMBLY_SQL_PREFIX + "\nSELECT s, d FROM b3 ORDER BY s, d"
+    ),
+    doc="The FULL SORA assembly reduction (SURVEY §0.3 steps 2-4) as "
+    "one composed fixpoint: transitive-reduction + tip-trim loop to "
+    "fixpoint, then bubble-pop loop to fixpoint, on the bounded "
+    "co-occurrence graph — hash-checked edge list against 4+3 "
+    "unrolled SQL rounds. Both stages only remove edges, so any "
+    "unroll >= rounds-to-fixpoint IS the fixpoint (qg11b argument "
+    "extended to the staged composition). Closes the round-5 gap: "
+    "reduce_pipeline alone covered steps 2-3 only.",
+    tags=("graph", "reduction", "fixpoint", "assembly"),
+)
+def qg16_assembly_pipeline(spark, sf_dir):
+    _require_calibrated_sf(sf_dir, "qg16 (4+3 unrolled rounds)")
+    li = tables(spark, sf_dir).lineitem
+    return (
+        Graph(e_co_small(li))
+        .assembly_pipeline(max_iter=10)
+        .orderBy("s", "d")
+    )
+
+
+@query(
+    "qg17_unitigs",
+    oracle=(
+        _ASSEMBLY_SQL_PREFIX
+        + """,
+dout AS (SELECT s, count(*) AS c FROM b3 GROUP BY s),
+din AS (SELECT d, count(*) AS c FROM b3 GROUP BY d),
+ce AS MATERIALIZED (
+  SELECT e.s, e.d FROM b3 e
+  JOIN dout ON dout.s = e.s AND dout.c = 1
+  JOIN din  ON din.d  = e.d AND din.c  = 1),
+walk(start, v, len) AS (
+  SELECT s, d, 1 FROM ce WHERE s NOT IN (SELECT d FROM ce)
+  UNION ALL
+  SELECT w2.start, c.d, w2.len + 1 FROM walk w2 JOIN ce c ON c.s = w2.v)
+SELECT start, arg_max(v, len) AS "end",
+       CAST(max(len) AS BIGINT) AS length
+FROM walk GROUP BY start ORDER BY start"""
+    ),
+    doc="SURVEY §0.3 step 5 composed onto the assembly result: "
+    "compact the non-branching chain subgraph (edges whose source has "
+    "out-degree 1 and destination in-degree 1) of the qg16 fixpoint "
+    "graph into unitigs (start, end, length) by pointer doubling — "
+    "O(log chain-length) rounds. Oracle: recursive-CTE chain walk on "
+    "the same unrolled fixpoint (cycle-free: e_co edges ascend s < d). "
+    "With qg16 this certifies the reference's identity pipeline "
+    "end-to-end: reduce → tips → bubbles → compaction.",
+    tags=("graph", "compaction", "assembly"),
+)
+def qg17_unitigs(spark, sf_dir):
+    _require_calibrated_sf(sf_dir, "qg17 (4+3 unrolled rounds)")
+    li = tables(spark, sf_dir).lineitem
+    edges = Graph(e_co_small(li)).assembly_pipeline(max_iter=10)
+    ce = Graph(edges).chain_edges()
+    return (
+        Graph(ce)
+        .compact_chains()
+        .select(
+            "start", "end", F.col("length").cast("bigint").alias("length")
+        )
+        .orderBy("start")
+    )
+
+
 def _kcore_round_sql(prev: str, i: int, k: int) -> str:
     """One unrolled k-core peel round as MATERIALIZED DuckDB CTEs
     (same unroll-past-fixpoint trick as the reduction oracle: peeling

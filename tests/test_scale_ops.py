@@ -129,3 +129,48 @@ def test_replicated_graph_stress_round_bound(spark, sf_dir):
     n_red = Graph(big).reduce_pipeline(stats=r_stats).count()
     assert n_red == factor * n_red_base
     assert r_stats["rounds"] == r_stats_b["rounds"]
+
+
+def test_replicated_assembly_pipeline_stress(spark, sf_dir):
+    """qg16's composed assembly fixpoint (reduce → tips → bubbles) under
+    replicate_edges stress: on `factor` disjoint shifted replicas the
+    surviving edge count and unitig count must be exactly `factor` x
+    the base graph's, and BOTH stage round counts must stay flat —
+    replicas converge in parallel, so rounds are a property of the
+    component structure, not the total edge count. This is the
+    round-count-flat-at-scale evidence for the full §0.3 pipeline."""
+    from sora_spark.catalog import tables as _tables
+    from sora_spark.graph.derive import e_co_small, replicate_edges
+    from sora_spark.graph.graph import Graph
+
+    factor = 12
+    base = e_co_small(
+        _tables(spark, sf_dir).lineitem
+    ).localCheckpoint(eager=True)
+    big = replicate_edges(base, factor).localCheckpoint(eager=True)
+
+    stats_b, stats = {}, {}
+    fin_base = Graph(base).assembly_pipeline(max_iter=10, stats=stats_b)
+    fin_big = Graph(big).assembly_pipeline(max_iter=10, stats=stats)
+    assert fin_big.count() == factor * fin_base.count()
+    assert stats["reduce_rounds"] == stats_b["reduce_rounds"]
+    assert stats["bubble_rounds"] == stats_b["bubble_rounds"]
+
+    uni_base = Graph(Graph(fin_base).chain_edges()).compact_chains()
+    uni_big = Graph(Graph(fin_big).chain_edges()).compact_chains()
+    assert uni_big.count() == factor * uni_base.count()
+    # per-replica structure is identical → the length histogram scales
+    # exactly: every (length, n) bucket multiplies by `factor`
+    hist_b = {
+        r["length"]: r["n"]
+        for r in uni_base.groupBy("length")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    hist = {
+        r["length"]: r["n"]
+        for r in uni_big.groupBy("length")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert hist == {k: factor * v for k, v in hist_b.items()}
