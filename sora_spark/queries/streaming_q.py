@@ -262,3 +262,131 @@ def qs2b_sliding_stream_sink(spark, sf_dir):
     return replay.run_to_memory(stream, "qs2b_sink", "complete").orderBy(
         "win_start", "event_type"
     )
+
+
+@query(
+    "qs3c_session_stream_sink",
+    oracle="""
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess_id
+      FROM d),
+per_session AS (
+  SELECT user_id, sess_id, count(*) AS n_events,
+         date_diff('microsecond', min(ts), max(ts)) / 1000000.0 AS len_s
+  FROM s GROUP BY user_id, sess_id)
+SELECT count(*) AS n_sessions,
+       round(avg(len_s), 2) AS avg_session_len_s,
+       count(DISTINCT user_id) AS n_users,
+       max(n_events) AS max_session_events
+FROM per_session
+""",
+    doc="Q-S3 at the hash tier: the ACTUAL session-window streaming "
+    "execution — 4 parquet micro-batches through ops.session_counts "
+    "(F.session_window, 30-min gap, real watermark), APPEND mode, a "
+    "far-future sentinel event advancing the watermark so all session "
+    "state flushes through the memory sink — aggregated to the same "
+    "summary and hash-matched against the same DuckDB oracle as the "
+    "batch qs3. Session length from the emitted window is "
+    "(end - start) - gap, since session_window end = last ts + gap. "
+    "Certifies streaming session-MERGE state, the hardest streaming "
+    "semantics the engine exercises (VERDICT r05 item 2).",
+    tags=("streaming", "hash-tier", "session"),
+)
+def qs3c_session_stream_sink(spark, sf_dir):
+    from sora_spark.streaming import ops, replay
+
+    d = replay.materialize_replay_dir(spark, sf_dir, "qs3c", n_files=4)
+    stream = ops.session_counts(
+        replay.events_stream(spark, d), watermark="40 days"
+    )
+    sink = replay.run_to_memory_flush(stream, "qs3c_sink", d)
+    sess = sink.filter(F.col("user_id") != replay.SENTINEL_USER)
+    len_s = (
+        F.unix_micros(F.col("session_window.end"))
+        - F.unix_micros(F.col("session_window.start"))
+    ) / 1_000_000.0 - 1800.0
+    return sess.select(len_s.alias("len_s"), "user_id", "n_events").agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("len_s"), 2).alias("avg_session_len_s"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+@query(
+    "qs4b_dedup_stream_sink",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT count(*) AS n_first, round(sum(value), 2) AS sum_value
+FROM r WHERE rn = 1
+""",
+    doc="Q-S4 at the hash tier: ACTUAL streaming dropDuplicates state "
+    "— events staged as 4 range-partitioned, within-sorted files and "
+    "replayed ONE FILE PER MICRO-BATCH in deterministic order "
+    "(replay.run_sequential_to_memory), so first ARRIVAL per "
+    "(user_id, event_type) is exactly first by (ts, event_id) and the "
+    "kept row's VALUE — not just the key set — faces the hash gate "
+    "against the batch qs4 oracle. Certifies the dedup state store "
+    "across real micro-batches (VERDICT r05 item 2).",
+    tags=("streaming", "hash-tier", "dedup"),
+)
+def qs4b_dedup_stream_sink(spark, sf_dir):
+    from sora_spark.streaming import ops, replay
+
+    staged = replay.materialize_replay_dir(
+        spark, sf_dir, "qs4b", n_files=4, sorted_within=True
+    )
+    kept = replay.run_sequential_to_memory(
+        spark, staged, ops.stream_dedup, "qs4b_sink", "append"
+    )
+    return kept.agg(
+        F.count("*").alias("n_first"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "qs5b_stream_stream_join_sink",
+    oracle="""
+SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts >  p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+ORDER BY 1, 2, 3
+""",
+    doc="Q-S5 at the hash tier: the ACTUAL stream-stream interval join "
+    "— view side and purchase side fed from TWO independently-replayed "
+    "file streams with misaligned micro-batch boundaries (4 vs 3 "
+    "files), watermarks on both sides, inner-join state drained "
+    "through a memory sink in append mode — hash-matched against the "
+    "same DuckDB oracle as the batch qs5. The global watermark is the "
+    "min across both sources, so rate misalignment cannot evict state "
+    "early; completes the qs*b execution-gate family (VERDICT r05 "
+    "item 3).",
+    tags=("streaming", "hash-tier", "join"),
+)
+def qs5b_stream_stream_join_sink(spark, sf_dir):
+    from sora_spark.streaming import replay
+    from sora_spark.streaming.stateful import purchases_after_views_two_sources
+
+    d_v = replay.materialize_replay_dir(spark, sf_dir, "qs5bv", n_files=4)
+    d_p = replay.materialize_replay_dir(spark, sf_dir, "qs5bp", n_files=3)
+    stream = purchases_after_views_two_sources(
+        replay.events_stream(spark, d_v), replay.events_stream(spark, d_p)
+    )
+    got = replay.run_to_memory(stream, "qs5b_sink", "append")
+    return got.orderBy("user_id", "purchase_id", "view_id")

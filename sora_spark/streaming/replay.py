@@ -53,12 +53,18 @@ def _sweep_dead_pid_dirs() -> None:
             pass  # pid alive under another user — leave it
 
 
+# Far-future flush event: appending it to a replay dir advances the
+# watermark past all real data, so append-mode state (sessions) emits.
+SENTINEL_USER = -999
+
+
 def materialize_replay_dir(
     spark: SparkSession,
     sf_dir: str,
     name: str,
     n_files: int = 4,
     shuffled: bool = False,
+    sorted_within: bool = False,
 ) -> str:
     """Write the normalized events table into `n_files` parquet files
     (time-ranged when ordered, md5-scattered when shuffled).
@@ -75,12 +81,16 @@ def materialize_replay_dir(
     _sweep_dead_pid_dirs()
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     layout = f"shuf{n_files}" if shuffled else f"ord{n_files}"
+    if sorted_within:
+        layout += "srt"
     src = os.path.join(sf_dir, "events.parquet")
     try:
         st = os.stat(src)
         stamp = f"{st.st_mtime_ns:x}.{st.st_size:x}"
     except OSError:
-        stamp = "nosrc"
+        # content unknowable — never reuse a pre-existing dir keyed by a
+        # content-free stamp; always rewrite (ADVICE r05)
+        stamp = f"nosrc{os.urandom(4).hex()}"
     path = os.path.join(
         _SCRATCH, f"{name}-{sf_tag}-{layout}-{stamp}-pid{os.getpid()}"
     )
@@ -92,6 +102,12 @@ def materialize_replay_dir(
         part = ev.repartition(n_files, F.md5(F.col("event_id").cast("string")))
     else:
         part = ev.repartitionByRange(n_files, "ts")
+        if sorted_within:
+            # within-file (ts, event_id) order: combined with range
+            # partitioning on ts this makes ARRIVAL order equal event-
+            # time order, which first-arrival operators (streaming
+            # dropDuplicates) need for a deterministic kept row
+            part = part.sortWithinPartitions("ts", "event_id")
     part.write.mode("overwrite").parquet(path)
     return path
 
@@ -108,6 +124,91 @@ def events_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(replay_dir)
     )
+
+
+def append_sentinel(spark: SparkSession, replay_dir: str) -> None:
+    """Append one far-future event (SENTINEL_USER, year 2030): the next
+    micro-batch advances the watermark past all real data, flushing
+    append-mode state. The sentinel's own state can never flush (the
+    watermark cannot pass its end), so it does not appear in the sink —
+    callers filter on SENTINEL_USER anyway, defensively."""
+    spark.createDataFrame(
+        [(10**9, "2030-01-01 00:00:00", SENTINEL_USER, "flush", 0.0, "{}")],
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "append"
+    ).parquet(replay_dir)
+
+
+def run_to_memory_flush(
+    stream_df: DataFrame, name: str, replay_dir: str
+) -> DataFrame:
+    """Drain an APPEND-mode streaming frame into a memory sink, then
+    append the watermark-advancing sentinel and drain again so
+    watermark-held state (session windows) emits. Returns the final
+    table; rows produced by the sentinel itself are the caller's to
+    filter (SENTINEL_USER)."""
+    spark = stream_df.sparkSession
+    spark.catalog.dropTempView(name)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        append_sentinel(spark, replay_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def run_sequential_to_memory(
+    spark: SparkSession,
+    staged_dir: str,
+    transform,
+    name: str,
+    output_mode: str,
+) -> DataFrame:
+    """Replay a staged multi-file dir ONE FILE PER MICRO-BATCH in
+    deterministic file order: part files are copied into a fresh
+    watched dir one at a time, draining the stream between copies, so
+    batch N is exactly part-file N — no reliance on the file source's
+    mtime tie-breaking. This is what makes arrival order truly equal
+    event-time order for first-arrival operators (streaming dedup):
+    range-partitioned + within-sorted staging gives in-file order, and
+    the copy loop gives cross-file order. `transform` maps the raw
+    events stream to the streaming frame to sink."""
+    seq_dir = staged_dir + "-seq"
+    _CREATED.add(seq_dir)
+    shutil.rmtree(seq_dir, ignore_errors=True)  # stale reruns
+    os.makedirs(seq_dir)
+    spark.catalog.dropTempView(name)
+    q = (
+        transform(events_stream(spark, seq_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        parts = sorted(
+            f
+            for f in os.listdir(staged_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        for i, part in enumerate(parts):
+            shutil.copy(
+                os.path.join(staged_dir, part),
+                os.path.join(seq_dir, f"seq-{i:05d}.parquet"),
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:

@@ -136,8 +136,18 @@ def running_user_counts_tws(events: DataFrame) -> DataFrame:
 
 
 def _purchase_view_join(
-    events: DataFrame, watermark: str, how: str
+    events: DataFrame,
+    watermark: str,
+    how: str,
+    events_p: DataFrame | None = None,
 ) -> DataFrame:
+    """Build the interval join. `events_p` (default: same frame) lets
+    callers feed the purchase side from an INDEPENDENT source — e.g.
+    two separately-replayed streams with misaligned micro-batch
+    boundaries (qs5b); the global watermark is the min across sources,
+    so neither side's state is evicted before the laggard catches up."""
+    if events_p is None:
+        events_p = events
     views = (
         events.filter(F.col("event_type") == "view")
         .select(
@@ -148,7 +158,7 @@ def _purchase_view_join(
         .withWatermark("v_ts", watermark)
     )
     purchases = (
-        events.filter(F.col("event_type") == "purchase")
+        events_p.filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
             F.col("event_id").alias("purchase_id"),
@@ -175,6 +185,16 @@ def purchases_after_views(
     view_id). Watermarks on both sides + the time-range condition
     bound the join state."""
     return _purchase_view_join(events, watermark, "inner")
+
+
+def purchases_after_views_two_sources(
+    views_src: DataFrame, purchases_src: DataFrame, watermark: str = "40 days"
+) -> DataFrame:
+    """`purchases_after_views` with the two join sides fed from
+    INDEPENDENT streaming sources (different replay dirs / rates)."""
+    return _purchase_view_join(
+        views_src, watermark, "inner", events_p=purchases_src
+    )
 
 
 def purchases_after_views_outer(
