@@ -213,14 +213,22 @@ LIMIT 10
 )
 def ql3_cosine_topk(spark, sf_dir):
     emb = tables(spark, sf_dir).embeddings
-    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("probe"))
+    # probe norm precomputed ON THE BROADCAST SIDE (1-row project,
+    # evaluated once at broadcast build): saves a 64-element aggregate
+    # per corpus row vs vector.cosine's norm(a)*norm(b). Same float op
+    # order as before — sqrt(aggregate(...)) over the same values —
+    # so the rounded sim is bit-identical (round-6 q6 fix).
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("probe"),
+        vector.norm(F.col("embedding")).alias("probe_norm"),
+    )
+    sim = vector.dot(F.col("embedding"), F.col("probe")) / (
+        vector.norm(F.col("embedding")) * F.col("probe_norm")
+    )
     return (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(probe))
-        .select(
-            "vec_id",
-            F.round(vector.cosine(F.col("embedding"), F.col("probe")), 5).alias("sim"),
-        )
+        .select("vec_id", F.round(sim, 5).alias("sim"))
         .orderBy(F.desc("sim"), "vec_id")
         .limit(10)
     )
