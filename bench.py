@@ -55,6 +55,17 @@ def main() -> None:
     spark = build_session(app_name="sora-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # SORA_ANALYZE=1: exercise the CBO feed path (external metastore
+    # tables + ANALYZE ... FOR ALL COLUMNS) before benching. Off by
+    # default: the declared queries read parquet paths directly, where
+    # AQE owns the runtime re-planning; column stats matter for the
+    # metastore/SQL entry at cluster scale (SCALE.md §CBO,
+    # tests/test_plans.py::test_cbo_stats_change_join_plan).
+    if os.environ.get("SORA_ANALYZE") == "1":
+        from sora_spark.catalog import register_analyzed_tables
+
+        register_analyzed_tables(spark, sf_dir)
+
     warm: dict[str, float] = {}
     for key, name in BENCH_QUERIES.items():
         fn = REGISTRY[name].spark_fn

@@ -8,6 +8,8 @@ an action) plus temp-view registration for the SQL entry point
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from sora_spark.sources.parquet import read_table
@@ -78,3 +80,33 @@ class Tables:
 
 def tables(spark: SparkSession, sf_dir: str) -> Tables:
     return Tables(spark, sf_dir)
+
+
+def register_analyzed_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    table_names: tuple[str, ...] = TABLE_NAMES,
+    database: str = "sora_stats",
+) -> str:
+    """The cost-based-optimizer feed path (SCALE.md §CBO): register
+    each fixture table as an EXTERNAL metastore table over its parquet
+    path and run `ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL
+    COLUMNS`, so row counts, NDVs, min/max and null counts are
+    available to `spark.sql.cbo.enabled` + joinReorder. Idempotent;
+    returns the database name. Local tests/bench don't need this (AQE
+    re-plans from runtime sizes), which is why it is a flag
+    (SORA_ANALYZE=1 in bench.py) and not a default: at 100 TB with
+    >3-way fact joins the REORDER decision must be made before the
+    first shuffle executes, and only column stats can feed it then."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    for name in table_names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {database}.{name} "
+            f"USING parquet LOCATION '{path}'"
+        )
+        spark.sql(
+            f"ANALYZE TABLE {database}.{name} "
+            "COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+    return database

@@ -462,3 +462,64 @@ def test_ivf_indexed_scan_prunes_to_candidate_lists(spark, sf_dir, tmp_path):
     )
     # and the pruned scan still answers correctly (k rows per probe)
     assert out.count() == n_probes * 3
+
+
+def test_cbo_stats_change_join_plan(spark, sf_dir):
+    """CBO posture (VERDICT r05 item 6): with ANALYZE'd column stats +
+    spark.sql.cbo.enabled, a selective filter on a dimension shrinks
+    its SIZE ESTIMATE below the broadcast threshold at PLANNING time,
+    so the initial plan is a BroadcastHashJoin — while the identical
+    query over bare path reads (no stats: estimate = file size) plans
+    a SortMergeJoin. At 100 TB this planning-time decision (join
+    reordering / broadcast before the first shuffle ever executes) is
+    what AQE's runtime re-planning cannot provide; stats feed it."""
+    from sora_spark.catalog import register_analyzed_tables, tables
+
+    db = register_analyzed_tables(
+        spark, sf_dir, table_names=("customer", "orders")
+    )
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+        # between the stats-estimated filtered-dim size (~5 rows, <1 KB)
+        # and the column-pruned no-stats estimate (>= ~3.6 KB at sf0.001)
+        "spark.sql.autoBroadcastJoinThreshold": "2048",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "2048",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        q = """
+            SELECT o.o_orderkey, c.c_name
+            FROM {o} o JOIN {c} c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey < 5
+        """
+        with_stats = spark.sql(q.format(o=f"{db}.orders", c=f"{db}.customer"))
+        t = tables(spark, sf_dir)
+        t.orders.createOrReplaceTempView("_cbo_orders")
+        t.customer.createOrReplaceTempView("_cbo_customer")
+        no_stats = spark.sql(q.format(o="_cbo_orders", c="_cbo_customer"))
+
+        def plan(df):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            return buf.getvalue()
+
+        p_stats, p_bare = plan(with_stats), plan(no_stats)
+        assert "BroadcastHashJoin" in p_stats, (
+            "stats + CBO must plan a broadcast join:\n" + p_stats
+        )
+        assert "SortMergeJoin" in p_bare, (
+            "without stats the same query must NOT broadcast "
+            "(file-size estimate above threshold):\n" + p_bare
+        )
+        # same answer either way
+        assert sorted(map(tuple, with_stats.collect())) == sorted(
+            map(tuple, no_stats.collect())
+        )
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
