@@ -96,6 +96,13 @@ def replicate_edges(edges: DataFrame, factor: int) -> DataFrame:
             (F.greatest(F.max("s"), F.max("d")) + 1).alias("m")
         ).first()["m"]
     )
+    if stride is None:
+        # max() of an empty frame is NULL — replicating zero edges
+        # would otherwise produce null-shifted rows downstream
+        raise ValueError(
+            "replicate_edges: empty edge set (no ids to derive a "
+            "replica stride from)"
+        )
     reps = edges.sparkSession.range(factor).select(
         (F.col("id") * stride).alias("_shift")
     )

@@ -349,7 +349,12 @@ FROM events ORDER BY event_id LIMIT 200
     "then map_keys / map_values / element_at / size / "
     "map_contains_key, mirrored by DuckDB JSON-object functions "
     "(json_keys / json_extract). Promotes the map functions from "
-    "unit-only (no map fixture exists) to a driver CORRECTNESS row.",
+    "unit-only (no map fixture exists) to a driver CORRECTNESS row. "
+    "FIXTURE-SHAPE DEPENDENCY (ADVICE r05): the oracle's `vals`/"
+    "`n_entries` expressions hard-code the events.props shape "
+    "{\"k\": <int>} (single key) — if the fixture ever grows more "
+    "keys, re-derive `vals` generically from json_keys (list_transform "
+    "over json_extract_string) and drop the +1 constant.",
     tags=("scalar", "map"),
 )
 def qx10_map_functions(spark, sf_dir):

@@ -358,6 +358,45 @@ def qs4b_dedup_stream_sink(spark, sf_dir):
 
 
 @query(
+    "qst1_stateful_counts",
+    oracle="""
+SELECT user_id, count(*) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+    doc="SURVEY §2.9 custom stateful operator at the hash tier: "
+    "running per-user counters through the REAL stateful backend — "
+    "transformWithStateInPandas (ValueState, RocksDB provider) when "
+    "the env supports it, else the portable applyInPandasWithState "
+    "path (stateful.py running_user_counts*) — over 4 replayed "
+    "micro-batches in update mode. The sink holds one row per (user, "
+    "touching batch); counters are monotone, so max per user is the "
+    "final state, hash-matched against the batch count(*) oracle. "
+    "Promotes the Spark-4 stateful API from the self tier (VERDICT "
+    "r05 item 8).",
+    tags=("streaming", "hash-tier", "stateful"),
+)
+def qst1_stateful_counts(spark, sf_dir):
+    from sora_spark.streaming import replay, stateful
+
+    d = replay.materialize_replay_dir(spark, sf_dir, "qst1", n_files=4)
+    ev = replay.events_stream(spark, d)
+    if stateful.has_tws_support():
+        with stateful.rocksdb_provider(spark):
+            sink = replay.run_to_memory(
+                stateful.running_user_counts_tws(ev), "qst1_sink", "update"
+            )
+    else:
+        sink = replay.run_to_memory(
+            stateful.running_user_counts(ev), "qst1_sink", "update"
+        )
+    return (
+        sink.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+@query(
     "qs5b_stream_stream_join_sink",
     oracle="""
 SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
