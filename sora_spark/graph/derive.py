@@ -22,16 +22,39 @@ from pyspark.sql.window import Window
 
 
 def e_co(lineitem: DataFrame) -> DataFrame:
-    """DISTINCT co-occurring part pairs (s < d) per order → (s, d)."""
-    li = lineitem.select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    """DISTINCT co-occurring part pairs (s < d) per order → (s, d).
+
+    Derivation is one groupBy(order) → sorted part set → in-row pair
+    expansion (i < j via nested transform/slice) → DISTINCT, instead
+    of the order-key self-join: the self-join shuffles the lineitem
+    twice conceptually (exchange-reused to once) and generates k^2
+    pairs per order before the s < d filter, while this shape shuffles
+    each lineitem ONCE (with map-side partial collect_set), emits only
+    the k(k-1)/2 ascending pairs, and feeds the same final distinct.
+    Measured ~30% faster at sf0.1 (round 6); per-row expansion stays
+    bounded by items-per-order (~4-7), the same bound that protects
+    the join form at 100 TB. Output is set-identical to the join form
+    (the E_CO_SQL oracle keeps the join formulation)."""
+    sets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        sets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ps"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ps"), i + 2, F.size("ps")),
+                            lambda y: F.struct(x.alias("s"), y.alias("d")),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d"))
+        .select("p.s", "p.d")
         .distinct()
     )
 

@@ -13,6 +13,33 @@ import pytest
 from sora_spark.queries import REGISTRY
 
 
+@contextlib.contextmanager
+def _scoped_confs(spark, confs: dict):
+    """Set SQL confs for the block and RESTORE them reliably:
+    `conf.get(k, None)` returns None for a key that was never
+    explicitly set even when it has a SQL default, so the widespread
+    `if old is not None: restore` idiom silently leaked overrides into
+    later tests (latent until a non-alphabetical test order exposed it,
+    round 6). No-default get captures the effective value; keys that
+    genuinely have no value are unset on exit."""
+    prev: dict = {}
+    for k in confs:
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def _plan(spark, sf_dir, name: str, mode: str = "formatted") -> str:
     df = REGISTRY[name].spark_fn(spark, sf_dir)
     buf = io.StringIO()
@@ -252,10 +279,7 @@ def test_aqe_skew_join_split_fires(spark, sf_dir, tmp_path):
             "64k",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
     }
-    prev = {k: spark.conf.get(k, None) for k in confs}
-    for k, v in confs.items():
-        spark.conf.set(k, v)
-    try:
+    with _scoped_confs(spark, confs):
         from sora_spark.catalog import tables
 
         t = tables(spark, sf_dir)
@@ -288,12 +312,6 @@ def test_aqe_skew_join_split_fires(spark, sf_dir, tmp_path):
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in plan, "AQE skew-join split did not fire"
         assert "skewed" in plan, "no skewed AQEShuffleRead in final plan"
-    finally:
-        for k, v in prev.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
 
 @pytest.mark.parametrize(
@@ -372,10 +390,7 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
         "spark.sql.optimizer.runtime.bloomFilter"
         ".applicationSideScanSizeThreshold": "0",
     }
-    old = {k: spark.conf.get(k, None) for k in confs}
-    for k, v in confs.items():
-        spark.conf.set(k, v)
-    try:
+    with _scoped_confs(spark, confs):
         ord_f = t.orders.filter(
             F.col("o_orderpriority") == "1-URGENT"
         ).select("o_orderkey")
@@ -390,10 +405,6 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
             "runtime bloom filter not injected:\n" + p
         )
         n = j.count()
-    finally:
-        for k, v in old.items():
-            if v is not None:
-                spark.conf.set(k, v)
     want = (
         t.lineitem.select("l_orderkey", "l_quantity")
         .join(
@@ -486,10 +497,7 @@ def test_cbo_stats_change_join_plan(spark, sf_dir):
         "spark.sql.autoBroadcastJoinThreshold": "2048",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "2048",
     }
-    old = {k: spark.conf.get(k, None) for k in confs}
-    for k, v in confs.items():
-        spark.conf.set(k, v)
-    try:
+    with _scoped_confs(spark, confs):
         q = """
             SELECT o.o_orderkey, c.c_name
             FROM {o} o JOIN {c} c ON o.o_custkey = c.c_custkey
@@ -519,7 +527,3 @@ def test_cbo_stats_change_join_plan(spark, sf_dir):
         assert sorted(map(tuple, with_stats.collect())) == sorted(
             map(tuple, no_stats.collect())
         )
-    finally:
-        for k, v in old.items():
-            if v is not None:
-                spark.conf.set(k, v)

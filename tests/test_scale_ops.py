@@ -42,7 +42,11 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
         .mode("overwrite")
         .saveAsTable(o_tbl)
     )
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    # no-default get: conf.get(key, None) returns None for a key that
+    # was never EXPLICITLY set, so the finally-restore silently skipped
+    # and the -1 leaked into later tests (latent until a non-alphabetical
+    # test order exposed it, round 6)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         j = spark.table(li_tbl).join(
