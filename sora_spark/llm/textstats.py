@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sora_spark.functions.text import char_shingles, tokens
+from sora_spark.functions.text import char_shingles, tokens, word_shingles
 
 # Tiny per-language stopword lexicon for the language-ID heuristic.
 # Deliberately small and fixed: the declared query mirrors it as a SQL
@@ -229,4 +229,85 @@ def unigram_logprob(
                 F.avg(F.log(F.col("_tf") / F.col("_total"))), decimals
             ).alias("mean_logprob"),
         )
+    )
+
+
+def boilerplate_grams(
+    docs: DataFrame,
+    n: int = 2,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Repeated-span (boilerplate) detection within source groups —
+    the C4/RefinedWeb-style hygiene pass: a word n-gram present in
+    >= min_docs DISTINCT documents of the same source is boilerplate
+    (navigation chrome, headers, license blurbs at web scale) →
+    (group, sh, n_docs).
+
+    Shape: one wordcount-style aggregation over the distinct
+    (group, doc, gram) stream — explode is map-side, the groupBy
+    partially aggregates before the shuffle. Output is bounded by the
+    repeated-gram vocabulary, far under the gram stream."""
+    dg = docs.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    ).distinct()
+    return (
+        dg.groupBy(group_col, "sh")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    n: int = 2,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source boilerplate report → (source, n_bp_grams,
+    avg_bp_frac, n_docs): how much of each document is repeated spans,
+    averaged per source — the signal a curation pipeline thresholds to
+    drop template-heavy sources or strip repeated spans.
+
+    The boilerplate gram set (bounded) broadcasts into the occurrence
+    stream, so per-doc hit counting is a map-side broadcast join —
+    the full gram stream shuffles only on (group, doc) for the two
+    per-doc aggregations."""
+    g = docs.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    bp = boilerplate_grams(
+        docs, n, min_docs, id_col, text_col, group_col
+    ).select(group_col, "sh")
+    tot = g.groupBy(group_col, id_col).agg(F.count("*").alias("n_grams"))
+    hit = (
+        g.join(F.broadcast(bp), [group_col, "sh"], "left_semi")
+        .groupBy(group_col, id_col)
+        .agg(F.count("*").alias("n_bp"))
+    )
+    per_doc = tot.join(hit, [group_col, id_col], "left").select(
+        group_col,
+        id_col,
+        "n_grams",
+        F.coalesce("n_bp", F.lit(0)).alias("n_bp"),
+    )
+    bps = bp.groupBy(group_col).agg(F.count("*").alias("n_bp_grams"))
+    return (
+        per_doc.join(bps, group_col)
+        .groupBy(group_col, "n_bp_grams")
+        .agg(
+            F.round(
+                F.avg(F.col("n_bp") / F.col("n_grams")), 6
+            ).alias("avg_bp_frac"),
+            F.count("*").alias("n_docs"),
+        )
+        .select(group_col, "n_bp_grams", "avg_bp_frac", "n_docs")
     )

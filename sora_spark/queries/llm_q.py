@@ -770,3 +770,49 @@ def ql9_embedding_covariance(spark, sf_dir):
             for j in range(i, _COV_DIMS)
         ]
     )
+
+
+@query(
+    "qta7_boilerplate_spans",
+    oracle="""
+WITH w AS (SELECT source, doc_id, string_split(text, ' ') AS w FROM documents),
+sh0 AS (SELECT source, doc_id, unnest(range(1, greatest(len(w), 1))) AS i, w
+        FROM w),
+g AS (SELECT source, doc_id, w[i] || ' ' || w[i+1] AS sh FROM sh0),
+dg AS (SELECT DISTINCT source, doc_id, sh FROM g),
+bp AS (SELECT source, sh FROM (
+         SELECT source, sh, count(*) AS n_docs FROM dg GROUP BY source, sh)
+       WHERE n_docs >= 3),
+tot AS (SELECT source, doc_id, count(*) AS n_grams FROM g
+        GROUP BY source, doc_id),
+hit AS (SELECT g.source, g.doc_id, count(*) AS n_bp
+        FROM g JOIN bp ON g.source = bp.source AND g.sh = bp.sh
+        GROUP BY g.source, g.doc_id),
+per_doc AS (SELECT t.source, t.doc_id, t.n_grams,
+                   COALESCE(h.n_bp, 0) AS n_bp
+            FROM tot t LEFT JOIN hit h
+              ON t.source = h.source AND t.doc_id = h.doc_id),
+bps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bp_grams
+        FROM bp GROUP BY source)
+SELECT p.source, b.n_bp_grams,
+       round(avg(p.n_bp * 1.0 / p.n_grams), 6) AS avg_bp_frac,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM per_doc p JOIN bps b ON p.source = b.source
+GROUP BY p.source, b.n_bp_grams
+ORDER BY p.source
+""",
+    doc="qta7: repeated-span (boilerplate) detection — word bigrams "
+    "present in >= 3 distinct docs of the same source are boilerplate "
+    "(the C4/RefinedWeb template-hygiene pass); per-source report of "
+    "boilerplate vocabulary size and average per-doc boilerplate "
+    "fraction (llm.textstats.boilerplate_grams/boilerplate_stats). "
+    "Scale shape: one wordcount-style distinct-gram aggregation; the "
+    "bounded boilerplate set broadcasts back into the occurrence "
+    "stream map-side.",
+    tags=("llm", "text", "quality"),
+)
+def qta7_boilerplate_spans(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return textstats.boilerplate_stats(docs, n=2, min_docs=3).orderBy(
+        "source"
+    )

@@ -358,6 +358,71 @@ def qs4b_dedup_stream_sink(spark, sf_dir):
 
 
 @query(
+    "qs6_checkpoint_recovery",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    doc="Streaming EXACTLY-ONCE across restart at the hash tier: the "
+    "events split in half by event_id parity; a checkpointed tumbling "
+    "aggregation processes the first half, STOPS, the second half "
+    "arrives, and a NEW query restarted from the SAME checkpoint "
+    "processes it — windowed-count state recovered from the state "
+    "store, no replays, no loss. The final complete-mode batch (via "
+    "foreachBatch, the restart-capable sink; its collect IS the sink "
+    "for a bounded aggregate) must hash-match the batch qs1 oracle "
+    "over the whole input. Certifies checkpoint recovery of stateful "
+    "aggregation, the property streaming ingestion leans on at scale.",
+    tags=("streaming", "hash-tier", "checkpoint"),
+)
+def qs6_checkpoint_recovery(spark, sf_dir):
+    import os
+
+    from sora_spark.sources.parquet import read_table
+    from sora_spark.streaming import ops, replay
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    base = replay.scratch_dir(f"qs6-{sf_tag}")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    os.makedirs(src)
+    ev = read_table(spark, sf_dir, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+
+    last_batch: dict = {"rows": None}
+
+    def run_once():
+        stream = ops.tumbling_counts(replay.events_stream(spark, src))
+
+        def sink(batch_df, _bid):
+            last_batch["rows"] = batch_df.collect()
+
+        q = (
+            stream.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    first.coalesce(2).write.mode("append").parquet(src)
+    run_once()
+    second.coalesce(2).write.mode("append").parquet(src)
+    run_once()  # restarted from the SAME checkpoint
+
+    return spark.createDataFrame(
+        last_batch["rows"],
+        "hour string, event_type string, n bigint, sum_value double",
+    ).orderBy("hour", "event_type")
+
+
+@query(
     "qst1_stateful_counts",
     oracle="""
 SELECT user_id, count(*) AS n_events

@@ -126,6 +126,17 @@ def events_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
     )
 
 
+def scratch_dir(name: str) -> str:
+    """Fresh per-process scratch dir under the stream scratch root:
+    wiped if a previous invocation left one, registered for atexit
+    cleanup (same lifecycle as replay dirs)."""
+    path = os.path.join(_SCRATCH, f"{name}-pid{os.getpid()}")
+    _CREATED.add(path)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
+
+
 def append_sentinel(spark: SparkSession, replay_dir: str) -> None:
     """Append one far-future event (SENTINEL_USER, year 2030): the next
     micro-batch advances the watermark past all real data, flushing

@@ -496,3 +496,54 @@ def test_chunking_reconstructs_documents(spark, sf_dir):
         rebuilt = ordered[0] + "".join(c[overlap:] for c in ordered[1:])
         assert rebuilt == texts[doc_id], f"doc {doc_id} mangled"
         assert all(len(c) <= size for c in ordered)
+
+
+def test_pca_self_consistency(spark, sf_dir):
+    """PCA invariants (sign-invariant, hence testable without an
+    eigensolver oracle): projected-dimension variances equal the
+    eigenvalues, eigenvalues are descending, distinct projected
+    dimensions are uncorrelated, and the top-k eigenvalue mass never
+    exceeds the total variance (trace)."""
+    from sora_spark.llm import pca
+
+    emb = tables(spark, sf_dir).embeddings
+    k, dims = 4, 16
+    model = pca.fit_pca(emb, k=k, dims=dims)
+    assert len(model.components) == k
+    assert all(
+        a >= b - 1e-9
+        for a, b in zip(model.eigenvalues, model.eigenvalues[1:])
+    ), "eigenvalues must be descending"
+
+    proj = pca.project(emb, model)
+    aggs = [F.var_pop(f"p{i}").alias(f"v{i}") for i in range(k)] + [
+        F.covar_pop(f"p{i}", f"p{j}").alias(f"cv{i}_{j}")
+        for i in range(k)
+        for j in range(i + 1, k)
+    ]
+    row = proj.agg(*aggs).collect()[0]
+    scale = max(model.eigenvalues[0], 1e-12)
+    for i in range(k):
+        assert abs(row[f"v{i}"] - model.eigenvalues[i]) <= 1e-6 * scale, (
+            f"projected var {row[f'v{i}']} != eigenvalue "
+            f"{model.eigenvalues[i]} for component {i}"
+        )
+    for i in range(k):
+        for j in range(i + 1, k):
+            assert abs(row[f"cv{i}_{j}"]) <= 1e-6 * scale, (
+                f"components {i},{j} correlated: {row[f'cv{i}_{j}']}"
+            )
+    # top-k mass bounded by total variance
+    import numpy as np
+
+    total_var = sum(
+        emb.agg(
+            *[
+                F.var_pop(
+                    F.element_at(F.col("embedding"), i + 1).cast("double")
+                ).alias(f"tv{i}")
+                for i in range(dims)
+            ]
+        ).collect()[0]
+    )
+    assert sum(model.eigenvalues) <= total_var + 1e-6 * scale
