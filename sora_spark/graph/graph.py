@@ -663,19 +663,47 @@ class Graph:
             " rounds — raise max_iter (needs up to |V|-1 on a path graph)"
         )
 
-    def compact_chains(self, max_iter: int = 30) -> DataFrame:
+    def compact_chains(
+        self, max_iter: int = 30, with_paths: bool = False
+    ) -> DataFrame:
         """Compact maximal non-branching chains (unitigs) by pointer
-        doubling → (start, end, length). Requires a chain-union graph
-        (every vertex in/out-degree ≤ 1); path lengths double each
-        round, so convergence is O(log longest-chain) shuffles instead
-        of O(length) — the difference that matters at 100 TB.
+        doubling → (start, end, length) [+ path]. Requires a
+        chain-union graph (every vertex in/out-degree ≤ 1); path
+        lengths double each round, so convergence is O(log
+        longest-chain) shuffles instead of O(length) — the difference
+        that matters at 100 TB.
+
+        `with_paths=True` additionally carries the merged vertex label
+        ('-'-joined ids, the assembly analog of concatenating read
+        sequences into the unitig): each row's label covers [v..end),
+        so doubling is plain label concatenation and the final path
+        appends `end`. Label bytes double per round alongside dist —
+        at genome scale this is the expected output size (the contigs
+        themselves), not overhead.
         """
+        lab0 = (
+            [F.concat(F.col("s").cast("string"), F.lit("-")).alias("lab")]
+            if with_paths
+            else []
+        )
         p = self.edges.select(
-            F.col("s").alias("v"), F.col("d").alias("end"), F.lit(1).alias("dist")
+            F.col("s").alias("v"),
+            F.col("d").alias("end"),
+            F.lit(1).alias("dist"),
+            *lab0,
         ).localCheckpoint(eager=True)
         prev_total = None
         for _ in range(max_iter):
             a, b = p.alias("a"), p.alias("b")
+            lab = (
+                [
+                    F.concat(
+                        F.col("a.lab"), F.coalesce(F.col("b.lab"), F.lit(""))
+                    ).alias("lab")
+                ]
+                if with_paths
+                else []
+            )
             p = (
                 a.join(b, F.col("a.end") == F.col("b.v"), "left")
                 .select(
@@ -684,6 +712,7 @@ class Graph:
                     (
                         F.col("a.dist") + F.coalesce(F.col("b.dist"), F.lit(0))
                     ).alias("dist"),
+                    *lab,
                 )
                 .localCheckpoint(eager=True)
             )
@@ -694,12 +723,18 @@ class Graph:
         starts = self.edges.select(F.col("s").alias("v")).subtract(
             self.edges.select(F.col("d").alias("v"))
         )
+        path = (
+            [F.concat(F.col("lab"), F.col("end").cast("string")).alias("path")]
+            if with_paths
+            else []
+        )
         return (
             p.join(starts, "v", "left_semi")
             .select(
                 F.col("v").alias("start"),
                 "end",
                 F.col("dist").alias("length"),
+                *path,
             )
         )
 

@@ -568,6 +568,50 @@ def qg17_unitigs(spark, sf_dir):
     )
 
 
+@query(
+    "qg18_unitig_paths",
+    oracle=(
+        _ASSEMBLY_SQL_PREFIX
+        + """,
+dout AS (SELECT s, count(*) AS c FROM b3 GROUP BY s),
+din AS (SELECT d, count(*) AS c FROM b3 GROUP BY d),
+ce AS MATERIALIZED (
+  SELECT e.s, e.d FROM b3 e
+  JOIN dout ON dout.s = e.s AND dout.c = 1
+  JOIN din  ON din.d  = e.d AND din.c  = 1),
+walk(start, v, len, path) AS (
+  SELECT s, d, 1, CAST(s AS VARCHAR) || '-' || CAST(d AS VARCHAR)
+  FROM ce WHERE s NOT IN (SELECT d FROM ce)
+  UNION ALL
+  SELECT w2.start, c.d, w2.len + 1, w2.path || '-' || CAST(c.d AS VARCHAR)
+  FROM walk w2 JOIN ce c ON c.s = w2.v)
+SELECT start, arg_max(path, len) AS path
+FROM walk GROUP BY start ORDER BY start"""
+    ),
+    doc="SURVEY §0.3 step 5, full output form: the MERGED unitig paths "
+    "('-'-joined vertex chain, the assembly analog of concatenating "
+    "read sequences into the contig) — pointer doubling carries the "
+    "label alongside the distance (compact_chains with_paths), so "
+    "reconstruction is O(log chain-length) rounds with the label "
+    "concatenation riding the same joins. Oracle: the qg17 recursive "
+    "walk extended with string accumulation. The path hash certifies "
+    "VERTEX ORDER along every chain, which qg17's (start, end, "
+    "length) cannot.",
+    tags=("graph", "compaction", "assembly"),
+)
+def qg18_unitig_paths(spark, sf_dir):
+    _require_calibrated_sf(sf_dir, "qg18 (4+3 unrolled rounds)")
+    li = tables(spark, sf_dir).lineitem
+    edges = Graph(e_co_small(li)).assembly_pipeline(max_iter=10)
+    ce = Graph(edges).chain_edges()
+    return (
+        Graph(ce)
+        .compact_chains(with_paths=True)
+        .select("start", "path")
+        .orderBy("start")
+    )
+
+
 def _kcore_round_sql(prev: str, i: int, k: int) -> str:
     """One unrolled k-core peel round as MATERIALIZED DuckDB CTEs
     (same unroll-past-fixpoint trick as the reduction oracle: peeling

@@ -358,6 +358,72 @@ def qs4b_dedup_stream_sink(spark, sf_dir):
 
 
 @query(
+    "qs5c_stream_stream_outer_join_sink",
+    oracle="""
+SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts >  p.ts - INTERVAL 1 HOUR
+ORDER BY 1, 2, 3
+""",
+    doc="LEFT-OUTER stream-stream join at the hash tier: matched "
+    "purchases emit as they join; UNMATCHED purchases are held in "
+    "state and emit with NULL view_id only once the watermark passes "
+    "their join range — advanced here by two far-future sentinel "
+    "files that survive the event_type filters on BOTH sides (outer "
+    "results flush on the batch AFTER the watermark moves). The full "
+    "outer result, NULLs included, hash-matches the batch LEFT JOIN "
+    "oracle. Completes the stream-stream family: qs5b certifies the "
+    "inner matches, this certifies the watermark-gated NULL emission.",
+    tags=("streaming", "hash-tier", "join"),
+)
+def qs5c_stream_stream_outer_join_sink(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.streaming import replay
+    from sora_spark.streaming.stateful import purchases_after_views_outer
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    staged = replay.materialize_replay_dir(spark, sf_dir, "qs5c", n_files=4)
+    # fresh per-invocation copy: sentinels are APPENDED below, and the
+    # keyed staging dir is reused across invocations — appending there
+    # would accumulate files run over run
+    d = replay.scratch_dir(f"qs5c-run-{sf_tag}")
+    for f in os.listdir(staged):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            shutil.copy(os.path.join(staged, f), os.path.join(d, f))
+    for i, far_ts in enumerate(["2030-01-01 00:00:00", "2030-01-02 00:00:00"]):
+        spark.createDataFrame(
+            [
+                (10**9 + 2 * i, far_ts, replay.SENTINEL_USER, "view", 0.0, "{}"),
+                (
+                    10**9 + 2 * i + 1,
+                    far_ts,
+                    replay.SENTINEL_USER,
+                    "purchase",
+                    0.0,
+                    "{}",
+                ),
+            ],
+            "event_id bigint, ts string, user_id bigint, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+    got = replay.run_to_memory(
+        purchases_after_views_outer(replay.events_stream(spark, d)),
+        "qs5c_sink",
+        "append",
+    )
+    return got.filter(F.col("user_id") != replay.SENTINEL_USER).orderBy(
+        "user_id", "purchase_id", "view_id"
+    )
+
+
+@query(
     "qs6_checkpoint_recovery",
     oracle="""
 SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
