@@ -262,6 +262,41 @@ def boilerplate_grams(
     )
 
 
+def boilerplate_per_doc(
+    docs: DataFrame,
+    n: int = 2,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-document boilerplate occurrence counts → (group, id,
+    n_grams, n_bp): the composable form (qpipe2 reports the fraction
+    per split; boilerplate_stats aggregates it per source). Same scale
+    shape as boilerplate_stats — the bounded gram set broadcasts into
+    the occurrence stream."""
+    g = docs.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    bp = boilerplate_grams(
+        docs, n, min_docs, id_col, text_col, group_col
+    ).select(group_col, "sh")
+    tot = g.groupBy(group_col, id_col).agg(F.count("*").alias("n_grams"))
+    hit = (
+        g.join(F.broadcast(bp), [group_col, "sh"], "left_semi")
+        .groupBy(group_col, id_col)
+        .agg(F.count("*").alias("n_bp"))
+    )
+    return tot.join(hit, [group_col, id_col], "left").select(
+        group_col,
+        id_col,
+        "n_grams",
+        F.coalesce("n_bp", F.lit(0)).alias("n_bp"),
+    )
+
+
 def boilerplate_stats(
     docs: DataFrame,
     n: int = 2,
@@ -279,25 +314,11 @@ def boilerplate_stats(
     stream, so per-doc hit counting is a map-side broadcast join —
     the full gram stream shuffles only on (group, doc) for the two
     per-doc aggregations."""
-    g = docs.select(
-        F.col(group_col),
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
-    )
     bp = boilerplate_grams(
         docs, n, min_docs, id_col, text_col, group_col
     ).select(group_col, "sh")
-    tot = g.groupBy(group_col, id_col).agg(F.count("*").alias("n_grams"))
-    hit = (
-        g.join(F.broadcast(bp), [group_col, "sh"], "left_semi")
-        .groupBy(group_col, id_col)
-        .agg(F.count("*").alias("n_bp"))
-    )
-    per_doc = tot.join(hit, [group_col, id_col], "left").select(
-        group_col,
-        id_col,
-        "n_grams",
-        F.coalesce("n_bp", F.lit(0)).alias("n_bp"),
+    per_doc = boilerplate_per_doc(
+        docs, n, min_docs, id_col, text_col, group_col
     )
     bps = bp.groupBy(group_col).agg(F.count("*").alias("n_bp_grams"))
     return (

@@ -707,3 +707,103 @@ def qcur5_chunking(spark, sf_dir):
         .withColumn("chunk_len", F.length("chunk_text").cast("int"))
         .orderBy("doc_id", "chunk_id")
     )
+
+
+_PIPE2_THR = curate.split_threshold_hex(0.9)  # 'e6666666'
+
+
+@query(
+    "qpipe2_curation_pipeline",
+    oracle=f"""
+WITH dd AS (
+  SELECT doc_id, source, text,
+         row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                            ORDER BY doc_id) AS rn
+  FROM documents),
+kept AS (SELECT doc_id, source, text FROM dd WHERE rn = 1),
+w5 AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
+s5 AS (SELECT doc_id, unnest(range(1, greatest(len(w) - 3, 1))) AS i, w
+       FROM w5),
+g5 AS (SELECT DISTINCT doc_id,
+              w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                   || w[i+3] || ' ' || w[i+4] AS sh
+       FROM s5),
+ev AS (SELECT DISTINCT sh FROM g5 WHERE doc_id % 50 = 0),
+contam AS (SELECT doc_id FROM (
+             SELECT g5.doc_id, count(*) AS n FROM g5 JOIN ev USING (sh)
+             WHERE doc_id % 50 <> 0 GROUP BY g5.doc_id)
+           WHERE n >= 5),
+clean AS (SELECT * FROM kept
+          WHERE doc_id % 50 <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM contam)),
+sp AS (SELECT doc_id, source, text,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '-pipe2'),
+                              1, 8) < '{_PIPE2_THR}'
+                   THEN 'train' ELSE 'val' END AS split
+       FROM clean),
+wb AS (SELECT source, doc_id, string_split(text, ' ') AS w FROM documents),
+sb AS (SELECT source, doc_id, unnest(range(1, greatest(len(w), 1))) AS i, w
+       FROM wb),
+gb AS (SELECT source, doc_id, w[i] || ' ' || w[i+1] AS sh FROM sb),
+dgb AS (SELECT DISTINCT source, doc_id, sh FROM gb),
+bp AS (SELECT source, sh FROM (
+         SELECT source, sh, count(*) AS n_docs FROM dgb GROUP BY source, sh)
+       WHERE n_docs >= 3),
+totb AS (SELECT source, doc_id, count(*) AS n_grams FROM gb
+         GROUP BY source, doc_id),
+hitb AS (SELECT gb.source, gb.doc_id, count(*) AS n_bp
+         FROM gb JOIN bp ON gb.source = bp.source AND gb.sh = bp.sh
+         GROUP BY gb.source, gb.doc_id),
+pdb AS (SELECT t.doc_id, t.n_grams, COALESCE(h.n_bp, 0) AS n_bp
+        FROM totb t LEFT JOIN hitb h
+          ON t.source = h.source AND t.doc_id = h.doc_id)
+SELECT sp.split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(sp.text, ' '))) AS BIGINT) AS total_tokens,
+       round(avg(pdb.n_bp * 1.0 / pdb.n_grams), 6) AS avg_bp_frac
+FROM sp JOIN pdb ON sp.doc_id = pdb.doc_id
+GROUP BY sp.split ORDER BY sp.split
+""",
+    doc="qpipe2: the round-6 composed curation pipeline — exact dedup "
+    "(min-doc_id per normalized fingerprint) → benchmark "
+    "decontamination (drop train docs sharing >= 5 distinct 5-grams "
+    "with the doc_id%50 eval slice, eval side broadcast) → "
+    "deterministic 90/10 md5-threshold split → per-split report of "
+    "docs, token totals, and average boilerplate fraction "
+    "(boilerplate_per_doc bigram repeated-span stats computed on the "
+    "full corpus). One declared query exercising dedup, "
+    "decontamination, hash split, and boilerplate analysis "
+    "END-TO-END; every stage is the scale shape its standalone query "
+    "certifies (qpipe1 / qcont1 / qcur1 / qta7).",
+    tags=("llm", "pipeline"),
+)
+def qpipe2_curation_pipeline(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    kept = dedup.dedup_exact(docs)
+    ev = kept.filter(F.col("doc_id") % 50 == 0)
+    tr = kept.filter(F.col("doc_id") % 50 != 0)
+    contaminated = (
+        dedup.ngram_contamination(tr, ev, n=5)
+        .filter(F.col("n_shared") >= 5)
+        .select(F.col("train_id").alias("doc_id"))
+    )
+    clean = tr.join(contaminated, "doc_id", "left_anti")
+    sp = curate.split_by_hash_portable(
+        clean, {"train": 0.9, "val": 0.1}, salt="-pipe2"
+    )
+    pdb = textstats.boilerplate_per_doc(docs).select(
+        "doc_id", "n_grams", "n_bp"
+    )
+    return (
+        sp.join(pdb, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")))
+            .cast("bigint")
+            .alias("total_tokens"),
+            F.round(
+                F.avg(F.col("n_bp") / F.col("n_grams")), 6
+            ).alias("avg_bp_frac"),
+        )
+        .orderBy("split")
+    )
