@@ -207,3 +207,19 @@ def test_k_core(spark):
     assert core == [0, 1, 2]
     # 3-core empty (triangle is only 2-degree each)
     assert g.k_core(k=3).count() == 0
+
+
+def test_bubble_pop_shuffle_path_matches_broadcast(spark, sf_dir):
+    """pop_bubbles_round above the broadcast gate (broadcast_edges
+    =False → shuffled semi/anti joins) must remove exactly the same
+    edge set as the broadcast path — the shape the 100 TB deployment
+    runs when the edge set exceeds BROADCAST_EDGE_LIMIT."""
+    from sora_spark.graph import Graph
+    from sora_spark.graph.derive import e_co_small
+
+    li = tables(spark, sf_dir).lineitem
+    g = Graph(e_co_small(li).localCheckpoint(eager=True))
+    bc = sorted(map(tuple, g.pop_bubbles_round(broadcast_edges=True).collect()))
+    sh = sorted(map(tuple, g.pop_bubbles_round(broadcast_edges=False).collect()))
+    assert bc == sh
+    assert len(bc) < g.edges.count(), "bubble pop must remove edges"
