@@ -80,3 +80,36 @@ class Engine:
             self.spark, self._sf_dir, f"engine-{name}", n_files, shuffled
         )
         return replay.events_stream(self.spark, d)
+
+    # ---- assembly + curation (round-6 surface) --------------------------
+
+    def assemble(self, bound: int | None = 500, stats: dict | None = None
+                 ) -> DataFrame:
+        """Run the FULL SORA assembly reduction (transitive+tips then
+        bubble-pop, staged fixpoints — qg16) on the co-occurrence
+        graph; `bound` restricts to the bounded subgraph (None = full).
+        Returns the surviving edge set."""
+        from sora_spark.graph.derive import e_co_small
+
+        li = self._require_attached().lineitem
+        edges = e_co(li) if bound is None else e_co_small(li, bound)
+        return Graph(edges).assembly_pipeline(max_iter=10, stats=stats)
+
+    def unitigs(self, bound: int | None = 500, with_paths: bool = False
+                ) -> DataFrame:
+        """Compact the assembly result's non-branching chains into
+        unitigs (qg17/qg18) → (start, end, length[, path])."""
+        edges = self.assemble(bound=bound)
+        return Graph(Graph(edges).chain_edges()).compact_chains(
+            with_paths=with_paths
+        )
+
+    def curate(self) -> DataFrame:
+        """The composed curation pipeline (qpipe2): dedup →
+        decontaminate → split → per-split report."""
+        from sora_spark.queries.registry import REGISTRY
+
+        assert self._sf_dir is not None
+        return REGISTRY["qpipe2_curation_pipeline"].spark_fn(
+            self.spark, self._sf_dir
+        )

@@ -37,3 +37,23 @@ def test_stream_entrypoint(spark, sf_dir):
     s = eng.read_stream("events", n_files=2)
     assert s.isStreaming
     assert "ts" in s.columns
+
+
+def test_engine_assembly_and_curation_surface(spark, sf_dir):
+    """Round-6 facade: assemble/unitigs/curate run end-to-end and agree
+    with their declared-query twins."""
+    from sora_spark.engine import Engine
+    from sora_spark.queries import REGISTRY
+
+    eng = Engine(spark).attach(sf_dir)
+    stats: dict = {}
+    edges = eng.assemble(stats=stats)
+    want = REGISTRY["qg16_assembly_pipeline"].spark_fn(spark, sf_dir)
+    assert sorted(map(tuple, edges.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert stats["bubble_rounds"] >= 1
+    uni = eng.unitigs(with_paths=True)
+    assert set(uni.columns) == {"start", "end", "length", "path"}
+    rep = eng.curate().collect()
+    assert {r["split"] for r in rep} <= {"train", "val"}
