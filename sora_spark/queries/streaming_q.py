@@ -489,6 +489,109 @@ def qs6_checkpoint_recovery(spark, sf_dir):
 
 
 @query(
+    "qup2_streaming_upsert_sink",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC) AS rn
+  FROM events)
+SELECT user_id, event_type, event_id AS latest_event_id,
+       round(value, 2) AS latest_value
+FROM r WHERE rn = 1 ORDER BY user_id, event_type
+""",
+    doc="The CDC materialized-view composition at the hash tier: the "
+    "events replayed as 4 micro-batches through the foreachBatch "
+    "UPSERT sink (streaming.upsert.upsert_sink — merge-by-rewrite, "
+    "max-ts row per (user_id, event_type), atomic dir swap per "
+    "batch); the final TABLE ON DISK is read back and hash-matched "
+    "against the batch latest-row-per-key oracle. Determinism rests "
+    "on a verified fixture property (no two same-key events share the "
+    "max ts at any calibrated sf), so the sink's content-hash "
+    "tiebreak never decides — same discipline as qup1. Certifies the "
+    "streaming+merge composition qup1 (batch core) and qs1b "
+    "(micro-batch replay) certify separately.",
+    tags=("streaming", "hash-tier", "cdc", "upsert"),
+)
+def qup2_streaming_upsert_sink(spark, sf_dir):
+    import os
+
+    from sora_spark.streaming import replay
+    from sora_spark.streaming.upsert import upsert_sink
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    d = replay.materialize_replay_dir(spark, sf_dir, "qup2", n_files=4)
+    base = replay.scratch_dir(f"qup2-sink-{sf_tag}")
+    table, ckpt = os.path.join(base, "table"), os.path.join(base, "ckpt")
+    q = upsert_sink(
+        replay.events_stream(spark, d),
+        table,
+        ckpt,
+        ["user_id", "event_type"],
+        "ts",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(table)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.round("value", 2).alias("latest_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "qs7_update_mode_sink",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    doc="UPDATE output mode at the hash tier: the tumbling aggregation "
+    "replayed one file per micro-batch in time order (sequential "
+    "replay — with tied-mtime bulk staging the file source can pick a "
+    "LATE file first, jump the watermark, and drop older files' "
+    "events entirely; found while writing this query) emits only "
+    "CHANGED windows each batch under the REAL 2-hour watermark "
+    "(state behind it evicted between batches); a foreachBatch sink "
+    "overwrites a per-key driver dict (the canonical update-mode "
+    "consumer — last emission per key IS the final state), and the "
+    "reconstructed table hash-matches the qs1 batch oracle. With "
+    "qs1b (complete) and qs6 (checkpointed restart) this closes the "
+    "output-mode family at the hash tier.",
+    tags=("streaming", "hash-tier", "output-mode"),
+)
+def qs7_update_mode_sink(spark, sf_dir):
+    from sora_spark.streaming import ops, replay
+
+    staged = replay.materialize_replay_dir(spark, sf_dir, "qs7", n_files=4)
+
+    latest: dict = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            latest[(r["hour"], r["event_type"])] = (r["n"], r["sum_value"])
+
+    replay.run_sequential_foreach_batch(
+        spark, staged, ops.tumbling_counts, sink, "update"
+    )
+    rows = [
+        (h, et, n, sv) for (h, et), (n, sv) in sorted(latest.items())
+    ]
+    return spark.createDataFrame(
+        rows, "hour string, event_type string, n bigint, sum_value double"
+    ).orderBy("hour", "event_type")
+
+
+@query(
     "qst1_stateful_counts",
     oracle="""
 SELECT user_id, count(*) AS n_events

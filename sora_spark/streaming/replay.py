@@ -177,34 +177,21 @@ def run_to_memory_flush(
     return spark.table(name)
 
 
-def run_sequential_to_memory(
-    spark: SparkSession,
-    staged_dir: str,
-    transform,
-    name: str,
-    output_mode: str,
-) -> DataFrame:
-    """Replay a staged multi-file dir ONE FILE PER MICRO-BATCH in
-    deterministic file order: part files are copied into a fresh
-    watched dir one at a time, draining the stream between copies, so
-    batch N is exactly part-file N — no reliance on the file source's
-    mtime tie-breaking. This is what makes arrival order truly equal
-    event-time order for first-arrival operators (streaming dedup):
-    range-partitioned + within-sorted staging gives in-file order, and
-    the copy loop gives cross-file order. `transform` maps the raw
-    events stream to the streaming frame to sink."""
+def _replay_sequential(spark: SparkSession, staged_dir: str, start_query):
+    """Core of sequential replay: copy the staged part files into a
+    fresh watched dir ONE AT A TIME in name order, draining the
+    query between copies, so batch N is exactly part-file N — no
+    reliance on the file source's mtime tie-breaking. Without this, a
+    4-file dir written in one commit has tied mtimes and the source
+    may pick a LATE file first, jumping the watermark past the older
+    files' events (they would then be dropped as late — the qs7
+    round-6 finding). `start_query(stream_df)` starts and returns the
+    StreamingQuery."""
     seq_dir = staged_dir + "-seq"
     _CREATED.add(seq_dir)
     shutil.rmtree(seq_dir, ignore_errors=True)  # stale reruns
     os.makedirs(seq_dir)
-    spark.catalog.dropTempView(name)
-    q = (
-        transform(events_stream(spark, seq_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
+    q = start_query(events_stream(spark, seq_dir))
     try:
         parts = sorted(
             f
@@ -219,7 +206,55 @@ def run_sequential_to_memory(
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_sequential_to_memory(
+    spark: SparkSession,
+    staged_dir: str,
+    transform,
+    name: str,
+    output_mode: str,
+) -> DataFrame:
+    """Sequential replay (`_replay_sequential`) drained into a memory
+    sink. Arrival order == event-time order when the staging is
+    range-partitioned (+ within-sorted for first-arrival operators
+    like streaming dedup). `transform` maps the raw events stream to
+    the streaming frame to sink."""
+    spark.catalog.dropTempView(name)
+    _replay_sequential(
+        spark,
+        staged_dir,
+        lambda s: (
+            transform(s)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        ),
+    )
     return spark.table(name)
+
+
+def run_sequential_foreach_batch(
+    spark: SparkSession,
+    staged_dir: str,
+    transform,
+    sink_fn,
+    output_mode: str = "update",
+) -> None:
+    """Sequential replay through a foreachBatch sink — the consumer
+    shape update-mode queries need (per-key overwrite), with the same
+    deterministic time-ordered arrival as the memory-sink variant."""
+    _replay_sequential(
+        spark,
+        staged_dir,
+        lambda s: (
+            transform(s)
+            .writeStream.outputMode(output_mode)
+            .foreachBatch(sink_fn)
+            .start()
+        ),
+    )
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
