@@ -1,0 +1,127 @@
+"""Overlap-graph CONSTRUCTION from sequence data — SURVEY §0.3 step 1,
+the one assembly stage the round-5 engine still derived from the star
+schema instead of from sequences. SORA's input is reads + suffix-prefix
+overlaps [PK]; the fixtures carry no read set, so reads are derived
+deterministically from `documents.text` as fixed-stride sliding windows
+(shotgun-sampling shape: stride < read_len, so consecutive windows of a
+document overlap by `read_len - stride` characters and the exact
+suffix-prefix join reconstructs the per-document chain, while repeated
+k-mers across documents contribute the branch/tip/bubble structure a
+real overlap graph has — measured at sf0.01: 6 856 edges, 96 tips,
+1 088 bubble pairs, 0 transitive edges, and the graph is a DAG at
+sf0.001/0.01/0.1, which keeps the recursive-CTE oracles total).
+
+Scale posture (100 TB):
+- `derive_reads` is map-side only — an in-row `sequence` + `explode`
+  with fan-out bounded by n_chars/stride; no shuffle.
+- `overlap_edges` is a plain equi-join on the length-`min_ovl` k-mer
+  key: one shuffle per side on the key, candidate pairs bounded by
+  per-k-mer frequency (max 3 at sf0.01), never all-pairs.
+- `max_key_freq` implements repeat masking — the classic assembler
+  guard: hyper-frequent k-mers (genomic repeats / boilerplate text)
+  are dropped before the join, bounding the worst key's fan-out. The
+  frequency table is k-mer-sized and broadcast into an anti-semi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+READ_LEN = 40
+STRIDE = 20
+MIN_OVL = 20
+
+# Reads are keyed read_id = doc_id * 1000 + window_index. The fixture
+# bound (n_chars <= 553 → <= 26 windows) sits far under the 1000
+# stride; derive_reads asserts the invariant rather than trusting it.
+_MAX_WINDOWS = 1000
+
+
+def derive_reads(
+    documents: DataFrame, read_len: int = READ_LEN, stride: int = STRIDE
+) -> DataFrame:
+    """Shotgun-style read set: every `stride`-spaced window of length
+    `read_len` per document → (read_id, seq). Map-side only (in-row
+    sequence + explode); windows are always full-length (the index
+    range stops while start + read_len <= n_chars)."""
+    n_win = (
+        F.floor((F.col("n_chars") - F.lit(read_len)) / F.lit(stride))
+        .cast("int")
+        .alias("max_i")
+    )
+    return (
+        documents.filter(F.col("n_chars") >= read_len)
+        .select("doc_id", "text", n_win)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), F.col("max_i"))).alias("i"),
+        )
+        .select(
+            F.when(
+                F.col("i") < _MAX_WINDOWS,
+                F.col("doc_id") * _MAX_WINDOWS + F.col("i"),
+            )
+            .alias("read_id"),  # NULL (never silently wrong) past the bound
+            F.col("text")
+            .substr(F.col("i") * stride + F.lit(1), F.lit(read_len))
+            .alias("seq"),
+        )
+    )
+
+
+def overlap_edges(
+    reads: DataFrame,
+    read_len: int = READ_LEN,
+    min_ovl: int = MIN_OVL,
+    max_key_freq: int | None = None,
+) -> DataFrame:
+    """Exact suffix-prefix overlap join: edge (s, d) when the last
+    `min_ovl` chars of read s equal the first `min_ovl` chars of read
+    d (s != d). Equi-join on the k-mer key — one shuffle per side,
+    bounded by k-mer frequency. `max_key_freq` masks k-mers more
+    frequent (as a prefix) than the cap before joining (repeat
+    masking); None keeps every key (the oracle-exact form)."""
+    sfx = reads.select(
+        F.col("read_id").alias("s"),
+        F.col("seq")
+        .substr(F.lit(read_len - min_ovl + 1), F.lit(min_ovl))
+        .alias("k"),
+    )
+    pfx = reads.select(
+        F.col("read_id").alias("d"),
+        F.col("seq").substr(F.lit(1), F.lit(min_ovl)).alias("k"),
+    )
+    if max_key_freq is not None:
+        hot = (
+            pfx.groupBy("k")
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") > max_key_freq)
+            .select("k")
+        )
+        pfx = pfx.join(F.broadcast(hot), "k", "left_anti")
+        sfx = sfx.join(F.broadcast(hot), "k", "left_anti")
+    return (
+        sfx.join(pfx, "k")
+        .filter(F.col("s") != F.col("d"))
+        .select("s", "d")
+    )
+
+
+# ---- DuckDB oracle mirrors (same constants baked in) ----------------
+
+READS_SQL = (
+    "SELECT doc_id*1000 + i AS read_id, "
+    "substr(text, CAST(i*20+1 AS BIGINT), 40) AS seq "
+    "FROM documents, "
+    "unnest(range(0, CAST(floor((n_chars-40)/20.0) AS BIGINT)+1)) AS t(i) "
+    "WHERE n_chars >= 40"
+)
+
+OVERLAP_SQL = (
+    "SELECT a.read_id AS s, b.read_id AS d "
+    "FROM reads a JOIN reads b "
+    "ON substr(a.seq, 21, 20) = substr(b.seq, 1, 20) "
+    "AND a.read_id <> b.read_id"
+)

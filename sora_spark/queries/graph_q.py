@@ -15,9 +15,17 @@ import re
 
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from sora_spark.catalog import tables
 from sora_spark.graph import Graph, e_co, e_seq
 from sora_spark.graph.derive import E_CO_SMALL_SQL, E_CO_SQL, e_co_small
+from sora_spark.graph.overlap import (
+    OVERLAP_SQL,
+    READS_SQL,
+    derive_reads,
+    overlap_edges,
+)
 from sora_spark.queries.registry import query
 
 # Fixpoint-unroll oracles (qg11b/qg13/qg15) hard-code an unroll count
@@ -757,4 +765,160 @@ def qg14_pagerank(spark, sf_dir):
         .pagerank(n_iter=_PR_ROUNDS, damping=0.85)
         .select("v", F.round("rank", 6).alias("rank"))
         .orderBy("v")
+    )
+
+
+# ---- Read-derived assembly family (SURVEY §0.3 steps 1-5 FROM
+# SEQUENCES) — round 6. The overlap graph is CONSTRUCTED from document
+# text (sliding-window reads, exact suffix-prefix k-mer equi-join —
+# sora_spark/graph/overlap.py), then reduced and compacted by the same
+# operators the e_co family certifies. Round calibration (measured
+# this round via assembly_pipeline stats): reduce fixpoint 2 rounds and
+# bubble fixpoint 2 rounds at sf0.001/0.01/0.1 — unroll 3+3 gives one
+# round of margin each; the monotone unroll-past-fixpoint argument
+# (qg11b) applies to both stages. The overlap graph is a DAG at all
+# three SFs (topological peel leaves 0 edges), so the recursive walk
+# oracles are total.
+_READ_ASSEMBLY_SQL_PREFIX = (
+    f"WITH RECURSIVE reads AS MATERIALIZED ({READS_SQL}),\n"
+    f"ov AS MATERIALIZED ({OVERLAP_SQL}),"
+    f"{_reduce_round_sql('ov', 1)},{_reduce_round_sql('r1', 2)},"
+    f"{_reduce_round_sql('r2', 3)},"
+    f"{_bubble_round_sql('r3', 1)},{_bubble_round_sql('b1', 2)},"
+    f"{_bubble_round_sql('b2', 3)}"
+)
+
+_READ_WALK_SQL = """,
+dout AS (SELECT s, count(*) AS c FROM b3 GROUP BY s),
+din AS (SELECT d, count(*) AS c FROM b3 GROUP BY d),
+ce AS MATERIALIZED (
+  SELECT e.s, e.d FROM b3 e
+  JOIN dout ON dout.s = e.s AND dout.c = 1
+  JOIN din  ON din.d  = e.d AND din.c  = 1),
+walk(start, v, len) AS (
+  SELECT s, d, 1 FROM ce WHERE s NOT IN (SELECT d FROM ce)
+  UNION ALL
+  SELECT w2.start, c.d, w2.len + 1 FROM walk w2 JOIN ce c ON c.s = w2.v)"""
+
+
+@query(
+    "qg19_overlap_graph",
+    oracle=(
+        f"WITH reads AS MATERIALIZED ({READS_SQL})\n"
+        f"SELECT s, d FROM ({OVERLAP_SQL}) ORDER BY s, d"
+    ),
+    doc="SURVEY §0.3 step 1 — overlap-graph CONSTRUCTION from sequence "
+    "data, the stage the engine previously only consumed (e_co stood "
+    "in for it). Reads are deterministic sliding windows over "
+    "documents.text (len 40, stride 20 → consecutive reads overlap by "
+    "20 chars); edges are the exact suffix-prefix 20-mer equi-join. "
+    "Full edge list hash-checked. Scale: map-side read expansion, one "
+    "equi-join shuffle on the 20-mer key, candidates bounded by k-mer "
+    "frequency (max 3 at sf0.01) — never all-pairs; overlap.py's "
+    "max_key_freq adds repeat masking for adversarial corpora.",
+    tags=("graph", "assembly", "overlap"),
+)
+def qg19_overlap_graph(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return overlap_edges(derive_reads(docs)).orderBy("s", "d")
+
+
+@query(
+    "qg20_read_assembly",
+    oracle=(
+        _READ_ASSEMBLY_SQL_PREFIX
+        + _READ_WALK_SQL
+        + """
+SELECT start, arg_max(v, len) AS "end",
+       CAST(max(len) AS BIGINT) AS length
+FROM walk GROUP BY start ORDER BY start"""
+    ),
+    doc="SURVEY §0.3 steps 1-5 END-TO-END FROM SEQUENCES: derive reads "
+    "→ suffix-prefix overlap join → transitive-reduction + tip-trim "
+    "fixpoint → bubble-pop fixpoint → unitig compaction (pointer "
+    "doubling), hash-checked against 3+3 unrolled SQL rounds plus a "
+    "recursive chain walk. Unlike qg16/qg17 (bounded e_co graph), the "
+    "input graph here is built from text the way SORA builds it from "
+    "reads — this row certifies the reference's whole identity "
+    "pipeline on its native input shape. The read graph genuinely "
+    "exercises the reducers: 96 tips and 1088 bubble pairs at sf0.01.",
+    tags=("graph", "assembly", "overlap", "fixpoint", "compaction"),
+)
+def qg20_read_assembly(spark, sf_dir):
+    _require_calibrated_sf(sf_dir, "qg20 (3+3 unrolled rounds)")
+    docs = tables(spark, sf_dir).documents
+    ov = overlap_edges(derive_reads(docs))
+    edges = Graph(ov).assembly_pipeline(max_iter=10)
+    ce = Graph(edges).chain_edges()
+    return (
+        Graph(ce)
+        .compact_chains()
+        .select(
+            "start", "end", F.col("length").cast("bigint").alias("length")
+        )
+        .orderBy("start")
+    )
+
+
+@query(
+    "qg21_assembly_n50",
+    oracle=(
+        _READ_ASSEMBLY_SQL_PREFIX
+        + _READ_WALK_SQL
+        + """,
+lens AS (SELECT CAST(max(len) + 1 AS BIGINT) AS len_v FROM walk GROUP BY start),
+cum AS (SELECT len_v, sum(len_v) OVER (ORDER BY len_v DESC) AS cs FROM lens),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_unitigs,
+               CAST(sum(len_v) AS BIGINT) AS total_len,
+               CAST(max(len_v) AS BIGINT) AS max_len FROM lens)
+SELECT n_unitigs, total_len, max_len,
+  (SELECT CAST(max(len_v) AS BIGINT) FROM cum, tot WHERE 2*cs >= total_len) AS n50,
+  (SELECT CAST(max(len_v) AS BIGINT) FROM cum, tot WHERE 10*cs >= 9*total_len) AS n90
+FROM tot"""
+    ),
+    doc="Assembly-quality metrics over the read-derived unitig set "
+    "(qg20's contigs): unitig count, total/max contig length (in "
+    "vertices = reads), N50 and N90 — THE standard assembly summary "
+    "statistics. N50 is computed order-free as max{L : sum of lengths "
+    ">= L reaches half the total} (RANGE-framed cumulative sum "
+    "includes ties on both engines, so tie order can't flip the "
+    "hash). The global window runs on unitig-count-sized data — "
+    "already reduced by orders of magnitude from the edge set — the "
+    "same place a 100 TB assembly pipeline computes its report.",
+    tags=("graph", "assembly", "stats"),
+)
+def qg21_assembly_n50(spark, sf_dir):
+    _require_calibrated_sf(sf_dir, "qg21 (3+3 unrolled rounds)")
+    docs = tables(spark, sf_dir).documents
+    ov = overlap_edges(derive_reads(docs))
+    edges = Graph(ov).assembly_pipeline(max_iter=10)
+    ce = Graph(edges).chain_edges()
+    lens = (
+        Graph(ce)
+        .compact_chains()
+        .select((F.col("length") + 1).cast("bigint").alias("len_v"))
+    )
+    tot = lens.agg(
+        F.count("*").cast("bigint").alias("n_unitigs"),
+        F.sum("len_v").cast("bigint").alias("total_len"),
+        F.max("len_v").cast("bigint").alias("max_len"),
+    )
+    # default RANGE frame (unbounded preceding → current row) includes
+    # ties, matching DuckDB's sum() OVER (ORDER BY len_v DESC)
+    cs = F.sum("len_v").over(Window.orderBy(F.desc("len_v")))
+    cum = lens.select("len_v", cs.alias("cs")).crossJoin(F.broadcast(tot))
+    marks = cum.agg(
+        F.max(
+            F.when(2 * F.col("cs") >= F.col("total_len"), F.col("len_v"))
+        )
+        .cast("bigint")
+        .alias("n50"),
+        F.max(
+            F.when(10 * F.col("cs") >= 9 * F.col("total_len"), F.col("len_v"))
+        )
+        .cast("bigint")
+        .alias("n90"),
+    )
+    return tot.crossJoin(F.broadcast(marks)).select(
+        "n_unitigs", "total_len", "max_len", "n50", "n90"
     )

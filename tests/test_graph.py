@@ -223,3 +223,67 @@ def test_bubble_pop_shuffle_path_matches_broadcast(spark, sf_dir):
     sh = sorted(map(tuple, g.pop_bubbles_round(broadcast_edges=False).collect()))
     assert bc == sh
     assert len(bc) < g.edges.count(), "bubble pop must remove edges"
+
+
+def test_overlap_edges_reconstruct_document_chains(spark):
+    """Overlap-join construction (qg19 core): on a corpus with no
+    cross-document repeats, the overlap graph is exactly each
+    document's consecutive-window chain."""
+    from sora_spark.graph.overlap import derive_reads, overlap_edges
+
+    rows = [
+        (0, "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJ"),  # 46 chars
+        (1, "zyxwvutsrqponmlkjihgfedcba9876543210JIHGFEDCBA"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in rows], "doc_id INT, text STRING, n_chars INT"
+    )
+    reads = derive_reads(docs, read_len=20, stride=10)
+    # 46 chars -> windows at 0,10,20 (start 26 would overrun)
+    assert reads.count() == 6
+    edges = sorted(
+        map(tuple, overlap_edges(reads, read_len=20, min_ovl=10).collect())
+    )
+    assert edges == [(0, 1), (1, 2), (1000, 1001), (1001, 1002)]
+
+
+def test_overlap_repeat_masking_drops_hot_kmers(spark):
+    """max_key_freq (repeat masking — the 100 TB guard): a k-mer shared
+    by many reads stops generating edges once its prefix frequency
+    exceeds the cap, while unique-overlap edges survive."""
+    from sora_spark.graph.overlap import derive_reads, overlap_edges
+
+    repeat = "REPEATREPE"  # 10-char hot overlap block
+    # head(10) + REPEAT(10) + tail(10): window 0 ends with the hot
+    # block, window 1 starts with it -> every doc's read 0 overlaps
+    # every doc's read 1 (5x5 edges), all through one hot k-mer
+    texts = [f"{i:04d}ABCDEF" + repeat + f"tail{i:06d}" for i in range(5)]
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id INT, text STRING, n_chars INT",
+    )
+    reads = derive_reads(docs, read_len=20, stride=10)
+    unmasked = overlap_edges(reads, read_len=20, min_ovl=10).count()
+    masked = overlap_edges(
+        reads, read_len=20, min_ovl=10, max_key_freq=1
+    ).count()
+    assert unmasked == 25 and masked == 0, (unmasked, masked)
+
+
+def test_overlap_join_plan_is_equi_join(spark, sf_dir):
+    """qg19's suffix-prefix join must compile to a hash equi-join on
+    the k-mer key — never a nested-loop/cartesian all-pairs scan (the
+    property that keeps overlap construction 100 TB-safe)."""
+    import contextlib
+    import io
+
+    from sora_spark.queries import REGISTRY
+
+    df = REGISTRY["qg19_overlap_graph"].spark_fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Join" in p
