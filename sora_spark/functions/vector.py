@@ -38,3 +38,33 @@ def cosine(a: Column, b: Column) -> Column:
 def vec_sum(a: Column) -> Column:
     """Sum of elements (used by embedding class stats, Q-L8)."""
     return F.aggregate(to_double(a), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def int8_scale(a: Column) -> Column:
+    """Per-vector symmetric int8 scale: max(|x|)/127 (0.0 for the
+    all-zero vector; quantize_int8 special-cases it)."""
+    return F.array_max(F.transform(to_double(a), lambda x: F.abs(x))) / F.lit(
+        127.0
+    )
+
+
+def quantize_int8(a: Column, scale: Column) -> Column:
+    """Symmetric scalar int8 quantization: q_i = floor(x_i/scale + 0.5)
+    (explicit floor(+0.5), NOT round(): both engines then evaluate the
+    identical double expression, so half-way ties can't diverge on
+    rounding mode). The 4x memory cut is the point: at 100 TB of
+    embeddings the int8 copy is what a first-pass ANN scan reads,
+    with exact re-scoring only on survivors."""
+    return F.when(
+        scale == 0, F.transform(to_double(a), lambda x: F.lit(0).cast("bigint"))
+    ).otherwise(
+        F.transform(to_double(a), lambda x: F.floor(x / scale + F.lit(0.5)))
+    )
+
+
+def dequant_mse(a: Column, q: Column, scale: Column) -> Column:
+    """Mean squared reconstruction error of the quantized vector."""
+    sq = F.zip_with(
+        to_double(a), q, lambda x, qv: (x - qv * scale) * (x - qv * scale)
+    )
+    return F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x) / F.size(q)

@@ -118,6 +118,105 @@ def simhash_fast(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def simhash_value32(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Portable 32-bit SimHash as a BIGINT value (same bit votes as the
+    qd1 hex form: token md5's first 8 nibbles = bits 0..31, vote +-1
+    per token per bit, bit set when the vote is positive). Cross-engine
+    reproducible — the Hamming-join oracle recomputes it in DuckDB.
+    Shape: explode tokens (map-side), explode 32 bits, partial-agg
+    before the (id, bit) shuffle — doc x 32 rows cross the wire, never
+    token x 32."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select(
+        "id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    bits = tok.select(
+        "id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+    ).select(
+        "id",
+        "bit",
+        (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1).alias(
+            "contrib"
+        ),
+    )
+    per_bit = bits.groupBy("id", "bit").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy("id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("sh")
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup join with GUARANTEED recall: band the 32-bit
+    fingerprint into `n_bands` equal slices and bucket-join on (band,
+    slice value); by pigeonhole any pair within Hamming distance
+    < n_bands shares at least one untouched band, so for max_hamming
+    <= n_bands - 1 the bucketed candidates are a superset of the true
+    pairs and the bit_count(xor) verify makes the result EXACTLY the
+    all-pairs answer — the property the qd6 oracle checks. Scale: the
+    join is equi-keyed on band values (one shuffle per side, bucket-
+    bounded); only candidate pairs ever pay the Hamming computation.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"recall guarantee needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})"
+        )
+    if 32 % n_bands:
+        raise ValueError(f"n_bands must divide 32 (got {n_bands})")
+    bb = 32 // n_bands
+    sh = simhash_value32(df, text_col=text_col, id_col=id_col)
+    bands = sh.select(
+        "id",
+        "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn("bv", F.expr(f"(sh >> (band * {bb})) & {(1 << bb) - 1}"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.col("a.sh").alias("sa"),
+            F.col("b.sh").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr("bit_count(sa ^ sb)").cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 def jaccard_over_pairs(
     pairs: DataFrame,
     df: DataFrame,

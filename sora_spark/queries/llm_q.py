@@ -816,3 +816,112 @@ def qta7_boilerplate_spans(spark, sf_dir):
     return textstats.boilerplate_stats(docs, n=2, min_docs=3).orderBy(
         "source"
     )
+
+
+@query(
+    "qd6_simhash_hamming",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+nib AS (SELECT doc_id, h, unnest(range(1, 9)) AS p FROM h),
+dig AS (SELECT doc_id, p,
+               strpos('0123456789abcdef', substr(h, CAST(p AS INT), 1)) - 1 AS digit
+        FROM nib),
+bits AS (SELECT doc_id, p, digit, unnest(range(0, 4)) AS b FROM dig),
+s AS (SELECT doc_id, p, b,
+             sum(CASE WHEN (digit >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sv
+      FROM bits GROUP BY 1, 2, 3),
+hexd AS (SELECT doc_id, p,
+                CAST(sum(CASE WHEN sv > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS hd
+         FROM s GROUP BY 1, 2),
+sh AS (SELECT doc_id, CAST(sum(hd << (4*(8-p))) AS BIGINT) AS sh
+       FROM hexd GROUP BY doc_id)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+ORDER BY a, b
+""",
+    doc="qd6: SimHash Hamming near-dup JOIN with guaranteed recall — "
+    "the 32-bit portable fingerprint (qd1's bit votes) banded into 4x8 "
+    "bits; pairs sharing any band slice are candidates, and by "
+    "pigeonhole every pair within Hamming distance 3 < 4 bands IS a "
+    "candidate, so the bit_count(xor)<=3 verify equals the all-pairs "
+    "answer. The ORACLE is the brute-force all-pairs form — the hash "
+    "gate therefore certifies the banding's recall, not just the "
+    "Hamming arithmetic (qd3's recall-oracle pattern). Scale: "
+    "equi-join on (band, slice) buckets, never |D|^2; completes the "
+    "dedup family (exact / MinHash-Jaccard / embedding-cosine / "
+    "SimHash-Hamming).",
+    tags=("llm", "dedup", "simhash"),
+)
+def qd6_simhash_hamming(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return dedup.simhash_hamming_pairs(
+        docs, max_hamming=3, n_bands=4
+    ).orderBy("a", "b")
+
+
+@query(
+    "qvq1_int8_quantization",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e),
+q AS (SELECT vec_id, v, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(floor(x/scale + 0.5) AS BIGINT))
+             END AS qv
+      FROM s),
+m AS (SELECT vec_id, scale, qv,
+             list_sum(list_transform(range(1, len(v)+1),
+                      i -> (v[i] - qv[i]*scale) * (v[i] - qv[i]*scale)))
+               / len(v) AS mse
+      FROM q)
+SELECT vec_id,
+       CAST(list_sum(qv) AS BIGINT) AS sum_q,
+       CAST(list_max(qv) AS BIGINT) AS max_q,
+       round(scale, 6) AS scale_r,
+       round(mse, 9) AS mse_r
+FROM m ORDER BY vec_id
+""",
+    doc="qvq1: symmetric per-vector int8 scalar quantization of the "
+    "embedding column + reconstruction-error accounting — the 4x "
+    "memory cut a 100 TB similarity-search pipeline takes before its "
+    "first-pass scan (exact re-scoring only on survivors; recall "
+    "floor pinned in tests/test_llm.py). All JVM-side higher-order "
+    "functions, map-only (zero shuffles before the final sort). "
+    "Cross-engine determinism: quantize via floor(x/scale + 0.5) — "
+    "the same double expression on both engines — never round() "
+    "(rounding-mode trap); sum_q/max_q are exact integers, scale/mse "
+    "rounded per protocol.",
+    tags=("llm", "vector", "quantization"),
+)
+def qvq1_int8_quantization(spark, sf_dir):
+    from sora_spark.functions import vector
+
+    emb = tables(spark, sf_dir).embeddings
+    v = F.col("embedding")
+    scale = vector.int8_scale(v)
+    with_q = emb.select(
+        "vec_id",
+        v.alias("embedding"),
+        scale.alias("scale"),
+        vector.quantize_int8(v, scale).alias("qv"),
+    )
+    return with_q.select(
+        "vec_id",
+        F.aggregate(
+            "qv", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("sum_q"),
+        F.array_max("qv").cast("bigint").alias("max_q"),
+        F.round("scale", 6).alias("scale_r"),
+        F.round(
+            vector.dequant_mse(
+                F.col("embedding"), F.col("qv"), F.col("scale")
+            ),
+            9,
+        ).alias("mse_r"),
+    ).orderBy("vec_id")

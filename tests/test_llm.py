@@ -547,3 +547,54 @@ def test_pca_self_consistency(spark, sf_dir):
         ).collect()[0]
     )
     assert sum(model.eigenvalues) <= total_var + 1e-6 * scale
+
+
+def test_int8_quantized_topk_recall(spark, sf_dir):
+    """The qvq1 use case: cosine top-10 computed on int8-quantized
+    vectors must recover >= 8 of the exact top-10 (first-pass scan /
+    exact re-score contract). Also pins the error bound: per-element
+    |x - q*scale| <= scale/2 by construction."""
+    from sora_spark.catalog import tables
+    from sora_spark.functions import vector
+
+    emb = tables(spark, sf_dir).embeddings
+    v = F.col("embedding")
+    scale = vector.int8_scale(v)
+    deq = F.zip_with(
+        vector.quantize_int8(v, scale),
+        F.array_repeat(scale, F.size(v)),
+        lambda q, s: q * s,
+    )
+    base = emb.select("vec_id", v.alias("embedding"), deq.alias("dq"))
+    probe = base.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("p_exact"), F.col("dq").alias("p_q")
+    )
+    scored = base.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
+    exact = [
+        r["vec_id"]
+        for r in scored.select(
+            "vec_id", vector.cosine(F.col("embedding"), F.col("p_exact")).alias("s")
+        ).orderBy(F.desc("s"), "vec_id").limit(10).collect()
+    ]
+    quant = [
+        r["vec_id"]
+        for r in scored.select(
+            "vec_id", vector.cosine(F.col("dq"), F.col("p_q")).alias("s")
+        ).orderBy(F.desc("s"), "vec_id").limit(10).collect()
+    ]
+    assert len(set(exact) & set(quant)) >= 8, (exact, quant)
+
+    # error bound |x - q*scale| <= scale/2 (+ float-cast epsilon)
+    bad = emb.select(
+        F.aggregate(
+            F.zip_with(
+                vector.to_double(v),
+                vector.quantize_int8(v, vector.int8_scale(v)),
+                lambda x, q: F.abs(x - q * vector.int8_scale(F.col("embedding"))),
+            ),
+            F.lit(0.0),
+            lambda acc, e: F.greatest(acc, e),
+        ).alias("maxerr"),
+        (vector.int8_scale(v) / 2 + F.lit(1e-9)).alias("bound"),
+    ).filter(F.col("maxerr") > F.col("bound"))
+    assert bad.count() == 0
