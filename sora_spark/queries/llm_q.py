@@ -925,3 +925,40 @@ def qvq1_int8_quantization(spark, sf_dir):
             9,
         ).alias("mse_r"),
     ).orderBy("vec_id")
+
+
+@query(
+    "qix1_inverted_index",
+    oracle="""
+WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents)
+SELECT tok, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_head
+FROM tok GROUP BY tok ORDER BY tok
+""",
+    doc="qix1: inverted-index build — token -> document frequency + "
+    "the first 20 postings (sorted doc_ids). Wordcount-shaped: "
+    "explode map-side, distinct on (token, doc) then one groupBy on "
+    "the token. The postings column is deliberately CAPPED at 20 ids "
+    "so row width stays bounded at any corpus size — at 100 TB the "
+    "full index is the (token, doc_id) relation itself (re-sharded by "
+    "token ranges), with df and head-of-postings as the per-token "
+    "summary row a query planner reads first; an uncapped string_agg "
+    "would concentrate a hot token's entire posting list in one row.",
+    tags=("llm", "text", "index"),
+)
+def qix1_inverted_index(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    return (
+        tok.groupBy("tok")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
+            ).alias("postings_head"),
+        )
+        .orderBy("tok")
+    )

