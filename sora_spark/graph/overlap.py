@@ -125,3 +125,58 @@ OVERLAP_SQL = (
     "ON substr(a.seq, 21, 20) = substr(b.seq, 1, 20) "
     "AND a.read_id <> b.read_id"
 )
+
+
+def overlap_edges_max(
+    reads: DataFrame,
+    read_len: int = READ_LEN,
+    ovl_lengths: tuple[int, ...] = (30, 20),
+    max_key_freq: int | None = None,
+) -> DataFrame:
+    """Maximal-overlap edges (s, d, ovl): test each candidate overlap
+    length (descending from read_len; a MIN-OVERLAP CUTOFF, the real
+    assembler parameter — lengths far below it produce k-mer-collision
+    noise, measured 2.9M spurious 10-mer edges vs 280k real ones at
+    sf0.1) and keep the maximum per pair. One equi-join per candidate
+    length (a small constant) + one groupBy; a production assembler
+    replaces the per-length probes with seed-and-extend from the
+    longest seed, but the bounded-key join shape is the same."""
+    parts = []
+    for ovl in ovl_lengths:
+        e = overlap_edges(
+            reads,
+            read_len=read_len,
+            min_ovl=ovl,
+            max_key_freq=max_key_freq,
+        )
+        parts.append(e.select("s", "d", F.lit(ovl).alias("ovl")))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return allp.groupBy("s", "d").agg(F.max("ovl").alias("ovl"))
+
+
+# stride-10 read set for the multi-length overlap query (adjacent reads
+# overlap 30, distance-2 reads overlap 20)
+READS10_SQL = (
+    "SELECT doc_id*1000 + i AS read_id, "
+    "substr(text, CAST(i*10+1 AS BIGINT), 40) AS seq "
+    "FROM documents, "
+    "unnest(range(0, CAST(floor((n_chars-40)/10.0) AS BIGINT)+1)) AS t(i) "
+    "WHERE n_chars >= 40"
+)
+
+OVERLAP_MAX_SQL = """
+SELECT s, d, ovl FROM (
+  SELECT s, d, CAST(max(ovl) AS INT) AS ovl FROM (
+    SELECT a.read_id AS s, b.read_id AS d, 30 AS ovl
+    FROM reads a JOIN reads b
+      ON substr(a.seq, 11, 30) = substr(b.seq, 1, 30)
+     AND a.read_id <> b.read_id
+    UNION ALL
+    SELECT a.read_id, b.read_id, 20
+    FROM reads a JOIN reads b
+      ON substr(a.seq, 21, 20) = substr(b.seq, 1, 20)
+     AND a.read_id <> b.read_id
+  ) GROUP BY s, d
+)"""

@@ -21,10 +21,13 @@ from sora_spark.catalog import tables
 from sora_spark.graph import Graph, e_co, e_seq
 from sora_spark.graph.derive import E_CO_SMALL_SQL, E_CO_SQL, e_co_small
 from sora_spark.graph.overlap import (
+    OVERLAP_MAX_SQL,
     OVERLAP_SQL,
+    READS10_SQL,
     READS_SQL,
     derive_reads,
     overlap_edges,
+    overlap_edges_max,
 )
 from sora_spark.queries.registry import query
 
@@ -921,4 +924,32 @@ def qg21_assembly_n50(spark, sf_dir):
     )
     return tot.crossJoin(F.broadcast(marks)).select(
         "n_unitigs", "total_len", "max_len", "n50", "n90"
+    )
+
+
+@query(
+    "qg22_overlap_lengths",
+    oracle=(
+        "WITH reads AS MATERIALIZED ("
+        + READS10_SQL
+        + ")\n"
+        + OVERLAP_MAX_SQL
+        + " ORDER BY s, d"
+    ),
+    doc="Maximal-overlap edge attributes (the reference's edge schema "
+    "carries overlap LENGTH, not just adjacency): stride-10 reads so "
+    "adjacent windows overlap 30 chars and distance-2 windows overlap "
+    "20; each candidate length >= the min-overlap cutoff (20) is one "
+    "bounded equi-join, max kept per pair. Lengths below the cutoff "
+    "are collision noise (2.9M spurious 10-mer edges vs 280k real at "
+    "sf0.1 — measured, which is WHY assemblers have the cutoff).",
+    tags=("graph", "assembly", "overlap"),
+)
+def qg22_overlap_lengths(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    reads = derive_reads(docs, read_len=40, stride=10)
+    return (
+        overlap_edges_max(reads, read_len=40, ovl_lengths=(30, 20))
+        .select("s", "d", F.col("ovl").cast("int").alias("ovl"))
+        .orderBy("s", "d")
     )

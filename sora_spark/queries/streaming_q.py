@@ -663,3 +663,99 @@ def qs5b_stream_stream_join_sink(spark, sf_dir):
     )
     got = replay.run_to_memory(stream, "qs5b_sink", "append")
     return got.orderBy("user_id", "purchase_id", "view_id")
+
+
+@query(
+    "qs8_stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment AS segment, e.event_type,
+       count(*) AS n, round(sum(e.value), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="Stream-STATIC join at the hash tier (the third join shape "
+    "after stream-stream inner/outer): events replayed as 4 real "
+    "micro-batches, enriched per batch against the static customer "
+    "dimension via a BROADCAST inner join (stateless — no watermark, "
+    "no join state; the dimension is re-broadcast per micro-batch, "
+    "which is exactly the 100 TB pattern for slowly-changing small "
+    "dims), then windowless-aggregated per (segment, event_type) in "
+    "complete mode and hash-matched against the batch join oracle.",
+    tags=("streaming", "hash-tier", "join"),
+)
+def qs8_stream_static_join(spark, sf_dir):
+    from sora_spark.streaming import replay
+
+    d = replay.materialize_replay_dir(spark, sf_dir, "qs8", n_files=4)
+    ev = replay.events_stream(spark, d)
+    cust = tables(spark, sf_dir).customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    agg = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return replay.run_to_memory(agg, "qs8_sink", "complete")
+
+
+@query(
+    "qup3_cdc_deletes",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC) AS rn
+  FROM events)
+SELECT user_id, event_id AS latest_event_id,
+       round(value, 2) AS latest_value
+FROM r WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+""",
+    doc="CDC upsert WITH DELETES at the hash tier: the event stream "
+    "carries an op column ('D' tombstone when event_type = 'error', "
+    "else 'U') and flows through the same foreachBatch merge sink as "
+    "qup2 keyed on user_id alone. Tombstones are RETAINED in the "
+    "merged table (not dropped at merge time — dropping would let an "
+    "out-of-order older row resurrect a deleted key) and filtered at "
+    "read, the standard compaction-deferred CDC pattern; the visible "
+    "view hash-matches the batch latest-row-per-key-excluding-"
+    "tombstone oracle. 30 of 150 keys end deleted at sf0.01, so the "
+    "delete path is genuinely exercised.",
+    tags=("streaming", "hash-tier", "cdc", "upsert"),
+)
+def qup3_cdc_deletes(spark, sf_dir):
+    import os
+
+    from sora_spark.streaming import replay
+    from sora_spark.streaming.upsert import upsert_sink
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    d = replay.materialize_replay_dir(spark, sf_dir, "qup3", n_files=4)
+    base = replay.scratch_dir(f"qup3-sink-{sf_tag}")
+    table, ckpt = os.path.join(base, "table"), os.path.join(base, "ckpt")
+    ev = replay.events_stream(spark, d).withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    q = upsert_sink(ev, table, ckpt, ["user_id"], "ts")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(table)
+        .filter(F.col("op") != "D")
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.round("value", 2).alias("latest_value"),
+        )
+        .orderBy("user_id")
+    )

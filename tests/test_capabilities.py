@@ -1177,3 +1177,21 @@ def test_misra_gries_rejects_bad_k(spark):
     df = spark.createDataFrame([("a",)], "v string")
     with pytest.raises(ValueError, match="k must be"):
         misra_gries(df, "v", k=0)
+
+
+def test_qup3_fixture_has_no_tied_max_ts_per_user(spark, sf_dir):
+    """qup3's oracle orders by ts DESC alone (per user_id) and its
+    sink tiebreaks by content hash — both are only deterministic
+    because NO user has two events sharing its max ts. Pin that
+    fixture property so a regenerated fixture re-checks this row
+    (verified 0 ties at sf0.001/0.01/0.1 this round)."""
+    ev = tables(spark, sf_dir).events
+    m = ev.groupBy("user_id").agg(F.max("ts").alias("mt"))
+    tied = (
+        ev.join(m, "user_id")
+        .filter(F.col("ts") == F.col("mt"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    assert tied.count() == 0
