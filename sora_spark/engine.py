@@ -113,3 +113,38 @@ class Engine:
         return REGISTRY["qpipe2_curation_pipeline"].spark_fn(
             self.spark, self._sf_dir
         )
+
+    # ---- read-derived assembly (round-6 overlap surface) ----------------
+
+    def reads(self, read_len: int = 40, stride: int = 20) -> DataFrame:
+        """Sliding-window read set over documents.text (qg19 input)."""
+        from sora_spark.graph.overlap import derive_reads
+
+        return derive_reads(
+            self._require_attached().documents, read_len=read_len,
+            stride=stride,
+        )
+
+    def overlap_graph(self, read_len: int = 40, stride: int = 20,
+                      min_ovl: int = 20,
+                      max_key_freq: int | None = None) -> Graph:
+        """Overlap graph CONSTRUCTED from sequences (SURVEY §0.3 step 1
+        / qg19): suffix-prefix k-mer equi-join over the derived reads,
+        with optional repeat masking."""
+        from sora_spark.graph.overlap import overlap_edges
+
+        return Graph(overlap_edges(
+            self.reads(read_len=read_len, stride=stride),
+            read_len=read_len, min_ovl=min_ovl, max_key_freq=max_key_freq,
+        ))
+
+    def assemble_reads(self, stats: dict | None = None,
+                       with_paths: bool = False) -> DataFrame:
+        """Reads → contigs end-to-end (qg20): overlap join, reduce+tip
+        and bubble fixpoints, unitig compaction."""
+        edges = self.overlap_graph().assembly_pipeline(
+            max_iter=10, stats=stats
+        )
+        return Graph(Graph(edges).chain_edges()).compact_chains(
+            with_paths=with_paths
+        )

@@ -57,3 +57,23 @@ def test_engine_assembly_and_curation_surface(spark, sf_dir):
     assert set(uni.columns) == {"start", "end", "length", "path"}
     rep = eng.curate().collect()
     assert {r["split"] for r in rep} <= {"train", "val"}
+
+
+def test_facade_read_assembly_matches_registry(spark, sf_dir):
+    """Engine.assemble_reads must equal the declared qg20 path."""
+    from sora_spark.queries.registry import REGISTRY
+
+    eng = Engine(spark).attach(sf_dir)
+    via_facade = sorted(
+        map(tuple, eng.assemble_reads().select("start", "end").collect())
+    )
+    via_registry = sorted(
+        map(
+            tuple,
+            REGISTRY["qg20_read_assembly"]
+            .spark_fn(spark, sf_dir)
+            .select("start", "end")
+            .collect(),
+        )
+    )
+    assert via_facade == via_registry
