@@ -287,3 +287,39 @@ def test_overlap_join_plan_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "Join" in p
+
+
+def test_fasta_roundtrip_feeds_assembly(spark, sf_dir, tmp_path):
+    """The reference's native input path, end-to-end: derived reads
+    written as wrapped FASTA, read back through the registered 'fasta'
+    Python DataSource, and fed to the overlap join — the resulting
+    edge set must equal the direct in-memory path (sequence I/O and
+    overlap construction compose losslessly)."""
+    from sora_spark.catalog import tables
+    from sora_spark.graph.overlap import derive_reads, overlap_edges
+    from sora_spark.sources import fasta_datasource
+    from sora_spark.sources.text import write_fasta
+
+    docs = tables(spark, sf_dir).documents.limit(50)
+    reads = derive_reads(docs)
+    path = str(tmp_path / "reads_fasta")
+    write_fasta(
+        reads.select(F.col("read_id").cast("string").alias("h"), "seq"),
+        path,
+        "h",
+        "seq",
+        wrap=25,  # < read_len 40, so records are genuinely multi-line
+    )
+    fasta_datasource.register(spark)
+    back = (
+        spark.read.format("fasta")
+        .load(path)
+        .select(
+            F.col("header").cast("bigint").alias("read_id"),
+            F.col("sequence").alias("seq"),
+        )
+    )
+    direct = sorted(map(tuple, overlap_edges(reads).collect()))
+    via_fasta = sorted(map(tuple, overlap_edges(back).collect()))
+    assert direct == via_fasta
+    assert len(direct) > 0
