@@ -759,3 +759,43 @@ def qup3_cdc_deletes(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "qst2_stateful_sessions",
+    oracle="""
+WITH l AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE prev IS NULL
+                             OR epoch(ts) - epoch(prev) > 1800) AS BIGINT)
+         AS n_sessions
+FROM l GROUP BY user_id ORDER BY user_id
+""",
+    doc="CUSTOM stateful sessionization at the hash tier: gap-based "
+    "(30 min) per-user session counting through applyInPandasWithState "
+    "— hand-rolled state (last epoch + counter), NOT the built-in "
+    "session_window qs3c certifies — over sequential time-ordered "
+    "replay (range-partitioned + within-sorted staging, one file per "
+    "micro-batch). Counters are monotone, so max emission per user is "
+    "the final state; hash-matched against the batch lag()-gap "
+    "oracle. Distribution genuinely exercised: 47-83 sessions per "
+    "user at sf0.01.",
+    tags=("streaming", "hash-tier", "stateful", "session"),
+)
+def qst2_stateful_sessions(spark, sf_dir):
+    from sora_spark.streaming import replay, stateful
+
+    staged = replay.materialize_replay_dir(
+        spark, sf_dir, "qst2", n_files=4, sorted_within=True
+    )
+    sink = replay.run_sequential_to_memory(
+        spark, staged, stateful.gap_session_counts, "qst2_sink", "update"
+    )
+    return (
+        sink.groupBy("user_id")
+        .agg(F.max("n_sessions").alias("n_sessions"))
+        .orderBy("user_id")
+    )

@@ -40,6 +40,44 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def gap_session_counts(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """CUSTOM gap-based sessionization (the hand-rolled counterpart to
+    the built-in F.session_window): per-user state = (last event epoch,
+    session count); an event starts a new session when it arrives more
+    than `gap_minutes` after the previous one. Emits the RUNNING total
+    per touched user each micro-batch — monotone, so the final value
+    per user is the max emission (the qst1 consumer contract).
+
+    Correct only under time-ordered arrival per user (sequential
+    range-partitioned replay): state carries no out-of-order buffer by
+    design — the point is the minimal custom-state shape, state size =
+    #users x 2 scalars regardless of stream length."""
+    gap_s = gap_minutes * 60.0
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            last, n = state.get
+        else:
+            last, n = None, 0
+        pdfs = [pdf for pdf in pdf_iter]
+        rows = pd.concat(pdfs).sort_values(["ts", "event_id"])
+        for t in rows["ts"]:
+            e = t.timestamp()
+            if last is None or e - last > gap_s:
+                n += 1
+            last = e
+        state.update((last, n))
+        yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [n]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_sessions bigint",
+        stateStructType="last double, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def has_tws_support() -> bool:
     """True when the Spark-4 transformWithState Python worker can run
     here: its state-message protocol imports google.protobuf, which
