@@ -338,21 +338,39 @@ class Graph:
         Returns the surviving edge set. Each round = two bounded join
         passes + a checkpoint; the convergence count() is the
         per-round barrier (SURVEY §3.4). `stats` (if given) records
-        {"rounds": k, "edge_counts": [n0, n1, ...]}."""
+        {"rounds": k, "edge_counts": [n0, n1, ...]}.
+
+        The 2-path transitive-removal join — the loop's dominant cost —
+        runs ONLY in round 1: removal can destroy 2-paths but never
+        create one, so a set with no transitive edges stays transitive-
+        free under any further edge removal (if (A,C) plus a surviving
+        2-path A→B→C existed after round 1, all three edges survived
+        FROM round 1's input, where (A,C) was therefore transitive and
+        removed — contradiction). Rounds >= 2 are pure tip-trims, and
+        the unrolled oracles (which re-apply the transitive stage every
+        round) still match exactly because that stage is the identity
+        from round 2 on. Measured round 6 (same host, same session):
+        bench q10 11.3s -> 9.3s warm at sf0.1, output verified
+        byte-identical to the alternating loop on e_co_small and the
+        read-overlap graph at sf0.001/0.01."""
         edges = self.edges.localCheckpoint(eager=True)
         prev = edges.count()
         counts = [prev]
         rounds = 0
-        for _ in range(max_iter):
+        for it in range(max_iter):
             g = Graph(edges)
-            # checkpoint the reduced edges BEFORE the tip trim: the trim
-            # plan references this subplan several times (edge stream +
-            # degree/tip derivation), and only the input exchanges — not
-            # the 2-path semi-join itself — get ReusedExchange'd, so
-            # without the cut the round's heaviest join runs 3-4x
-            reduced = g.transitive_reduction_round().localCheckpoint(
-                eager=True
-            )
+            if it == 0:
+                # checkpoint the reduced edges BEFORE the tip trim: the
+                # trim plan references this subplan several times (edge
+                # stream + degree/tip derivation), and only the input
+                # exchanges — not the 2-path semi-join itself — get
+                # ReusedExchange'd, so without the cut the round's
+                # heaviest join runs 3-4x
+                reduced = g.transitive_reduction_round().localCheckpoint(
+                    eager=True
+                )
+            else:
+                reduced = edges
             edges = self._trim_tips(
                 reduced, hub_degree, g._bc(None)
             ).localCheckpoint(eager=True)
