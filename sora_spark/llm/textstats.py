@@ -332,3 +332,34 @@ def boilerplate_stats(
         )
         .select(group_col, "n_bp_grams", "avg_bp_frac", "n_docs")
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """zlib-compressed-bytes / raw-bytes per document — the classic
+    cheap repetition/low-entropy quality signal (boilerplate and
+    template spam compress far below natural text). Python by
+    necessity (no JVM zlib expression), but ONE vectorized
+    mapInPandas pass: Arrow batches in, no shuffle, scales with input
+    splits — the acceptable Python shape. Capability tier (zlib isn't
+    cross-engine SQL); invariants pinned in tests: deterministic,
+    repetitive text scores far below shuffled-unique text, ratios in
+    (0, ~1.1]."""
+
+    def _ratios(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            nb = raw.str.len().clip(lower=1)
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "ratio": comp / nb}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _ratios, schema=f"{id_col} bigint, ratio double"
+    )

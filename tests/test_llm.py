@@ -598,3 +598,29 @@ def test_int8_quantized_topk_recall(spark, sf_dir):
         (vector.int8_scale(v) / 2 + F.lit(1e-9)).alias("bound"),
     ).filter(F.col("maxerr") > F.col("bound"))
     assert bad.count() == 0
+
+
+def test_compression_ratio_signal(spark, sf_dir):
+    """compression_ratio invariants: deterministic; a pathologically
+    repetitive document compresses far below natural-looking text;
+    ratios bounded in (0, 1.5] (zlib header overhead can push very
+    short docs above 1.0); fixture docs all produced."""
+    from sora_spark.catalog import tables
+    from sora_spark.llm.textstats import compression_ratio
+
+    docs = tables(spark, sf_dir).documents
+    out1 = {r["doc_id"]: r["ratio"] for r in compression_ratio(docs).collect()}
+    out2 = {r["doc_id"]: r["ratio"] for r in compression_ratio(docs).collect()}
+    assert out1 == out2
+    assert len(out1) == docs.count()
+    assert all(0 < v <= 1.5 for v in out1.values())
+
+    synth = spark.createDataFrame(
+        [
+            (1, "spam " * 200),
+            (2, " ".join(f"w{i}x{i * 7 % 13}" for i in range(200))),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x["ratio"] for x in compression_ratio(synth).collect()}
+    assert r[1] < 0.1 < r[2], r
