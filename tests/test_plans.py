@@ -527,3 +527,21 @@ def test_cbo_stats_change_join_plan(spark, sf_dir):
         assert sorted(map(tuple, with_stats.collect())) == sorted(
             map(tuple, no_stats.collect())
         )
+
+
+def test_simhash_hamming_join_plan_is_bucketed(spark, sf_dir):
+    """qd6's candidate generation must be a hash equi-join on the
+    (band, slice) bucket key — never a nested-loop all-pairs scan
+    (the recall oracle would still pass on a cartesian plan, so the
+    scale property needs its own pin)."""
+    p = _plan(spark, sf_dir, "qd6_simhash_hamming")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_overlap_lengths_join_plan_is_equi(spark, sf_dir):
+    """qg22's per-length overlap probes must each compile to k-mer
+    equi-joins (same invariant as qg19, for the multi-length form)."""
+    p = _plan(spark, sf_dir, "qg22_overlap_lengths")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
