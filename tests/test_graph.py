@@ -323,3 +323,28 @@ def test_fasta_roundtrip_feeds_assembly(spark, sf_dir, tmp_path):
     via_fasta = sorted(map(tuple, overlap_edges(back).collect()))
     assert direct == via_fasta
     assert len(direct) > 0
+
+
+def test_two_hop_degree_form_matches_join_form(spark, sf_dir):
+    """The Σ indeg·outdeg rewrite must equal the literal self-join on
+    the real co-occurrence graph and on a hand-built multigraph-free
+    digraph with hub structure."""
+    from sora_spark.graph import Graph
+    from sora_spark.graph.derive import e_co_small
+
+    li = tables(spark, sf_dir).lineitem
+    g = Graph(e_co_small(li).localCheckpoint(eager=True))
+    a = g.two_hop_count().collect()[0]["two_hop_count"]
+    b = g.two_hop_count_join().collect()[0]["two_hop_count"]
+    assert a == b and a > 0
+
+    h = _g(spark, [(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 1)])
+    assert (
+        h.two_hop_count().collect()[0]["two_hop_count"]
+        == h.two_hop_count_join().collect()[0]["two_hop_count"]
+    )
+
+    empty = _g(spark, [(1, 2)]).edges.filter("s < 0")
+    assert (
+        Graph(empty).two_hop_count().collect()[0]["two_hop_count"] == 0
+    )
