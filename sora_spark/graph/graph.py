@@ -71,8 +71,11 @@ class Graph:
         edge set at 100 TB) — collapses to two map-side-partial degree
         aggregations plus a vertex-sized join. Same scalar, verified
         against two_hop_count_join (tests/test_graph.py) and the
-        unchanged brute-force oracle. Measured round 6: bench q9
-        2.3s -> 1.5s warm at sf0.1."""
+        unchanged brute-force oracle. Measured round 6 at sf0.1: the
+        count stage drops 2.67s -> 2.57s head-to-head (the e_co
+        DERIVATION dominates q9 at this scale — 1.88s of it); the
+        rewrite's asymptotic win appears when the 2-path stream
+        outgrows the edge set (hub-heavy graphs, 100 TB regime)."""
         ind = self.edges.groupBy(F.col("d").alias("v")).agg(
             F.count("*").alias("i")
         )
