@@ -298,3 +298,44 @@ def qx8_string_agg(spark, sf_dir):
         )
         .orderBy("r_name")
     )
+
+
+@query(
+    "qa11_boolean_agg_family",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+         AS n_big,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 400000) AS any_over_400k,
+       CAST(min_by(o_orderkey, o_totalprice) AS BIGINT) AS cheapest_order
+FROM orders
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    doc="qa11: conditional/boolean aggregate family — count_if (as "
+    "FILTER in the oracle), bool_and, bool_or, min_by (qa6 covered "
+    "max_by). min_by determinism rests on unique o_totalprice minima "
+    "per priority group at the calibrated SFs (same argument family "
+    "as qa6; a tie would pick an arbitrary orderkey in both engines "
+    "independently). All partial-aggregable — one shuffle on the "
+    "5-value priority key.",
+    tags=("agg", "boolean"),
+)
+def qa11_boolean_agg_family(spark, sf_dir):
+    o = tables(spark, sf_dir).orders
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 150000)
+            .cast("bigint")
+            .alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias(
+                "any_over_400k"
+            ),
+            F.min_by("o_orderkey", "o_totalprice")
+            .cast("bigint")
+            .alias("cheapest_order"),
+        )
+        .orderBy("o_orderpriority")
+    )

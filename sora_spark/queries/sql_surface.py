@@ -54,3 +54,32 @@ def qsub1_correlated_exists(spark, sf_dir):
 def qsub2_correlated_scalar_subquery(spark, sf_dir):
     tables(spark, sf_dir).register_views()
     return spark.sql(_SCALAR_SUB_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, l.n_orders, l.total_spend, l.max_order
+FROM customer c,
+     LATERAL (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                     round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS total_spend,
+                     round(CAST(max(o.o_totalprice) AS DOUBLE), 2) AS max_order
+              FROM orders o WHERE o.o_custkey = c.c_custkey) l
+WHERE c.c_custkey < 300 AND l.n_orders > 0
+ORDER BY c.c_custkey
+"""
+
+
+@query(
+    "qsub3_lateral_join",
+    oracle=_LATERAL_SQL,
+    doc="LATERAL correlated derived table through the SQL entry point "
+    "— unlike a scalar subquery (one column), the lateral relation "
+    "returns THREE aggregate columns per outer row in a single "
+    "correlated pass; the identical text runs on both engines "
+    "(Catalyst decorrelates it into an aggregate + equi-join, so the "
+    "scale shape is the declared join/agg family, not a per-row "
+    "re-execution).",
+    tags=("sql", "subquery", "lateral"),
+)
+def qsub3_lateral_join(spark, sf_dir):
+    tables(spark, sf_dir).register_views()
+    return spark.sql(_LATERAL_SQL)

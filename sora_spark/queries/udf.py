@@ -156,3 +156,46 @@ def qu4_map_in_pandas_splitter(spark, sf_dir):
         .agg(F.count("*").cast("int").alias("n_tokens"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "qu5_sql_udtf",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+       max(tok) AS max_tok
+FROM tok GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="Spark 4 Python UDTF through the SQL surface: an @udtf class "
+    "(generator eval, one row per token) registered via "
+    "spark.udtf.register and invoked as `t, LATERAL split_words("
+    "text)` — the real user-defined TABLE function API, distinct "
+    "from qu4's mapInPandas UDTF-shape. Python split(' ') and DuckDB "
+    "string_split keep empty strings identically, so the per-doc "
+    "token/distinct/max aggregates hash-match. UDTF rows stream "
+    "per-partition (no shuffle until the groupBy).",
+    tags=("udf", "udtf", "sql"),
+)
+def qu5_sql_udtf(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string, pos int")
+    class SplitWords:
+        def eval(self, text: str):
+            if text is not None:
+                for i, t in enumerate(text.split(" ")):
+                    yield (t, i)
+
+    spark.udtf.register("split_words", SplitWords)
+    tables(spark, sf_dir).register_views()
+    return spark.sql(
+        """
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(count(DISTINCT s.tok) AS BIGINT) AS n_distinct,
+       max(s.tok) AS max_tok
+FROM documents, LATERAL split_words(text) s
+GROUP BY doc_id ORDER BY doc_id
+"""
+    )
