@@ -338,3 +338,33 @@ def ngram_contamination(
         .groupBy("train_id")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def keep_best_of_cluster(
+    df: DataFrame,
+    score_col: str,
+    num_perm: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curation-grade near-dup resolution: cluster (near_dup_clusters)
+    then KEEP THE BEST document per cluster by `score_col` (ties: min
+    id) instead of the arbitrary min-id canonical — e.g. keep the
+    longest or highest-quality variant of a boilerplate family, which
+    is what a training-data pipeline actually wants. One extra
+    cluster-keyed window over the already-clustered rows; same
+    LSH-bounded scale shape as qd5."""
+    from pyspark.sql.window import Window as W
+
+    clusters = near_dup_clusters(
+        df, num_perm=num_perm, bands=bands, id_col=id_col,
+        text_col=text_col,
+    ).select(id_col, "cluster_id")
+    scored = clusters.join(df.select(id_col, score_col), id_col)
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.col(id_col)
+    )
+    return scored.withColumn("kept", F.row_number().over(w) == 1).select(
+        id_col, "cluster_id", "kept"
+    )

@@ -807,3 +807,47 @@ def qpipe2_curation_pipeline(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+@query(
+    "qd7_keep_best_of_cluster",
+    oracle="""
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh0 AS (SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w FROM w),
+shingle AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM sh0),
+perms AS (SELECT unnest(range(0, 4)) AS perm),
+sig AS (SELECT doc_id, perm, min(md5(perm || '|' || sh)) AS sig
+        FROM shingle CROSS JOIN perms GROUP BY doc_id, perm),
+bands AS (SELECT doc_id, perm // 2 AS band,
+                 string_agg(sig, '|' ORDER BY sig) AS bkey
+          FROM sig GROUP BY doc_id, band),
+pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+e AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+reach(v, u) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.v, e.d FROM reach r JOIN e ON r.u = e.s),
+comp AS (SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v)
+SELECT c.doc_id, c.cluster_id,
+       row_number() OVER (PARTITION BY c.cluster_id
+                          ORDER BY d.n_chars DESC, c.doc_id) = 1 AS kept
+FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+ORDER BY c.doc_id
+""",
+    doc="qd7: near-dup resolution the way a curation pipeline wants it "
+    "— qd5's LSH->similarity-graph->CC clusters, but keeping the BEST "
+    "document per cluster (here: longest by n_chars, doc_id "
+    "tiebreak) instead of the arbitrary min-id canonical. Same "
+    "bucket-bounded scale shape plus one cluster-keyed window.",
+    tags=("llm", "dedup", "pipeline", "curation"),
+)
+def qd7_keep_best_of_cluster(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return (
+        dedup.keep_best_of_cluster(
+            docs, "n_chars", num_perm=4, bands=2
+        ).orderBy("doc_id")
+    )
