@@ -1195,3 +1195,33 @@ def test_qup3_fixture_has_no_tied_max_ts_per_user(spark, sf_dir):
         .filter(F.col("c") > 1)
     )
     assert tied.count() == 0
+
+
+def test_arrow_interchange_roundtrip(spark, sf_dir):
+    """Arrow-native interchange (Spark 4 df.toArrow /
+    createDataFrame(pa.Table)): the ML-feeding path out of the engine.
+    Values, schema and nested array<float> embeddings must survive the
+    round trip exactly; timestamps go through the events table (nanos
+    normalization upstream)."""
+    import pyarrow as pa
+
+    emb = tables(spark, sf_dir).embeddings.orderBy("vec_id").limit(20)
+    t = emb.toArrow()
+    assert isinstance(t, pa.Table) and t.num_rows == 20
+    back = spark.createDataFrame(t)
+    assert back.schema == emb.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, emb.collect())
+    )
+
+    ev = (
+        tables(spark, sf_dir)
+        .events.select("event_id", "ts", "value")
+        .orderBy("event_id")
+        .limit(50)
+    )
+    t2 = ev.toArrow()
+    back2 = spark.createDataFrame(t2)
+    assert sorted(map(tuple, back2.collect())) == sorted(
+        map(tuple, ev.collect())
+    )
