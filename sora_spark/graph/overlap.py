@@ -34,7 +34,9 @@ MIN_OVL = 20
 
 # Reads are keyed read_id = doc_id * 1000 + window_index. The fixture
 # bound (n_chars <= 553 → <= 26 windows) sits far under the 1000
-# stride; derive_reads asserts the invariant rather than trusting it.
+# stride; derive_reads raises per-row (JVM-side raise_error on the
+# read_id expression) rather than trusting it — the check fires
+# wherever read_ids are consumed (joins always evaluate them).
 _MAX_WINDOWS = 1000
 
 
@@ -63,7 +65,15 @@ def derive_reads(
                 F.col("i") < _MAX_WINDOWS,
                 F.col("doc_id") * _MAX_WINDOWS + F.col("i"),
             )
-            .alias("read_id"),  # NULL (never silently wrong) past the bound
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "derive_reads: window index >= 1000 would "
+                        "collide read_ids — raise _MAX_WINDOWS"
+                    )
+                )
+            )
+            .alias("read_id"),  # loud per-row failure past the bound
             F.col("text")
             .substr(F.col("i") * stride + F.lit(1), F.lit(read_len))
             .alias("seq"),

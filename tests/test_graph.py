@@ -348,3 +348,20 @@ def test_two_hop_degree_form_matches_join_form(spark, sf_dir):
     assert (
         Graph(empty).two_hop_count().collect()[0]["two_hop_count"] == 0
     )
+
+
+def test_derive_reads_overflow_is_loud(spark):
+    """read_id packing (doc_id*1000 + window) must FAIL rather than
+    silently collide when a document yields >= 1000 windows. The
+    raise_error rides the read_id expression, so it fires exactly
+    where ids are consumed (overlap_edges always evaluates them);
+    a bare count() may prune the column and skip the check."""
+    import pytest
+
+    from sora_spark.graph.overlap import derive_reads
+
+    big = spark.createDataFrame(
+        [(1, "x" * 30000, 30000)], "doc_id long, text string, n_chars int"
+    )
+    with pytest.raises(Exception, match="collide read_ids"):
+        derive_reads(big).agg(F.max("read_id")).collect()
