@@ -190,3 +190,40 @@ SELECT s, d, ovl FROM (
      AND a.read_id <> b.read_id
   ) GROUP BY s, d
 )"""
+
+
+def contig_sequences(
+    reads: DataFrame,
+    chains: DataFrame,
+    read_len: int = READ_LEN,
+    min_ovl: int = MIN_OVL,
+) -> DataFrame:
+    """Merge read SEQUENCES along compacted chains → the actual contig
+    strings (SURVEY §0.3 step 5's real output: first read verbatim,
+    then each successor's non-overlapping suffix). `chains` is
+    compact_chains(with_paths=True) output; the path explode is
+    chain-length-bounded, the read lookup is one equi-join on read_id,
+    and the ordered merge is an in-row sort of chain-length pieces —
+    no window, no driver."""
+    parts = chains.select(
+        "start", F.posexplode(F.split("path", "-")).alias("pos", "rid")
+    ).withColumn("rid", F.col("rid").cast("bigint"))
+    joined = parts.join(
+        reads.select(F.col("read_id").alias("rid"), "seq"), "rid"
+    )
+    piece = F.when(F.col("pos") == 0, F.col("seq")).otherwise(
+        F.col("seq").substr(F.lit(min_ovl + 1), F.lit(read_len - min_ovl))
+    )
+    return (
+        joined.select("start", "pos", piece.alias("piece"))
+        .groupBy("start")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "piece"))),
+                    lambda x: x["piece"],
+                ),
+            ).alias("contig")
+        )
+    )

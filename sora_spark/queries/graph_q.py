@@ -953,3 +953,56 @@ def qg22_overlap_lengths(spark, sf_dir):
         .select("s", "d", F.col("ovl").cast("int").alias("ovl"))
         .orderBy("s", "d")
     )
+
+
+@query(
+    "qg23_contig_sequences",
+    oracle=(
+        _READ_ASSEMBLY_SQL_PREFIX
+        + """,
+dout AS (SELECT s, count(*) AS c FROM b3 GROUP BY s),
+din AS (SELECT d, count(*) AS c FROM b3 GROUP BY d),
+ce AS MATERIALIZED (
+  SELECT e.s, e.d FROM b3 e
+  JOIN dout ON dout.s = e.s AND dout.c = 1
+  JOIN din  ON din.d  = e.d AND din.c  = 1),
+walk(start, v, contig) AS (
+  SELECT c.s, c.d, ra.seq || substr(rb.seq, 21, 20)
+  FROM ce c
+  JOIN reads ra ON ra.read_id = c.s
+  JOIN reads rb ON rb.read_id = c.d
+  WHERE c.s NOT IN (SELECT d FROM ce)
+  UNION ALL
+  SELECT w.start, c.d, w.contig || substr(r.seq, 21, 20)
+  FROM walk w
+  JOIN ce c ON c.s = w.v
+  JOIN reads r ON r.read_id = c.d)
+SELECT start, arg_max(contig, length(contig)) AS contig,
+       CAST(max(length(contig)) AS BIGINT) AS n_chars
+FROM walk GROUP BY start ORDER BY start"""
+    ),
+    doc="SURVEY §0.3 step 5's REAL output: contig STRINGS — read "
+    "sequences merged along the assembled unitig chains (first read "
+    "verbatim + each successor's 20-char non-overlap suffix), hashed "
+    "character-for-character against the recursive walk with string "
+    "accumulation. The strongest end-to-end statement in the family: "
+    "text in, reduced graph, text back out. Within-document chains "
+    "reconstruct verbatim substrings of the source documents "
+    "(pinned in tests/test_graph.py); cross-document k-mer-collision "
+    "chains merge into chimeras exactly as a real assembler would.",
+    tags=("graph", "assembly", "compaction", "overlap"),
+)
+def qg23_contig_sequences(spark, sf_dir):
+    from sora_spark.graph.overlap import contig_sequences
+
+    _require_calibrated_sf(sf_dir, "qg23 (3+3 unrolled rounds)")
+    docs = tables(spark, sf_dir).documents
+    reads = derive_reads(docs)
+    edges = Graph(overlap_edges(reads)).assembly_pipeline(max_iter=10)
+    ce = Graph(edges).chain_edges()
+    chains = Graph(ce).compact_chains(with_paths=True)
+    return (
+        contig_sequences(reads, chains)
+        .withColumn("n_chars", F.length("contig").cast("bigint"))
+        .orderBy("start")
+    )

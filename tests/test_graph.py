@@ -365,3 +365,58 @@ def test_derive_reads_overflow_is_loud(spark):
     )
     with pytest.raises(Exception, match="collide read_ids"):
         derive_reads(big).agg(F.max("read_id")).collect()
+
+
+def test_contigs_recover_document_substrings(spark, sf_dir):
+    """Assembly ground truth: every contig whose reads all come from
+    ONE document must be a verbatim substring of that document's text
+    (read derivation + overlap join + reduction + compaction compose
+    losslessly); chimeric cross-document chains are excluded the way
+    a real assembler's mis-joins would be QC'd. At least 80% of
+    contigs must be single-document."""
+    from sora_spark.catalog import tables
+    from sora_spark.graph import Graph
+    from sora_spark.graph.overlap import (
+        contig_sequences,
+        derive_reads,
+        overlap_edges,
+    )
+
+    docs = tables(spark, sf_dir).documents
+    reads = derive_reads(docs)
+    edges = Graph(overlap_edges(reads)).assembly_pipeline(max_iter=10)
+    chains = Graph(Graph(edges).chain_edges()).compact_chains(
+        with_paths=True
+    )
+    contigs = contig_sequences(reads, chains)
+    # start read_id // 1000 = doc; single-doc chain iff every id in the
+    # path shares that prefix
+    single = (
+        chains.select(
+            "start", F.split("path", "-").alias("ids")
+        )
+        .withColumn(
+            "one_doc",
+            F.size(
+                F.array_distinct(
+                    F.transform(
+                        "ids", lambda x: F.floor(x.cast("bigint") / 1000)
+                    )
+                )
+            )
+            == 1,
+        )
+        .select("start", "one_doc")
+    )
+    joined = (
+        contigs.join(single, "start")
+        .withColumn("doc_id", F.floor(F.col("start") / 1000))
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
+    n_total = joined.count()
+    n_single = joined.filter("one_doc").count()
+    assert n_single >= 0.8 * n_total, (n_single, n_total)
+    bad = joined.filter("one_doc").filter(
+        ~F.expr("contains(text, contig)")
+    )
+    assert bad.count() == 0, bad.select("start").limit(5).collect()

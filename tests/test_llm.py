@@ -624,3 +624,38 @@ def test_compression_ratio_signal(spark, sf_dir):
     )
     r = {x["doc_id"]: x["ratio"] for x in compression_ratio(synth).collect()}
     assert r[1] < 0.1 < r[2], r
+
+
+def test_simhash_hamming_guards(spark):
+    """simhash_hamming_pairs rejects parameterizations that would
+    silently lose the recall guarantee (max_hamming >= n_bands) or
+    mis-slice the fingerprint (bands not dividing 32)."""
+    import pytest
+
+    from sora_spark.llm.dedup import simhash_hamming_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="recall guarantee"):
+        simhash_hamming_pairs(docs, max_hamming=4, n_bands=4)
+    with pytest.raises(ValueError, match="divide 32"):
+        simhash_hamming_pairs(docs, max_hamming=2, n_bands=5)
+
+
+def test_simhash_hamming_detects_planted_neardup(spark):
+    """A document pair differing by one token lands within Hamming 3
+    of each other while unrelated docs don't pair — the operator's
+    actual dedup purpose, pinned on a constructed corpus."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok30", "tok30x")
+    other = " ".join(f"zzz{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    from sora_spark.llm.dedup import simhash_hamming_pairs
+
+    pairs = {
+        (r["a"], r["b"])
+        for r in simhash_hamming_pairs(docs, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
