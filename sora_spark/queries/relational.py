@@ -490,3 +490,46 @@ def qsrc1_fasta_roundtrip(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "qsrc2_partitioned_write",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       round(sum(value), 2) AS value_sum
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type ORDER BY event_type
+""",
+    doc="Partitioned-table lifecycle at the hash tier: events written "
+    "as a Hive-partitioned parquet table (partitionBy event_type — "
+    "the layout a 100 TB events table actually uses), read back with "
+    "a partition-key filter, aggregated per partition. The read scan "
+    "must touch ONLY the two selected partitions' directories — "
+    "static partition pruning on a table the engine itself wrote — "
+    "pinned by the companion plan test (tests/test_plans.py). Values "
+    "hash-match DuckDB over the original parquet, so the "
+    "write-partition-prune-read cycle is lossless.",
+    tags=("source", "sink", "partitioning"),
+)
+def qsrc2_partitioned_write(spark, sf_dir):
+    from sora_spark.sources.parquet import read_table
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = _roundtrip_dir(f"events_partitioned-{sf_tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = read_table(spark, sf_dir, "events")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )

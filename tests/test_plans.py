@@ -545,3 +545,14 @@ def test_overlap_lengths_join_plan_is_equi(spark, sf_dir):
     p = _plan(spark, sf_dir, "qg22_overlap_lengths")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_partitioned_write_scan_prunes_partitions(spark, sf_dir):
+    """qsrc2: the read over the engine-written Hive-partitioned events
+    table must carry a PartitionFilters entry on event_type (static
+    partition pruning — only the selected partitions' files are
+    touched)."""
+    p = _plan(spark, sf_dir, "qsrc2_partitioned_write")
+    lines = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert lines, "no PartitionFilters in scan"
+    assert any("event_type" in l for l in lines), lines
