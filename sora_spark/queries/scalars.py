@@ -456,3 +456,37 @@ def qx12_higher_order_arrays(spark, sf_dir):
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+@query(
+    "qx13_bitwise_family",
+    oracle="""
+SELECT event_type,
+       CAST(bit_and(event_id) AS BIGINT) AS b_and,
+       CAST(bit_or(event_id) AS BIGINT) AS b_or,
+       CAST(bit_xor(event_id) AS BIGINT) AS b_xor,
+       CAST(sum(event_id & 255) AS BIGINT) AS low_byte_sum,
+       CAST(sum(event_id >> 4) AS BIGINT) AS shifted_sum
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="qx13: bitwise aggregate family (bit_and/bit_or/bit_xor) plus "
+    "scalar masks and shifts — all partial-aggregable (commutative/"
+    "associative), one shuffle on the 5-value type key; exact-integer "
+    "outputs, no rounding needed.",
+    tags=("scalar", "agg", "bitwise"),
+)
+def qx13_bitwise_family(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and("event_id").cast("bigint").alias("b_and"),
+            F.bit_or("event_id").cast("bigint").alias("b_or"),
+            F.bit_xor("event_id").cast("bigint").alias("b_xor"),
+            F.sum(F.col("event_id").bitwiseAND(F.lit(255)))
+            .cast("bigint")
+            .alias("low_byte_sum"),
+            F.sum(F.expr("event_id >> 4")).cast("bigint").alias("shifted_sum"),
+        )
+        .orderBy("event_type")
+    )
