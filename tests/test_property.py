@@ -935,3 +935,61 @@ def test_approx_count_distinct_rsd_sweep(spark, sf_dir):
             assert rel <= 4 * rsd, (
                 f"{col} rsd={rsd}: relative error {rel:.4f} > {4 * rsd}"
             )
+
+
+# ---- overlap-graph construction vs a pure-Python oracle -------------
+
+
+@st.composite
+def _doc_corpus(draw):
+    """Small corpora over a 3-letter alphabet: repeats are FREQUENT, so
+    the overlap join's collision/branch behavior is genuinely hit."""
+    n = draw(st.integers(min_value=1, max_value=6))
+    docs = []
+    for i in range(n):
+        length = draw(st.integers(min_value=0, max_value=40))
+        text = "".join(
+            draw(
+                st.lists(
+                    st.sampled_from("abc"),
+                    min_size=length,
+                    max_size=length,
+                )
+            )
+        )
+        docs.append((i, text, len(text)))
+    return docs
+
+
+@settings(**{**_SETTINGS, "max_examples": 15})
+@given(docs=_doc_corpus())
+def test_overlap_edges_match_python_oracle(docs, spark):
+    """overlap_edges (read_len 12 / stride 6 / min_ovl 6) must equal a
+    direct nested-loop Python computation of suffix-prefix matches
+    over the same derived windows — including repeat-heavy corpora
+    where one 6-mer keys many reads."""
+    from sora_spark.graph.overlap import derive_reads, overlap_edges
+
+    RL, STR, OVL = 12, 6, 6
+    expected_reads = {}
+    for doc_id, text, n_chars in docs:
+        if n_chars < RL:
+            continue
+        for i in range((n_chars - RL) // STR + 1):
+            expected_reads[doc_id * 1000 + i] = text[i * STR : i * STR + RL]
+    expected = sorted(
+        (a, b)
+        for a, sa in expected_reads.items()
+        for b, sb in expected_reads.items()
+        if a != b and sa[RL - OVL :] == sb[:OVL]
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string, n_chars int")
+    reads = derive_reads(df, read_len=RL, stride=STR)
+    got = sorted(
+        map(
+            tuple,
+            overlap_edges(reads, read_len=RL, min_ovl=OVL).collect(),
+        )
+    )
+    assert got == expected
