@@ -948,16 +948,33 @@ FROM tok GROUP BY tok ORDER BY tok
     tags=("llm", "text", "index"),
 )
 def qix1_inverted_index(spark, sf_dir):
+    from pyspark.sql.window import Window
+
     docs = tables(spark, sf_dir).documents
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).distinct()
+    # bound the agg BUFFER, not just the output row: rank postings
+    # per token first, collect only rank <= 20 (collect_list skips the
+    # NULLs the when() leaves) — a hot token at corpus scale must
+    # never gather its full posting list into one aggregation buffer
+    # before slicing (round-6 self-review fix). The window and the
+    # groupBy share the token key, so this is still ONE shuffle.
+    rn = F.row_number().over(
+        Window.partitionBy("tok").orderBy("doc_id")
+    )
+    ranked = tok.withColumn("_rn", rn)
     return (
-        tok.groupBy("tok")
+        ranked.groupBy("tok")
         .agg(
             F.count("*").cast("bigint").alias("df"),
             F.array_join(
-                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("_rn") <= 20, F.col("doc_id"))
+                    )
+                ),
+                ",",
             ).alias("postings_head"),
         )
         .orderBy("tok")
