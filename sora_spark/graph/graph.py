@@ -376,10 +376,10 @@ class Graph:
         removed — contradiction). Rounds >= 2 are pure tip-trims, and
         the unrolled oracles (which re-apply the transitive stage every
         round) still match exactly because that stage is the identity
-        from round 2 on. Measured round 6 (same host, same session):
-        bench q10 11.3s -> 9.3s warm at sf0.1, output verified
-        byte-identical to the alternating loop on e_co_small and the
-        read-overlap graph at sf0.001/0.01."""
+        from round 2 on. Measured round 6 (clean host, median-of-3
+        warm at sf0.1): bench q10 10.3s (r05 driver record) -> 8.1s;
+        output verified byte-identical to the alternating loop on
+        e_co_small and the read-overlap graph at sf0.001/0.01."""
         edges = self.edges.localCheckpoint(eager=True)
         prev = edges.count()
         counts = [prev]
