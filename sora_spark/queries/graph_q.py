@@ -1006,3 +1006,35 @@ def qg23_contig_sequences(spark, sf_dir):
         .withColumn("n_chars", F.length("contig").cast("bigint"))
         .orderBy("start")
     )
+
+
+@query(
+    "qg24_masked_overlap_graph",
+    oracle=(
+        f"WITH reads AS MATERIALIZED ({READS_SQL}),\n"
+        "hot AS (SELECT substr(seq, 1, 20) AS k FROM reads\n"
+        "        GROUP BY 1 HAVING count(*) > 2)\n"
+        "SELECT s, d FROM (\n"
+        "  SELECT a.read_id AS s, b.read_id AS d,\n"
+        "         substr(b.seq, 1, 20) AS k\n"
+        "  FROM reads a JOIN reads b\n"
+        "    ON substr(a.seq, 21, 20) = substr(b.seq, 1, 20)\n"
+        "   AND a.read_id <> b.read_id)\n"
+        "WHERE k NOT IN (SELECT k FROM hot)\n"
+        "ORDER BY s, d"
+    ),
+    doc="qg19's repeat-masking guard under the hash gate: the overlap "
+    "join with max_key_freq=2 must drop exactly the edges whose "
+    "20-mer occurs as a prefix more than twice (the assembler's "
+    "repeat cutoff) and keep every other edge — certifying the 100 TB "
+    "hot-key guard's SEMANTICS, not just that it runs. The masked "
+    "k-mer table is broadcast into anti-joins on both sides; the "
+    "oracle applies the equivalent NOT IN on the shared join key.",
+    tags=("graph", "assembly", "overlap", "scale"),
+)
+def qg24_masked_overlap_graph(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return (
+        overlap_edges(derive_reads(docs), max_key_freq=2)
+        .orderBy("s", "d")
+    )

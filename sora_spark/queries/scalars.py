@@ -490,3 +490,50 @@ def qx13_bitwise_family(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "qx14_try_functions",
+    oracle="""
+SELECT l_linenumber,
+       round(sum(l_extendedprice / NULLIF(l_quantity - 25, 0)) FILTER (
+         WHERE l_quantity <> 25), 2) AS safe_ratio_sum,
+       CAST(count(*) FILTER (WHERE l_quantity = 25) AS BIGINT)
+         AS division_hazards,
+       CAST(sum(TRY_CAST(CASE WHEN l_quantity < 30
+                              THEN CAST(CAST(l_quantity AS INT) AS VARCHAR)
+                              ELSE 'not-a-number' END AS INT)) AS BIGINT)
+         AS parsed_sum
+FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber
+""",
+    doc="qx14: error-safe expression family — try_divide (NULL instead "
+    "of error/Inf on zero denominators) and try_cast (NULL on "
+    "malformed input), the functions that keep a 100 TB batch job "
+    "from dying on one bad row. Oracle mirrors try_divide as "
+    "x / NULLIF(y, 0) with an explicit hazard count so the NULL "
+    "semantics are certified, not skipped.",
+    tags=("scalar", "error-handling"),
+)
+def qx14_try_functions(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    ratio = F.try_divide(
+        F.col("l_extendedprice"), F.col("l_quantity") - F.lit(25)
+    )
+    parsed = F.try_to_number(
+        F.when(
+            F.col("l_quantity") < 30,
+            F.col("l_quantity").cast("int").cast("string"),
+        ).otherwise(F.lit("not-a-number")),
+        F.lit("999999"),
+    )
+    return (
+        li.groupBy("l_linenumber")
+        .agg(
+            F.round(F.sum(ratio), 2).alias("safe_ratio_sum"),
+            F.count_if(F.col("l_quantity") == 25)
+            .cast("bigint")
+            .alias("division_hazards"),
+            F.sum(parsed).cast("bigint").alias("parsed_sum"),
+        )
+        .orderBy("l_linenumber")
+    )
