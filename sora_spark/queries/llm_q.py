@@ -979,3 +979,85 @@ def qix1_inverted_index(spark, sf_dir):
         )
         .orderBy("tok")
     )
+
+
+@query(
+    "qm3_modality_report",
+    oracle="""
+SELECT source, 'text/plain' AS mime,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_payloads
+FROM documents GROUP BY source ORDER BY source
+""",
+    doc="qm3: modality-mix report over the multimodal binary table — "
+    "per-source payload counts, byte totals and distinct checksums "
+    "(the dataset-card numbers a multimodal corpus ships with). Runs "
+    "on the attach_payload output, so the BinaryType payload and its "
+    "metadata struct are the thing aggregated; one groupBy on the "
+    "source key.",
+    tags=("llm", "multimodal", "report"),
+)
+def qm3_modality_report(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    with_payload = multimodal.attach_payload(docs, "text", "text/plain")
+    return (
+        with_payload.groupBy("source")
+        .agg(
+            F.first(F.col("media_meta.mime")).alias("mime"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.octet_length("payload"))
+            .cast("bigint")
+            .alias("total_bytes"),
+            F.countDistinct(F.col("media_meta.checksum"))
+            .cast("bigint")
+            .alias("distinct_payloads"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "ql10_l2_normalize",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e)
+SELECT vec_id,
+       round(nrm, 5) AS pre_norm,
+       abs(sqrt(list_sum(list_transform(v, x -> (x/nrm) * (x/nrm)))) - 1.0)
+         < 1e-9 AS unit_ok,
+       round(list_sum(list_transform(v, x -> x / nrm)), 5) AS comp_sum
+FROM n ORDER BY vec_id
+""",
+    doc="ql10: L2 normalization of the embedding column (the prep step "
+    "before IVF/LSH indexing — cosine becomes dot product on unit "
+    "vectors). Map-only higher-order functions; certifies the actual "
+    "division (component sum), the input norms, and the unit-norm "
+    "invariant, all in one pass. Fixture vectors are never all-zero "
+    "(pre_norm > 0 — a zero vector would NULL the division in both "
+    "engines identically).",
+    tags=("llm", "vector"),
+)
+def ql10_l2_normalize(spark, sf_dir):
+    from sora_spark.functions import vector
+
+    emb = tables(spark, sf_dir).embeddings
+    v = vector.to_double(F.col("embedding"))
+    nrm = vector.norm(F.col("embedding"))
+    unit = F.transform(v, lambda x: x / nrm)
+    unit_norm = F.sqrt(
+        F.aggregate(
+            F.transform(unit, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    comp_sum = F.aggregate(unit, F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        F.round(nrm, 5).alias("pre_norm"),
+        (F.abs(unit_norm - 1.0) < 1e-9).alias("unit_ok"),
+        F.round(comp_sum, 5).alias("comp_sum"),
+    ).orderBy("vec_id")
