@@ -7,6 +7,7 @@ from sora_spark.operators.asof import asof_join
 from sora_spark.operators.diff import snapshot_diff
 from sora_spark.operators.discretize import quantile_discretize
 from sora_spark.operators.fuzzy import fuzzy_join
+from sora_spark.operators.incremental import build_view, refresh
 from sora_spark.operators.interval import interval_join
 from sora_spark.operators.skew import salted_join
 from sora_spark.operators.timeseries import fill_gaps, resample
@@ -16,6 +17,8 @@ __all__ = [
     "snapshot_diff",
     "quantile_discretize",
     "fuzzy_join",
+    "build_view",
+    "refresh",
     "interval_join",
     "salted_join",
     "fill_gaps",

@@ -851,3 +851,50 @@ def qd7_keep_best_of_cluster(spark, sf_dir):
             docs, "n_chars", num_perm=4, bands=2
         ).orderBy("doc_id")
     )
+
+
+@query(
+    "qmv1_incremental_agg",
+    oracle="""
+WITH survivors AS (
+  SELECT o_orderpriority, o_totalprice
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS sum_o_totalprice
+FROM survivors GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    doc="qmv1: incremental materialized-view maintenance "
+    "(operators/incremental.py). View = per-priority count+sum over "
+    "pre-1997 orders; the CDC batch then INSERTs all 1997+ orders and "
+    "DELETEs every 13th pre-1997 order. The refresh aggregates ONLY "
+    "the delta (signed partials) and full-outer-merges the broadcast "
+    "result into the stored view — the view side is never re-scanned "
+    "or shuffled, which is the whole point at 100 TB. Hash-matched "
+    "against a from-scratch recompute over the surviving rows: the "
+    "delta algebra must be observationally identical to rebuild.",
+    tags=("pipeline", "cdc", "incremental"),
+)
+def qmv1_incremental_agg(spark, sf_dir):
+    from sora_spark.operators import incremental as inc
+
+    orders = tables(spark, sf_dir).orders
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    base = orders.filter(F.col("o_orderdate") < cutoff)
+    view = inc.build_view(base, ["o_orderpriority"], ["o_totalprice"])
+    inserts = orders.filter(F.col("o_orderdate") >= cutoff).withColumn(
+        "op", F.lit("I")
+    )
+    deletes = base.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "op", F.lit("D")
+    )
+    cdc = inserts.unionByName(deletes)
+    refreshed = inc.refresh(view, cdc, ["o_orderpriority"], ["o_totalprice"])
+    return refreshed.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("sum_o_totalprice", 2).alias("sum_o_totalprice"),
+    ).orderBy("o_orderpriority")

@@ -1225,3 +1225,47 @@ def test_arrow_interchange_roundtrip(spark, sf_dir):
     assert sorted(map(tuple, back2.collect())) == sorted(
         map(tuple, ev.collect())
     )
+
+
+def test_incremental_view_group_lifecycle(spark):
+    """Incremental refresh must create new groups, drop zeroed groups,
+    and keep untouched groups byte-identical — plus the delta side of
+    the merge must be broadcast (the view is never reshuffled)."""
+    from sora_spark.operators import incremental as inc
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "g string, x double"
+    )
+    view = inc.build_view(base, ["g"], ["x"])
+    cdc = spark.createDataFrame(
+        [
+            ("c", 7.0, "I"),          # brand-new group appears
+            ("b", 5.0, "D"),          # group b drains to n=0 -> dropped
+            ("a", 10.0, "I"),         # existing group updated
+        ],
+        "g string, x double, op string",
+    )
+    out = inc.refresh(view, cdc, ["g"], ["x"])
+    got = {r["g"]: (r["n"], r["sum_x"]) for r in out.collect()}
+    assert got == {"a": (3, 13.0), "c": (1, 7.0)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the stored view must never be shuffled to absorb a delta
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_view_rejects_bad_op(spark):
+    from sora_spark.operators import incremental as inc
+
+    view = inc.build_view(
+        spark.createDataFrame([("a", 1.0)], "g string, x double"),
+        ["g"],
+        ["x"],
+    )
+    cdc = spark.createDataFrame(
+        [("a", 1.0, "UPSERT")], "g string, x double, op string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="bad CDC op"):
+        inc.refresh(view, cdc, ["g"], ["x"]).collect()
