@@ -797,3 +797,57 @@ class Graph:
             )
         sizes = comp.groupBy("component").agg(F.count("*").alias("component_size"))
         return sizes.groupBy("component_size").agg(F.count("*").alias("n_components"))
+
+    def label_propagation(self, n_rounds: int = 2) -> DataFrame:
+        """Synchronous label propagation (community detection) for a
+        FIXED number of rounds → (v, lab). Deterministic by contract:
+        each round every vertex simultaneously adopts the most frequent
+        label among its distinct-neighbor set, ties broken by the
+        smallest label (sync LPA can oscillate on bipartite structure,
+        so the declared semantics is round-count, not convergence —
+        callers wanting a fixpoint compare successive rounds).
+
+        Per round: one equi-join edges⋈labels (shuffle on the label
+        key), one (v, lab) count aggregation, one per-vertex window for
+        the argmax — all partitioned by vertex, no driver data motion.
+        localCheckpoint per round cuts the lineage (SURVEY §4.3).
+        """
+        from pyspark.sql.window import Window
+
+        sym = (
+            self.edges.select("s", "d")
+            .union(
+                self.edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+            )
+            .distinct()
+            .repartition("d")
+            .localCheckpoint(eager=True)
+        )
+        labels = (
+            self.vertex_ids()
+            .select("v", F.col("v").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("lab"))
+        for _ in range(n_rounds):
+            counts = (
+                sym.join(labels, sym.d == labels.v)
+                .groupBy(sym.s.alias("v"), "lab")
+                .agg(F.count("*").alias("cnt"))
+            )
+            adopted = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("v", "lab")
+            )
+            # isolated vertices (possible under subclassing/filters)
+            # keep their current label
+            labels = (
+                labels.select("v", F.col("lab").alias("_old"))
+                .join(adopted, "v", "left")
+                .select(
+                    "v", F.coalesce(F.col("lab"), F.col("_old")).alias("lab")
+                )
+                .localCheckpoint(eager=True)
+            )
+        return labels

@@ -227,3 +227,36 @@ def contig_sequences(
             ).alias("contig")
         )
     )
+
+
+def kmer_spectrum(df, text_col: str = "text", k: int = 8):
+    """K-mer multiplicity spectrum → (multiplicity, n_kmers): the
+    coverage histogram every assembler computes first (error k-mers
+    sit at multiplicity 1-2, true coverage forms the main peak, repeats
+    form the tail — the cutoffs for abundance filtering come from
+    here).
+
+    Shape: substring explode (JVM-side `transform(sequence(...))`, no
+    Python in the row path) → k-mer count groupBy → count-of-counts
+    groupBy. Two shuffles; the first carries (kmer, partial-count)
+    after map-side combine, the second is histogram-sized. Texts
+    shorter than k contribute nothing (explicit filter — Spark's
+    `sequence(1, 0)` would DESCEND, not return empty).
+    """
+    kmers = df.filter(F.length(text_col) >= k).select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - {k} + 1),"
+                f" i -> substring({text_col}, i, {k}))"
+            )
+        ).alias("kmer")
+    )
+    counts = kmers.groupBy("kmer").agg(F.count("*").alias("multiplicity"))
+    return (
+        counts.groupBy("multiplicity")
+        .agg(F.count("*").alias("n_kmers"))
+        .select(
+            F.col("multiplicity").cast("bigint").alias("multiplicity"),
+            F.col("n_kmers").cast("bigint").alias("n_kmers"),
+        )
+    )

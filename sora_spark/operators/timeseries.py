@@ -71,3 +71,35 @@ def fill_gaps(
     for c in value_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out.withColumn("_present", F.coalesce("_present", F.lit(False)))
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    grains: list[str],
+    aggs: list,
+) -> DataFrame:
+    """Hypertable-style multi-granularity rollup in ONE pass: truncate
+    the timestamp to each grain (map-side expressions), then ROLLUP
+    over the grain columns coarse→fine, so a single shuffle produces
+    every aggregation level (hour, day, grand total) at once — the
+    continuous-aggregate maintenance shape, instead of one job per
+    granularity. `grains` is ordered coarse→fine (e.g. ["day",
+    "hour"]); output carries a `grain` label per row ('total', then
+    each grain name). Partial aggregation still applies: the map side
+    combines before the one exchange, and each coarser level is
+    Catalyst's Expand over the same scan, not a rescan.
+    """
+    truncs = [F.date_trunc(g, F.col(ts_col)).alias(g) for g in grains]
+    # grain label from grouping() flags, NOT isNull — a NULL timestamp
+    # must stay a data row at the finest grain, not masquerade as a
+    # rollup subtotal
+    grain = F.when(F.grouping(grains[0]) == 1, "total")
+    for i, g in enumerate(grains[1:], start=1):
+        grain = grain.when(F.grouping(g) == 1, grains[i - 1])
+    grain = grain.otherwise(grains[-1])
+    return (
+        df.select(*truncs, "*")
+        .rollup(*grains)
+        .agg(*aggs, grain.alias("grain"))
+    )

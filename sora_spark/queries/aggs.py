@@ -339,3 +339,47 @@ def qa11_boolean_agg_family(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "qa12_winsorized_mean",
+    oracle="""
+WITH p AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l.l_returnflag,
+       round(avg(least(greatest(l_extendedprice, lo), hi)), 4) AS winsor_mean,
+       round(avg(l_extendedprice), 4) AS raw_mean,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem l JOIN p USING (l_returnflag)
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+""",
+    doc="qa12: per-group winsorized mean (outlier-robust statistics): "
+    "exact p05/p95 per group, values clipped into the band, then "
+    "averaged. Two passes — the percentile table is GROUP-COUNT sized "
+    "and broadcast back onto the fact scan (map-side clip, no second "
+    "shuffle of the data), the degenerate-safe way to de-outlier a "
+    "100 TB measure column before aggregation.",
+    tags=("agg", "robust"),
+)
+def qa12_winsorized_mean(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    pct = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.05).alias("lo"),
+        F.percentile("l_extendedprice", 0.95).alias("hi"),
+    )
+    clipped = li.join(F.broadcast(pct), "l_returnflag").withColumn(
+        "_w",
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")),
+    )
+    return (
+        clipped.groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("_w"), 4).alias("winsor_mean"),
+            F.round(F.avg("l_extendedprice"), 4).alias("raw_mean"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

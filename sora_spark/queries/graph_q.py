@@ -1038,3 +1038,77 @@ def qg24_masked_overlap_graph(spark, sf_dir):
         overlap_edges(derive_reads(docs), max_key_freq=2)
         .orderBy("s", "d")
     )
+
+
+def _lpa_round_sql(prev: str, i: int) -> str:
+    """One unrolled synchronous-LPA round: count labels over the
+    distinct symmetric neighbor set, adopt (cnt DESC, lab ASC) top-1.
+    Mirrors Graph.label_propagation exactly."""
+    return (
+        f"c{i} AS (SELECT e.s AS v, l.lab AS lab, count(*) AS cnt\n"
+        f"         FROM sym e JOIN {prev} l ON l.v = e.d GROUP BY 1, 2),\n"
+        f"l{i} AS (SELECT v, lab FROM (\n"
+        f"           SELECT v, lab, row_number() OVER (PARTITION BY v\n"
+        f"             ORDER BY cnt DESC, lab) AS rn FROM c{i}) WHERE rn = 1)"
+    )
+
+
+_LPA_ROUNDS = 2
+
+
+@query(
+    "qg25_label_propagation",
+    oracle=(
+        f"WITH eco AS MATERIALIZED ({E_CO_SMALL_SQL}),\n"
+        "sym AS MATERIALIZED (SELECT s, d FROM eco "
+        "UNION SELECT d, s FROM eco),\n"
+        "l0 AS (SELECT DISTINCT s AS v, s AS lab FROM sym),\n"
+        + ",\n".join(
+            _lpa_round_sql(f"l{i}", i + 1) for i in range(_LPA_ROUNDS)
+        )
+        + f"\nSELECT v, lab FROM l{_LPA_ROUNDS} ORDER BY v"
+    ),
+    doc=f"qg25: community detection by synchronous label propagation, "
+    f"{_LPA_ROUNDS} declared rounds over the bounded co-occurrence "
+    "graph (Graph.label_propagation) — per round one edges-x-labels "
+    "equi-join + per-vertex argmax window, deterministic via the "
+    "(count DESC, label ASC) tie-break. Hash-matched against the "
+    "unrolled-CTE twin. Fixed round count IS the contract: sync LPA "
+    "has no order-free fixpoint guarantee (it can 2-cycle on "
+    "bipartite structure), so round-count semantics is what a "
+    "distributed engine can promise deterministically.",
+    tags=("graph", "community"),
+)
+def qg25_label_propagation(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        Graph(e_co_small(li))
+        .label_propagation(n_rounds=_LPA_ROUNDS)
+        .orderBy("v")
+    )
+
+
+@query(
+    "qg26_kmer_spectrum",
+    oracle="""
+WITH seqs AS (SELECT text FROM documents WHERE len(text) >= 8),
+pos AS (SELECT text, unnest(range(1, len(text) - 8 + 2)) AS i FROM seqs),
+km AS (SELECT substr(text, CAST(i AS INT), 8) AS kmer FROM pos),
+cnt AS (SELECT kmer, count(*) AS c FROM km GROUP BY kmer)
+SELECT CAST(c AS BIGINT) AS multiplicity, CAST(count(*) AS BIGINT) AS n_kmers
+FROM cnt GROUP BY c ORDER BY multiplicity
+""",
+    doc="qg26: k-mer multiplicity spectrum (k=8) over documents.text "
+    "(graph/overlap.py kmer_spectrum) — the coverage histogram that "
+    "precedes every assembly run and sets the abundance-filter "
+    "cutoffs. JVM-side substring explode -> count -> count-of-counts; "
+    "the only data wider than the histogram ever shuffled is "
+    "map-side-combined (kmer, partial count) pairs. Under-k texts "
+    "excluded on BOTH sides (Spark sequence(1,0) would descend).",
+    tags=("graph", "assembly", "kmer"),
+)
+def qg26_kmer_spectrum(spark, sf_dir):
+    from sora_spark.graph.overlap import kmer_spectrum
+
+    docs = tables(spark, sf_dir).documents
+    return kmer_spectrum(docs, "text", k=8).orderBy("multiplicity")

@@ -898,3 +898,55 @@ def qmv1_incremental_agg(spark, sf_dir):
         F.col("n").cast("bigint").alias("n"),
         F.round("sum_o_totalprice", 2).alias("sum_o_totalprice"),
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "qts2_time_rollup",
+    oracle="""
+SELECT CASE WHEN grouping(day) = 1 THEN 'ALL'
+            ELSE strftime(day, '%Y-%m-%d') END AS day,
+       CASE WHEN grouping(hour) = 1 THEN 'ALL'
+            ELSE strftime(hour, '%Y-%m-%d %H:00:00') END AS hour,
+       CASE WHEN grouping(day) = 1 THEN 'total'
+            WHEN grouping(hour) = 1 THEN 'day'
+            ELSE 'hour' END AS grain,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM (SELECT date_trunc('day', ts) AS day,
+             date_trunc('hour', ts) AS hour, value
+      FROM events)
+GROUP BY ROLLUP (day, hour)
+ORDER BY grain, day, hour
+""",
+    doc="qts2: hypertable-style multi-granularity rollup "
+    "(operators/timeseries.py time_rollup) — hour, day and grand "
+    "total produced by ONE shuffle via ROLLUP over date_trunc'd "
+    "grain columns (Catalyst Expand over a single scan, partial agg "
+    "map-side), instead of a job per granularity. The "
+    "continuous-aggregate shape for event telemetry at scale.",
+    tags=("timeseries", "rollup"),
+)
+def qts2_time_rollup(spark, sf_dir):
+    from sora_spark.operators.timeseries import time_rollup
+
+    ev = tables(spark, sf_dir).events
+    rolled = time_rollup(
+        ev,
+        "ts",
+        ["day", "hour"],
+        [
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+    return rolled.select(
+        F.coalesce(
+            F.date_format("day", "yyyy-MM-dd"), F.lit("ALL")
+        ).alias("day"),
+        F.coalesce(
+            F.date_format("hour", "yyyy-MM-dd HH:00:00"), F.lit("ALL")
+        ).alias("hour"),
+        "grain",
+        "n_events",
+        "sum_value",
+    ).orderBy("grain", "day", "hour")

@@ -1269,3 +1269,22 @@ def test_incremental_view_rejects_bad_op(spark):
 
     with _pytest.raises(Exception, match="bad CDC op"):
         inc.refresh(view, cdc, ["g"], ["x"]).collect()
+
+
+def test_time_rollup_null_ts_stays_data_row(spark):
+    """A NULL timestamp must roll up as a DATA row at the finest grain
+    (grouping()-based labels), never be mislabeled as a subtotal."""
+    from sora_spark.operators.timeseries import time_rollup
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:15:00", 1.0), (None, 2.0)],
+        "ts_s string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    out = time_rollup(
+        df, "ts", ["day", "hour"], [F.count("*").alias("n")]
+    )
+    rows = {(r["day"], r["hour"], r["grain"]): r["n"] for r in out.collect()}
+    # null-ts row appears at grain 'hour' with null day/hour
+    assert rows[(None, None, "hour")] == 1
+    assert rows[(None, None, "total")] == 2
+    assert rows[(None, None, "day")] == 1  # day subtotal of the null-ts group

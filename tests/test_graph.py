@@ -420,3 +420,17 @@ def test_contigs_recover_document_substrings(spark, sf_dir):
         ~F.expr("contains(text, contig)")
     )
     assert bad.count() == 0, bad.select("start").limit(5).collect()
+
+
+def test_label_propagation_two_triangles(spark):
+    """Two triangles bridged by one edge: round-2 labels hand-computed
+    (sync updates, count-desc/label-asc tie-break)."""
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "s long, d long",
+    )
+    got = {
+        r["v"]: r["lab"]
+        for r in Graph(e).label_propagation(n_rounds=2).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}
