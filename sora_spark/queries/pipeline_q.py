@@ -950,3 +950,40 @@ def qts2_time_rollup(spark, sf_dir):
         "n_events",
         "sum_value",
     ).orderBy("grain", "day", "hour")
+
+
+from sora_spark.operators.layout import zvalue, zvalue_sql  # noqa: E402
+
+_ZSQL = zvalue_sql("x", "y", bits=8)
+
+
+@query(
+    "qlay1_zorder_keys",
+    oracle=f"""
+WITH k AS (SELECT c_custkey, c_custkey % 256 AS x, c_nationkey AS y
+           FROM customer),
+z AS (SELECT c_custkey, CAST({_ZSQL} AS BIGINT) AS zval FROM k)
+SELECT c_custkey, zval FROM z ORDER BY zval, c_custkey LIMIT 100
+""",
+    doc="qlay1: Z-order (Morton) key computation for two-dimensional "
+    "data-skipping layout (operators/layout.py) — bit-interleave of "
+    "(c_custkey % 256, c_nationkey), the linear order under which "
+    "range-partitioned parquet files get tight min/max boxes in BOTH "
+    "dimensions. The oracle SQL is generated from the SAME bit-term "
+    "list as the Spark column (parity by construction); the actual "
+    "file-skipping payoff is measured in "
+    "test_capabilities.py::test_zorder_layout_skips_files.",
+    tags=("layout", "zorder"),
+)
+def qlay1_zorder_keys(spark, sf_dir):
+    cust = tables(spark, sf_dir).customer
+    k = cust.select(
+        "c_custkey",
+        (F.col("c_custkey") % 256).alias("x"),
+        F.col("c_nationkey").alias("y"),
+    )
+    return (
+        k.select("c_custkey", zvalue("x", "y", bits=8).alias("zval"))
+        .orderBy("zval", "c_custkey")
+        .limit(100)
+    )

@@ -1288,3 +1288,55 @@ def test_time_rollup_null_ts_stays_data_row(spark):
     assert rows[(None, None, "hour")] == 1
     assert rows[(None, None, "total")] == 2
     assert rows[(None, None, "day")] == 1  # day subtotal of the null-ts group
+
+
+def test_zorder_layout_skips_files(spark, sf_dir):
+    """write_zordered must yield parquet files whose min/max boxes are
+    selective in BOTH dimensions: a filter on the SECOND key (y) must
+    be able to skip files, whereas an x-sorted layout puts every y in
+    every file. Measured directly per-file, no engine magic assumed."""
+    import glob
+
+    from sora_spark.operators.layout import write_zordered
+
+    cust = tables(spark, sf_dir).customer.select(
+        "c_custkey",
+        (F.col("c_custkey") % 16).alias("x"),
+        (F.col("c_nationkey") % 16).alias("y"),
+    )
+
+    def files_containing(path, col, val):
+        hit = 0
+        fs = sorted(glob.glob(f"{path}/part-*.parquet"))
+        for f in fs:
+            mm = (
+                spark.read.parquet(f)
+                .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+                .collect()[0]
+            )
+            if mm["lo"] is not None and mm["lo"] <= val <= mm["hi"]:
+                hit += 1
+        return hit, len(fs)
+
+    zpath = f"/root/repo/.scratch/zord-{uuid.uuid4().hex[:6]}"
+    write_zordered(cust, zpath, "x", "y", n_files=8, bits=4)
+    xpath = f"/root/repo/.scratch/xsort-{uuid.uuid4().hex[:6]}"
+    (
+        cust.repartitionByRange(8, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xpath)
+    )
+    z_hit, z_total = files_containing(zpath, "y", 3)
+    x_hit, x_total = files_containing(xpath, "y", 3)
+    # content identical either way
+    assert (
+        spark.read.parquet(zpath).count()
+        == spark.read.parquet(xpath).count()
+        == cust.count()
+    )
+    assert x_hit == x_total, "x-sorted layout scatters y across all files"
+    assert z_hit < z_total, (
+        f"z-order must make y-ranges skippable: {z_hit}/{z_total} files "
+        f"contain y=3 (x-sorted: {x_hit}/{x_total})"
+    )

@@ -659,3 +659,35 @@ def test_simhash_hamming_detects_planted_neardup(spark):
     }
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_pca_projection_matches_numpy(spark, sf_dir):
+    """External cross-check (stronger than self-consistency): the
+    distributed moments + driver eigh must reproduce full numpy PCA on
+    the collected matrix — eigenvalues exactly, components and
+    projections up to the eigenvector sign."""
+    import numpy as np
+
+    from sora_spark.llm import pca
+
+    dims, k = 16, 3
+    emb = tables(spark, sf_dir).embeddings
+    X = np.array(
+        [r["embedding"][:dims] for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    model = pca.fit_pca(emb, k=k, dims=dims)
+    cov = np.cov(X, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    assert np.allclose(model.eigenvalues, vals[order], atol=1e-8)
+    signs = []
+    for got, idx in zip(model.components, order):
+        ref = vecs[:, idx]
+        s = 1.0 if np.dot(got, ref) >= 0 else -1.0
+        signs.append(s)
+        assert np.allclose(got, s * ref, atol=1e-6)
+    proj = pca.project(emb, model).orderBy("vec_id")
+    got = np.array([[r[f"p{i}"] for i in range(k)] for r in proj.collect()])
+    want = (X - X.mean(axis=0)) @ (vecs[:, order] * np.array(signs))
+    assert np.allclose(got, want, atol=1e-6)
