@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sora_spark.functions.text import tokens
 from sora_spark.llm import dedup, textstats
@@ -302,4 +303,29 @@ def chunk_documents(
     return docs.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap each group's contribution to at most `n` rows, selected by
+    DETERMINISTIC hash order (md5(text), id tiebreak) — the per-domain
+    cap every web-corpus recipe applies so no single source dominates
+    the mixture. Hash order (not "first n" or RAND) makes the survivor
+    set reproducible across runs, engines and partitionings, and
+    unbiased w.r.t. crawl order. One window shuffle on the group key;
+    heavy-domain skew is bounded because the window only RANKS — rows
+    past n are dropped in the same stage, nothing accumulates."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(text_col)), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
     )

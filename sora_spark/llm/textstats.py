@@ -363,3 +363,52 @@ def compression_ratio(
     return df.select(id_col, text_col).mapInPandas(
         _ratios, schema=f"{id_col} bigint, ratio double"
     )
+
+
+def vocab_top(
+    df: DataFrame, vocab_size: int, text_col: str = "text"
+) -> DataFrame:
+    """Top-`vocab_size` whitespace tokens by (count DESC, token ASC) —
+    deterministic at the cut boundary. orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition partial top-k, then a merge of
+    V-sized heads) — never a single-partition global sort, which is
+    what a window row_number over all distinct tokens would cost."""
+    tok = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("t")
+    )
+    return (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(vocab_size)
+        .select("t")
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Out-of-vocabulary rate per `by` group against the corpus's own
+    top-V vocabulary — the tokenizer-coverage health check run before
+    committing a vocab to a training mix. The vocab is V rows →
+    broadcast; the token stream is left-joined map-side (flag, no
+    shuffle beyond the final per-group agg)."""
+    tok = df.select(
+        F.col(by), F.explode(F.split(F.col(text_col), " ")).alias("t")
+    )
+    voc = F.broadcast(vocab_top(df, vocab_size, text_col).withColumn(
+        "_inv", F.lit(1)
+    ))
+    j = tok.join(voc, "t", "left")
+    oov = F.col("_inv").isNull().cast("double")
+    return (
+        j.groupBy(by)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(oov.cast("bigint")).cast("bigint").alias("oov_tokens"),
+            F.round(F.avg(oov), 6).alias("oov_rate"),
+        )
+    )

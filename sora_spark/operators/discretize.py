@@ -67,3 +67,35 @@ def quantile_discretize(
         F.when(F.col(col).isNotNull(), bucket).otherwise(F.lit(None)),
     )
     return out, bounds
+
+
+def equal_width_histogram(
+    df, col: str, n_bins: int = 16
+):
+    """Equal-width histogram → (bin, n, lo, hi per bin edge values).
+    Pass 1 collects exactly TWO numbers (global min/max); pass 2 bins
+    map-side (`floor((x-lo)/w)`, top edge clamped into the last bin)
+    and aggregates — histogram-sized output, partial agg before the
+    one exchange. The equal-WIDTH complement of quantile_discretize
+    (equal-depth): width bins are mergeable across partitions/days
+    without re-ranking, which is why monitoring pipelines prefer
+    them."""
+    from pyspark.sql import functions as F
+
+    lo, hi = df.agg(F.min(col), F.max(col)).collect()[0]
+    if lo is None or lo == hi:
+        raise ValueError(f"degenerate domain for {col!r}: [{lo}, {hi}]")
+    w = (hi - lo) / n_bins
+    b = F.least(
+        F.floor((F.col(col) - F.lit(lo)) / F.lit(w)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        df.select(b.alias("bin"), F.col(col).alias("_x"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("_x"), 2).alias("lo"),
+            F.round(F.max("_x"), 2).alias("hi"),
+        )
+    )

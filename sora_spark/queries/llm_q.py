@@ -1061,3 +1061,33 @@ def ql10_l2_normalize(spark, sf_dir):
         (F.abs(unit_norm - 1.0) < 1e-9).alias("unit_ok"),
         F.round(comp_sum, 5).alias("comp_sum"),
     ).orderBy("vec_id")
+
+
+@query(
+    "qta8_oov_rate",
+    oracle="""
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+             FROM documents),
+cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+voc AS (SELECT t FROM (
+          SELECT t, row_number() OVER (ORDER BY c DESC, t) AS rn FROM cnt)
+        WHERE rn <= 1000)
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       round(avg(CASE WHEN v.t IS NULL THEN 1.0 ELSE 0.0 END), 6)
+         AS oov_rate
+FROM tok LEFT JOIN voc v USING (t)
+GROUP BY source ORDER BY source
+""",
+    doc="qta8: out-of-vocabulary rate per source against the corpus's "
+    "own top-1000 token vocabulary (textstats.oov_rate) — tokenizer "
+    "coverage check before committing a vocab. Vocabulary selection "
+    "is TakeOrderedAndProject (distributed partial top-V, "
+    "deterministic (count DESC, token ASC) boundary), then broadcast; "
+    "the token stream is flagged map-side, never shuffled on token.",
+    tags=("llm", "textstats"),
+)
+def qta8_oov_rate(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return textstats.oov_rate(docs, vocab_size=1000).orderBy("source")

@@ -987,3 +987,58 @@ def qlay1_zorder_keys(spark, sf_dir):
         .orderBy("zval", "c_custkey")
         .limit(100)
     )
+
+
+@query(
+    "qcur6_per_source_cap",
+    oracle="""
+WITH r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(text), doc_id) AS rk
+           FROM documents)
+SELECT doc_id, source FROM r WHERE rk <= 15 ORDER BY doc_id
+""",
+    doc="qcur6: per-domain contribution cap (llm/curate.py "
+    "cap_per_group) — at most 30 docs per source, selected by "
+    "deterministic hash order (md5(text), doc_id tiebreak) so the "
+    "survivor set is reproducible across runs/engines and unbiased "
+    "w.r.t. crawl order. The standard anti-domination step in web "
+    "corpus mixing; one window shuffle on source, rows past the cap "
+    "dropped in the same stage.",
+    tags=("llm", "curation"),
+)
+def qcur6_per_source_cap(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return (
+        curate.cap_per_group(docs, "source", 15)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "qdz2_equal_width_histogram",
+    oracle="""
+WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+           FROM lineitem),
+h AS (SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 16)),
+                        15) AS INT) AS bin,
+             l_extendedprice AS x
+      FROM lineitem, b)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       round(min(x), 2) AS lo, round(max(x), 2) AS hi
+FROM h GROUP BY bin ORDER BY bin
+""",
+    doc="qdz2: equal-width histogram of l_extendedprice, 16 bins "
+    "(operators/discretize.py equal_width_histogram) — the mergeable "
+    "complement of qdz1's equal-depth bins: pass 1 collects exactly "
+    "two numbers (min/max), pass 2 bins map-side and aggregates. "
+    "Identical IEEE double arithmetic on both engines, so the bin "
+    "boundaries hash-match exactly.",
+    tags=("discretize", "histogram"),
+)
+def qdz2_equal_width_histogram(spark, sf_dir):
+    from sora_spark.operators.discretize import equal_width_histogram
+
+    li = tables(spark, sf_dir).lineitem
+    return equal_width_histogram(li, "l_extendedprice", 16).orderBy("bin")
