@@ -1,0 +1,91 @@
+"""Event-sequence analytics: ordered funnels and retention cohorts.
+
+The two queries every product/telemetry pipeline runs over an event
+stream, expressed as join/agg dataflow (no per-user Python, no
+collect):
+
+- `funnel`: users advance a stage only by an event STRICTLY AFTER
+  their previous stage's first event — computed as a chain of
+  per-stage (user, first_ts) frames equi-joined on user. Each stage
+  is one filtered aggregation + one equi-join; all shuffles are on
+  user_id, so a cluster co-partitions the whole chain after the first
+  exchange (no re-key anywhere).
+- `retention`: cohort = first-seen day per user; activity matrix =
+  (cohort_day, day_offset) distinct-user counts. One aggregation for
+  cohorts, one equi-join back on user_id, one count-distinct — the
+  classic triangle view.
+
+Both produce bounded outputs (stages; cohort-days × offsets) from
+unbounded inputs — safe at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """→ (stage_idx, stage, n_users), users reaching each stage in
+    strict temporal order (first qualifying event per stage)."""
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
+    rows = []
+    prev = None  # DataFrame (user, _t): first qualifying ts at prev stage
+    for idx, stage in enumerate(stages):
+        ev = events.filter(F.col(type_col) == stage).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        if prev is None:
+            cur = ev.groupBy("_u").agg(F.min("_ts").alias("_t"))
+        else:
+            cur = (
+                ev.join(prev, "_u")
+                .filter(F.col("_ts") > F.col("_t"))
+                .groupBy("_u")
+                .agg(F.min("_ts").alias("_t"))
+            )
+        rows.append(
+            cur.agg(
+                F.lit(idx).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.count("*").cast("bigint").alias("n_users"),
+            )
+        )
+        prev = cur
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """→ (cohort_day, day_offset, n_users): distinct users from each
+    first-seen-day cohort active again `day_offset` days later."""
+    day = F.date_trunc("day", F.col(ts_col))
+    firsts = (
+        events.select(F.col(user_col).alias("_u"), day.alias("_d"))
+        .groupBy("_u")
+        .agg(F.min("_d").alias("_cohort"))
+    )
+    activity = events.select(
+        F.col(user_col).alias("_u"), day.alias("_day")
+    ).distinct()
+    return (
+        activity.join(firsts, "_u")
+        .groupBy(
+            F.col("_cohort").alias("cohort_day"),
+            F.datediff(F.col("_day"), F.col("_cohort")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("_u").cast("bigint").alias("n_users"))
+    )

@@ -1042,3 +1042,69 @@ def qdz2_equal_width_histogram(spark, sf_dir):
 
     li = tables(spark, sf_dir).lineitem
     return equal_width_histogram(li, "l_extendedprice", 16).orderBy("bin")
+
+
+@query(
+    "qev1_funnel",
+    oracle="""
+WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT 0 AS stage_idx, 'view' AS stage,
+         CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+  UNION ALL
+  SELECT 1, 'click', CAST((SELECT count(*) FROM c) AS BIGINT)
+  UNION ALL
+  SELECT 2, 'purchase', CAST((SELECT count(*) FROM p) AS BIGINT))
+ORDER BY stage_idx
+""",
+    doc="qev1: ordered funnel view -> click -> purchase "
+    "(operators/events.py funnel): a user advances only via an event "
+    "STRICTLY AFTER their previous stage's first event. Chain of "
+    "per-stage first-ts frames equi-joined on user_id — every shuffle "
+    "keys on user_id, so the whole chain co-partitions after one "
+    "exchange. Bounded output from unbounded input.",
+    tags=("events", "funnel"),
+)
+def qev1_funnel(spark, sf_dir):
+    from sora_spark.operators.events import funnel
+
+    ev = tables(spark, sf_dir).events
+    return funnel(ev, ["view", "click", "purchase"]).orderBy("stage_idx")
+
+
+@query(
+    "qev2_retention",
+    oracle="""
+WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.cohort, a.day) AS INT) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY f.cohort, day_offset ORDER BY cohort_day, day_offset
+""",
+    doc="qev2: retention-cohort triangle (operators/events.py "
+    "retention): cohort = first-seen day per user, cell = distinct "
+    "users active again N days later. One cohort aggregation + one "
+    "user-keyed equi-join + one count-distinct; output bounded by "
+    "days x offsets regardless of event volume.",
+    tags=("events", "retention"),
+)
+def qev2_retention(spark, sf_dir):
+    from sora_spark.operators.events import retention
+
+    ev = tables(spark, sf_dir).events
+    r = retention(ev)
+    return r.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "n_users",
+    ).orderBy("cohort_day", "day_offset")

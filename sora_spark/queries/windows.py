@@ -213,3 +213,72 @@ def qw7_first_last_nth_value(spark, sf_dir):
         )
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "qw8_sliding_distinct",
+    oracle="""
+SELECT event_id,
+       CAST(len(list_distinct(list(event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))) AS INT)
+         AS n_distinct_types
+FROM events ORDER BY event_id
+""",
+    doc="qw8: distinct-count over a sliding ROWS window — Spark "
+    "windows reject DISTINCT aggregates, so the engine expresses it "
+    "as size(array_distinct(collect_list() OVER)) (state bounded by "
+    "the 3-row frame, JVM-side). The per-user event-variety signal "
+    "behind burst/bot detection; unique (ts, event_id) order key so "
+    "frames can't drift.",
+    tags=("window", "distinct"),
+)
+def qw8_sliding_distinct(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+            .cast("int")
+            .alias("n_distinct_types"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "qw9_share_of_total",
+    oracle="""
+WITH g AS (SELECT l_returnflag, sum(l_extendedprice) AS revenue
+           FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, round(revenue, 2) AS revenue,
+       round(revenue / sum(revenue) OVER (), 6) AS share
+FROM g ORDER BY l_returnflag
+""",
+    doc="qw9: ratio-to-report — per-group revenue share of the grand "
+    "total via an empty-frame window over the ALREADY-AGGREGATED "
+    "groups (group-count-sized input; the detail rows are reduced "
+    "first, so the unpartitioned window is trivially safe at scale).",
+    tags=("window", "ratio"),
+)
+def qw9_share_of_total(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    g = li.groupBy("l_returnflag").agg(
+        F.sum("l_extendedprice").alias("revenue")
+    )
+    w = Window.partitionBy()
+    return (
+        g.select(
+            "l_returnflag",
+            F.round("revenue", 2).alias("revenue"),
+            F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
