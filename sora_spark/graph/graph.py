@@ -851,3 +851,49 @@ class Graph:
                 .localCheckpoint(eager=True)
             )
         return labels
+
+    def topological_levels(
+        self, max_iter: int = 200, stats: dict | None = None
+    ) -> DataFrame:
+        """Kahn-peel topological levels over a DIRECTED ACYCLIC edge
+        set → (v, level), level = LONGEST path from any source (a
+        vertex peels only once all predecessors have peeled). Raises
+        on a cycle — a partial level assignment is not a topological
+        order. Rounds = DAG depth (structural, not data-sized: the
+        overlap graph's depth is reads-per-document, flat across sf —
+        SCALE.md); each round is two anti-joins + a distinct on the
+        SHRINKING remaining-edge set, localCheckpoint'ed per round."""
+        remaining = self.edges.select("s", "d").localCheckpoint(eager=True)
+        verts = self.vertex_ids().localCheckpoint(eager=True)
+        out: DataFrame | None = None
+        for level in range(max_iter):
+            targets = remaining.select(F.col("d").alias("v")).distinct()
+            zero = verts.join(targets, "v", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if zero.count() == 0:
+                if remaining.count() > 0:
+                    raise ValueError(
+                        "topological_levels: cycle detected — "
+                        f"{remaining.count()} edges undissolvable"
+                    )
+                if stats is not None:
+                    stats["depth"] = level
+                break
+            lv = zero.select("v", F.lit(level).alias("level"))
+            out = lv if out is None else out.unionByName(lv)
+            remaining = remaining.join(
+                zero.withColumnRenamed("v", "s"), "s", "left_anti"
+            ).localCheckpoint(eager=True)
+            verts = verts.join(zero, "v", "left_anti").localCheckpoint(
+                eager=True
+            )
+        else:
+            raise RuntimeError(
+                f"topological_levels: depth exceeds max_iter={max_iter}"
+            )
+        if out is None:
+            return self.vertex_ids().select(
+                "v", F.lit(0).alias("level")
+            ).limit(0)
+        return out

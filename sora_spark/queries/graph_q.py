@@ -1112,3 +1112,37 @@ def qg26_kmer_spectrum(spark, sf_dir):
 
     docs = tables(spark, sf_dir).documents
     return kmer_spectrum(docs, "text", k=8).orderBy("multiplicity")
+
+
+@query(
+    "qg27_topo_levels",
+    oracle=(
+        f"WITH RECURSIVE reads AS MATERIALIZED ({READS_SQL}),\n"
+        f"e AS MATERIALIZED ({OVERLAP_SQL}),\n"
+        "verts AS (SELECT s AS v FROM e UNION SELECT d FROM e),\n"
+        "src AS (SELECT v FROM verts WHERE v NOT IN (SELECT d FROM e)),\n"
+        "walk(v, depth) AS (\n"
+        "  SELECT v, 0 FROM src\n"
+        "  UNION\n"
+        "  SELECT e.d, w.depth + 1 FROM walk w JOIN e ON e.s = w.v)\n"
+        "SELECT v, CAST(max(depth) AS INT) AS level\n"
+        "FROM walk GROUP BY v ORDER BY v"
+    ),
+    doc="qg27: topological levels of the read-overlap DAG "
+    "(Graph.topological_levels) — Kahn peel where a vertex's level is "
+    "the LONGEST source path reaching it (equals the recursive-walk "
+    "max-depth oracle). The scheduling order for any DAG-shaped "
+    "pipeline (assembly chains, task graphs); raises on cycles "
+    "instead of emitting a partial order. Rounds = structural depth, "
+    "flat across sf (reads-per-document), each a shrinking anti-join.",
+    tags=("graph", "assembly", "dag"),
+)
+def qg27_topo_levels(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    ov = overlap_edges(derive_reads(docs))
+    return (
+        Graph(ov)
+        .topological_levels()
+        .select("v", F.col("level").cast("int").alias("level"))
+        .orderBy("v")
+    )

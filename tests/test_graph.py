@@ -434,3 +434,25 @@ def test_label_propagation_two_triangles(spark):
         for r in Graph(e).label_propagation(n_rounds=2).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}
+
+
+def test_topological_levels_dag_and_cycle(spark):
+    """Diamond + tail: levels are LONGEST-path depths; a cycle must
+    raise, never emit a partial order."""
+    import pytest as _pytest
+
+    dag = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (6, 3)],
+        "s long, d long",
+    )
+    got = {
+        r["v"]: r["level"]
+        for r in Graph(dag).topological_levels().collect()
+    }
+    # 3 peels after {1,6} and 2: longest path 1->3->4->5 / 6->3->4->5
+    assert got == {1: 0, 6: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "s long, d long"
+    )
+    with _pytest.raises(ValueError, match="cycle"):
+        Graph(cyc).topological_levels()
