@@ -993,3 +993,84 @@ def test_overlap_edges_match_python_oracle(docs, spark):
         )
     )
     assert got == expected
+
+
+# ---- incremental view maintenance: random CDC streams vs recompute --------
+#
+# The delta algebra (operators/incremental.py) must be observationally
+# identical to a from-scratch rebuild for ANY interleaving of inserts
+# and deletes, including groups that drain to zero and reappear across
+# batches. Python oracle = rebuild over the surviving multiset.
+
+
+def test_incremental_view_property_family(spark):
+    import random
+
+    from sora_spark.operators import incremental as inc
+
+    rng = random.Random(20260814)
+    keys = ["a", "b", "c", "d", None]  # include a NULL group key
+    for trial in range(6):
+        base = [
+            (rng.choice(keys), float(rng.randint(1, 9)))
+            for _ in range(rng.randint(0, 12))
+        ]
+        live = list(base)
+        view = inc.build_view(
+            spark.createDataFrame(base, "g string, x double")
+            if base
+            else spark.createDataFrame([], "g string, x double"),
+            ["g"],
+            ["x"],
+        )
+        for _batch in range(3):
+            cdc = []
+            for _ in range(rng.randint(1, 8)):
+                if live and rng.random() < 0.4:
+                    row = live.pop(rng.randrange(len(live)))
+                    cdc.append((row[0], row[1], "D"))
+                else:
+                    row = (rng.choice(keys), float(rng.randint(1, 9)))
+                    live.append(row)
+                    cdc.append((row[0], row[1], "I"))
+            view = inc.refresh(
+                view,
+                spark.createDataFrame(cdc, "g string, x double, op string"),
+                ["g"],
+                ["x"],
+            ).localCheckpoint(eager=True)  # chain batches like a real feed
+        got = {r["g"]: (r["n"], round(r["sum_x"], 6)) for r in view.collect()}
+        want: dict = {}
+        for g, x in live:
+            n, s = want.get(g, (0, 0.0))
+            want[g] = (n + 1, s + x)
+        want = {g: (n, round(s, 6)) for g, (n, s) in want.items()}
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_zvalue_bijection_property(spark):
+    """The Morton interleave must be a bijection on bits×bits pairs:
+    decode by bit de-interleave recovers (x, y) exactly, and the SQL
+    rendering agrees with the Column rendering for every pair."""
+    from sora_spark.operators.layout import zvalue, zvalue_sql
+
+    import random
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(256), rng.randrange(256)) for _ in range(64)]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    rows = df.select(
+        "x", "y",
+        zvalue("x", "y", bits=8).alias("z"),
+        F.expr(zvalue_sql("x", "y", bits=8)).alias("z_sql"),
+    ).collect()
+    seen = set()
+    for r in rows:
+        assert r["z"] == r["z_sql"], "two renderings must agree"
+        x = y = 0
+        for i in range(8):
+            x |= ((r["z"] >> (2 * i)) & 1) << i
+            y |= ((r["z"] >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r["x"], r["y"]), "de-interleave must invert"
+        seen.add(r["z"])
+    assert len(seen) == len({(r["x"], r["y"]) for r in rows})
