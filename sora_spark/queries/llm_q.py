@@ -1071,7 +1071,7 @@ WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
 cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
 voc AS (SELECT t FROM (
           SELECT t, row_number() OVER (ORDER BY c DESC, t) AS rn FROM cnt)
-        WHERE rn <= 1000)
+        WHERE rn <= 20)
 SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS oov_tokens,
@@ -1081,7 +1081,9 @@ FROM tok LEFT JOIN voc v USING (t)
 GROUP BY source ORDER BY source
 """,
     doc="qta8: out-of-vocabulary rate per source against the corpus's "
-    "own top-1000 token vocabulary (textstats.oov_rate) — tokenizer "
+    "own top-20 token vocabulary (textstats.oov_rate; the fixture "
+    "vocabulary has 31 distinct tokens, so V=20 makes the rate BIND "
+    "— a larger V would certify only zeros) — tokenizer "
     "coverage check before committing a vocab. Vocabulary selection "
     "is TakeOrderedAndProject (distributed partial top-V, "
     "deterministic (count DESC, token ASC) boundary), then broadcast; "
@@ -1090,4 +1092,4 @@ GROUP BY source ORDER BY source
 )
 def qta8_oov_rate(spark, sf_dir):
     docs = tables(spark, sf_dir).documents
-    return textstats.oov_rate(docs, vocab_size=1000).orderBy("source")
+    return textstats.oov_rate(docs, vocab_size=20).orderBy("source")

@@ -1108,3 +1108,72 @@ def qev2_retention(spark, sf_dir):
         F.col("day_offset").cast("int").alias("day_offset"),
         "n_users",
     ).orderBy("cohort_day", "day_offset")
+
+
+@query(
+    "qpipe3_curation_v2",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, text,
+         row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                            ORDER BY doc_id) AS rn
+  FROM documents),
+kept AS (SELECT doc_id, source, text FROM d WHERE rn = 1),
+capped AS (SELECT doc_id, source, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY md5(text), doc_id) AS rk
+    FROM kept) WHERE rk <= 15),
+tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+        FROM capped),
+cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+voc AS (SELECT t FROM (
+          SELECT t, row_number() OVER (ORDER BY c DESC, t) AS rn FROM cnt)
+        WHERE rn <= 20),
+perdoc AS (SELECT doc_id, source, count(*) AS n_tok,
+                  avg(CASE WHEN v.t IS NULL THEN 1.0 ELSE 0.0 END) AS oov
+           FROM tok LEFT JOIN voc v USING (t)
+           GROUP BY doc_id, source),
+gated AS (SELECT * FROM perdoc WHERE oov <= 0.35)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(avg(oov), 6) AS avg_oov
+FROM gated GROUP BY source ORDER BY source
+""",
+    doc="qpipe3: curation pipeline v2 composing the round-6 operators "
+    "end-to-end — exact dedup (min-doc_id per normalized fingerprint) "
+    "-> per-source cap 15 (deterministic md5 order) -> per-doc OOV "
+    "fraction against the CAPPED corpus's own top-20 vocabulary "
+    "(TakeOrderedAndProject + broadcast; V=20 < the 31-token fixture "
+    "universe so the rate is non-degenerate) -> OOV<=0.35 quality "
+    "gate (drops roughly half the docs at sf0.01 — binding) -> "
+    "per-source yield report. Every stage is the declared operator "
+    "(dedup.dedup_exact / curate.cap_per_group / textstats.vocab_top) "
+    "running in one composed plan, the way a real corpus build "
+    "chains them.",
+    tags=("llm", "pipeline", "curation"),
+)
+def qpipe3_curation_v2(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    capped = curate.cap_per_group(dedup.dedup_exact(docs), "source", 15)
+    tok = capped.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    voc = F.broadcast(
+        textstats.vocab_top(capped, 20).withColumn("_inv", F.lit(1))
+    )
+    oov = F.col("_inv").isNull().cast("double")
+    perdoc = (
+        tok.join(voc, "t", "left")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_tok"), F.avg(oov).alias("oov"))
+    )
+    return (
+        perdoc.filter(F.col("oov") <= 0.35)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("oov"), 6).alias("avg_oov"),
+        )
+        .orderBy("source")
+    )

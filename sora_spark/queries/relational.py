@@ -533,3 +533,53 @@ def qsrc2_partitioned_write(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "qsrc3_schema_evolution",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(o_totalprice) AS BIGINT) AS n_price,
+       CAST(count(o_orderpriority) AS BIGINT) AS n_prio,
+       round(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END), 2)
+         AS sum_price_even
+FROM (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, NULL, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1)
+""",
+    doc="Q-SRC3: schema evolution across parquet batches — an early "
+    "batch wrote (o_orderkey, o_totalprice), a later one (o_orderkey, "
+    "o_orderpriority); mergeSchema=true read unions the schemas with "
+    "NULL back-fill, the append-only-table evolution contract every "
+    "long-lived 100 TB dataset eventually needs. Aggregates certify "
+    "both the union'd row set and the per-batch NULL shape.",
+    tags=("source", "schema"),
+)
+def qsrc3_schema_evolution(spark, sf_dir):
+    orders = tables(spark, sf_dir).orders
+    path = _roundtrip_dir("schema_evo")
+    even = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    even.write.mode("overwrite").parquet(os.path.join(path, "b=0"))
+    odd.write.mode("overwrite").parquet(os.path.join(path, "b=1"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "b=0"), os.path.join(path, "b=1")
+    )
+    return merged.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("o_totalprice").cast("bigint").alias("n_price"),
+        F.count("o_orderpriority").cast("bigint").alias("n_prio"),
+        F.round(
+            F.sum(
+                F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice"))
+            ),
+            2,
+        ).alias("sum_price_even"),
+    )
