@@ -148,3 +148,28 @@ class Engine:
         return Graph(Graph(edges).chain_edges()).compact_chains(
             with_paths=with_paths
         )
+
+    # ---- analytics surface (round-6 third-session operators) ------------
+
+    def kmer_spectrum(self, k: int = 8) -> DataFrame:
+        """Coverage histogram of documents.text k-mers (qg26)."""
+        from sora_spark.graph.overlap import kmer_spectrum
+
+        return kmer_spectrum(self._require_attached().documents, "text", k=k)
+
+    def communities(self, n_rounds: int = 2) -> DataFrame:
+        """Label-propagation communities on the bounded co-occurrence
+        graph (qg25) → (v, lab)."""
+        return self.graph_co().label_propagation(n_rounds=n_rounds)
+
+    def funnel(self, stages: list[str]) -> DataFrame:
+        """Ordered event funnel over the events table (qev1)."""
+        from sora_spark.operators.events import funnel
+
+        return funnel(self._require_attached().events, stages)
+
+    def retention(self) -> DataFrame:
+        """Retention-cohort triangle over the events table (qev2)."""
+        from sora_spark.operators.events import retention
+
+        return retention(self._require_attached().events)

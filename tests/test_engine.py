@@ -77,3 +77,32 @@ def test_facade_read_assembly_matches_registry(spark, sf_dir):
         )
     )
     assert via_facade == via_registry
+
+
+def test_facade_analytics_matches_registry(spark, sf_dir):
+    """New facade entry points must return exactly what their declared
+    queries return (same code path, no drift)."""
+    from sora_spark.engine import Engine
+    from sora_spark.queries import REGISTRY
+
+    eng = Engine(spark).attach(sf_dir)
+
+    spec = {tuple(r) for r in eng.kmer_spectrum().collect()}
+    want = {
+        tuple(r)
+        for r in REGISTRY["qg26_kmer_spectrum"].spark_fn(spark, sf_dir).collect()
+    }
+    assert spec == want
+
+    fun = {tuple(r) for r in eng.funnel(["view", "click", "purchase"]).collect()}
+    want = {
+        tuple(r) for r in REGISTRY["qev1_funnel"].spark_fn(spark, sf_dir).collect()
+    }
+    assert fun == want
+
+    com = {tuple(r) for r in eng.communities().collect()}
+    want = {
+        tuple(r)
+        for r in REGISTRY["qg25_label_propagation"].spark_fn(spark, sf_dir).collect()
+    }
+    assert com == want
