@@ -556,3 +556,41 @@ def test_partitioned_write_scan_prunes_partitions(spark, sf_dir):
     lines = [l for l in p.splitlines() if "PartitionFilters" in l]
     assert lines, "no PartitionFilters in scan"
     assert any("event_type" in l for l in lines), lines
+
+
+def test_oov_vocab_broadcasts_over_token_stream(spark, sf_dir):
+    """qta8/qpipe3 shape: the V-sized vocabulary must broadcast — the
+    exploded token stream is never shuffled on the token key (its only
+    exchange is the final per-group aggregation)."""
+    for name in ("qta8_oov_rate", "qpipe3_curation_v2"):
+        p = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in p, f"{name}: vocab must broadcast"
+
+
+def test_incremental_view_never_shuffles_view(spark, sf_dir):
+    """qmv1: every join in the refresh is broadcast (delta-bounded
+    build sides); a SortMergeJoin would mean the stored view itself
+    was shuffled to absorb the delta."""
+    p = _plan(spark, sf_dir, "qmv1_incremental_agg")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, "view side must not be reshuffled"
+
+
+def test_winsorize_percentile_table_broadcasts(spark, sf_dir):
+    """qa12: the per-group clip-band table is group-count sized and
+    must broadcast back onto the fact scan."""
+    p = _plan(spark, sf_dir, "qa12_winsorized_mean")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_time_rollup_single_expand_single_scan(spark, sf_dir):
+    """qts2: all granularities from ONE scan via Expand — a plan that
+    re-scans events per grain (union of scans) is wrong."""
+    import re as _re
+
+    p = _plan(spark, sf_dir, "qts2_time_rollup")
+    # node-detail lines "(N) Scan parquet" — one per distinct scan node
+    n_scans = len(_re.findall(r"^\(\d+\) Scan parquet", p, _re.M))
+    assert n_scans == 1, f"rollup must not rescan per grain ({n_scans} scans)"
+    assert "Expand" in p
