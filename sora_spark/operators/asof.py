@@ -24,19 +24,27 @@ def asof_join(
     right_value_col: str,
     out_col: str = "asof_value",
     tolerance: str | float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left rows + `out_col` = right's `right_value_col` at the latest
-    strictly-earlier (time_col, tiebreak_col) for the same `key`.
+    strictly-earlier (time_col, tiebreak_col) for the same `key` —
+    or, with direction="forward", the EARLIEST strictly-later one
+    (pandas merge_asof's direction flag; the same union+window shape
+    with the time order reversed, so still one shuffle, no pair
+    materialization).
 
     Both frames must share key/time/tiebreak column names; right rows
     only contribute `right_value_col`. Left rows with no earlier right
     row get NULL.
 
-    `tolerance` (pandas merge_asof-style) bounds how stale the match
-    may be: matches older than `left.time - tolerance` become NULL.
-    Pass an interval string (e.g. "5 minutes") for timestamp time
-    columns or a number for numeric ones.
+    `tolerance` (pandas merge_asof-style) bounds how stale (backward)
+    or distant (forward) the match may be: matches outside
+    `left.time ± tolerance` become NULL. Pass an interval string
+    (e.g. "5 minutes") for timestamp time columns or a number for
+    numeric ones.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
     rv_type = right.schema[right_value_col].dataType
     t_type = right.schema[time_col].dataType
     pair_type = f"struct<_t:{t_type.simpleString()},_v:{rv_type.simpleString()}>"
@@ -73,20 +81,36 @@ def asof_join(
     # preceding frame for a left row holds exactly the strictly-earlier
     # right rows; `last` over it is the latest such (time, value) pair
     # (max would be wrong for any non-monotone right value, e.g. a price).
+    # Forward direction = the same construction over REVERSED time
+    # order: preceding rows are then the strictly-LATER right rows and
+    # last() picks the one nearest the left row. _side stays ascending
+    # in both: left-before-right at equal time keeps equal-time right
+    # rows out of the frame (strict inequality either way).
+    if direction == "backward":
+        order = [F.col(time_col).asc(), F.col("_side").asc(),
+                 F.col(tiebreak_col).asc()]
+    else:
+        order = [F.col(time_col).desc(), F.col("_side").asc(),
+                 F.col(tiebreak_col).desc()]
     w = (
         Window.partitionBy(key)
-        .orderBy(time_col, "_side", tiebreak_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     matched = F.last("_rp", ignorenulls=True).over(w)
     value = matched["_v"]
     if tolerance is not None:
-        bound = (
-            F.col(time_col) - F.expr(f"INTERVAL {tolerance}")
+        tol = (
+            F.expr(f"INTERVAL {tolerance}")
             if isinstance(tolerance, str)
-            else F.col(time_col) - F.lit(tolerance)
+            else F.lit(tolerance)
         )
-        value = F.when(matched["_t"] >= bound, matched["_v"])
+        if direction == "backward":
+            value = F.when(matched["_t"] >= F.col(time_col) - tol,
+                           matched["_v"])
+        else:
+            value = F.when(matched["_t"] <= F.col(time_col) + tol,
+                           matched["_v"])
     return (
         unioned.withColumn(out_col, value)
         .filter(F.col("_side") == 0)

@@ -226,3 +226,50 @@ def qj8b_asof_value_join(spark, sf_dir):
         F.count("asof_value").alias("n_matched"),
         F.round(F.avg("asof_value"), 2).alias("avg_view_value"),
     )
+
+
+@query(
+    "qj8c_asof_forward_join",
+    oracle="""
+WITH ev AS (SELECT * FROM events WHERE event_type IN ('view', 'purchase')),
+m AS (
+  SELECT event_type, value,
+         first_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts,
+                          CASE WHEN event_type = 'view' THEN 0 ELSE 1 END,
+                          event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS asof_value
+  FROM ev)
+SELECT count(asof_value) AS n_matched,
+       round(avg(asof_value), 2) AS avg_view_value
+FROM m WHERE event_type = 'purchase'
+""",
+    doc="Q-J8 forward direction (asof_join direction='forward'): for "
+    "each purchase, the value of the same user's EARLIEST strictly-"
+    "later view — the attribution-window lookup (pandas merge_asof "
+    "direction flag). Same one-shuffle union+window shape as qj8b "
+    "with the time order reversed; equal-time views excluded on both "
+    "sides (strict inequality).",
+    tags=("join", "asof"),
+)
+def qj8c_asof_forward_join(spark, sf_dir):
+    from sora_spark.operators.asof import asof_join
+
+    ev = tables(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    joined = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        time_col="ts",
+        tiebreak_col="event_id",
+        right_value_col="value",
+        direction="forward",
+    )
+    return joined.agg(
+        F.count("asof_value").alias("n_matched"),
+        F.round(F.avg("asof_value"), 2).alias("avg_view_value"),
+    )

@@ -1340,3 +1340,33 @@ def test_zorder_layout_skips_files(spark, sf_dir):
         f"z-order must make y-ranges skippable: {z_hit}/{z_total} files "
         f"contain y=3 (x-sorted: {x_hit}/{x_total})"
     )
+
+
+def test_asof_join_forward_direction(spark):
+    """Forward as-of: earliest strictly-LATER right row; equal-time
+    excluded; tolerance bounds the distance forward."""
+    from sora_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 15, 102)],
+        "sym INT, t INT, seq INT",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 10, 200, 90.0),   # equal-time: excluded
+         (1, 12, 201, 95.0), (1, 18, 202, 97.0),  # nearest later for t=10 is 12
+         (2, 40, 203, 50.0)],  # 25 ahead of the t=15 trade
+        "sym INT, t INT, seq INT, px DOUBLE",
+    )
+    out = asof_join(
+        trades, quotes, key="sym", time_col="t", tiebreak_col="seq",
+        right_value_col="px", out_col="next_px", direction="forward",
+    )
+    rows = {r["seq"]: r["next_px"] for r in out.collect()}
+    assert rows == {100: 95.0, 101: None, 102: 50.0}
+    bounded = asof_join(
+        trades, quotes, key="sym", time_col="t", tiebreak_col="seq",
+        right_value_col="px", out_col="next_px", direction="forward",
+        tolerance=10,
+    )
+    rows = {r["seq"]: r["next_px"] for r in bounded.collect()}
+    assert rows == {100: 95.0, 101: None, 102: None}  # 40-15 > 10 nulled
