@@ -368,3 +368,41 @@ def keep_best_of_cluster(
     return scored.withColumn("kept", F.row_number().over(w) == 1).select(
         id_col, "cluster_id", "kept"
     )
+
+
+def ngram_contamination_report(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The eval-side view of decontamination: per EVAL doc, what
+    fraction of its distinct n-grams appear anywhere in train →
+    (eval_id, n_grams, n_hit, frac). This is the report a benchmark
+    owner reads ("how burned is this eval?"), complementing
+    `ngram_contamination`'s per-train-doc flags.
+
+    Same 100 TB shape discipline: the train gram stream is semi-joined
+    MAP-SIDE against the broadcast eval gram set before its distinct,
+    so only eval-hitting train grams (bounded by the eval gram count)
+    ever shuffle; the per-eval flags then join against that SMALL
+    survivor set broadcast."""
+    esh = eval_docs.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    ).distinct()
+    ekeys = esh.select("sh").distinct()
+    hit = (
+        train.select(F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+        .join(F.broadcast(ekeys), "sh", "left_semi")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    flagged = esh.join(F.broadcast(hit), "sh", "left")
+    h = F.col("_hit").isNotNull().cast("int")
+    return flagged.groupBy("eval_id").agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.sum(h).cast("bigint").alias("n_hit"),
+        F.round(F.avg(h.cast("double")), 6).alias("frac"),
+    )

@@ -1093,3 +1093,39 @@ GROUP BY source ORDER BY source
 def qta8_oov_rate(spark, sf_dir):
     docs = tables(spark, sf_dir).documents
     return textstats.oov_rate(docs, vocab_size=20).orderBy("source")
+
+
+@query(
+    "qcont2_contamination_report",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh0 AS (SELECT doc_id, unnest(range(1, greatest(len(w) - 3, 1))) AS i, w
+        FROM w),
+grams AS (SELECT DISTINCT doc_id,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                      || w[i+3] || ' ' || w[i+4] AS sh
+          FROM sh0),
+tr AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 50 <> 0),
+ev AS (SELECT doc_id AS eval_id, sh FROM grams WHERE doc_id % 50 = 0)
+SELECT ev.eval_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN tr.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_hit,
+       round(avg(CASE WHEN tr.sh IS NULL THEN 0.0 ELSE 1.0 END), 6)
+         AS frac
+FROM ev LEFT JOIN tr USING (sh)
+GROUP BY ev.eval_id ORDER BY ev.eval_id
+""",
+    doc="qcont2: eval-side contamination report — per eval doc "
+    "(doc_id % 50 = 0) the fraction of its distinct word 5-grams "
+    "found anywhere in train (dedup.ngram_contamination_report). The "
+    "'how burned is this benchmark' number. Train grams are semi-"
+    "joined map-side against the broadcast eval gram set BEFORE any "
+    "distinct, so only eval-hitting grams ever shuffle — the qcont1 "
+    "order-of-operations discipline applied in the other direction.",
+    tags=("llm", "dedup", "contamination"),
+)
+def qcont2_contamination_report(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    return dedup.ngram_contamination_report(tr, ev, n=5).orderBy("eval_id")
