@@ -1099,11 +1099,10 @@ def qta8_oov_rate(spark, sf_dir):
     "qcont2_contamination_report",
     oracle="""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh0 AS (SELECT doc_id, unnest(range(1, greatest(len(w) - 3, 1))) AS i, w
+sh0 AS (SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w
         FROM w),
 grams AS (SELECT DISTINCT doc_id,
-                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
-                      || w[i+3] || ' ' || w[i+4] AS sh
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
           FROM sh0),
 tr AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 50 <> 0),
 ev AS (SELECT doc_id AS eval_id, sh FROM grams WHERE doc_id % 50 = 0)
@@ -1116,7 +1115,9 @@ FROM ev LEFT JOIN tr USING (sh)
 GROUP BY ev.eval_id ORDER BY ev.eval_id
 """,
     doc="qcont2: eval-side contamination report — per eval doc "
-    "(doc_id % 50 = 0) the fraction of its distinct word 5-grams "
+    "(doc_id % 50 = 0) the fraction of its distinct word 3-grams "
+    "(n=3 so the fixture spread is non-degenerate: fracs 0.4-1.0, vs "
+    "5-grams which hit only exact dups) "
     "found anywhere in train (dedup.ngram_contamination_report). The "
     "'how burned is this benchmark' number. Train grams are semi-"
     "joined map-side against the broadcast eval gram set BEFORE any "
@@ -1128,4 +1129,4 @@ def qcont2_contamination_report(spark, sf_dir):
     docs = tables(spark, sf_dir).documents
     ev = docs.filter(F.col("doc_id") % 50 == 0)
     tr = docs.filter(F.col("doc_id") % 50 != 0)
-    return dedup.ngram_contamination_report(tr, ev, n=5).orderBy("eval_id")
+    return dedup.ngram_contamination_report(tr, ev, n=3).orderBy("eval_id")
