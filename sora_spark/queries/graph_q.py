@@ -1146,3 +1146,37 @@ def qg27_topo_levels(spark, sf_dir):
         .select("v", F.col("level").cast("int").alias("level"))
         .orderBy("v")
     )
+
+
+@query(
+    "qg28_local_clustering",
+    oracle=f"""
+WITH eco AS MATERIALIZED ({E_CO_SMALL_SQL}),
+tri AS (SELECT e1.s AS a, e1.d AS b, e2.d AS c
+        FROM eco e1 JOIN eco e2 ON e1.d = e2.s
+        JOIN eco e3 ON e3.s = e1.s AND e3.d = e2.d),
+corners AS (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri),
+pv AS (SELECT v, count(*) AS t FROM corners GROUP BY v),
+deg AS (SELECT v, count(*) AS degree FROM (
+          SELECT s AS v FROM eco UNION ALL SELECT d FROM eco) GROUP BY v)
+SELECT deg.v, CAST(deg.degree AS BIGINT) AS degree,
+       round(CASE WHEN deg.degree < 2 THEN 0.0
+                  ELSE 2.0 * COALESCE(pv.t, 0)
+                       / (deg.degree * (deg.degree - 1)) END, 6) AS coef
+FROM deg LEFT JOIN pv USING (v) ORDER BY deg.v
+""",
+    doc="qg28: per-vertex local clustering coefficient on the bounded "
+    "co-occurrence graph (Graph.local_clustering) — 2*triangles(v) / "
+    "deg(v)(deg(v)-1), the neighborhood-density signal. One canonical "
+    "wedge join charges each triangle to its three corners via a "
+    "single explode; degrees reuse the symmetric count. round(,6) on "
+    "the ratio only.",
+    tags=("graph", "triangles"),
+)
+def qg28_local_clustering(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    g = Graph(e_co_small(li))
+    return g.local_clustering().select(
+        "v", "degree", F.round("coef", 6).alias("coef")
+    ).orderBy("v")

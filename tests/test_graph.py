@@ -456,3 +456,18 @@ def test_topological_levels_dag_and_cycle(spark):
     )
     with _pytest.raises(ValueError, match="cycle"):
         Graph(cyc).topological_levels()
+
+
+def test_local_clustering_hand_graph(spark):
+    """Triangle + pendant: vertex coefficients hand-computed."""
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "s long, d long"
+    )
+    got = {
+        r["v"]: (r["degree"], round(r["coef"], 6))
+        for r in Graph(e).local_clustering().collect()
+    }
+    # v3: deg 3, one triangle -> 2*1/(3*2) = 1/3; v4 pendant deg 1 -> 0
+    assert got == {
+        1: (2, 1.0), 2: (2, 1.0), 3: (3, round(1 / 3, 6)), 4: (1, 0.0)
+    }
