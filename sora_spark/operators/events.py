@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def funnel(
@@ -88,4 +89,43 @@ def retention(
             F.datediff(F.col("_day"), F.col("_cohort")).alias("day_offset"),
         )
         .agg(F.count_distinct("_u").cast("bigint").alias("n_users"))
+    )
+
+
+def entry_paths(
+    events: DataFrame,
+    k: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Top entry journeys: each user's FIRST `k` events joined into a
+    '>'-separated path string, counted across users → (path, n_users).
+    Order inside the path comes from sorting (ts, tiebreak, type)
+    structs inside the aggregate — deterministic without a second
+    window pass; the prefix filter is one row_number window. Output is
+    bounded by |event_types|^k regardless of user count."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    firstk = events.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    per_user = firstk.groupBy(user_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts_col), F.col(tiebreak_col),
+                            F.col(type_col),
+                        )
+                    )
+                ),
+                lambda s: s[type_col],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return per_user.groupBy("path").agg(
+        F.count("*").cast("bigint").alias("n_users")
     )

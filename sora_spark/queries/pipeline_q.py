@@ -1177,3 +1177,74 @@ def qpipe3_curation_v2(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "qup4_scd2_history",
+    oracle="""
+SELECT user_id, round(value, 2) AS value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) IS NULL AS is_current
+FROM events WHERE event_type = 'signup'
+ORDER BY user_id, valid_from, value
+""",
+    doc="qup4: SCD Type-2 dimension history (operators/scd.py) — each "
+    "change opens a version and closes the previous via one lead() "
+    "window pass (single shuffle on the key, no self-join, no driver "
+    "state); last version per key stays open (valid_to NULL, "
+    "is_current). The join-the-value-as-of-the-fact's-own-timestamp "
+    "shape qup1/qup3's latest-per-key merges cannot answer.",
+    tags=("pipeline", "cdc", "scd"),
+)
+def qup4_scd2_history(spark, sf_dir):
+    from sora_spark.operators.scd import scd2_history
+
+    ev = tables(spark, sf_dir).events.filter(
+        F.col("event_type") == "signup"
+    )
+    h = scd2_history(ev, ["user_id"], "ts", "event_id", ["value"])
+    return h.select(
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_from"
+        ),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    ).orderBy("user_id", "valid_from", "value")
+
+
+@query(
+    "qev3_entry_paths",
+    oracle="""
+WITH r AS (SELECT user_id, event_type, ts, event_id,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+p AS (SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20
+""",
+    doc="qev3: top entry journeys — each user's first 3 events as a "
+    "'>'-path, counted across users (operators/events.py "
+    "entry_paths). Path order comes from sorting (ts, tiebreak, type) "
+    "structs INSIDE the aggregate (collect_list order alone is "
+    "nondeterministic — the qa9 lesson applied to sequences); output "
+    "bounded by |event_types|^3 however many users exist.",
+    tags=("events", "paths"),
+)
+def qev3_entry_paths(spark, sf_dir):
+    from sora_spark.operators.events import entry_paths
+
+    ev = tables(spark, sf_dir).events
+    return (
+        entry_paths(ev, k=3)
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
