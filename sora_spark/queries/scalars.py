@@ -537,3 +537,50 @@ def qx14_try_functions(spark, sf_dir):
         )
         .orderBy("l_linenumber")
     )
+
+
+@query(
+    "qx15_string_family2",
+    oracle="""
+SELECT p_partkey,
+       translate(p_type, 'AEIOU', 'aeiou')            AS translated,
+       rpad(p_brand, 12, '.')                         AS rpadded,
+       repeat(left(p_name, 2), 3)                     AS rep2x3,
+       split_part(p_name, ' ', 2)                     AS second_tok,
+       CAST(strpos(p_name, 'a') AS INT)               AS first_a,
+       left(p_type, 5)                                AS l5,
+       right(p_type, 4)                               AS r4,
+       printf('%s/%d', p_brand, CAST(p_size AS INT))  AS fmt,
+       contains(p_name, 'red')                        AS has_red,
+       starts_with(p_type, 'STANDARD')                AS std
+FROM part ORDER BY p_partkey LIMIT 200
+""",
+    doc="Q-X15: second string family — translate/rpad/repeat/"
+    "split_part/strpos(instr)/left/right/printf(format_string)/"
+    "contains/starts_with. Complements qx1; all JVM builtins, "
+    "map-only.",
+    tags=("scalar", "string"),
+)
+def qx15_string_family2(spark, sf_dir):
+    part = tables(spark, sf_dir).part
+    return (
+        part.select(
+            "p_partkey",
+            F.translate("p_type", "AEIOU", "aeiou").alias("translated"),
+            F.rpad("p_brand", 12, ".").alias("rpadded"),
+            F.repeat(F.left(F.col("p_name"), F.lit(2)), 3).alias("rep2x3"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias(
+                "second_tok"
+            ),
+            F.instr("p_name", "a").alias("first_a"),
+            F.left(F.col("p_type"), F.lit(5)).alias("l5"),
+            F.right(F.col("p_type"), F.lit(4)).alias("r4"),
+            F.format_string(
+                "%s/%d", F.col("p_brand"), F.col("p_size").cast("int")
+            ).alias("fmt"),
+            F.contains(F.col("p_name"), F.lit("red")).alias("has_red"),
+            F.startswith(F.col("p_type"), F.lit("STANDARD")).alias("std"),
+        )
+        .orderBy("p_partkey")
+        .limit(200)
+    )

@@ -282,3 +282,39 @@ def qw9_share_of_total(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "qw10_time_range_window",
+    oracle="""
+SELECT event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       round(avg(value) OVER w, 4) AS avg_1h
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+    doc="qw10: trailing-1-hour RANGE window per event type (rolling "
+    "event rate + mean value) — the time-interval frame qw5's numeric "
+    "RANGE row doesn't cover. Both engines order by epoch MICROS "
+    "(unix_micros / epoch_us): second-granularity epochs would "
+    "silently merge sub-second peers differently. One shuffle on the "
+    "partition key; frame state is bounded by events-per-hour.",
+    tags=("window", "range", "timeseries"),
+)
+def qw10_time_range_window(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.count("*").over(w).cast("bigint").alias("n_1h"),
+            F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+        )
+        .orderBy("event_id")
+    )
