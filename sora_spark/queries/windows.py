@@ -289,18 +289,24 @@ def qw9_share_of_total(spark, sf_dir):
     oracle="""
 SELECT event_id,
        CAST(count(*) OVER w AS BIGINT) AS n_1h,
-       round(avg(value) OVER w, 4) AS avg_1h
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
+                 AS DECIMAL(18,6)) AS DOUBLE) AS sum_1h
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """,
     doc="qw10: trailing-1-hour RANGE window per event type (rolling "
-    "event rate + mean value) — the time-interval frame qw5's numeric "
-    "RANGE row doesn't cover. Both engines order by epoch MICROS "
-    "(unix_micros / epoch_us): second-granularity epochs would "
-    "silently merge sub-second peers differently. One shuffle on the "
-    "partition key; frame state is bounded by events-per-hour.",
+    "event rate + rolling value total) — the time-interval frame "
+    "qw5's numeric RANGE row doesn't cover. Both engines order by "
+    "epoch MICROS (unix_micros / epoch_us): second-granularity "
+    "epochs would silently merge sub-second peers differently. The "
+    "total is an EXACT DECIMAL frame sum with NO post-arithmetic "
+    "rounding: float avg() diverged between engines on a x.xxxx5 "
+    "frame (Spark round() goes through the decimal string, DuckDB "
+    "through the binary double — found on the stock-session gate). "
+    "One shuffle on the partition key; frame state bounded by "
+    "events-per-hour.",
     tags=("window", "range", "timeseries"),
 )
 def qw10_time_range_window(spark, sf_dir):
@@ -314,7 +320,11 @@ def qw10_time_range_window(spark, sf_dir):
         ev.select(
             "event_id",
             F.count("*").over(w).cast("bigint").alias("n_1h"),
-            F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .over(w)
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("sum_1h"),
         )
         .orderBy("event_id")
     )
