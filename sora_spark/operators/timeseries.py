@@ -103,3 +103,30 @@ def time_rollup(
         .rollup(*grains)
         .agg(*aggs, grain.alias("grain"))
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    alpha: float = 0.7,
+    k: int = 5,
+) -> DataFrame:
+    """Bounded-window EWMA: weighted mean of the last `k` observations
+    per key with geometric weights alpha^j → appends `ewma`. The
+    truncated form (rather than the infinite recursion) is what a
+    distributed engine should run: state is k lag() slots per row —
+    whole-stage codegen, one shuffle on the key — while the recursive
+    definition is inherently sequential per partition. Series heads
+    renormalize over the lags that exist (no zero-padding bias)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(k):
+        lag_j = F.col(value_col) if j == 0 else F.lag(value_col, j).over(w)
+        wgt = F.lit(alpha**j)
+        num = num + wgt * F.coalesce(lag_j, F.lit(0.0))
+        den = den + wgt * lag_j.isNotNull().cast("double")
+    return df.withColumn("ewma", num / den)

@@ -1248,3 +1248,108 @@ def qev3_entry_paths(spark, sf_dir):
         .orderBy(F.desc("n_users"), "path")
         .limit(20)
     )
+
+
+@query(
+    "qprof1_table_profile",
+    oracle="""
+SELECT 'o_orderkey' AS "column",
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       round(CAST(min(o_orderkey) AS DOUBLE), 2) AS min_num,
+       round(CAST(max(o_orderkey) AS DOUBLE), 2) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       round(CAST(min(o_custkey) AS DOUBLE), 2),
+       round(CAST(max(o_custkey) AS DOUBLE), 2)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+       round(CAST(min(o_totalprice) AS DOUBLE), 2),
+       round(CAST(max(o_totalprice) AS DOUBLE), 2)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate',
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderdate) AS BIGINT), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT), NULL, NULL
+FROM orders
+ORDER BY "column"
+""",
+    doc="qprof1: per-column profile of orders (operators/profile.py) — "
+    "null count, exact distinct count, numeric min/max as rounded "
+    "doubles (typed report; stringified extrema invite cross-engine "
+    "format drift). ONE aggregation pass for every column's stats "
+    "together, stack-unpivoted into rows — the pre-trust report for "
+    "a new data drop, at any scale one moment tuple per column "
+    "crosses the wire.",
+    tags=("pipeline", "profile", "quality"),
+)
+def qprof1_table_profile(spark, sf_dir):
+    from sora_spark.operators.profile import profile_table
+
+    orders = tables(spark, sf_dir).orders
+    return profile_table(orders).orderBy("column")
+
+
+def _ewma_sql(alpha: float = 0.7, k: int = 5) -> tuple[str, str]:
+    """Numerator/denominator SQL mirroring operators/timeseries.ewma —
+    identical term order so the float arithmetic is bit-equal."""
+    num, den = [], []
+    for j in range(k):
+        lag = (
+            "value"
+            if j == 0
+            else f"lag(value, {j}) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id)"
+        )
+        num.append(f"{alpha**j!r} * coalesce({lag}, 0.0)")
+        den.append(
+            f"{alpha**j!r} * CAST(({lag}) IS NOT NULL AS DOUBLE)"
+        )
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql()
+
+
+@query(
+    "qts3_ewma",
+    oracle=f"""
+SELECT event_id,
+       round((0.0 + {_EWMA_NUM}) / (0.0 + {_EWMA_DEN}), 6) AS ewma
+FROM events ORDER BY event_id
+""",
+    doc="qts3: bounded-window EWMA (last 5 observations, alpha=0.7) "
+    "per user (operators/timeseries.py ewma) — the truncated form a "
+    "distributed engine should run: k lag() slots inside codegen, one "
+    "key shuffle, vs the inherently sequential recursive definition. "
+    "Series heads renormalize over existing lags. The oracle's "
+    "num/den terms are generated in the SAME order as the Spark "
+    "expression so the float arithmetic is bit-equal.",
+    tags=("timeseries", "window", "ewma"),
+)
+def qts3_ewma(spark, sf_dir):
+    from sora_spark.operators.timeseries import ewma
+
+    ev = tables(spark, sf_dir).events
+    return (
+        ewma(ev, "user_id", "ts", "event_id", "value")
+        .select("event_id", F.round("ewma", 6).alias("ewma"))
+        .orderBy("event_id")
+    )
