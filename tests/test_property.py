@@ -1074,3 +1074,58 @@ def test_zvalue_bijection_property(spark):
         assert (x, y) == (r["x"], r["y"]), "de-interleave must invert"
         seen.add(r["z"])
     assert len(seen) == len({(r["x"], r["y"]) for r in rows})
+
+
+# ---- event analytics: random event streams vs Python oracles --------------
+
+
+def _py_funnel(rows, stages):
+    """rows = (user, ts, type). Strict-order advancement oracle."""
+    by_user: dict = {}
+    for u, t, ty in rows:
+        by_user.setdefault(u, []).append((t, ty))
+    counts = []
+    for idx, stage in enumerate(stages):
+        n = 0
+        for u, evs in by_user.items():
+            bound = -1.0
+            ok = True
+            for s in stages[: idx + 1]:
+                nxt = [t for t, ty in evs if ty == s and t > bound]
+                if not nxt:
+                    ok = False
+                    break
+                bound = min(nxt)
+            if ok:
+                n += 1
+        counts.append((idx, stage, n))
+    return counts
+
+
+def test_funnel_property_family(spark):
+    import random
+
+    from sora_spark.operators.events import funnel
+
+    rng = random.Random(99)
+    stages = ["a", "b", "c"]
+    for trial in range(5):
+        rows = [
+            (
+                rng.randrange(6),
+                float(rng.randrange(1, 50)),  # duplicate times likely
+                rng.choice(["a", "b", "c", "x"]),
+            )
+            for _ in range(rng.randrange(5, 40))
+        ]
+        # unique (user, ts) per type not required: funnel uses min() only
+        df = spark.createDataFrame(
+            [(u, t, i, ty) for i, (u, t, ty) in enumerate(rows)],
+            "user_id long, ts double, event_id long, event_type string",
+        )
+        got = sorted(
+            (r["stage_idx"], r["stage"], r["n_users"])
+            for r in funnel(df, stages).collect()
+        )
+        want = sorted(_py_funnel(rows, stages))
+        assert got == want, f"trial {trial}: {got} != {want}"
