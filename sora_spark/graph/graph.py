@@ -853,7 +853,10 @@ class Graph:
         return labels
 
     def topological_levels(
-        self, max_iter: int = 200, stats: dict | None = None
+        self,
+        max_iter: int = 200,
+        stats: dict | None = None,
+        block: int = 4,
     ) -> DataFrame:
         """Kahn-peel topological levels over a DIRECTED ACYCLIC edge
         set → (v, level), level = LONGEST path from any source (a
@@ -861,42 +864,65 @@ class Graph:
         on a cycle — a partial level assignment is not a topological
         order. Rounds = DAG depth (structural, not data-sized: the
         overlap graph's depth is reads-per-document, flat across sf —
-        SCALE.md); each round is two anti-joins + a distinct on the
-        SHRINKING remaining-edge set, localCheckpoint'ed per round."""
+        SCALE.md).
+
+        Per peel, the zero-in-degree frame is consumed three times
+        (emit, edge anti-join, vertex anti-join) so it IS checkpointed
+        every peel; the two big frames (remaining edges / unemitted
+        vertices) are only checkpointed every `block` peels — their
+        within-block lineage is a short anti-join chain over already-
+        materialized zero frames, so nothing recomputes. This split
+        beats both the checkpoint-everything form (driver-job bound)
+        and the fully-lazy form (which recomputed each peel's
+        anti-join three times) — measured at sf0.1. Peels past
+        exhaustion inside a block emit empty frames — harmless, and
+        the block boundary re-checks convergence/cycle exactly as
+        before."""
         remaining = self.edges.select("s", "d").localCheckpoint(eager=True)
         verts = self.vertex_ids().localCheckpoint(eager=True)
         out: DataFrame | None = None
-        for level in range(max_iter):
-            targets = remaining.select(F.col("d").alias("v")).distinct()
-            zero = verts.join(targets, "v", "left_anti").localCheckpoint(
-                eager=True
+        level = 0
+        while level < max_iter:
+            block_out: DataFrame | None = None
+            for _ in range(min(block, max_iter - level)):
+                targets = remaining.select(F.col("d").alias("v")).distinct()
+                zero = verts.join(targets, "v", "left_anti").localCheckpoint(
+                    eager=True
+                )
+                lv = zero.select("v", F.lit(level).alias("level"))
+                block_out = (
+                    lv if block_out is None else block_out.unionByName(lv)
+                )
+                remaining = remaining.join(
+                    zero.withColumnRenamed("v", "s"), "s", "left_anti"
+                )
+                verts = verts.join(zero, "v", "left_anti")
+                level += 1
+            block_out = block_out.localCheckpoint(eager=True)
+            remaining = remaining.localCheckpoint(eager=True)
+            verts = verts.localCheckpoint(eager=True)
+            emitted = block_out.count()
+            out = (
+                block_out
+                if out is None
+                else out.unionByName(block_out)
             )
-            if zero.count() == 0:
-                if remaining.count() > 0:
+            if emitted == 0 or verts.count() == 0:
+                if remaining.count() > 0 and emitted == 0:
                     raise ValueError(
                         "topological_levels: cycle detected — "
                         f"{remaining.count()} edges undissolvable"
                     )
                 if stats is not None:
-                    stats["depth"] = level
-                break
-            lv = zero.select("v", F.lit(level).alias("level"))
-            out = lv if out is None else out.unionByName(lv)
-            remaining = remaining.join(
-                zero.withColumnRenamed("v", "s"), "s", "left_anti"
-            ).localCheckpoint(eager=True)
-            verts = verts.join(zero, "v", "left_anti").localCheckpoint(
-                eager=True
-            )
-        else:
-            raise RuntimeError(
-                f"topological_levels: depth exceeds max_iter={max_iter}"
-            )
-        if out is None:
-            return self.vertex_ids().select(
-                "v", F.lit(0).alias("level")
-            ).limit(0)
-        return out
+                    # level is rounded up to the block boundary; the
+                    # true depth is the deepest emitted level + 1
+                    stats["depth"] = (
+                        out.agg(F.max("level")).collect()[0][0] or 0
+                    ) + 1 if emitted or out is not None else 0
+                return out
+        raise RuntimeError(
+            f"topological_levels: depth exceeds max_iter={max_iter}"
+        )
 
     def local_clustering(self) -> DataFrame:
         """Per-vertex local clustering coefficient → (v, degree, coef):
