@@ -178,3 +178,63 @@ def test_replicated_assembly_pipeline_stress(spark, sf_dir):
         .collect()
     }
     assert hist == {k: factor * v for k, v in hist_b.items()}
+
+
+def test_replicated_topo_and_lpa_invariance(spark, sf_dir):
+    """Round-6 additions under replication stress: on `factor` disjoint
+    shifted replicas of the read-overlap DAG,
+
+    - topological depth must be IDENTICAL to the base graph's (depth is
+      structural, not data-sized — the qg27 scale claim), with exactly
+      factor x vertices per level histogram;
+    - label propagation must produce factor x the base community-size
+      histogram (labels are min-vertex-relative, so replicas mirror the
+      base up to the deterministic id shift).
+    """
+    from sora_spark.catalog import tables as _tables
+    from sora_spark.graph.derive import replicate_edges
+    from sora_spark.graph.graph import Graph
+    from sora_spark.graph.overlap import derive_reads, overlap_edges
+
+    factor = 5
+    docs = _tables(spark, sf_dir).documents
+    base = overlap_edges(derive_reads(docs)).localCheckpoint(eager=True)
+    big = replicate_edges(base, factor).localCheckpoint(eager=True)
+
+    sb, s = {}, {}
+    hist_b = {
+        r["level"]: r["n"]
+        for r in Graph(base)
+        .topological_levels(stats=sb)
+        .groupBy("level")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    hist = {
+        r["level"]: r["n"]
+        for r in Graph(big)
+        .topological_levels(stats=s)
+        .groupBy("level")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert s["depth"] == sb["depth"], "depth must not grow with volume"
+    assert hist == {lv: factor * n for lv, n in hist_b.items()}
+
+    sizes_b = sorted(
+        r["n"]
+        for r in Graph(base)
+        .label_propagation(n_rounds=2)
+        .groupBy("lab")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    sizes = sorted(
+        r["n"]
+        for r in Graph(big)
+        .label_propagation(n_rounds=2)
+        .groupBy("lab")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert sizes == sorted(sizes_b * factor)
