@@ -1353,3 +1353,49 @@ def qts3_ewma(spark, sf_dir):
         .select("event_id", F.round("ewma", 6).alias("ewma"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "qer1_entity_resolution",
+    oracle="""
+WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+e0 AS (SELECT a.p_name AS a, b.p_name AS b
+       FROM names a JOIN names b ON a.p_name < b.p_name
+       WHERE levenshtein(a.p_name, b.p_name) <= 2),
+e AS (SELECT a AS s, b AS d FROM e0 UNION SELECT b, a FROM e0),
+reach(v, u) AS (SELECT p_name, p_name FROM names UNION
+                SELECT r.v, e.d FROM reach r JOIN e ON r.u = e.s),
+comp AS (SELECT v, min(u) AS c FROM reach GROUP BY v)
+SELECT v AS p_name, c AS canonical, v <> c AS merged
+FROM comp ORDER BY p_name
+""",
+    doc="qer1: entity resolution — the data-cleaning composition "
+    "(fuzzy q-gram-blocked edit-distance self-join <=2 -> similarity "
+    "graph -> connected components -> min-name canonical) over part "
+    "names. 24 fuzzy pairs fold 64 distinct names into 40 entities at "
+    "sf0.01, non-degenerate both ways. Same bucket-bounded shape as "
+    "qfz1 + the O(rounds) CC loop on STRING vertex ids; never "
+    "all-pairs.",
+    tags=("pipeline", "fuzzy", "entity"),
+)
+def qer1_entity_resolution(spark, sf_dir):
+    from sora_spark.graph.graph import Graph
+    from sora_spark.operators.fuzzy import fuzzy_join
+
+    names = tables(spark, sf_dir).part.select("p_name").distinct()
+    pairs = fuzzy_join(names, names, "p_name", "p_name", max_distance=2)
+    edges = pairs.filter(F.col("p_name") < F.col("p_name_r")).select(
+        F.col("p_name").alias("s"), F.col("p_name_r").alias("d")
+    )
+    cc = Graph(edges).connected_components()
+    return (
+        names.join(cc, names.p_name == cc.v, "left")
+        .select(
+            "p_name",
+            F.coalesce(F.col("component"), F.col("p_name")).alias(
+                "canonical"
+            ),
+        )
+        .withColumn("merged", F.col("p_name") != F.col("canonical"))
+        .orderBy("p_name")
+    )
