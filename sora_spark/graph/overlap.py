@@ -260,3 +260,67 @@ def kmer_spectrum(df, text_col: str = "text", k: int = 8):
             F.col("n_kmers").cast("bigint").alias("n_kmers"),
         )
     )
+
+
+def coverage_depth(
+    documents: DataFrame,
+    read_len: int = READ_LEN,
+    stride: int = STRIDE,
+) -> DataFrame:
+    """Depth-of-coverage histogram → (depth, n_positions): for every
+    source position, how many derived reads cover it, aggregated to a
+    histogram — the pileup track every assembler QCs against (holes =
+    depth 0 regions, repeats/over-sampling = depth spikes). Positions
+    past the last full window are covered by fewer (or zero) reads;
+    they're counted, not clipped, so holes are VISIBLE in the
+    histogram.
+
+    Shape: reads × read_len position explode (map-side sequence, no
+    Python), per-(doc, pos) count with map-side combine, histogram
+    groupBy — the k-mer-spectrum shape over positions instead of
+    substrings. Output is histogram-sized.
+    """
+    n_win = (
+        F.floor((F.col("n_chars") - F.lit(read_len)) / F.lit(stride))
+        .cast("int")
+        .alias("max_i")
+    )
+    covered = (
+        documents.filter(F.col("n_chars") >= read_len)
+        .select("doc_id", "n_chars", n_win)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.explode(F.sequence(F.lit(0), F.col("max_i"))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("i") * stride + 1,
+                    F.col("i") * stride + read_len,
+                )
+            ).alias("pos"),
+        )
+    )
+    per_pos = covered.groupBy("doc_id", "pos").agg(
+        F.count("*").alias("depth")
+    )
+    # positions with zero coverage (tail past the last full window)
+    all_pos = (
+        documents.filter(F.col("n_chars") >= read_len)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_chars").cast("int"))
+            ).alias("pos"),
+        )
+    )
+    full = all_pos.join(per_pos, ["doc_id", "pos"], "left").select(
+        F.coalesce(F.col("depth"), F.lit(0)).alias("depth")
+    )
+    return (
+        full.groupBy("depth")
+        .agg(F.count("*").cast("bigint").alias("n_positions"))
+        .select(F.col("depth").cast("bigint").alias("depth"), "n_positions")
+    )

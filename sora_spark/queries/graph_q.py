@@ -1180,3 +1180,37 @@ def qg28_local_clustering(spark, sf_dir):
     return g.local_clustering().select(
         "v", "degree", F.round("coef", 6).alias("coef")
     ).orderBy("v")
+
+
+@query(
+    "qg29_coverage_depth",
+    oracle="""
+WITH docs AS (SELECT doc_id, n_chars FROM documents WHERE n_chars >= 40),
+wins AS (SELECT doc_id, n_chars,
+                unnest(range(0, CAST(floor((n_chars - 40) / 20.0)
+                                     AS BIGINT) + 1)) AS i
+         FROM docs),
+cov AS (SELECT doc_id, unnest(range(i*20 + 1, i*20 + 41)) AS pos FROM wins),
+per_pos AS (SELECT doc_id, pos, count(*) AS depth FROM cov
+            GROUP BY doc_id, pos),
+all_pos AS (SELECT doc_id, unnest(range(1, n_chars + 1)) AS pos FROM docs),
+full_cov AS (SELECT COALESCE(p.depth, 0) AS depth
+             FROM all_pos a LEFT JOIN per_pos p
+               ON a.doc_id = p.doc_id AND a.pos = p.pos)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_positions
+FROM full_cov GROUP BY depth ORDER BY depth
+""",
+    doc="qg29: depth-of-coverage (pileup) histogram of the derived "
+    "read set over source positions (graph/overlap.py "
+    "coverage_depth) — the assembler's QC track: depth-0 rows are "
+    "holes past the last full window, spikes are over-sampling. "
+    "Read×position explode with map-side combine; histogram-sized "
+    "output. Zero-coverage tail positions counted, not clipped.",
+    tags=("graph", "assembly", "coverage"),
+)
+def qg29_coverage_depth(spark, sf_dir):
+    from sora_spark.graph.overlap import coverage_depth
+
+    docs = tables(spark, sf_dir).documents
+    return coverage_depth(docs).orderBy("depth")
