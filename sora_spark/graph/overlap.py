@@ -324,3 +324,50 @@ def coverage_depth(
         .agg(F.count("*").cast("bigint").alias("n_positions"))
         .select(F.col("depth").cast("bigint").alias("depth"), "n_positions")
     )
+
+
+def bwt(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sentinel: str = "\x01",
+) -> DataFrame:
+    """Burrows-Wheeler transform per document → (id, bwt): the
+    FM-index precursor modern read-mappers build over the reference.
+    Expressed as the engine's native shapes — rotation EXPLODE
+    (map-side substring arithmetic), a DISTRIBUTED SORT on the
+    rotation strings, and an order-preserving aggregation — which is
+    exactly how a cluster builds a BWT for a string too large for one
+    machine (the per-rotation rows shard and sort-merge like any other
+    key). Sentinel terminates the string and sorts first (byte \\x01 —
+    UTF-8 byte order agrees between engines).
+    """
+    t = F.concat(F.col(text_col), F.lit(sentinel))
+    n = F.length(t)
+    rot = df.select(
+        F.col(id_col).alias("id"),
+        t.alias("_t"),
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(1), n)).alias("i"),
+    ).select(
+        "id",
+        # rotation starting at i; preceding char is the BWT output
+        F.concat(
+            F.substring(F.col("_t"), F.col("i"), F.col("_n")),
+            F.substring(F.col("_t"), 1, F.col("i") - 1),
+        ).alias("rot"),
+        F.when(F.col("i") == 1, F.substring(F.col("_t"), F.col("_n"), 1))
+        .otherwise(F.substring(F.col("_t"), F.col("i") - 1, 1))
+        .alias("ch"),
+    )
+    # ordered aggregation: sort structs inside the agg (rotations are
+    # unique per doc because of the sentinel, so the order is total)
+    return rot.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rot", "ch"))),
+                lambda s: s["ch"],
+            ),
+            "",
+        ).alias("bwt")
+    )

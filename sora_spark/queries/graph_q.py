@@ -1214,3 +1214,39 @@ def qg29_coverage_depth(spark, sf_dir):
 
     docs = tables(spark, sf_dir).documents
     return coverage_depth(docs).orderBy("depth")
+
+
+@query(
+    "qg30_bwt",
+    oracle="""
+WITH d AS (SELECT doc_id, text || chr(1) AS t FROM documents
+           WHERE doc_id < 3),
+pos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM d),
+rot AS (SELECT doc_id,
+               substr(t, CAST(i AS INT))
+                 || substr(t, 1, CAST(i AS INT) - 1) AS rot,
+               CASE WHEN i = 1 THEN substr(t, len(t), 1)
+                    ELSE substr(t, CAST(i AS INT) - 1, 1) END AS ch
+        FROM pos)
+SELECT doc_id AS id, string_agg(ch, '' ORDER BY rot) AS bwt
+FROM rot GROUP BY doc_id ORDER BY id
+""",
+    doc="qg30: Burrows-Wheeler transform of the first three documents "
+    "(graph/overlap.py bwt) — the FM-index precursor, built with the "
+    "engine's native shapes: rotation explode (map-side substring "
+    "arithmetic), a distributed sort over rotation strings, ordered "
+    "aggregation. Character-for-character hash-matched against the "
+    "sorted-rotation SQL; the \\x01 sentinel sorts first under the "
+    "byte order BOTH engines use. The same explode+sort shape is how "
+    "a cluster BWTs a reference too large for one machine.",
+    tags=("graph", "assembly", "bwt"),
+)
+def qg30_bwt(spark, sf_dir):
+    from sora_spark.graph.overlap import bwt
+
+    docs = tables(spark, sf_dir).documents.filter(F.col("doc_id") < 3)
+    return (
+        bwt(docs)
+        .select(F.col("id"), "bwt")
+        .orderBy("id")
+    )

@@ -471,3 +471,20 @@ def test_local_clustering_hand_graph(spark):
     assert got == {
         1: (2, 1.0), 2: (2, 1.0), 3: (3, round(1 / 3, 6)), 4: (1, 0.0)
     }
+
+
+def test_bwt_known_value(spark):
+    """bwt('banana') must equal the textbook 'annb\\x01aa' (sentinel
+    sorts first), and round-trip invertibility holds via LF-mapping."""
+    from sora_spark.graph.overlap import bwt
+
+    df = spark.createDataFrame([(0, "banana")], "doc_id long, text string")
+    got = bwt(df).collect()[0]["bwt"]
+    assert got == "annb\x01aa"
+    # invert by iterated column prepending (textbook O(n^2) check)
+    n = len(got)
+    table = [""] * n
+    for _ in range(n):
+        table = sorted(got[i] + table[i] for i in range(n))
+    original = next(r for r in table if r.endswith("\x01"))
+    assert original == "banana\x01"
