@@ -594,3 +594,28 @@ def test_time_rollup_single_expand_single_scan(spark, sf_dir):
     n_scans = len(_re.findall(r"^\(\d+\) Scan parquet", p, _re.M))
     assert n_scans == 1, f"rollup must not rescan per grain ({n_scans} scans)"
     assert "Expand" in p
+
+
+def test_declared_results_partition_count_invariant(spark, sf_dir):
+    """Determinism evidence the protocol PROMISES (SURVEY §2.0): the
+    same declared query must produce identical rows under different
+    shuffle-partition counts — i.e., nothing depends on partition
+    boundaries or intra-partition arrival order. Exercises the
+    queries whose shapes are most at risk: window ranking, LSH
+    banding, ordered path aggregation, iterative label propagation,
+    EWMA lags, hash-order capping."""
+    risky = [
+        "qw1_topk_per_group",
+        "qd4_lsh_multiband",
+        "qev3_entry_paths",
+        "qg25_label_propagation",
+        "qts3_ewma",
+        "qcur6_per_source_cap",
+    ]
+    for name in risky:
+        fn = REGISTRY[name].spark_fn
+        with _scoped_confs(spark, {"spark.sql.shuffle.partitions": "7"}):
+            a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        with _scoped_confs(spark, {"spark.sql.shuffle.partitions": "37"}):
+            b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        assert a == b, f"{name}: result depends on partition count"
