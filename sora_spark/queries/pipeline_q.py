@@ -1399,3 +1399,45 @@ def qer1_entity_resolution(spark, sf_dir):
         .withColumn("merged", F.col("p_name") != F.col("canonical"))
         .orderBy("p_name")
     )
+
+
+@query(
+    "qdrift1_distribution_drift",
+    oracle="""
+WITH old_s AS (SELECT o_totalprice AS x FROM orders
+               WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+new_s AS (SELECT o_totalprice AS x FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+b AS (SELECT min(x) AS mn, max(x) AS mx FROM
+        (SELECT x FROM old_s UNION ALL SELECT x FROM new_s)),
+ho AS (SELECT CAST(least(floor((x - mn) / ((mx - mn) / 16)), 15) AS INT)
+         AS bin, count(*) AS n FROM old_s, b GROUP BY bin),
+hn AS (SELECT CAST(least(floor((x - mn) / ((mx - mn) / 16)), 15) AS INT)
+         AS bin, count(*) AS n FROM new_s, b GROUP BY bin),
+j AS (SELECT COALESCE(ho.n, 0) AS n_old, COALESCE(hn.n, 0) AS n_new
+      FROM ho FULL OUTER JOIN hn ON ho.bin = hn.bin),
+t AS (SELECT sum(n_old) AS t_o, sum(n_new) AS t_n FROM j)
+SELECT round(sum(abs(n_old / t_o - n_new / t_n)), 6) AS l1_distance,
+       CAST(sum(n_old) AS BIGINT) AS n_old,
+       CAST(sum(n_new) AS BIGINT) AS n_new
+FROM j, t
+""",
+    doc="qdrift1: distribution-drift monitor (operators/profile.py "
+    "histogram_drift) — L1 distance between equal-width histograms of "
+    "pre-1997 vs 1997+ order totals over the combined domain. "
+    "Map-side binning + histogram-sized join only; no global sort, so "
+    "none of exact-KS's single-partition bottleneck. The feed-health "
+    "alert every long-running ingestion needs.",
+    tags=("pipeline", "profile", "drift"),
+)
+def qdrift1_distribution_drift(spark, sf_dir):
+    from sora_spark.operators.profile import histogram_drift
+
+    orders = tables(spark, sf_dir).orders
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    return histogram_drift(
+        orders.filter(F.col("o_orderdate") < cutoff),
+        orders.filter(F.col("o_orderdate") >= cutoff),
+        "o_totalprice",
+        16,
+    )
