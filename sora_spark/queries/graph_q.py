@@ -1250,3 +1250,86 @@ def qg30_bwt(spark, sf_dir):
         .select(F.col("id"), "bwt")
         .orderBy("id")
     )
+
+
+@query(
+    "qg31_scaffold_links",
+    oracle=(
+        _READ_ASSEMBLY_SQL_PREFIX
+        + """,
+dout2 AS (SELECT s, count(*) AS c FROM b3 GROUP BY s),
+din2 AS (SELECT d, count(*) AS c FROM b3 GROUP BY d),
+ce AS MATERIALIZED (
+  SELECT e.s, e.d FROM b3 e
+  JOIN dout2 ON dout2.s = e.s AND dout2.c = 1
+  JOIN din2  ON din2.d  = e.d AND din2.c  = 1),
+sym AS MATERIALIZED (SELECT s, d FROM ce UNION SELECT d, s FROM ce),
+reach(v, u) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT r.v, e.d FROM reach r JOIN sym e ON r.u = e.s),
+comp AS (SELECT v, min(u) AS c FROM reach GROUP BY v),
+contig AS (SELECT r.read_id,
+                  COALESCE(comp.c, r.read_id) AS cid
+           FROM reads r LEFT JOIN comp ON comp.v = r.read_id),
+mates AS (SELECT a.read_id AS ra, b.read_id AS rb
+          FROM reads a JOIN reads b ON b.read_id = a.read_id + 5
+          WHERE a.read_id // 1000 = b.read_id // 1000),
+links AS (SELECT least(ca.cid, cb.cid) AS ca,
+                 greatest(ca.cid, cb.cid) AS cb
+          FROM mates m
+          JOIN contig ca ON ca.read_id = m.ra
+          JOIN contig cb ON cb.read_id = m.rb
+          WHERE ca.cid <> cb.cid)
+SELECT ca, cb, CAST(count(*) AS BIGINT) AS n_links
+FROM links GROUP BY ca, cb ORDER BY ca, cb"""
+    ),
+    doc="SURVEY §0.3's NEXT stage — scaffolding: link assembled "
+    "contigs via mate pairs (deterministic mates: window i and i+5 of "
+    "the same document, the fixed-insert paired-read analog). Contig "
+    "identity = connected component of the post-assembly chain "
+    "subgraph (reads off any chain are singleton contigs); a mate "
+    "pair whose ends land in DIFFERENT contigs becomes a scaffold "
+    "edge, counted per unordered contig pair. All equi-joins on read "
+    "ids — mate pairing is an id-arithmetic join, never positional "
+    "search. Oracle: the qg20 3+3 unrolled prefix + chain-component "
+    "closure + the same pair algebra.",
+    tags=("graph", "assembly", "scaffold"),
+)
+def qg31_scaffold_links(spark, sf_dir):
+    _require_calibrated_sf(sf_dir, "qg31 (3+3 unrolled rounds)")
+    docs = tables(spark, sf_dir).documents
+    reads = derive_reads(docs)
+    edges = Graph(overlap_edges(reads)).assembly_pipeline(max_iter=10)
+    ce = Graph(edges).chain_edges()
+    cc = Graph(ce).connected_components()
+    contig = reads.select("read_id").join(
+        cc, reads.read_id == cc.v, "left"
+    ).select(
+        "read_id", F.coalesce(F.col("component"), F.col("read_id")).alias("cid")
+    )
+    a = reads.select(F.col("read_id").alias("ra"))
+    b = reads.select(F.col("read_id").alias("rb"))
+    mates = a.join(b, F.col("rb") == F.col("ra") + 5).filter(
+        F.floor(F.col("ra") / 1000) == F.floor(F.col("rb") / 1000)
+    )
+    ca = contig.withColumnRenamed("read_id", "ra").withColumnRenamed(
+        "cid", "cid_a"
+    )
+    cb = contig.withColumnRenamed("read_id", "rb").withColumnRenamed(
+        "cid", "cid_b"
+    )
+    links = (
+        mates.join(ca, "ra")
+        .join(cb, "rb")
+        .filter(F.col("cid_a") != F.col("cid_b"))
+        .select(
+            F.least("cid_a", "cid_b").alias("ca"),
+            F.greatest("cid_a", "cid_b").alias("cb"),
+        )
+    )
+    return (
+        links.groupBy("ca", "cb")
+        .agg(F.count("*").cast("bigint").alias("n_links"))
+        .orderBy("ca", "cb")
+    )
