@@ -8,6 +8,7 @@ multimodal binary columns. Q-L1/L3/L5 live in bench_core.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sora_spark.catalog import tables
 from sora_spark.functions.text import minhash_one, word_shingles
@@ -1130,3 +1131,39 @@ def qcont2_contamination_report(spark, sf_dir):
     ev = docs.filter(F.col("doc_id") % 50 == 0)
     tr = docs.filter(F.col("doc_id") % 50 != 0)
     return dedup.ngram_contamination_report(tr, ev, n=3).orderBy("eval_id")
+
+
+@query(
+    "qta9_zipf_slope",
+    oracle="""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+freq AS (SELECT t, count(*) AS f FROM tok GROUP BY t),
+ranked AS (SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r FROM freq)
+SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       round(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
+       round(regr_r2(ln(f), ln(r)), 4) AS r2
+FROM ranked
+""",
+    doc="qta9: Zipf-law fit of the corpus token distribution — "
+    "regr_slope/r2 of log-frequency on log-rank (natural text sits "
+    "near slope -1; synthetic or templated corpora deviate, making "
+    "this a corpus-authenticity signal). One wordcount pass + one "
+    "rank window over the VOCABULARY (vocab-sized, not corpus-sized) "
+    "+ one regression aggregate; deterministic (f DESC, token) rank "
+    "tie-break.",
+    tags=("llm", "textstats", "zipf"),
+)
+def qta9_zipf_slope(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("f"))
+    )
+    w = Window.orderBy(F.desc("f"), F.asc("t"))
+    ranked = freq.select("f", F.row_number().over(w).alias("r"))
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.round(F.regr_slope(F.log("f"), F.log("r")), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("f"), F.log("r")), 4).alias("r2"),
+    )

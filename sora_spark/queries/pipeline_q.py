@@ -1441,3 +1441,49 @@ def qdrift1_distribution_drift(spark, sf_dir):
         "o_totalprice",
         16,
     )
+
+
+@query(
+    "qev4_conversion_lag",
+    oracle="""
+WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t0
+      GROUP BY e.user_id),
+lag_s AS (SELECT date_diff('second', v.t0, p.t1) AS lag_s
+          FROM p JOIN v ON p.user_id = v.user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(lag_s, 0.5), 4) AS p50_s,
+       round(quantile_cont(lag_s, 0.9), 4) AS p90_s
+FROM lag_s
+""",
+    doc="qev4: conversion-lag distribution — seconds from first view "
+    "to first subsequent purchase per converting user, exact "
+    "p50/p90. The time-to-convert companion of qev1's stage counts; "
+    "same user-keyed first-ts frames, one percentile aggregation.",
+    tags=("events", "funnel"),
+)
+def qev4_conversion_lag(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"), F.first("t0").alias("t0"))
+    )
+    lag = p.select(
+        (F.unix_timestamp("t1") - F.unix_timestamp("t0")).alias("lag_s")
+    )
+    return lag.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.round(F.percentile("lag_s", 0.5), 4).alias("p50_s"),
+        F.round(F.percentile("lag_s", 0.9), 4).alias("p90_s"),
+    )
