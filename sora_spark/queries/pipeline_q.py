@@ -1487,3 +1487,74 @@ def qev4_conversion_lag(spark, sf_dir):
         F.round(F.percentile("lag_s", 0.5), 4).alias("p50_s"),
         F.round(F.percentile("lag_s", 0.9), 4).alias("p90_s"),
     )
+
+
+@query(
+    "qev5_rfm_segments",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         date_diff('second', max(ts),
+                   (SELECT max(ts) FROM events)) AS recency_s,
+         count(*) AS frequency,
+         sum(value) AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+t AS (SELECT quantile_cont(recency_s, 0.5) AS r_med,
+             quantile_cont(frequency * 1.0, 0.5) AS f_med,
+             quantile_cont(monetary, 0.5) AS m_med
+      FROM u),
+seg AS (SELECT CASE WHEN recency_s <= r_med THEN 'active' ELSE 'lapsed' END
+          AS r_seg,
+        CASE WHEN frequency > f_med THEN 'frequent' ELSE 'occasional' END
+          AS f_seg,
+        CASE WHEN monetary > m_med THEN 'high' ELSE 'low' END AS m_seg
+        FROM u, t)
+SELECT r_seg, f_seg, m_seg, CAST(count(*) AS BIGINT) AS n_users
+FROM seg GROUP BY r_seg, f_seg, m_seg ORDER BY r_seg, f_seg, m_seg
+""",
+    doc="qev5: RFM (recency/frequency/monetary) segmentation over "
+    "purchase events — per-user metrics in one aggregation, exact "
+    "median thresholds broadcast back (the qa12 clip-band shape: "
+    "threshold table is 1 row, the user frame is never re-shuffled), "
+    "8-cell segment counts out. Boundary semantics pinned on both "
+    "sides (<= median recency = active; > median f/m = high).",
+    tags=("events", "segmentation"),
+)
+def qev5_rfm_segments(spark, sf_dir):
+    ev = tables(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    mx = ev.agg(F.max("ts").alias("_gmax"))
+    u = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.unix_timestamp(F.first("_gmax"))
+                - F.unix_timestamp(F.max("ts"))
+            ).alias("recency_s"),
+            F.count("*").alias("frequency"),
+            F.sum("value").alias("monetary"),
+        )
+    )
+    t = u.agg(
+        F.percentile("recency_s", 0.5).alias("r_med"),
+        F.percentile(F.col("frequency").cast("double"), 0.5).alias("f_med"),
+        F.percentile("monetary", 0.5).alias("m_med"),
+    )
+    seg = u.crossJoin(F.broadcast(t)).select(
+        F.when(F.col("recency_s") <= F.col("r_med"), "active")
+        .otherwise("lapsed")
+        .alias("r_seg"),
+        F.when(F.col("frequency") > F.col("f_med"), "frequent")
+        .otherwise("occasional")
+        .alias("f_seg"),
+        F.when(F.col("monetary") > F.col("m_med"), "high")
+        .otherwise("low")
+        .alias("m_seg"),
+    )
+    return (
+        seg.groupBy("r_seg", "f_seg", "m_seg")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("r_seg", "f_seg", "m_seg")
+    )

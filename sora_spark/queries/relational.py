@@ -583,3 +583,34 @@ def qsrc3_schema_evolution(spark, sf_dir):
             2,
         ).alias("sum_price_even"),
     )
+
+
+@query(
+    "qc5_zstd_roundtrip",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_orderkey LIMIT 500
+""",
+    doc="Q-C5: parquet CODEC surface — orders written with "
+    "compression=zstd and read back value-identical. Codec choice is "
+    "a first-class 100 TB decision (zstd ~30% smaller than snappy at "
+    "similar scan speed); this row pins that the engine can write and "
+    "re-read it losslessly (the oracle reads the ORIGINAL table).",
+    tags=("source", "sink", "codec"),
+)
+def qc5_zstd_roundtrip(spark, sf_dir):
+    orders = tables(spark, sf_dir).orders
+    path = _roundtrip_dir("zstd_orders")
+    orders.write.mode("overwrite").option("compression", "zstd").parquet(
+        path
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )

@@ -1370,3 +1370,24 @@ def test_asof_join_forward_direction(spark):
     )
     rows = {r["seq"]: r["next_px"] for r in bounded.collect()}
     assert rows == {100: 95.0, 101: None, 102: None}  # 40-15 > 10 nulled
+
+
+def test_zstd_write_actually_zstd(spark, sf_dir):
+    """qc5's write must really produce ZSTD-compressed column chunks
+    (a silently-ignored option would still roundtrip)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from sora_spark.queries.relational import _roundtrip_dir
+
+    tables(spark, sf_dir).orders.write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(_roundtrip_dir("zstd_check"))
+    f = sorted(glob.glob(_roundtrip_dir("zstd_check") + "/part-*.parquet"))[0]
+    meta = pq.ParquetFile(f).metadata
+    codecs = {
+        meta.row_group(0).column(i).compression
+        for i in range(meta.num_columns)
+    }
+    assert codecs == {"ZSTD"}, codecs
