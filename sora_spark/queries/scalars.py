@@ -584,3 +584,55 @@ def qx15_string_family2(spark, sf_dir):
         .orderBy("p_partkey")
         .limit(200)
     )
+
+
+@query(
+    "qx16_array_set_family",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ')[1:6] AS a,
+                  ['the', 'and', 'data', 'of'] AS b
+           FROM documents)
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(list_cat(a, b))), ',')
+         AS u,
+       COALESCE(array_to_string(list_sort(list_distinct(
+         list_filter(a, x -> list_contains(b, x)))), ','), '')     AS i,
+       COALESCE(array_to_string(list_sort(list_distinct(
+         list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS x,
+       CAST(COALESCE(list_position(a, 'the'), 0) AS INT)       AS pos_the,
+       list_contains(a, 'data')                                AS has_data
+FROM t ORDER BY doc_id LIMIT 200
+""",
+    doc="Q-X16: array SET family — union/intersect/except/distinct/"
+    "position/contains over token prefixes vs a literal vocab array. "
+    "Set results are SORTED before comparison (element order of "
+    "distinct/intersect is engine-defined; sorting makes the set "
+    "semantics declarable — the qa9 lesson for arrays; DuckDB "
+    "renders an empty set as NULL where Spark joins to '' — oracle "
+    "coalesced). Position "
+    "missing = 0 on both sides (Spark convention; DuckDB NULL "
+    "coalesced).",
+    tags=("scalar", "array", "set"),
+)
+def qx16_array_set_family(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    a = F.slice(F.split("text", " "), 1, 6)
+    b = F.array(*[F.lit(w) for w in ["the", "and", "data", "of"]])
+    return (
+        docs.select(
+            "doc_id",
+            F.array_join(
+                F.array_sort(F.array_distinct(F.concat(a, b))), ","
+            ).alias("u"),
+            F.array_join(
+                F.array_sort(F.array_distinct(F.array_intersect(a, b))), ","
+            ).alias("i"),
+            F.array_join(
+                F.array_sort(F.array_distinct(F.array_except(a, b))), ","
+            ).alias("x"),
+            F.array_position(a, "the").cast("int").alias("pos_the"),
+            F.array_contains(a, "data").alias("has_data"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
