@@ -1129,3 +1129,72 @@ def test_funnel_property_family(spark):
         )
         want = sorted(_py_funnel(rows, stages))
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def _py_retention(rows):
+    """rows = (user, day:int). Cohort triangle oracle on integer days."""
+    first = {}
+    for u, d in rows:
+        first[u] = min(first.get(u, d), d)
+    cells: dict = {}
+    for u, d in set(rows):
+        key = (first[u], d - first[u])
+        cells.setdefault(key, set()).add(u)
+    return {k: len(v) for k, v in cells.items()}
+
+
+def test_retention_property_family(spark):
+    import datetime
+    import random
+
+    from sora_spark.operators.events import retention
+
+    rng = random.Random(321)
+    for trial in range(4):
+        rows = [
+            (rng.randrange(8), rng.randrange(10))
+            for _ in range(rng.randrange(5, 60))
+        ]
+        base = datetime.datetime(2024, 3, 1)
+        df = spark.createDataFrame(
+            [
+                (u, base + datetime.timedelta(days=d, hours=u % 23))
+                for u, d in rows
+            ],
+            "user_id long, ts timestamp",
+        )
+        got = {
+            (r["cohort_day"].day - 1, r["day_offset"]): r["n_users"]
+            for r in retention(df).collect()
+        }
+        want = _py_retention(rows)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_entry_paths_property_family(spark):
+    import random
+
+    from sora_spark.operators.events import entry_paths
+
+    rng = random.Random(77)
+    for trial in range(4):
+        rows = [
+            (rng.randrange(5), t, i, rng.choice("abc"))
+            for i, t in enumerate(
+                rng.choices(range(20), k=rng.randrange(4, 30))
+            )
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, event_id long, event_type string"
+        )
+        got = {
+            r["path"]: r["n_users"] for r in entry_paths(df, k=3).collect()
+        }
+        by_user: dict = {}
+        for u, t, i, ty in rows:
+            by_user.setdefault(u, []).append((t, i, ty))
+        want: dict = {}
+        for u, evs in by_user.items():
+            path = ">".join(ty for _, _, ty in sorted(evs)[:3])
+            want[path] = want.get(path, 0) + 1
+        assert got == want, f"trial {trial}: {got} != {want}"
