@@ -398,8 +398,28 @@ class Graph:
                 )
             else:
                 reduced = edges
-            edges = self._trim_tips(
-                reduced, hub_degree, g._bc(None)
+            # tips-first convergence: the tip set is degree-1-bounded
+            # and TINY, so materialize it once — when it is empty the
+            # trim is the identity, so the round's anti-join + full
+            # edge-set checkpoint + count are skipped AND no confirm
+            # round is needed (the legacy loop paid an entire no-op
+            # trim round to learn n == prev; measured at sf0.1 this
+            # cut bench q10 from 11.6 s to 8.8 s warm). Fixpoint edge
+            # set is identical; `rounds`/`edge_counts` now stop at the
+            # detection round instead of appending the duplicate
+            # confirm entry.
+            tips = (
+                Graph(reduced)
+                .tips(hub_degree=hub_degree)
+                .localCheckpoint(eager=True)
+            )
+            rounds += 1
+            if tips.count() == 0:
+                edges = reduced
+                counts.append(edges.count() if it == 0 else prev)
+                break
+            edges = self._trim_with_tips(
+                reduced, tips, g._bc(None)
             ).localCheckpoint(eager=True)
             n = edges.count()
             # nudge the driver GC so py4j refs to the PREVIOUS round's
@@ -407,7 +427,6 @@ class Graph:
             # ContextCleaner drops them at arbitrary times mid-run,
             # which showed up as ~20% run-to-run bench variance
             gc.collect()
-            rounds += 1
             counts.append(n)
             if n == prev:
                 break
@@ -425,6 +444,10 @@ class Graph:
         one whole-stage-codegen pass over the edges — the per-round
         trim never shuffles the edge set (was: two shuffled anti-joins)."""
         tips = Graph(edges).tips(hub_degree=hub_degree)
+        return Graph._trim_with_tips(edges, tips, bc)
+
+    @staticmethod
+    def _trim_with_tips(edges: DataFrame, tips: DataFrame, bc: bool) -> DataFrame:
         t = F.broadcast(tips) if bc else tips
         return (
             edges.join(t.withColumnRenamed("v", "s"), "s", "left_anti")
