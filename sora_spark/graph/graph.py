@@ -471,6 +471,16 @@ class Graph:
         map-side distinct), the bubble set is bounded by bubble-pair
         count << |E| and is broadcast into both the mid lookup and the
         final anti-join, so the edge set itself never shuffles."""
+        bc = self._bc(broadcast_edges)
+        removal = self._bubble_removals(min_mids, bc)
+        rem = F.broadcast(removal) if bc else removal
+        return self.edges.join(rem, ["s", "d"], "left_anti")
+
+    def _bubble_removals(self, min_mids: int, bc: bool) -> DataFrame:
+        """The edge-removal set of one bubble-pop round (see
+        `pop_bubbles_round`) — bounded by bubble-pair count << |E|,
+        so callers can materialize it to TEST for convergence before
+        paying the edge-set anti-join (the assembly loop does)."""
         e1, e2 = self.edges.alias("e1"), self.edges.alias("e2")
         tp = (
             e1.join(e2, F.col("e1.d") == F.col("e2.s"))
@@ -489,20 +499,17 @@ class Graph:
             .filter(F.col("n_mids") >= min_mids)
             .select("u", "w", "keep")
         )
-        bc = self._bc(broadcast_edges)
         b = F.broadcast(bub) if bc else bub
         doomed = (
             tp.join(b, ["u", "w"])
             .filter(F.col("x") != F.col("keep"))
             .select("u", "x", "w")
         )
-        removal = (
+        return (
             doomed.select(F.col("u").alias("s"), F.col("x").alias("d"))
             .union(doomed.select(F.col("x").alias("s"), F.col("w").alias("d")))
             .distinct()
         )
-        rem = F.broadcast(removal) if bc else removal
-        return self.edges.join(rem, ["s", "d"], "left_anti")
 
     def assembly_pipeline(
         self,
@@ -530,12 +537,24 @@ class Graph:
         bubble_rounds = 0
         for _ in range(max_iter):
             g = Graph(edges)
-            edges = g.pop_bubbles_round(
-                min_mids=min_mids
+            # removal-first convergence (same trick as the tips-first
+            # reduce loop): the removal set is bubble-bounded — when
+            # empty, skip the anti-join + full-edge checkpoint AND the
+            # legacy no-op confirm round
+            removal = g._bubble_removals(
+                min_mids, g._bc(None)
+            ).localCheckpoint(eager=True)
+            bubble_rounds += 1
+            if removal.count() == 0:
+                counts.append(prev)
+                break
+            edges = edges.join(
+                F.broadcast(removal) if g._bc(None) else removal,
+                ["s", "d"],
+                "left_anti",
             ).localCheckpoint(eager=True)
             n = edges.count()
             gc.collect()  # release prior round's checkpoint blocks
-            bubble_rounds += 1
             counts.append(n)
             if n == prev:
                 break
