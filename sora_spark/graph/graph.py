@@ -614,9 +614,17 @@ class Graph:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        prev = e.count()
         for _ in range(max_iter):
             deg = e.groupBy("s").agg(F.count("*").alias("_deg"))
+            # change-set-first convergence (SCALE.md): peel only when
+            # sub-k vertices EXIST — the drop set is vertex-bounded and
+            # cheap to test, the skipped work is two semi-joins plus a
+            # full edge checkpoint on the final (no-op) round
+            drop = deg.filter(F.col("_deg") < k).select("s").localCheckpoint(
+                eager=True
+            )
+            if drop.count() == 0:
+                return e.select(F.col("s").alias("v")).distinct()
             keep = deg.filter(F.col("_deg") >= k).select("s")
             e = (
                 e.join(keep, "s", "left_semi")
@@ -624,10 +632,6 @@ class Graph:
                 .select("s", "d")
                 .localCheckpoint(eager=True)
             )
-            n = e.count()  # one action per round; prev carried over
-            if n == prev:
-                return e.select(F.col("s").alias("v")).distinct()
-            prev = n
         raise RuntimeError(
             f"k_core: still peeling after max_iter={max_iter} rounds —"
             " raise max_iter (a partial peel is NOT a k-core)"
