@@ -216,6 +216,34 @@ class Graph:
         labels = self.vertex_ids().select(
             F.col("v"), F.col("v").alias("component")
         ).localCheckpoint(eager=True)
+
+        from pyspark.sql.types import NumericType
+
+        numeric_ids = isinstance(
+            labels.schema["component"].dataType, NumericType
+        )
+
+        def _label_mass(lab):
+            # exact decimal sum — labels only DECREASE under min-
+            # propagation, so equal mass ⟺ no label changed; this
+            # replaces the per-round full label-set comparison JOIN
+            # with one aggregate scan (change-set-first economics,
+            # SCALE.md). Decimal(38) so huge vertex ids cannot wrap.
+            # Only sound for NUMERIC ids — string-labelled graphs
+            # (e.g. qer1 entity names) keep the exact comparison join.
+            return lab.agg(
+                F.sum(F.col("component").cast("decimal(38,0)"))
+            ).collect()[0][0]
+
+        def _changed(new_lab, old_lab):
+            return (
+                new_lab.alias("n")
+                .join(old_lab.alias("o"), "v")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+
+        mass = _label_mass(labels) if numeric_ids else None
         rounds = 0
         for _ in range(max_iter):
             # candidate label per vertex = min over neighbors' labels
@@ -235,15 +263,15 @@ class Graph:
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "v")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
+            if numeric_ids:
+                new_mass = _label_mass(new_labels)
+                done = new_mass == mass
+                mass = new_mass
+            else:
+                done = _changed(new_labels, labels) == 0
             labels = new_labels
             rounds += 1
-            if changed == 0:
+            if done:
                 break
         if stats is not None:
             stats["rounds"] = rounds
