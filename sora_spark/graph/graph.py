@@ -304,6 +304,21 @@ class Graph:
         )
         rounds = 0
         converged = False
+
+        def _edge_sig(df):
+            # order-insensitive exact-decimal sum of per-edge hashes:
+            # equal signatures make set equality overwhelmingly likely,
+            # and the ONE exact subtract below confirms it — so the
+            # per-round full set-difference the loop used to pay
+            # becomes a single aggregate scan per round plus one
+            # confirm at the fixpoint (change-set-first economics,
+            # SCALE.md).
+            return df.agg(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+            ).collect()[0][0]
+
+        sig = _edge_sig(e)
+        n_prev = e.count()
         for _ in range(max_iter):
             # large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
             sym = e.select("u", "v").union(
@@ -332,11 +347,17 @@ class Graph:
                 .localCheckpoint(eager=True)
             )
             rounds += 1
-            if e2.count() == e.count() and e2.subtract(e).isEmpty():
+            n2, sig2 = e2.count(), _edge_sig(e2)
+            if (
+                n2 == n_prev
+                and sig2 == sig
+                and e2.subtract(e).isEmpty()  # exact confirm, runs once
+            ):
                 e = e2
                 converged = True
                 break
             e = e2
+            sig, n_prev = sig2, n2
         if stats is not None:
             stats["rounds"] = rounds
         if not converged:
