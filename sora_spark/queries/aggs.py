@@ -383,3 +383,43 @@ def qa12_winsorized_mean(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "qa13_mad",
+    oracle="""
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l.l_returnflag,
+       round(any_value(m.med), 4) AS median,
+       round(quantile_cont(abs(l_extendedprice - m.med), 0.5), 4) AS mad
+FROM lineitem l JOIN med m USING (l_returnflag)
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+""",
+    doc="qa13: median absolute deviation per group — the robust SCALE "
+    "estimate completing qa12's robust location (winsorized mean). "
+    "Two passes, both the broadcast-threshold shape: group medians "
+    "(group-count sized) broadcast back over the scan, then one exact "
+    "percentile of the absolute deviations. Outlier-resistant spread "
+    "for data-quality monitoring where stddev is blown by one bad "
+    "feed value.",
+    tags=("agg", "robust"),
+)
+def qa13_mad(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("med")
+    )
+    j = li.join(F.broadcast(med), "l_returnflag")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.round(F.any_value("med"), 4).alias("median"),
+            F.round(
+                F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), 0.5),
+                4,
+            ).alias("mad"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1558,3 +1558,67 @@ def qev5_rfm_segments(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .orderBy("r_seg", "f_seg", "m_seg")
     )
+
+
+@query(
+    "qcur7_negative_pairs",
+    oracle="""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+k AS (SELECT unnest(range(0, 3)) AS k),
+pairs AS (
+  SELECT d.doc_id, k.k,
+         (d.doc_id + 1 +
+          CAST((CAST(ascii(substr(md5(CAST(d.doc_id AS VARCHAR) || '|' || CAST(k.k AS VARCHAR)), 1, 1)) AS BIGINT) * 1 + CAST(ascii(substr(md5(CAST(d.doc_id AS VARCHAR) || '|' || CAST(k.k AS VARCHAR)), 2, 1)) AS BIGINT) * 31 + CAST(ascii(substr(md5(CAST(d.doc_id AS VARCHAR) || '|' || CAST(k.k AS VARCHAR)), 3, 1)) AS BIGINT) * 961 + CAST(ascii(substr(md5(CAST(d.doc_id AS VARCHAR) || '|' || CAST(k.k AS VARCHAR)), 4, 1)) AS BIGINT) * 29791 + CAST(ascii(substr(md5(CAST(d.doc_id AS VARCHAR) || '|' || CAST(k.k AS VARCHAR)), 5, 1)) AS BIGINT) * 923521 + CAST(ascii(substr(md5(CAST(d.doc_id AS VARCHAR) || '|' || CAST(k.k AS VARCHAR)), 6, 1)) AS BIGINT) * 28629151) AS BIGINT) % (n.n_docs - 1)) % n.n_docs AS neg_id
+  FROM documents d CROSS JOIN k CROSS JOIN n)
+SELECT doc_id, CAST(k AS INT) AS k, neg_id FROM pairs
+ORDER BY doc_id, k
+""",
+    doc="qcur7: deterministic negative sampling for contrastive "
+    "training — 3 pseudo-random negatives per doc from an md5-ascii-"
+    "polynomial "
+    "offset in [1, n-1], so neg_id != doc_id by construction and the "
+    "SAME negatives reproduce across runs, engines and partitionings "
+    "(seeded-rand sampling reproduces across neither). Map-only over "
+    "the corpus + one broadcast count; the offset arithmetic assumes "
+    "the dense [0, n) id space a curation pipeline's id-assignment "
+    "step (deterministic_shuffle_key + row ranks, qcur4) provides.",
+    tags=("llm", "curation", "contrastive"),
+)
+def qcur7_negative_pairs(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    n = docs.agg(F.count("*").alias("n_docs"))
+    ks = spark.range(3).select(F.col("id").cast("int").alias("k"))
+    md5c = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("|"),
+            F.col("k").cast("string"),
+        )
+    )
+    # ascii-polynomial over the first 6 md5 chars: portable to engines
+    # without conv()/from_hex->int (DuckDB's from_hex is BLOB-typed)
+    hexoff = F.lit(0).cast("bigint")
+    for i in range(6):
+        # bigint BEFORE the multiply: 31^5 * ascii overflows int32
+        # under ANSI arithmetic
+        hexoff = hexoff + F.ascii(F.substring(md5c, i + 1, 1)).cast(
+            "bigint"
+        ) * F.lit(31**i).cast("bigint")
+    return (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "k",
+            (
+                (
+                    F.col("doc_id")
+                    + 1
+                    + hexoff % (F.col("n_docs") - 1)
+                )
+                % F.col("n_docs")
+            ).alias("neg_id"),
+        )
+        .orderBy("doc_id", "k")
+    )
