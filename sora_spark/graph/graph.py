@@ -1069,3 +1069,91 @@ class Graph:
                 .alias("coef"),
             )
         )
+
+    def minimum_spanning_forest(
+        self,
+        weight_col: str = "w",
+        max_iter: int = 30,
+        stats: dict | None = None,
+    ) -> DataFrame:
+        """Minimum spanning forest by Borůvka rounds → (s, d, w): each
+        round EVERY component picks its minimum outgoing edge under
+        the (w, s, d) total order (the tie-break makes the MSF unique
+        even with duplicate weights — equivalent to Kruskal under the
+        same order, which is what the property test checks), chosen
+        edges join the forest, and touched components contract.
+        O(log V) rounds since components at least halve; per round two
+        comp-label joins + one min_by aggregation, with the
+        contraction itself a component-GRAPH-sized CC (second-order
+        small). The standard scalable MST: no global edge sort, no
+        union-find, every step a join or aggregation."""
+        e = self.edges.select(
+            F.least("s", "d").alias("s"),
+            F.greatest("s", "d").alias("d"),
+            F.col(weight_col).alias("w"),
+        ).localCheckpoint(eager=True)
+        comp = (
+            self.vertex_ids()
+            .select("v", F.col("v").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        forest: DataFrame | None = None
+        rounds = 0
+        for _ in range(max_iter):
+            cs = comp.select(F.col("v").alias("s"), F.col("c").alias("cs"))
+            cd = comp.select(F.col("v").alias("d"), F.col("c").alias("cd"))
+            lab = (
+                e.join(cs, "s")
+                .join(cd, "d")
+                .filter(F.col("cs") != F.col("cd"))
+            )
+            pick = F.struct("w", "s", "d", "cs", "cd")
+            cand = lab.select(F.col("cs").alias("cc"), pick.alias("p")).union(
+                lab.select(F.col("cd").alias("cc"), pick.alias("p"))
+            )
+            chosen = (
+                cand.groupBy("cc")
+                .agg(F.min("p").alias("p"))
+                .select("p.s", "p.d", "p.w", "p.cs", "p.cd")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            rounds += 1
+            if chosen.count() == 0:
+                break
+            picked = chosen.select("s", "d", "w")
+            forest = (
+                picked
+                if forest is None
+                else forest.unionByName(picked).distinct()
+            )
+            forest = forest.localCheckpoint(eager=True)
+            # contract: CC over the (cs, cd) merge graph — component-
+            # count sized, shrinks >= 2x per round
+            merge = Graph(
+                chosen.select(
+                    F.col("cs").alias("s"), F.col("cd").alias("d")
+                )
+            ).connected_components()
+            comp = (
+                comp.join(
+                    merge.select(
+                        F.col("v").alias("c"), F.col("component").alias("_nc")
+                    ),
+                    "c",
+                    "left",
+                )
+                .select(
+                    "v", F.coalesce(F.col("_nc"), F.col("c")).alias("c")
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            raise RuntimeError(
+                f"minimum_spanning_forest: not converged in {max_iter}"
+            )
+        if stats is not None:
+            stats["rounds"] = rounds
+        if forest is None:
+            return e.limit(0)
+        return forest

@@ -1333,3 +1333,32 @@ def qg31_scaffold_links(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_links"))
         .orderBy("ca", "cb")
     )
+
+
+@query(
+    "qg33_minimum_spanning_forest",
+    oracle=None,  # iterative Borůvka — rows-tier like qg12; the
+    # (w, s, d)-order MSF is hash-certified against a pure-Python
+    # Kruskal on randomized graphs in test_property.py::
+    # test_msf_property_family (duplicate weights included)
+    doc="qg33: minimum spanning forest of the weighted bounded "
+    "co-occurrence graph (Graph.minimum_spanning_forest, Borůvka "
+    "rounds — per round every component takes its (w, s, d)-minimal "
+    "outgoing edge, O(log V) rounds, no global sort, no union-find). "
+    "Summary row: forest edge count, total weight, tree count "
+    "(vertices - forest edges). Same weights as qg15 (1+(s+d)%3).",
+    tags=("graph", "mst", "fixpoint"),
+)
+def qg33_minimum_spanning_forest(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    g = Graph(e_co_small(li))
+    e = g.edges.withColumn(
+        "w", (1 + (F.col("s") + F.col("d")) % 3).cast("double")
+    )
+    msf = Graph(e).minimum_spanning_forest()
+    n_v = g.vertex_ids().count()
+    return msf.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.round(F.sum("w"), 2).alias("total_weight"),
+        (F.lit(n_v) - F.count("*")).cast("bigint").alias("n_trees"),
+    )

@@ -1198,3 +1198,54 @@ def test_entry_paths_property_family(spark):
             path = ">".join(ty for _, _, ty in sorted(evs)[:3])
             want[path] = want.get(path, 0) + 1
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def _py_kruskal(edges):
+    """edges = (s, d, w) undirected. Kruskal under the (w, s, d) total
+    order — the unique MSF Borůvka-with-tie-break must reproduce."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    msf = set()
+    for s, d, w in sorted(
+        {(min(s, d), max(s, d), w) for s, d, w in edges},
+        key=lambda t: (t[2], t[0], t[1]),
+    ):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+            msf.add((s, d, w))
+    return msf
+
+
+def test_msf_property_family(spark):
+    import random
+
+    from sora_spark.graph import Graph
+
+    rng = random.Random(4242)
+    for trial in range(5):
+        n_v = rng.randrange(4, 14)
+        edges = {
+            (rng.randrange(n_v), rng.randrange(n_v))
+            for _ in range(rng.randrange(3, 26))
+        }
+        edges = [
+            (s, d, float(rng.randrange(1, 5)))  # duplicate weights likely
+            for s, d in edges
+            if s != d
+        ]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "s long, d long, w double")
+        got = {
+            (r["s"], r["d"], r["w"])
+            for r in Graph(df).minimum_spanning_forest().collect()
+        }
+        want = _py_kruskal(edges)
+        assert got == want, f"trial {trial}: {sorted(got)} != {sorted(want)}"
