@@ -1167,3 +1167,53 @@ def qta9_zipf_slope(spark, sf_dir):
         F.round(F.regr_slope(F.log("f"), F.log("r")), 4).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("f"), F.log("r")), 4).alias("r2"),
     )
+
+
+@query(
+    "qta10_url_parse",
+    oracle="""
+WITH u AS (SELECT doc_id,
+                  'https://' || source || '.example.com/docs/'
+                    || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+           FROM documents)
+SELECT doc_id,
+       regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+       regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?]lang=([a-z]+)', 1) AS lang_param,
+       regexp_extract(url, 'https://[^.]+[.]([a-z.]+)/', 1) AS domain
+FROM u ORDER BY doc_id LIMIT 200
+""",
+    doc="qta10: URL decomposition (host/path/query-param/registered "
+    "domain) — the per-domain bookkeeping web-corpus curation runs "
+    "before qcur6-style caps. Deterministic URLs synthesized from "
+    "fixture columns; extraction via RE2-portable regexp_extract with "
+    "IDENTICAL pattern text in both engines (Spark's parse_url would "
+    "be JVM-only — regex keeps the oracle honest).",
+    tags=("llm", "textstats", "url"),
+)
+def qta10_url_parse(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return (
+        docs.select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            F.regexp_extract("url", "https://([^/]+)/", 1).alias("host"),
+            F.regexp_extract("url", "https://[^/]+(/[^?]*)", 1).alias("path"),
+            F.regexp_extract("url", "[?]lang=([a-z]+)", 1).alias(
+                "lang_param"
+            ),
+            F.regexp_extract("url", "https://[^.]+[.]([a-z.]+)/", 1).alias(
+                "domain"
+            ),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )

@@ -199,3 +199,55 @@ FROM documents, LATERAL split_words(text) s
 GROUP BY doc_id ORDER BY doc_id
 """
     )
+
+
+@query(
+    "qu6_arrow_array_udf",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, list_transform(v, x ->
+        x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u FROM e)
+SELECT vec_id,
+       round(list_sum(u), 5) AS comp_sum,
+       round(u[1], 6) AS first_comp,
+       CAST(len(u) AS INT) AS dim
+FROM n ORDER BY vec_id
+""",
+    doc="qu6: Arrow-batched pandas UDF with an ARRAY return type — L2 "
+    "normalization computed IN PYTHON (numpy over Arrow batches, "
+    "vectorized per batch) and hash-matched against the pure-SQL "
+    "form. Certifies the array<double> Arrow serialization path both "
+    "directions, the surface qu1-qu4 (scalar/grouped shapes) leave "
+    "untested. Float parity holds because numpy and the JVM do the "
+    "same IEEE ops; round(,5/6) absorbs summation-order slack.",
+    tags=("udf", "arrow", "vector"),
+)
+def qu6_arrow_array_udf(spark, sf_dir):
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def l2_normalize(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for v in col:  # per-batch loop over rows of ndarray values
+            a = np.asarray(v, dtype=np.float64)
+            out.append(a / np.sqrt((a * a).sum()))
+        return pd.Series(out)
+
+    emb = tables(spark, sf_dir).embeddings
+    u = l2_normalize(F.col("embedding").cast("array<double>"))
+    return (
+        emb.select("vec_id", u.alias("u"))
+        .select(
+            "vec_id",
+            F.round(
+                F.aggregate(F.col("u"), F.lit(0.0), lambda a, x: a + x), 5
+            ).alias("comp_sum"),
+            F.round(F.element_at("u", 1), 6).alias("first_comp"),
+            F.size("u").cast("int").alias("dim"),
+        )
+        .orderBy("vec_id")
+    )
