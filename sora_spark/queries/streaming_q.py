@@ -799,3 +799,65 @@ def qst2_stateful_sessions(spark, sf_dir):
         .agg(F.max("n_sessions").alias("n_sessions"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "qst3_liststate_rolling",
+    oracle="""
+WITH r AS (SELECT user_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS n_seen
+           FROM events)
+SELECT user_id, CAST(any_value(n_seen) AS BIGINT) AS n_seen,
+       round(sum(CASE WHEN rn <= 3 THEN value END), 2) AS sum_last3
+FROM r GROUP BY user_id ORDER BY user_id
+""",
+    doc="qst3: per-user BOUNDED BUFFER state — the last 3 event "
+    "values + a counter, through real sequential micro-batch replay "
+    "to an update-mode memory sink; final state per user = emission "
+    "with max (monotone) n_seen, hash-matched against the batch "
+    "last-3-by-(ts,event_id) window twin. Backend follows the qst1 "
+    "pattern: transformWithStateInPandas ListState (+ RocksDB "
+    "provider) when the env has the protobuf worker, else the "
+    "applyInPandasWithState state-tuple twin with identical "
+    "semantics — bounded buffers are the rolling-feature shape "
+    "scalar state can't express.",
+    tags=("streaming", "hash-tier", "stateful", "liststate"),
+)
+def qst3_liststate_rolling(spark, sf_dir):
+    import contextlib
+
+    from sora_spark.streaming import replay, stateful
+
+    staged = replay.materialize_replay_dir(
+        spark, sf_dir, "qst3", n_files=4, sorted_within=True
+    )
+    # TWS needs the RocksDB provider AND the protobuf worker (the
+    # qst1 pattern); otherwise the portable state-tuple twin runs —
+    # identical semantics either way, same hash gate
+    use_tws = stateful.has_tws_support()
+    transform = (
+        stateful.rolling_last_k_tws if use_tws else stateful.rolling_last_k
+    )
+    scope = (
+        stateful.rocksdb_provider(spark)
+        if use_tws
+        else contextlib.nullcontext()
+    )
+    with scope:
+        sink = replay.run_sequential_to_memory(
+            spark,
+            staged,
+            transform,
+            "qst3_sink",
+            "update",
+        )
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("n_seen").alias("n_seen"),
+            F.round(F.max_by("sum_lastk", "n_seen"), 2).alias("sum_last3"),
+        )
+        .orderBy("user_id")
+    )

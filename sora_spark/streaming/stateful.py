@@ -244,3 +244,89 @@ def purchases_after_views_outer(
     advance it with far-future sentinel events that survive the
     event_type filters on BOTH sides."""
     return _purchase_view_join(events, watermark, "left_outer")
+
+
+def rolling_last_k_tws(events: DataFrame, k: int = 3) -> DataFrame:
+    """transformWithStateInPandas with LIST state: per user keep the
+    last `k` event values (ListState) alongside a ValueState counter —
+    the bounded-buffer shape (rolling features, last-N dedup keys)
+    that ValueState alone can't express. Emits (user_id, n_seen,
+    sum_lastk) per touched user per micro-batch; n_seen is monotone,
+    so the emission with the max n_seen is the final state (the qst1
+    consumer contract). Correct under time-ordered sequential replay;
+    within a batch rows are explicitly re-sorted by (ts, event_id)
+    (shuffle order is not arrival order)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class LastK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._vals = handle.getListState("vals", "v double")
+            self._n = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            vals = [t[0] for t in self._vals.get()]
+            n = self._n.get()[0] if self._n.exists() else 0
+            pdfs = [pdf for pdf in rows]
+            batch = pd.concat(pdfs).sort_values(["ts", "event_id"])
+            for v in batch["value"]:
+                vals.append(float(v))
+                n += 1
+            vals = vals[-k:]
+            self._vals.put([(v,) for v in vals])
+            self._n.update((n,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_seen": [n],
+                    "sum_lastk": [float(sum(vals))],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=LastK(),
+        outputStructType="user_id bigint, n_seen bigint, sum_lastk double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def rolling_last_k(events: DataFrame, k: int = 3) -> DataFrame:
+    """Portable applyInPandasWithState twin of `rolling_last_k_tws`
+    (state tuple carries the bounded list as array<double>) — the
+    fallback when the TWS protobuf worker is unavailable; identical
+    semantics, so qst3 hash-gates whichever path the env runs."""
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            n, vals = state.get
+            vals = list(vals)
+        else:
+            n, vals = 0, []
+        pdfs = [pdf for pdf in pdf_iter]
+        batch = pd.concat(pdfs).sort_values(["ts", "event_id"])
+        for v in batch["value"]:
+            vals.append(float(v))
+            n += 1
+        vals = vals[-k:]
+        state.update((n, vals))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [n],
+                "sum_lastk": [float(sum(vals))],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_seen bigint, sum_lastk double",
+        stateStructType="n bigint, vals array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
