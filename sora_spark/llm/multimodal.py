@@ -98,3 +98,41 @@ def sample_frames(
             ),
         )
     )
+
+
+def stride_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    stride: int = 4,
+) -> DataFrame:
+    """Hash-gateable slice of the Python decode path: per payload, the
+    byte count and the mean of every `stride`-th byte — computed in a
+    REAL mapInPandas stage (numpy over Arrow batches, the exact shape
+    `extract_features`' stubbed decoder runs in), but on arithmetic a
+    SQL oracle can reproduce from the source text (fixtures are ASCII,
+    so byte k == ascii(char k)). This puts the multimodal Python
+    plumbing itself — Arrow binary transfer, batch iteration, per-row
+    ndarray work — behind the cross-engine hash gate, which the
+    opaque fake-feature stub cannot be."""
+    import numpy as np
+
+    out_schema = f"{id_col} bigint, n_bytes int, mean_stride double"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            means = []
+            sizes = []
+            for b in pdf[payload_col]:
+                a = np.frombuffer(b, dtype=np.uint8)[::stride]
+                means.append(float(a.mean()))
+                sizes.append(len(b))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": sizes,
+                    "mean_stride": means,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)

@@ -66,3 +66,49 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select(*keys, "change")
     )
+
+
+def three_way_merge_classes(
+    base: DataFrame,
+    ours: DataFrame,
+    theirs: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Concurrent-writer reconciliation: classify every key touched by
+    either branch against the common base → (key_cols..., ours_change,
+    theirs_change, resolution), resolution ∈ {ours, theirs, conflict}.
+    A key changed (or removed) by BOTH branches is a conflict the
+    merge cannot auto-resolve; one-sided changes adopt that side.
+    Untouched keys are omitted — at 100 TB the output is bounded by
+    the CHANGE volume, never the table. Two snapshot_diffs (key +
+    8-byte hash shuffles only) + one full-outer join of the two
+    change-bounded outputs."""
+    do = snapshot_diff(base, ours, key_cols).withColumnRenamed(
+        "change", "ours_change"
+    )
+    dt = snapshot_diff(base, theirs, key_cols).withColumnRenamed(
+        "change", "theirs_change"
+    )
+    o = do.alias("o")
+    t = dt.alias("t")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"t.{k}"))
+        cond = c if cond is None else cond & c
+    j = o.join(t, cond, "full_outer")
+    keys = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"t.{k}")).alias(k)
+        for k in key_cols
+    ]
+    resolution = (
+        F.when(
+            F.col("ours_change").isNotNull()
+            & F.col("theirs_change").isNotNull(),
+            "conflict",
+        )
+        .when(F.col("ours_change").isNotNull(), "ours")
+        .otherwise("theirs")
+    )
+    return j.select(
+        *keys, "ours_change", "theirs_change", resolution.alias("resolution")
+    )

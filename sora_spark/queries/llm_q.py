@@ -1217,3 +1217,38 @@ def qta10_url_parse(spark, sf_dir):
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+@query(
+    "qm4_decode_path_gate",
+    oracle="""
+WITH pos AS (SELECT doc_id, len(text) AS n, text,
+                    unnest(range(1, len(text) + 1, 4)) AS i
+             FROM documents),
+b AS (SELECT doc_id, n, ascii(substr(text, CAST(i AS INT), 1)) AS v
+      FROM pos)
+SELECT doc_id, CAST(any_value(n) AS INT) AS n_bytes,
+       round(avg(v), 6) AS mean_stride
+FROM b GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="qm4: the multimodal DECODE PATH itself under the hash gate — "
+    "binary payloads through a real mapInPandas stage (Arrow binary "
+    "transfer, per-batch numpy frombuffer, every-4th-byte mean), "
+    "matched against an ascii-stride SQL oracle (payloads are UTF-8 "
+    "text, fixture is ASCII so byte k == ascii(char k)). qm1-qm3 "
+    "certify schema/slicing/metadata; this row certifies the Python "
+    "plumbing a production decoder drops into.",
+    tags=("llm", "multimodal", "udf"),
+)
+def qm4_decode_path_gate(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    media = multimodal.attach_payload(docs, "text", "text/plain")
+    return (
+        multimodal.stride_stats(media)
+        .select(
+            "doc_id",
+            "n_bytes",
+            F.round("mean_stride", 6).alias("mean_stride"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1622,3 +1622,74 @@ def qcur7_negative_pairs(spark, sf_dir):
         )
         .orderBy("doc_id", "k")
     )
+
+
+@query(
+    "qdiff2_three_way_merge",
+    oracle="""
+WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price,
+                     o_orderpriority AS prio
+              FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+ours AS (SELECT k, CASE WHEN k % 7 = 0 THEN round(price * 1.1, 2)
+                        ELSE price END AS price, prio
+         FROM base WHERE k % 13 <> 0),
+theirs AS (SELECT k, price,
+                  CASE WHEN k % 5 = 0 THEN 'RUSH' ELSE prio END AS prio
+           FROM base WHERE k % 11 <> 0),
+do_ AS (SELECT b.k,
+               CASE WHEN o.k IS NULL THEN 'removed'
+                    WHEN o.price <> b.price OR o.prio <> b.prio
+                      THEN 'changed' END AS ours_change
+        FROM base b LEFT JOIN ours o ON b.k = o.k),
+dt_ AS (SELECT b.k,
+               CASE WHEN t.k IS NULL THEN 'removed'
+                    WHEN t.price <> b.price OR t.prio <> b.prio
+                      THEN 'changed' END AS theirs_change
+        FROM base b LEFT JOIN theirs t ON b.k = t.k),
+j AS (SELECT COALESCE(do_.k, dt_.k) AS o_orderkey,
+             do_.ours_change, dt_.theirs_change
+      FROM (SELECT * FROM do_ WHERE ours_change IS NOT NULL) do_
+      FULL OUTER JOIN (SELECT * FROM dt_ WHERE theirs_change IS NOT NULL)
+        dt_ ON do_.k = dt_.k)
+SELECT o_orderkey, ours_change, theirs_change,
+       CASE WHEN ours_change IS NOT NULL AND theirs_change IS NOT NULL
+              THEN 'conflict'
+            WHEN ours_change IS NOT NULL THEN 'ours'
+            ELSE 'theirs' END AS resolution
+FROM j ORDER BY o_orderkey
+""",
+    doc="qdiff2: three-way merge classification (operators/diff.py "
+    "three_way_merge_classes) — two branches edit the same base "
+    "(ours reprices every 7th key and deletes every 13th; theirs "
+    "re-prioritizes every 5th and deletes every 11th); keys touched "
+    "by both are CONFLICTS, one-sided edits adopt that side. The "
+    "concurrent-writer reconciliation a lakehouse needs before "
+    "auto-merging; output bounded by change volume. The overlap "
+    "structure is non-degenerate by construction (lcm collisions: "
+    "35, 91, 55, 77...).",
+    tags=("pipeline", "cdc", "merge"),
+)
+def qdiff2_three_way_merge(spark, sf_dir):
+    from sora_spark.operators.diff import three_way_merge_classes
+
+    orders = tables(spark, sf_dir).orders
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    base = orders.filter(F.col("o_orderdate") < cutoff).select(
+        F.col("o_orderkey"), F.col("o_totalprice"), F.col("o_orderpriority")
+    )
+    k = F.col("o_orderkey")
+    ours = base.filter(k % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 7 == 0, F.round(F.col("o_totalprice") * 1.1, 2)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    theirs = base.filter(k % 11 != 0).withColumn(
+        "o_orderpriority",
+        F.when(k % 5 == 0, F.lit("RUSH")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return three_way_merge_classes(
+        base, ours, theirs, ["o_orderkey"]
+    ).orderBy("o_orderkey")
