@@ -173,3 +173,10 @@ class Engine:
         from sora_spark.operators.events import retention
 
         return retention(self._require_attached().events)
+
+    def profile(self, table: str) -> DataFrame:
+        """Per-column data-quality profile of a fixture table (qprof1
+        shape, any registered table)."""
+        from sora_spark.operators.profile import profile_table
+
+        return profile_table(self.table(table))

@@ -1391,3 +1391,29 @@ def test_zstd_write_actually_zstd(spark, sf_dir):
         for i in range(meta.num_columns)
     }
     assert codecs == {"ZSTD"}, codecs
+
+
+def test_three_way_merge_classes(spark):
+    """Hand-built conflict matrix: removed+changed, changed+changed,
+    one-sided edits, and an untouched key that must NOT appear."""
+    from sora_spark.operators.diff import three_way_merge_classes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    ours = spark.createDataFrame(  # edit 1, delete 2, keep 3/4
+        [(1, "A"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    theirs = spark.createDataFrame(  # edit 1+3, keep 2/4
+        [(1, "X"), (2, "b"), (3, "C"), (4, "d")], "k long, v string"
+    )
+    got = {
+        r["k"]: (r["ours_change"], r["theirs_change"], r["resolution"])
+        for r in three_way_merge_classes(base, ours, theirs, ["k"]).collect()
+    }
+    assert got == {
+        1: ("changed", "changed", "conflict"),
+        2: ("removed", None, "ours"),
+        3: (None, "changed", "theirs"),
+    }
+    assert 4 not in got, "untouched keys must be omitted"
