@@ -614,3 +614,57 @@ def qc5_zstd_roundtrip(spark, sf_dir):
         .orderBy("o_orderkey")
         .limit(500)
     )
+
+
+@query(
+    "qso5_null_set_semantics",
+    oracle="""
+WITH a AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                       ELSE o_orderpriority END AS p
+           FROM orders WHERE o_orderkey <= 600),
+b AS (SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_orderpriority END AS p
+      FROM orders WHERE o_orderkey BETWEEN 300 AND 900)
+SELECT 'intersect' AS op, p, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT p FROM a INTERSECT SELECT p FROM b) GROUP BY p
+UNION ALL
+SELECT 'except', p, CAST(count(*) AS BIGINT) FROM (
+  SELECT p FROM a EXCEPT SELECT p FROM b) GROUP BY p
+ORDER BY op, p NULLS FIRST
+""",
+    doc="Q-SO5: NULL semantics through set operations — INTERSECT/"
+    "EXCEPT treat NULL as EQUAL to NULL (group-style equality, unlike "
+    "the = predicate), so a NULL row intersects and subtracts like a "
+    "value. Both engines agree on this ANSI corner; the row pins it "
+    "because a naive join-based rewrite of set ops (ON a.p = b.p) "
+    "silently drops every NULL — the classic migration bug.",
+    tags=("setop", "null"),
+)
+def qso5_null_set_semantics(spark, sf_dir):
+    orders = tables(spark, sf_dir).orders
+    k = F.col("o_orderkey")
+    a = orders.filter(k <= 600).select(
+        F.when(k % 3 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("p")
+    )
+    b = orders.filter(k.between(300, 900)).select(
+        F.when(k % 5 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("p")
+    )
+    i = (
+        a.intersect(b)
+        .groupBy("p")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.lit("intersect").alias("op"), "p", "n")
+    )
+    x = (
+        a.subtract(b)  # EXCEPT DISTINCT: drop values present in b AT ALL
+        #   (exceptAll-then-distinct would keep values whose a-count
+        #    merely exceeds the b-count — different algebra)
+        .groupBy("p")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.lit("except").alias("op"), "p", "n")
+    )
+    return i.unionByName(x).orderBy("op", F.col("p").asc_nulls_first())

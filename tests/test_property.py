@@ -1249,3 +1249,38 @@ def test_msf_property_family(spark):
         }
         want = _py_kruskal(edges)
         assert got == want, f"trial {trial}: {sorted(got)} != {sorted(want)}"
+
+
+def test_scd2_property_family(spark):
+    """SCD2 invariants on random change streams: per key, intervals
+    tile [first_ts, ∞) without gaps or overlaps, exactly one open
+    version, and valid_from values are exactly the input timestamps."""
+    import random
+
+    from sora_spark.operators.scd import scd2_history
+
+    rng = random.Random(555)
+    for trial in range(4):
+        rows = [
+            (rng.randrange(4), float(t), i, float(rng.randrange(100)))
+            for i, t in enumerate(
+                rng.choices(range(30), k=rng.randrange(4, 25))
+            )
+        ]
+        df = spark.createDataFrame(
+            rows, "k long, ts double, seq long, val double"
+        )
+        hist = scd2_history(df, ["k"], "ts", "seq", ["val"]).collect()
+        by_key: dict = {}
+        for r in hist:
+            by_key.setdefault(r["k"], []).append(r)
+        want_keys = {k for k, *_ in rows}
+        assert set(by_key) == want_keys
+        for k, vs in by_key.items():
+            vs.sort(key=lambda r: (r["valid_from"], not r["is_current"]))
+            opens = [r for r in vs if r["is_current"]]
+            assert len(opens) == 1 and vs[-1]["is_current"]
+            for prev, nxt in zip(vs, vs[1:]):
+                assert prev["valid_to"] == nxt["valid_from"], "gap/overlap"
+            ins = sorted(t for kk, t, _, _ in rows if kk == k)
+            assert sorted(r["valid_from"] for r in vs) == ins
