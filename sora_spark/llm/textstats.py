@@ -412,3 +412,56 @@ def oov_rate(
             F.round(F.avg(oov), 6).alias("oov_rate"),
         )
     )
+
+
+def intradoc_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """C4-style INTRA-document repetition scrubbing: drop every token
+    whose trailing word n-gram already occurred earlier in the SAME
+    document (first n-1 tokens always kept), rebuild the cleaned text
+    → (id, clean_text, n_kept, n_dropped). One posexplode + one
+    per-(doc, gram) first-occurrence window + one ordered
+    re-aggregation — all keyed by doc, so a 100 TB corpus scrubs
+    embarrassingly parallel; qta5 MEASURES repetition, this REMOVES
+    it."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    wo = Window.partitionBy("id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", *[F.lag("w", n - 1 - i).over(wo) for i in range(n)]
+    )
+    g = tok.withColumn("_gram", gram)
+    wg = Window.partitionBy("id", "_gram").orderBy("pos")
+    keep = (F.col("pos") < n - 1) | (F.row_number().over(wg) == 1)
+    kept = g.withColumn("_keep", keep)
+    rebuilt = (
+        kept.filter("_keep")
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").cast("bigint").alias("n_kept"),
+        )
+    )
+    totals = tok.groupBy("id").agg(F.count("*").alias("_n_total"))
+    return rebuilt.join(totals, "id").select(
+        "id",
+        "clean_text",
+        "n_kept",
+        (F.col("_n_total") - F.col("n_kept")).cast("bigint").alias(
+            "n_dropped"
+        ),
+    )

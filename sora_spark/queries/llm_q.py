@@ -1252,3 +1252,41 @@ def qm4_decode_path_gate(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "qta11_intradoc_dedup",
+    oracle="""
+WITH tok AS (SELECT doc_id, i - 1 AS pos, w[CAST(i AS INT)] AS w
+             FROM (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+                  unnest(range(1, len(w) + 1)) AS t(i)),
+g AS (SELECT doc_id, pos, w,
+             lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||
+             lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' || w
+               AS gram
+      FROM tok),
+k AS (SELECT doc_id, pos, w,
+             pos < 2 OR row_number() OVER (PARTITION BY doc_id, gram
+                                           ORDER BY pos) = 1 AS keep
+      FROM g),
+r AS (SELECT doc_id,
+             string_agg(w, ' ' ORDER BY pos) FILTER (WHERE keep)
+               AS clean_text,
+             CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+             CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+      FROM k GROUP BY doc_id)
+SELECT doc_id AS id, clean_text, n_kept, n_dropped
+FROM r ORDER BY id
+""",
+    doc="qta11: intra-document repetition scrubbing "
+    "(textstats.intradoc_dedup) — drop every token whose trailing "
+    "word 3-gram already occurred in the SAME doc, rebuild the text; "
+    "cleaned strings hashed character-for-character. The REMOVAL "
+    "transform behind qta5's repetition measurement (C4-style "
+    "line/ngram hygiene); per-doc keyed, embarrassingly parallel.",
+    tags=("llm", "textstats", "dedup"),
+)
+def qta11_intradoc_dedup(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return textstats.intradoc_dedup(docs).orderBy("id")

@@ -1693,3 +1693,46 @@ def qdiff2_three_way_merge(spark, sf_dir):
     return three_way_merge_classes(
         base, ours, theirs, ["o_orderkey"]
     ).orderBy("o_orderkey")
+
+
+@query(
+    "qcur8_packing_gate",
+    oracle="""
+WITH RECURSIVE d AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+                     FROM documents),
+o AS (SELECT doc_id, n, row_number() OVER (ORDER BY doc_id) AS rn FROM d),
+walk(rn, doc_id, n, fill, bin) AS (
+  SELECT rn, doc_id, n, least(n, 120), 0 FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.doc_id, o.n,
+         CASE WHEN w.fill + least(o.n, 120) > 120
+              THEN least(o.n, 120)
+              ELSE w.fill + least(o.n, 120) END,
+         CASE WHEN w.fill + least(o.n, 120) > 120
+              THEN w.bin + 1 ELSE w.bin END
+  FROM walk w JOIN o ON o.rn = w.rn + 1)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(bin AS BIGINT) AS bin_id
+FROM walk ORDER BY doc_id
+""",
+    doc="qcur8: the sequence-packing GREEDY SEMANTICS under the hash "
+    "gate — llm/curate.pack_documents run single-partition in doc_id "
+    "order (pid 0, so bin ids are the raw greedy sequence) against a "
+    "linear recursive-walk oracle reproducing the exact fill/reset/"
+    "oversize-cap rules (budget 120, ~2 docs per bin at fixture "
+    "lengths). The multi-partition form stays the scale path (greedy "
+    "WITHIN partitions, unit-tested): a global greedy order would "
+    "serialize the corpus — this row certifies the per-worker "
+    "algebra, not a global sort.",
+    tags=("llm", "curation", "packing"),
+)
+def qcur8_packing_gate(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    sized = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    ).coalesce(1)
+    return (
+        curate.pack_documents(
+            sized, token_budget=120, token_col="n_tokens"
+        )
+        .orderBy("doc_id")
+    )
