@@ -1290,3 +1290,60 @@ FROM r ORDER BY id
 def qta11_intradoc_dedup(spark, sf_dir):
     docs = tables(spark, sf_dir).documents
     return textstats.intradoc_dedup(docs).orderBy("id")
+
+
+@query(
+    "qix2_phrase_query",
+    oracle="""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           FROM documents),
+m AS (SELECT doc_id, source,
+             len(list_filter(range(1, len(w)),
+                 i -> w[CAST(i AS INT)] = 'the'
+                  AND w[CAST(i AS INT) + 1] = 'data')) > 0 AS hit
+      FROM t)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN hit THEN 1 END) AS BIGINT) AS n_phrase_docs
+FROM m GROUP BY source ORDER BY source
+""",
+    doc="qix2: PHRASE query through the positional-index shape — docs "
+    "containing the exact bigram 'the data', found by equi-joining "
+    "the token-position relation with itself on (doc, pos+1): the "
+    "query an inverted index with positions (qix1's extension) "
+    "answers WITHOUT rescanning text. 27/500 docs hit at sf0.01 "
+    "(binding). Oracle verifies from the raw token arrays.",
+    tags=("llm", "index", "phrase"),
+)
+def qix2_phrase_query(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    )
+    t1 = tok.filter(F.col("w") == "the").select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    t2 = tok.filter(F.col("w") == "data").select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+    )
+    hits = (
+        t1.join(
+            t2,
+            (F.col("doc_id") == F.col("d2"))
+            & (F.col("p2") == F.col("p1") + 1),
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("_hit").cast("bigint").alias("n_phrase_docs"),
+        )
+        .orderBy("source")
+    )
