@@ -273,3 +273,48 @@ def qj8c_asof_forward_join(spark, sf_dir):
         F.count("asof_value").alias("n_matched"),
         F.round(F.avg("asof_value"), 2).alias("avg_view_value"),
     )
+
+
+@query(
+    "qj10_rank_pair_count",
+    oracle="""
+WITH s AS (SELECT l_returnflag AS f, l_extendedprice AS p
+           FROM lineitem WHERE l_orderkey < 2000)
+SELECT a.f, CAST(count(*) AS BIGINT) AS n_pairs
+FROM s a JOIN s b ON a.f = b.f AND a.p < b.p
+GROUP BY a.f ORDER BY a.f
+""",
+    doc="qj10: inequality-pair counting WITHOUT the theta-join — "
+    "count of (a, b) pairs with price_a < price_b per group computed "
+    "as C(n,2) − Σ_ties C(t,2) from two aggregations (group sizes + "
+    "per-value tie counts), while the ORACLE runs the literal "
+    "quadratic theta-join on a bounded slice. At 100 TB the naive "
+    "form materializes ~n²/2 pairs per group; the order-statistics "
+    "rewrite shuffles group- and value-counts only. The gate proves "
+    "the rewrite EQUIVALENT, ties included.",
+    tags=("join", "rewrite", "order-statistics"),
+)
+def qj10_rank_pair_count(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem.filter(F.col("l_orderkey") < 2000)
+    s = li.select(
+        F.col("l_returnflag").alias("f"), F.col("l_extendedprice").alias("p")
+    )
+    sizes = s.groupBy("f").agg(F.count("*").alias("n"))
+    ties = (
+        s.groupBy("f", "p")
+        .agg(F.count("*").alias("t"))
+        .groupBy("f")
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("tie_pairs"))
+    )
+    return (
+        sizes.join(ties, "f")
+        .select(
+            "f",
+            (
+                F.col("n") * (F.col("n") - 1) / 2 - F.col("tie_pairs")
+            )
+            .cast("bigint")
+            .alias("n_pairs"),
+        )
+        .orderBy("f")
+    )
