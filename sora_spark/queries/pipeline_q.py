@@ -1736,3 +1736,42 @@ def qcur8_packing_gate(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "qev6_cumulative_reach",
+    oracle="""
+WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS d
+           FROM events GROUP BY user_id),
+per_day AS (SELECT d, count(*) AS n_new FROM f GROUP BY d)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(sum(n_new) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_reach
+FROM per_day ORDER BY day
+""",
+    doc="qev6: cumulative reach — running count of DISTINCT users over "
+    "days, computed the scale-correct way: first-appearance day per "
+    "user (one aggregation), new-user counts per day, cumulative sum "
+    "over the DAY-COUNT-sized series. The naive form (running "
+    "count(DISTINCT) over an expanding window) keeps a user-set per "
+    "frame — state linear in users; this shape's window input is "
+    "calendar-sized regardless of user count.",
+    tags=("events", "reach"),
+)
+def qev6_cumulative_reach(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    f = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("d")
+    )
+    per_day = f.groupBy("d").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("n_new").cast("bigint").alias("n_new"),
+            F.sum("n_new").over(w).cast("bigint").alias("cum_reach"),
+        )
+        .orderBy("day")
+    )
