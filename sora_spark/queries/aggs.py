@@ -423,3 +423,34 @@ def qa13_mad(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "qa14_pythagorean_means",
+    oracle="""
+SELECT l_returnflag,
+       round(avg(l_quantity), 6) AS arith,
+       round(exp(avg(ln(l_quantity))), 6) AS geom,
+       round(count(*) / sum(1.0 / l_quantity), 6) AS harm
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    doc="qa14: the three Pythagorean means per group — arithmetic, "
+    "geometric (exp∘avg∘ln — the rate/ratio mean), harmonic (the "
+    "per-unit-cost mean) — as single partial-aggregable expressions "
+    "(quantity is strictly positive in TPC-H, so ln and 1/x are "
+    "total). Completes the mean family qa1/qa12/qa13 started; "
+    "AM >= GM >= HM holds per group by construction.",
+    tags=("agg", "means"),
+)
+def qa14_pythagorean_means(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    q = F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg(q), 6).alias("arith"),
+            F.round(F.exp(F.avg(F.log(q))), 6).alias("geom"),
+            F.round(F.count("*") / F.sum(F.lit(1.0) / q), 6).alias("harm"),
+        )
+        .orderBy("l_returnflag")
+    )
