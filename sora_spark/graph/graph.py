@@ -217,11 +217,25 @@ class Graph:
             F.col("v"), F.col("v").alias("component")
         ).localCheckpoint(eager=True)
 
-        from pyspark.sql.types import NumericType
-
-        numeric_ids = isinstance(
-            labels.schema["component"].dataType, NumericType
+        from pyspark.sql.types import (
+            ByteType,
+            DecimalType,
+            IntegerType,
+            LongType,
+            ShortType,
         )
+
+        # Mass-based convergence (equal decimal sum ⟺ no label changed)
+        # is only sound when the cast to decimal(38,0) is lossless:
+        # integral types only.  Fractional ids (float/double, decimal
+        # with scale>0) would round under the cast, so sub-integer label
+        # movement could leave the rounded mass unchanged and declare a
+        # false fixpoint (ADVICE r06) — those fall back to the exact
+        # comparison join, same as string ids.
+        _ctype = labels.schema["component"].dataType
+        numeric_ids = isinstance(
+            _ctype, (ByteType, ShortType, IntegerType, LongType)
+        ) or (isinstance(_ctype, DecimalType) and _ctype.scale == 0)
 
         def _label_mass(lab):
             # exact decimal sum — labels only DECREASE under min-
@@ -1010,10 +1024,14 @@ class Graph:
                     )
                 if stats is not None:
                     # level is rounded up to the block boundary; the
-                    # true depth is the deepest emitted level + 1
+                    # true depth is the deepest emitted level + 1, and
+                    # 0 for an empty graph (max(level) is NULL then —
+                    # the old `or 0` collapsed that to depth 1,
+                    # ADVICE r06)
+                    deepest = out.agg(F.max("level")).collect()[0][0]
                     stats["depth"] = (
-                        out.agg(F.max("level")).collect()[0][0] or 0
-                    ) + 1 if emitted or out is not None else 0
+                        (deepest + 1) if deepest is not None else 0
+                    )
                 return out
         raise RuntimeError(
             f"topological_levels: depth exceeds max_iter={max_iter}"

@@ -306,15 +306,16 @@ def coverage_depth(
     per_pos = covered.groupBy("doc_id", "pos").agg(
         F.count("*").alias("depth")
     )
-    # positions with zero coverage (tail past the last full window)
-    all_pos = (
-        documents.filter(F.col("n_chars") >= read_len)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.col("n_chars").cast("int"))
-            ).alias("pos"),
-        )
+    # positions with zero coverage: the tail past the last full window
+    # AND every position of documents too short to yield a single read
+    # (n_chars < read_len) — those docs are entirely holes and must
+    # show up as depth-0 mass, not vanish from the histogram
+    # (ADVICE r06).  No n_chars filter here, unlike `covered`.
+    all_pos = documents.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_chars").cast("int"))
+        ).alias("pos"),
     )
     full = all_pos.join(per_pos, ["doc_id", "pos"], "left").select(
         F.coalesce(F.col("depth"), F.lit(0)).alias("depth")

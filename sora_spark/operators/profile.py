@@ -38,13 +38,24 @@ def profile_table(df: DataFrame, round_digits: int = 2) -> DataFrame:
             aggs.append(F.lit(None).cast("double").alias(f"mx_{i}"))
     row = df.agg(*aggs)
     n = len(df.schema.fields)
-    parts = ", ".join(
-        f"'{f_.name}', nn_{i}, nd_{i}, mn_{i}, mx_{i}"
-        for i, f_ in enumerate(df.schema.fields)
-    )
-    return row.selectExpr(
-        f"stack({n}, {parts}) AS (column, n_nulls, n_distinct, "
-        "min_num, max_num)"
+    # typed-expression unpivot — column names enter as F.lit values,
+    # never interpolated into a SQL string, so a name containing a
+    # quote/comma/backtick cannot malform the expression (ADVICE r06)
+    args: list = []
+    for i, f_ in enumerate(df.schema.fields):
+        args.extend(
+            [
+                F.lit(f_.name),
+                F.col(f"nn_{i}"),
+                F.col(f"nd_{i}"),
+                F.col(f"mn_{i}"),
+                F.col(f"mx_{i}"),
+            ]
+        )
+    return row.select(
+        F.stack(F.lit(n), *args).alias(
+            "column", "n_nulls", "n_distinct", "min_num", "max_num"
+        )
     )
 
 

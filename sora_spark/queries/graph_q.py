@@ -1193,7 +1193,8 @@ wins AS (SELECT doc_id, n_chars,
 cov AS (SELECT doc_id, unnest(range(i*20 + 1, i*20 + 41)) AS pos FROM wins),
 per_pos AS (SELECT doc_id, pos, count(*) AS depth FROM cov
             GROUP BY doc_id, pos),
-all_pos AS (SELECT doc_id, unnest(range(1, n_chars + 1)) AS pos FROM docs),
+all_pos AS (SELECT doc_id, unnest(range(1, n_chars + 1)) AS pos
+            FROM documents),
 full_cov AS (SELECT COALESCE(p.depth, 0) AS depth
              FROM all_pos a LEFT JOIN per_pos p
                ON a.doc_id = p.doc_id AND a.pos = p.pos)
@@ -1206,7 +1207,9 @@ FROM full_cov GROUP BY depth ORDER BY depth
     "coverage_depth) — the assembler's QC track: depth-0 rows are "
     "holes past the last full window, spikes are over-sampling. "
     "Read×position explode with map-side combine; histogram-sized "
-    "output. Zero-coverage tail positions counted, not clipped.",
+    "output. Zero-coverage tail positions counted, not clipped; "
+    "docs shorter than read_len contribute all-depth-0 positions "
+    "(ADVICE r06 — previously excluded entirely).",
     tags=("graph", "assembly", "coverage"),
 )
 def qg29_coverage_depth(spark, sf_dir):
@@ -1335,12 +1338,90 @@ def qg31_scaffold_links(spark, sf_dir):
     )
 
 
+def _msf_oracle_sql(rounds: int = 10) -> str:
+    """Unrolled-Borůvka DuckDB oracle for qg33 (VERDICT r06 item 3 —
+    promotes MSF from rows-tier to the full hash tier).
+
+    Soundness: `e_co_small` bounds partkeys < 500, so the graph has
+    ≤ 499 vertices at ANY scale factor, and Borůvka at least halves
+    the component count per round ⇒ ceil(log2(499)) = 9 rounds always
+    converge; we unroll 10 (extra rounds are provable no-ops: once a
+    component has no outgoing edge it picks nothing and keeps its
+    label). Edge ranks are row_number() over the (w, s, d) total
+    order — the same tie-break the Spark Borůvka uses — so the MSF is
+    unique and the two engines select identical edges. Each round:
+    component-labelled edges → per-component min-rank pick →
+    qg4-style recursive-closure contraction of the picked-edge
+    component graph (second-order small: ≤ #components vertices).
+    The summary row (n_edges, total_weight, n_trees) is additionally
+    tie-invariant (all MSFs share the weight multiset), so the gate
+    is robust even to tie-break drift.
+    """
+    # AS MATERIALIZED on the multiply-referenced bases: DuckDB inlines
+    # plain CTEs at every reference, so 10 rounds × edges0 would
+    # re-open the lineitem parquet dozens of times (EMFILE) and blow
+    # up the plan
+    parts = [
+        f"eco AS MATERIALIZED ({E_CO_SMALL_SQL})",
+        "edges0 AS MATERIALIZED (SELECT s, d,"
+        " CAST(1 + (s + d) % 3 AS DOUBLE) AS w,"
+        " row_number() OVER (ORDER BY 1 + (s + d) % 3, s, d) AS rk"
+        " FROM eco)",
+        "verts AS MATERIALIZED (SELECT DISTINCT v FROM"
+        " (SELECT s AS v FROM eco UNION SELECT d AS v FROM eco))",
+        "comp0 AS (SELECT v, v AS c FROM verts)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.extend(
+            [
+                f"lab{r} AS MATERIALIZED (SELECT e.rk, ca.c AS cs,"
+                f" cb.c AS cd FROM edges0 e"
+                f" JOIN comp{p} ca ON ca.v = e.s"
+                f" JOIN comp{p} cb ON cb.v = e.d"
+                f" WHERE ca.c <> cb.c)",
+                f"cand{r} AS (SELECT cs AS c, rk FROM lab{r}"
+                f" UNION ALL SELECT cd AS c, rk FROM lab{r})",
+                f"pick{r} AS MATERIALIZED (SELECT DISTINCT min(rk) AS rk"
+                f" FROM cand{r} GROUP BY c)",
+                f"me{r} AS MATERIALIZED (SELECT DISTINCT l.cs AS x,"
+                f" l.cd AS y"
+                f" FROM lab{r} l JOIN pick{r} p ON p.rk = l.rk)",
+                f"mesym{r} AS (SELECT x, y FROM me{r}"
+                f" UNION SELECT y AS x, x AS y FROM me{r})",
+                f"mreach{r}(x, rt) AS ("
+                f" SELECT c, c FROM (SELECT DISTINCT c FROM comp{p}) b"
+                f" UNION SELECT m.y, mreach{r}.rt"
+                f" FROM mreach{r} JOIN mesym{r} m ON m.x = mreach{r}.x)",
+                f"mlab{r} AS (SELECT x AS c, min(rt) AS nc"
+                f" FROM mreach{r} GROUP BY x)",
+                f"comp{r} AS MATERIALIZED (SELECT cp.v, ml.nc AS c"
+                f" FROM comp{p} cp"
+                f" JOIN mlab{r} ml ON ml.c = cp.c)",
+            ]
+        )
+    all_picks = " UNION ALL ".join(
+        f"SELECT rk FROM pick{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(f"msf AS (SELECT DISTINCT rk FROM ({all_picks}) u)")
+    return (
+        "WITH RECURSIVE\n"
+        + ",\n".join(parts)
+        + "\nSELECT CAST(count(*) AS BIGINT) AS n_edges,"
+        " ROUND(SUM(e.w), 2) AS total_weight,"
+        " CAST((SELECT count(*) FROM verts) - count(*) AS BIGINT)"
+        " AS n_trees"
+        " FROM edges0 e JOIN msf m ON m.rk = e.rk"
+    )
+
+
 @query(
     "qg33_minimum_spanning_forest",
-    oracle=None,  # iterative Borůvka — rows-tier like qg12; the
-    # (w, s, d)-order MSF is hash-certified against a pure-Python
-    # Kruskal on randomized graphs in test_property.py::
-    # test_msf_property_family (duplicate weights included)
+    oracle=_msf_oracle_sql(),  # unrolled Borůvka (hash tier since r07;
+    # rows-tier before).  The (w, s, d)-order MSF is additionally
+    # hash-certified against a pure-Python Kruskal on randomized
+    # graphs in test_property.py::test_msf_property_family
+    # (duplicate weights included)
     doc="qg33: minimum spanning forest of the weighted bounded "
     "co-occurrence graph (Graph.minimum_spanning_forest, Borůvka "
     "rounds — per round every component takes its (w, s, d)-minimal "

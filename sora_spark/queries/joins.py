@@ -299,19 +299,28 @@ def qj10_rank_pair_count(spark, sf_dir):
     s = li.select(
         F.col("l_returnflag").alias("f"), F.col("l_extendedprice").alias("p")
     )
+    # pair counts computed in decimal — t*(t-1) is always even so the
+    # integral DIV is exact, and decimal(38,0) keeps exactness past the
+    # ~2^53 point where a double intermediate silently rounds (ADVICE
+    # r06).  No float appears anywhere in the arithmetic.
     sizes = s.groupBy("f").agg(F.count("*").alias("n"))
     ties = (
         s.groupBy("f", "p")
         .agg(F.count("*").alias("t"))
         .groupBy("f")
-        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("tie_pairs"))
+        .agg(
+            F.sum(
+                F.expr("CAST(t AS DECIMAL(38,0)) * (t - 1) DIV 2")
+            ).alias("tie_pairs")
+        )
     )
     return (
         sizes.join(ties, "f")
         .select(
             "f",
             (
-                F.col("n") * (F.col("n") - 1) / 2 - F.col("tie_pairs")
+                F.expr("CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2")
+                - F.col("tie_pairs")
             )
             .cast("bigint")
             .alias("n_pairs"),
