@@ -38,6 +38,13 @@ BENCH_QUERIES = {
     # tip trim to fixpoint) on the FULL co-occurrence graph — the
     # engine's hardest path; per-round edge counts ride in the result row.
     "q10": "qg12_reduce_pipeline",
+    # B11: the full read-assembly pipeline (reads → overlap join →
+    # reduce/tips/bubbles fixpoints → unitig compaction) — the engine's
+    # signature operator on its native input shape. Budget derived the
+    # B10 way from a stock-PySpark twin (benchmarks/stock_twin_b11.py,
+    # output-identical, measured 2026-08-14: warm 15.97 s ⇒ budget
+    # 31.9 s; engine ~8.2 s same-day).
+    "q11": "qg20_read_assembly",
 }
 
 

@@ -113,7 +113,18 @@ def replicate_edges(edges: DataFrame, factor: int) -> DataFrame:
     structure — component counts, reduction fixpoints, and round counts
     of the original are exactly known multiples, which is what makes the
     blown-up graph usable as a correctness oracle at sizes no DuckDB
-    recursive CTE could check."""
+    recursive CTE could check.
+
+    Weight-aware (r07, VERDICT r06 item 7): every column other than
+    s/d (weights, labels, ...) is carried through UNCHANGED, so each
+    replica keeps the base graph's real weight distribution. Weighted
+    invariants then replicate exactly — the (w, s, d)-order MSF of the
+    blown-up graph is `factor` disjoint shifted copies of the base
+    forest (a constant id shift preserves the within-replica tie-break
+    order), total weight factor·W, SSSP distances per replica
+    identical. Before this, weights re-derived from shifted ids were
+    a DIFFERENT distribution per replica and weighted stress evidence
+    was round-count only."""
     stride = (
         edges.select(
             (F.greatest(F.max("s"), F.max("d")) + 1).alias("m")
@@ -129,7 +140,9 @@ def replicate_edges(edges: DataFrame, factor: int) -> DataFrame:
     reps = edges.sparkSession.range(factor).select(
         (F.col("id") * stride).alias("_shift")
     )
+    extra = [c for c in edges.columns if c not in ("s", "d")]
     return edges.crossJoin(reps).select(
         (F.col("s") + F.col("_shift")).alias("s"),
         (F.col("d") + F.col("_shift")).alias("d"),
+        *extra,
     )

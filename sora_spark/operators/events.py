@@ -70,12 +70,21 @@ def retention(
     events: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    cohort_events: DataFrame | None = None,
 ) -> DataFrame:
     """→ (cohort_day, day_offset, n_users): distinct users from each
-    first-seen-day cohort active again `day_offset` days later."""
+    cohort active again `day_offset` days later (pre-cohort activity,
+    day_offset < 0, is dropped — classic triangle semantics).
+
+    `cohort_events` (default: `events` itself) defines the cohort: a
+    user's cohort day is their first appearance in THAT stream, while
+    activity still counts every event — the acquisition-cohort shape
+    ("first purchase" cohorts vs all-activity retention). Only users
+    present in the cohort stream appear."""
     day = F.date_trunc("day", F.col(ts_col))
+    src = events if cohort_events is None else cohort_events
     firsts = (
-        events.select(F.col(user_col).alias("_u"), day.alias("_d"))
+        src.select(F.col(user_col).alias("_u"), day.alias("_d"))
         .groupBy("_u")
         .agg(F.min("_d").alias("_cohort"))
     )
@@ -84,6 +93,7 @@ def retention(
     ).distinct()
     return (
         activity.join(firsts, "_u")
+        .filter(F.datediff(F.col("_day"), F.col("_cohort")) >= 0)
         .groupBy(
             F.col("_cohort").alias("cohort_day"),
             F.datediff(F.col("_day"), F.col("_cohort")).alias("day_offset"),

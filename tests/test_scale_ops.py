@@ -238,3 +238,81 @@ def test_replicated_topo_and_lpa_invariance(spark, sf_dir):
         .collect()
     )
     assert sizes == sorted(sizes_b * factor)
+
+
+def test_replicated_weighted_msf_and_sssp_stress(spark, sf_dir):
+    """Weight-aware replicate_edges stress (VERDICT r06 item 7): the
+    weight column rides through replication UNCHANGED, so weighted
+    invariants replicate exactly instead of each replica getting a
+    different id-derived weight distribution.
+
+    - MSF: the (w, s, d)-order forest of `factor` disjoint replicas is
+      `factor` shifted copies of the base forest (a constant id shift
+      preserves the within-replica tie-break order): edge count and
+      total weight scale exactly, Borůvka round count stays FLAT
+      (replicas contract in parallel).
+    - SSSP: with one source per replica (base source + shift), every
+      replica's distance map equals the base graph's after un-shifting
+      — real weights, not unit hops, exercised at 12x volume.
+    """
+    from sora_spark.graph.derive import e_co_small, replicate_edges
+    from sora_spark.graph.graph import Graph
+
+    factor = 12
+    base = (
+        e_co_small(tables(spark, sf_dir).lineitem)
+        .withColumn("w", (1 + (F.col("s") + F.col("d")) % 3).cast("double"))
+        .localCheckpoint(eager=True)
+    )
+    stride = base.select(
+        (F.greatest(F.max("s"), F.max("d")) + 1).alias("m")
+    ).first()["m"]
+    big = replicate_edges(base, factor).localCheckpoint(eager=True)
+
+    # weights preserved: per-replica weight multiset == base multiset
+    wb = sorted(r["w"] for r in base.select("w").collect())
+    w0 = sorted(
+        r["w"] for r in big.filter(F.col("s") < stride).select("w").collect()
+    )
+    assert w0 == wb, "replica 0 must carry the base weight distribution"
+
+    sb, s = {}, {}
+    msf_b = Graph(base).minimum_spanning_forest(stats=sb)
+    msf = Graph(big).minimum_spanning_forest(stats=s)
+    n_b, w_sum_b = msf_b.agg(
+        F.count("*").alias("n"), F.sum("w").alias("tw")
+    ).first()
+    n, w_sum = msf.agg(
+        F.count("*").alias("n"), F.sum("w").alias("tw")
+    ).first()
+    assert n == factor * n_b
+    assert abs(w_sum - factor * w_sum_b) < 1e-6
+    assert s["rounds"] == sb["rounds"], "Borůvka rounds must stay flat"
+    # the big forest IS factor shifted copies of the base forest
+    fb = sorted(map(tuple, msf_b.select("s", "d", "w").collect()))
+    f0 = sorted(
+        map(
+            tuple,
+            msf.filter(F.col("s") < stride).select("s", "d", "w").collect(),
+        )
+    )
+    assert f0 == fb
+
+    # SSSP with one source per replica: distances replicate exactly
+    src_b = base.agg(F.min("s").alias("v"))
+    min_s = src_b.first()["v"]
+    srcs = spark.range(factor).select(
+        (F.lit(min_s) + F.col("id") * stride).alias("v")
+    )
+    dist_b = {
+        r["v"]: r["dist"]
+        for r in Graph(base)
+        .shortest_paths(src_b, weight_col="w", max_iter=15)
+        .collect()
+    }
+    got = Graph(big).shortest_paths(srcs, weight_col="w", max_iter=15)
+    rows = got.collect()
+    assert len(rows) == factor * len(dist_b)
+    for r in rows:
+        rep = r["v"] // stride
+        assert dist_b[r["v"] - rep * stride] == r["dist"]

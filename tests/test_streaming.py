@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import uuid
 
+import pytest
 from pyspark.sql import functions as F
 
 from sora_spark.queries.registry import REGISTRY
@@ -456,6 +457,67 @@ def test_session_window_on_rocksdb_state_store(spark, sf_dir):
         assert sessions.count() == want["n_sessions"]
         assert sessions.agg(F.max("n_events")).collect()[0][0] \
             == want["max_session_events"]
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_tws_env_gap_is_loud(spark, sf_dir):
+    """VERDICT r06 item 4: the transformWithStateInPandas path must be
+    demonstrably RUNNING wherever it can run, and its absence must be
+    a pinned, visible marker — never a silent fallback.
+
+    - protobuf importable → the REAL TWS processor (ValueState via
+      StatefulProcessor, no facade fallback) must execute end-to-end
+      and match the batch oracle. Any failure here (worker protocol
+      broken, provider misconfigured) FAILS the suite — it cannot
+      hide behind the state-tuple twin.
+    - protobuf not importable → assert the package is genuinely absent
+      (no half-installed distribution lying around that `import
+      google.protobuf` trips over — that state would mean TWS is one
+      env fix away and MUST fail, not skip), then skip with the pinned
+      env-gap reason that COVERAGE.md points at per round.
+    """
+    import importlib.metadata
+    import importlib.util
+
+    from sora_spark.sources.parquet import read_table
+    from sora_spark.streaming import stateful
+
+    if not stateful.has_tws_support():
+        dist = None
+        try:
+            dist = importlib.metadata.distribution("protobuf")
+        except importlib.metadata.PackageNotFoundError:
+            pass
+        assert dist is None and importlib.util.find_spec("google") is None, (
+            "a protobuf distribution exists but google.protobuf does not "
+            "import — TWS is one env fix away; fix the install instead of "
+            "falling back to the state-tuple twin"
+        )
+        pytest.skip(
+            "ENV GAP (pinned): google.protobuf absent and not installed in "
+            "this container, so Spark 4's transformWithStateInPandas "
+            "worker protocol cannot run; qst1/qst3 execute the "
+            "applyInPandasWithState state-tuple twin instead "
+            "(COVERAGE.md 'honest next-round pointers')"
+        )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        d = replay.materialize_replay_dir(spark, sf_dir, "tws_loud", n_files=3)
+        spark.conf.set(key, stateful.ROCKSDB_PROVIDER)
+        # the REAL TWS variant, not the auto facade — no fallback possible
+        stream = stateful.running_user_counts_tws(
+            replay.events_stream(spark, d)
+        )
+        got = replay.run_to_memory(stream, _qname(), "update")
+        final = got.groupBy("user_id").agg(F.max("n_events").alias("n"))
+        total = final.agg(F.sum("n")).collect()[0][0]
+        assert total == read_table(spark, sf_dir, "events").count()
     finally:
         if prev is None:
             spark.conf.unset(key)
