@@ -700,6 +700,77 @@ class Graph:
             " raise max_iter (a partial peel is NOT a k-core)"
         )
 
+    def k_truss(
+        self, k: int = 5, max_iter: int = 30, stats: dict | None = None
+    ) -> DataFrame:
+        """Edges of the k-truss (maximal subgraph where every edge is
+        supported by ≥ k−2 triangles WITHIN the subgraph, undirected)
+        → (s, d, support), canonical s < d. The edge-density analog of
+        k-core: cores bound degree, trusses bound cohesion — the
+        standard community-detection tightening.
+
+        Iterative support peeling: per round, enumerate canonical
+        a<b<c triangles on the surviving edge set (the same two-join
+        wedge shape as triangle_count — candidate wedges bounded by
+        per-vertex degree), charge each triangle to its three edges,
+        drop edges with support < k−2, repeat to fixpoint. Change-set-
+        first convergence like k_core: the drop set is materialized
+        first and the round's anti-join + checkpoint are skipped when
+        it is empty. Rounds are bounded by peeling depth (measured:
+        ≤ 7 at sf0.001–0.1 for k=5 on the bounded co-occurrence
+        graph). `stats` records {"rounds": k}."""
+        e = (
+            self.edges.select(
+                F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rounds = 0
+
+        def _support(cur):
+            e1, e2, e3 = cur.alias("e1"), cur.alias("e2"), cur.alias("e3")
+            tri = (
+                e1.join(e2, F.col("e1.d") == F.col("e2.s"))
+                .join(
+                    e3,
+                    (F.col("e1.s") == F.col("e3.s"))
+                    & (F.col("e2.d") == F.col("e3.d")),
+                )
+                .select(
+                    F.col("e1.s").alias("a"),
+                    F.col("e1.d").alias("b"),
+                    F.col("e2.d").alias("c"),
+                )
+            )
+            per_edge = (
+                tri.select(F.col("a").alias("s"), F.col("b").alias("d"))
+                .union(tri.select(F.col("b").alias("s"), F.col("c").alias("d")))
+                .union(tri.select(F.col("a").alias("s"), F.col("c").alias("d")))
+            )
+            return per_edge.groupBy("s", "d").agg(
+                F.count("*").alias("support")
+            )
+
+        for _ in range(max_iter):
+            sup = _support(e)
+            scored = e.join(sup, ["s", "d"], "left").select(
+                "s", "d", F.coalesce("support", F.lit(0)).alias("support")
+            ).localCheckpoint(eager=True)
+            rounds += 1
+            drop = scored.filter(F.col("support") < k - 2)
+            if drop.isEmpty():
+                if stats is not None:
+                    stats["rounds"] = rounds
+                return scored
+            e = scored.filter(F.col("support") >= k - 2).select(
+                "s", "d"
+            ).localCheckpoint(eager=True)
+        raise RuntimeError(
+            f"k_truss: still peeling after max_iter={max_iter} rounds —"
+            " raise max_iter (a partial peel is NOT a k-truss)"
+        )
+
     def pagerank(
         self,
         n_iter: int = 10,

@@ -265,6 +265,56 @@ def jaccard_over_pairs(
     )
 
 
+def containment_over_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment for candidate (a, b) pairs →
+    (a, b, cont_a_in_b, cont_b_in_a) with cont_a_in_b = |A∩B| / |A|
+    over DISTINCT word shingles.
+
+    Jaccard misses sub-document duplication — a paragraph pasted into
+    a much longer page scores near 0 Jaccard but ~1.0 containment on
+    the short side, which is exactly the LLM-curation case (quoted
+    boilerplate, scraped mirrors with chrome). Same bucket-bounded
+    regime as jaccard_over_pairs: shingle sets are joined ONLY for
+    candidate docs, with shingle equality inside the composite
+    equi-join key."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    shb = sh.select(F.col("id").alias("b2"), F.col("sh").alias("sh2"))
+    inter = (
+        pairs.join(sh.select(F.col("id").alias("a"), "sh"), "a")
+        .join(
+            shb,
+            (F.col("b") == F.col("b2")) & (F.col("sh") == F.col("sh2")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("n_inter") / F.col("na")).alias("cont_a_in_b"),
+            (F.col("n_inter") / F.col("nb")).alias("cont_b_in_a"),
+        )
+    )
+
+
 def near_dup_clusters(
     df: DataFrame,
     num_perm: int = 8,

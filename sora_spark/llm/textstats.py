@@ -465,3 +465,89 @@ def intradoc_dedup(
             "n_dropped"
         ),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 document ranking for a fixed query → (doc_id, score), the
+    `top_k` best documents (score desc, id tiebreak) — the classic
+    retrieval scorer over the inverted-index shape (qix1).
+
+    score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Lucene form —
+    always positive, so hyper-frequent terms dampen instead of flip).
+
+    Scale shape — ONE corpus pass: a query is a SMALL fixed term set,
+    so per-term tf counters pivot into the same per-doc aggregation
+    that computes dl (one counter column per query term, map-side
+    combined). Everything downstream — df per term, the corpus
+    constants (N, avgdl), the per-doc scores — derives from that
+    doc-count-sized table, never rescanning the corpus (the first cut
+    of this operator scanned + exploded the corpus FOUR times: dl,
+    tf, and their two re-aggregations; .explain showed no exchange
+    reuse because the four subtrees differ — round-7 plan review).
+    df and consts are broadcast 1-row/term-count-sized joins.
+    Per-term contributions are rounded to 6 decimals BEFORE the
+    per-doc sum so cross-engine float drift cannot reorder the top-k
+    boundary."""
+    terms = list(query_terms)
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    # one pass: dl + one tf counter per query term
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == t, True)).alias(f"_tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).localCheckpoint(eager=True)  # doc-count-sized; cuts the corpus
+    # scan out of every downstream derivation
+    consts = per_doc.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = per_doc.agg(
+        *[
+            F.count(F.when(F.col(f"_tf_{i}") > 0, True)).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ]
+    )
+    # unpivot the counters to (doc_id, dl, term-index, tf), drop tf=0
+    stack_args: list = []
+    for i in range(len(terms)):
+        stack_args.extend([F.lit(i), F.col(f"_tf_{i}")])
+    long = (
+        per_doc.select(
+            "doc_id",
+            "dl",
+            F.stack(F.lit(len(terms)), *stack_args).alias("ti", "tf"),
+        )
+        .filter(F.col("tf") > 0)
+        .crossJoin(F.broadcast(consts))
+        .crossJoin(F.broadcast(dfreq))
+    )
+    df_col = F.element_at(
+        F.array(*[F.col(f"_df_{i}") for i in range(len(terms))]),
+        F.col("ti") + 1,
+    )
+    idf = F.log(
+        (F.col("n_docs") - df_col + 0.5) / (df_col + 0.5) + 1.0
+    )
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.round(idf * norm, 6)
+    return (
+        long.groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(top_k)
+    )

@@ -59,3 +59,50 @@ def interval_join(
     # is therefore distinct ROW-VALUE pairs: bytewise-identical input
     # rows collapse; carry a unique id column when row identity matters.
     return lb.join(rb, on).filter(overlap).drop("_bin").dropDuplicates()
+
+
+def interval_union(
+    df,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+):
+    """Merged-interval coverage per key → (key, n_islands,
+    covered_len): overlapping/adjacent [start, end) intervals are
+    merged ("islands"), then counted and their total covered length
+    summed — the classic genomics/observability union op (covered
+    bases per chromosome, total uptime per service).
+
+    One pass, windowed sweep — the only shape that scales: intervals
+    are sorted per key (ONE shuffle on the key), a running max of
+    prior ends marks island starts (start > max of all previous ends),
+    a cumulative sum of those markers assigns island ids, and a
+    per-island min/max aggregation (same key prefix — no extra
+    shuffle) yields the merged spans. Never materializes pairwise
+    overlaps, so a key with n intervals costs n log n locally instead
+    of the n² an overlap self-join would."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prior_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prior_max_end.isNull() | (F.col(start_col) > prior_max_end), 1
+    ).otherwise(0)
+    marked = df.select(
+        key_col,
+        start_col,
+        end_col,
+        F.sum(new_island)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_island"),
+    )
+    islands = marked.groupBy(key_col, "_island").agg(
+        F.min(start_col).alias("_s"), F.max(end_col).alias("_e")
+    )
+    return islands.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum(F.col("_e") - F.col("_s")).cast("bigint").alias("covered_len"),
+    )

@@ -454,3 +454,50 @@ def qa14_pythagorean_means(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "qa15_mode",
+    oracle="""
+WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
+           FROM lineitem GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY n DESC, l_quantity) AS rn
+      FROM c)
+SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS mode_quantity,
+       CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1 ORDER BY l_returnflag
+""",
+    doc="qa15: deterministic MODE per group — the most frequent "
+    "l_quantity per l_returnflag, ties broken by value order. "
+    "Deliberately NOT Spark's mode() aggregate: its tie choice is "
+    "partition-order-dependent (non-deterministic under shuffle), so "
+    "the engine computes mode as a (count, value)-ordered arg-max "
+    "over the group-count relation — two groupBys sharing the group "
+    "key prefix (one shuffle + an AQE-coalesced window), identical "
+    "answer on any cluster layout. The determinism trap mirrors "
+    "SURVEY trap 3 (first/any_value).",
+    tags=("agg", "mode"),
+)
+def qa15_mode(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    li = tables(spark, sf_dir).lineitem
+    c = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("n")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("l_returnflag").orderBy(
+            F.desc("n"), "l_quantity"
+        )
+    )
+    return (
+        c.withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("bigint").alias("mode_quantity"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1347,3 +1347,152 @@ def qix2_phrase_query(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "qix3_bm25",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+consts AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'vector', 'window')
+       GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         round(ln(((c.n_docs - f.df + 0.5) / (f.df + 0.5)) + 1.0)
+               * ((t.tf * 2.2)
+                  / (t.tf + 1.2 * (0.25 + (0.75 * d.dl) / c.avgdl))),
+               6) AS contrib
+  FROM tf t JOIN dl d USING (doc_id)
+  CROSS JOIN consts c JOIN dfreq f USING (term))
+SELECT doc_id, round(sum(contrib), 6) AS score
+FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+""",
+    doc="qix3: BM25 ranking (llm/textstats.py bm25_topk) — top-20 "
+    "documents for the fixed query {spark, vector, window} under the "
+    "Lucene idf form (always positive). Builds on the inverted-index "
+    "shape (qix1): the query-term IN filter cuts the term stream "
+    "BEFORE the (doc, term) tf aggregation; df and the corpus "
+    "constants (N, avgdl) are broadcast; nothing after the filter "
+    "exceeds |matching docs| rows. Per-term contributions are rounded "
+    "to 6dp before the per-doc sum in BOTH engines so float drift "
+    "cannot reorder the top-k boundary (same discipline as ql6).",
+    tags=("llm", "text", "index", "ranking"),
+)
+def qix3_bm25(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return textstats.bm25_topk(docs, ["spark", "vector", "window"])
+
+
+@query(
+    "qd8_containment",
+    oracle=f"""
+WITH {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id),
+inter AS (SELECT p.a, p.b, count(*) AS ni
+          FROM cand p
+          JOIN shingle sa ON sa.doc_id = p.a
+          JOIN shingle sb ON sb.doc_id = p.b AND sa.sh = sb.sh
+          GROUP BY 1, 2)
+SELECT p.a AS a, p.b AS b,
+       round(coalesce(i.ni, 0) * 1.0 / na.n, 5) AS cont_a_in_b,
+       round(coalesce(i.ni, 0) * 1.0 / nb.n, 5) AS cont_b_in_a
+FROM cand p
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+JOIN sizes na ON na.doc_id = p.a
+JOIN sizes nb ON nb.doc_id = p.b
+ORDER BY p.a, p.b LIMIT 100
+""",
+    doc="qd8: asymmetric shingle CONTAINMENT over the MinHash "
+    "candidate pairs (llm/dedup.py containment_over_pairs) — "
+    "cont_a_in_b = |A∩B|/|A| on distinct word 3-grams. Jaccard (qd2) "
+    "misses sub-document duplication: a paragraph pasted into a much "
+    "longer page scores ~0 Jaccard but ~1.0 containment on the short "
+    "side — the quoted-boilerplate / scraped-mirror case an LLM "
+    "curation pipeline must catch. Same bucket-bounded regime as qd2: "
+    "shingle sets joined only for candidate docs, shingle equality "
+    "inside the composite equi-join key.",
+    tags=("llm", "dedup"),
+)
+def qd8_containment(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    pairs = _minhash_pairs(docs)
+    c = dedup.containment_over_pairs(pairs, docs, shingle_n=3)
+    return (
+        c.select(
+            "a",
+            "b",
+            F.round("cont_a_in_b", 5).alias("cont_a_in_b"),
+            F.round("cont_b_in_a", 5).alias("cont_b_in_a"),
+        )
+        .orderBy("a", "b")
+        .limit(100)
+    )
+
+
+@query(
+    "qta12_lexical_profile",
+    oracle="""
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+feat AS (SELECT source, term, length(term) AS wl,
+                len(list_filter(string_split_regex(term, '[^aeiou]+'),
+                                x -> x <> '')) AS syl
+         FROM tok)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(wl) * 1.0 / count(*), 5) AS avg_word_len,
+       round(sum(syl) * 1.0 / count(*), 5) AS avg_syllables,
+       round(sum(CASE WHEN wl > 6 THEN 1 ELSE 0 END) * 1.0 / count(*), 5)
+         AS long_word_ratio,
+       round(count(DISTINCT term) * 1.0 / count(*), 5) AS type_token_ratio
+FROM feat GROUP BY source ORDER BY source
+""",
+    doc="qta12: lexical-complexity profile per source — token count, "
+    "mean word length, mean syllables per word (maximal vowel runs — "
+    "the classic readability proxy, RE2-portable '[^aeiou]+' split), "
+    "long-word ratio (>6 chars) and type-token ratio. The "
+    "quality-scoring companion to qta2: sentence-based readability "
+    "indices (Flesch) are degenerate on this corpus (no sentence "
+    "punctuation), so the profile sticks to word-level signals that "
+    "DISCRIMINATE here. Wordcount-shaped: one map-side explode + one "
+    "groupBy on source; every ratio is a quotient of exact integer "
+    "aggregates, so cross-engine float drift is impossible before "
+    "the final rounding.",
+    tags=("llm", "text", "quality"),
+)
+def qta12_lexical_profile(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    syl = F.size(
+        F.filter(
+            F.split(F.col("term"), "[^aeiou]+"), lambda x: x != ""
+        )
+    )
+    feat = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).select(
+        "source",
+        "term",
+        F.length("term").alias("wl"),
+        syl.alias("syl"),
+    )
+    return (
+        feat.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("wl") / F.count("*"), 5).alias("avg_word_len"),
+            F.round(F.sum("syl") / F.count("*"), 5).alias("avg_syllables"),
+            F.round(
+                F.sum(F.when(F.col("wl") > 6, 1).otherwise(0))
+                / F.count("*"),
+                5,
+            ).alias("long_word_ratio"),
+            F.round(F.count_distinct("term") / F.count("*"), 5).alias(
+                "type_token_ratio"
+            ),
+        )
+        .orderBy("source")
+    )

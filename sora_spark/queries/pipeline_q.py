@@ -1791,3 +1791,106 @@ def qev6_cumulative_reach(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "qts4_dow_profile",
+    oracle="""
+WITH e AS (SELECT isodow(ts) AS dow, date_trunc('day', ts) AS day, value
+           FROM events)
+SELECT CAST(dow AS INT) AS dow,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+       round(count(*) * 1.0 / count(DISTINCT day), 4) AS events_per_day,
+       round(avg(value), 4) AS avg_value
+FROM e GROUP BY dow ORDER BY dow
+""",
+    doc="qts4: day-of-week seasonality profile of the event stream — "
+    "per ISO weekday (1=Mon..7=Sun): event count, distinct active "
+    "days, normalized events/day (the seasonal index a capacity "
+    "planner reads) and mean value. The calendar-profile companion "
+    "to qts1/qts2: one map-side weekday derivation + one 7-group "
+    "aggregation with map-side combine — output is calendar-sized "
+    "regardless of event volume, the correct 100 TB shape. "
+    "events_per_day is a quotient of exact integer counts; avg_value "
+    "is rounded at 4dp (sum error ~1e-12 at this magnitude).",
+    tags=("events", "timeseries", "seasonality"),
+)
+def qts4_dow_profile(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    e = ev.select(
+        (F.weekday("ts") + 1).alias("dow"),
+        F.date_trunc("day", "ts").alias("day"),
+        "value",
+    )
+    return (
+        e.groupBy("dow")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count_distinct("day").cast("bigint").alias("n_days"),
+            F.round(F.count("*") / F.count_distinct("day"), 4).alias(
+                "events_per_day"
+            ),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(F.col("dow").cast("int").alias("dow"), "n_events",
+                "n_days", "events_per_day", "avg_value")
+        .orderBy("dow")
+    )
+
+
+@query(
+    "qiv2_interval_union",
+    oracle="""
+WITH iv AS (SELECT o_custkey AS k,
+                   CAST(date_diff('day', DATE '2024-01-01',
+                                  CAST(o_orderdate AS DATE)) AS BIGINT)
+                     AS s0
+            FROM orders),
+iv2 AS (SELECT k, s0 AS s, s0 + 7 AS e FROM iv),
+m AS (SELECT k, s, e,
+             max(e) OVER (PARTITION BY k ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pme
+      FROM iv2),
+mk AS (SELECT k, s, e,
+              CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni
+       FROM m),
+isl AS (SELECT k, s, e,
+               sum(ni) OVER (PARTITION BY k ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+        FROM mk),
+sp AS (SELECT k, island, min(s) AS ms, max(e) AS me
+       FROM isl GROUP BY k, island)
+SELECT k AS o_custkey,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(me - ms) AS BIGINT) AS covered_len
+FROM sp GROUP BY k ORDER BY o_custkey
+""",
+    doc="qiv2: merged-interval coverage (operators/interval.py "
+    "interval_union) — each order opens a 7-day [start, end) activity "
+    "window per customer; overlapping/adjacent windows merge into "
+    "islands, output = islands + total covered days per customer. THE "
+    "union-of-intervals op (covered bases per chromosome, uptime per "
+    "service) in its only scalable shape: one key-shuffle windowed "
+    "sweep (running max of prior ends marks island starts, cumulative "
+    "sum assigns island ids) + a same-key aggregation — never the n² "
+    "pairwise overlap self-join. Day offsets are exact integers, so "
+    "no float enters the gate.",
+    tags=("interval", "timeseries", "sweep"),
+)
+def qiv2_interval_union(spark, sf_dir):
+    from sora_spark.operators.interval import interval_union
+
+    o = tables(spark, sf_dir).orders
+    iv = o.select(
+        F.col("o_custkey"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("bigint").alias("s"),
+    ).select("o_custkey", "s", (F.col("s") + 7).alias("e"))
+    return (
+        interval_union(iv, "o_custkey", "s", "e")
+        .orderBy("o_custkey")
+    )

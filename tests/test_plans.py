@@ -619,3 +619,48 @@ def test_declared_results_partition_count_invariant(spark, sf_dir):
         with _scoped_confs(spark, {"spark.sql.shuffle.partitions": "37"}):
             b = sorted(map(tuple, fn(spark, sf_dir).collect()))
         assert a == b, f"{name}: result depends on partition count"
+
+
+def test_containment_candidates_equi_join(spark, sf_dir):
+    """qd8's shingle-containment join must keep `sh == sh2` inside the
+    composite equi-join key exactly like qd2 — asymmetric containment
+    changes the NUMERATOR, never the join shape."""
+    p = _plan(spark, sf_dir, "qd8_containment")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_bm25_single_corpus_pass(spark, sf_dir):
+    """qix3's plan must contain NO parquet scan: the one corpus pass
+    happens when the per-doc (dl + per-term tf counters) aggregation is
+    checkpointed, and every downstream derivation — df, corpus
+    constants, scoring, top-k — reads that doc-count-sized table. A
+    parquet scan in the final plan means a re-derivation regressed to
+    rescanning the corpus (the first cut scanned it FOUR times).
+    The two tiny lookups must come in as broadcasts, and the top-k as
+    TakeOrderedAndProject (never a global sort)."""
+    p = _plan(spark, sf_dir, "qix3_bm25")
+    assert "Scan parquet" not in p, f"corpus re-scan in plan:\n{p}"
+    assert p.count("BroadcastExchange") >= 2, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_ktruss_rounds_and_edge_monotonicity(spark, sf_dir):
+    """k_truss structural invariants on the bounded graph: the peel
+    converges within the measured depth bound, every surviving edge
+    carries support >= k-2, and (monotonicity) the (k+1)-truss edge
+    set is a subset of the k-truss edge set."""
+    from sora_spark.graph.derive import e_co_small
+    from sora_spark.graph.graph import Graph
+    from sora_spark.catalog import tables as _tables
+
+    li = _tables(spark, sf_dir).lineitem
+    g = Graph(e_co_small(li))
+    stats = {}
+    t5 = g.k_truss(k=5, stats=stats)
+    assert stats["rounds"] <= 10
+    assert t5.filter("support < 3").count() == 0
+    e5 = {(r["s"], r["d"]) for r in t5.select("s", "d").collect()}
+    t6 = g.k_truss(k=6)
+    e6 = {(r["s"], r["d"]) for r in t6.select("s", "d").collect()}
+    assert e6 <= e5, "(k+1)-truss must be contained in the k-truss"
