@@ -19,7 +19,12 @@ from pyspark.sql.window import Window
 
 from sora_spark.catalog import tables
 from sora_spark.graph import Graph, e_co, e_seq
-from sora_spark.graph.derive import E_CO_SMALL_SQL, E_CO_SQL, e_co_small
+from sora_spark.graph.derive import (
+    E_CO_SMALL_SQL,
+    E_CO_SQL,
+    E_DIR_SMALL_SQL,
+    e_co_small,
+)
 from sora_spark.graph.overlap import (
     OVERLAP_MAX_SQL,
     OVERLAP_SQL,
@@ -1514,4 +1519,48 @@ def qg34_ktruss(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_edges"))
         .select(F.col("support").cast("bigint").alias("support"), "n_edges")
         .orderBy("support")
+    )
+
+
+@query(
+    "qg35_scc",
+    oracle=f"""
+WITH RECURSIVE e AS MATERIALIZED ({E_DIR_SMALL_SQL}),
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT s AS v FROM e UNION SELECT d AS v FROM e)),
+reach(a, b) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN e ON e.s = r.b
+),
+scc AS (SELECT r1.a AS v, min(r1.b) AS comp
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        GROUP BY r1.a),
+sizes AS (SELECT comp, count(*) AS sz FROM scc GROUP BY comp)
+SELECT CAST(sz AS BIGINT) AS scc_size,
+       CAST(count(*) AS BIGINT) AS n_sccs
+FROM sizes GROUP BY sz ORDER BY scc_size
+""",
+    doc="qg35: strongly connected components of the bounded DIRECTED "
+    "part→supplier digraph (Graph.strongly_connected_components — "
+    "trim + forward/backward min-label peel; Tarjan's stack does not "
+    "distribute). Output: SCC size histogram. Fixture keeps a real "
+    "SCC mixture (sizes {{1,2}} / {{1,100}} / one giant 400 at "
+    "sf0.001/0.01/0.1), so the gate discriminates cyclic from "
+    "DAG-shaped regions. Oracle: recursive-CTE reachability closure, "
+    "SCC(v) = min mutual-reach partner — tractable because the "
+    "derived id space is bounded at 400.",
+    tags=("graph", "scc", "fixpoint"),
+)
+def qg35_scc(spark, sf_dir):
+    from sora_spark.graph.derive import e_dir_small
+
+    li = tables(spark, sf_dir).lineitem
+    scc = Graph(e_dir_small(li)).strongly_connected_components()
+    sizes = scc.groupBy("component").agg(F.count("*").alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count("*").cast("bigint").alias("n_sccs"))
+        .select(F.col("sz").cast("bigint").alias("scc_size"), "n_sccs")
+        .orderBy("scc_size")
     )

@@ -1284,3 +1284,90 @@ def test_scd2_property_family(spark):
                 assert prev["valid_to"] == nxt["valid_from"], "gap/overlap"
             ins = sorted(t for kk, t, _, _ in rows if kk == k)
             assert sorted(r["valid_from"] for r in vs) == ins
+
+
+def _py_tarjan_scc(edges, verts):
+    """Iterative Tarjan over the directed edge list → {v: min-of-SCC}."""
+    import collections
+
+    adj = collections.defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    index: dict = {}
+    low: dict = {}
+    onstack: set = set()
+    stack: list = []
+    counter = [0]
+    comp: dict = {}
+
+    def go(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                onstack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in onstack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+
+    for v in sorted(verts):
+        if v not in index:
+            go(v)
+    return comp
+
+
+def test_scc_property_family(spark):
+    """strongly_connected_components vs pure-Python Tarjan on random
+    digraphs (self-loop-free, cycles likely): per-vertex min-of-SCC
+    labels must match EXACTLY, trial after trial — the distributed
+    trim + FW/BW-min peel and the sequential stack algorithm must
+    agree on every component boundary."""
+    import random
+
+    from sora_spark.graph import Graph
+
+    rng = random.Random(20260814)
+    for trial in range(5):
+        n_v = rng.randrange(4, 14)
+        edges = {
+            (rng.randrange(n_v), rng.randrange(n_v))
+            for _ in range(rng.randrange(4, 30))
+        }
+        edges = [(s, d) for s, d in edges if s != d]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "s LONG, d LONG")
+        got = {
+            r["v"]: r["component"]
+            for r in Graph(df).strongly_connected_components().collect()
+        }
+        verts = {v for e in edges for v in e}
+        want = _py_tarjan_scc(edges, verts)
+        assert got == want, f"trial {trial}: {got} != {want}"
