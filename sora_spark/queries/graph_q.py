@@ -1564,3 +1564,75 @@ def qg35_scc(spark, sf_dir):
         .select(F.col("sz").cast("bigint").alias("scc_size"), "n_sccs")
         .orderBy("scc_size")
     )
+
+
+def _matching_oracle_sql(rounds: int = 8) -> str:
+    """Unrolled hash-salted mutual-proposal matching oracle for qg36.
+
+    Mirrors Graph.maximal_matching exactly: per round every vertex of
+    the residual graph proposes to the neighbor minimizing
+    (md5(round:s:d), neighbor); mutual proposals match and leave.
+    Deterministic (md5 of identical strings on both engines) and
+    monotone (edges only leave), so unroll >= rounds-to-empty IS the
+    fixpoint — measured 6/5/4 rounds at sf0.001/0.01/0.1; 8 unrolled
+    rounds cover all calibrated SFs (extra rounds are no-ops on an
+    empty residual). MATERIALIZED on every multiply-referenced CTE.
+    """
+    parts = [f"e0 AS MATERIALIZED ({E_CO_SMALL_SQL})"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.extend(
+            [
+                f"ph{r} AS (SELECT s, d,"
+                f" md5(CAST({r} AS VARCHAR) || ':' ||"
+                f" CAST(s AS VARCHAR) || ':' || CAST(d AS VARCHAR)) AS ph"
+                f" FROM e{p})",
+                f"sym{r} AS (SELECT s AS v, d AS u, ph FROM ph{r}"
+                f" UNION ALL SELECT d AS v, s AS u, ph FROM ph{r})",
+                f"cand{r} AS MATERIALIZED (SELECT v, u FROM ("
+                f"SELECT v, u, row_number() OVER"
+                f" (PARTITION BY v ORDER BY ph, u) AS rn FROM sym{r})"
+                f" WHERE rn = 1)",
+                f"newm{r} AS MATERIALIZED ("
+                f"SELECT a.v AS x, a.u AS y FROM cand{r} a"
+                f" JOIN cand{r} b ON a.u = b.v AND b.u = a.v"
+                f" WHERE a.v < a.u)",
+                f"mv{r} AS MATERIALIZED (SELECT x AS v FROM newm{r}"
+                f" UNION SELECT y AS v FROM newm{r})",
+                f"e{r} AS MATERIALIZED (SELECT e.s, e.d FROM e{p} e"
+                f" WHERE e.s NOT IN (SELECT v FROM mv{r})"
+                f" AND e.d NOT IN (SELECT v FROM mv{r}))",
+            ]
+        )
+    allm = " UNION ALL ".join(
+        f"SELECT x, y FROM newm{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT x, y FROM ({allm}) u ORDER BY x"
+    )
+
+
+@query(
+    "qg36_maximal_matching",
+    oracle=_matching_oracle_sql(),
+    doc="qg36: deterministic maximal matching of the bounded "
+    "co-occurrence graph (Graph.maximal_matching) — the "
+    "graph-coarsening primitive (multilevel partitioning, "
+    "pair-merging). Hash-salted mutual-proposal rounds: re-salting "
+    "the proposal order per round breaks proposal chains, O(log) "
+    "convergence (6/5/4 rounds measured vs 73 for static "
+    "min-neighbor at sf0.001). Output = the full matched pair set — "
+    "the gate certifies every pair, not a summary. Oracle: 8 "
+    "unrolled rounds of the identical algorithm (md5 portable).",
+    tags=("graph", "matching", "fixpoint"),
+)
+def qg36_maximal_matching(spark, sf_dir):
+    _require_calibrated_sf(sf_dir, "qg36 (8 unrolled matching rounds)")
+    li = tables(spark, sf_dir).lineitem
+    return (
+        Graph(e_co_small(li))
+        .maximal_matching()
+        .orderBy("x", "y")
+    )

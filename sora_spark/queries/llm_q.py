@@ -1496,3 +1496,61 @@ def qta12_lexical_profile(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "qta13_bigram_logprob",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (SELECT doc_id, w[i] AS a, w[i + 1] AS b
+       FROM (SELECT doc_id, unnest(range(1, greatest(len(w), 1))) AS i, w
+             FROM w)),
+c2 AS (SELECT a, b, count(*) AS n2 FROM bg GROUP BY a, b),
+c1 AS (SELECT a, count(*) AS n1 FROM bg GROUP BY a)
+SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(CAST(n2 AS DOUBLE) / n1)), 6) AS mean_logprob
+FROM bg JOIN c2 USING (a, b) JOIN c1 USING (a)
+GROUP BY bg.doc_id ORDER BY bg.doc_id LIMIT 200
+""",
+    doc="qta13: mean log BIGRAM probability per doc — the next-order "
+    "perplexity proxy after qta6's unigram score: P(b|a) = "
+    "c(a,b)/c(a,·) over the corpus bigram counts, no smoothing needed "
+    "for observed bigrams. Catches locally-incoherent text (random "
+    "word soup with plausible unigrams) that the unigram score "
+    "passes. Shapes: in-row bigram expansion (map-side, no join for "
+    "derivation), two count aggregations, two equi-joins keyed by "
+    "bigram/prefix — wordcount economics throughout; round(,6) "
+    "absorbs float-summation order exactly like qta6.",
+    tags=("llm", "text", "quality"),
+)
+def qta13_bigram_logprob(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    w = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(w, i).alias("a"),
+            F.element_at(w, i + 1).alias("b"),
+        ),
+    )
+    bg = docs.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", "p.a", "p.b")
+    c2 = bg.groupBy("a", "b").agg(F.count("*").alias("n2"))
+    c1 = bg.groupBy("a").agg(F.count("*").alias("n1"))
+    return (
+        bg.join(c2, ["a", "b"])
+        .join(c1, "a")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("n2").cast("double") / F.col("n1"))), 6
+            ).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )

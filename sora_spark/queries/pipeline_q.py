@@ -1894,3 +1894,82 @@ def qiv2_interval_union(spark, sf_dir):
         interval_union(iv, "o_custkey", "s", "e")
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "qts5_cusum_changepoint",
+    oracle="""
+WITH daily AS (SELECT date_trunc('day', ts) AS day, count(*) AS n
+               FROM events GROUP BY day),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS k_days,
+               CAST(sum(n) AS BIGINT) AS total FROM daily),
+cur AS (SELECT day, n,
+               row_number() OVER (ORDER BY day) AS k,
+               sum(n) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS pre
+        FROM daily),
+sc AS (SELECT day, n, t.k_days * pre - k * t.total AS cusum_scaled
+       FROM cur CROSS JOIN tot t),
+mx AS (SELECT min(day) AS cp FROM sc
+       WHERE abs(cusum_scaled) = (SELECT max(abs(cusum_scaled)) FROM sc))
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       CAST(s.n AS BIGINT) AS n_events,
+       CAST(s.cusum_scaled AS BIGINT) AS cusum_scaled,
+       CAST(s.day = m.cp AS BOOLEAN) AS is_changepoint
+FROM sc s CROSS JOIN mx m ORDER BY s.day
+""",
+    doc="qts5: CUSUM change-point detection over the daily event "
+    "series — the level-shift detector every pipeline-health monitor "
+    "runs. Computed ENTIRELY in integers: the classic "
+    "CUSUM_k = prefix_k − k·mean is scaled by the day count "
+    "(K·prefix_k − k·total), so no float ever enters the gate; the "
+    "change point is the max-|CUSUM| day (tie → earliest). One "
+    "calendar-sized aggregation + windows over the day-count-sized "
+    "series + a broadcast 1-row max — event volume only affects the "
+    "first groupBy (map-side combined).",
+    tags=("events", "timeseries", "changepoint"),
+)
+def qts5_cusum_changepoint(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = tables(spark, sf_dir).events
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("k_days"),
+        F.sum("n").cast("bigint").alias("total"),
+    )
+    w = Window.orderBy("day")
+    cur = daily.select(
+        "day",
+        "n",
+        F.row_number().over(w).alias("k"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "pre"
+        ),
+    )
+    sc = cur.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        (F.col("k_days") * F.col("pre") - F.col("k") * F.col("total")).alias(
+            "cusum_scaled"
+        ),
+    )
+    mx = sc.agg(F.max(F.abs("cusum_scaled")).alias("mabs"))
+    cp = (
+        sc.crossJoin(F.broadcast(mx))
+        .filter(F.abs("cusum_scaled") == F.col("mabs"))
+        .agg(F.min("day").alias("cp"))
+    )
+    return (
+        sc.crossJoin(F.broadcast(cp))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("cusum_scaled").cast("bigint").alias("cusum_scaled"),
+            (F.col("day") == F.col("cp")).alias("is_changepoint"),
+        )
+        .orderBy("day")
+    )

@@ -1371,3 +1371,44 @@ def test_scc_property_family(spark):
         verts = {v for e in edges for v in e}
         want = _py_tarjan_scc(edges, verts)
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_matching_property_family(spark):
+    """maximal_matching structural invariants on random graphs, trial
+    after trial: (validity) every matched pair is an edge and no
+    vertex appears in two pairs; (maximality) no remaining edge has
+    both endpoints unmatched — the defining property a greedy matcher
+    must not silently lose when rounds interleave."""
+    import random
+
+    from sora_spark.graph import Graph
+
+    rng = random.Random(77)
+    for trial in range(4):
+        n_v = rng.randrange(4, 16)
+        edges = {
+            tuple(sorted((rng.randrange(n_v), rng.randrange(n_v))))
+            for _ in range(rng.randrange(4, 30))
+        }
+        edges = [(s, d) for s, d in edges if s != d]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "s LONG, d LONG")
+        pairs = [
+            (r["x"], r["y"])
+            for r in Graph(df).maximal_matching().collect()
+        ]
+        eset = set(edges)
+        seen: set = set()
+        for x, y in pairs:
+            assert (x, y) in eset, f"trial {trial}: non-edge pair {x, y}"
+            assert x not in seen and y not in seen, (
+                f"trial {trial}: vertex matched twice"
+            )
+            seen.add(x)
+            seen.add(y)
+        for s, d in edges:
+            assert s in seen or d in seen, (
+                f"trial {trial}: edge {s, d} both endpoints unmatched — "
+                "matching not maximal"
+            )
