@@ -830,6 +830,15 @@ class Graph:
             lab = vs.select("v", F.col("v").alias("lab")).localCheckpoint(
                 eager=True
             )
+
+            def _mass(df_):
+                # labels only decrease and are integral → equal decimal
+                # mass ⟺ fixpoint (same soundness argument as CC)
+                return df_.agg(
+                    F.sum(F.col("lab").cast("decimal(38,0)"))
+                ).collect()[0][0]
+
+            m_old = _mass(lab)
             for _ in range(max_iter * 4):
                 nbr = (
                     e.join(lab, e.s == lab.v)
@@ -846,17 +855,13 @@ class Graph:
                     )
                     .localCheckpoint(eager=True)
                 )
-                # labels only decrease and are integral → equal decimal
-                # mass ⟺ fixpoint (same soundness argument as CC)
-                m_old = lab.agg(
-                    F.sum(F.col("lab").cast("decimal(38,0)"))
-                ).collect()[0][0]
-                m_new = new.agg(
-                    F.sum(F.col("lab").cast("decimal(38,0)"))
-                ).collect()[0][0]
+                # carry the previous round's mass forward — one
+                # aggregate scan (barrier) per hop, not two
+                m_new = _mass(new)
                 lab = new
                 if m_old == m_new:
                     return lab
+                m_old = m_new
             raise RuntimeError("scc: label propagation did not converge")
 
         def _emit(part):
