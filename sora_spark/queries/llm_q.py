@@ -1554,3 +1554,148 @@ def qta13_bigram_logprob(spark, sf_dir):
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+@query(
+    "qm5_cdc_chunking",
+    oracle="""
+WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+                  octet_length(encode(text)) AS n_bytes
+           FROM documents),
+win AS (SELECT doc_id, n_bytes, i,
+               md5(substr(hx, 2 * i + 1, 16)) AS wh
+        FROM (SELECT doc_id, hx, n_bytes,
+                     unnest(range(0, greatest(n_bytes - 7, 0))) AS i
+              FROM p)),
+b AS (SELECT doc_id, n_bytes,
+             sum(CASE WHEN wh LIKE '0%' THEN 1 ELSE 0 END) AS n_boundaries,
+             min(CASE WHEN wh LIKE '0%' THEN i END) AS first_boundary
+      FROM win GROUP BY doc_id, n_bytes)
+SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(n_boundaries AS BIGINT) AS n_boundaries,
+       CAST(n_boundaries + 1 AS BIGINT) AS n_chunks,
+       CAST(first_boundary AS BIGINT) AS first_boundary
+FROM b ORDER BY doc_id LIMIT 300
+""",
+    doc="qm5: content-defined chunking over BINARY payloads — the "
+    "rolling-window boundary rule behind every dedup store (restic/"
+    "borg/LBFS shape): a chunk boundary falls wherever the hash of "
+    "the 8-byte window starting at offset i opens with a '0' nibble "
+    "(p=1/16 ⇒ ~16-byte expected chunks on this corpus), making "
+    "chunk boundaries a pure function of CONTENT, so an insertion "
+    "early in a payload re-chunks only its neighborhood — the "
+    "property that lets 100 TB of near-identical media dedup at the "
+    "chunk level (vs qm1's whole-payload checksum). Here the window "
+    "hash runs as JVM-side in-row expansion over the hex projection "
+    "(map-side, fan-out = payload bytes, the k-mer-spectrum shape) — "
+    "exact and oracle-checkable; at real media sizes the identical "
+    "rule runs in the Arrow mapInPandas decode path (llm.multimodal) "
+    "with this query as its semantics gate.",
+    tags=("llm", "multimodal", "dedup", "chunking"),
+)
+def qm5_cdc_chunking(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    p = multimodal.attach_payload(docs, "text", "text/plain").select(
+        "doc_id",
+        F.lower(F.hex("payload")).alias("hx"),
+        F.col("media_meta.n_bytes").cast("bigint").alias("n_bytes"),
+    )
+    win = p.select(
+        "doc_id",
+        "n_bytes",
+        F.explode(
+            F.when(
+                F.col("n_bytes") >= 8,
+                F.sequence(F.lit(0), (F.col("n_bytes") - 8).cast("int")),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+        "hx",
+    ).select(
+        "doc_id",
+        "n_bytes",
+        "i",
+        F.md5(F.substring(F.col("hx"), F.col("i") * 2 + 1, 16)).alias("wh"),
+    )
+    hit = F.col("wh").startswith("0")
+    return (
+        win.groupBy("doc_id", "n_bytes")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boundaries"),
+            F.min(F.when(hit, F.col("i")))
+            .cast("bigint")
+            .alias("first_boundary"),
+        )
+        .select(
+            "doc_id",
+            "n_bytes",
+            "n_boundaries",
+            (F.col("n_boundaries") + 1).cast("bigint").alias("n_chunks"),
+            "first_boundary",
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+@query(
+    "qcur9_split_leakage",
+    oracle=f"""
+WITH {_SHINGLE_SQL},
+sp AS (SELECT doc_id,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '-split13'),
+                               1, 8) < 'cccccccc' THEN 'train'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR) || '-split13'),
+                               1, 8) < 'e6666666' THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents),
+lab AS (SELECT least(sa.split, sb.split) AS split_a,
+               greatest(sa.split, sb.split) AS split_b
+        FROM cand p
+        JOIN sp sa ON sa.doc_id = p.a
+        JOIN sp sb ON sb.doc_id = p.b)
+SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(split_a <> split_b AS BOOLEAN) AS is_leakage
+FROM lab GROUP BY split_a, split_b ORDER BY split_a, split_b
+""",
+    doc="qcur9: train/val/test SPLIT-LEAKAGE audit — near-duplicate "
+    "candidate pairs (the qd2 MinHash 1-band generator) joined "
+    "against the qcur1 deterministic hash split, counted per "
+    "(split, split) cell with cross-split cells flagged. THE "
+    "pre-training hygiene report: a near-dup of a test document "
+    "sitting in train is silent eval contamination that per-split "
+    "dedup cannot see — this is why dedup must run BEFORE splitting, "
+    "and this audit is the gate that proves whether it did. Same "
+    "bucket-bounded economics as qd2 (candidates from signature "
+    "equality, never all-pairs) + two broadcast-sized split joins; "
+    "output is a 3x3-bounded report.",
+    tags=("llm", "pipeline", "split", "dedup"),
+)
+def qcur9_split_leakage(spark, sf_dir):
+    from sora_spark.llm import curate
+
+    docs = tables(spark, sf_dir).documents
+    pairs = _minhash_pairs(docs)
+    sp = curate.split_by_hash_portable(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+    sa = sp.select(F.col("doc_id").alias("a"), F.col("split").alias("_sa"))
+    sb = sp.select(F.col("doc_id").alias("b"), F.col("split").alias("_sb"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leakage"),
+        )
+        .orderBy("split_a", "split_b")
+    )
