@@ -861,3 +861,59 @@ def qst3_liststate_rolling(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "qs9_chained_window_aggs",
+    oracle="""
+WITH h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+           FROM events GROUP BY hr),
+d AS (SELECT date_trunc('day', hr) AS day,
+             count(*) AS n_hours, max(n) AS max_hourly,
+             sum(n) AS n_events
+      FROM h GROUP BY day)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(n_hours AS BIGINT) AS n_hours,
+       CAST(max_hourly AS BIGINT) AS max_hourly,
+       CAST(n_events AS BIGINT) AS n_events
+FROM d ORDER BY day
+""",
+    doc="CHAINED stateful operators at the hash tier — the Spark-4 "
+    "multiple-stateful-operators capability (SPARK-40925) executed "
+    "for real: one streaming query runs a tumbling 1-HOUR windowed "
+    "count and then a second stateful aggregation re-windowing those "
+    "window rows into 1-DAY rollups (window-on-window-column), both "
+    "stages holding watermark-managed state in the same query — the "
+    "streaming twin of the qts2 time-hierarchy rollup, and the shape "
+    "a 100 TB metrics pipeline needs to avoid landing the "
+    "fine-grained tier just to re-aggregate it in batch. Events "
+    "replay as 4 real parquet micro-batches; the far-future sentinel "
+    "advances the watermark so BOTH stages flush through the append "
+    "memory sink; sentinel rows are filtered by their 2030 window. "
+    "Hash-matched against the two-level batch rollup oracle.",
+    tags=("streaming", "hash-tier", "window", "chained"),
+)
+def qs9_chained_window_aggs(spark, sf_dir):
+    from sora_spark.streaming import replay
+
+    d = replay.materialize_replay_dir(spark, sf_dir, "qs9", n_files=4)
+    ev = replay.events_stream(spark, d).withWatermark("ts", "40 days")
+    hourly = ev.groupBy(F.window("ts", "1 hour").alias("w1")).agg(
+        F.count("*").alias("n")
+    )
+    daily = hourly.groupBy(F.window(F.col("w1"), "1 day").alias("w2")).agg(
+        F.count("*").alias("n_hours"),
+        F.max("n").alias("max_hourly"),
+        F.sum("n").alias("n_events"),
+    )
+    sink = replay.run_to_memory_flush(daily, "qs9_sink", d)
+    return (
+        sink.filter(F.year(F.col("w2.start")) < 2029)
+        .select(
+            F.date_format(F.col("w2.start"), "yyyy-MM-dd").alias("day"),
+            F.col("n_hours").cast("bigint").alias("n_hours"),
+            F.col("max_hourly").cast("bigint").alias("max_hourly"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("day")
+    )
