@@ -316,3 +316,63 @@ def test_replicated_weighted_msf_and_sssp_stress(spark, sf_dir):
     for r in rows:
         rep = r["v"] // stride
         assert dist_b[r["v"] - rep * stride] == r["dist"]
+
+
+def test_replicated_scc_and_ktruss_stress(spark, sf_dir):
+    """Round-7 graph fixpoints under replicate_edges stress: on
+    `factor` disjoint shifted replicas,
+
+    - SCC must produce exactly factor x the base SCC-size histogram
+      with the OUTER round count flat (replicas peel in parallel —
+      condensation depth is structural, not data-sized);
+    - k-truss must produce factor x the base support histogram with
+      flat peel rounds (support is intra-replica: a constant id shift
+      cannot create or destroy triangles).
+    """
+    from sora_spark.graph.derive import (
+        e_co_small,
+        e_dir_small,
+        replicate_edges,
+    )
+    from sora_spark.graph.graph import Graph
+
+    factor = 6
+    li = tables(spark, sf_dir).lineitem
+
+    base_d = e_dir_small(li).localCheckpoint(eager=True)
+    big_d = replicate_edges(base_d, factor).localCheckpoint(eager=True)
+    sb, s = {}, {}
+
+    def scc_hist(edges, st):
+        scc = Graph(edges).strongly_connected_components(stats=st)
+        return {
+            r["sz"]: r["n"]
+            for r in scc.groupBy("component")
+            .agg(F.count("*").alias("sz"))
+            .groupBy("sz")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    hb = scc_hist(base_d, sb)
+    h = scc_hist(big_d, s)
+    assert h == {k: factor * v for k, v in hb.items()}
+    assert s["rounds"] == sb["rounds"], "SCC rounds must stay flat"
+
+    base_u = e_co_small(li).localCheckpoint(eager=True)
+    big_u = replicate_edges(base_u, factor).localCheckpoint(eager=True)
+    tb, t = {}, {}
+
+    def truss_hist(edges, st):
+        tr = Graph(edges).k_truss(k=5, stats=st)
+        return {
+            r["support"]: r["n"]
+            for r in tr.groupBy("support")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    thb = truss_hist(base_u, tb)
+    th = truss_hist(big_u, t)
+    assert th == {k: factor * v for k, v in thb.items()}
+    assert t["rounds"] == tb["rounds"], "truss peel rounds must stay flat"
