@@ -668,3 +668,48 @@ def qso5_null_set_semantics(spark, sf_dir):
         .select(F.lit("except").alias("op"), "p", "n")
     )
     return i.unionByName(x).orderBy("op", F.col("p").asc_nulls_first())
+
+
+@query(
+    "qt3_global_row_index",
+    oracle="""
+WITH r AS (SELECT o_orderkey, o_orderdate,
+                  row_number() OVER (ORDER BY o_orderdate, o_orderkey)
+                    AS row_index
+           FROM orders)
+SELECT CAST(row_index AS BIGINT) AS row_index, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM r WHERE row_index <= 500 OR row_index % 97 = 0
+ORDER BY row_index
+""",
+    doc="qt3: contiguous global row indexing WITHOUT a global sort "
+    "bottleneck (operators/index.py global_row_index) — "
+    "row_number() with no PARTITION BY plans a single-partition "
+    "window (the whole table through one task), and "
+    "monotonically_increasing_id is neither contiguous nor ordered; "
+    "this is the standard two-pass replacement: range-partition on "
+    "the total order, per-partition counts to the driver (ONE row "
+    "per partition), broadcast cumulative offsets, partition-local "
+    "row_number + offset. Gate verifies exact equality with the "
+    "oracle's true global row_number on a spot-check slice (head + "
+    "every 97th row), proving the offsets splice partitions "
+    "seamlessly. Order includes the unique o_orderkey tiebreak — "
+    "total order, so the index is engine-independent.",
+    tags=("sort", "index", "scale"),
+)
+def qt3_global_row_index(spark, sf_dir):
+    from sora_spark.operators.index import global_row_index
+
+    o = tables(spark, sf_dir).orders.select("o_orderkey", "o_orderdate")
+    idx = global_row_index(o, ["o_orderdate", "o_orderkey"])
+    return (
+        idx.filter(
+            (F.col("row_index") <= 500) | (F.col("row_index") % 97 == 0)
+        )
+        .select(
+            "row_index",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy("row_index")
+    )

@@ -664,3 +664,14 @@ def test_ktruss_rounds_and_edge_monotonicity(spark, sf_dir):
     t6 = g.k_truss(k=6)
     e6 = {(r["s"], r["d"]) for r in t6.select("s", "d").collect()}
     assert e6 <= e5, "(k+1)-truss must be contained in the k-truss"
+
+
+def test_global_row_index_no_single_partition_window(spark, sf_dir):
+    """qt3's whole point: the contiguous global index must NOT plan a
+    single-partition window (the `row_number() OVER (ORDER BY ...)`
+    funnel) — the window must key on the range exchange's partition
+    id. A SinglePartition exchange anywhere in the plan means the
+    operator regressed to the 100 TB non-starter it exists to
+    replace."""
+    p = _plan(spark, sf_dir, "qt3_global_row_index", mode="simple")
+    assert "SinglePartition" not in p, f"global funnel in plan:\n{p}"
