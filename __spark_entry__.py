@@ -50,14 +50,83 @@ def _last_green_round() -> dict[str, int]:
     return latest
 
 
+# The never-driver-certified set as of the start of round 7 (VERDICT
+# r06 item 1): declared in rounds <= 6, every one green under local
+# sf0.01 oracle runs, but never yet inside a driver CORRECTNESS
+# window.  Fronted within the never-green group until each gets its
+# first green row (then the ordering ignores this list).
+_LEGACY_STALE = frozenset(
+    {
+        "qg33_minimum_spanning_forest",
+        "qs3c_session_stream_sink",
+        "qs4b_dedup_stream_sink",
+        "qs5c_stream_stream_outer_join_sink",
+        "qs6_checkpoint_recovery",
+        "qup2_streaming_upsert_sink",
+        "qs7_update_mode_sink",
+        "qst1_stateful_counts",
+        "qs5b_stream_stream_join_sink",
+        "qs8_stream_static_join",
+        "qup3_cdc_deletes",
+        "qst2_stateful_sessions",
+        "qst3_liststate_rolling",
+        "qpipe2_curation_pipeline",
+        "qd7_keep_best_of_cluster",
+        "qmv1_incremental_agg",
+        "qts2_time_rollup",
+        "qlay1_zorder_keys",
+        "qcur6_per_source_cap",
+        "qdz2_equal_width_histogram",
+        "qev1_funnel",
+        "qev2_retention",
+        "qpipe3_curation_v2",
+        "qup4_scd2_history",
+        "qev3_entry_paths",
+        "qprof1_table_profile",
+        "qts3_ewma",
+        "qer1_entity_resolution",
+        "qdrift1_distribution_drift",
+        "qev4_conversion_lag",
+        "qev5_rfm_segments",
+        "qcur7_negative_pairs",
+        "qdiff2_three_way_merge",
+        "qcur8_packing_gate",
+        "qev6_cumulative_reach",
+        "qsub3_lateral_join",
+    }
+)
+
+
 def _ordered_names() -> list[str]:
     """Registry order, rotated oldest-driver-check-first: queries whose
     most recent driver-green CORRECTNESS row is oldest (never-checked =
     oldest of all) come first, so a driver that checks only a 50-entry
-    prefix keeps re-certifying the stalest results each round."""
+    prefix keeps re-certifying the stalest results each round.
+
+    Within the never-green group: (1) the documented round-≤6 stale
+    set (VERDICT r06 item 1 — declared for several rounds but never
+    yet inside a driver window) outranks queries first declared in
+    round 7, because registry order follows module import order, not
+    declaration age, and a new query appended to an early module
+    would otherwise displace a genuinely older one; (2) rows WITHOUT
+    an oracle sort last — they can never produce a green
+    (rows+schema+hash) record, so under a bounded window they must
+    not consume a slot an oracle-eligible query could turn green
+    (they still rotate in whenever the window has spare capacity and
+    get their rows-only check then). Both preferences are
+    self-retiring: once a query has any green round, the first sort
+    key takes over."""
     latest = _last_green_round()
     names = list(REGISTRY)
-    return sorted(names, key=lambda n: (latest.get(n, -1), names.index(n)))
+    return sorted(
+        names,
+        key=lambda n: (
+            latest.get(n, -1),
+            REGISTRY[n].oracle is None,
+            n not in _LEGACY_STALE,
+            names.index(n),
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
