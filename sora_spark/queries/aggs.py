@@ -501,3 +501,44 @@ def qa15_mode(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "qa16_bitmap_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    doc="qa16: EXACT distinct counting via the bitmap aggregate "
+    "family (Spark 3.5 bitmap_bucket_number / bitmap_bit_position / "
+    "bitmap_construct_agg / bitmap_count) — two-level aggregation: "
+    "group by (key, bucket) building one 4KB bitmap per 32768-id "
+    "bucket, then sum of per-bucket popcounts. The scale story vs "
+    "count(DISTINCT): the shuffle carries fixed-width bitmaps with "
+    "map-side OR-combine instead of every distinct value, and the "
+    "bitmaps are MERGEABLE (bitmap_or_agg), so incremental/rollup "
+    "distinct counts compose exactly — the exact-tier sibling of "
+    "HLL. Gate: equality with the oracle's plain count(DISTINCT).",
+    tags=("agg", "distinct", "bitmap"),
+)
+def qa16_bitmap_distinct(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy(
+            "l_returnflag",
+            F.bitmap_bucket_number("l_partkey").alias("_b"),
+        )
+        .agg(
+            F.bitmap_construct_agg(
+                F.bitmap_bit_position("l_partkey")
+            ).alias("_bm")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.bitmap_count("_bm"))
+            .cast("bigint")
+            .alias("n_distinct_parts")
+        )
+        .orderBy("l_returnflag")
+    )

@@ -713,3 +713,61 @@ def qt3_global_row_index(spark, sf_dir):
         )
         .orderBy("row_index")
     )
+
+
+@query(
+    "qc6_xml_roundtrip",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey AS parsed_key,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS parsed_date,
+       round(o_totalprice, 2) AS parsed_price,
+       CAST(TRUE AS BOOLEAN) AS roundtrip_ok
+FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
+""",
+    doc="qc6: XML surface (Spark 4 from_xml) — order rows serialized "
+    "to XML strings JVM-side (concat, no UDF), parsed back through "
+    "from_xml with an explicit struct schema, fields compared to the "
+    "originals; the gate's expected values come straight from the "
+    "source columns, so any parse/serialize asymmetry (escaping, "
+    "number formatting, date text) breaks the hash. Completes the "
+    "semi-structured trio (JSON qx6, VARIANT capability row, XML "
+    "here). Map-side only — a projection, no shuffle.",
+    tags=("source", "xml", "roundtrip"),
+)
+def qc6_xml_roundtrip(spark, sf_dir):
+    o = tables(spark, sf_dir).orders.filter(F.col("o_orderkey") < 2000)
+    date_s = F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+    price = F.round("o_totalprice", 2)
+    xml = F.concat(
+        F.lit("<o><k>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</k><d>"),
+        date_s,
+        F.lit("</d><p>"),
+        price.cast("string"),
+        F.lit("</p></o>"),
+    )
+    parsed = F.from_xml(
+        xml, "k BIGINT, d STRING, p DOUBLE"
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            parsed.alias("_s"),
+            date_s.alias("_d0"),
+            price.alias("_p0"),
+        )
+        .select(
+            "o_orderkey",
+            F.col("_s.k").alias("parsed_key"),
+            F.col("_s.d").alias("parsed_date"),
+            F.col("_s.p").alias("parsed_price"),
+            (
+                (F.col("_s.k") == F.col("o_orderkey"))
+                & (F.col("_s.d") == F.col("_d0"))
+                & (F.col("_s.p") == F.col("_p0"))
+            ).alias("roundtrip_ok"),
+        )
+        .orderBy("o_orderkey")
+    )
