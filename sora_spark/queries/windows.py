@@ -328,3 +328,46 @@ def qw10_time_range_window(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "qw11_daily_percentile_bands",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY day ORDER BY day
+""",
+    doc="qw11: daily percentile bands (p50/p95/p99 of event value) — "
+    "THE observability rollup (latency bands per day). Exact "
+    "`percentile` with linear interpolation, grouped per calendar "
+    "day: one shuffle keyed on the day, per-group exact sort of that "
+    "day's values only — bounded state per group, never a global "
+    "sort. Both engines use the same (n−1)·q interpolation rule; "
+    "round(,6) absorbs the last-bit division drift. At 100 TB the "
+    "same query swaps percentile→percentile_approx per partition "
+    "with identical shape (the approx family is tolerance-certified "
+    "in tests/test_property.py).",
+    tags=("window", "percentile", "timeseries"),
+)
+def qw11_daily_percentile_bands(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("_day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+        .select(
+            F.date_format("_day", "yyyy-MM-dd").alias("day"),
+            "n",
+            "p50",
+            "p95",
+            "p99",
+        )
+        .orderBy("day")
+    )
