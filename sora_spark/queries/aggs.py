@@ -542,3 +542,52 @@ def qa16_bitmap_distinct(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "qa17_grouping_id",
+    oracle="""
+SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, returnflag, linestatus
+""",
+    doc="qa17: grouping_id() bitmask over a CUBE — the disambiguator "
+    "qa3/qa5's coalesce('ALL') trick can't provide when a real group "
+    "value collides with the filler (a literal 'ALL' returnflag would "
+    "be indistinguishable from the subtotal row). Certifies that both "
+    "engines assign the SAME bit order (first cube column = most "
+    "significant bit: gid 0=detail, 1=flag-only, 2=status-only, "
+    "3=grand total) and that per-column grouping() agrees with the "
+    "composite mask. Same single-shuffle expansion as qa5 — the "
+    "bitmask is metadata on the expanded grouping rows, not an extra "
+    "pass.",
+    tags=("agg", "cube", "grouping_id"),
+)
+def qa17_grouping_id(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            "gid",
+            "g_flag",
+            "g_status",
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )

@@ -917,3 +917,107 @@ def qs9_chained_window_aggs(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "qs10_join_then_window_gate",
+    oracle="""
+SELECT strftime(date_trunc('day', p.ts), '%Y-%m-%d') AS day,
+       count(*) AS n_pairs,
+       CAST(sum(v.event_id) AS BIGINT) AS sum_view_ids
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts >  p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+GROUP BY day ORDER BY day
+""",
+    doc="CHAINED join→aggregation at the hash tier — the second "
+    "multiple-stateful-operators shape (SPARK-40925) after qs9's "
+    "window-on-window: ONE streaming query runs the qs5b interval "
+    "stream-stream join and then a tumbling 1-DAY windowed "
+    "aggregation over the JOINED rows (attribution rollup: matched "
+    "view→purchase pairs per purchase day), both operators holding "
+    "watermark-managed state. sum(view_id) — exact integer — gates "
+    "that the aggregated rows are the real join output, not just the "
+    "right count. Two far-future sentinel view+purchase pairs (the "
+    "qs5c trick) survive both event_type filters, advance the "
+    "watermark, and flush the daily append-mode windows; sentinel "
+    "rows land in a 2030 window and are filtered by year. At 100 TB "
+    "this is the pipeline that replaces a landed-join-table + batch "
+    "rollup with one incremental query.",
+    tags=("streaming", "hash-tier", "join", "chained"),
+)
+def qs10_join_then_window_gate(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.streaming import replay
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    staged = replay.materialize_replay_dir(spark, sf_dir, "qs10", n_files=4)
+    # fresh per-run copy: sentinels are appended, so never reuse the
+    # keyed staging dir (the qs5c lesson)
+    d = replay.scratch_dir(f"qs10-run-{sf_tag}")
+    for f in os.listdir(staged):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            shutil.copy(os.path.join(staged, f), os.path.join(d, f))
+    for i, far_ts in enumerate(["2030-01-01 00:00:00", "2030-01-02 00:00:00"]):
+        spark.createDataFrame(
+            [
+                (10**9 + 2 * i, far_ts, replay.SENTINEL_USER, "view", 0.0, "{}"),
+                (
+                    10**9 + 2 * i + 1,
+                    far_ts,
+                    replay.SENTINEL_USER,
+                    "purchase",
+                    0.0,
+                    "{}",
+                ),
+            ],
+            "event_id bigint, ts string, user_id bigint, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    ev = replay.events_stream(spark, d)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "40 days")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "40 days")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    daily = joined.groupBy(F.window("p_ts", "1 day").alias("w")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("view_id").alias("sum_view_ids"),
+    )
+    sink = replay.run_to_memory(daily, "qs10_sink", "append")
+    return (
+        sink.filter(F.year(F.col("w.start")) < 2029)
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("sum_view_ids").cast("bigint").alias("sum_view_ids"),
+        )
+        .orderBy("day")
+    )

@@ -371,3 +371,69 @@ def qw11_daily_percentile_bands(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "qw12_ignore_nulls_fill",
+    oracle="""
+WITH s AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 5 < 2 THEN NULL ELSE value END AS v_sparse
+  FROM events),
+f AS (
+  SELECT event_id, event_type, v_sparse,
+         last_value(v_sparse IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+         first_value(v_sparse IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
+  FROM s)
+SELECT event_id, event_type, v_sparse, ffill, bfill,
+       coalesce(ffill, bfill) AS filled
+FROM f ORDER BY event_id
+""",
+    doc="qw12: IGNORE NULLS gap fill — forward-fill (last_value IGNORE "
+    "NULLS over the preceding frame), backward-fill (first_value over "
+    "the following frame), and the ffill-then-bfill composite: THE "
+    "sensor/timeseries imputation idiom, run per event_type stream. "
+    "NULLs are planted deterministically (event_id % 5 < 2) so ~40% "
+    "of rows impute, including partition-head rows where ffill is "
+    "NULL and only bfill fires (that asymmetry is what the gate "
+    "certifies). Values pass through UNROUNDED — fill copies bits, no "
+    "arithmetic, so cross-engine float drift is impossible. One "
+    "shuffle on event_type; frame state is a single value per "
+    "direction (Spark evaluates last+IGNORE NULLS incrementally, "
+    "never buffering the frame).",
+    tags=("window", "fill", "timeseries"),
+)
+def qw12_ignore_nulls_fill(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    sparse = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 5 < 2, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v_sparse"),
+    )
+    w_ff = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bf = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        sparse.select(
+            "event_id",
+            "event_type",
+            "v_sparse",
+            F.last("v_sparse", ignorenulls=True).over(w_ff).alias("ffill"),
+            F.first("v_sparse", ignorenulls=True).over(w_bf).alias("bfill"),
+        )
+        .withColumn("filled", F.coalesce("ffill", "bfill"))
+        .orderBy("event_id")
+    )
