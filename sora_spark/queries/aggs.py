@@ -591,3 +591,90 @@ def qa17_grouping_id(spark, sf_dir):
         )
         .orderBy("gid", "returnflag", "linestatus")
     )
+
+
+@query(
+    "qa18_regression_family",
+    oracle="""
+SELECT l_returnflag AS returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       round(corr(l_extendedprice, l_quantity), 6) AS r
+FROM lineitem GROUP BY l_returnflag ORDER BY returnflag
+""",
+    doc="qa18: the SQL-standard linear-regression aggregate family — "
+    "regr_slope/intercept/r2/count of extendedprice on quantity per "
+    "returnflag, plus corr as the cross-check (r² must equal corr² "
+    "for simple regression; the hash certifies both independently). "
+    "Both engines define these via population covariance/variance, so "
+    "the same closed forms meet at round(4)/round(6). One partial-"
+    "aggregated shuffle on the group key — each regr_* is a fixed "
+    "tuple of power sums, mergeable map-side, so the 100 TB cost "
+    "equals a count(*) groupBy. The per-group fit is qta9's Zipf "
+    "regression generalized to a declared surface.",
+    tags=("agg", "regression", "stats"),
+)
+def qa18_regression_family(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.regr_count(y, x).cast("bigint").alias("n"),
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.round(F.corr(y, x), 6).alias("r"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+@query(
+    "qa19_higher_moments",
+    oracle="""
+WITH s AS (
+  SELECT l_linestatus,
+         count(*)::DOUBLE AS n,
+         sum(l_quantity) AS s1,
+         sum(l_quantity * l_quantity) AS s2,
+         sum(l_quantity * l_quantity * l_quantity) AS s3,
+         sum(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+  FROM lineitem GROUP BY l_linestatus),
+m AS (
+  SELECT l_linestatus, n, s1 / n AS mu,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) ^ 3 AS m3,
+         s4 / n - 4 * (s1 / n) * (s3 / n)
+              + 6 * (s1 / n) ^ 2 * (s2 / n) - 3 * (s1 / n) ^ 4 AS m4
+  FROM s)
+SELECT l_linestatus AS linestatus,
+       CAST(n AS BIGINT) AS n,
+       round(m3 / m2 ^ 1.5, 6) AS skew,
+       round(m4 / (m2 * m2) - 3, 6) AS kurt
+FROM m ORDER BY linestatus
+""",
+    doc="qa19: higher central moments — skewness and excess kurtosis "
+    "per linestatus. Spark's builtins are the POPULATION definitions "
+    "(g1 = m3/m2^1.5, g2 = m4/m2² − 3); DuckDB's builtins are the "
+    "SAMPLE-adjusted versions, so the oracle re-derives Spark's "
+    "definition from raw power sums (s1..s4) — the gate certifies "
+    "Spark's one-pass central-moment recurrences against the "
+    "closed-form expansion. Safe here because l_quantity∈[1,50] "
+    "keeps the power-sum cancellation ~1e-15 relative; round(6) "
+    "absorbs it. Same mergeable-sums scaling story as qa18.",
+    tags=("agg", "moments", "stats"),
+)
+def qa19_higher_moments(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.skewness("l_quantity"), 6).alias("skew"),
+            F.round(F.kurtosis("l_quantity"), 6).alias("kurt"),
+        )
+        .orderBy("linestatus")
+    )

@@ -83,3 +83,53 @@ ORDER BY c.c_custkey
 def qsub3_lateral_join(spark, sf_dir):
     tables(spark, sf_dir).register_views()
     return spark.sql(_LATERAL_SQL)
+
+
+_RECURSIVE_SPINE_SPARK = """
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('DAY', min(ts)) AS lo, date_trunc('DAY', max(ts)) AS hi FROM events),
+spine AS (
+  SELECT lo AS d, hi FROM bounds
+  UNION ALL
+  SELECT d + INTERVAL 1 DAY, hi FROM spine WHERE d < hi),
+daily AS (SELECT date_trunc('DAY', ts) AS day, count(*) AS n FROM events GROUP BY 1)
+SELECT date_format(s.d, 'yyyy-MM-dd') AS day,
+       CAST(coalesce(dl.n, 0) AS BIGINT) AS n_events
+FROM spine s LEFT JOIN daily dl ON s.d = dl.day
+ORDER BY day
+"""
+
+_RECURSIVE_SPINE_DUCK = """
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi FROM events),
+spine AS (
+  SELECT lo AS d, hi FROM bounds
+  UNION ALL
+  SELECT d + INTERVAL 1 DAY, hi FROM spine WHERE d < hi),
+daily AS (SELECT date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1)
+SELECT strftime(s.d, '%Y-%m-%d') AS day,
+       CAST(coalesce(dl.n, 0) AS BIGINT) AS n_events
+FROM spine s LEFT JOIN daily dl ON s.d = dl.day
+ORDER BY day
+"""
+
+
+@query(
+    "qsub4_recursive_cte",
+    oracle=_RECURSIVE_SPINE_DUCK,
+    doc="Recursive CTE through the SQL entry point (SPARK-24497, new "
+    "in Spark 4): a date spine unrolled recursively from min(ts) to "
+    "max(ts) — the anchor carries the recursion bound as a column so "
+    "the recursive member needs no subquery — then LEFT JOINed to "
+    "daily counts with gap days coalesced to 0. Identical logical "
+    "text on both engines modulo date_format/strftime. Depth = day "
+    "span (bounded, driver-planned iterations); each unrolled step "
+    "is a one-row frame, so the real work is the single daily "
+    "rollup — the recursion surface, not the data, is what this row "
+    "certifies (the capability tier already covers recursive "
+    "reachability vs BFS; this is the declared-contract twin).",
+    tags=("sql", "recursive-cte", "timeseries"),
+)
+def qsub4_recursive_cte(spark, sf_dir):
+    tables(spark, sf_dir).register_views()
+    return spark.sql(_RECURSIVE_SPINE_SPARK)

@@ -437,3 +437,53 @@ def qw12_ignore_nulls_fill(spark, sf_dir):
         .withColumn("filled", F.coalesce("ffill", "bfill"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "qts6_autocorrelation",
+    oracle="""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*)::DOUBLE AS n
+  FROM events GROUP BY event_type, day),
+l AS (
+  SELECT event_type, n,
+         lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS n1,
+         lag(n, 2) OVER (PARTITION BY event_type ORDER BY day) AS n2
+  FROM d)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       round(corr(n, n1), 6) AS r1,
+       round(corr(n, n2), 6) AS r2
+FROM l GROUP BY event_type ORDER BY event_type
+""",
+    doc="qts6: lag-1/lag-2 autocorrelation of the daily event-count "
+    "series per event_type — the seasonality/persistence diagnostic "
+    "that pairs with qts5's CUSUM (is the series mean-shifting or "
+    "just sticky?). Daily rollup (one shuffle), per-series lag "
+    "window (second shuffle on the series key), then corr() — both "
+    "engines use the same sample-correlation form, and corr skips "
+    "NULL-lag head rows identically. At 100 TB the series table is "
+    "days×types — tiny — so the cost is the rollup; the lag/corr "
+    "stage is free.",
+    tags=("timeseries", "window", "stats"),
+)
+def qts6_autocorrelation(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "n",
+        F.lag("n", 1).over(w).alias("n1"),
+        F.lag("n", 2).over(w).alias("n2"),
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(F.corr("n", "n1"), 6).alias("r1"),
+            F.round(F.corr("n", "n2"), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
