@@ -186,6 +186,13 @@ def _dist2(vec_col, centroid: list[float]):
     return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def centroid_distances(vec_col, cents: list[list[float]]):
+    """Array of squared distances from `vec_col` to each literal
+    centroid — the public argmin building block shared by assignment
+    (`assign_cids`) and the declared clustering query (qkm1)."""
+    return F.array(*[_dist2(vec_col, c) for c in cents])
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,

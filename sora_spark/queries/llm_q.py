@@ -1699,3 +1699,63 @@ def qcur9_split_leakage(spark, sf_dir):
         )
         .orderBy("split_a", "split_b")
     )
+
+
+@query(
+    "qkm1_kmeans_semantic",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4) t),
+a1 AS (SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.v), c.cid) AS rn
+    FROM e CROSS JOIN c0 c) t WHERE rn = 1),
+c1 AS (SELECT cid, list(m ORDER BY i) AS v FROM (
+    SELECT cid, i, avg(v[i]) AS m
+    FROM a1 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i) u GROUP BY cid),
+a2 AS (SELECT vec_id, cid, d FROM (
+    SELECT e.vec_id, c.cid, list_distance(e.v, c.v) AS d,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.v), c.cid) AS rn
+    FROM e CROSS JOIN c1 c) t WHERE rn = 1)
+SELECT cid, CAST(count(*) AS BIGINT) AS n, round(sum(d), 4) AS sum_dist,
+       CAST(min(vec_id) AS BIGINT) AS first_member
+FROM a2 GROUP BY cid ORDER BY cid
+""",
+    doc="qkm1: k-means semantic clustering over the embedding corpus "
+    "— the missing piece between near-dup (pairwise) and curation "
+    "(per-cluster sampling/mixing): deterministic Lloyd via "
+    "ann.kmeans_centroids (init = 4 lowest vec_ids, ONE mean update, "
+    "final re-assignment), exactly the IVF coarse quantizer promoted "
+    "to a declared surface. Oracle unrolls the same two assignment "
+    "rounds in SQL (argmin = row_number over (distance, cid) — the "
+    "same first-lowest tie rule as Spark's array_position). "
+    "Assignment is a broadcast-literal argmin (zero shuffle); the "
+    "mean update is one posexplode shuffle keyed (cid, pos); only "
+    "k×dim floats ever reach the driver — the 100 TB shape. "
+    "Data-point init guarantees no cluster empties during the "
+    "update (each seed is its own nearest member), so the oracle "
+    "needs no empty-cluster fallback; sum_dist rounds away the "
+    "engines' summation-order drift.",
+    tags=("llm", "vector", "clustering"),
+)
+def qkm1_kmeans_semantic(spark, sf_dir):
+    emb = tables(spark, sf_dir).embeddings
+    cents = ann.kmeans_centroids(emb, n_centroids=4, iters=1)
+    dists = ann.centroid_distances(F.col("embedding"), cents)
+    assigned = emb.select(
+        "vec_id",
+        F.array_position(dists, F.array_min(dists)).cast("bigint").alias("cid"),
+        F.sqrt(F.array_min(dists)).alias("d"),
+    )
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("d"), 4).alias("sum_dist"),
+            F.min("vec_id").cast("bigint").alias("first_member"),
+        )
+        .orderBy("cid")
+    )
