@@ -1973,3 +1973,177 @@ def qts5_cusum_changepoint(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "qev7_markov_transitions",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT event_type AS src, nxt AS dst, count(*) AS n,
+       round(count(*)::DOUBLE
+             / sum(count(*)) OVER (PARTITION BY event_type), 6) AS p
+FROM s WHERE nxt IS NOT NULL
+GROUP BY src, dst ORDER BY src, dst
+""",
+    doc="qev7: first-order Markov transition matrix of user behavior — "
+    "P(next event_type | event_type) from per-user event sequences "
+    "(lead over (ts, event_id) — the unique id breaks timestamp ties "
+    "identically on both engines), the generative summary behind "
+    "qev3's literal top journeys. Row-normalized via a window sum "
+    "over the transition counts, so no second aggregation pass. One "
+    "shuffle on user_id for the sequence, one on the (src) pair "
+    "grouping — both map-side combinable; the matrix itself is "
+    "|types|² — driver-tiny at any corpus scale.",
+    tags=("events", "sequence", "markov"),
+)
+def qev7_markov_transitions(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    counts = s.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count("*").alias("n"))
+    wsum = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wsum), 6).alias("p"),
+    ).orderBy("src", "dst")
+
+
+@query(
+    "qprof2_association_stats",
+    oracle="""
+WITH j AS (SELECT l_returnflag AS x, l_linestatus AS y,
+                  count(*)::DOUBLE AS nxy
+           FROM lineitem GROUP BY x, y),
+t AS (SELECT sum(nxy) AS n, count(*) AS n_cells,
+             count(DISTINCT x) AS kx, count(DISTINCT y) AS ky FROM j),
+mx AS (SELECT x, sum(nxy) AS nx FROM j GROUP BY x),
+my AS (SELECT y, sum(nxy) AS ny FROM j GROUP BY y)
+SELECT CAST(max(t.n_cells) AS BIGINT) AS n_cells,
+       round(sum((j.nxy / t.n) * ln((j.nxy * t.n) / (mx.nx * my.ny))), 6)
+         AS mutual_info,
+       round(sum((j.nxy - mx.nx * my.ny / t.n) ^ 2
+                 / (mx.nx * my.ny / t.n)), 4) AS chi2,
+       round(sqrt(sum((j.nxy - mx.nx * my.ny / t.n) ^ 2
+                      / (mx.nx * my.ny / t.n))
+                  / (max(t.n) * (least(max(t.kx), max(t.ky)) - 1))), 6)
+         AS cramers_v
+FROM j JOIN t ON true JOIN mx ON j.x = mx.x JOIN my ON j.y = my.y
+""",
+    doc="qprof2: categorical association statistics — mutual "
+    "information, chi-square, and Cramér's V between returnflag and "
+    "linestatus, the profiler companion to qdrift1 (is this pair of "
+    "columns redundant / independent / leaking?). Everything derives "
+    "from ONE contingency-table aggregation (|X|·|Y| cells); the "
+    "marginals and the three statistics are arithmetic over that "
+    "driver-tiny table, broadcast-joined — at 100 TB the cost is "
+    "exactly one groupBy. Chi-square only where expected>0 by "
+    "construction (marginal products of observed cells). MI in nats, "
+    "round(6); chi2 round(4) (magnitude ~n).",
+    tags=("profile", "stats", "association"),
+)
+def qprof2_association_stats(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    j = li.groupBy(
+        F.col("l_returnflag").alias("x"), F.col("l_linestatus").alias("y")
+    ).agg(F.count("*").cast("double").alias("nxy"))
+    t = j.agg(
+        F.sum("nxy").alias("n"),
+        F.count("*").alias("n_cells"),
+        F.countDistinct("x").alias("kx"),
+        F.countDistinct("y").alias("ky"),
+    )
+    mx = j.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = j.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    cells = (
+        j.join(F.broadcast(t))
+        .join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+    )
+    e = F.col("nx") * F.col("ny") / F.col("n")
+    chi2_term = (F.col("nxy") - e) ** 2 / e
+    mi_term = (F.col("nxy") / F.col("n")) * F.log(
+        F.col("nxy") * F.col("n") / (F.col("nx") * F.col("ny"))
+    )
+    return cells.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.round(F.sum(mi_term), 6).alias("mutual_info"),
+        F.round(F.sum(chi2_term), 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum(chi2_term)
+                / (F.max("n") * (F.least(F.max("kx"), F.max("ky")) - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "qcur10_stratified_split",
+    oracle="""
+WITH d AS (
+  SELECT label, vec_id,
+         row_number() OVER (
+           PARTITION BY label
+           ORDER BY md5(CAST(vec_id AS VARCHAR) || '-strat7'), vec_id) AS rk,
+         count(*) OVER (PARTITION BY label) AS n
+  FROM embeddings)
+SELECT label,
+       CASE WHEN rk <= ceil(0.8 * n) THEN 'train' ELSE 'val' END AS split,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(vec_id) AS BIGINT) AS sum_ids
+FROM d GROUP BY label, split ORDER BY label, split
+""",
+    doc="qcur10: EXACT stratified split — within each label stratum, "
+    "rank rows by md5(id || salt) (hash order = reproducible shuffle, "
+    "the qcur4 trick) and allocate the first ceil(0.8·n) to train: "
+    "every stratum lands exactly 80/20 regardless of size, the "
+    "guarantee qcur1's global hash-threshold split only approximates. "
+    "sum(vec_id) gates the exact membership, not just the counts. "
+    "One shuffle on the stratum key; per-stratum window state is a "
+    "rank counter. The 100 TB caveat is real and documented: exact "
+    "allocation needs the per-stratum rank (sort within stratum), so "
+    "it costs a per-group sort where qcur1 is map-only — use it for "
+    "label-balanced eval carve-outs, not petabyte train splits.",
+    tags=("llm", "pipeline", "split", "stratified"),
+)
+def qcur10_stratified_split(spark, sf_dir):
+    emb = tables(spark, sf_dir).embeddings
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("-strat7"))),
+        "vec_id",
+    )
+    wn = Window.partitionBy("label")
+    d = emb.select(
+        "label",
+        "vec_id",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return (
+        d.select(
+            "label",
+            F.when(
+                F.col("rk") <= F.ceil(0.8 * F.col("n")), F.lit("train")
+            )
+            .otherwise(F.lit("val"))
+            .alias("split"),
+            "vec_id",
+        )
+        .groupBy("label", "split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("vec_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("label", "split")
+    )
