@@ -1021,3 +1021,68 @@ def qs10_join_then_window_gate(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "qs5d_stream_stream_full_outer_sink",
+    oracle="""
+SELECT coalesce(p.user_id, v.user_id) AS user_id,
+       p.event_id AS purchase_id, v.event_id AS view_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts >  p.ts - INTERVAL 1 HOUR
+ORDER BY 1, 2, 3
+""",
+    doc="FULL-OUTER stream-stream join at the hash tier — completes "
+    "the qs5b/qs5c family with the hardest eviction semantics: "
+    "matched pairs emit eagerly; unmatched PURCHASES null-fill when "
+    "the watermark passes their range (the qs5c case); unmatched "
+    "VIEWS null-fill only when the watermark passes v_ts + 1h, i.e. "
+    "the view side's state outlives its own event time by the join "
+    "interval — an eviction bound the left-outer gate never "
+    "exercises. Same two-sentinel advance (view+purchase pairs "
+    "surviving both filters); the full result including BOTH NULL "
+    "directions hash-matches the batch FULL JOIN oracle.",
+    tags=("streaming", "hash-tier", "join"),
+)
+def qs5d_stream_stream_full_outer_sink(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.streaming import replay
+    from sora_spark.streaming.stateful import purchases_after_views_full
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    staged = replay.materialize_replay_dir(spark, sf_dir, "qs5d", n_files=4)
+    d = replay.scratch_dir(f"qs5d-run-{sf_tag}")
+    for f in os.listdir(staged):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            shutil.copy(os.path.join(staged, f), os.path.join(d, f))
+    for i, far_ts in enumerate(["2030-01-01 00:00:00", "2030-01-02 00:00:00"]):
+        spark.createDataFrame(
+            [
+                (10**9 + 2 * i, far_ts, replay.SENTINEL_USER, "view", 0.0, "{}"),
+                (
+                    10**9 + 2 * i + 1,
+                    far_ts,
+                    replay.SENTINEL_USER,
+                    "purchase",
+                    0.0,
+                    "{}",
+                ),
+            ],
+            "event_id bigint, ts string, user_id bigint, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+    got = replay.run_to_memory(
+        purchases_after_views_full(replay.events_stream(spark, d)),
+        "qs5d_sink",
+        "append",
+    )
+    return got.filter(F.col("user_id") != replay.SENTINEL_USER).orderBy(
+        "user_id", "purchase_id", "view_id"
+    )

@@ -211,7 +211,12 @@ def _purchase_view_join(
         & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
         how,
     ).select(
-        F.col("p_user").alias("user_id"), "purchase_id", "view_id"
+        # coalesce: identical to p_user for inner/left (purchase side is
+        # the preserved side) and NULL-safe for full_outer's unmatched
+        # views
+        F.coalesce("p_user", "v_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
     )
 
 
@@ -233,6 +238,17 @@ def purchases_after_views_two_sources(
     return _purchase_view_join(
         views_src, watermark, "inner", events_p=purchases_src
     )
+
+
+def purchases_after_views_full(
+    events: DataFrame, watermark: str = "40 days"
+) -> DataFrame:
+    """FULL OUTER variant: matched pairs emit as they join; unmatched
+    purchases AND unmatched views each emit once the watermark passes
+    their join range (purchases after p_ts, views after v_ts + 1h —
+    the view side's state must outlive its own event time by the join
+    interval). Same sentinel-advance protocol as left_outer."""
+    return _purchase_view_join(events, watermark, "full_outer")
 
 
 def purchases_after_views_outer(
