@@ -771,3 +771,47 @@ def qc6_xml_roundtrip(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "qso6_union_by_name",
+    oracle="""
+WITH u AS (
+  SELECT l_orderkey, l_quantity
+  FROM lineitem WHERE l_returnflag = 'A'
+  UNION ALL BY NAME
+  SELECT l_quantity, l_orderkey, l_discount
+  FROM lineitem WHERE l_returnflag = 'R')
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(count(l_discount) AS BIGINT) AS n_disc,
+       round(sum(l_discount), 4) AS sum_disc
+FROM u
+""",
+    doc="qso6: schema-evolving union — unionByName with "
+    "allowMissingColumns vs DuckDB's UNION ALL BY NAME: the second "
+    "branch's columns arrive in a DIFFERENT order and carry an extra "
+    "column the first lacks, so positional UNION (qso1) would either "
+    "fail or silently cross-wire orderkey with quantity. The gate "
+    "counts non-NULL fills (n_disc = branch-2 rows only) plus value "
+    "sums over both the shared and the missing column. This is the "
+    "ingestion idiom for landing files whose schema drifted "
+    "release-over-release (the batch twin of qsrc3's mergeSchema "
+    "read). Map-only — no shuffle beyond the final 1-row aggregate.",
+    tags=("setop", "schema-evolution"),
+)
+def qso6_union_by_name(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    a = li.filter(F.col("l_returnflag") == "A").select(
+        "l_orderkey", "l_quantity"
+    )
+    b = li.filter(F.col("l_returnflag") == "R").select(
+        "l_quantity", "l_orderkey", "l_discount"
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("l_discount").cast("bigint").alias("n_disc"),
+        F.round(F.sum("l_discount"), 4).alias("sum_disc"),
+    )

@@ -1086,3 +1086,61 @@ def qs5d_stream_stream_full_outer_sink(spark, sf_dir):
     return got.filter(F.col("user_id") != replay.SENTINEL_USER).orderBy(
         "user_id", "purchase_id", "view_id"
     )
+
+
+@query(
+    "qs11_parquet_file_sink",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="Streaming PARQUET FILE sink at the hash tier — the one sink "
+    "path the qs*b memory-sink gates never execute: hourly windowed "
+    "counts written by the real file sink with its _spark_metadata "
+    "commit log (exactly-once file visibility — readers see only "
+    "committed files, half-written parts are invisible by "
+    "construction), then READ BACK from disk and hash-matched "
+    "against the batch oracle. Sentinel advances the watermark so "
+    "append-mode windows flush to files; the sentinel's own 2030 "
+    "window can never flush, so it stays out of the sink. At 100 TB "
+    "this is the landing path for every streaming pipeline that "
+    "feeds batch consumers — the commit-log contract is what makes "
+    "downstream reads safe while the stream is live.",
+    tags=("streaming", "hash-tier", "sink", "parquet"),
+)
+def qs11_parquet_file_sink(spark, sf_dir):
+    from sora_spark.streaming import replay
+
+    d = replay.materialize_replay_dir(spark, sf_dir, "qs11", n_files=4)
+    out = replay.scratch_dir("qs11-out")
+    ckpt = replay.scratch_dir("qs11-ckpt")
+    ev = replay.events_stream(spark, d).withWatermark("ts", "40 days")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    q = (
+        hourly.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        replay.append_sentinel(spark, d)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(out)
+    return (
+        back.select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00").alias(
+                "hour"
+            ),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            "sum_value",
+        )
+        .orderBy("hour", "event_type")
+    )
