@@ -675,3 +675,44 @@ def test_global_row_index_no_single_partition_window(spark, sf_dir):
     replace."""
     p = _plan(spark, sf_dir, "qt3_global_row_index", mode="simple")
     assert "SinglePartition" not in p, f"global funnel in plan:\n{p}"
+
+
+def test_kmeans_assignment_is_map_only(spark, sf_dir):
+    """qkm1's scale contract: centroid assignment is an argmin over
+    broadcast LITERAL centroids — zero shuffle below the final
+    per-cluster aggregate. Exactly one hash exchange (the groupBy cid)
+    in the whole declared plan; no join of any kind."""
+    p = _plan(spark, sf_dir, "qkm1_kmeans_semantic", mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Join" not in p, "assignment must not join a centroid table"
+
+
+def test_regression_family_partial_aggregation(spark, sf_dir):
+    """qa18's regr_* family must partial-aggregate map-side — each
+    statistic is a mergeable tuple of power sums, so the shuffle
+    carries k rows per group, not the data."""
+    p = _plan(spark, sf_dir, "qa18_regression_family", mode="simple")
+    assert "partial_" in p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_union_by_name_no_shuffle(spark, sf_dir):
+    """qso6 is map-only reconciliation: no hash exchange anywhere —
+    the union and the missing-column NULL fill happen in the scan
+    stage; the only movement is the final 1-row aggregate's single
+    partition exchange."""
+    p = _plan(spark, sf_dir, "qso6_union_by_name", mode="simple")
+    assert "Exchange hashpartitioning" not in p, p
+
+
+def test_markov_reuses_user_partitioning(spark, sf_dir):
+    """qev7 costs two hash exchanges: user_id for the sequence window
+    and (src, dst) for the transition counts; the row-normalizing
+    window must NOT add a third (it partitions on src, a prefix of the
+    agg partitioning — Spark reuses it only when keys match exactly,
+    so we pin the total at <= 3 and the absence of a single-partition
+    window, the actual scale hazard)."""
+    p = _plan(spark, sf_dir, "qev7_markov_transitions", mode="simple")
+    n = p.count("Exchange hashpartitioning")
+    assert n <= 3, p
+    assert "Exchange SinglePartition" not in p.split("Sort")[0], p
