@@ -43,8 +43,15 @@ def asof_join(
     (e.g. "5 minutes") for timestamp time columns or a number for
     numeric ones.
     """
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, key, time_col, tiebreak_col, right_value_col,
+            out_col, tolerance,
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction!r}"
+        )
     rv_type = right.schema[right_value_col].dataType
     t_type = right.schema[time_col].dataType
     pair_type = f"struct<_t:{t_type.simpleString()},_v:{rv_type.simpleString()}>"
@@ -115,4 +122,94 @@ def asof_join(
         unioned.withColumn(out_col, value)
         .filter(F.col("_side") == 0)
         .drop("_side", "_rp")
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    tiebreak_col: str,
+    right_value_col: str,
+    out_col: str,
+    tolerance: str | float | None,
+) -> DataFrame:
+    """direction="nearest": whichever of the strictly-earlier and
+    strictly-later right matches is closer in time; ties prefer the
+    BACKWARD (earlier) match — stated rule, certified by the qj8d
+    oracle. Built as the backward and forward window passes over ONE
+    union: same partitionBy, two orderings, so Catalyst reuses the
+    single hash exchange and pays one extra sort — never a second
+    shuffle, never a candidate-pair join. Tolerance bounds each
+    direction before the comparison (a stale backward match loses to
+    an in-range forward one)."""
+    rv_type = right.schema[right_value_col].dataType
+    t_type = right.schema[time_col].dataType
+    pair_type = f"struct<_t:{t_type.simpleString()},_v:{rv_type.simpleString()}>"
+
+    lt = left.withColumn("_side", F.lit(0)).withColumn(
+        "_rp", F.lit(None).cast(pair_type)
+    )
+    rt = (
+        right.select(
+            key,
+            time_col,
+            tiebreak_col,
+            F.when(
+                F.col(right_value_col).isNotNull(),
+                F.struct(
+                    F.col(time_col).alias("_t"),
+                    F.col(right_value_col).alias("_v"),
+                ),
+            ).alias("_rp"),
+        )
+        .withColumn("_side", F.lit(1))
+    )
+    shared = {key, time_col, tiebreak_col, "_rp", "_side"}
+    for f_ in left.schema.fields:
+        if f_.name not in shared:
+            rt = rt.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+    unioned = lt.unionByName(rt.select(*lt.columns))
+    w_back = (
+        Window.partitionBy(key)
+        .orderBy(
+            F.col(time_col).asc(), F.col("_side").asc(),
+            F.col(tiebreak_col).asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy(
+            F.col(time_col).desc(), F.col("_side").asc(),
+            F.col(tiebreak_col).desc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    back = F.last("_rp", ignorenulls=True).over(w_back)
+    fwd = F.last("_rp", ignorenulls=True).over(w_fwd)
+    if tolerance is not None:
+        tol = (
+            F.expr(f"INTERVAL {tolerance}")
+            if isinstance(tolerance, str)
+            else F.lit(tolerance)
+        )
+        back = F.when(back["_t"] >= F.col(time_col) - tol, back)
+        fwd = F.when(fwd["_t"] <= F.col(time_col) + tol, fwd)
+    t = F.col(time_col)
+    gap_back = t.cast("double") - back["_t"].cast("double")
+    gap_fwd = fwd["_t"].cast("double") - t.cast("double")
+    pick = (
+        F.when(back.isNull(), fwd)
+        .when(fwd.isNull(), back)
+        .when(gap_back <= gap_fwd, back)  # tie -> backward, stated rule
+        .otherwise(fwd)
+    )
+    return (
+        unioned.withColumn("_pick", pick)
+        .filter(F.col("_side") == 0)
+        .withColumn(out_col, F.col("_pick")["_v"])
+        .withColumn(out_col + "_t", F.col("_pick")["_t"])
+        .drop("_side", "_rp", "_pick")
     )

@@ -327,3 +327,78 @@ def qj10_rank_pair_count(spark, sf_dir):
         )
         .orderBy("f")
     )
+
+
+@query(
+    "qj8d_asof_nearest_join",
+    oracle="""
+WITH ev AS (SELECT * FROM events WHERE event_type IN ('view', 'purchase')),
+m AS (
+  SELECT event_type, ts,
+         last_value(CASE WHEN event_type = 'view'
+                         THEN {'t': ts, 'v': value} END IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts,
+                          CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END,
+                          event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS back,
+         last_value(CASE WHEN event_type = 'view'
+                         THEN {'t': ts, 'v': value} END IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts DESC,
+                          CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END,
+                          event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fwd
+  FROM ev),
+p AS (
+  SELECT ts,
+         CASE WHEN back IS NULL THEN fwd
+              WHEN fwd IS NULL THEN back
+              WHEN date_diff('microsecond', back.t, ts)
+                   <= date_diff('microsecond', ts, fwd.t) THEN back
+              ELSE fwd END AS pick
+  FROM m WHERE event_type = 'purchase')
+SELECT CAST(count(pick.v) AS BIGINT) AS n_matched,
+       round(avg(pick.v), 2) AS avg_value,
+       round(avg(abs(date_diff('microsecond', pick.t, ts)) / 1000000.0), 2)
+         AS avg_abs_gap_s
+FROM p
+""",
+    doc="Q-J8 completed: direction='nearest' as-of join — each "
+    "purchase takes whichever same-user view is CLOSER in time, "
+    "earlier or later, ties to the earlier one (pandas merge_asof's "
+    "third direction; operators/asof.py). Still the union+window "
+    "form: one shuffle on user_id, two sort orders over the SAME "
+    "exchange, zero candidate pairs — where a naive implementation "
+    "joins both directions and re-aggregates. The oracle runs the "
+    "two IGNORE NULLS struct windows and the same tie rule; "
+    "avg_abs_gap_s certifies the picked MATCH TIMES, not just "
+    "values, so a direction-flip bug cannot hash-collide past it.",
+    tags=("join", "asof"),
+)
+def qj8d_asof_nearest_join(spark, sf_dir):
+    from sora_spark.operators.asof import asof_join
+
+    ev = tables(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    joined = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        time_col="ts",
+        tiebreak_col="event_id",
+        right_value_col="value",
+        direction="nearest",
+    )
+    gap_s = (
+        F.abs(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_value_t"))
+        )
+        / 1000000.0
+    )
+    return joined.agg(
+        F.count("asof_value").cast("bigint").alias("n_matched"),
+        F.round(F.avg("asof_value"), 2).alias("avg_value"),
+        F.round(F.avg(gap_s), 2).alias("avg_abs_gap_s"),
+    )

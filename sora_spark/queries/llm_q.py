@@ -1759,3 +1759,132 @@ def qkm1_kmeans_semantic(spark, sf_dir):
         )
         .orderBy("cid")
     )
+
+
+@query(
+    "qta14_pmi_collocations",
+    oracle="""
+WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+uni AS (SELECT unnest(w) AS tok FROM w),
+ucnt AS (SELECT tok, count(*)::DOUBLE AS c FROM uni GROUP BY tok),
+utot AS (SELECT sum(c) AS n FROM ucnt),
+bi0 AS (SELECT unnest(range(1, len(w))) AS i, w FROM w),
+bi AS (SELECT w[i] AS a, w[i + 1] AS b FROM bi0),
+bcnt AS (SELECT a, b, count(*)::DOUBLE AS c FROM bi GROUP BY a, b),
+btot AS (SELECT sum(c) AS nb FROM bcnt),
+pmi AS (
+  SELECT bcnt.a, bcnt.b, bcnt.c AS n_ab,
+         round(ln((bcnt.c / btot.nb) / ((ua.c / utot.n) * (ub.c / utot.n))), 4)
+           AS pmi
+  FROM bcnt
+  JOIN btot ON true JOIN utot ON true
+  JOIN ucnt ua ON bcnt.a = ua.tok
+  JOIN ucnt ub ON bcnt.b = ub.tok
+  WHERE bcnt.c >= 5)
+SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab, pmi
+FROM pmi ORDER BY pmi DESC, a, b LIMIT 20
+""",
+    doc="qta14: PMI collocations — top word bigrams by pointwise "
+    "mutual information ln(p(ab)/(p(a)p(b))), min count 5: the "
+    "phrase-mining / tokenizer-merge-candidate primitive that sits "
+    "between qta13's bigram logprob (predictive) and qd2's Jaccard "
+    "(similarity). Two wordcount-shaped aggregations (unigrams, "
+    "bigrams) + broadcast totals + two broadcast joins against the "
+    "unigram counts — nothing beyond the ql5 wordcount scale shape. "
+    "PMI is ROUNDED BEFORE the top-20 ordering so the cross-engine "
+    "sort boundary is exact; remaining ties break on the bigram "
+    "itself.",
+    tags=("llm", "text", "collocation"),
+)
+def qta14_pmi_collocations(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    w = docs.select(F.split("text", " ").alias("w"))
+    uni = w.select(F.explode("w").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
+    utot = ucnt.agg(F.sum("c").alias("n"))
+    bi = (
+        w.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> struct(element_at(w, i) AS a, "
+                    "element_at(w, i + 1) AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    bcnt = bi.groupBy("a", "b").agg(F.count("*").cast("double").alias("c"))
+    btot = bcnt.agg(F.sum("c").alias("nb"))
+    ua = ucnt.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    ub = ucnt.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
+    joined = (
+        bcnt.filter(F.col("c") >= 5)
+        .join(F.broadcast(btot))
+        .join(F.broadcast(utot))
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c") / F.col("nb"))
+            / ((F.col("ca") / F.col("n")) * (F.col("cb") / F.col("n")))
+        ),
+        4,
+    )
+    return (
+        joined.select(
+            "a", "b", F.col("c").cast("bigint").alias("n_ab"), pmi.alias("pmi")
+        )
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+@query(
+    "qx17_explode_outer",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN NULL
+              ELSE list_filter(string_split(text, ' '), t -> len(t) > 8)
+         END AS arr
+  FROM documents),
+x AS (
+  SELECT d.doc_id, u.tok
+  FROM d LEFT JOIN LATERAL (SELECT unnest(d.arr) AS tok) u ON true)
+SELECT CAST(count(*) AS BIGINT) AS n_out,
+       CAST(count(tok) AS BIGINT) AS n_vals,
+       CAST(sum(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_placeholder,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_toks
+FROM x
+""",
+    doc="qx17: explode vs explode_outer NULL/empty semantics — the "
+    "lateral-view trap: plain explode silently DROPS rows whose "
+    "array is empty or NULL (docs with no >8-char token, every "
+    "7th doc nulled), so a pipeline keyed on doc_id loses documents. "
+    "explode_outer preserves them as a single NULL-token row. The "
+    "gate counts total rows vs value rows vs placeholder rows vs "
+    "surviving distinct doc_ids (must equal ALL docs). Oracle is "
+    "DuckDB's LEFT JOIN LATERAL unnest — the same preserved-row "
+    "construction. Map-only until the count aggregate.",
+    tags=("scalar", "array", "explode"),
+)
+def qx17_explode_outer(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    arr = F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+        F.filter(F.split("text", " "), lambda t: F.length(t) > 8)
+    )
+    x = docs.select("doc_id", F.explode_outer(arr).alias("tok"))
+    return x.agg(
+        F.count("*").cast("bigint").alias("n_out"),
+        F.count("tok").cast("bigint").alias("n_vals"),
+        F.sum(F.when(F.col("tok").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_placeholder"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.countDistinct("tok").cast("bigint").alias("n_distinct_toks"),
+    )

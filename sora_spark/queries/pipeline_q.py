@@ -2147,3 +2147,57 @@ def qcur10_stratified_split(spark, sf_dir):
         )
         .orderBy("label", "split")
     )
+
+
+@query(
+    "qdiff3_table_fingerprint",
+    oracle="""
+WITH h AS (
+  SELECT md5(concat_ws('|',
+           CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+           o_orderstatus, o_orderpriority,
+           strftime(o_orderdate, '%Y-%m-%d'))) AS hx
+  FROM orders)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(concat('0x', substr(hx, 1, 10)) AS BIGINT)) AS BIGINT)
+         AS fp_lane1,
+       CAST(sum(CAST(concat('0x', substr(hx, 11, 10)) AS BIGINT)) AS BIGINT)
+         AS fp_lane2,
+       CAST(count(DISTINCT hx) AS BIGINT) AS n_distinct
+FROM h
+""",
+    doc="qdiff3: order-insensitive table content fingerprint — "
+    "sum-of-row-hashes over a canonical string encoding (md5 of "
+    "'|'-joined typed columns; dates formatted, no floats in the "
+    "encoding — double→string formatting is NOT portable across "
+    "engines). Two independent 40-bit lanes summed as bigint give "
+    "~80-bit collision resistance while staying inside exact int64 "
+    "range up to ~10^7 rows per lane (document the bound; beyond "
+    "that, sum each lane per bucket and fingerprint the bucket "
+    "table). This is the replication/migration verifier: two "
+    "engines (or two clusters) agree on content without moving a "
+    "row — exactly how this repo's own engine twin would be "
+    "validated against a second deployment at 100 TB. Map-side "
+    "mergeable; one 1-row aggregate.",
+    tags=("pipeline", "fingerprint", "diff"),
+)
+def qdiff3_table_fingerprint(spark, sf_dir):
+    o = tables(spark, sf_dir).orders
+    hx = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            "o_orderstatus",
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        )
+    )
+    h = o.select(hx.alias("hx"))
+    lane = lambda lo: F.conv(F.substring("hx", lo, 10), 16, 10).cast("bigint")
+    return h.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(lane(1)).cast("bigint").alias("fp_lane1"),
+        F.sum(lane(11)).cast("bigint").alias("fp_lane2"),
+        F.countDistinct("hx").cast("bigint").alias("n_distinct"),
+    )
