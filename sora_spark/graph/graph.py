@@ -1064,6 +1064,72 @@ class Graph:
             stats["rounds"] = n_iter
         return ranks
 
+    def personalized_pagerank(
+        self,
+        seeds: list,
+        n_iter: int = 10,
+        damping: float = 0.85,
+    ) -> DataFrame:
+        """Personalized PageRank: the teleport vector concentrates on
+        `seeds` (uniform over the seed set) instead of all vertices —
+        r_{i+1}(v) = (1-d)·s(v) + d·(dangling·s(v) + Σ_in r_i(u)/od(u)),
+        s(v) = 1/|S| on seeds, 0 elsewhere. Dangling mass teleports to
+        the seeds too (the standard PPR convention), so total mass
+        stays 1. The recommendation / similarity-from-a-source
+        primitive; same two-shuffle round dataflow as `pagerank`, with
+        the seed indicator broadcast into the update (the seed list is
+        user-supplied and tiny by definition)."""
+        verts = self.vertex_ids().localCheckpoint(eager=True)
+        edges = self.edges.select("s", "d").localCheckpoint(eager=True)
+        out_deg = edges.groupBy("s").agg(
+            F.count("*").alias("_od")
+        ).localCheckpoint(eager=True)
+        n_s = float(len(seeds))
+        seed_ind = F.when(
+            F.col("v").isin(list(seeds)), F.lit(1.0 / n_s)
+        ).otherwise(F.lit(0.0))
+        ranks = verts.select("v", seed_ind.alias("rank")).localCheckpoint(
+            eager=True
+        )
+        for _ in range(n_iter):
+            with_deg = ranks.join(
+                out_deg, ranks.v == out_deg.s, "left"
+            ).select(ranks.v, "rank", "_od")
+            dangling = with_deg.filter(F.col("_od").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dmass")
+            )
+            contrib = (
+                edges.join(
+                    with_deg.filter(F.col("_od").isNotNull()),
+                    edges.s == with_deg.v,
+                )
+                .select(
+                    F.col("d").alias("v"),
+                    (F.col("rank") / F.col("_od")).alias("c"),
+                )
+                .groupBy("v")
+                .agg(F.sum("c").alias("c"))
+            )
+            # float op order fixed for the oracle hash:
+            # s(v)*((1-d) + d*D) + d*c
+            ranks = (
+                verts.join(contrib, "v", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "v",
+                    (
+                        seed_ind
+                        * (
+                            F.lit(1.0 - damping)
+                            + F.lit(damping) * F.col("_dmass")
+                        )
+                        + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks
+
     def shortest_paths(
         self,
         sources: DataFrame,

@@ -678,3 +678,46 @@ def qa19_higher_moments(spark, sf_dir):
         )
         .orderBy("linestatus")
     )
+
+
+@query(
+    "qa20_weighted_percentile",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag, l_quantity,
+         unnest(range(l_linenumber)) AS _i
+  FROM lineitem)
+SELECT l_returnflag AS returnflag,
+       CAST(count(*) AS BIGINT) AS n_weighted,
+       round(quantile_cont(l_quantity, 0.5), 6) AS wp50,
+       round(quantile_cont(l_quantity, 0.9), 6) AS wp90
+FROM r GROUP BY returnflag ORDER BY returnflag
+""",
+    doc="qa20: EXACT weighted percentile — Spark's 3-arg "
+    "percentile(col, q, frequency) with l_linenumber as the integer "
+    "weight, certified against DuckDB quantile_cont over the "
+    "EXPLICITLY REPLICATED multiset (each row repeated weight "
+    "times): the frequency argument must be exactly equivalent to "
+    "replication under linear interpolation. This is the "
+    "sampled-data idiom — aggregate a 1% sample with weight=100 and "
+    "get the percentile the full scan would give — and the "
+    "replication oracle is precisely what a user would otherwise "
+    "pay for at 100 TB: Spark carries the weight as a column, never "
+    "materializing the multiset.",
+    tags=("agg", "percentile", "weighted"),
+)
+def qa20_weighted_percentile(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.sum("l_linenumber").cast("bigint").alias("n_weighted"),
+            F.round(
+                F.expr("percentile(l_quantity, 0.5D, l_linenumber)"), 6
+            ).alias("wp50"),
+            F.round(
+                F.expr("percentile(l_quantity, 0.9D, l_linenumber)"), 6
+            ).alias("wp90"),
+        )
+        .orderBy("returnflag")
+    )

@@ -1636,3 +1636,71 @@ def qg36_maximal_matching(spark, sf_dir):
         .maximal_matching()
         .orderBy("x", "y")
     )
+
+
+def _ppr_round_sql(prev: str, i: int, damping: float = 0.85) -> str:
+    """One unrolled personalized-PageRank round, mirroring
+    Graph.personalized_pagerank exactly: teleport AND dangling mass go
+    to the seed set only — s(v)·((1−d) + d·D) + d·contrib."""
+    return f"""
+pdang{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.rank), 0.0) AS m FROM {prev} r
+  WHERE r.v NOT IN (SELECT s FROM od)),
+pcontrib{i} AS MATERIALIZED (
+  SELECT e.d AS v, sum(r.rank / od.od) AS c
+  FROM eco e JOIN {prev} r ON r.v = e.s JOIN od ON od.s = e.s
+  GROUP BY e.d),
+ppr{i} AS MATERIALIZED (
+  SELECT verts.v,
+         (CASE WHEN verts.v IN (SELECT v FROM seeds)
+               THEN 1.0 / 3.0 ELSE 0.0 END)
+         * ({1.0 - damping} + {damping} * (SELECT m FROM pdang{i}))
+         + {damping} * coalesce(c.c, 0.0) AS rank
+  FROM verts LEFT JOIN pcontrib{i} c ON c.v = verts.v)"""
+
+
+_PPR_ROUNDS = 10
+
+
+@query(
+    "qg37_personalized_pagerank",
+    oracle=(
+        f"WITH eco AS MATERIALIZED ({E_CO_SMALL_SQL}),\n"
+        "verts AS MATERIALIZED (SELECT DISTINCT v FROM "
+        "(SELECT s AS v FROM eco UNION SELECT d FROM eco)),\n"
+        "od AS MATERIALIZED (SELECT s, CAST(count(*) AS DOUBLE) AS od "
+        "FROM eco GROUP BY s),\n"
+        "seeds AS MATERIALIZED (SELECT v FROM verts ORDER BY v LIMIT 3),\n"
+        "ppr0 AS MATERIALIZED (SELECT v, CASE WHEN v IN "
+        "(SELECT v FROM seeds) THEN 1.0 / 3.0 ELSE 0.0 END AS rank "
+        "FROM verts),\n"
+        + ",".join(_ppr_round_sql(f"ppr{i}", i + 1) for i in range(_PPR_ROUNDS))
+        + f"""
+SELECT v, round(rank, 8) AS rank FROM ppr{_PPR_ROUNDS}
+WHERE rank > 0 ORDER BY v"""
+    ),
+    doc=f"qg37: PERSONALIZED PageRank — teleport mass concentrated on "
+    "the 3 lowest vertex ids (uniform over the seed set; dangling "
+    "mass teleports to the seeds too, the standard convention, so "
+    f"total mass stays 1), {_PPR_ROUNDS} power rounds vs the same "
+    "rounds unrolled as SQL CTEs. The similarity-from-a-source / "
+    "recommendation primitive qg14's global ranks can't express — "
+    "rank concentrates near the seeds and vertices unreachable from "
+    "them stay EXACTLY 0.0 (filtered: the support set is itself part "
+    "of the certificate). Same two-shuffle round dataflow as qg14; "
+    "the seed indicator is a broadcast literal, round(8) sits ~6 "
+    "orders above the 10-round float drift at PPR's mass scale.",
+    tags=("graph", "pagerank", "personalized"),
+)
+def qg37_personalized_pagerank(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    g = Graph(e_co_small(li))
+    seeds = [
+        r.v for r in g.vertex_ids().orderBy("v").limit(3).collect()
+    ]
+    return (
+        g.personalized_pagerank(seeds, n_iter=_PPR_ROUNDS, damping=0.85)
+        .filter(F.col("rank") > 0)
+        .select("v", F.round("rank", 8).alias("rank"))
+        .orderBy("v")
+    )
