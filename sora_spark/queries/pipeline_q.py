@@ -2201,3 +2201,50 @@ def qdiff3_table_fingerprint(spark, sf_dir):
         F.sum(lane(11)).cast("bigint").alias("fp_lane2"),
         F.countDistinct("hx").cast("bigint").alias("n_distinct"),
     )
+
+
+@query(
+    "qdz3_target_encoding",
+    oracle="""
+WITH g AS (SELECT avg(o_totalprice) AS gm FROM orders),
+c AS (SELECT o_orderpriority, count(*)::DOUBLE AS n,
+             sum(o_totalprice) AS s
+      FROM orders GROUP BY o_orderpriority)
+SELECT c.o_orderpriority AS priority,
+       CAST(c.n AS BIGINT) AS n,
+       round((c.s + 20.0 * g.gm) / (c.n + 20.0), 4) AS encoded,
+       round(c.s / c.n - g.gm, 4) AS raw_lift
+FROM c CROSS JOIN g ORDER BY priority
+""",
+    doc="qdz3: smoothed target encoding — the categorical→numeric "
+    "feature transform (mean target per category shrunk toward the "
+    "global mean with prior weight m=20), the leakage-prone idiom "
+    "qcur10's exact split exists to protect. Two aggregates (global "
+    "mean, per-category sums) + a broadcast of the 1-row prior; the "
+    "encode table is |categories| rows, broadcast back over the "
+    "training data for the actual transform at any scale. raw_lift "
+    "(unsmoothed minus global) is gated alongside so the shrinkage "
+    "arithmetic itself is certified, not just the blend.",
+    tags=("pipeline", "feature", "encoding"),
+)
+def qdz3_target_encoding(spark, sf_dir):
+    o = tables(spark, sf_dir).orders
+    g = o.agg(F.avg("o_totalprice").alias("gm"))
+    c = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("o_totalprice").alias("s"),
+    )
+    return (
+        c.crossJoin(F.broadcast(g))
+        .select(
+            "priority",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                (F.col("s") + 20.0 * F.col("gm")) / (F.col("n") + 20.0), 4
+            ).alias("encoded"),
+            F.round(F.col("s") / F.col("n") - F.col("gm"), 4).alias(
+                "raw_lift"
+            ),
+        )
+        .orderBy("priority")
+    )

@@ -487,3 +487,79 @@ def qts6_autocorrelation(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "qts7_seasonal_decomposition",
+    oracle="""
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, count(*)::DOUBLE AS n
+  FROM events GROUP BY day),
+t AS (
+  SELECT day, n,
+         avg(n) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS trend,
+         count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS wn
+  FROM d),
+c AS (SELECT day, n, trend, n - trend AS detr FROM t WHERE wn = 7),
+s AS (SELECT dayofweek(day) AS dow, avg(detr) AS seasonal,
+             count(*)::BIGINT AS n_days
+      FROM c GROUP BY dow)
+SELECT s.dow, s.n_days, round(s.seasonal, 4) AS seasonal,
+       round((SELECT stddev_samp(c.n - c.trend - s2.seasonal)
+              FROM c JOIN s s2 ON dayofweek(c.day) = s2.dow), 4)
+         AS resid_std
+FROM s ORDER BY s.dow
+""",
+    doc="qts7: STL-lite seasonal decomposition of the daily event "
+    "series — trend = centered 7-day moving average (only FULL "
+    "7-day windows kept, so both engines see identical edges), "
+    "seasonal = mean detrended value per day-of-week, residual "
+    "stddev after removing both. The qts4 dow profile upgraded "
+    "from raw averages to a proper trend/seasonal/residual split — "
+    "the pre-forecast sanity decomposition. Day-series is "
+    "driver-tiny after the one rollup shuffle; dayofweek "
+    "conventions: DuckDB dayofweek=0..6 Sun-start, Spark "
+    "dayofweek=1..7 Sun-start — the Spark side subtracts 1.",
+    tags=("timeseries", "window", "seasonal"),
+)
+def qts7_seasonal_decomposition(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    t = d.select(
+        "day",
+        "n",
+        F.avg("n").over(w).alias("trend"),
+        F.count("*").over(w).alias("wn"),
+    )
+    c = t.filter(F.col("wn") == 7).select(
+        "day", "n", "trend", (F.col("n") - F.col("trend")).alias("detr")
+    )
+    s = c.groupBy((F.dayofweek("day") - 1).alias("dow")).agg(
+        F.avg("detr").alias("seasonal"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    resid = (
+        c.join(
+            F.broadcast(s), (F.dayofweek(c.day) - 1) == s.dow
+        )
+        .agg(
+            F.stddev_samp(
+                F.col("n") - F.col("trend") - F.col("seasonal")
+            ).alias("rs")
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(resid))
+        .select(
+            "dow",
+            "n_days",
+            F.round("seasonal", 4).alias("seasonal"),
+            F.round("rs", 4).alias("resid_std"),
+        )
+        .orderBy("dow")
+    )
