@@ -1,0 +1,108 @@
+"""BPE tokenizer training (Sennrich-style byte-pair encoding) as pure
+DataFrame ops — the tokenizer-construction stage of an LLM data
+pipeline (qta3 counts tokens with a FIXED BPE-ish rule; this LEARNS
+the merges from the corpus).
+
+Scale design: training runs on the WORD FREQUENCY table — one corpus
+shuffle builds (word, n), and every merge iteration after that touches
+only the vocabulary-sized table, exactly how reference BPE trainers
+work. Per merge: one pair-count aggregation (map-side combinable) and
+one collect of a SINGLE row (the argmax pair) — k merges = k tiny
+driver barriers, the same bounded-collect pattern as the graph
+fixpoints. The merge application itself is a greedy left-to-right fold
+(`F.aggregate`) — JVM-side, codegen-friendly, and correct on
+overlapping runs ('aaa' + merge(a,a) -> [aa, a], never [a, aa]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) frequency table — the only corpus-sized pass."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def chars(word_col: str):
+    """Split a word into single-character symbols (1-indexed substring
+    transform — portable to engines whose split('') semantics differ)."""
+    return F.expr(
+        f"transform(sequence(1, length({word_col})), "
+        f"i -> substring({word_col}, i, 1))"
+    )
+
+
+def merge_pair(sym_col, a: str, b: str):
+    """Greedy left-to-right application of merge (a, b) to a symbol
+    array: fold each symbol onto the accumulator, fusing when the
+    accumulator tail is `a` and the incoming symbol is `b`. Greedy
+    matters: overlapping runs must fuse leftmost-first."""
+    return F.aggregate(
+        sym_col,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _adjacent_pairs(df: DataFrame) -> DataFrame:
+    """Weighted adjacent symbol pairs of the current word table.
+    Words shorter than 2 symbols carry no pairs; the size guard also
+    avoids sequence(1, 0), which Spark evaluates DESCENDING."""
+    return (
+        df.filter(F.size("sym") >= 2)
+        .select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(sym) - 1), "
+                    "i -> struct(element_at(sym, i) AS a, "
+                    "element_at(sym, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("p.a", "p.b", "n")
+    )
+
+
+def train(
+    words: DataFrame, n_merges: int
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn `n_merges` BPE merges from a (word, n) table. Returns the
+    ordered merge list [(a, b, weighted_count)] and the final
+    symbolized word table (word, n, sym). Ties in pair frequency break
+    on (a, b) lexicographically — stated rule, portable."""
+    df = words.select(
+        "word", "n", chars("word").alias("sym")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            _adjacent_pairs(df)
+            .groupBy("a", "b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        t = top[0]
+        merges.append((t.a, t.b, int(t.cnt)))
+        df = df.withColumn(
+            "sym", merge_pair(F.col("sym"), t.a, t.b)
+        ).localCheckpoint(eager=True)
+    return merges, df

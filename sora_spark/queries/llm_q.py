@@ -1888,3 +1888,68 @@ def qx17_explode_outer(spark, sf_dir):
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         F.countDistinct("tok").cast("bigint").alias("n_distinct_toks"),
     )
+
+
+def _bpe_round_sql(prev_s: str, i: int) -> str:
+    """One unrolled BPE merge round: weighted adjacent-pair counts over
+    the current symbolization, argmax pair (ties -> lexicographic), and
+    the greedy left-to-right fold applying it. DuckDB list slices are
+    INCLUSIVE — acc[:-2] drops exactly the last element."""
+    return f"""
+p{i} AS (SELECT sym[i] AS a, sym[i + 1] AS b, sum(n) AS cnt
+       FROM (SELECT n, sym, unnest(range(1, len(sym))) AS i FROM {prev_s}) u
+       GROUP BY a, b),
+t{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+s{i} AS (SELECT word, n,
+           list_reduce(list_transform(sym, s -> [s]),
+             (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t{i}.a
+                                   AND x[1] = t{i}.b
+                              THEN list_append(acc[:-2], t{i}.a || t{i}.b)
+                              ELSE list_concat(acc, x) END) AS sym
+         FROM s{i - 1} CROSS JOIN t{i})"""
+
+
+_BPE_MERGES = 4
+
+
+@query(
+    "qta15_bpe_train",
+    oracle=(
+        """
+WITH w AS (SELECT word, count(*)::BIGINT AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS word
+                 FROM documents) u
+           WHERE len(word) > 0 GROUP BY word),
+s0 AS (SELECT word, n, string_split(word, '') AS sym FROM w),"""
+        + ",".join(_bpe_round_sql(f"s{i - 1}", i) for i in range(1, _BPE_MERGES + 1))
+        + """
+SELECT * FROM (
+  SELECT 1 AS merge_rank, a, b, CAST(cnt AS BIGINT) AS cnt FROM t1
+  UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM t2
+  UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM t3
+  UNION ALL SELECT 4, a, b, CAST(cnt AS BIGINT) FROM t4) u
+ORDER BY merge_rank"""
+    ),
+    doc=f"qta15: BPE tokenizer TRAINING — learn the first "
+    f"{_BPE_MERGES} merges from the corpus (llm/bpe.py), certified "
+    "against the same rounds unrolled in SQL: weighted adjacent-pair "
+    "counts over the word-frequency table, argmax pair (ties "
+    "lexicographic), GREEDY left-to-right merge application "
+    "(overlapping runs fuse leftmost-first — the fold both engines "
+    "implement; a naive pairwise replace would diverge on 'aaa'). "
+    "Each learned merge depends on all prior merges, so the 4-row "
+    "result transitively certifies the whole iterated pipeline. "
+    "Scale: one corpus shuffle builds (word, n); every round after "
+    "runs on the vocabulary-sized table with one 1-row argmax "
+    "collect — the reference-trainer dataflow, distributed.",
+    tags=("llm", "text", "tokenizer", "bpe"),
+)
+def qta15_bpe_train(spark, sf_dir):
+    from sora_spark.llm import bpe
+
+    docs = tables(spark, sf_dir).documents
+    merges, _ = bpe.train(bpe.word_counts(docs), _BPE_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "merge_rank int, a string, b string, cnt bigint",
+    ).orderBy("merge_rank")

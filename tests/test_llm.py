@@ -691,3 +691,65 @@ def test_pca_projection_matches_numpy(spark, sf_dir):
     got = np.array([[r[f"p{i}"] for i in range(k)] for r in proj.collect()])
     want = (X - X.mean(axis=0)) @ (vecs[:, order] * np.array(signs))
     assert np.allclose(got, want, atol=1e-6)
+
+
+def test_bpe_greedy_merge_and_reference(spark):
+    """bpe.merge_pair fuses overlapping runs leftmost-first ('aaa' ->
+    [aa, a]); bpe.train matches a pure-Python reference BPE on a tiny
+    corpus (same tie rule: count desc, then (a, b) lexicographic)."""
+    from pyspark.sql import functions as F
+
+    from sora_spark.llm import bpe
+
+    d = spark.createDataFrame([("aaab",), ("banana",)], "word string")
+    got = {
+        r.word: r.m
+        for r in d.select(
+            "word",
+            bpe.merge_pair(bpe.chars("word"), "a", "a").alias("m"),
+        ).collect()
+    }
+    assert got["aaab"] == ["aa", "a", "b"]
+    assert got["banana"] == ["b", "a", "n", "a", "n", "a"]
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id bigint, text string",
+    )
+    merges, final = bpe.train(bpe.word_counts(docs), 5)
+
+    # pure-Python reference (Sennrich alg. 1, greedy apply, same ties)
+    from collections import Counter
+
+    words = Counter()
+    for _, text in [(1, "low lower lowest low low"), (2, "new newer newest new")]:
+        for w in text.split(" "):
+            if w:
+                words[w] += 1
+    syms = {w: [c for c in w] for w in words}
+    ref = []
+    for _ in range(5):
+        pairs = Counter()
+        for w, n in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        ref.append((a, b, cnt))
+        for w in syms:
+            s, out = syms[w], []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    assert merges == ref
+    got_syms = {
+        r.word: r.sym for r in final.select("word", "sym").collect()
+    }
+    assert got_syms == syms
