@@ -376,3 +376,61 @@ def test_replicated_scc_and_ktruss_stress(spark, sf_dir):
     th = truss_hist(big_u, t)
     assert th == {k: factor * v for k, v in thb.items()}
     assert t["rounds"] == tb["rounds"], "truss peel rounds must stay flat"
+
+
+def test_replicated_bpe_and_kmeans_invariance(spark, sf_dir):
+    """Exact-replication invariance for the round-7 iterative ML ops:
+
+    - BPE: duplicating every document k times multiplies every pair
+      count by exactly k and changes NO argmax, so the learned merge
+      sequence is identical and each weighted count is exactly k×.
+      (Real dedup motivation inverted: duplicated data doesn't change
+      WHAT the tokenizer learns, only how confident the counts look.)
+    - k-means: replicas of the same 4 lowest-id vectors seed identical
+      centroids (ids shift, vectors repeat), every Lloyd mean is a
+      k-fold repeat of the base mean, so final assignment counts are
+      exactly k× per cluster.
+    Both pin that the iteration logic depends on the data DISTRIBUTION,
+    not the row multiset size — the property that makes the operators
+    meaningful at 100 TB."""
+    from sora_spark.llm import ann, bpe
+
+    k = 4
+    docs = tables(spark, sf_dir).documents.select("doc_id", "text")
+    big_docs = docs
+    for i in range(1, k):
+        big_docs = big_docs.union(
+            docs.select(
+                (F.col("doc_id") + F.lit(10**7 * i)).alias("doc_id"), "text"
+            )
+        )
+
+    base_m, _ = bpe.train(bpe.word_counts(docs), 3)
+    big_m, _ = bpe.train(bpe.word_counts(big_docs), 3)
+    assert [(a, b) for a, b, _ in big_m] == [(a, b) for a, b, _ in base_m]
+    assert [c for _, _, c in big_m] == [c * k for _, _, c in base_m]
+
+    emb = tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    big_emb = emb
+    for i in range(1, k):
+        big_emb = big_emb.union(
+            emb.select(
+                (F.col("vec_id") + F.lit(10**7 * i)).alias("vec_id"),
+                "embedding",
+            )
+        )
+    def counts(corpus):
+        cents = ann.kmeans_centroids(corpus, n_centroids=4, iters=1)
+        dists = ann.centroid_distances(F.col("embedding"), cents)
+        return {
+            r.cid: r.n
+            for r in corpus.select(
+                F.array_position(dists, F.array_min(dists)).alias("cid")
+            )
+            .groupBy("cid")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    base_c, big_c = counts(emb), counts(big_emb)
+    assert big_c == {cid: n * k for cid, n in base_c.items()}
