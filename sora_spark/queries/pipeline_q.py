@@ -2248,3 +2248,127 @@ def qdz3_target_encoding(spark, sf_dir):
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "qev8_stickiness",
+    oracle="""
+WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events),
+dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY day),
+w AS (SELECT d.day, u.user_id
+      FROM (SELECT DISTINCT day FROM ud) d
+      JOIN ud u ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY),
+wau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS wau
+        FROM w GROUP BY day)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+       round(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+ORDER BY day
+""",
+    doc="qev8: DAU/WAU stickiness — daily active users over trailing-"
+    "7-day active users, the engagement ratio every events product "
+    "reports. The Spark side uses the SCALE shape, not the oracle's "
+    "range join: dedupe to (user, day) once, then each user-day "
+    "EXPLODES into the <=7 window-end days it supports (map-side ×7, "
+    "no day×history join) and a second distinct count per target "
+    "day. Exact tier; at 100 TB the same dataflow swaps the second "
+    "distinct for per-day HLL sketch merges (capability-tier "
+    "approx_count_distinct covers the estimator). Output restricted "
+    "to days with actual activity, so both engines agree on the "
+    "domain.",
+    tags=("events", "timeseries", "engagement"),
+)
+def qev8_stickiness(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    target = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(to_date(day), date_add(to_date(day), 6))")
+        ).alias("tday"),
+    )
+    wau = target.groupBy("tday").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    return (
+        dau.join(wau, F.to_date("day") == F.col("tday"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "qup5_merge_tri_state",
+    oracle="""
+WITH target AS (SELECT o_orderkey AS k, o_totalprice AS price
+                FROM orders WHERE o_orderkey % 3 != 0),
+source AS (SELECT o_orderkey AS k, o_totalprice + 1000.0 AS price
+           FROM orders WHERE o_orderkey % 2 = 0),
+merged AS (
+  SELECT coalesce(t.k, s.k) AS k,
+         CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN 'update'
+              WHEN s.k IS NOT NULL THEN 'insert'
+              ELSE 'delete' END AS action,
+         CASE WHEN s.k IS NOT NULL THEN s.price ELSE t.price END AS price
+  FROM target t FULL JOIN source s ON t.k = s.k)
+SELECT action, CAST(count(*) AS BIGINT) AS n,
+       round(sum(price), 2) AS sum_price,
+       CAST(min(k) AS BIGINT) AS min_key
+FROM merged GROUP BY action ORDER BY action
+""",
+    doc="qup5: tri-state MERGE — WHEN MATCHED UPDATE / WHEN NOT "
+    "MATCHED INSERT / WHEN NOT MATCHED BY SOURCE DELETE, the full "
+    "Delta/Iceberg MERGE INTO contract expressed as ONE full-outer "
+    "join + action tagging (qup1 covers upsert = the first two arms; "
+    "the delete-missing arm is what full-sync replication needs). "
+    "Deterministic target/source carved from orders by key residue "
+    "so all three arms are non-empty. The action histogram + "
+    "per-action price sums + min key certify the routing exactly. "
+    "One shuffle on the merge key; rows tagged 'delete' are the "
+    "anti-join complement — at 100 TB the same plan drives the "
+    "rewrite of only the files whose keys appear in source "
+    "(qlay1's file-skipping composes here).",
+    tags=("pipeline", "merge", "cdc"),
+)
+def qup5_merge_tri_state(spark, sf_dir):
+    o = tables(spark, sf_dir).orders
+    target = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
+    )
+    source = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        # +1000.0 is EXACT in double on both engines; a *1.1-then-round
+        # source price diverged at half-way cases (the qw10 float trap)
+        (F.col("o_totalprice") + 1000.0).alias("price"),
+    )
+    t, s = target.alias("t"), source.alias("s")
+    merged = t.join(s, F.col("t.k") == F.col("s.k"), "full_outer").select(
+        F.coalesce("t.k", "s.k").alias("k"),
+        F.when(
+            F.col("t.k").isNotNull() & F.col("s.k").isNotNull(), "update"
+        )
+        .when(F.col("s.k").isNotNull(), "insert")
+        .otherwise("delete")
+        .alias("action"),
+        F.when(F.col("s.k").isNotNull(), F.col("s.price"))
+        .otherwise(F.col("t.price"))
+        .alias("price"),
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+            F.min("k").cast("bigint").alias("min_key"),
+        )
+        .orderBy("action")
+    )

@@ -636,3 +636,64 @@ def qx16_array_set_family(spark, sf_dir):
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+@query(
+    "qx18_binary_codecs",
+    oracle="""
+WITH c AS (
+  SELECT doc_id, text,
+         to_base64(encode(text)) AS b64,
+         upper(hex(encode(substr(text, 1, 20)))) AS hx,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents),
+r AS (
+  SELECT doc_id, text, b64, hx, n_bytes,
+         decode(from_base64(b64)) AS back
+  FROM c)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN back = text THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_roundtrip,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(count(DISTINCT substr(b64, 1, 16)) AS BIGINT) AS n_b64_prefixes,
+       CAST(count(DISTINCT hx) AS BIGINT) AS n_hex
+FROM r
+""",
+    doc="qx18: binary codec family — base64 and hex encode/decode "
+    "over utf-8 text bytes, with the ONE portability trap this gate "
+    "exists to document: Spark's base64() is MIME (CRLF-wrapped at "
+    "76 chars), DuckDB's to_base64 is basic, so the Spark side "
+    "strips CRLF before comparing — the payload bytes are identical "
+    "and unbase64 accepts both framings (certified by the roundtrip "
+    "count). Hex is compared raw (both engines uppercase A-F). "
+    "Map-only; the 16-char b64 prefix distinct-count keeps the hash "
+    "sensitive to the actual encoded bytes, not just lengths.",
+    tags=("scalar", "codec", "binary"),
+)
+def qx18_binary_codecs(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    c = docs.select(
+        "doc_id",
+        "text",
+        F.regexp_replace(
+            F.base64(F.encode("text", "utf-8")), "\r\n", ""
+        ).alias("b64"),
+        F.upper(F.hex(F.encode(F.substring("text", 1, 20), "utf-8"))).alias(
+            "hx"
+        ),
+        F.length(F.encode("text", "utf-8")).alias("n_bytes"),
+    )
+    r = c.withColumn(
+        "back", F.decode(F.unbase64("b64"), "utf-8")
+    )
+    return r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("back") == F.col("text"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_roundtrip"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.countDistinct(F.substring("b64", 1, 16))
+        .cast("bigint")
+        .alias("n_b64_prefixes"),
+        F.countDistinct("hx").cast("bigint").alias("n_hex"),
+    )
