@@ -815,3 +815,86 @@ def qso6_union_by_name(spark, sf_dir):
         F.count("l_discount").cast("bigint").alias("n_disc"),
         F.round(F.sum("l_discount"), 4).alias("sum_disc"),
     )
+
+
+@query(
+    "qc7_corrupt_record_handling",
+    oracle="""
+SELECT CAST(count(*) + 3 AS BIGINT) AS n_total,
+       CAST(3 AS BIGINT) AS n_corrupt,
+       CAST(count(*) AS BIGINT) AS n_good,
+       CAST(sum(n_nationkey) AS BIGINT) AS sum_good_keys,
+       CAST(count(*) AS BIGINT) AS n_dropmalformed
+FROM nation
+""",
+    doc="qc7: malformed-input contract — the engine writes nation as "
+    "CSV, PLANTS 3 rows whose key column is non-numeric, and reads "
+    "the poisoned file in both failure modes: PERMISSIVE + "
+    "columnNameOfCorruptRecord (bad rows surface with the raw line "
+    "captured and typed columns NULL — the quarantine pattern) and "
+    "DROPMALFORMED (bad rows silently gone). The oracle derives "
+    "expected counts from the clean view + the planted literals, so "
+    "the gate certifies the dirty-data machinery itself: total = "
+    "good+3, corrupt = exactly 3, good key-sum untouched, "
+    "DROPMALFORMED = good count. At 100 TB ingest this is the "
+    "difference between a poisoned row killing a 6-hour job and it "
+    "landing in a quarantine column.",
+    tags=("source", "csv", "corrupt"),
+)
+def qc7_corrupt_record_handling(spark, sf_dir):
+    from pyspark.sql.types import StringType, StructField
+
+    nation = tables(spark, sf_dir).nation
+    path = _roundtrip_dir("csv_poisoned")
+    # the poisoned file is written by PLAIN python, not a Spark sink:
+    # appending to a Spark-written part file trips the Hadoop local-FS
+    # .crc sidecar (ChecksumException) — and a 25-row dimension
+    # collect is the cheap, honest way to stage a hand-corrupted file
+    os.makedirs(path, exist_ok=True)
+    rows = nation.orderBy("n_nationkey").collect()
+    with open(os.path.join(path, "data.csv"), "w") as f:
+        for r in rows:
+            f.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
+        f.write("not_a_number,POISON_A,9\n")
+        f.write("also_bad,POISON_B,9\n")
+        f.write("NaNkey,POISON_C,9\n")
+    schema = nation.schema.add(StructField("_corrupt_record", StringType()))
+    permissive = (
+        spark.read.schema(schema)
+        .option("header", "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        # Spark requires a cache/materialization boundary to reference
+        # the corrupt column alongside the raw input (SPARK-21610)
+        .cache()
+    )
+    stats = permissive.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.count("_corrupt_record").cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_good"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_nationkey"))
+        )
+        .cast("bigint")
+        .alias("sum_good_keys"),
+    )
+    dropped = (
+        spark.read.schema(nation.schema)
+        .option("header", "false")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+        # THE DROPMALFORMED trap this gate documents: malformed-ness
+        # is decided against the columns actually MATERIALIZED, so a
+        # pruned count(*) parses nothing and counts raw lines (28
+        # here) — and count(concat_ws(cols)) folds straight back to
+        # count(*) because concat_ws is provably non-null. distinct()
+        # is the honest barrier: it must materialize every column, so
+        # the parser applies the full schema and the row drop really
+        # happens. (Rows are unique here, so distinct-count = count.)
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("n_dropmalformed"))
+    )
+    return stats.crossJoin(F.broadcast(dropped))
