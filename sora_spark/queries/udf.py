@@ -251,3 +251,45 @@ def qu6_arrow_array_udf(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "qu7_map_in_arrow",
+    oracle="""
+SELECT doc_id, upper(substr(text, 1, 12)) AS head_upper,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+""",
+    doc="qu7: mapInArrow — the zero-copy RecordBatch path (one tier "
+    "below mapInPandas: no pandas conversion at all; pyarrow.compute "
+    "kernels run directly on the Arrow buffers Spark ships). The "
+    "transform is deliberately oracle-expressible (upper/substr/"
+    "length) so the gate certifies the BATCH PLUMBING — schema "
+    "mapping, multi-batch iteration, column order — not exotic "
+    "logic. This is the decode-stage shape for the multimodal "
+    "family: qm4 gates Arrow decode via pandas; this pins the rawer "
+    "API a 100 TB image pipeline would prefer (no per-batch "
+    "DataFrame materialization).",
+    tags=("udf", "arrow"),
+)
+def qu7_map_in_arrow(spark, sf_dir):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = tables(spark, sf_dir).documents.select("doc_id", "text")
+
+    def transform(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.utf8_upper(pc.utf8_slice_codeunits(text, 0, 12)),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                ],
+                ["doc_id", "head_upper", "n_chars"],
+            )
+
+    return docs.mapInArrow(
+        transform, "doc_id bigint, head_upper string, n_chars bigint"
+    ).orderBy("doc_id")

@@ -563,3 +563,66 @@ def qts7_seasonal_decomposition(spark, sf_dir):
         )
         .orderBy("dow")
     )
+
+
+@query(
+    "qw13_batch_session_window",
+    oracle="""
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('microsecond', lag(ts) OVER w, ts)
+                      >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS sess_id
+  FROM d),
+per AS (
+  SELECT user_id, sess_id,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+         count(*) AS n_events,
+         date_diff('microsecond', min(ts), max(ts)) AS span_us
+  FROM s GROUP BY user_id, sess_id)
+SELECT user_id, sess_start, CAST(n_events AS BIGINT) AS n_events,
+       CAST(span_us AS BIGINT) AS span_us
+FROM per ORDER BY user_id, sess_start
+""",
+    doc="qw13: the BUILT-IN F.session_window in BATCH groupBy mode — "
+    "the same 30-min-gap semantics qs3 derives by hand with "
+    "lag/cumsum and qs3c executes as a stream, here certified for "
+    "the batch aggregation path (Spark merges overlapping "
+    "[ts, ts+gap) intervals per key at agg time — no window "
+    "function, no ordering pass). span = (end − start) − gap since "
+    "session_window.end = last_ts + gap. The three spellings of "
+    "sessionization (manual window, batch session_window, streaming "
+    "session_window) now triangulate each other through the same "
+    "oracle family. One shuffle on user_id.",
+    tags=("window", "session", "batch"),
+)
+def qw13_batch_session_window(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    per = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    return (
+        per.select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "sess_start"
+            ),
+            "n_events",
+            (
+                F.unix_micros(F.col("sw.end"))
+                - F.unix_micros(F.col("sw.start"))
+                - F.lit(1_800_000_000)
+            )
+            .cast("bigint")
+            .alias("span_us"),
+        )
+        .orderBy("user_id", "sess_start")
+    )
