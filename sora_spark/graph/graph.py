@@ -995,6 +995,50 @@ class Graph:
             " raise max_iter (a partial peel is NOT a k-truss)"
         )
 
+    @staticmethod
+    def _power_iterate(verts, edges, out_deg, ranks, n_iter, update_fn):
+        """Shared PageRank-family round loop: each round is one join
+        (rank → out-edges) + one destination-sum groupBy, dangling mass
+        riding as a broadcast 1-row aggregate, `localCheckpoint` per
+        round keeping the plan flat. `update_fn(dmass, contrib)`
+        builds the new rank column — the ONLY thing that differs
+        between uniform-teleport PageRank and seed-teleport PPR.
+        Callers own the float op ORDER inside update_fn: the oracle
+        hashes depend on it."""
+        for _ in range(n_iter):
+            with_deg = ranks.join(
+                out_deg, ranks.v == out_deg.s, "left"
+            ).select(ranks.v, "rank", "_od")
+            # mass of vertices with no out-edges, as a 1-row frame —
+            # broadcast into the update instead of collected
+            dangling = with_deg.filter(F.col("_od").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dmass")
+            )
+            contrib = (
+                edges.join(
+                    with_deg.filter(F.col("_od").isNotNull()),
+                    edges.s == with_deg.v,
+                )
+                .select(
+                    F.col("d").alias("v"),
+                    (F.col("rank") / F.col("_od")).alias("c"),
+                )
+                .groupBy("v")
+                .agg(F.sum("c").alias("c"))
+            )
+            ranks = (
+                verts.join(contrib, "v", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "v",
+                    update_fn(
+                        F.col("_dmass"), F.coalesce("c", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks
+
     def pagerank(
         self,
         n_iter: int = 10,
@@ -1022,44 +1066,19 @@ class Graph:
         ranks = verts.select("v", F.lit(1.0).alias("rank")).localCheckpoint(
             eager=True
         )
-        for _ in range(n_iter):
-            with_deg = ranks.join(
-                out_deg, ranks.v == out_deg.s, "left"
-            ).select(ranks.v, "rank", "_od")
-            # mass of vertices with no out-edges, as a 1-row frame —
-            # broadcast into the update instead of collected
-            dangling = with_deg.filter(F.col("_od").isNull()).agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dmass")
-            )
-            contrib = (
-                edges.join(
-                    with_deg.filter(F.col("_od").isNotNull()),
-                    edges.s == with_deg.v,
-                )
-                .select(
-                    F.col("d").alias("v"),
-                    (F.col("rank") / F.col("_od")).alias("c"),
-                )
-                .groupBy("v")
-                .agg(F.sum("c").alias("c"))
-            )
-            # same float op order as the collected-scalar form:
-            # ((1-d) + (d*D)/n) + d*c — keeps qg14's hash stable
+
+        # same float op order as the collected-scalar form:
+        # ((1-d) + (d*D)/n) + d*c — keeps qg14's hash stable
+        def update(dmass, contrib):
             base = (
                 F.lit(1.0 - damping)
-                + (F.lit(damping) * F.col("_dmass")) / F.lit(float(n_v))
+                + (F.lit(damping) * dmass) / F.lit(float(n_v))
             )
-            ranks = (
-                verts.join(contrib, "v", "left")
-                .crossJoin(F.broadcast(dangling))
-                .select(
-                    "v",
-                    (
-                        base + F.lit(damping) * F.coalesce("c", F.lit(0.0))
-                    ).alias("rank"),
-                )
-                .localCheckpoint(eager=True)
-            )
+            return base + F.lit(damping) * contrib
+
+        ranks = self._power_iterate(
+            verts, edges, out_deg, ranks, n_iter, update
+        )
         if stats is not None:
             stats["rounds"] = n_iter
         return ranks
@@ -1078,8 +1097,26 @@ class Graph:
         stays 1. The recommendation / similarity-from-a-source
         primitive; same two-shuffle round dataflow as `pagerank`, with
         the seed indicator broadcast into the update (the seed list is
-        user-supplied and tiny by definition)."""
+        user-supplied and tiny by definition). Duplicate seed ids are
+        deduplicated (each DISTINCT seed gets 1/|S|); a seed absent
+        from the graph is a loud ValueError — its teleport share would
+        otherwise silently vanish (ranks exist only for graph
+        vertices), breaking the mass invariant."""
+        seeds = sorted(set(seeds))
+        if not seeds:
+            raise ValueError(
+                "personalized_pagerank: seeds must be non-empty"
+            )
         verts = self.vertex_ids().localCheckpoint(eager=True)
+        present = {
+            r.v
+            for r in verts.filter(F.col("v").isin(list(seeds))).collect()
+        }
+        missing = [x for x in seeds if x not in present]
+        if missing:
+            raise ValueError(
+                f"personalized_pagerank: seeds not in graph: {missing!r}"
+            )
         edges = self.edges.select("s", "d").localCheckpoint(eager=True)
         out_deg = edges.groupBy("s").agg(
             F.count("*").alias("_od")
@@ -1091,44 +1128,19 @@ class Graph:
         ranks = verts.select("v", seed_ind.alias("rank")).localCheckpoint(
             eager=True
         )
-        for _ in range(n_iter):
-            with_deg = ranks.join(
-                out_deg, ranks.v == out_deg.s, "left"
-            ).select(ranks.v, "rank", "_od")
-            dangling = with_deg.filter(F.col("_od").isNull()).agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dmass")
+
+        # float op order fixed for the oracle hash:
+        # s(v)*((1-d) + d*D) + d*c
+        def update(dmass, contrib):
+            return (
+                seed_ind
+                * (F.lit(1.0 - damping) + F.lit(damping) * dmass)
+                + F.lit(damping) * contrib
             )
-            contrib = (
-                edges.join(
-                    with_deg.filter(F.col("_od").isNotNull()),
-                    edges.s == with_deg.v,
-                )
-                .select(
-                    F.col("d").alias("v"),
-                    (F.col("rank") / F.col("_od")).alias("c"),
-                )
-                .groupBy("v")
-                .agg(F.sum("c").alias("c"))
-            )
-            # float op order fixed for the oracle hash:
-            # s(v)*((1-d) + d*D) + d*c
-            ranks = (
-                verts.join(contrib, "v", "left")
-                .crossJoin(F.broadcast(dangling))
-                .select(
-                    "v",
-                    (
-                        seed_ind
-                        * (
-                            F.lit(1.0 - damping)
-                            + F.lit(damping) * F.col("_dmass")
-                        )
-                        + F.lit(damping) * F.coalesce("c", F.lit(0.0))
-                    ).alias("rank"),
-                )
-                .localCheckpoint(eager=True)
-            )
-        return ranks
+
+        return self._power_iterate(
+            verts, edges, out_deg, ranks, n_iter, update
+        )
 
     def shortest_paths(
         self,

@@ -220,7 +220,7 @@ def kmeans_centroids(
         for r in corpus.orderBy(id_col).limit(n_centroids).collect()
     ]
     for _ in range(iters):
-        dists = F.array(*[_dist2(F.col(vec_col), c) for c in cents])
+        dists = centroid_distances(F.col(vec_col), cents)
         assigned = corpus.select(
             vec_col,
             F.array_position(dists, F.array_min(dists)).alias("cid"),
@@ -262,7 +262,7 @@ def ivf_topk(
     / `ivf_topk_indexed`). `broadcast_probes=False` flips the `_cid`
     join to a two-sided shuffle for beyond-broadcast probe sets."""
     cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
-    dists = F.array(*[_dist2(F.col(vec_col), c) for c in cents])
+    dists = centroid_distances(F.col(vec_col), cents)
     c_assigned = corpus.withColumn(
         "_cid", F.array_position(dists, F.array_min(dists))
     )
@@ -307,7 +307,7 @@ def assign_cids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Corpus + `_cid` = 1-based nearest-centroid id (JVM-side argmin)."""
-    dists = F.array(*[_dist2(F.col(vec_col), c) for c in cents])
+    dists = centroid_distances(F.col(vec_col), cents)
     return corpus.withColumn("_cid", F.array_position(dists, F.array_min(dists)))
 
 

@@ -15,6 +15,50 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _tagged_union(left, right, key, time_col, tiebreak_col, right_value_col):
+    """Shared construction for every asof direction: tag left rows
+    _side=0 with a NULL (time, value) pair; reduce right rows to
+    key/time/tiebreak plus the non-NULL-value struct _rp (NULL right
+    values stay a NULL struct so last(ignorenulls) skips them); pad
+    the right side with typed NULLs for the left's payload columns so
+    the union resolves for any left schema."""
+    rv_type = right.schema[right_value_col].dataType
+    t_type = right.schema[time_col].dataType
+    pair_type = f"struct<_t:{t_type.simpleString()},_v:{rv_type.simpleString()}>"
+
+    lt = left.withColumn("_side", F.lit(0)).withColumn(
+        "_rp", F.lit(None).cast(pair_type)
+    )
+    rt = (
+        right.select(
+            key,
+            time_col,
+            tiebreak_col,
+            F.when(
+                F.col(right_value_col).isNotNull(),
+                F.struct(
+                    F.col(time_col).alias("_t"),
+                    F.col(right_value_col).alias("_v"),
+                ),
+            ).alias("_rp"),
+        )
+        .withColumn("_side", F.lit(1))
+    )
+    shared = {key, time_col, tiebreak_col, "_rp", "_side"}
+    for f_ in left.schema.fields:
+        if f_.name not in shared:
+            rt = rt.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+    return lt.unionByName(rt.select(*lt.columns))
+
+
+def _tol_expr(tolerance):
+    return (
+        F.expr(f"INTERVAL {tolerance}")
+        if isinstance(tolerance, str)
+        else F.lit(tolerance)
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -42,6 +86,10 @@ def asof_join(
     `left.time ± tolerance` become NULL. Pass an interval string
     (e.g. "5 minutes") for timestamp time columns or a number for
     numeric ones.
+
+    direction="nearest" picks whichever side is closer in time (ties
+    to backward) and ALSO emits `out_col + "_t"`, the matched right
+    row's time — callers need it to audit which direction won.
     """
     if direction == "nearest":
         return _asof_nearest(
@@ -52,38 +100,9 @@ def asof_join(
         raise ValueError(
             f"direction must be backward|forward|nearest: {direction!r}"
         )
-    rv_type = right.schema[right_value_col].dataType
-    t_type = right.schema[time_col].dataType
-    pair_type = f"struct<_t:{t_type.simpleString()},_v:{rv_type.simpleString()}>"
-
-    lt = left.withColumn("_side", F.lit(0)).withColumn(
-        "_rp", F.lit(None).cast(pair_type)
+    unioned = _tagged_union(
+        left, right, key, time_col, tiebreak_col, right_value_col
     )
-    rt = (
-        right.select(
-            key,
-            time_col,
-            tiebreak_col,
-            # NULL right values stay a NULL struct so last(ignorenulls)
-            # skips them — a NULL quote falls through to the previous
-            # non-null one, matching the pre-tolerance behavior
-            F.when(
-                F.col(right_value_col).isNotNull(),
-                F.struct(
-                    F.col(time_col).alias("_t"),
-                    F.col(right_value_col).alias("_v"),
-                ),
-            ).alias("_rp"),
-        )
-        .withColumn("_side", F.lit(1))
-    )
-    # Left may carry arbitrary payload columns; pad the right side with
-    # typed NULLs so the union resolves for any left schema.
-    shared = {key, time_col, tiebreak_col, "_rp", "_side"}
-    for f_ in left.schema.fields:
-        if f_.name not in shared:
-            rt = rt.withColumn(f_.name, F.lit(None).cast(f_.dataType))
-    unioned = lt.unionByName(rt.select(*lt.columns))
     # Left rows sort BEFORE right rows at equal time (side 0 < 1), so the
     # preceding frame for a left row holds exactly the strictly-earlier
     # right rows; `last` over it is the latest such (time, value) pair
@@ -107,11 +126,7 @@ def asof_join(
     matched = F.last("_rp", ignorenulls=True).over(w)
     value = matched["_v"]
     if tolerance is not None:
-        tol = (
-            F.expr(f"INTERVAL {tolerance}")
-            if isinstance(tolerance, str)
-            else F.lit(tolerance)
-        )
+        tol = _tol_expr(tolerance)
         if direction == "backward":
             value = F.when(matched["_t"] >= F.col(time_col) - tol,
                            matched["_v"])
@@ -144,33 +159,9 @@ def _asof_nearest(
     shuffle, never a candidate-pair join. Tolerance bounds each
     direction before the comparison (a stale backward match loses to
     an in-range forward one)."""
-    rv_type = right.schema[right_value_col].dataType
-    t_type = right.schema[time_col].dataType
-    pair_type = f"struct<_t:{t_type.simpleString()},_v:{rv_type.simpleString()}>"
-
-    lt = left.withColumn("_side", F.lit(0)).withColumn(
-        "_rp", F.lit(None).cast(pair_type)
+    unioned = _tagged_union(
+        left, right, key, time_col, tiebreak_col, right_value_col
     )
-    rt = (
-        right.select(
-            key,
-            time_col,
-            tiebreak_col,
-            F.when(
-                F.col(right_value_col).isNotNull(),
-                F.struct(
-                    F.col(time_col).alias("_t"),
-                    F.col(right_value_col).alias("_v"),
-                ),
-            ).alias("_rp"),
-        )
-        .withColumn("_side", F.lit(1))
-    )
-    shared = {key, time_col, tiebreak_col, "_rp", "_side"}
-    for f_ in left.schema.fields:
-        if f_.name not in shared:
-            rt = rt.withColumn(f_.name, F.lit(None).cast(f_.dataType))
-    unioned = lt.unionByName(rt.select(*lt.columns))
     w_back = (
         Window.partitionBy(key)
         .orderBy(
@@ -190,11 +181,7 @@ def _asof_nearest(
     back = F.last("_rp", ignorenulls=True).over(w_back)
     fwd = F.last("_rp", ignorenulls=True).over(w_fwd)
     if tolerance is not None:
-        tol = (
-            F.expr(f"INTERVAL {tolerance}")
-            if isinstance(tolerance, str)
-            else F.lit(tolerance)
-        )
+        tol = _tol_expr(tolerance)
         back = F.when(back["_t"] >= F.col(time_col) - tol, back)
         fwd = F.when(fwd["_t"] <= F.col(time_col) + tol, fwd)
     t = F.col(time_col)

@@ -335,14 +335,14 @@ def qj10_rank_pair_count(spark, sf_dir):
 WITH ev AS (SELECT * FROM events WHERE event_type IN ('view', 'purchase')),
 m AS (
   SELECT event_type, ts,
-         last_value(CASE WHEN event_type = 'view'
+         last_value(CASE WHEN event_type = 'view' AND value IS NOT NULL
                          THEN {'t': ts, 'v': value} END IGNORE NULLS)
            OVER (PARTITION BY user_id
                  ORDER BY ts,
                           CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END,
                           event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS back,
-         last_value(CASE WHEN event_type = 'view'
+         last_value(CASE WHEN event_type = 'view' AND value IS NOT NULL
                          THEN {'t': ts, 'v': value} END IGNORE NULLS)
            OVER (PARTITION BY user_id
                  ORDER BY ts DESC,

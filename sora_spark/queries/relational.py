@@ -842,7 +842,7 @@ FROM nation
     tags=("source", "csv", "corrupt"),
 )
 def qc7_corrupt_record_handling(spark, sf_dir):
-    from pyspark.sql.types import StringType, StructField
+    from pyspark.sql.types import StringType, StructField, StructType
 
     nation = tables(spark, sf_dir).nation
     path = _roundtrip_dir("csv_poisoned")
@@ -858,7 +858,13 @@ def qc7_corrupt_record_handling(spark, sf_dir):
         f.write("not_a_number,POISON_A,9\n")
         f.write("also_bad,POISON_B,9\n")
         f.write("NaNkey,POISON_C,9\n")
-    schema = nation.schema.add(StructField("_corrupt_record", StringType()))
+    # a FRESH StructType: .add() would mutate the session-cached
+    # nation DataFrame's cached_property schema in place, corrupting
+    # every later query that reads nation in this session
+    schema = StructType(
+        list(nation.schema.fields)
+        + [StructField("_corrupt_record", StringType())]
+    )
     permissive = (
         spark.read.schema(schema)
         .option("header", "false")

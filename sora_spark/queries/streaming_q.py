@@ -380,39 +380,11 @@ ORDER BY 1, 2, 3
     tags=("streaming", "hash-tier", "join"),
 )
 def qs5c_stream_stream_outer_join_sink(spark, sf_dir):
-    import os
-    import shutil
-
     from sora_spark.streaming import replay
     from sora_spark.streaming.stateful import purchases_after_views_outer
 
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    staged = replay.materialize_replay_dir(spark, sf_dir, "qs5c", n_files=4)
-    # fresh per-invocation copy: sentinels are APPENDED below, and the
-    # keyed staging dir is reused across invocations — appending there
-    # would accumulate files run over run
-    d = replay.scratch_dir(f"qs5c-run-{sf_tag}")
-    for f in os.listdir(staged):
-        if f.startswith("part-") and f.endswith(".parquet"):
-            shutil.copy(os.path.join(staged, f), os.path.join(d, f))
-    for i, far_ts in enumerate(["2030-01-01 00:00:00", "2030-01-02 00:00:00"]):
-        spark.createDataFrame(
-            [
-                (10**9 + 2 * i, far_ts, replay.SENTINEL_USER, "view", 0.0, "{}"),
-                (
-                    10**9 + 2 * i + 1,
-                    far_ts,
-                    replay.SENTINEL_USER,
-                    "purchase",
-                    0.0,
-                    "{}",
-                ),
-            ],
-            "event_id bigint, ts string, user_id bigint, event_type string, "
-            "value double, props string",
-        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
-            1
-        ).write.mode("append").parquet(d)
+    d = replay.stage_run_dir(spark, sf_dir, "qs5c")
+    replay.append_flush_sentinel_pairs(spark, d)
     got = replay.run_to_memory(
         purchases_after_views_outer(replay.events_stream(spark, d)),
         "qs5c_sink",
@@ -949,37 +921,10 @@ GROUP BY day ORDER BY day
     tags=("streaming", "hash-tier", "join", "chained"),
 )
 def qs10_join_then_window_gate(spark, sf_dir):
-    import os
-    import shutil
-
     from sora_spark.streaming import replay
 
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    staged = replay.materialize_replay_dir(spark, sf_dir, "qs10", n_files=4)
-    # fresh per-run copy: sentinels are appended, so never reuse the
-    # keyed staging dir (the qs5c lesson)
-    d = replay.scratch_dir(f"qs10-run-{sf_tag}")
-    for f in os.listdir(staged):
-        if f.startswith("part-") and f.endswith(".parquet"):
-            shutil.copy(os.path.join(staged, f), os.path.join(d, f))
-    for i, far_ts in enumerate(["2030-01-01 00:00:00", "2030-01-02 00:00:00"]):
-        spark.createDataFrame(
-            [
-                (10**9 + 2 * i, far_ts, replay.SENTINEL_USER, "view", 0.0, "{}"),
-                (
-                    10**9 + 2 * i + 1,
-                    far_ts,
-                    replay.SENTINEL_USER,
-                    "purchase",
-                    0.0,
-                    "{}",
-                ),
-            ],
-            "event_id bigint, ts string, user_id bigint, event_type string, "
-            "value double, props string",
-        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
-            1
-        ).write.mode("append").parquet(d)
+    d = replay.stage_run_dir(spark, sf_dir, "qs10")
+    replay.append_flush_sentinel_pairs(spark, d)
 
     ev = replay.events_stream(spark, d)
     views = (
@@ -1048,36 +993,11 @@ ORDER BY 1, 2, 3
     tags=("streaming", "hash-tier", "join"),
 )
 def qs5d_stream_stream_full_outer_sink(spark, sf_dir):
-    import os
-    import shutil
-
     from sora_spark.streaming import replay
     from sora_spark.streaming.stateful import purchases_after_views_full
 
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    staged = replay.materialize_replay_dir(spark, sf_dir, "qs5d", n_files=4)
-    d = replay.scratch_dir(f"qs5d-run-{sf_tag}")
-    for f in os.listdir(staged):
-        if f.startswith("part-") and f.endswith(".parquet"):
-            shutil.copy(os.path.join(staged, f), os.path.join(d, f))
-    for i, far_ts in enumerate(["2030-01-01 00:00:00", "2030-01-02 00:00:00"]):
-        spark.createDataFrame(
-            [
-                (10**9 + 2 * i, far_ts, replay.SENTINEL_USER, "view", 0.0, "{}"),
-                (
-                    10**9 + 2 * i + 1,
-                    far_ts,
-                    replay.SENTINEL_USER,
-                    "purchase",
-                    0.0,
-                    "{}",
-                ),
-            ],
-            "event_id bigint, ts string, user_id bigint, event_type string, "
-            "value double, props string",
-        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
-            1
-        ).write.mode("append").parquet(d)
+    d = replay.stage_run_dir(spark, sf_dir, "qs5d")
+    replay.append_flush_sentinel_pairs(spark, d)
     got = replay.run_to_memory(
         purchases_after_views_full(replay.events_stream(spark, d)),
         "qs5d_sink",
@@ -1112,7 +1032,9 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 def qs11_parquet_file_sink(spark, sf_dir):
     from sora_spark.streaming import replay
 
-    d = replay.materialize_replay_dir(spark, sf_dir, "qs11", n_files=4)
+    # fresh scratch copy — append_sentinel below must never pollute
+    # the reused keyed staging dir (review finding, the qs5c lesson)
+    d = replay.stage_run_dir(spark, sf_dir, "qs11")
     out = replay.scratch_dir("qs11-out")
     ckpt = replay.scratch_dir("qs11-ckpt")
     ev = replay.events_stream(spark, d).withWatermark("ts", "40 days")

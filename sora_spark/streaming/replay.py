@@ -152,6 +152,43 @@ def append_sentinel(spark: SparkSession, replay_dir: str) -> None:
     ).parquet(replay_dir)
 
 
+def stage_run_dir(
+    spark: SparkSession, sf_dir: str, key: str, n_files: int = 4
+) -> str:
+    """Fresh per-invocation COPY of the keyed staging dir: queries that
+    append sentinels must never write into the reused staging dir
+    itself (a rerun would replay stale sentinels — the qs5c lesson).
+    Copy order preserves name order; appended files get later mtimes,
+    so the 1-file-per-trigger source replays sentinels last."""
+    staged = materialize_replay_dir(spark, sf_dir, key, n_files=n_files)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    d = scratch_dir(f"{key}-run-{sf_tag}")
+    for f in os.listdir(staged):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            shutil.copy(os.path.join(staged, f), os.path.join(d, f))
+    return d
+
+
+def append_flush_sentinel_pairs(spark: SparkSession, run_dir: str) -> None:
+    """Two far-future view+purchase sentinel PAIRS (2030-01-01 and -02,
+    one file each): they survive event_type in ('view','purchase')
+    filters on both sides of a join, and the second file gives the
+    watermark advanced by the first a micro-batch in which to flush
+    held state. Sentinel rows carry SENTINEL_USER and land in 2030
+    windows — callers filter by either."""
+    for i, far_ts in enumerate(["2030-01-01 00:00:00", "2030-01-02 00:00:00"]):
+        spark.createDataFrame(
+            [
+                (10**9 + 2 * i, far_ts, SENTINEL_USER, "view", 0.0, "{}"),
+                (10**9 + 2 * i + 1, far_ts, SENTINEL_USER, "purchase", 0.0, "{}"),
+            ],
+            "event_id bigint, ts string, user_id bigint, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.mode("append").parquet(run_dir)
+
+
 def run_to_memory_flush(
     stream_df: DataFrame, name: str, replay_dir: str
 ) -> DataFrame:

@@ -1417,3 +1417,18 @@ def test_three_way_merge_classes(spark):
         3: (None, "changed", "theirs"),
     }
     assert 4 not in got, "untouched keys must be omitted"
+
+
+def test_qc7_does_not_corrupt_cached_nation_schema(spark, sf_dir):
+    """Review-finding regression: qc7 builds its corrupt-record schema
+    as a FRESH StructType. StructType.add() would mutate the
+    session-cached nation DataFrame's cached schema in place, making
+    every later nation read in the same session see a phantom
+    _corrupt_record column."""
+    from sora_spark.queries.registry import REGISTRY
+
+    before = tables(spark, sf_dir).nation.schema.simpleString()
+    REGISTRY["qc7_corrupt_record_handling"].spark_fn(spark, sf_dir).collect()
+    after = tables(spark, sf_dir).nation.schema.simpleString()
+    assert before == after
+    assert "_corrupt_record" not in after
