@@ -1953,3 +1953,78 @@ def qta15_bpe_train(spark, sf_dir):
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "merge_rank int, a string, b string, cnt bigint",
     ).orderBy("merge_rank")
+
+
+@query(
+    "qix4_proximity_query",
+    oracle="""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           FROM documents),
+p AS (SELECT doc_id, source, unnest(range(1, len(w) + 1)) AS i, w FROM t),
+tok AS (SELECT doc_id, source, w[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS i
+        FROM p),
+pair AS (
+  SELECT a.doc_id, a.source,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(CASE WHEN a.i < b.i THEN 1 END) AS BIGINT) AS n_ordered
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.tok = 'hash'
+   AND abs(a.i - b.i) <= 3 AND a.i != b.i
+  WHERE a.tok = 'join'
+  GROUP BY a.doc_id, a.source)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+       CAST(sum(n_ordered) AS BIGINT) AS n_ordered
+FROM pair GROUP BY source ORDER BY source
+""",
+    doc="qix4: PROXIMITY query ('join' NEAR/3 'hash') through the "
+    "positional-index shape — the slop generalization of qix2's "
+    "exact phrase: the two posting lists equi-join on doc_id with a "
+    "|Δpos| <= 3 residual, so the join fans out by posting-list "
+    "length, never by document length. n_ordered (a strictly before "
+    "b) is gated alongside the symmetric count, certifying the "
+    "position arithmetic not just the match set. At 100 TB this is "
+    "the search-engine shape: tokens are pre-exploded once into the "
+    "(term, doc, pos) relation (qix1's index), and every proximity "
+    "query is a selective two-posting join.",
+    tags=("llm", "index", "proximity"),
+)
+def qix4_proximity_query(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("i0", "tok"),
+    ).select(
+        "doc_id", "source", "tok", (F.col("i0") + 1).cast("bigint").alias("i")
+    )
+    a = tok.filter(F.col("tok") == "join").select(
+        "doc_id", "source", F.col("i").alias("ia")
+    )
+    b = tok.filter(F.col("tok") == "hash").select(
+        F.col("doc_id").alias("doc_b"), F.col("i").alias("ib")
+    )
+    pair = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.abs(F.col("ia") - F.col("ib")) <= 3)
+            & (F.col("ia") != F.col("ib")),
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.count(F.when(F.col("ia") < F.col("ib"), 1))
+            .cast("bigint")
+            .alias("n_ordered"),
+        )
+    )
+    return (
+        pair.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_pairs").cast("bigint").alias("n_pairs"),
+            F.sum("n_ordered").cast("bigint").alias("n_ordered"),
+        )
+        .orderBy("source")
+    )

@@ -626,3 +626,50 @@ def qw13_batch_session_window(spark, sf_dir):
         )
         .orderBy("user_id", "sess_start")
     )
+
+
+@query(
+    "qts8_ohlc_bars",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       round(arg_min(value, printf('%020d-%020d',
+             epoch_us(ts), event_id)), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(arg_max(value, printf('%020d-%020d',
+             epoch_us(ts), event_id)), 6) AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="qts8: OHLC bars — open/high/low/close of `value` per (day, "
+    "event_type): the finance/metrics candlestick rollup. Open and "
+    "close are argmin/argmax over the COMPOSITE (ts, event_id) order "
+    "— encoded as a zero-padded sortable string because DuckDB 1.0's "
+    "arg_min can't take a struct key (Spark's min_by can; both sort "
+    "the same bytes) — the unique id makes first/last well-defined under "
+    "timestamp ties on BOTH engines, which plain min(ts) lookups are "
+    "not. One mergeable shuffle on the bar key; every aggregate is "
+    "map-side combinable, so bars at 100 TB cost what a count does.",
+    tags=("timeseries", "agg", "ohlc"),
+)
+def qts8_ohlc_bars(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    key = F.format_string(
+        "%020d-%020d", F.unix_micros("ts"), F.col("event_id")
+    )
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.round(F.min_by("value", key), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", key), 6).alias("close"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy("day", "event_type")
+    )
