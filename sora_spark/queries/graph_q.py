@@ -1704,3 +1704,92 @@ def qg37_personalized_pagerank(spark, sf_dir):
         .select("v", F.round("rank", 8).alias("rank"))
         .orderBy("v")
     )
+
+
+def _walk_step_sql(prev: str, i: int) -> str:
+    """One unrolled hash-guided walk step: from the walk's current
+    vertex, move to the out-neighbor with the smallest
+    md5(walk_id-step-neighbor) — a deterministic stand-in for a
+    uniform random choice that both engines compute identically."""
+    return f"""
+wk{i} AS (SELECT w.walk_id,
+         arg_min(e.d, md5(CAST(w.walk_id AS VARCHAR) || '-{i}-'
+                          || CAST(e.d AS VARCHAR))) AS cur
+       FROM wk{i - 1} w JOIN eco e ON e.s = w.cur
+       GROUP BY w.walk_id)"""
+
+
+_WALK_STEPS = 4
+
+
+@query(
+    "qg38_random_walks",
+    oracle=(
+        f"WITH eco AS MATERIALIZED ({E_CO_SMALL_SQL}),\n"
+        "verts AS (SELECT DISTINCT v FROM "
+        "(SELECT s AS v FROM eco UNION SELECT d FROM eco) u),\n"
+        "seeds AS (SELECT v FROM verts ORDER BY v LIMIT 3),\n"
+        "wk0 AS (SELECT v AS walk_id, v AS cur FROM seeds),"
+        + ",".join(_walk_step_sql(f"wk{i - 1}", i) for i in range(1, _WALK_STEPS + 1))
+        + "\nSELECT walk_id, step, v FROM (\n"
+        "  SELECT walk_id, 0 AS step, cur AS v FROM wk0\n"
+        + "".join(
+            f"  UNION ALL SELECT walk_id, {i}, cur FROM wk{i}\n"
+            for i in range(1, _WALK_STEPS + 1)
+        )
+        + ") u ORDER BY walk_id, step"
+    ),
+    doc=f"qg38: hash-guided graph walks — {_WALK_STEPS} steps from the "
+    "3 lowest vertex ids, each step moving to the out-neighbor with "
+    "the minimal md5(walk_id-step-neighbor): DETERMINISTIC walk "
+    "sampling, the node2vec/DeepWalk data-prep primitive made "
+    "oracle-checkable (a seeded PRNG would not replay across "
+    "engines; the hash argmin does, and varies per walk AND per "
+    "step, so revisits don't cycle identically). Each step is one "
+    "equi-join of the walk frontier (|seeds| rows) against the edge "
+    "list + a min_by groupBy — frontier-sized, not graph-sized; "
+    "10^6 concurrent walks at 100 TB is the same plan with a wider "
+    "frontier. Dead-end walks simply stop contributing rows (inner "
+    "join), matching the oracle's semantics exactly.",
+    tags=("graph", "walk", "sampling"),
+)
+def qg38_random_walks(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    g = Graph(e_co_small(li))
+    edges = g.edges.select("s", "d")
+    seeds = g.vertex_ids().orderBy("v").limit(3)
+    cur = seeds.select(
+        F.col("v").alias("walk_id"), F.col("v").alias("cur")
+    )
+    frames = [
+        cur.select(
+            "walk_id", F.lit(0).alias("step"), F.col("cur").alias("v")
+        )
+    ]
+    for i in range(1, _WALK_STEPS + 1):
+        nxt = (
+            cur.join(edges, cur.cur == edges.s)
+            .groupBy("walk_id")
+            .agg(
+                F.min_by(
+                    "d",
+                    F.md5(
+                        F.concat(
+                            F.col("walk_id").cast("string"),
+                            F.lit(f"-{i}-"),
+                            F.col("d").cast("string"),
+                        )
+                    ),
+                ).alias("cur")
+            )
+        )
+        frames.append(
+            nxt.select(
+                "walk_id", F.lit(i).alias("step"), F.col("cur").alias("v")
+            )
+        )
+        cur = nxt
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.union(f_)
+    return out.orderBy("walk_id", "step")
