@@ -176,6 +176,11 @@ def append_flush_sentinel_pairs(spark: SparkSession, run_dir: str) -> None:
     watermark advanced by the first a micro-batch in which to flush
     held state. Sentinel rows carry SENTINEL_USER and land in 2030
     windows — callers filter by either."""
+    before = set(os.listdir(run_dir))
+    base = max(
+        (os.stat(os.path.join(run_dir, f)).st_mtime for f in before),
+        default=0.0,
+    )
     for i, far_ts in enumerate(["2030-01-01 00:00:00", "2030-01-02 00:00:00"]):
         spark.createDataFrame(
             [
@@ -187,6 +192,16 @@ def append_flush_sentinel_pairs(spark: SparkSession, run_dir: str) -> None:
         ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
             1
         ).write.mode("append").parquet(run_dir)
+        # EXPLICIT mtime ordering: a sentinel written in the same
+        # filesystem-timestamp tick as the part copies can TIE and be
+        # replayed FIRST, jumping the watermark past the real events
+        # (the qs7 round-6 finding, seen again as a same-session
+        # qs5d flake). Force every sentinel strictly after the data
+        # files, and the second strictly after the first.
+        for f in set(os.listdir(run_dir)) - before:
+            path = os.path.join(run_dir, f)
+            os.utime(path, (base + 10.0 + i, base + 10.0 + i))
+            before.add(f)
 
 
 def run_to_memory_flush(
