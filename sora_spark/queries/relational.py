@@ -904,3 +904,49 @@ def qc7_corrupt_record_handling(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_dropmalformed"))
     )
     return stats.crossJoin(F.broadcast(dropped))
+
+
+@query(
+    "qsrc4_fasta_datasource_write",
+    oracle="""
+SELECT doc_id, md5(text) AS text_md5,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+""",
+    doc="The WRITE half of the Python DataSource API (qsrc1 certifies "
+    "the read half): documents flow through "
+    "df.write.format('fasta') — executor tasks stream partitions "
+    "into temp files, the driver commit atomically renames them "
+    "(two-phase file commit: failed tasks leave only temps, abort "
+    "removes them, readers never see partial records) — then back "
+    "through spark.read.format('fasta'), and md5(sequence)+length "
+    "must match DuckDB over the ORIGINAL parquet. This closes the "
+    "custom-connector loop: a format the engine both produces and "
+    "consumes with the same commit guarantees as the built-in "
+    "sinks.",
+    tags=("source", "sink", "fasta", "datasource"),
+)
+def qsrc4_fasta_datasource_write(spark, sf_dir):
+    from sora_spark.sources.fasta_datasource import register
+
+    register(spark)
+    docs = tables(spark, sf_dir).documents
+    path = _roundtrip_dir("fasta_dsw")
+    (
+        docs.select(
+            F.col("doc_id").cast("string").alias("header"),
+            F.col("text").alias("sequence"),
+        )
+        .write.format("fasta")
+        .mode("overwrite")
+        .save(path)
+    )
+    back = spark.read.format("fasta").load(path)
+    return (
+        back.select(
+            F.col("header").cast("bigint").alias("doc_id"),
+            F.md5("sequence").alias("text_md5"),
+            F.length("sequence").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )

@@ -15,7 +15,13 @@ from __future__ import annotations
 import glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 
@@ -73,6 +79,58 @@ class FastaReader(DataSourceReader):
                 yield (file_uri, rec_id, header, "".join(seq))
 
 
+class _FastaCommit(WriterCommitMessage):
+    def __init__(self, tmp: str, final: str):
+        self.tmp = tmp
+        self.final = final
+
+
+class FastaWriter(DataSourceWriter):
+    """Engine-integrated FASTA SINK (the write half of the Python
+    DataSource API): each task streams its partition into a temp file
+    and the driver-side commit atomically renames every temp into
+    place — the standard two-phase file-commit contract, so a failed
+    task leaves only unreferenced temps (removed by abort) and readers
+    never observe half-written records. Input rows must carry `header`
+    and `sequence` columns; sequences are wrapped at 60 chars, the
+    layout the reader reassembles losslessly."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("fasta sink requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        final = f"part-{uuid.uuid4().hex}.fa"
+        tmp = os.path.join(self.path, f"_tmp_{final}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(f">{row.header}\n")
+                seq = row.sequence or ""
+                for i in range(0, max(len(seq), 1), 60):
+                    fh.write(seq[i : i + 60] + "\n")
+        return _FastaCommit(tmp, final)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if not f.startswith("_tmp_"):
+                    os.remove(os.path.join(self.path, f))
+        for m in messages:
+            os.replace(m.tmp, os.path.join(self.path, m.final))
+
+    def abort(self, messages):
+        for m in messages:
+            try:
+                os.remove(m.tmp)
+            except OSError:
+                pass
+
+
 class FastaDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -85,6 +143,15 @@ class FastaDataSource(DataSource):
 
     def reader(self, schema: StructType) -> FastaReader:
         return FastaReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> FastaWriter:
+        names = set(schema.fieldNames())
+        if not {"header", "sequence"} <= names:
+            raise ValueError(
+                "fasta sink requires header and sequence columns, got "
+                f"{sorted(names)}"
+            )
+        return FastaWriter(self.options, overwrite)
 
 
 def register(spark) -> None:
