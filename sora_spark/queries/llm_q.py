@@ -2028,3 +2028,86 @@ def qix4_proximity_query(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def _pq_sub_sql(k: int) -> str:
+    """Unrolled per-subspace k-means for PQ: slice columns are
+    1-indexed INCLUSIVE in DuckDB (v[a:b]); one assign → mean update →
+    final assign, the qkm1 protocol on the 16-dim sub-vector."""
+    lo, hi = 16 * k + 1, 16 * k + 16
+    return f"""
+e{k} AS (SELECT vec_id, (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS v
+        FROM embeddings),
+c0_{k} AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v
+        FROM (SELECT vec_id, v FROM e{k} ORDER BY vec_id LIMIT 4) t),
+a1_{k} AS (SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.v), c.cid) AS rn
+    FROM e{k} e CROSS JOIN c0_{k} c) t WHERE rn = 1),
+c1_{k} AS (SELECT cid, list(m ORDER BY i) AS v FROM (
+    SELECT cid, i, avg(v[i]) AS m
+    FROM a1_{k} CROSS JOIN range(1, 17) t(i) GROUP BY cid, i) u GROUP BY cid),
+a2_{k} AS (SELECT vec_id, cid AS code{k}, d * d AS d2_{k} FROM (
+    SELECT e.vec_id, c.cid, list_distance(e.v, c.v) AS d,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.v), c.cid) AS rn
+    FROM e{k} e CROSS JOIN c1_{k} c) t WHERE rn = 1)"""
+
+
+@query(
+    "qvq2_product_quantization",
+    oracle=(
+        "WITH "
+        + ",".join(_pq_sub_sql(k) for k in range(4))
+        + """
+SELECT a2_0.vec_id,
+       CAST(code0 AS BIGINT) AS code0, CAST(code1 AS BIGINT) AS code1,
+       CAST(code2 AS BIGINT) AS code2, CAST(code3 AS BIGINT) AS code3,
+       round(d2_0 + d2_1 + d2_2 + d2_3, 5) AS recon_err
+FROM a2_0
+JOIN a2_1 ON a2_1.vec_id = a2_0.vec_id
+JOIN a2_2 ON a2_2.vec_id = a2_0.vec_id
+JOIN a2_3 ON a2_3.vec_id = a2_0.vec_id
+ORDER BY a2_0.vec_id"""
+    ),
+    doc="qvq2: PRODUCT quantization — the 64-dim embedding split into "
+    "4×16-dim subspaces, an independent deterministic k-means "
+    "codebook (4 codes, the qkm1 Lloyd protocol) per subspace, every "
+    "vector encoded as 4 codes with its exact reconstruction error "
+    "(sum of per-subspace squared distances to the chosen "
+    "centroids). With qvq1 (scalar int8) this completes the two "
+    "halves of IVF-PQ: coarse lists prune the search (plan-pinned "
+    "IVF), PQ codes shrink residual storage 64×8B → 4B. All four "
+    "codebooks train in the SAME two corpus passes (per-sub "
+    "assignment is one literal-argmin projection; updates share one "
+    "posexplode shuffle each) and encoding is a single map-only "
+    "select — certified per VECTOR, codes and error both, against "
+    "the 4× unrolled SQL.",
+    tags=("llm", "vector", "quantization", "pq"),
+)
+def qvq2_product_quantization(spark, sf_dir):
+    from sora_spark.functions import vector
+
+    emb = tables(spark, sf_dir).embeddings
+    v = vector.to_double(F.col("embedding"))
+    sub_cols = [F.slice(v, 16 * k + 1, 16).alias("sub") for k in range(4)]
+    codebooks = []
+    for k in range(4):
+        sub_df = emb.select("vec_id", sub_cols[k])
+        codebooks.append(
+            ann.kmeans_centroids(sub_df, n_centroids=4, iters=1, vec_col="sub")
+        )
+    exprs = ["vec_id"]
+    err = None
+    for k in range(4):
+        dists = ann.centroid_distances(F.slice(v, 16 * k + 1, 16), codebooks[k])
+        exprs.append(
+            F.array_position(dists, F.array_min(dists))
+            .cast("bigint")
+            .alias(f"code{k}")
+        )
+        d2 = F.array_min(dists)
+        err = d2 if err is None else err + d2
+    exprs.append(F.round(err, 5).alias("recon_err"))
+    return emb.select(*exprs).orderBy("vec_id")
