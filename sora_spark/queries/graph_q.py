@@ -1793,3 +1793,66 @@ def qg38_random_walks(spark, sf_dir):
     for f_ in frames[1:]:
         out = out.union(f_)
     return out.orderBy("walk_id", "step")
+
+
+def _msg_pass_sql(prev: str, i: int) -> str:
+    """One unrolled mean-aggregation message-passing round over the
+    UNDIRECTED view of eco: h_{i}(v) = avg of h_{i-1} over in+out
+    neighbors (vertices with no neighbors keep their feature — they
+    don't occur in eco by construction)."""
+    return f"""
+h{i} AS MATERIALIZED (
+  SELECT n.v, avg(p.h) AS h
+  FROM (SELECT s AS v, d AS u FROM eco UNION ALL SELECT d, s FROM eco) n
+  JOIN {prev} p ON p.v = n.u
+  GROUP BY n.v)"""
+
+
+_MSG_ROUNDS = 2
+
+
+@query(
+    "qg40_neighborhood_mean",
+    oracle=(
+        f"WITH eco AS MATERIALIZED ({E_CO_SMALL_SQL}),\n"
+        "verts AS (SELECT DISTINCT v FROM "
+        "(SELECT s AS v FROM eco UNION SELECT d FROM eco) u),\n"
+        "h0 AS MATERIALIZED (SELECT v, CAST(v AS DOUBLE) AS h FROM verts),"
+        + ",".join(_msg_pass_sql(f"h{i - 1}", i) for i in range(1, _MSG_ROUNDS + 1))
+        + f"""
+SELECT v, round(h, 6) AS h FROM h{_MSG_ROUNDS} ORDER BY v"""
+    ),
+    doc=f"qg40: GNN-style neighborhood MEAN aggregation "
+    f"({_MSG_ROUNDS} message-passing rounds, GraphSAGE's mean "
+    "aggregator with the vertex id as the seed feature): h_i(v) = "
+    "avg over undirected neighbors of h_{i-1} — the feature-"
+    "propagation primitive a graph-learning data pipeline runs "
+    "before export, certified against the unrolled SQL rounds. "
+    "Per round: one edge→feature equi-join + one destination avg "
+    "(map-combinable) over the symmetrized edge list — identical "
+    "cost shape to a PageRank round, and like qg14 the round count "
+    "is fixed, so the 100 TB cost is rounds × (join + agg) on the "
+    "edge partitioning. round(6) absorbs the avg summation-order "
+    "drift.",
+    tags=("graph", "gnn", "features"),
+)
+def qg40_neighborhood_mean(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    g = Graph(e_co_small(li))
+    edges = g.edges.select("s", "d").localCheckpoint(eager=True)
+    sym = edges.select(
+        F.col("s").alias("v"), F.col("d").alias("u")
+    ).union(edges.select(F.col("d").alias("v"), F.col("s").alias("u")))
+    h = g.vertex_ids().select(
+        "v", F.col("v").cast("double").alias("h")
+    ).localCheckpoint(eager=True)
+    for _ in range(_MSG_ROUNDS):
+        h = (
+            sym.join(
+                h.select(F.col("v").alias("u"), F.col("h").alias("hu")), "u"
+            )
+            .groupBy("v")
+            .agg(F.avg("hu").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    return h.select("v", F.round("h", 6).alias("h")).orderBy("v")

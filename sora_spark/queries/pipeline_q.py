@@ -2372,3 +2372,69 @@ def qup5_merge_tri_state(spark, sf_dir):
         )
         .orderBy("action")
     )
+
+
+@query(
+    "qev9_linear_attribution",
+    oracle="""
+WITH pair AS (
+  SELECT p.event_id AS purchase_id, p.value AS revenue,
+         v.event_id AS view_id,
+         count(*) OVER (PARTITION BY p.event_id) AS n_touch
+  FROM events p JOIN events v
+    ON p.user_id = v.user_id
+   AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+  WHERE p.event_type = 'purchase' AND v.event_type = 'view'),
+credit AS (
+  SELECT view_id, revenue / n_touch AS credit FROM pair)
+SELECT CAST(count(DISTINCT view_id) AS BIGINT) AS n_views_credited,
+       CAST(count(*) AS BIGINT) AS n_credits,
+       round(sum(credit), 2) AS total_attributed
+FROM credit
+""",
+    doc="qev9: LINEAR multi-touch attribution — each purchase's "
+    "revenue split equally across every same-user view in the "
+    "preceding hour (the qs5b join reused as a marketing model; "
+    "first/last-touch are the qj8/qj8c asof specializations of the "
+    "same shape). The per-purchase touch count is a window over the "
+    "join output — no second aggregation pass — and "
+    "total_attributed must reconstruct exactly the revenue of "
+    "every attributed purchase, which is THE conservation "
+    "invariant attribution pipelines are audited on (certified "
+    "here through round(2) at the corpus sum). Interval-bounded "
+    "equi-join: hot users fan out by views-per-hour, never all "
+    "history.",
+    tags=("events", "attribution", "join"),
+)
+def qev9_linear_attribution(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        F.col("value").alias("revenue"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"),
+    )
+    pair = p.join(
+        v,
+        (F.col("pu") == F.col("vu"))
+        & (F.col("vts") <= F.col("pts"))
+        & (F.col("vts") > F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "purchase_id",
+        "revenue",
+        "view_id",
+        F.count("*").over(Window.partitionBy("purchase_id")).alias("n_touch"),
+    )
+    credit = pair.select(
+        "view_id", (F.col("revenue") / F.col("n_touch")).alias("credit")
+    )
+    return credit.agg(
+        F.countDistinct("view_id").cast("bigint").alias("n_views_credited"),
+        F.count("*").cast("bigint").alias("n_credits"),
+        F.round(F.sum("credit"), 2).alias("total_attributed"),
+    )
