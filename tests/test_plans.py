@@ -716,3 +716,19 @@ def test_markov_reuses_user_partitioning(spark, sf_dir):
     n = p.count("Exchange hashpartitioning")
     assert n <= 3, p
     assert "Exchange SinglePartition" not in p.split("Sort")[0], p
+
+
+@pytest.mark.parametrize(
+    "name", ["qev9_linear_attribution", "qix4_proximity_query"]
+)
+def test_interval_condition_joins_stay_equi(spark, sf_dir, name):
+    """qev9's time-interval join and qix4's |Δpos| proximity join both
+    carry non-equi residuals — Catalyst must still plan them as HASH
+    equi-joins on the key with the residual as a post-join filter,
+    never a nested-loop/cartesian (the all-pairs cliff at 100 TB)."""
+    p = _plan(spark, sf_dir, name, mode="simple")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or (
+        "ShuffledHashJoin" in p
+    ), p
