@@ -9,6 +9,7 @@ NULL-ordering dialect trap (SURVEY §5.5 trap 7) entirely.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sora_spark.catalog import tables
 from sora_spark.queries.registry import query
@@ -720,4 +721,57 @@ def qa20_weighted_percentile(spark, sf_dir):
             ).alias("wp90"),
         )
         .orderBy("returnflag")
+    )
+
+
+@query(
+    "qa21_gini_concentration",
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice AS x,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS i,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n,
+         sum(o_totalprice) OVER (PARTITION BY o_orderpriority) AS s
+  FROM orders)
+SELECT o_orderpriority AS priority,
+       CAST(max(n) AS BIGINT) AS n,
+       round(2.0 * sum(i * x) / (max(n) * max(s))
+             - (max(n) + 1.0) / max(n), 6) AS gini
+FROM r GROUP BY priority ORDER BY priority
+""",
+    doc="qa21: Gini concentration of order revenue per priority class "
+    "— the inequality/skew profile (how concentrated is spend across "
+    "orders?), the profiler stat that decides whether a key needs "
+    "salting before it needs a meeting. Exact rank formulation "
+    "G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over values sorted (value, "
+    "key) — the unique tiebreak makes the rank, and therefore the "
+    "statistic, identical on both engines even with duplicate "
+    "prices. One shuffle for the per-class window, aggregates "
+    "map-combinable.",
+    tags=("agg", "gini", "profile"),
+)
+def qa21_gini_concentration(spark, sf_dir):
+    o = tables(spark, sf_dir).orders
+    wp = Window.partitionBy("o_orderpriority")
+    w = wp.orderBy("o_totalprice", "o_orderkey")
+    r = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("x"),
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("o_totalprice").over(wp).alias("s"),
+    )
+    return (
+        r.groupBy("priority")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("x"))
+                / (F.max("n") * F.max("s"))
+                - (F.max("n") + 1.0) / F.max("n"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("priority")
     )

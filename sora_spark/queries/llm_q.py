@@ -2111,3 +2111,67 @@ def qvq2_product_quantization(spark, sf_dir):
         err = d2 if err is None else err + d2
     exprs.append(F.round(err, 5).alias("recon_err"))
     return emb.select(*exprs).orderBy("vec_id")
+
+
+@query(
+    "qta16_topk_keywords",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS tok FROM w),
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf
+       FROM tok GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*)::DOUBLE AS n FROM w),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         round(tf.tf * ln((n.n + 1) / (df.df + 1)), 6) AS tfidf
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, tok, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, tok) AS rk
+  FROM scored)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tfidf
+FROM ranked WHERE rk <= 3 AND doc_id < 100
+ORDER BY doc_id, rk
+""",
+    doc="qta16: per-document top-3 TF-IDF keywords — ql6's corpus "
+    "statistics turned into the document-TAGGING operator (the "
+    "metadata-enrichment step before curation filters can select "
+    "by topic). Smoothed idf ln((N+1)/(df+1)); scores ROUNDED "
+    "BEFORE the per-doc top-3 window so the rank boundary is "
+    "cross-engine exact, residual ties break on the token. Output "
+    "restricted to doc_id < 100 to keep the gate row set "
+    "windowed-but-bounded. Two wordcount aggregations + a "
+    "broadcast df join + one per-doc window — same scale shape as "
+    "ql6 plus a keyed top-k.",
+    tags=("llm", "text", "tfidf", "keywords"),
+)
+def qta16_topk_keywords(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    df = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1) / (F.col("df") + 1)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "rk", "tok", "tfidf")
+        .orderBy("doc_id", "rk")
+    )
