@@ -775,3 +775,45 @@ def qa21_gini_concentration(spark, sf_dir):
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "qa22_frequency_moments",
+    oracle="""
+WITH c AS (SELECT l_partkey, count(*)::DOUBLE AS cnt
+           FROM lineitem GROUP BY l_partkey)
+SELECT CAST(count(*) AS BIGINT) AS f0,
+       CAST(sum(cnt) AS BIGINT) AS f1,
+       CAST(sum(cnt * cnt) AS BIGINT) AS f2,
+       round(sum(cnt * cnt) / (count(*) * avg(cnt) * avg(cnt)), 6)
+         AS skew_factor
+FROM c
+""",
+    doc="qa22: frequency moments of the l_partkey distribution — "
+    "F0 (distinct keys), F1 (rows), F2 (sum of squared "
+    "frequencies = the EXACT self-join size, what AMS sketches "
+    "estimate and what join planners need to predict a key's "
+    "fan-out), plus F2 normalized by the uniform-distribution "
+    "baseline (skew_factor = 1 means perfectly even, >> 1 means a "
+    "salting candidate — the quantitative trigger for qsk1's "
+    "salted join). One exact groupBy then a 1-row moment "
+    "aggregate; at 100 TB the same two-level shape runs with the "
+    "first level approximated by CMS/HLL (capability-tier "
+    "sketches).",
+    tags=("agg", "moments", "profile", "skew"),
+)
+def qa22_frequency_moments(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    c = li.groupBy("l_partkey").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    return c.agg(
+        F.count("*").cast("bigint").alias("f0"),
+        F.sum("cnt").cast("bigint").alias("f1"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("f2"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("cnt"))
+            / (F.count("*") * F.avg("cnt") * F.avg("cnt")),
+            6,
+        ).alias("skew_factor"),
+    )

@@ -1856,3 +1856,76 @@ def qg40_neighborhood_mean(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
     return h.select("v", F.round("h", 6).alias("h")).orderBy("v")
+
+
+@query(
+    "qg41_link_prediction_jaccard",
+    oracle="""
+WITH eco AS MATERIALIZED ({eco}),
+nbr AS (SELECT s AS v, d AS u FROM eco UNION SELECT d, s FROM eco),
+deg AS (SELECT v, count(*)::DOUBLE AS deg FROM nbr GROUP BY v),
+common AS (
+  SELECT e.s, e.d, count(*)::DOUBLE AS cn
+  FROM eco e JOIN nbr a ON a.v = e.s JOIN nbr b ON b.v = e.d AND b.u = a.u
+  WHERE a.u != e.s AND a.u != e.d
+  GROUP BY e.s, e.d)
+SELECT e.s, e.d,
+       CAST(coalesce(c.cn, 0) AS BIGINT) AS common_nbrs,
+       round(coalesce(c.cn, 0)
+             / (ds.deg + dd.deg - coalesce(c.cn, 0)), 6) AS jaccard
+FROM eco e
+JOIN deg ds ON ds.v = e.s JOIN deg dd ON dd.v = e.d
+LEFT JOIN common c ON c.s = e.s AND c.d = e.d
+ORDER BY e.s, e.d
+""".replace("{eco}", E_CO_SMALL_SQL),
+    doc="qg41: per-edge neighborhood Jaccard — |N(s)∩N(d)| / "
+    "|N(s)∪N(d)| for every existing edge (endpoints excluded from "
+    "each other's neighborhoods): THE classic link-prediction / "
+    "edge-strength feature, complementing qg28's per-VERTEX "
+    "clustering coefficient. Common neighbors come from the "
+    "triangle-enumeration join (edge × two adjacency hops, equi on "
+    "the shared neighbor) — the qg3 shape, bounded by degree², "
+    "never |V|²; union size by inclusion-exclusion from broadcast "
+    "degrees, so no second intersection pass.",
+    tags=("graph", "linkpred", "jaccard"),
+)
+def qg41_link_prediction_jaccard(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    g = Graph(e_co_small(li))
+    eco = g.edges.select("s", "d").localCheckpoint(eager=True)
+    nbr = (
+        eco.select(F.col("s").alias("v"), F.col("d").alias("u"))
+        .union(eco.select(F.col("d").alias("v"), F.col("s").alias("u")))
+        .distinct()
+    )
+    deg = nbr.groupBy("v").agg(F.count("*").cast("double").alias("deg"))
+    a = nbr.select(F.col("v").alias("s"), F.col("u").alias("nu"))
+    b = nbr.select(F.col("v").alias("d"), F.col("u").alias("nu"))
+    common = (
+        eco.join(a, "s")
+        .join(b, ["d", "nu"])
+        .filter((F.col("nu") != F.col("s")) & (F.col("nu") != F.col("d")))
+        .groupBy("s", "d")
+        .agg(F.count("*").cast("double").alias("cn"))
+    )
+    ds = deg.select(F.col("v").alias("s"), F.col("deg").alias("deg_s"))
+    dd = deg.select(F.col("v").alias("d"), F.col("deg").alias("deg_d"))
+    out = (
+        eco.join(ds, "s")
+        .join(dd, "d")
+        .join(common, ["s", "d"], "left")
+        .select(
+            "s",
+            "d",
+            F.coalesce("cn", F.lit(0.0)).cast("bigint").alias("common_nbrs"),
+            F.round(
+                F.coalesce("cn", F.lit(0.0))
+                / (
+                    F.col("deg_s") + F.col("deg_d")
+                    - F.coalesce("cn", F.lit(0.0))
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out.orderBy("s", "d")

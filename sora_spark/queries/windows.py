@@ -673,3 +673,68 @@ def qts8_ohlc_bars(spark, sf_dir):
         )
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "qts9_rolling_zscore_anomalies",
+    oracle="""
+WITH r AS (
+  SELECT event_type, event_id, value,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sd,
+         count(*) OVER w AS wn
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT event_type, event_id,
+         round((value - mu) / sd, 4) AS z
+  FROM r WHERE wn = 50 AND sd > 0)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(count(CASE WHEN abs(z) > 3 THEN 1 END) AS BIGINT) AS n_anomalies,
+       round(max(abs(z)), 4) AS max_abs_z
+FROM z GROUP BY event_type ORDER BY event_type
+""",
+    doc="qts9: rolling z-score anomaly detection — each point scored "
+    "against the TRAILING 50 points of its own series (1 PRECEDING "
+    "end: the point never contaminates its own baseline — the "
+    "self-exclusion that separates detection from smoothing), "
+    "|z| > 3 flagged. Only full windows score, so both engines "
+    "agree on the warm-up boundary; z is rounded before the "
+    "threshold so the flag count is cross-engine exact. One "
+    "shuffle per series; window state is the 50-row frame's "
+    "running moments. The streaming twin is qst1's running "
+    "per-key state; this is the batch/backfill form every "
+    "monitoring pipeline also needs.",
+    tags=("timeseries", "window", "anomaly"),
+)
+def qts9_rolling_zscore_anomalies(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-50, -1)
+    )
+    r = ev.select(
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("*").over(w).alias("wn"),
+    )
+    z = r.filter((F.col("wn") == 50) & (F.col("sd") > 0)).select(
+        "event_type",
+        F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("z"),
+    )
+    return (
+        z.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_scored"),
+            F.count(F.when(F.abs("z") > 3, 1))
+            .cast("bigint")
+            .alias("n_anomalies"),
+            F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
