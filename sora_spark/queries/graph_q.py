@@ -1929,3 +1929,47 @@ def qg41_link_prediction_jaccard(spark, sf_dir):
         )
     )
     return out.orderBy("s", "d")
+
+
+@query(
+    "qg42_degree_assortativity",
+    oracle="""
+WITH eco AS MATERIALIZED ({eco}),
+nbr AS (SELECT s AS v, d AS u FROM eco UNION ALL SELECT d, s FROM eco),
+deg AS (SELECT v, count(*)::DOUBLE AS deg FROM nbr GROUP BY v),
+pairs AS (
+  SELECT ds.deg AS x, dd.deg AS y
+  FROM nbr e JOIN deg ds ON ds.v = e.v JOIN deg dd ON dd.v = e.u)
+SELECT CAST(count(*) AS BIGINT) AS n_endpoints,
+       round(corr(x, y), 6) AS assortativity,
+       round(avg(x), 4) AS mean_degree
+FROM pairs
+""".replace("{eco}", E_CO_SMALL_SQL),
+    doc="qg42: degree assortativity — Pearson correlation of endpoint "
+    "degrees over the symmetrized edge list (Newman's r): do "
+    "high-degree vertices attach to each other (r>0, social-graph "
+    "shape) or to leaves (r<0, hub-spoke)? The one-number structure "
+    "diagnostic that tells you whether qsk1-style hot-key handling "
+    "will concentrate on hub-hub edges. Degrees from one groupBy, "
+    "broadcast-joined to both endpoints; corr is the qa18 "
+    "mergeable-moments machine, so the whole statistic is two "
+    "shuffles regardless of graph size. Symmetrized (both "
+    "directions) so r is orientation-free.",
+    tags=("graph", "assortativity", "profile"),
+)
+def qg42_degree_assortativity(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    g = Graph(e_co_small(li))
+    eco = g.edges.select("s", "d").localCheckpoint(eager=True)
+    nbr = eco.select(F.col("s").alias("v"), F.col("d").alias("u")).union(
+        eco.select(F.col("d").alias("v"), F.col("s").alias("u"))
+    )
+    deg = nbr.groupBy("v").agg(F.count("*").cast("double").alias("deg"))
+    ds = deg.select(F.col("v").alias("v"), F.col("deg").alias("x"))
+    dd = deg.select(F.col("v").alias("u"), F.col("deg").alias("y"))
+    pairs = nbr.join(F.broadcast(ds), "v").join(F.broadcast(dd), "u")
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_endpoints"),
+        F.round(F.corr("x", "y"), 6).alias("assortativity"),
+        F.round(F.avg("x"), 4).alias("mean_degree"),
+    )

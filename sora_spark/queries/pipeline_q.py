@@ -2438,3 +2438,63 @@ def qev9_linear_attribution(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_credits"),
         F.round(F.sum("credit"), 2).alias("total_attributed"),
     )
+
+
+@query(
+    "qev10_cohort_ltv",
+    oracle="""
+WITH first_p AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+rev AS (
+  SELECT f.cohort,
+         date_diff('day', f.cohort, date_trunc('day', e.ts)) AS age,
+         e.value AS revenue
+  FROM events e JOIN first_p f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+    AND date_trunc('day', e.ts) >= f.cohort),
+cum AS (
+  SELECT cohort, age, sum(revenue) AS day_rev
+  FROM rev GROUP BY cohort, age)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort, CAST(age AS BIGINT) AS age,
+       round(sum(day_rev) OVER (PARTITION BY cohort ORDER BY age
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW), 2) AS cum_revenue
+FROM cum ORDER BY cohort, age
+""",
+    doc="qev10: cohort LTV curves — cumulative purchase revenue per "
+    "acquisition cohort (first-purchase day) by cohort AGE: the "
+    "revenue companion to qev2's retention triangle (users counted "
+    "there, dollars accumulated here). First-purchase derivation is "
+    "one user-keyed aggregate broadcast back over purchases; the "
+    "curve is a per-cohort running sum over the (cohort, age) "
+    "rollup — calendar-sized state, so the window is free at any "
+    "corpus scale. The monotone cum_revenue sequence certifies "
+    "ordering AND accumulation per cohort.",
+    tags=("events", "cohort", "ltv"),
+)
+def qev10_cohort_ltv(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    first_p = p.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    rev = p.join(F.broadcast(first_p), "user_id").select(
+        "cohort",
+        F.datediff(F.col("day"), F.col("cohort")).cast("bigint").alias("age"),
+        F.col("value").alias("revenue"),
+    )
+    cum = rev.groupBy("cohort", "age").agg(F.sum("revenue").alias("day_rev"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cum.select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "age",
+            F.round(F.sum("day_rev").over(w), 2).alias("cum_revenue"),
+        )
+        .orderBy("cohort", "age")
+    )

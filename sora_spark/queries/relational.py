@@ -950,3 +950,67 @@ def qsrc4_fasta_datasource_write(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "qc8_json_corrupt_records",
+    oracle="""
+SELECT CAST(count(*) + 3 AS BIGINT) AS n_total,
+       CAST(3 AS BIGINT) AS n_corrupt,
+       CAST(count(*) AS BIGINT) AS n_good,
+       CAST(sum(r_regionkey) AS BIGINT) AS sum_good_keys
+FROM region
+""",
+    doc="qc8: malformed-JSON contract, completing qc7's dirty-data "
+    "story for the second ingest format: region rows written as "
+    "JSON-lines by plain python with 3 planted poison lines "
+    "(truncated object, bare non-JSON text, unclosed string), read "
+    "back PERMISSIVE with columnNameOfCorruptRecord. JSON "
+    "malformed-ness differs from CSV's: it is a PARSE property of "
+    "the line, not a per-column cast, so the quarantine count is "
+    "stable under column pruning — no distinct() barrier needed, "
+    "which is itself part of the documented contract.",
+    tags=("source", "json", "corrupt"),
+)
+def qc8_json_corrupt_records(spark, sf_dir):
+    import json
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    region = tables(spark, sf_dir).region
+    path = _roundtrip_dir("json_poisoned")
+    os.makedirs(path, exist_ok=True)
+    rows = region.orderBy("r_regionkey").collect()
+    with open(os.path.join(path, "data.json"), "w") as f:
+        for r in rows:
+            f.write(
+                json.dumps(
+                    {"r_regionkey": r.r_regionkey, "r_name": r.r_name}
+                )
+                + "\n"
+            )
+        f.write('{"r_regionkey": 99, "r_name": "TRUNCATED"\n')
+        f.write("this is not json at all\n")
+        f.write('{"r_regionkey": 98, "r_name": "UNCLOSED\n')
+    schema = StructType(
+        list(region.schema.fields)
+        + [StructField("_corrupt_record", StringType())]
+    )
+    got = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return got.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.count("_corrupt_record").cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_good"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("r_regionkey"))
+        )
+        .cast("bigint")
+        .alias("sum_good_keys"),
+    )
