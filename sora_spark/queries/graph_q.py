@@ -1715,7 +1715,7 @@ def _walk_step_sql(prev: str, i: int) -> str:
 wk{i} AS (SELECT w.walk_id,
          arg_min(e.d, md5(CAST(w.walk_id AS VARCHAR) || '-{i}-'
                           || CAST(e.d AS VARCHAR))) AS cur
-       FROM wk{i - 1} w JOIN eco e ON e.s = w.cur
+       FROM {prev} w JOIN eco e ON e.s = w.cur
        GROUP BY w.walk_id)"""
 
 
@@ -1795,6 +1795,17 @@ def qg38_random_walks(spark, sf_dir):
     return out.orderBy("walk_id", "step")
 
 
+def _sym_edges(eco):
+    """Symmetrized (v, u) neighbor view of the canonical s<d edge list.
+    Duplicate-free WITHOUT a distinct: eco is DISTINCT with s<d, so
+    forward rows have v<u and reversed rows v>u — a .distinct() here
+    would add a full 2|E| shuffle for no semantic effect (review
+    finding). Shared by qg40/qg41/qg42."""
+    return eco.select(F.col("s").alias("v"), F.col("d").alias("u")).union(
+        eco.select(F.col("d").alias("v"), F.col("s").alias("u"))
+    )
+
+
 def _msg_pass_sql(prev: str, i: int) -> str:
     """One unrolled mean-aggregation message-passing round over the
     UNDIRECTED view of eco: h_{i}(v) = avg of h_{i-1} over in+out
@@ -1840,9 +1851,7 @@ def qg40_neighborhood_mean(spark, sf_dir):
     li = tables(spark, sf_dir).lineitem
     g = Graph(e_co_small(li))
     edges = g.edges.select("s", "d").localCheckpoint(eager=True)
-    sym = edges.select(
-        F.col("s").alias("v"), F.col("d").alias("u")
-    ).union(edges.select(F.col("d").alias("v"), F.col("s").alias("u")))
+    sym = _sym_edges(edges)
     h = g.vertex_ids().select(
         "v", F.col("v").cast("double").alias("h")
     ).localCheckpoint(eager=True)
@@ -1893,11 +1902,7 @@ def qg41_link_prediction_jaccard(spark, sf_dir):
     li = tables(spark, sf_dir).lineitem
     g = Graph(e_co_small(li))
     eco = g.edges.select("s", "d").localCheckpoint(eager=True)
-    nbr = (
-        eco.select(F.col("s").alias("v"), F.col("d").alias("u"))
-        .union(eco.select(F.col("d").alias("v"), F.col("s").alias("u")))
-        .distinct()
-    )
+    nbr = _sym_edges(eco)
     deg = nbr.groupBy("v").agg(F.count("*").cast("double").alias("deg"))
     a = nbr.select(F.col("v").alias("s"), F.col("u").alias("nu"))
     b = nbr.select(F.col("v").alias("d"), F.col("u").alias("nu"))
@@ -1961,9 +1966,7 @@ def qg42_degree_assortativity(spark, sf_dir):
     li = tables(spark, sf_dir).lineitem
     g = Graph(e_co_small(li))
     eco = g.edges.select("s", "d").localCheckpoint(eager=True)
-    nbr = eco.select(F.col("s").alias("v"), F.col("d").alias("u")).union(
-        eco.select(F.col("d").alias("v"), F.col("s").alias("u"))
-    )
+    nbr = _sym_edges(eco)
     deg = nbr.groupBy("v").agg(F.count("*").cast("double").alias("deg"))
     ds = deg.select(F.col("v").alias("v"), F.col("deg").alias("x"))
     dd = deg.select(F.col("v").alias("u"), F.col("deg").alias("y"))

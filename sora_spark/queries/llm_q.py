@@ -1715,11 +1715,13 @@ a1 AS (SELECT vec_id, v, cid FROM (
 c1 AS (SELECT cid, list(m ORDER BY i) AS v FROM (
     SELECT cid, i, avg(v[i]) AS m
     FROM a1 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i) u GROUP BY cid),
+c1f AS (SELECT c0.cid, coalesce(u.v, c0.v) AS v
+        FROM c0 LEFT JOIN c1 u ON u.cid = c0.cid),
 a2 AS (SELECT vec_id, cid, d FROM (
     SELECT e.vec_id, c.cid, list_distance(e.v, c.v) AS d,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY list_distance(e.v, c.v), c.cid) AS rn
-    FROM e CROSS JOIN c1 c) t WHERE rn = 1)
+    FROM e CROSS JOIN c1f c) t WHERE rn = 1)
 SELECT cid, CAST(count(*) AS BIGINT) AS n, round(sum(d), 4) AS sum_dist,
        CAST(min(vec_id) AS BIGINT) AS first_member
 FROM a2 GROUP BY cid ORDER BY cid
@@ -1737,7 +1739,10 @@ FROM a2 GROUP BY cid ORDER BY cid
     "k×dim floats ever reach the driver — the 100 TB shape. "
     "Data-point init guarantees no cluster empties during the "
     "update (each seed is its own nearest member), so the oracle "
-    "needs no empty-cluster fallback; sum_dist rounds away the "
+    "needs no empty-cluster fallback in practice — and the oracle "
+    "still mirrors the engine's stale-seed-centroid retention "
+    "(c1f coalesce) so duplicate-seed corpora cannot diverge; "
+    "sum_dist rounds away the "
     "engines' summation-order drift.",
     tags=("llm", "vector", "clustering"),
 )
@@ -2048,11 +2053,13 @@ a1_{k} AS (SELECT vec_id, v, cid FROM (
 c1_{k} AS (SELECT cid, list(m ORDER BY i) AS v FROM (
     SELECT cid, i, avg(v[i]) AS m
     FROM a1_{k} CROSS JOIN range(1, 17) t(i) GROUP BY cid, i) u GROUP BY cid),
+c1f_{k} AS (SELECT c0.cid, coalesce(u.v, c0.v) AS v
+        FROM c0_{k} c0 LEFT JOIN c1_{k} u ON u.cid = c0.cid),
 a2_{k} AS (SELECT vec_id, cid AS code{k}, d * d AS d2_{k} FROM (
     SELECT e.vec_id, c.cid, list_distance(e.v, c.v) AS d,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY list_distance(e.v, c.v), c.cid) AS rn
-    FROM e{k} e CROSS JOIN c1_{k} c) t WHERE rn = 1)"""
+    FROM e{k} e CROSS JOIN c1f_{k} c) t WHERE rn = 1)"""
 
 
 @query(

@@ -2479,7 +2479,9 @@ def qev10_cohort_ltv(spark, sf_dir):
         "user_id", F.date_trunc("day", "ts").alias("day"), "value"
     )
     first_p = p.groupBy("user_id").agg(F.min("day").alias("cohort"))
-    rev = p.join(F.broadcast(first_p), "user_id").select(
+    # NO broadcast hint: first_p is user-cardinality (unbounded at
+    # scale) — the shuffle hash join on user_id is the scale-safe shape
+    rev = p.join(first_p, "user_id").select(
         "cohort",
         F.datediff(F.col("day"), F.col("cohort")).cast("bigint").alias("age"),
         F.col("value").alias("revenue"),

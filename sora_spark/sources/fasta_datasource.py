@@ -43,6 +43,10 @@ class FastaReader(DataSourceReader):
             files = sorted(
                 p for p in glob.glob(os.path.join(glob.escape(self.path), "*"))
                 if os.path.isfile(p)
+                # never read writer staging files: an orphaned temp from
+                # a failed/speculative task attempt is not data (review
+                # finding — the two-phase-commit contract depends on it)
+                and not os.path.basename(p).startswith("_tmp_")
             )
         elif os.path.isfile(self.path):
             # literal file first: a name containing glob metacharacters
@@ -116,15 +120,23 @@ class FastaWriter(DataSourceWriter):
         return _FastaCommit(tmp, final)
 
     def commit(self, messages):
+        ours = {os.path.basename(m.tmp) for m in messages if m is not None}
         if self.overwrite:
             for f in os.listdir(self.path):
-                if not f.startswith("_tmp_"):
+                # remove prior data AND stale temps from crashed runs —
+                # but never this run's own staged temps
+                if f not in ours:
                     os.remove(os.path.join(self.path, f))
         for m in messages:
-            os.replace(m.tmp, os.path.join(self.path, m.final))
+            if m is not None:
+                os.replace(m.tmp, os.path.join(self.path, m.final))
 
     def abort(self, messages):
+        # failed tasks contribute None commit messages (the documented
+        # DataSourceWriter contract) — skip them, clean the rest
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(m.tmp)
             except OSError:

@@ -1432,3 +1432,36 @@ def test_qc7_does_not_corrupt_cached_nation_schema(spark, sf_dir):
     after = tables(spark, sf_dir).nation.schema.simpleString()
     assert before == after
     assert "_corrupt_record" not in after
+
+
+def test_fasta_writer_commit_protocol(spark, tmp_path):
+    """Review-finding regression for the FASTA sink's two-phase
+    commit: (a) an orphaned _tmp_ staging file (failed/speculative
+    task, crashed run) is invisible to the reader; (b) abort()
+    tolerates the None commit messages failed tasks produce."""
+    from sora_spark.sources.fasta_datasource import (
+        FastaWriter,
+        register,
+    )
+
+    register(spark)
+    path = str(tmp_path / "fa")
+    df = spark.createDataFrame(
+        [("h1", "AAAA"), ("h2", "CCCC")], "header string, sequence string"
+    )
+    df.write.format("fasta").mode("overwrite").save(path)
+    # plant an orphan temp (as a failed attempt would leave behind)
+    with open(f"{path}/_tmp_part-dead.fa", "w") as f:
+        f.write(">zombie\nGGGG\n")
+    back = spark.read.format("fasta").load(path)
+    assert sorted(r.header for r in back.collect()) == ["h1", "h2"]
+    # abort with a None message must not raise and must clean temps
+    w = FastaWriter({"path": path}, overwrite=False)
+    w.abort([None])
+    # overwrite commit clears stale temps (the zombie) and old data
+    df.write.format("fasta").mode("overwrite").save(path)
+    import os
+
+    assert not [
+        f for f in os.listdir(path) if f.startswith("_tmp_")
+    ], os.listdir(path)
