@@ -45,6 +45,15 @@ BENCH_QUERIES = {
     # output-identical, measured 2026-08-14: warm 15.97 s ⇒ budget
     # 31.9 s; engine ~8.2 s same-day).
     "q11": "qg20_read_assembly",
+    # B12: end-to-end fuzzy-dedup clustering (MinHash → LSH bands →
+    # candidate pairs → components → canonical) — the LLM curation
+    # workhorse. Budget derived the B10/B11 way from a stock twin
+    # (benchmarks/stock_twin_b12.py, output-identical at three SFs,
+    # measured 2026-08-14: warm 4.15 s ⇒ budget 8.3 s). Adding the
+    # row exposed a 4.8× engine regression (interpreted HOF minhash +
+    # un-checkpointed pairs recomputed by the CC loop) — fixed to
+    # ~2.9 s (0.69× stock) the same day; the row now guards it.
+    "q12": "qd5_neardup_clusters",
 }
 
 

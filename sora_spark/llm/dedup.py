@@ -47,12 +47,49 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Per-doc MinHash signature under `num_perm` salted-md5
-    permutations → (id, perm, sig). One explode + one groupBy."""
-    sh = word_shingles(F.col(text_col), shingle_n)
-    sigs = [
-        minhash_salted(sh, salt).alias(f"sig_{salt}") for salt in range(num_perm)
-    ]
-    wide = df.select(F.col(id_col).alias("id"), *sigs)
+    permutations → (id, perm, sig). Same VALUES as the original
+    array-lambda form (min md5(salt||shingle) per perm — every
+    dependent oracle unchanged), but derived explode-first: shingles
+    are built once as scalar concat_ws/element_at expressions and the
+    per-perm mins are partial aggregates. The lambda form paid ~4× at
+    sf0.1 because higher-order `transform` exprs don't enter
+    whole-stage codegen AND each salt's expression rebuilt the
+    shingle array (no CSE across projections) — the B12 bench
+    finding. Cost: one doc-keyed shuffle of num_perm-column partial
+    mins (doc-count-sized), vs the old map-only-but-interpreted
+    plan; at 100 TB the partial agg is the right trade too (the
+    shuffle rows are fingerprint-sized).
+
+    Docs with fewer than `shingle_n` words have no shingles: they
+    emit (id, perm, NULL) rows, matching the old wide-form NULLs."""
+    w = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.size(w) >= shingle_n,
+        F.sequence(F.lit(1), F.size(w) - (shingle_n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    ex = df.select(
+        F.col(id_col).alias("id"), w.alias("w"), F.explode(idx).alias("i")
+    ).select(
+        "id",
+        F.concat_ws(
+            " ",
+            *[
+                F.element_at("w", F.col("i") + k)
+                for k in range(shingle_n)
+            ],
+        ).alias("sh"),
+    )
+    wide = ex.groupBy("id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{salt}|"), F.col("sh")))
+            ).alias(f"sig_{salt}")
+            for salt in range(num_perm)
+        ]
+    )
+    # re-attach shingle-less docs as NULL-signature rows (old contract)
+    all_ids = df.select(F.col(id_col).alias("id"))
+    wide = all_ids.join(wide, "id", "left")
     stack = ", ".join(f"{s}, sig_{s}" for s in range(num_perm))
     return wide.selectExpr("id", f"stack({num_perm}, {stack}) AS (perm, sig)")
 
@@ -328,17 +365,26 @@ def near_dup_clusters(
 
     This is the composed fuzzy-dedup operator a curation pipeline
     actually wants (pairs alone under-merge: a≈b, b≈c must collapse to
-    ONE cluster even when a,c never share a bucket). Reuses the graph
-    layer's two-phase contraction, so cluster resolution is O(log n)
-    rounds over the candidate-pair edge set — which is LSH-bounded,
-    never all-pairs. Docs with no near-dup are their own singleton
-    cluster (cluster_id = doc_id)."""
-    from sora_spark.graph import Graph
-
-    pairs = lsh_candidate_pairs(
-        df, num_perm=num_perm, bands=bands, id_col=id_col, text_col=text_col
-    ).select(F.col("a").alias("s"), F.col("b").alias("d"))
-    comp = Graph(pairs).connected_components_twophase()
+    ONE cluster even when a,c never share a bucket). The pair set is
+    CHECKPOINTED before cluster resolution — the component loop runs
+    one action per round, and without the cut each round would re-run
+    the whole shingle→minhash→band derivation (measured 3× the total
+    wall time at sf0.1; the B12 bench row now guards this). Resolution
+    is min-label propagation, not the two-phase contraction: LSH
+    components are bucket-bounded with tiny diameter BY CONSTRUCTION
+    (every member pair shares a band bucket), so propagation
+    converges in ~2 rounds where the O(log n) contraction pays its
+    per-round constant for nothing. Docs with no near-dup are their
+    own singleton cluster (cluster_id = doc_id)."""
+    pairs = (
+        lsh_candidate_pairs(
+            df, num_perm=num_perm, bands=bands, id_col=id_col,
+            text_col=text_col,
+        )
+        .select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    comp = _resolve_components(pairs)
     ids = df.select(F.col(id_col).alias("v"))
     labeled = (
         ids.join(comp, "v", "left")
@@ -350,6 +396,52 @@ def near_dup_clusters(
     w = Window.partitionBy("cluster_id").orderBy(id_col)
     return labeled.withColumn(
         "is_canonical", F.row_number().over(w) == 1
+    )
+
+
+# Above this many candidate pairs the edge list stops being a
+# driver-sized object (16 B/pair -> ~80 MB at the bound) and component
+# resolution falls back to the distributed propagation loop.
+_DRIVER_UF_MAX_PAIRS = 5_000_000
+
+
+def _resolve_components(pairs: DataFrame) -> DataFrame:
+    """(v, component=min id) for the LSH candidate-pair graph.
+
+    The pair graph is radically smaller than the corpus (pairs exist
+    only where near-duplicates do), so up to `_DRIVER_UF_MAX_PAIRS`
+    the cheapest CORRECT plan is a driver-side union-find over the
+    collected edge list + a broadcast mapping join back — zero
+    iterative Spark rounds, which on bucket-sized components were
+    pure fixed overhead (the B12 bench finding). Beyond the bound it
+    falls back to the distributed min-label propagation, which is the
+    same answer in O(diameter) rounds. Both paths emit rows only for
+    vertices that appear in a pair; callers coalesce singletons."""
+    n_pairs = pairs.count()  # free: pairs is eagerly checkpointed
+    if n_pairs > _DRIVER_UF_MAX_PAIRS:
+        from sora_spark.graph import Graph
+
+        return Graph(pairs).connected_components()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in pairs.collect():
+        a, b = row.s, row.d
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    mapping = [(v, find(v)) for v in parent]
+    return pairs.sparkSession.createDataFrame(
+        mapping, "v bigint, component bigint"
     )
 
 
