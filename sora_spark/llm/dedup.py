@@ -39,6 +39,35 @@ def dedup_exact(df: DataFrame, text_col: str = "text", normalize: bool = True) -
     )
 
 
+def exploded_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh) word-n-gram rows, built explode-FIRST with scalar
+    concat_ws/element_at expressions — the codegen-friendly twin of
+    `word_shingles` (whose higher-order `transform` lambdas evaluate
+    interpreted, the 4.8× B12 finding). Same shingle STRINGS, same
+    duplicate multiplicity; docs shorter than `shingle_n` words emit
+    no rows. Every hot shingle consumer (minhash, Jaccard,
+    containment) goes through here."""
+    w = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.size(w) >= shingle_n,
+        F.sequence(F.lit(1), F.size(w) - (shingle_n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        F.col(id_col).alias("id"), w.alias("w"), F.explode(idx).alias("i")
+    ).select(
+        "id",
+        F.concat_ws(
+            " ",
+            *[F.element_at("w", F.col("i") + k) for k in range(shingle_n)],
+        ).alias("sh"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -62,23 +91,7 @@ def minhash_signatures(
 
     Docs with fewer than `shingle_n` words have no shingles: they
     emit (id, perm, NULL) rows, matching the old wide-form NULLs."""
-    w = F.split(F.col(text_col), " ")
-    idx = F.when(
-        F.size(w) >= shingle_n,
-        F.sequence(F.lit(1), F.size(w) - (shingle_n - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    ex = df.select(
-        F.col(id_col).alias("id"), w.alias("w"), F.explode(idx).alias("i")
-    ).select(
-        "id",
-        F.concat_ws(
-            " ",
-            *[
-                F.element_at("w", F.col("i") + k)
-                for k in range(shingle_n)
-            ],
-        ).alias("sh"),
-    )
+    ex = exploded_shingles(df, id_col, text_col, shingle_n)
     wide = ex.groupBy("id").agg(
         *[
             F.min(
@@ -264,13 +277,7 @@ def jaccard_over_pairs(
     """Exact n-gram Jaccard for candidate (a, b) pairs: |A∩B| / |A∪B|
     over DISTINCT word shingles. Joins shingle sets only for candidate
     docs (the LSH prefilter keeps this tractable at scale)."""
-    sh = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-        )
-        .distinct()
-    )
+    sh = exploded_shingles(df, id_col, text_col, shingle_n).distinct()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     shb = sh.select(F.col("id").alias("b2"), F.col("sh").alias("sh2"))
     inter = (
@@ -320,13 +327,7 @@ def containment_over_pairs(
     regime as jaccard_over_pairs: shingle sets are joined ONLY for
     candidate docs, with shingle equality inside the composite
     equi-join key."""
-    sh = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-        )
-        .distinct()
-    )
+    sh = exploded_shingles(df, id_col, text_col, shingle_n).distinct()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     shb = sh.select(F.col("id").alias("b2"), F.col("sh").alias("sh2"))
     inter = (
@@ -464,14 +465,12 @@ def ngram_contamination(
     the eval set. Never all-pairs: a train doc meets only the grams it
     contains. (Order matters: distinct-then-join would shuffle the full
     train gram stream — review finding, round 5.)"""
-    tsh = train.select(
-        F.col(id_col).alias("train_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    tsh = exploded_shingles(train, id_col, text_col, n).select(
+        F.col("id").alias("train_id"), "sh"
     )
     esh = (
-        eval_docs.select(
-            F.explode(word_shingles(F.col(text_col), n)).alias("sh")
-        )
+        exploded_shingles(eval_docs, id_col, text_col, n)
+        .select("sh")
         .distinct()
     )
     return (
@@ -530,13 +529,14 @@ def ngram_contamination_report(
     so only eval-hitting train grams (bounded by the eval gram count)
     ever shuffle; the per-eval flags then join against that SMALL
     survivor set broadcast."""
-    esh = eval_docs.select(
-        F.col(id_col).alias("eval_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
-    ).distinct()
+    esh = (
+        exploded_shingles(eval_docs, id_col, text_col, n)
+        .select(F.col("id").alias("eval_id"), "sh")
+        .distinct()
+    )
     ekeys = esh.select("sh").distinct()
     hit = (
-        train.select(F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+        exploded_shingles(train, id_col, text_col, n).select("sh")
         .join(F.broadcast(ekeys), "sh", "left_semi")
         .distinct()
         .withColumn("_hit", F.lit(1))

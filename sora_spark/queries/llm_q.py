@@ -32,9 +32,13 @@ cand AS (SELECT a.doc_id AS a, b.doc_id AS b
 def _minhash_pairs(docs):
     """1-band MinHash candidates, the Q-L2 spec (min md5 over word
     3-gram shingles; docs sharing the signature pair up, a < b)."""
-    sig = docs.select(
-        "doc_id", minhash_one(word_shingles(F.col("text"), 3)).alias("sig")
-    )
+    # explode-first signature (same min-md5 value as
+    # minhash_one(word_shingles(...)) — the array-lambda form runs
+    # interpreted, the B12 finding); shingle-less docs simply emit no
+    # signature, which matches the old NULL-sig rows never joining
+    sig = dedup.exploded_shingles(docs).groupBy("id").agg(
+        F.min(F.md5("sh")).alias("sig")
+    ).withColumnRenamed("id", "doc_id")
     a = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
     b = sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
     return a.join(
