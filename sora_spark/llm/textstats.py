@@ -108,13 +108,27 @@ def tfidf_top_terms(
 
 def fingerprint(df: DataFrame, k: int = 4, text_col: str = "text") -> DataFrame:
     """Rolling char-k-gram fingerprint: min md5 over all k-grams (the
-    deterministic core of winnowing-style fingerprinting)."""
-    return df.select(
-        "doc_id",
-        F.array_min(F.transform(char_shingles(F.col(text_col), k), F.md5)).alias(
-            "fingerprint"
-        ),
+    deterministic core of winnowing-style fingerprinting).
+
+    Explode-first (positions → scalar substring → partial min), not
+    array_min(transform(...)): the higher-order form evaluates
+    interpreted per k-gram — ~1300 interpreted md5s per document at
+    the fixture's text length (the B12-family finding; same values,
+    JVM codegen). Docs shorter than k keep a NULL fingerprint via the
+    left re-join, matching the old empty-array array_min."""
+    n = F.length(F.col(text_col))
+    idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    mins = (
+        df.select(
+            "doc_id", F.col(text_col).alias("_t"), F.explode(idx).alias("i")
+        )
+        .select("doc_id", F.expr(f"substring(_t, i, {k})").alias("g"))
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("g")).alias("fingerprint"))
     )
+    return df.select("doc_id").join(mins, "doc_id", "left")
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
