@@ -817,3 +817,59 @@ def qa22_frequency_moments(spark, sf_dir):
             6,
         ).alias("skew_factor"),
     )
+
+
+@query(
+    "qa23_categorical_entropy",
+    oracle="""
+WITH c AS (
+  SELECT 'o_orderpriority' AS col, o_orderpriority AS val FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', o_orderstatus FROM orders),
+f AS (SELECT col, val, count(*)::DOUBLE AS n FROM c GROUP BY col, val),
+t AS (SELECT col, sum(n) AS tot, count(*) AS k FROM f GROUP BY col)
+SELECT f.col, CAST(max(t.k) AS BIGINT) AS n_categories,
+       round(-sum((f.n / t.tot) * ln(f.n / t.tot)), 6) AS entropy,
+       round(-sum((f.n / t.tot) * ln(f.n / t.tot)) / ln(max(t.k)), 6)
+         AS normalized
+FROM f JOIN t ON f.col = t.col
+GROUP BY f.col ORDER BY f.col
+""",
+    doc="qa23: Shannon entropy of categorical columns (priority and "
+    "status, unpivoted into one pass) with the ln(k)-normalized "
+    "form — the single-column information profile completing "
+    "qprof2's pairwise MI (H(X) and H(Y) are its marginal terms): "
+    "near-0 normalized entropy flags a constant-ish column, near-1 "
+    "a uniform one — the profiler's partition-key and "
+    "encoding-choice signal. One groupBy per (col, value), "
+    "broadcast totals, all mergeable.",
+    tags=("agg", "entropy", "profile"),
+)
+def qa23_categorical_entropy(spark, sf_dir):
+    o = tables(spark, sf_dir).orders
+    c = o.select(
+        F.lit("o_orderpriority").alias("col"),
+        F.col("o_orderpriority").alias("val"),
+    ).union(
+        o.select(
+            F.lit("o_orderstatus").alias("col"),
+            F.col("o_orderstatus").alias("val"),
+        )
+    )
+    f = c.groupBy("col", "val").agg(F.count("*").cast("double").alias("n"))
+    t = f.groupBy("col").agg(
+        F.sum("n").alias("tot"), F.count("*").alias("k")
+    )
+    j = f.join(F.broadcast(t), "col")
+    p = F.col("n") / F.col("tot")
+    return (
+        j.groupBy("col")
+        .agg(
+            F.max("k").cast("bigint").alias("n_categories"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.round(
+                -F.sum(p * F.log(p)) / F.log(F.max("k")), 6
+            ).alias("normalized"),
+        )
+        .orderBy("col")
+    )

@@ -2186,3 +2186,68 @@ def qta16_topk_keywords(spark, sf_dir):
         .select("doc_id", "rk", "tok", "tfidf")
         .orderBy("doc_id", "rk")
     )
+
+
+@query(
+    "qm6_data_uri_ingestion",
+    oracle="""
+WITH enc AS (
+  SELECT doc_id,
+         'data:text/plain;base64,' || to_base64(encode(substr(text, 1, 45)))
+           AS uri
+  FROM documents),
+parsed AS (
+  SELECT doc_id,
+         regexp_extract(uri, '^data:([^;]+);base64,(.*)$', 1) AS mime,
+         decode(from_base64(
+           regexp_extract(uri, '^data:([^;]+);base64,(.*)$', 2))) AS payload
+  FROM enc)
+SELECT mime, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN payload = (SELECT substr(d2.text, 1, 45)
+                                     FROM documents d2
+                                     WHERE d2.doc_id = parsed.doc_id)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip,
+       CAST(sum(length(payload)) AS BIGINT) AS total_chars
+FROM parsed GROUP BY mime
+""",
+    doc="qm6: data-URI ingestion — the inline-multimodal transport "
+    "format (HTML srcsets, JSON payloads with embedded media): "
+    "construct 'data:mime;base64,...' URIs from document prefixes, "
+    "then PARSE them back — mime via regexp group, payload via "
+    "base64 decode — and gate exact payload roundtrip per doc. "
+    "Composes qx18's codec findings (Spark's MIME CRLF wrapping "
+    "stays out of scope here: 45-byte payloads encode to 60 chars, "
+    "under the 76-char MIME line limit — 60-byte payloads encode to "
+    "80 and get CRLF-wrapped, which is exactly how this gate first "
+    "failed; the prefix length IS the documented finding). Map-only parse — the shape of a 100 TB "
+    "crawl-extraction stage where the decode UDF (qm4) slots in "
+    "behind this exact schema.",
+    tags=("llm", "multimodal", "ingestion"),
+)
+def qm6_data_uri_ingestion(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    prefix = F.substring("text", 1, 45)
+    enc = docs.select(
+        "doc_id",
+        prefix.alias("orig"),
+        F.concat(
+            F.lit("data:text/plain;base64,"),
+            F.base64(F.encode(prefix, "utf-8")),
+        ).alias("uri"),
+    )
+    pat = r"^data:([^;]+);base64,(.*)$"
+    parsed = enc.select(
+        "doc_id",
+        "orig",
+        F.regexp_extract("uri", pat, 1).alias("mime"),
+        F.decode(
+            F.unbase64(F.regexp_extract("uri", pat, 2)), "utf-8"
+        ).alias("payload"),
+    )
+    return parsed.groupBy("mime").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("payload") == F.col("orig"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_roundtrip"),
+        F.sum(F.length("payload")).cast("bigint").alias("total_chars"),
+    )
