@@ -1412,3 +1412,47 @@ def test_matching_property_family(spark):
                 f"trial {trial}: edge {s, d} both endpoints unmatched — "
                 "matching not maximal"
             )
+
+
+def test_ppr_mass_conservation(spark, sf_dir):
+    """Personalized PageRank invariant: teleport AND dangling mass
+    both redirect to the seed set, so total rank mass is EXACTLY 1
+    every round (up to float summation) — the property that breaks
+    first if dangling handling or the seed indicator regresses."""
+    from sora_spark.graph import Graph
+    from sora_spark.graph.derive import e_co_small
+    from sora_spark.queries.registry import REGISTRY  # noqa: F401
+
+    li = tables(spark, sf_dir).lineitem
+    g = Graph(e_co_small(li))
+    seeds = [r.v for r in g.vertex_ids().orderBy("v").limit(3).collect()]
+    for n_iter in (1, 4):
+        total = (
+            g.personalized_pagerank(seeds, n_iter=n_iter)
+            .agg(F.sum("rank").alias("s"))
+            .collect()[0]
+            .s
+        )
+        assert abs(total - 1.0) < 1e-9, (n_iter, total)
+
+
+def test_kmeans_lloyd_objective_monotone(spark, sf_dir):
+    """Lloyd guarantee: one mean update never increases the clustering
+    objective — sum of squared distances to the nearest centroid under
+    the UPDATED codebook is <= under the seed codebook."""
+    from sora_spark.llm import ann
+
+    emb = tables(spark, sf_dir).embeddings
+
+    def objective(cents):
+        d = ann.centroid_distances(F.col("embedding"), cents)
+        return (
+            emb.select(F.array_min(d).alias("d2"))
+            .agg(F.sum("d2").alias("j"))
+            .collect()[0]
+            .j
+        )
+
+    c0 = ann.kmeans_centroids(emb, n_centroids=4, iters=0)
+    c1 = ann.kmeans_centroids(emb, n_centroids=4, iters=1)
+    assert objective(c1) <= objective(c0) + 1e-9
