@@ -2500,3 +2500,79 @@ def qev10_cohort_ltv(spark, sf_dir):
         )
         .orderBy("cohort", "age")
     )
+
+
+@query(
+    "qev11_windowed_funnel",
+    oracle="""
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 24 HOUR
+      GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT 0 AS stage_idx, 'view' AS stage,
+         CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+  UNION ALL
+  SELECT 1, 'click_24h', CAST((SELECT count(*) FROM c) AS BIGINT)
+  UNION ALL
+  SELECT 2, 'purchase_24h', CAST((SELECT count(*) FROM p) AS BIGINT)) u
+ORDER BY stage_idx
+""",
+    doc="qev11: TIME-CONSTRAINED funnel — qev1's ordered stages with a "
+    "24-hour conversion window per hop (click within 24h of first "
+    "view, purchase within 24h of that click): the funnel product "
+    "teams actually ship, where an eventual conversion a week later "
+    "does NOT count. Window calibrated against the ~16-day fixture "
+    "span so every stage is BINDING and non-zero at sf0.01 "
+    "(150/60/25; a 2h window degenerated to 0 conversions — the "
+    "qev6 fixture lesson applied at authoring time). Same "
+    "one-exchange user_id co-partitioned chain; the interval bound "
+    "is a residual predicate on the equi-join, never a range-join "
+    "blowup (the qev9/qix4 plan-pin family).",
+    tags=("events", "funnel", "windowed"),
+)
+def qev11_windowed_funnel(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    spark_ = ev.sparkSession
+    counts = [v.count(), c.count(), p.count()]
+    return spark_.createDataFrame(
+        [
+            (0, "view", counts[0]),
+            (1, "click_24h", counts[1]),
+            (2, "purchase_24h", counts[2]),
+        ],
+        "stage_idx int, stage string, n_users bigint",
+    ).orderBy("stage_idx")
