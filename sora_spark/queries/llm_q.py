@@ -2251,3 +2251,79 @@ def qm6_data_uri_ingestion(spark, sf_dir):
         .alias("n_roundtrip"),
         F.sum(F.length("payload")).cast("bigint").alias("total_chars"),
     )
+
+
+@query(
+    "ql11_mips_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         round(list_inner_product(e.v, probe.pv), 6) AS dot
+  FROM e CROSS JOIN probe WHERE e.vec_id != 0)
+SELECT vec_id, dot FROM scored
+ORDER BY dot DESC, vec_id LIMIT 10
+""",
+    doc="ql11: maximum inner-product search (MIPS) — top-10 by raw "
+    "dot product against probe vec 0, the retrieval mode for "
+    "unnormalized embeddings where cosine (ql3) ranks DIFFERENTLY. "
+    "The engine runs the norm-AUGMENTATION reduction (Bachrach et "
+    "al.): append sqrt(M² − ‖x‖²) to each corpus vector and 0 to "
+    "the probe, after which ascending L2 distance in the augmented "
+    "space is exactly descending inner product — the transform that "
+    "lets every L2-based ANN structure (the IVF index, LSH) serve "
+    "MIPS unchanged. The oracle ranks by the RAW dot product, so "
+    "the hash gate certifies the reduction itself: a wrong "
+    "augmentation reorders the top-10 and fails. Scores are rounded "
+    "before the boundary; ties break on vec_id. Broadcast probe, "
+    "one JVM-side pass, TakeOrdered top-k.",
+    tags=("llm", "vector", "mips", "ann"),
+)
+def ql11_mips_topk(spark, sf_dir):
+    from sora_spark.functions import vector
+
+    emb = tables(spark, sf_dir).embeddings
+    v = vector.to_double(F.col("embedding"))
+    probe_row = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(v.alias("pv"))
+        .collect()[0]
+    )
+    pv = [float(x) for x in probe_row.pv]
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", v.alias("v"))
+    # max corpus norm M (one tiny aggregate), then the augmented
+    # coordinate aug = sqrt(M^2 - |x|^2); probe's augmented coord is 0
+    norm2 = F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)
+    m2 = corpus.agg(F.max(norm2).alias("m2")).collect()[0].m2
+    pv_arr = F.array(*[F.lit(x) for x in pv])
+    # augmented squared L2 distance:
+    #   |x - p|^2 + (aug_x - 0)^2 = |x|^2 - 2<x,p> + |p|^2 + M^2 - |x|^2
+    #                             = M^2 + |p|^2 - 2<x,p>
+    # ascending in that is descending in <x,p>; compute it EXPLICITLY
+    # through the augmented coordinates so the reduction itself (not
+    # the algebra above) is what the oracle certifies
+    aug = F.sqrt(F.greatest(F.lit(m2) - norm2, F.lit(0.0)))
+    diff2 = F.aggregate(
+        F.zip_with("v", pv_arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    aug_dist2 = diff2 + aug * aug
+    dot = F.aggregate(
+        F.zip_with("v", pv_arr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        corpus.select(
+            "vec_id",
+            F.round(dot, 6).alias("dot"),
+            aug_dist2.alias("_ad2"),
+        )
+        .orderBy(F.col("_ad2").asc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", "dot")
+        .orderBy(F.col("dot").desc(), "vec_id")
+    )

@@ -2576,3 +2576,61 @@ def qev11_windowed_funnel(spark, sf_dir):
         ],
         "stage_idx int, stage string, n_users bigint",
     ).orderBy("stage_idx")
+
+
+@query(
+    "qdz7_feature_hashing",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents WHERE doc_id < 100),
+h AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 16
+               AS bucket
+      FROM tok),
+c AS (SELECT doc_id, bucket, count(*)::BIGINT AS n
+      FROM h GROUP BY doc_id, bucket)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_nonzero,
+       CAST(max(n) AS BIGINT) AS max_bucket,
+       CAST(sum(bucket * n) AS BIGINT) AS weighted_sum
+FROM c GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="qdz7: the feature-hashing trick — tokens mapped to 16 "
+    "buckets via md5-prefix mod k, per-doc bucket count vectors "
+    "(the HashingVectorizer / fixed-width embedding-free featurizer "
+    "that needs NO vocabulary pass, which is its whole point at "
+    "100 TB: stateless, mergeable, new tokens never resize "
+    "anything). Hash = first 8 md5 hex digits as an integer — "
+    "cross-engine exact, and mod 16 of a non-negative value agrees "
+    "everywhere. Gate: per-doc nonzero-bucket count, max load, and "
+    "the bucket-weighted sum (certifies WHICH buckets, not just "
+    "how many). Wordcount-shaped: explode + two mergeable "
+    "aggregations.",
+    tags=("pipeline", "feature", "hashing"),
+)
+def qdz7_feature_hashing(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents.filter(F.col("doc_id") < 100)
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    h = tok.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            % 16
+        ).alias("bucket"),
+    )
+    c = h.groupBy("doc_id", "bucket").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nonzero"),
+            F.max("n").cast("bigint").alias("max_bucket"),
+            F.sum(F.col("bucket") * F.col("n"))
+            .cast("bigint")
+            .alias("weighted_sum"),
+        )
+        .orderBy("doc_id")
+    )
