@@ -13,5 +13,6 @@ from sora_spark.queries import llm_q  # noqa: F401
 from sora_spark.queries import streaming_q  # noqa: F401
 from sora_spark.queries import pipeline_q  # noqa: F401
 from sora_spark.queries import sql_surface  # noqa: F401
+from sora_spark.queries import eval_q  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "query"]
