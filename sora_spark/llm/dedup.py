@@ -371,11 +371,14 @@ def near_dup_clusters(
     one action per round, and without the cut each round would re-run
     the whole shingle→minhash→band derivation (measured 3× the total
     wall time at sf0.1; the B12 bench row now guards this). Resolution
-    is min-label propagation, not the two-phase contraction: LSH
-    components are bucket-bounded with tiny diameter BY CONSTRUCTION
-    (every member pair shares a band bucket), so propagation
-    converges in ~2 rounds where the O(log n) contraction pays its
-    per-round constant for nothing. Docs with no near-dup are their
+    is _resolve_components: a driver-side union-find over the
+    collected pair list up to its 5M-pair bound (zero Spark rounds —
+    the pair graph is radically smaller than the corpus), with
+    distributed min-label propagation above the bound; LSH components
+    are bucket-bounded with tiny diameter BY CONSTRUCTION (every
+    member pair shares a band bucket), so the fallback converges in
+    ~2 rounds where the O(log n) contraction pays its per-round
+    constant for nothing. Docs with no near-dup are their
     own singleton cluster (cluster_id = doc_id)."""
     pairs = (
         lsh_candidate_pairs(
@@ -423,7 +426,22 @@ def _resolve_components(pairs: DataFrame) -> DataFrame:
         from sora_spark.graph import Graph
 
         return Graph(pairs).connected_components()
-    parent: dict = {}
+    import pandas as pd
+
+    # Arrow transfer + factorized ids: numpy code arrays and a flat
+    # parent list — tens of MB at the 5M bound (a Row-object collect
+    # + python id dict would be GBs there, review finding). The
+    # union-find loop is python-speed over <=5M pairs (~seconds).
+    pdf = pairs.toPandas()
+    codes, uniques = pd.factorize(
+        pd.concat([pdf["s"], pdf["d"]], ignore_index=True), sort=False
+    )
+    # numpy scalars -> python scalars: createDataFrame rejects
+    # numpy.int64 field values
+    uniques = [u.item() if hasattr(u, "item") else u for u in uniques]
+    n = len(uniques)
+    cs, cd = codes[: len(pdf)], codes[len(pdf):]
+    parent = list(range(n))
 
     def find(x):
         r = x
@@ -433,16 +451,21 @@ def _resolve_components(pairs: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in pairs.collect():
-        a, b = row.s, row.d
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
+    # component label = min ORIGINAL id; a per-root representative
+    # keeps exact semantics for ids of any orderable type
+    best = list(uniques)
+    for a, b in zip(cs, cd):
+        ra, rb = find(int(a)), find(int(b))
         if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    mapping = [(v, find(v)) for v in parent]
+            parent[rb] = ra
+            if best[rb] < best[ra]:
+                best[ra] = best[rb]
+    mapping = [(uniques[i], best[find(i)]) for i in range(n)]
+    # schema follows the edge column type — ids are not always ints
+    # (the Graph fallback supports string-labelled graphs; so do we)
+    s_type = pairs.schema["s"].dataType.simpleString()
     return pairs.sparkSession.createDataFrame(
-        mapping, "v bigint, component bigint"
+        mapping, f"v {s_type}, component {s_type}"
     )
 
 
@@ -468,6 +491,11 @@ def ngram_contamination(
     tsh = exploded_shingles(train, id_col, text_col, n).select(
         F.col("id").alias("train_id"), "sh"
     )
+    if id_col not in eval_docs.columns:
+        # pre-refactor contract: the eval side only needs text
+        eval_docs = eval_docs.withColumn(
+            id_col, F.monotonically_increasing_id()
+        )
     esh = (
         exploded_shingles(eval_docs, id_col, text_col, n)
         .select("sh")

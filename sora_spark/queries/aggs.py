@@ -882,17 +882,18 @@ WITH pts AS (
   SELECT o_orderkey, o_totalprice AS price,
          date_diff('day', DATE '1992-01-01', o_orderdate) AS age_days
   FROM orders),
-m AS (
-  SELECT o_orderkey, price, age_days,
-         min(age_days) OVER (ORDER BY price DESC, age_days ASC, o_orderkey
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND 1 PRECEDING) AS best_age
-  FROM pts)
-SELECT o_orderkey, round(price, 2) AS price,
-       CAST(age_days AS BIGINT) AS age_days
-FROM m
-WHERE best_age IS NULL OR age_days < best_age
-ORDER BY price DESC, o_orderkey
+g AS (SELECT price, min(age_days) AS gmin FROM pts GROUP BY price),
+gb AS (SELECT price, gmin,
+              min(gmin) OVER (ORDER BY price DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS best_higher
+       FROM g)
+SELECT p.o_orderkey, round(p.price, 2) AS price,
+       CAST(p.age_days AS BIGINT) AS age_days
+FROM pts p JOIN gb ON p.price = gb.price
+WHERE p.age_days = gb.gmin
+  AND (gb.best_higher IS NULL OR p.age_days < gb.best_higher)
+ORDER BY price DESC, p.o_orderkey
 """,
     doc="qa24: 2-D skyline (Pareto frontier) — orders not DOMINATED by "
     "any other (dominate = higher-or-equal price AND lower-or-equal "
@@ -905,10 +906,15 @@ ORDER BY price DESC, o_orderkey
     "age ASC; survive iff age < running min over the preceding "
     "frame) runs on the pruned remnant — the single-partition "
     "window the naive form would run over ALL rows touches only "
-    "prune survivors (294 of 15k at sf0.01, measured). Equal (price, age) "
-    "twins don't dominate each other: the strict running-min "
-    "comparison keeps both, which the gate pins. The oracle runs "
-    "the unpruned textbook form — the prune must be lossless.",
+    "the distinct-PRICE group table plus survivors (294 points of "
+    "15k at sf0.01, measured). Dominance over equal prices is done "
+    "via per-price group minima: a point survives iff it holds its "
+    "price group's min age AND beats every strictly-higher price's "
+    "best — so equal-(price, age) twins BOTH survive (neither is "
+    "strictly better; a first cut's strict running-min filter "
+    "dropped the later twin, caught in review against a literal "
+    "twin pair). The oracle runs the unpruned group-min form — the "
+    "prune must be lossless.",
     tags=("agg", "skyline", "pareto"),
 )
 def qa24_skyline(spark, sf_dir):
@@ -946,18 +952,22 @@ def qa24_skyline(spark, sf_dir):
         if thr is not None
         else pts
     )
-    # phase 2: exact sort-filter skyline on the pruned remnant
-    w = (
-        Window.orderBy(
-            F.col("price").desc(), F.col("age_days").asc(), "o_orderkey"
-        )
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # phase 2: exact skyline on the pruned remnant via per-price
+    # group minima — survive iff you hold your price's min age AND
+    # beat every strictly-higher price's best (equal twins both live)
+    g = pruned.groupBy("price").agg(F.min("age_days").alias("gmin"))
+    wg = Window.orderBy(F.col("price").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    m = pruned.withColumn("best_age", F.min("age_days").over(w))
+    gb = g.withColumn("best_higher", F.min("gmin").over(wg))
     return (
-        m.filter(
-            F.col("best_age").isNull()
-            | (F.col("age_days") < F.col("best_age"))
+        pruned.join(gb, "price")
+        .filter(
+            (F.col("age_days") == F.col("gmin"))
+            & (
+                F.col("best_higher").isNull()
+                | (F.col("age_days") < F.col("best_higher"))
+            )
         )
         .select(
             "o_orderkey",

@@ -2215,11 +2215,11 @@ FROM parsed GROUP BY mime
     "construct 'data:mime;base64,...' URIs from document prefixes, "
     "then PARSE them back — mime via regexp group, payload via "
     "base64 decode — and gate exact payload roundtrip per doc. "
-    "Composes qx18's codec findings (Spark's MIME CRLF wrapping "
-    "stays out of scope here: 45-byte payloads encode to 60 chars, "
-    "under the 76-char MIME line limit — 60-byte payloads encode to "
-    "80 and get CRLF-wrapped, which is exactly how this gate first "
-    "failed; the prefix length IS the documented finding). Map-only parse — the shape of a 100 TB "
+    "Composes qx18's codec findings: Spark's MIME CRLF wrapping is "
+    "stripped at construction (a 60-byte payload encodes to 80 "
+    "chars and wraps — how this gate first failed — and multibyte "
+    "text can push ANY char-prefix over the limit, so the "
+    "normalization, not a length choice, is the robust fix). Map-only parse — the shape of a 100 TB "
     "crawl-extraction stage where the decode UDF (qm4) slots in "
     "behind this exact schema.",
     tags=("llm", "multimodal", "ingestion"),
@@ -2232,7 +2232,13 @@ def qm6_data_uri_ingestion(spark, sf_dir):
         prefix.alias("orig"),
         F.concat(
             F.lit("data:text/plain;base64,"),
-            F.base64(F.encode(prefix, "utf-8")),
+            # strip the MIME CRLF wrapping (the qx18 normalization):
+            # multibyte text can push ANY char-prefix over the 76-char
+            # encoded line limit, and a wrapped URI breaks the
+            # anchored parse regex (review finding)
+            F.regexp_replace(
+                F.base64(F.encode(prefix, "utf-8")), "\r\n", ""
+            ),
         ).alias("uri"),
     )
     pat = r"^data:([^;]+);base64,(.*)$"
@@ -2274,10 +2280,11 @@ ORDER BY dot DESC, vec_id LIMIT 10
     "the probe, after which ascending L2 distance in the augmented "
     "space is exactly descending inner product — the transform that "
     "lets every L2-based ANN structure (the IVF index, LSH) serve "
-    "MIPS unchanged. The oracle ranks by the RAW dot product, so "
-    "the hash gate certifies the reduction itself: a wrong "
-    "augmentation reorders the top-10 and fails. Scores are rounded "
-    "before the boundary; ties break on vec_id. Broadcast probe, "
+    "MIPS unchanged. The declared result cuts the top-10 by the "
+    "ROUNDED dot with vec_id ties — identical boundary rule to the "
+    "oracle; the augmented-L2 ordering equivalence is pinned by a "
+    "dedicated unit test over the full corpus ranking, where a "
+    "wrong augmentation cannot hide. Broadcast probe, "
     "one JVM-side pass, TakeOrdered top-k.",
     tags=("llm", "vector", "mips", "ann"),
 )
@@ -2316,14 +2323,18 @@ def ql11_mips_topk(spark, sf_dir):
         F.lit(0.0),
         lambda a, x: a + x,
     )
+    # final boundary EXACTLY as the oracle cuts it (rounded dot,
+    # vec_id) — cutting on the raw augmented distance could disagree
+    # at a rounded-tie boundary (review finding); the augmented-L2
+    # path itself is certified by
+    # test_llm::test_mips_augmentation_matches_dot_ranking
     return (
         corpus.select(
             "vec_id",
             F.round(dot, 6).alias("dot"),
             aug_dist2.alias("_ad2"),
         )
-        .orderBy(F.col("_ad2").asc(), F.col("vec_id"))
+        .orderBy(F.col("dot").desc(), F.col("vec_id"))
         .limit(10)
         .select("vec_id", "dot")
-        .orderBy(F.col("dot").desc(), "vec_id")
     )

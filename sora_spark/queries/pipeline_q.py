@@ -2567,6 +2567,11 @@ def qev11_windowed_funnel(spark, sf_dir):
         .agg(F.min("ts").alias("t3"))
     )
     spark_ = ev.sparkSession
+    # each stage feeds the next AND its own count: checkpoint so the
+    # three actions don't re-derive the chain (the near_dup_clusters
+    # checkpoint rule applied here — review finding)
+    v = v.localCheckpoint(eager=True)
+    c = c.localCheckpoint(eager=True)
     counts = [v.count(), c.count(), p.count()]
     return spark_.createDataFrame(
         [

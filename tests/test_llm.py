@@ -753,3 +753,66 @@ def test_bpe_greedy_merge_and_reference(spark):
         r.word: r.sym for r in final.select("word", "sym").collect()
     }
     assert got_syms == syms
+
+
+def test_mips_augmentation_matches_dot_ranking(spark, sf_dir):
+    """ql11's reduction certificate: the norm-augmented L2 distance
+    orders the FULL corpus exactly like the raw inner product (ties
+    impossible in the fixture; checked over every rank, not top-10)."""
+    from pyspark.sql import functions as F
+
+    from sora_spark.functions import vector
+
+    emb = tables(spark, sf_dir).embeddings
+    v = vector.to_double(F.col("embedding"))
+    pv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(v.alias("p"))
+        .collect()[0]
+        .p
+    ]
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", v.alias("v"))
+    norm2 = F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)
+    m2 = corpus.agg(F.max(norm2).alias("m")).collect()[0].m
+    pv_arr = F.array(*[F.lit(x) for x in pv])
+    diff2 = F.aggregate(
+        F.zip_with("v", pv_arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    aug = F.sqrt(F.greatest(F.lit(m2) - norm2, F.lit(0.0)))
+    dot = F.aggregate(
+        F.zip_with("v", pv_arr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    rows = corpus.select(
+        "vec_id", (diff2 + aug * aug).alias("ad2"), dot.alias("dot")
+    ).collect()
+    by_ad2 = [r.vec_id for r in sorted(rows, key=lambda r: (r.ad2, r.vec_id))]
+    by_dot = [r.vec_id for r in sorted(rows, key=lambda r: (-r.dot, r.vec_id))]
+    assert by_ad2 == by_dot
+
+
+def test_neardup_clusters_string_ids(spark):
+    """Review regression: the driver union-find path must keep the
+    Graph fallback's string-id support (component = MIN id by the
+    id type's own ordering)."""
+    from sora_spark.llm import dedup
+
+    docs = spark.createDataFrame(
+        [
+            ("urlA", "alpha beta gamma delta epsilon"),
+            ("urlB", "alpha beta gamma delta epsilon"),
+            ("urlC", "totally different words entirely here"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup.near_dup_clusters(docs, num_perm=4, bands=2).collect()
+    }
+    assert out["urlA"] == ("urlA", True)
+    assert out["urlB"] == ("urlA", False)
+    assert out["urlC"][0] == "urlC"
