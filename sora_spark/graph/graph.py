@@ -782,9 +782,13 @@ class Graph:
                 .localCheckpoint(eager=True)
             )
         else:
-            raise RuntimeError(
-                f"maximal_matching: edges remain after max_iter={max_iter}"
-            )
+            # The for/else fires when the loop ran all max_iter rounds;
+            # the matching is still complete if the last round emptied
+            # the edge set (emptiness is only polled at round top).
+            if not e.isEmpty():
+                raise RuntimeError(
+                    f"maximal_matching: edges remain after max_iter={max_iter}"
+                )
         if stats is not None:
             stats["rounds"] = rounds
         if out is None:

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
 from pyspark.sql.window import Window
 
 
@@ -185,8 +186,19 @@ def _asof_nearest(
         back = F.when(back["_t"] >= F.col(time_col) - tol, back)
         fwd = F.when(fwd["_t"] <= F.col(time_col) + tol, fwd)
     t = F.col(time_col)
-    gap_back = t.cast("double") - back["_t"].cast("double")
-    gap_fwd = fwd["_t"].cast("double") - t.cast("double")
+    # Exact-integer gap arithmetic: for timestamps, epoch-double casts
+    # carry ~2.4e-7 s representation error, enough to flip the
+    # backward/forward choice on 1-microsecond-different gaps vs an
+    # exact-microsecond oracle. unix_micros keeps it integral.
+    is_ts = isinstance(
+        unioned.schema[time_col].dataType, (TimestampType, TimestampNTZType)
+    )
+    if is_ts:
+        gap_back = F.unix_micros(t) - F.unix_micros(back["_t"])
+        gap_fwd = F.unix_micros(fwd["_t"]) - F.unix_micros(t)
+    else:
+        gap_back = t.cast("double") - back["_t"].cast("double")
+        gap_fwd = fwd["_t"].cast("double") - t.cast("double")
     pick = (
         F.when(back.isNull(), fwd)
         .when(fwd.isNull(), back)

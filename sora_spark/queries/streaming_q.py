@@ -868,7 +868,7 @@ FROM d ORDER BY day
 def qs9_chained_window_aggs(spark, sf_dir):
     from sora_spark.streaming import replay
 
-    d = replay.materialize_replay_dir(spark, sf_dir, "qs9", n_files=4)
+    d = replay.stage_run_dir(spark, sf_dir, "qs9", n_files=4)
     ev = replay.events_stream(spark, d).withWatermark("ts", "40 days")
     hourly = ev.groupBy(F.window("ts", "1 hour").alias("w1")).agg(
         F.count("*").alias("n")
