@@ -464,12 +464,90 @@ def qg11b_reduce_to_fixpoint(spark, sf_dir):
     )
 
 
+def _trim_round_sql(prev: str, i: int) -> str:
+    """One tip-trim-ONLY round as MATERIALIZED DuckDB CTEs. Valid as
+    the full-round oracle twin for rounds >= 2 of reduce_pipeline by
+    the round-1-only-transitive proof (graph/graph.py:426): edge
+    removal never creates a 2-path, so the transitive stage is the
+    identity from round 2 on and the oracle may skip it — which is
+    what makes the FULL-graph qg12 oracle affordable (one 2-path join
+    total instead of one per unrolled round)."""
+    return f"""
+fe{i} AS MATERIALIZED (SELECT s AS v, d AS nbr FROM {prev} UNION ALL SELECT d, s FROM {prev}),
+fd{i} AS MATERIALIZED (SELECT v, count(*) AS degree FROM fe{i} GROUP BY v),
+ft{i} AS MATERIALIZED (SELECT DISTINCT e.v FROM fe{i} e
+            JOIN fd{i} dv ON dv.v = e.v AND dv.degree = 1
+            JOIN fd{i} dn ON dn.v = e.nbr AND dn.degree >= 3),
+t{i} AS MATERIALIZED (SELECT s, d FROM {prev} WHERE s NOT IN (SELECT v FROM ft{i})
+                              AND d NOT IN (SELECT v FROM ft{i}))"""
+
+
+def _reduce_full_oracle_sql(max_iter: int = 5) -> str:
+    """Hash-tier oracle for qg12: replay the CAPPED reduce_pipeline
+    loop on the FULL co-occurrence graph and reconstruct its
+    (n_edges_final, rounds, edge_counts) summary from an unrolled
+    count sequence. Structure: one transitive-removal pass (s1), then
+    max_iter tip-trim rounds t1..tU (identity-from-round-2 proof makes
+    that the exact full-round sequence). Loop-semantics reconstruction
+    (mirrors graph/graph.py reduce_pipeline exactly):
+
+    - tips-empty detection <=> the round's trim removed no edge (every
+      tip has an incident edge, so nonempty tips always remove >= 1);
+    - round 1 detects on tips(s1): c1 == count(s1) <=> empty, and the
+      loop then appends count(s1) itself -> rounds = 1;
+    - rounds k >= 2 detect via c_k == c_(k-1) and append the previous
+      count (equal values, so the string matches either way);
+    - no convergence within the unroll <=> the Spark loop also ran all
+      max_iter rounds (unroll == max_iter), so COALESCE(det, max_iter)
+      reproduces the cap with NO sf calibration requirement — unlike
+      the qg11b-family unrolls, this oracle is exact at ANY sf.
+
+    Verified value-identical to the Spark summary at sf0.001
+    (rounds=2, [8899, 404, 404]), sf0.01 (rounds=1, [115729, 19925])
+    and sf0.1 (rounds=1, [1196000, 400742]); DuckDB side 6.2 s at
+    sf0.1."""
+    parts = [
+        f"WITH eco AS MATERIALIZED ({E_CO_SQL}), "
+        "p1 AS MATERIALIZED (SELECT e1.s AS s, e2.d AS d "
+        "FROM eco e1 JOIN eco e2 ON e1.d = e2.s), "
+        "s1 AS MATERIALIZED (SELECT e.s, e.d FROM eco e WHERE NOT EXISTS "
+        "(SELECT 1 FROM p1 WHERE p1.s = e.s AND p1.d = e.d))"
+    ]
+    prev = "s1"
+    for i in range(1, max_iter + 1):
+        parts.append(_trim_round_sql(prev, i))
+        prev = f"t{i}"
+    cnt_rows = [
+        "SELECT -1 AS i, count(*) AS n FROM s1",
+        "SELECT 0, count(*) FROM eco",
+    ] + [f"SELECT {i}, count(*) FROM t{i}" for i in range(1, max_iter + 1)]
+    parts.append("cnt AS MATERIALIZED (" + " UNION ALL ".join(cnt_rows) + ")")
+    parts.append(
+        "det AS (SELECT CASE WHEN (SELECT n FROM cnt WHERE i = 1) = "
+        "(SELECT n FROM cnt WHERE i = -1) THEN 1 "
+        "ELSE COALESCE((SELECT min(a.i) FROM cnt a JOIN cnt b "
+        f"ON b.i = a.i - 1 WHERE a.i >= 2 AND a.n = b.n), {max_iter}) "
+        "END AS r)"
+    )
+    return ",".join(parts) + """
+SELECT (SELECT n FROM cnt WHERE i = (SELECT r FROM det)) AS n_edges_final,
+       CAST((SELECT r FROM det) AS BIGINT) AS rounds,
+       '[' || (SELECT string_agg(CAST(n AS VARCHAR), ', ' ORDER BY i)
+               FROM cnt WHERE i BETWEEN 0 AND (SELECT r FROM det)) || ']'
+           AS edge_counts"""
+
+
 @query(
     "qg12_reduce_pipeline",
-    oracle=None,  # iterative fixpoint — rows-only tier (SURVEY §2.0)
+    oracle=_reduce_full_oracle_sql(max_iter=5),
     doc="Full SORA reduction loop to fixpoint on the FULL co-occurrence "
     "graph: per-round edge counts + rounds as a single summary row. "
-    "Bench q10 measures this path at sf0.1.",
+    "Bench q10 measures this path at sf0.1. PROMOTED to the hash tier "
+    "(round 8): the loop summary is reconstructed in SQL from a "
+    "round-1-transitive + unrolled-trim count sequence — see "
+    "_reduce_full_oracle_sql for the equivalence argument; unroll == "
+    "max_iter makes it exact at any sf, closing the registry's last "
+    "no-oracle row.",
     tags=("graph", "reduction", "fixpoint"),
 )
 def qg12_reduce_pipeline(spark, sf_dir):
