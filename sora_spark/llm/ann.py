@@ -478,3 +478,43 @@ def near_duplicate_pairs_lsh(
         F.col("sim") >= threshold
     )
     return out.distinct() if n_bands > 1 else out
+
+
+def range_search_shuffle(
+    corpus: DataFrame,
+    probes: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int = 5,
+) -> DataFrame:
+    """Exact cosine RANGE search (all neighbors with rounded sim >=
+    threshold) via the same disjoint-block + probe-replication shuffle
+    as brute_force_topk_shuffle: corpus hash-partitioned into
+    n_blocks, probes exploded once per block, ordinary equi-key join —
+    every (probe, corpus) pair evaluated exactly once, n_blocks-way
+    parallel. Unlike top-k there is no partial/merge stage: the
+    threshold filter runs inside the joined block (before any further
+    shuffle), so only matches leave the block. This is the exact
+    baseline the LSH prefilter (near_duplicate_pairs_lsh) is measured
+    against; at 100 TB you run the LSH path and reserve this for
+    bounded slices, but the blocked shape itself distributes the n*m
+    work evenly regardless of data skew."""
+    c = corpus.withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    ).withColumn(
+        "_blk",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_blocks)])),
+    )
+    sim = F.round(
+        vector.cosine(F.col(vec_col), F.col("probe_vec")), sim_decimals
+    )
+    return (
+        c.join(p, "_blk")
+        .select("probe_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

@@ -2338,3 +2338,356 @@ def ql11_mips_topk(spark, sf_dir):
         .limit(10)
         .select("vec_id", "dot")
     )
+
+
+@query(
+    "qta17_quality_gate",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+wc AS (SELECT doc_id, term, count(*) AS c, length(term) AS wl
+       FROM tok GROUP BY doc_id, term),
+st AS (SELECT doc_id, sum(c) AS n, count(*) AS dn, max(c) AS maxc,
+              sum(c * wl) AS sum_wl
+       FROM wc GROUP BY doc_id)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+       round(dn * 1.0 / n, 5) AS ttr,
+       round(maxc * 1.0 / n, 5) AS top_share,
+       round(sum_wl * 1.0 / n, 5) AS mean_word_len,
+       (n BETWEEN 30 AND 90) AS len_ok,
+       (dn * 10 >= n * 4) AS ttr_ok,
+       (maxc * 5 <= n) AS rep_ok,
+       (sum_wl * 10 >= n * 39 AND sum_wl * 10 <= n * 52) AS wl_ok,
+       ((n BETWEEN 30 AND 90) AND dn * 10 >= n * 4 AND maxc * 5 <= n
+        AND sum_wl * 10 >= n * 39 AND sum_wl * 10 <= n * 52) AS keep
+FROM st ORDER BY doc_id LIMIT 300
+""",
+    doc="qta17: Gopher/FineWeb-style rule-based quality gate, "
+    "calibrated to signals that DISCRIMINATE on this corpus (word "
+    "count 30-90, type-token ratio >= 0.4, top-word share <= 0.2, "
+    "mean word length in [3.9, 5.2]; the classic symbol/punctuation "
+    "rules are degenerate here - no punctuation in the fixture). "
+    "Every rule fires on INTEGER cross-multiplication (dn*10 >= n*4 "
+    "etc.), so the keep decision is boundary-exact cross-engine; the "
+    "rounded ratios are reported for inspection only. Shape: "
+    "two-level aggregation (doc x term counts, then per-doc moments) "
+    "- wordcount economics, one shuffle chain, no joins; at 100 TB "
+    "this is the cheapest possible per-doc filter pass and runs "
+    "map-side-partial throughout.",
+    tags=("llm", "text", "quality", "curation"),
+)
+def qta17_quality_gate(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    wc = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+        .select("doc_id", "c", F.length("term").alias("wl"))
+    )
+    st = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("dn"),
+        F.max("c").alias("maxc"),
+        F.sum(F.col("c") * F.col("wl")).alias("sum_wl"),
+    )
+    n, dn, maxc, swl = (F.col(c) for c in ("n", "dn", "maxc", "sum_wl"))
+    len_ok = (n >= 30) & (n <= 90)
+    ttr_ok = dn * 10 >= n * 4
+    rep_ok = maxc * 5 <= n
+    wl_ok = (swl * 10 >= n * 39) & (swl * 10 <= n * 52)
+    return (
+        st.select(
+            "doc_id",
+            n.cast("bigint").alias("n_words"),
+            F.round(dn / n, 5).alias("ttr"),
+            F.round(maxc / n, 5).alias("top_share"),
+            F.round(swl / n, 5).alias("mean_word_len"),
+            len_ok.alias("len_ok"),
+            ttr_ok.alias("ttr_ok"),
+            rep_ok.alias("rep_ok"),
+            wl_ok.alias("wl_ok"),
+            (len_ok & ttr_ok & rep_ok & wl_ok).alias("keep"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+@query(
+    "qta18_repetition_signals",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+p AS (SELECT doc_id, i, w[i] AS term
+      FROM (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM w)),
+runs AS (SELECT doc_id, term,
+                i - row_number() OVER (PARTITION BY doc_id, term ORDER BY i)
+                  AS g
+         FROM p),
+runlen AS (SELECT doc_id, count(*) AS rl
+           FROM runs GROUP BY doc_id, term, g),
+mr AS (SELECT doc_id, max(rl) AS max_run FROM runlen GROUP BY doc_id),
+base AS (SELECT doc_id, count(*) AS n, count(DISTINCT term) AS dn
+         FROM p GROUP BY doc_id),
+bg AS (SELECT doc_id, w[i] AS a, w[i + 1] AS b
+       FROM (SELECT doc_id, unnest(range(1, greatest(len(w), 1))) AS i, w
+             FROM w)),
+bgc AS (SELECT doc_id, sum(c) AS nb, max(c) AS mc
+        FROM (SELECT doc_id, a, b, count(*) AS c FROM bg
+              GROUP BY doc_id, a, b)
+        GROUP BY doc_id)
+SELECT base.doc_id, CAST(n AS BIGINT) AS n_words,
+       round(COALESCE(mc * 1.0 / nb, 0), 5) AS top_bigram_share,
+       round(1 - dn * 1.0 / n, 5) AS dup_word_frac,
+       CAST(max_run AS BIGINT) AS max_run
+FROM base JOIN mr USING (doc_id) LEFT JOIN bgc USING (doc_id)
+ORDER BY doc_id LIMIT 300
+""",
+    doc="qta18: intra-document repetition signals - top-bigram share, "
+    "duplicate-word fraction, and the longest run of consecutive "
+    "identical words (gaps-and-islands: position minus per-term "
+    "row_number identifies each run; pure integer window logic, so "
+    "cross-engine exact). These are the Gopher 'repetition' filters "
+    "that catch degenerate generations exact-dedup misses. Shapes: "
+    "one map-side posexplode feeding (a) a per-(doc,term,island) "
+    "count, (b) a per-doc distinct count, (c) an in-row bigram "
+    "expansion + two-level count - all wordcount-shaped, partial-"
+    "aggregated, partitionable by doc at 100 TB.",
+    tags=("llm", "text", "quality", "repetition"),
+)
+def qta18_repetition_signals(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "term")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "term")
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id", "term").orderBy("i")
+    )
+    runlen = (
+        pos.select("doc_id", "term", "i", (F.col("i") - rn).alias("g"))
+        .groupBy("doc_id", "term", "g")
+        .agg(F.count("*").alias("rl"))
+    )
+    mr = runlen.groupBy("doc_id").agg(F.max("rl").alias("max_run"))
+    base = pos.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.count_distinct("term").alias("dn")
+    )
+    w = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(w, i).alias("a"),
+            F.element_at(w, i + 1).alias("b"),
+        ),
+    )
+    bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.a", "p.b"
+    )
+    bgc = (
+        bg.groupBy("doc_id", "a", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("nb"), F.max("c").alias("mc"))
+    )
+    return (
+        base.join(mr, "doc_id")
+        .join(bgc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_words"),
+            F.round(
+                F.coalesce(F.col("mc") / F.col("nb"), F.lit(0.0)), 5
+            ).alias("top_bigram_share"),
+            F.round(F.lit(1) - F.col("dn") / F.col("n"), 5).alias(
+                "dup_word_frac"
+            ),
+            F.col("max_run").cast("bigint").alias("max_run"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+@query(
+    "qta19_perplexity_gate",
+    oracle="""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           FROM documents),
+bg AS (SELECT doc_id, source, w[i] AS a, w[i + 1] AS b
+       FROM (SELECT doc_id, source,
+                    unnest(range(1, greatest(len(w), 1))) AS i, w
+             FROM w)),
+c2 AS (SELECT a, b, count(*) AS n2 FROM bg GROUP BY a, b),
+c1 AS (SELECT a, count(*) AS n1 FROM bg GROUP BY a),
+d AS (SELECT bg.doc_id, bg.source,
+             round(avg(ln(CAST(n2 AS DOUBLE) / n1)), 6) AS mlp
+      FROM bg JOIN c2 USING (a, b) JOIN c1 USING (a)
+      GROUP BY bg.doc_id, bg.source)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN mlp >= -3.42 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       round(avg(exp(-mlp)), 5) AS mean_ppl
+FROM d GROUP BY source ORDER BY source
+""",
+    doc="qta19: perplexity-based curation gate - the CCNet/FineWeb "
+    "filter shape: score every doc with a language model (here the "
+    "corpus-trained bigram model of qta13), keep docs whose mean log "
+    "probability clears a threshold, report the per-source keep "
+    "counts + mean perplexity the curation dashboard shows. The keep "
+    "decision compares the ROUND(6) mean-logprob (the cross-engine-"
+    "stable value qta13 already certifies) against lambda = -3.42, "
+    "calibrated into a measured dead zone (nearest doc values "
+    "-3.420025 / -3.419958 at sf0.1; keeps ~88% at every sf, so the "
+    "gate discriminates). Shape: in-row bigram expansion + two "
+    "count aggs + two equi-joins (the qta13 model), then one per-doc "
+    "and one per-source agg - wordcount economics; at 100 TB the "
+    "model tables are broadcast-sized and the row path stays "
+    "JVM-side.",
+    tags=("llm", "text", "quality", "curation"),
+)
+def qta19_perplexity_gate(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    w = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(w, i).alias("a"),
+            F.element_at(w, i + 1).alias("b"),
+        ),
+    )
+    bg = docs.select(
+        "doc_id", "source", F.explode(pairs).alias("p")
+    ).select("doc_id", "source", "p.a", "p.b")
+    c2 = bg.groupBy("a", "b").agg(F.count("*").alias("n2"))
+    c1 = bg.groupBy("a").agg(F.count("*").alias("n1"))
+    d = (
+        bg.join(c2, ["a", "b"])
+        .join(c1, "a")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("n2").cast("double") / F.col("n1"))), 6
+            ).alias("mlp")
+        )
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("mlp") >= -3.42, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+            F.round(F.avg(F.exp(-F.col("mlp"))), 5).alias("mean_ppl"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "ql12_cosine_range_search",
+    oracle="""
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 5)
+         AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 5)
+      >= 0.4
+ORDER BY a, b
+""",
+    doc="ql12: exact cosine RANGE search - every pair with rounded "
+    "sim >= 0.4 (the radius-query twin of ql4's top-k; tau calibrated "
+    "to ~0.05% of pairs on this corpus, 66/59/920 at the three sfs). "
+    "Engine side runs the disjoint-block shuffle "
+    "(ann.range_search_shuffle): corpus hash-blocked, probes exploded "
+    "per block, threshold filter INSIDE the joined block so only "
+    "matches leave - the n^2 work distributes evenly over blocks with "
+    "no skew sensitivity and no driver collect. The all-pairs oracle "
+    "certifies exactness; at 100 TB the same contract runs behind the "
+    "LSH prefilter (qd3's path) with this as the bounded-slice "
+    "verifier.",
+    tags=("llm", "vector", "range-search"),
+)
+def ql12_cosine_range_search(spark, sf_dir):
+    emb = tables(spark, sf_dir).embeddings
+    return (
+        ann.range_search_shuffle(emb, emb, threshold=0.4, n_blocks=8)
+        .filter(F.col("probe_id") < F.col("neighbor_id"))
+        .select(
+            F.col("probe_id").alias("a"),
+            F.col("neighbor_id").alias("b"),
+            "sim",
+        )
+        .orderBy("a", "b")
+    )
+
+
+@query(
+    "qcont3_semantic_decontamination",
+    oracle="""
+WITH ev AS (SELECT * FROM embeddings WHERE vec_id % 20 = 0),
+tr AS (SELECT * FROM embeddings WHERE vec_id % 20 <> 0),
+m AS (SELECT t.vec_id, t.label,
+             max(round(list_cosine_similarity(
+                   CAST(t.embedding AS DOUBLE[]),
+                   CAST(e.embedding AS DOUBLE[])), 5)) AS ms
+      FROM tr t, ev e GROUP BY t.vec_id, t.label)
+SELECT label, CAST(count(*) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN ms >= 0.42 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       round(max(ms), 5) AS max_sim
+FROM m GROUP BY label ORDER BY label
+""",
+    doc="qcont3: SEMANTIC decontamination - the embedding-space "
+    "companion to qcont1/qcont2's n-gram overlap: flag training "
+    "vectors whose max cosine to ANY eval vector (deterministic "
+    "eval split: vec_id % 20 = 0) clears tau = 0.42 (calibrated: "
+    "flags 1/6/47 at the three sfs - nonzero and small, so the gate "
+    "discriminates). Engine: eval side is 5% of the corpus and "
+    "BROADCAST, max-sim computed as one map-side pass over the "
+    "training rows (greatest over the broadcast eval array - no "
+    "shuffle at all before the per-label rollup), then one tiny "
+    "groupBy(label). At 100 TB the eval set stays broadcast-sized by "
+    "definition (benchmarks are small); this is exactly the "
+    "decontamination shape a training pipeline runs before mixing.",
+    tags=("llm", "vector", "decontamination", "curation"),
+)
+def qcont3_semantic_decontamination(spark, sf_dir):
+    emb = tables(spark, sf_dir).embeddings
+    ev = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("eval_vec"),
+    )
+    tr = emb.filter(F.col("vec_id") % 20 != 0)
+    from sora_spark.functions import vector
+
+    sim = F.round(
+        vector.cosine(F.col("embedding"), F.col("eval_vec")), 5
+    )
+    m = (
+        tr.join(F.broadcast(ev))
+        .select("vec_id", "label", sim.alias("s"))
+        .groupBy("vec_id", "label")
+        .agg(F.max("s").alias("ms"))
+    )
+    return (
+        m.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_train"),
+            F.sum(F.when(F.col("ms") >= 0.42, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.round(F.max("ms"), 5).alias("max_sim"),
+        )
+        .orderBy("label")
+    )
