@@ -976,3 +976,110 @@ def qa24_skyline(spark, sf_dir):
         )
         .orderBy(F.col("price").desc(), "o_orderkey")
     )
+
+
+@query(
+    "qa25_gini_concentration",
+    oracle="""
+WITH x AS (SELECT l_returnflag AS rf,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+                  l_orderkey AS ok, l_linenumber AS ln
+           FROM lineitem),
+r AS (SELECT rf, v,
+             row_number() OVER (PARTITION BY rf ORDER BY v, ok, ln)
+               AS i
+      FROM x),
+s AS (SELECT rf, count(*) AS n, sum(v) AS sv, sum(i * v) AS siv
+      FROM r GROUP BY rf)
+SELECT rf AS l_returnflag, CAST(n AS BIGINT) AS n,
+       round(2.0 * CAST(siv AS DOUBLE) / (n * CAST(sv AS DOUBLE))
+             - (n + 1.0) / n, 6) AS gini
+FROM s ORDER BY rf
+""",
+    doc="qa25: Gini concentration coefficient of extended price per "
+    "return flag - the inequality statistic (how concentrated is "
+    "revenue across line items) via the sorted-rank identity "
+    "G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n. Ranks use a deterministic "
+    "(value, orderkey, linenumber) sort, and tied values contribute "
+    "identically under any tie permutation (equal x across a rank "
+    "block makes sum(i*x) permutation-invariant), so the statistic "
+    "is order-free. All accumulation runs in DECIMAL(18,2) - EXACT "
+    "integer-scaled arithmetic, immune to float summation order "
+    "cross-engine - with doubles entering only at the final ratio "
+    "(round 6). Shape: one window rank + one groupBy; at 100 TB the "
+    "rank is the range-partitioned per-group sort Spark already "
+    "does for any window, no extra shuffle beyond it.",
+    tags=("agg", "stats", "inequality"),
+)
+def qa25_gini_concentration(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    x = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("rf").orderBy("v", "l_orderkey", "l_linenumber")
+    r = x.select("rf", "v", F.row_number().over(w).alias("i"))
+    s = r.groupBy("rf").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("i") * F.col("v")).alias("siv"),
+    )
+    n = F.col("n")
+    return s.select(
+        F.col("rf").alias("l_returnflag"),
+        n.cast("bigint").alias("n"),
+        F.round(
+            F.lit(2.0) * F.col("siv").cast("double")
+            / (n * F.col("sv").cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    ).orderBy("rf")
+
+
+@query(
+    "qreg1_grouped_ols",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    doc="qreg1: per-group ordinary least squares via the SQL-standard "
+    "regr_* aggregate family (slope/intercept/R^2 of extended price "
+    "on quantity per return flag) - the grouped-regression shape every "
+    "metrics pipeline uses for trend fits, computed as ONE "
+    "partial-aggregatable pass (the regr_* moments are sums, so "
+    "map-side combine applies; no second scan, no collect). Rounding "
+    "(4/2/6) absorbs float summation order exactly as qa8's "
+    "stddev/corr row established. qml3 covers prediction-error "
+    "metrics for a GIVEN model; this row certifies FITTING the model "
+    "distributed.",
+    tags=("agg", "stats", "regression"),
+)
+def qreg1_grouped_ols(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.regr_slope(F.col("l_extendedprice"), F.col("l_quantity")),
+                4,
+            ).alias("slope"),
+            F.round(
+                F.regr_intercept(
+                    F.col("l_extendedprice"), F.col("l_quantity")
+                ),
+                2,
+            ).alias("intercept"),
+            F.round(
+                F.regr_r2(F.col("l_extendedprice"), F.col("l_quantity")), 6
+            ).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )

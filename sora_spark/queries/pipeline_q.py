@@ -2639,3 +2639,75 @@ def qdz7_feature_hashing(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "qsmp1_weighted_sample",
+    oracle="""
+WITH x AS (SELECT l_returnflag AS rf, l_orderkey AS ok,
+                  l_linenumber AS ln, CAST(l_quantity AS INT) AS w
+           FROM lineitem),
+u AS (SELECT rf, ok, ln, w,
+             max(md5(ok || ':' || ln || ':' || w || ':' || j)) AS mk
+      FROM x, unnest(range(1, w + 1)) AS t(j)
+      GROUP BY rf, ok, ln, w),
+r AS (SELECT *, row_number() OVER (PARTITION BY rf
+                                   ORDER BY mk DESC, ok, ln, w) AS rn
+      FROM u)
+SELECT rf AS l_returnflag, CAST(rn AS INT) AS rn, ok AS l_orderkey,
+       ln AS l_linenumber, w AS weight
+FROM r WHERE rn <= 3 ORDER BY rf, rn
+""",
+    doc="qsmp1: weighted sampling WITHOUT replacement, k=3 per return "
+    "flag, inclusion probability proportional to integer weight "
+    "(quantity) - the Efraimidis-Spirakis A-RES scheme made "
+    "DETERMINISTIC and cross-engine exact: each row's sort key is the "
+    "max of w salted md5 hashes (md5(ok:ln:w:j), j=1..w; the weight "
+    "joins the identity because (orderkey, linenumber) is NOT unique "
+    "in the fixture - equal keys would tie nondeterministically), and "
+    "the max "
+    "of w iid uniforms is distributed as u^(1/w) - exactly the A-RES "
+    "key - while md5 string comparison involves no floating point at "
+    "all (the pow/ln formulations would hash-diverge at the ulp "
+    "level). Shape: in-row sequence(1,w) explode (fan-out bounded by "
+    "max weight 50), partial max per row, one per-group top-k window "
+    "- the same map-side-combine + TakeOrdered economics as qtk1; at "
+    "100 TB huge weights switch to one log-uniform key per row, same "
+    "distribution, this query pins the integer-weight contract.",
+    tags=("sampling", "weighted", "curation"),
+)
+def qsmp1_weighted_sample(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    x = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").cast("int").alias("w"),
+    )
+    u = (
+        x.select(
+            "rf", "ok", "ln", "w",
+            F.explode(F.sequence(F.lit(1), F.col("w"))).alias("j"),
+        )
+        .select(
+            "rf", "ok", "ln", "w",
+            F.md5(F.concat_ws(":", "ok", "ln", "w", "j")).alias("h"),
+        )
+        .groupBy("rf", "ok", "ln", "w")
+        .agg(F.max("h").alias("mk"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("rf").orderBy(F.desc("mk"), "ok", "ln", "w")
+    )
+    return (
+        u.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("rf").alias("l_returnflag"),
+            F.col("rn").cast("int").alias("rn"),
+            F.col("ok").alias("l_orderkey"),
+            F.col("ln").alias("l_linenumber"),
+            F.col("w").alias("weight"),
+        )
+        .orderBy("l_returnflag", "rn")
+    )
