@@ -372,3 +372,47 @@ def bwt(
             "",
         ).alias("bwt")
     )
+
+
+# ---- de Bruijn graph (the other assembly paradigm) ------------------
+
+DEBRUIJN_K = 12
+
+
+def de_bruijn_edges(documents: DataFrame, k: int = DEBRUIJN_K) -> DataFrame:
+    """DISTINCT de Bruijn edges over the document corpus: nodes are
+    k-char substrings (k-mers), one edge per consecutive window pair
+    (positions i, i+1) -> (s, d). The de-Bruijn-graph half of the
+    assembly story (overlap-layout-consensus lives in overlap_edges):
+    contigs fall out as non-branching chains, no pairwise read join at
+    all - construction is a MAP-SIDE in-row window expansion (fan-out
+    = chars per doc) followed by ONE distinct, so at 100 TB it
+    shuffles each (s, d) pair once and nothing else. Mirrors
+    DEBRUIJN_SQL exactly (full-length windows only)."""
+    n_win = (F.col("n_chars") - F.lit(k)).cast("int")
+    win = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.struct(
+            F.col("text").substr(i, F.lit(k)).alias("s"),
+            F.col("text").substr(i + 1, F.lit(k)).alias("d"),
+        ),
+    )
+    return (
+        documents.filter(F.col("n_chars") >= k + 1)
+        .select(F.explode(win).alias("e"))
+        .select("e.s", "e.d")
+        .distinct()
+    )
+
+
+# Oracle twin. NOTE: keep this free of bare UNION CTEs - when embedded
+# under WITH RECURSIVE (the unitig walk), DuckDB reinterprets a
+# UNION-shaped CTE as a recursive one and silently skips the dedup
+# (measured: node count doubled). Use UNION ALL + explicit DISTINCT.
+DEBRUIJN_SQL = (
+    "SELECT DISTINCT substr(text, i, 12) AS s, "
+    "substr(text, i + 1, 12) AS d "
+    "FROM documents, "
+    "unnest(range(1, n_chars - 12 + 1)) AS t(i) "
+    "WHERE n_chars >= 13"
+)

@@ -2054,3 +2054,213 @@ def qg42_degree_assortativity(spark, sf_dir):
         F.round(F.corr("x", "y"), 6).alias("assortativity"),
         F.round(F.avg("x"), 4).alias("mean_degree"),
     )
+
+
+@query(
+    "qg44_debruijn_graph",
+    oracle="""
+WITH e AS MATERIALIZED (SELECT DISTINCT substr(text, i, 12) AS s,
+                               substr(text, i + 1, 12) AS d
+            FROM documents,
+                 unnest(range(1, n_chars - 12 + 1)) AS t(i)
+            WHERE n_chars >= 13),
+nodes AS (SELECT DISTINCT v FROM
+            (SELECT s AS v FROM e UNION ALL SELECT d FROM e)),
+dout AS (SELECT s, count(*) AS c FROM e GROUP BY s),
+din AS (SELECT d, count(*) AS c FROM e GROUP BY d),
+ce AS (SELECT e.s, e.d FROM e
+       JOIN dout ON dout.s = e.s AND dout.c = 1
+       JOIN din ON din.d = e.d AND din.c = 1)
+SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*) FROM ce) AS n_chain_edges,
+       (SELECT count(*) FROM ce
+        WHERE s NOT IN (SELECT d FROM ce)) AS n_unitig_starts,
+       (SELECT max(c) FROM dout) AS max_out_degree
+""",
+    doc="qg44: de Bruijn graph construction over the corpus - the "
+    "OTHER assembly paradigm next to qg19's overlap-layout-consensus: "
+    "nodes are 12-char k-mers, edges connect consecutive windows, "
+    "and the summary row certifies the graph shape (node/edge "
+    "counts, non-branching chain-edge count, unitig starts, max "
+    "out-degree). Construction is graph.overlap.de_bruijn_edges: "
+    "map-side in-row window expansion + ONE distinct - no pairwise "
+    "read join anywhere, which is precisely why de-Bruijn assemblers "
+    "win at high coverage; degree tables and chain classification "
+    "reuse Graph.chain_edges (type-agnostic over string vertices). "
+    "At 100 TB every stage is a keyed shuffle on k-mer strings with "
+    "map-side partials; k is the only memory knob.",
+    tags=("graph", "assembly", "debruijn"),
+)
+def qg44_debruijn_graph(spark, sf_dir):
+    from sora_spark.graph.overlap import de_bruijn_edges
+
+    docs = tables(spark, sf_dir).documents
+    e = de_bruijn_edges(docs).localCheckpoint(eager=True)
+    g = Graph(e)
+    ce = g.chain_edges()
+    nodes = (
+        e.select(F.col("s").alias("v"))
+        .unionAll(e.select(F.col("d").alias("v")))
+        .distinct()
+    )
+    starts = ce.select("s").subtract(ce.select(F.col("d").alias("s")))
+    max_out = e.groupBy("s").agg(F.count("*").alias("c")).agg(F.max("c"))
+    return (
+        nodes.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .crossJoin(ce.agg(F.count("*").alias("n_chain_edges")))
+        .crossJoin(starts.agg(F.count("*").alias("n_unitig_starts")))
+        .crossJoin(max_out.toDF("max_out_degree"))
+    )
+
+
+@query(
+    "qg45_debruijn_unitigs",
+    oracle="""
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT substr(text, i, 12) AS s, substr(text, i + 1, 12) AS d
+  FROM documents, unnest(range(1, n_chars - 12 + 1)) AS t(i)
+  WHERE n_chars >= 13),
+dout AS (SELECT s, count(*) AS c FROM e GROUP BY s),
+din AS (SELECT d, count(*) AS c FROM e GROUP BY d),
+ce AS MATERIALIZED (SELECT e.s, e.d FROM e
+      JOIN dout ON dout.s = e.s AND dout.c = 1
+      JOIN din ON din.d = e.d AND din.c = 1),
+walk(start, v, len) AS (
+  SELECT s, d, 1 FROM ce WHERE s NOT IN (SELECT d FROM ce)
+  UNION ALL
+  SELECT w.start, c.d, w.len + 1 FROM walk w JOIN ce c ON c.s = w.v)
+SELECT start, arg_max(v, len) AS "end",
+       CAST(max(len) AS BIGINT) AS length
+FROM walk GROUP BY start ORDER BY start LIMIT 5000
+""",
+    doc="qg45: de Bruijn unitig compaction - maximal non-branching "
+    "chains of the qg44 graph compacted to (start k-mer, end k-mer, "
+    "length) by pointer doubling (Graph.compact_chains, O(log L) "
+    "rounds; measured longest chain 11-20 at the three sfs, so ~5 "
+    "doubling rounds). The walk is start-anchored on both sides, so "
+    "any chain CYCLE is excluded by definition (measured zero cyclic "
+    "chain edges on this corpus - the guard matters for real genomes "
+    "where repeats close cycles). Oracle: recursive-CTE chain walk "
+    "over the same edge set. With qg44 this certifies the de-Bruijn "
+    "assembly pipeline end-to-end, the paradigm twin of "
+    "qg16-qg18's OLC chain.",
+    tags=("graph", "assembly", "debruijn", "compaction"),
+)
+def qg45_debruijn_unitigs(spark, sf_dir):
+    from sora_spark.graph.overlap import de_bruijn_edges
+
+    docs = tables(spark, sf_dir).documents
+    e = de_bruijn_edges(docs).localCheckpoint(eager=True)
+    ce = Graph(e).chain_edges()
+    return (
+        Graph(ce)
+        .compact_chains(max_iter=12)
+        .select(
+            "start", "end", F.col("length").cast("bigint").alias("length")
+        )
+        .orderBy("start")
+        .limit(5000)
+    )
+
+
+@query(
+    "qg43_khop_reach",
+    oracle=f"""
+WITH eco AS MATERIALIZED ({E_CO_SMALL_SQL}),
+sym AS MATERIALIZED (
+  SELECT DISTINCT v, nbr FROM (
+    SELECT s AS v, d AS nbr FROM eco
+    UNION ALL SELECT d, s FROM eco)),
+h1 AS (SELECT v, nbr FROM sym),
+h2 AS MATERIALIZED (
+  SELECT DISTINCT a.v, b.nbr AS x FROM h1 a JOIN sym b ON b.v = a.nbr
+  WHERE b.nbr <> a.v
+    AND NOT EXISTS (SELECT 1 FROM h1 p WHERE p.v = a.v AND p.nbr = b.nbr)),
+h3 AS MATERIALIZED (
+  SELECT DISTINCT a.v, b.nbr AS x FROM h2 a JOIN sym b ON b.v = a.x
+  WHERE b.nbr <> a.v
+    AND NOT EXISTS (SELECT 1 FROM h1 p WHERE p.v = a.v AND p.nbr = b.nbr)
+    AND NOT EXISTS (SELECT 1 FROM h2 p WHERE p.v = a.v AND p.x = b.nbr)),
+c1 AS (SELECT v, count(*) AS n1 FROM h1 GROUP BY v),
+c2 AS (SELECT v, count(*) AS n2 FROM h2 GROUP BY v),
+c3 AS (SELECT v, count(*) AS n3 FROM h3 GROUP BY v)
+SELECT c1.v, CAST(n1 AS BIGINT) AS n1,
+       CAST(COALESCE(n2, 0) AS BIGINT) AS n2,
+       CAST(COALESCE(n3, 0) AS BIGINT) AS n3,
+       CAST(6 * n1 + 3 * COALESCE(n2, 0) + 2 * COALESCE(n3, 0) AS BIGINT)
+         AS harmonic_x6
+FROM c1 LEFT JOIN c2 ON c2.v = c1.v LEFT JOIN c3 ON c3.v = c1.v
+ORDER BY c1.v
+""",
+    doc="qg43: exact k-hop reach profile (k <= 3) on the bounded "
+    "co-occurrence graph - per-vertex counts of vertices at distance "
+    "exactly 1, 2, 3 plus 3-hop harmonic centrality scaled by 6 "
+    "(6*n1 + 3*n2 + 2*n3: integer arithmetic, no float division "
+    "anywhere - the harmonic ranking is order-identical). The "
+    "bounded-radius form is how centrality is actually computed at "
+    "100 TB (full harmonic needs all-pairs BFS): k frontier "
+    "expansions, each one equi-join + distinct + anti-join against "
+    "the visited set, all keyed shuffles on vertex id. qg9's BFS "
+    "certifies single-source layering; this row certifies the "
+    "ALL-vertices bounded variant.",
+    tags=("graph", "centrality", "khop"),
+)
+def qg43_khop_reach(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    e = e_co_small(li)
+    sym = (
+        e.select(F.col("s").alias("v"), F.col("d").alias("nbr"))
+        .unionAll(e.select(F.col("d").alias("v"), F.col("s").alias("nbr")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h1 = sym
+    h2 = (
+        h1.join(
+            sym.select(F.col("v").alias("nbr"), F.col("nbr").alias("x")),
+            "nbr",
+        )
+        .filter(F.col("x") != F.col("v"))
+        .select("v", "x")
+        .distinct()
+        .join(
+            h1.select("v", F.col("nbr").alias("x")), ["v", "x"], "left_anti"
+        )
+        .localCheckpoint(eager=True)
+    )
+    h3 = (
+        h2.join(
+            sym.select(F.col("v").alias("x"), F.col("nbr").alias("y")), "x"
+        )
+        .filter(F.col("y") != F.col("v"))
+        .select("v", F.col("y").alias("x"))
+        .distinct()
+        .join(
+            h1.select("v", F.col("nbr").alias("x")), ["v", "x"], "left_anti"
+        )
+        .join(h2, ["v", "x"], "left_anti")
+    )
+    c1 = h1.groupBy("v").agg(F.count("*").alias("n1"))
+    c2 = h2.groupBy("v").agg(F.count("*").alias("n2"))
+    c3 = h3.groupBy("v").agg(F.count("*").alias("n3"))
+    n1, n2, n3 = F.col("n1"), F.col("n2"), F.col("n3")
+    return (
+        c1.join(c2, "v", "left")
+        .join(c3, "v", "left")
+        .select(
+            "v",
+            n1.cast("bigint").alias("n1"),
+            F.coalesce(n2, F.lit(0)).cast("bigint").alias("n2"),
+            F.coalesce(n3, F.lit(0)).cast("bigint").alias("n3"),
+            (
+                6 * n1
+                + 3 * F.coalesce(n2, F.lit(0))
+                + 2 * F.coalesce(n3, F.lit(0))
+            )
+            .cast("bigint")
+            .alias("harmonic_x6"),
+        )
+        .orderBy("v")
+    )
