@@ -1014,3 +1014,78 @@ def qc8_json_corrupt_records(spark, sf_dir):
         .cast("bigint")
         .alias("sum_good_keys"),
     )
+
+
+@query(
+    "qsrc4_fastq_roundtrip",
+    oracle="""
+WITH q AS (SELECT doc_id, text,
+                  list_aggregate(
+                    list_transform(split(text, ''),
+                                   x -> chr(33 + ascii(x) % 40)),
+                    'string_agg', '') AS qual
+           FROM documents)
+SELECT doc_id, md5(text) AS seq_md5, md5(qual) AS qual_md5,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST((SELECT sum(33 + ascii(x) % 40)
+             FROM unnest(split(text, '')) AS t(x)) AS BIGINT) AS q_sum
+FROM q ORDER BY doc_id
+""",
+    doc="FASTQ source/sink at the hash tier - the sequencing-read "
+    "format with per-base quality: documents become 4-line FASTQ "
+    "records (sources/fastq_datasource.py write path, two-phase "
+    "commit) with a DETERMINISTIC phred string derived per character "
+    "(chr(33 + ascii(c) % 40), computed JVM-side via transform over "
+    "the char array - no Python in the row path), then read back "
+    "through the Python DataSource (one InputPartition per file; the "
+    "reader enforces len(quality) == len(sequence) per record). "
+    "md5(sequence), md5(quality) and the exact integer quality sum "
+    "must match DuckDB recomputing the same derivation over the "
+    "ORIGINAL parquet - proving the 4-line framing, the '+' "
+    "separator handling and the seq/qual pairing are lossless. "
+    "Extends qsrc1's FASTA roundtrip with the quality channel real "
+    "pipelines trim on.",
+    tags=("source", "sink", "fastq"),
+)
+def qsrc4_fastq_roundtrip(spark, sf_dir):
+    from sora_spark.sources.fastq_datasource import register
+
+    docs = tables(spark, sf_dir).documents
+    qual = F.array_join(
+        F.transform(
+            F.split(F.col("text"), ""),
+            lambda x: F.chr(F.lit(33) + F.ascii(x) % 40),
+        ),
+        "",
+    )
+    path = _roundtrip_dir("fastq_documents")
+    register(spark)
+    (
+        docs.select(
+            F.col("doc_id").cast("string").alias("header"),
+            F.col("text").alias("sequence"),
+            qual.alias("quality"),
+        )
+        .write.format("fastq")
+        .mode("overwrite")
+        .save(path)
+    )
+    back = spark.read.format("fastq").load(path)
+    q_sum = F.aggregate(
+        F.transform(
+            F.split(F.col("quality"), ""),
+            lambda x: (F.ascii(x) - 33).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ) + F.lit(33).cast("bigint") * F.length("quality")
+    return (
+        back.select(
+            F.col("header").cast("bigint").alias("doc_id"),
+            F.md5("sequence").alias("seq_md5"),
+            F.md5("quality").alias("qual_md5"),
+            F.length("sequence").cast("bigint").alias("n_chars"),
+            q_sum.alias("q_sum"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1066,3 +1066,45 @@ def qs11_parquet_file_sink(spark, sf_dir):
         )
         .orderBy("hour", "event_type")
     )
+
+
+@query(
+    "qs12_dedup_within_watermark_sink",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT count(*) AS n_first, round(sum(value), 2) AS sum_value
+FROM r WHERE rn = 1
+""",
+    doc="dropDuplicatesWithinWatermark EXECUTION gate (Spark 3.5+, "
+    "SPARK-42931): the BOUNDED-STATE dedup - per-key state is "
+    "dropped once the watermark passes first-seen ts + delay, which "
+    "is the only dedup an infinite stream can afford (qs4b's plain "
+    "dropDuplicates holds every key forever; at 100 TB/day of "
+    "events that state never stops growing). Replay: 4 "
+    "range-partitioned within-sorted files, one per micro-batch, so "
+    "first arrival == first by (ts, event_id) and the kept rows' "
+    "VALUES face the hash gate against the batch first-per-key "
+    "oracle. The delay (31 days) covers the replay span, so the "
+    "bounded form must EQUAL the unbounded one - the equality is "
+    "the gate; the state-expiry path at short delay is pinned by "
+    "tests/test_streaming.py's within-watermark unit.",
+    tags=("streaming", "hash-tier", "dedup", "bounded-state"),
+)
+def qs12_dedup_within_watermark_sink(spark, sf_dir):
+    from sora_spark.streaming import ops, replay
+
+    staged = replay.materialize_replay_dir(
+        spark, sf_dir, "qs12", n_files=4, sorted_within=True
+    )
+    kept = replay.run_sequential_to_memory(
+        spark, staged, ops.stream_dedup_within_watermark, "qs12_sink",
+        "append",
+    )
+    return kept.agg(
+        F.count("*").alias("n_first"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
