@@ -979,39 +979,42 @@ def qa24_skyline(spark, sf_dir):
 
 
 @query(
-    "qa25_gini_concentration",
+    "qa25_lorenz_curve",
     oracle="""
 WITH x AS (SELECT l_returnflag AS rf,
                   CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
                   l_orderkey AS ok, l_linenumber AS ln
            FROM lineitem),
-r AS (SELECT rf, v,
-             row_number() OVER (PARTITION BY rf ORDER BY v, ok, ln)
-               AS i
+r AS (SELECT rf, v, ntile(10) OVER (PARTITION BY rf ORDER BY v, ok, ln)
+               AS decile
       FROM x),
-s AS (SELECT rf, count(*) AS n, sum(v) AS sv, sum(i * v) AS siv
-      FROM r GROUP BY rf)
-SELECT rf AS l_returnflag, CAST(n AS BIGINT) AS n,
-       round(2.0 * CAST(siv AS DOUBLE) / (n * CAST(sv AS DOUBLE))
-             - (n + 1.0) / n, 6) AS gini
-FROM s ORDER BY rf
+d AS (SELECT rf, decile, count(*) AS n, sum(v) AS sv
+      FROM r GROUP BY rf, decile),
+c AS (SELECT rf, decile, n, sv,
+             sum(sv) OVER (PARTITION BY rf ORDER BY decile) AS cum,
+             sum(sv) OVER (PARTITION BY rf) AS total
+      FROM d)
+SELECT rf AS l_returnflag, CAST(decile AS INT) AS decile,
+       CAST(n AS BIGINT) AS n,
+       round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         AS cum_share
+FROM c ORDER BY rf, decile
 """,
-    doc="qa25: Gini concentration coefficient of extended price per "
-    "return flag - the inequality statistic (how concentrated is "
-    "revenue across line items) via the sorted-rank identity "
-    "G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n. Ranks use a deterministic "
-    "(value, orderkey, linenumber) sort, and tied values contribute "
-    "identically under any tie permutation (equal x across a rank "
-    "block makes sum(i*x) permutation-invariant), so the statistic "
-    "is order-free. All accumulation runs in DECIMAL(18,2) - EXACT "
-    "integer-scaled arithmetic, immune to float summation order "
-    "cross-engine - with doubles entering only at the final ratio "
-    "(round 6). Shape: one window rank + one groupBy; at 100 TB the "
-    "rank is the range-partitioned per-group sort Spark already "
-    "does for any window, no extra shuffle beyond it.",
-    tags=("agg", "stats", "inequality"),
+    doc="qa25: Lorenz curve per return flag - cumulative revenue "
+    "share by value decile, the distribution CURVE behind qa21's "
+    "scalar Gini (the profiler pair: qa21 says HOW concentrated, "
+    "this says WHERE the mass sits - e.g. top decile share drives "
+    "the salting decision directly). Deciles via ntile(10) on a "
+    "deterministic (value, orderkey, linenumber) sort; all "
+    "accumulation in DECIMAL(18,2) - exact integer-scaled "
+    "arithmetic, immune to float summation order - doubles enter "
+    "only at the final share ratio (round 6). Shape: one per-group "
+    "window sort + one groupBy + one 10-row-per-group cumulative "
+    "window; the per-group sort parallelizes across groups exactly "
+    "like qa21.",
+    tags=("agg", "stats", "inequality", "profile"),
 )
-def qa25_gini_concentration(spark, sf_dir):
+def qa25_lorenz_curve(spark, sf_dir):
     li = tables(spark, sf_dir).lineitem
     x = li.select(
         F.col("l_returnflag").alias("rf"),
@@ -1020,23 +1023,25 @@ def qa25_gini_concentration(spark, sf_dir):
         "l_linenumber",
     )
     w = Window.partitionBy("rf").orderBy("v", "l_orderkey", "l_linenumber")
-    r = x.select("rf", "v", F.row_number().over(w).alias("i"))
-    s = r.groupBy("rf").agg(
-        F.count("*").alias("n"),
-        F.sum("v").alias("sv"),
-        F.sum(F.col("i") * F.col("v")).alias("siv"),
+    r = x.select("rf", "v", F.ntile(10).over(w).alias("decile"))
+    d = r.groupBy("rf", "decile").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv")
     )
-    n = F.col("n")
-    return s.select(
+    wc = Window.partitionBy("rf").orderBy("decile")
+    wt = Window.partitionBy("rf")
+    c = d.select(
+        "rf", "decile", "n",
+        F.sum("sv").over(wc).alias("cum"),
+        F.sum("sv").over(wt).alias("total"),
+    )
+    return c.select(
         F.col("rf").alias("l_returnflag"),
-        n.cast("bigint").alias("n"),
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n").cast("bigint").alias("n"),
         F.round(
-            F.lit(2.0) * F.col("siv").cast("double")
-            / (n * F.col("sv").cast("double"))
-            - (n + F.lit(1.0)) / n,
-            6,
-        ).alias("gini"),
-    ).orderBy("rf")
+            F.col("cum").cast("double") / F.col("total").cast("double"), 6
+        ).alias("cum_share"),
+    ).orderBy("l_returnflag", "decile")
 
 
 @query(
