@@ -1471,3 +1471,67 @@ def test_fasta_writer_commit_protocol(spark, tmp_path):
     assert not [
         f for f in os.listdir(path) if f.startswith("_tmp_")
     ], os.listdir(path)
+
+
+def test_fastq_custom_datasource_roundtrip(spark):
+    """FASTQ Python DataSource: 4-line records with quality channel,
+    one partition per file; sink write -> source read roundtrips."""
+    from sora_spark.sources.fastq_datasource import register
+
+    d = f"/root/repo/.scratch/fastqds-{uuid.uuid4().hex[:6]}"
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "a.fq"), "w") as f:
+        f.write("@r1 lane1\nACGT\n+\nIIII\n@r2\nGG\n+anything\n!~\n")
+    with open(os.path.join(d, "b.fq"), "w") as f:
+        f.write("@r3\nCCCC\n+\nJJJJ\n")
+    register(spark)
+    df = spark.read.format("fastq").load(d)
+    rows = {
+        (r["header"], r["sequence"], r["quality"]) for r in df.collect()
+    }
+    assert rows == {
+        ("r1 lane1", "ACGT", "IIII"),
+        ("r2", "GG", "!~"),
+        ("r3", "CCCC", "JJJJ"),
+    }
+    assert df.rdd.getNumPartitions() == 2, "one partition per file"
+    # sink -> source roundtrip through the writer's two-phase commit
+    out = f"/root/repo/.scratch/fastqw-{uuid.uuid4().hex[:6]}"
+    (
+        df.selectExpr("header", "sequence", "quality")
+        .write.format("fastq")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = {
+        (r["header"], r["sequence"], r["quality"])
+        for r in spark.read.format("fastq").load(out).collect()
+    }
+    assert back == rows
+    assert not any(
+        f.startswith("_tmp_") for f in os.listdir(out)
+    ), "committed dir must hold no staging temps"
+
+
+def test_fastq_datasource_rejects_malformed(spark):
+    """Truncated/misframed FASTQ must fail loudly at read, not feed
+    misaligned phred scores downstream."""
+    import pytest as _pytest
+
+    from sora_spark.sources.fastq_datasource import register
+
+    register(spark)
+    # quality shorter than sequence (truncated final record)
+    d1 = f"/root/repo/.scratch/fastqbad-{uuid.uuid4().hex[:6]}"
+    os.makedirs(d1, exist_ok=True)
+    with open(os.path.join(d1, "t.fq"), "w") as f:
+        f.write("@r1\nACGT\n+\nII\n")
+    with _pytest.raises(Exception, match="quality length"):
+        spark.read.format("fastq").load(d1).collect()
+    # missing '+' separator
+    d2 = f"/root/repo/.scratch/fastqbad-{uuid.uuid4().hex[:6]}"
+    os.makedirs(d2, exist_ok=True)
+    with open(os.path.join(d2, "t.fq"), "w") as f:
+        f.write("@r1\nACGT\nIIII\n@r2\n")
+    with _pytest.raises(Exception, match="separator"):
+        spark.read.format("fastq").load(d2).collect()
