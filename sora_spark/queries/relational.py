@@ -1089,3 +1089,80 @@ def qsrc4_fastq_roundtrip(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "qsrc5_bucketed_join",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    doc="Bucketed-table lifecycle at the hash tier: orders and "
+    "lineitem are written as BUCKETED tables (bucketBy(8, orderkey) "
+    "+ sortBy, saveAsTable) and the join runs over the bucketed "
+    "reads - the layout that makes a repeated 100 TB fact-fact join "
+    "shuffle-FREE: both sides arrive pre-hash-partitioned on the "
+    "join key, so Spark plans a sort-merge join with NO Exchange on "
+    "either input (the companion plan test pins exactly one "
+    "Exchange in the whole query - the final rollup - vs three for "
+    "the unbucketed twin). Values hash-match the plain-join oracle "
+    "over the original parquet, so the bucketed write+read cycle is "
+    "lossless. This is THE amortize-the-shuffle primitive: pay one "
+    "bucketed write, join for free forever after.",
+    tags=("source", "sink", "bucketing", "join"),
+)
+def qsrc5_bucketed_join(spark, sf_dir):
+    from sora_spark.sources.parquet import read_table
+
+    sf_tag = (
+        os.path.basename(os.path.normpath(sf_dir))
+        .replace(".", "_")
+        .replace("-", "_")
+    )
+    to, tl = f"orders_bkt_{sf_tag}", f"lineitem_bkt_{sf_tag}"
+    if not (
+        spark.catalog.tableExists(to) and spark.catalog.tableExists(tl)
+    ):
+        # the warehouse DIRECTORY outlives the in-memory catalog: a
+        # fresh session sees no table but saveAsTable refuses the
+        # orphaned location (LOCATION_ALREADY_EXISTS) — clear stale
+        # locations for tables this session does not know
+        import shutil
+
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for t in (to, tl):
+            loc = os.path.join(wh, t)
+            if not spark.catalog.tableExists(t) and os.path.exists(loc):
+                shutil.rmtree(loc, ignore_errors=True)
+        (
+            read_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(to)
+        )
+        (
+            read_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_quantity")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tl)
+        )
+    o, li = spark.table(to), spark.table(tl)
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -732,3 +732,56 @@ def test_interval_condition_joins_stay_equi(spark, sf_dir, name):
     assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or (
         "ShuffledHashJoin" in p
     ), p
+
+
+def test_bucketed_join_eliminates_input_shuffles(spark, sf_dir):
+    """qsrc5's whole point: joining two tables bucketed on the join
+    key needs NO shuffle Exchange on either join input — the only
+    shuffles left are the final rollup + output sort. Broadcast is
+    disabled for the pin (at tiny sf the dimension side would
+    broadcast, which also avoids the shuffle but hides the bucketed
+    SMJ this test certifies); shuffle Exchanges are counted excluding
+    BroadcastExchange (substring trap). The unbucketed twin under the
+    same conf needs two MORE (one per join input). Quantitative pin so
+    a silent bucketing-info loss (e.g. a projection dropping the
+    outputPartitioning) fails the count, not just a vibe check."""
+    from sora_spark.sources.parquet import read_table
+
+    def shuffles(plan: str) -> int:
+        return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+    with _scoped_confs(
+        spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+    ):
+        pf = _plan(spark, sf_dir, "qsrc5_bucketed_join")
+        assert "SortMergeJoin" in pf, pf
+        assert "Bucketed: true" in pf, pf
+        # count shuffles on the SIMPLE tree: formatted mode repeats
+        # every node in its detail section, double-counting
+        p = _plan(spark, sf_dir, "qsrc5_bucketed_join", mode="simple")
+        base = shuffles(p)
+        assert base == 2, (
+            "bucketed join must shuffle ONLY rollup + sort:\n" + p
+        )
+        # unbucketed twin for contrast: same query over raw parquet
+        o = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        li = read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        import pyspark.sql.functions as F
+
+        twin = (
+            o.join(li, o["o_orderkey"] == li["l_orderkey"], "inner")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+            .orderBy("o_orderpriority")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            twin.explain("simple")
+        tp = buf.getvalue()
+    assert shuffles(tp) == base + 2, (
+        "unbucketed twin should add one shuffle per join input:\n" + tp
+    )
