@@ -2691,3 +2691,69 @@ def qcont3_semantic_decontamination(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@query(
+    "qd10_duplicate_passages",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                   || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+                   || ' ' || w[i+7] AS p
+       FROM (SELECT doc_id, unnest(range(1, greatest(len(w) - 6, 1)))
+                      AS i, w
+             FROM w)),
+df AS (SELECT p, count(*) AS n_docs FROM sh GROUP BY p)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 5) AS shared_frac
+FROM sh JOIN df USING (p)
+GROUP BY sh.doc_id ORDER BY sh.doc_id LIMIT 300
+""",
+    doc="qd10: duplicate-PASSAGE detection - the sub-document dedup "
+    "signal the training-data dedup literature runs between "
+    "whole-doc exact dedup (ql1) and near-dup (qd2-qd8): every "
+    "distinct 8-word passage gets a corpus document-frequency, and "
+    "each doc reports what fraction of its passages appear in >= 2 "
+    "documents (boilerplate / quoted / templated spans that "
+    "whole-doc methods miss entirely). Shapes: in-row shingle "
+    "expansion (map-side, slice+concat_ws - zero Python), per-doc "
+    "DISTINCT, one corpus doc-frequency groupBy, one equi-join back "
+    "keyed by passage - wordcount economics end to end; at 100 TB "
+    "the passage key shuffles like any k-mer and the doc-frequency "
+    "table partial-aggregates map-side. Integer ratio rounded at "
+    "the end only.",
+    tags=("llm", "dedup", "passage", "contamination"),
+)
+def qd10_duplicate_passages(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    w = F.split(F.col("text"), " ")
+    # docs under 8 words emit NO passages (the oracle's empty range) —
+    # a shorter tail window would silently diverge on short docs
+    idx = F.when(
+        F.size(w) >= 8, F.sequence(F.lit(1), F.size(w) - 7)
+    ).otherwise(F.array().cast("array<int>"))
+    passages = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(w, i, 8))
+    )
+    sh = (
+        docs.select("doc_id", F.explode(passages).alias("p"))
+        .distinct()
+    )
+    df = sh.groupBy("p").agg(F.count("*").alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+    return (
+        sh.join(df, "p")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_passages"),
+            shared.cast("bigint").alias("n_shared"),
+            F.round(shared / F.count("*"), 5).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
