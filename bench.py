@@ -54,6 +54,15 @@ BENCH_QUERIES = {
     # un-checkpointed pairs recomputed by the CC loop) — fixed to
     # ~2.9 s (0.69× stock) the same day; the row now guards it.
     "q12": "qd5_neardup_clusters",
+    # B13: the de Bruijn assembly path (12-mer edges → chain subgraph →
+    # pointer-doubling unitig compaction) — the second assembly
+    # paradigm next to B11's overlap-layout-consensus. Budget derived
+    # the B10..B12 way from a stock twin (benchmarks/stock_twin_b13.py,
+    # output-identical at sf0.001/0.01 and row-identical at sf0.1,
+    # naive one-step walk; measured 2026-08-14: warm 9.88 s ⇒ budget
+    # 19.8 s; engine 8.17 s same-day, 0.83× stock — the doubling win is
+    # bounded here because corpus chains are short, ≤ 20 edges).
+    "q13": "qg45_debruijn_unitigs",
 }
 
 
