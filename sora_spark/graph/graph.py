@@ -1195,7 +1195,10 @@ class Graph:
         )
 
     def compact_chains(
-        self, max_iter: int = 30, with_paths: bool = False
+        self,
+        max_iter: int = 30,
+        with_paths: bool = False,
+        stats: dict | None = None,
     ) -> DataFrame:
         """Compact maximal non-branching chains (unitigs) by pointer
         doubling → (start, end, length) [+ path]. Requires a
@@ -1224,7 +1227,9 @@ class Graph:
             *lab0,
         ).localCheckpoint(eager=True)
         prev_total = None
+        rounds = 0
         for _ in range(max_iter):
+            rounds += 1
             a, b = p.alias("a"), p.alias("b")
             lab = (
                 [
@@ -1251,6 +1256,8 @@ class Graph:
             if total == prev_total:
                 break
             prev_total = total
+        if stats is not None:
+            stats["rounds"] = rounds
         starts = self.edges.select(F.col("s").alias("v")).subtract(
             self.edges.select(F.col("d").alias("v"))
         )

@@ -434,3 +434,55 @@ def test_replicated_bpe_and_kmeans_invariance(spark, sf_dir):
 
     base_c, big_c = counts(emb), counts(big_emb)
     assert big_c == {cid: n * k for cid, n in base_c.items()}
+
+
+def test_replicated_debruijn_stress(spark, sf_dir):
+    """De Bruijn family (qg44/qg45) under corpus replication stress:
+    each replica maps the text through a DISTINCT alphabet rotation
+    (F.translate), so the replicas' 12-mer spaces are disjoint while
+    every replica's graph is isomorphic to the base — a correctness
+    oracle at sizes past what the recursive-CTE oracle checks, plus
+    the scale invariant that matters: pointer-doubling round count
+    must NOT grow with corpus size (disjoint chains compact in
+    parallel; rounds are O(log longest-chain), a per-replica
+    property)."""
+    from sora_spark.graph.graph import Graph
+    from sora_spark.graph.overlap import de_bruijn_edges
+
+    factor = 6
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    docs = tables(spark, sf_dir).documents.select("text", "n_chars")
+    reps = []
+    for r in range(factor):
+        rot = alpha[r:] + alpha[:r]
+        reps.append(docs.select(F.translate("text", alpha, rot).alias("text"), "n_chars"))
+    big_docs = reps[0]
+    for d in reps[1:]:
+        big_docs = big_docs.unionByName(d)
+
+    base_e = de_bruijn_edges(docs).localCheckpoint(eager=True)
+    big_e = de_bruijn_edges(big_docs).localCheckpoint(eager=True)
+    assert big_e.count() == factor * base_e.count()
+
+    base_ce = Graph(base_e).chain_edges().localCheckpoint(eager=True)
+    big_ce = Graph(big_e).chain_edges().localCheckpoint(eager=True)
+    assert big_ce.count() == factor * base_ce.count()
+
+    st_b, st = {}, {}
+    base_u = Graph(base_ce).compact_chains(max_iter=12, stats=st_b)
+    big_u = Graph(big_ce).compact_chains(max_iter=12, stats=st)
+    base_hist = {
+        r["length"]: r["n"]
+        for r in base_u.groupBy("length")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    big_hist = {
+        r["length"]: r["n"]
+        for r in big_u.groupBy("length")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert big_hist == {k: factor * v for k, v in base_hist.items()}
+    # disjoint replicas must not add doubling rounds
+    assert st["rounds"] <= st_b["rounds"] + 1, (st, st_b)
