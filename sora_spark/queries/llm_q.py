@@ -2608,20 +2608,22 @@ ORDER BY a, b
     doc="ql12: exact cosine RANGE search - every pair with rounded "
     "sim >= 0.4 (the radius-query twin of ql4's top-k; tau calibrated "
     "to ~0.05% of pairs on this corpus, 66/59/920 at the three sfs). "
-    "Engine side runs the disjoint-block shuffle "
-    "(ann.range_search_shuffle): corpus hash-blocked, probes exploded "
-    "per block, threshold filter INSIDE the joined block so only "
-    "matches leave - the n^2 work distributes evenly over blocks with "
-    "no skew sensitivity and no driver collect. The all-pairs oracle "
-    "certifies exactness; at 100 TB the same contract runs behind the "
-    "LSH prefilter (qd3's path) with this as the bounded-slice "
-    "verifier.",
+    "Engine side runs ann.range_search_vectorized: ONE mapInPandas "
+    "pass over the corpus with the probe matrix in the closure - a "
+    "BLAS matmul per Arrow batch generates candidates at tau-slack, "
+    "then the exact JVM-fold cosine re-verifies just the candidates "
+    "(numpy's summation order never touches the certified value). "
+    "Replaced the pure-JVM blocked join after measuring the "
+    "interpreted-HOF tax at 86 s for 25M pairs (B12 finding); the "
+    "vectorized pass runs ~3 s at sf0.1. At 100 TB probes chunk to "
+    "closure size and the LSH prefilter (qd3's path) bounds the "
+    "corpus side; this is the bounded-slice exact verifier.",
     tags=("llm", "vector", "range-search"),
 )
 def ql12_cosine_range_search(spark, sf_dir):
     emb = tables(spark, sf_dir).embeddings
     return (
-        ann.range_search_shuffle(emb, emb, threshold=0.4, n_blocks=8)
+        ann.range_search_vectorized(emb, emb, threshold=0.4)
         .filter(F.col("probe_id") < F.col("neighbor_id"))
         .select(
             F.col("probe_id").alias("a"),
