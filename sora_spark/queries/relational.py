@@ -1166,3 +1166,43 @@ def qsrc5_bucketed_join(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "qc9_xml_roundtrip",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+""",
+    doc="XML source/sink roundtrip (Spark 4 built-in XML, SPARK-44265 "
+    "- the spark-xml integration): nation written as rowTag-framed "
+    "XML and read back with an EXPLICIT schema (inference would "
+    "widen integer types and reorder fields); values must survive "
+    "bit-for-bit. XML is the interchange format half the legacy "
+    "feeds a 100 TB lake ingests still arrive in; the read side "
+    "parallelizes per file like any text-based source and pushes "
+    "column pruning into the row parser.",
+    tags=("source", "sink", "xml"),
+)
+def qc9_xml_roundtrip(spark, sf_dir):
+    from sora_spark.sources.parquet import read_table
+
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = _roundtrip_dir("xml_nation")
+    (
+        n.write.mode("overwrite")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .format("xml")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .load(path)
+    )
+    return back.select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).orderBy("n_nationkey")
