@@ -2264,3 +2264,175 @@ def qg43_khop_reach(spark, sf_dir):
         )
         .orderBy("v")
     )
+
+
+# Shared minimizer CTEs: 12-mers of the stride-20 read set, md5-ranked
+# minimizer per 5-kmer window, distinct minimizer positions per read.
+_MINIMIZER_SQL = f"""
+reads AS MATERIALIZED ({READS_SQL}),
+mpos AS MATERIALIZED (
+  SELECT read_id, i, substr(seq, CAST(i AS BIGINT), 12) AS km,
+         md5(substr(seq, CAST(i AS BIGINT), 12)) AS h
+  FROM reads, unnest(range(1, 30)) AS t(i)),
+wsel AS (SELECT read_id, j, i, km,
+                row_number() OVER (PARTITION BY read_id, j
+                                   ORDER BY h, i) AS rn
+         FROM mpos, unnest(range(1, 26)) AS w(j)
+         WHERE i >= j AND i <= j + 4),
+mins AS MATERIALIZED (
+  SELECT DISTINCT read_id, i, km FROM wsel WHERE rn = 1)
+"""
+
+
+def _minimizer_sets(spark, sf_dir):
+    """Spark side of _MINIMIZER_SQL: explode-first (each kmer hashed
+    ONCE — an in-row nested-transform form would re-inline the md5
+    per window reference under CollapseProject, the B12 finding),
+    then one per-(read, window) min(struct(h, i, km)) with map-side
+    partials. Returns the distinct minimizer set (read_id, i, km)."""
+    docs = tables(spark, sf_dir).documents
+    reads = derive_reads(docs)
+    pos = reads.select(
+        "read_id",
+        F.explode(F.sequence(F.lit(1), F.lit(29))).alias("i"),
+        "seq",
+    ).select(
+        "read_id",
+        "i",
+        F.col("seq").substr(F.col("i"), F.lit(12)).alias("km"),
+    ).withColumn("h", F.md5("km"))
+    win = pos.select(
+        "read_id",
+        "i",
+        "km",
+        "h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(1), F.col("i") - 4),
+                F.least(F.lit(25), F.col("i")),
+            )
+        ).alias("j"),
+    )
+    sel = (
+        win.groupBy("read_id", "j")
+        .agg(F.min(F.struct("h", "i", "km")).alias("m"))
+        .select("read_id", F.col("m.i").alias("i"), F.col("m.km").alias("km"))
+        .distinct()
+    )
+    return sel
+
+
+@query(
+    "qg46_minimizer_census",
+    oracle=f"""
+WITH {_MINIMIZER_SQL},
+per_read AS (SELECT read_id, count(*) AS n_min FROM mins
+             GROUP BY read_id)
+SELECT CAST(n_min AS INT) AS n_minimizers,
+       CAST(count(*) AS BIGINT) AS n_reads
+FROM per_read GROUP BY n_min ORDER BY n_min
+""",
+    doc="qg46: MINIMIZER sampling census - the modern assembler's "
+    "k-mer sparsification (minimap/miniasm shape): per 5-wide window "
+    "of 12-mer positions keep only the md5-minimal k-mer, so each "
+    "read's seed set shrinks from 29 k-mers to the distinct window "
+    "minima (~2/(w+1) density) while any two reads sharing a >= 16bp "
+    "exact overlap still share a minimizer (the windows covering the "
+    "shared span select the same minimum). Output: histogram of "
+    "minimizers per read. Shapes: map-side read derivation + "
+    "position explode (each k-mer hashed ONCE - the in-row nested "
+    "transform would re-inline the md5 per window under "
+    "CollapseProject, the B12 lesson), one per-(read, window) "
+    "min(struct) agg with map-side partials, one distinct - this is "
+    "the sparsification pass a 100 TB read set runs BEFORE any "
+    "overlap join, cutting that join's key volume ~3x (qg47 "
+    "measures the recall side of the trade).",
+    tags=("graph", "assembly", "minimizer"),
+)
+def qg46_minimizer_census(spark, sf_dir):
+    mins = _minimizer_sets(spark, sf_dir)
+    return (
+        mins.groupBy("read_id")
+        .agg(F.count("*").alias("n_min"))
+        .groupBy("n_min")
+        .agg(F.count("*").alias("n_reads"))
+        .select(
+            F.col("n_min").cast("int").alias("n_minimizers"),
+            F.col("n_reads").cast("bigint").alias("n_reads"),
+        )
+        .orderBy("n_minimizers")
+    )
+
+
+@query(
+    "qg47_minimizer_seed_recall",
+    oracle=f"""
+WITH {_MINIMIZER_SQL},
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.read_id AS s, b.read_id AS d
+  FROM mins a JOIN mins b ON a.km = b.km AND a.read_id < b.read_id),
+tru AS MATERIALIZED (
+  SELECT DISTINCT least(a.read_id, b.read_id) AS s,
+                  greatest(a.read_id, b.read_id) AS d
+  FROM reads a JOIN reads b
+    ON substr(a.seq, 21, 20) = substr(b.seq, 1, 20)
+   AND a.read_id <> b.read_id)
+SELECT (SELECT count(*) FROM cand) AS n_candidates,
+       (SELECT count(*) FROM tru) AS n_true_pairs,
+       (SELECT count(*) FROM tru JOIN cand USING (s, d)) AS n_hits,
+       round((SELECT count(*) FROM tru JOIN cand USING (s, d)) * 1.0
+             / (SELECT count(*) FROM tru), 5) AS recall
+""",
+    doc="qg47: minimizer SEEDING recall - does the qg46 sparsified "
+    "seed set still find the true overlaps? Candidate pairs = reads "
+    "sharing any minimizer (equi-join on the ~3x-smaller minimizer "
+    "table instead of qg19's full k-mer join); truth = the "
+    "20-suffix-prefix overlap pairs. Reports candidate volume, true "
+    "pair count, hits and recall - the exact volume-vs-recall trade "
+    "an assembler tunes (w, k) by. The candidate join is the SAME "
+    "bounded-key equi-join shape as qg19 (hot minimizers would get "
+    "the same max_key_freq masking at scale), just over a "
+    "deterministically sparser key set.",
+    tags=("graph", "assembly", "minimizer", "recall"),
+)
+def qg47_minimizer_seed_recall(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    mins = _minimizer_sets(spark, sf_dir).localCheckpoint(eager=True)
+    a = mins.select(F.col("km"), F.col("read_id").alias("s"))
+    b = mins.select(F.col("km"), F.col("read_id").alias("d"))
+    cand = (
+        a.join(b, "km")
+        .filter(F.col("s") < F.col("d"))
+        .select("s", "d")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reads = derive_reads(docs)
+    ra = reads.select(
+        F.col("read_id").alias("ra"),
+        F.col("seq").substr(F.lit(21), F.lit(20)).alias("k"),
+    )
+    rb = reads.select(
+        F.col("read_id").alias("rb"),
+        F.col("seq").substr(F.lit(1), F.lit(20)).alias("k"),
+    )
+    tru = (
+        ra.join(rb, "k")
+        .filter(F.col("ra") != F.col("rb"))
+        .select(
+            F.least("ra", "rb").alias("s"),
+            F.greatest("ra", "rb").alias("d"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hits = tru.join(cand, ["s", "d"], "left_semi")
+    return (
+        cand.agg(F.count("*").alias("n_candidates"))
+        .crossJoin(tru.agg(F.count("*").alias("n_true_pairs")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .withColumn(
+            "recall",
+            F.round(F.col("n_hits") / F.col("n_true_pairs"), 5),
+        )
+    )
