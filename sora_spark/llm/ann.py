@@ -515,6 +515,7 @@ def range_search_shuffle(
     )
     return (
         c.join(p, "_blk")
+        .filter(F.col(id_col) != F.col("probe_id"))
         .select("probe_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
@@ -527,28 +528,43 @@ def range_search_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim_decimals: int = 5,
-    slack: float = 1e-6,
+    slack: float | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact cosine range search, vectorized: the all-pairs work runs
     as ONE mapInPandas pass over the corpus with the (bounded) probe
     matrix shipped in the closure — per Arrow batch a single BLAS
     matmul replaces |batch|x|probes| interpreted higher-order-function
     cosines (the B12 finding again: F.aggregate/zip_with never codegen;
-    measured 86 s -> ~3 s at sf0.1 for the 25M-pair self-search).
+    measured 86 s -> 1.5 s at sf0.1 for the 25M-pair self-search).
 
     numpy's pairwise summation orders differently from the JVM left
     fold, so the matmul emits CANDIDATES at (threshold - slack) and a
     second stage recomputes the exact JVM-fold cosine for just the
-    candidate pairs (two broadcast joins of the candidate set against
-    the corpus + the usual rounded filter) — certified values are
+    candidate pairs (probe vectors joined from PROBES, neighbor
+    vectors from CORPUS — two broadcast joins of the candidate-sized
+    set) and applies the certified rounded filter — values are
     bit-identical to the pure-JVM path, the matmul is only a pruner.
-    A candidate short of the true threshold costs a wasted verify; a
-    true pair can never be lost (slack covers the fp64 order error,
-    ~1e-15 at unit scale). At 100 TB the probe matrix chunks to
-    closure size and the corpus pass tiles per chunk; the verify
-    stage stays candidate-sized."""
+
+    The default slack is 0.5 * 10^-sim_decimals + 1e-9: the certified
+    filter keeps round(sim, d) >= threshold, which admits raw sims
+    down to threshold - 0.5*10^-d, so the pruner must reach at least
+    that far below the threshold or boundary pairs get lost before
+    the verify stage (review finding — 1e-6 was INSIDE the rounding
+    quantum); the 1e-9 term covers fp64 summation-order error with
+    orders of magnitude to spare. A candidate short of the true
+    threshold costs one wasted verify; a true pair cannot be pruned.
+
+    `exclude_self=True` drops probe_id == neighbor_id pairs and is
+    only meaningful for self-search (probes and corpus the same
+    relation) — for cross-relation search coinciding ids are
+    legitimate pairs, so the flag defaults off. At 100 TB the probe
+    matrix chunks to closure size and the corpus pass tiles per
+    chunk; the verify stage stays candidate-sized."""
     import numpy as np
 
+    if slack is None:
+        slack = 0.5 * 10.0 ** (-sim_decimals) + 1e-9
     prows = probes.select(id_col, vec_col).collect()
     pids = np.array([r[0] for r in prows], dtype=np.int64)
     P = np.array([r[1] for r in prows], dtype=np.float64)
@@ -565,18 +581,17 @@ def range_search_vectorized(
             S = Mn @ Pn.T
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             ii, jj = np.nonzero(S >= threshold - slack)
-            keep = ids[ii] != pids[jj]
+            if exclude_self:
+                keep = ids[ii] != pids[jj]
+                ii, jj = ii[keep], jj[keep]
             yield pd.DataFrame(
-                {
-                    "probe_id": pids[jj[keep]],
-                    "neighbor_id": ids[ii[keep]],
-                }
+                {"probe_id": pids[jj], "neighbor_id": ids[ii]}
             )
 
     cand = corpus.select(id_col, vec_col).mapInPandas(
         gen, "probe_id long, neighbor_id long"
     )
-    a = corpus.select(
+    a = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
     )
     b = corpus.select(
@@ -585,7 +600,7 @@ def range_search_vectorized(
     sim = F.round(vector.cosine(F.col("_nv"), F.col("_pv")), sim_decimals)
     # both joins broadcast the CANDIDATE-sized side (never the corpus):
     # corpus scan 1 picks up neighbor vectors, its candidate-sized
-    # output broadcasts into corpus scan 2 for the probe vectors
+    # output broadcasts into the probe scan for the probe vectors
     with_nv = b.join(F.broadcast(cand), "neighbor_id")
     return (
         a.join(F.broadcast(with_nv), "probe_id")

@@ -565,3 +565,24 @@ def bm25_topk(
         .orderBy(F.desc("score"), "doc_id")
         .limit(top_k)
     )
+
+
+def bigram_pairs(text_col):
+    """Adjacent word-pair expansion as an array of (a, b) structs —
+    the shared in-row derivation behind the bigram family (qta13
+    logprob, qta18 repetition, qta19 perplexity gate). The size >= 2
+    guard returns an EMPTY array for one-word docs (sequence(1, 0)
+    would run descending, the same trap qsmp1 guards); extracting it
+    here keeps the three call sites from drifting on that edge
+    (review finding)."""
+    w = F.split(text_col, " ")
+    idx = F.when(
+        F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(w, i).alias("a"),
+            F.element_at(w, i + 1).alias("b"),
+        ),
+    )

@@ -194,8 +194,14 @@ def _asof_nearest(
         unioned.schema[time_col].dataType, (TimestampType, TimestampNTZType)
     )
     if is_ts:
-        gap_back = F.unix_micros(t) - F.unix_micros(back["_t"])
-        gap_fwd = F.unix_micros(fwd["_t"]) - F.unix_micros(t)
+        # unix_micros rejects TIMESTAMP_NTZ (review finding) — cast
+        # through TIMESTAMP first; both compared columns share the
+        # type, so the session-tz reinterpretation cancels in the gap
+        def um(c):
+            return F.unix_micros(c.cast("timestamp"))
+
+        gap_back = um(t) - um(back["_t"])
+        gap_fwd = um(fwd["_t"]) - um(t)
     else:
         gap_back = t.cast("double") - back["_t"].cast("double")
         gap_fwd = fwd["_t"].cast("double") - t.cast("double")

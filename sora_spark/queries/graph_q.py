@@ -26,6 +26,7 @@ from sora_spark.graph.derive import (
     e_co_small,
 )
 from sora_spark.graph.overlap import (
+    DEBRUIJN_SQL,
     OVERLAP_MAX_SQL,
     OVERLAP_SQL,
     READS10_SQL,
@@ -2058,12 +2059,8 @@ def qg42_degree_assortativity(spark, sf_dir):
 
 @query(
     "qg44_debruijn_graph",
-    oracle="""
-WITH e AS MATERIALIZED (SELECT DISTINCT substr(text, i, 12) AS s,
-                               substr(text, i + 1, 12) AS d
-            FROM documents,
-                 unnest(range(1, n_chars - 12 + 1)) AS t(i)
-            WHERE n_chars >= 13),
+    oracle=f"""
+WITH e AS MATERIALIZED ({DEBRUIJN_SQL}),
 nodes AS (SELECT DISTINCT v FROM
             (SELECT s AS v FROM e UNION ALL SELECT d FROM e)),
 dout AS (SELECT s, count(*) AS c FROM e GROUP BY s),
@@ -2117,11 +2114,8 @@ def qg44_debruijn_graph(spark, sf_dir):
 
 @query(
     "qg45_debruijn_unitigs",
-    oracle="""
-WITH RECURSIVE e AS MATERIALIZED (
-  SELECT DISTINCT substr(text, i, 12) AS s, substr(text, i + 1, 12) AS d
-  FROM documents, unnest(range(1, n_chars - 12 + 1)) AS t(i)
-  WHERE n_chars >= 13),
+    oracle=f"""
+WITH RECURSIVE e AS MATERIALIZED ({DEBRUIJN_SQL}),
 dout AS (SELECT s, count(*) AS c FROM e GROUP BY s),
 din AS (SELECT d, count(*) AS c FROM e GROUP BY d),
 ce AS MATERIALIZED (SELECT e.s, e.d FROM e

@@ -1529,19 +1529,8 @@ GROUP BY bg.doc_id ORDER BY bg.doc_id LIMIT 200
 )
 def qta13_bigram_logprob(spark, sf_dir):
     docs = tables(spark, sf_dir).documents
-    w = F.split(F.col("text"), " ")
-    idx = F.when(
-        F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    pairs = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(w, i).alias("a"),
-            F.element_at(w, i + 1).alias("b"),
-        ),
-    )
     bg = docs.select(
-        "doc_id", F.explode(pairs).alias("p")
+        "doc_id", F.explode(textstats.bigram_pairs(F.col("text"))).alias("p")
     ).select("doc_id", "p.a", "p.b")
     c2 = bg.groupBy("a", "b").agg(F.count("*").alias("n2"))
     c1 = bg.groupBy("a").agg(F.count("*").alias("n1"))
@@ -2473,20 +2462,9 @@ def qta18_repetition_signals(spark, sf_dir):
     base = pos.groupBy("doc_id").agg(
         F.count("*").alias("n"), F.count_distinct("term").alias("dn")
     )
-    w = F.split(F.col("text"), " ")
-    idx = F.when(
-        F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    pairs = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(w, i).alias("a"),
-            F.element_at(w, i + 1).alias("b"),
-        ),
-    )
-    bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", "p.a", "p.b"
-    )
+    bg = docs.select(
+        "doc_id", F.explode(textstats.bigram_pairs(F.col("text"))).alias("p")
+    ).select("doc_id", "p.a", "p.b")
     bgc = (
         bg.groupBy("doc_id", "a", "b")
         .agg(F.count("*").alias("c"))
@@ -2551,19 +2529,9 @@ FROM d GROUP BY source ORDER BY source
 )
 def qta19_perplexity_gate(spark, sf_dir):
     docs = tables(spark, sf_dir).documents
-    w = F.split(F.col("text"), " ")
-    idx = F.when(
-        F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    pairs = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(w, i).alias("a"),
-            F.element_at(w, i + 1).alias("b"),
-        ),
-    )
     bg = docs.select(
-        "doc_id", "source", F.explode(pairs).alias("p")
+        "doc_id", "source",
+        F.explode(textstats.bigram_pairs(F.col("text"))).alias("p"),
     ).select("doc_id", "source", "p.a", "p.b")
     c2 = bg.groupBy("a", "b").agg(F.count("*").alias("n2"))
     c1 = bg.groupBy("a").agg(F.count("*").alias("n1"))
@@ -2623,7 +2591,9 @@ ORDER BY a, b
 def ql12_cosine_range_search(spark, sf_dir):
     emb = tables(spark, sf_dir).embeddings
     return (
-        ann.range_search_vectorized(emb, emb, threshold=0.4)
+        ann.range_search_vectorized(
+            emb, emb, threshold=0.4, exclude_self=True
+        )
         .filter(F.col("probe_id") < F.col("neighbor_id"))
         .select(
             F.col("probe_id").alias("a"),

@@ -2684,8 +2684,13 @@ def qsmp1_weighted_sample(spark, sf_dir):
         F.col("l_linenumber").alias("ln"),
         F.col("l_quantity").cast("int").alias("w"),
     )
+    # sequence(1, w) runs DESCENDING for w <= 0 (step defaults to -1),
+    # which would diverge from the oracle's empty range(1, w+1) — guard
+    # so non-positive weights are excluded on both sides alike (review
+    # finding; latent on this fixture, quantity >= 1)
     u = (
-        x.select(
+        x.filter(F.col("w") >= 1)
+        .select(
             "rf", "ok", "ln", "w",
             F.explode(F.sequence(F.lit(1), F.col("w"))).alias("j"),
         )

@@ -303,7 +303,10 @@ FROM per_session
 def qs3c_session_stream_sink(spark, sf_dir):
     from sora_spark.streaming import ops, replay
 
-    d = replay.materialize_replay_dir(spark, sf_dir, "qs3c", n_files=4)
+    # fresh per-invocation copy: run_to_memory_flush appends a sentinel
+    # into the replay dir, so the reused staging dir must never be
+    # passed directly (the qs5c/qs9 lesson — review finding)
+    d = replay.stage_run_dir(spark, sf_dir, "qs3c", n_files=4)
     stream = ops.session_counts(
         replay.events_stream(spark, d), watermark="40 days"
     )

@@ -1535,3 +1535,27 @@ def test_fastq_datasource_rejects_malformed(spark):
         f.write("@r1\nACGT\nIIII\n@r2\n")
     with _pytest.raises(Exception, match="separator"):
         spark.read.format("fastq").load(d2).collect()
+
+
+def test_asof_nearest_on_timestamp_ntz(spark):
+    """Regression (review finding): unix_micros rejects TIMESTAMP_NTZ,
+    so the exact-microsecond gap path must cast through TIMESTAMP —
+    both compared columns share the type, so the session-tz shift
+    cancels in the gap. 1 us vs 2 us gap must pick backward."""
+    from sora_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "2024-01-01 00:00:00.000001")], "k int, id int, t string"
+    ).select("k", "id", F.col("t").cast("timestamp_ntz").alias("t"))
+    right = spark.createDataFrame(
+        [
+            (1, 200, "2024-01-01 00:00:00.000000", 10.0),
+            (1, 201, "2024-01-01 00:00:00.000003", 20.0),
+        ],
+        "k int, id int, t string, v double",
+    ).select("k", "id", F.col("t").cast("timestamp_ntz").alias("t"), "v")
+    out = asof_join(
+        left, right, key="k", time_col="t", tiebreak_col="id",
+        right_value_col="v", direction="nearest",
+    )
+    assert [r["asof_value"] for r in out.collect()] == [10.0]

@@ -816,3 +816,58 @@ def test_neardup_clusters_string_ids(spark):
     assert out["urlA"] == ("urlA", True)
     assert out["urlB"] == ("urlA", False)
     assert out["urlC"][0] == "urlC"
+
+
+def test_range_search_vectorized_matches_jvm_shuffle(spark, sf_dir):
+    """The BLAS candidate-generator path (ql12's engine) must return
+    EXACTLY the pure-JVM blocked-join reference — same pairs, same
+    rounded sims. This pins (a) the slack >= rounding-quantum fix
+    (review finding: 1e-6 slack sat INSIDE round(,5)'s 0.5e-5
+    admission band, so boundary pairs could be pruned before the
+    verify stage) and (b) the self-pair contract both paths share.
+    Run at a LOW threshold so hundreds of pairs, including
+    near-boundary ones, cross the gate."""
+    emb = tables(spark, sf_dir).embeddings
+    vec = set(
+        map(
+            tuple,
+            ann.range_search_vectorized(
+                emb, emb, threshold=0.3, exclude_self=True
+            ).collect(),
+        )
+    )
+    ref = set(
+        map(
+            tuple,
+            ann.range_search_shuffle(emb, emb, threshold=0.3).collect(),
+        )
+    )
+    assert len(vec) > 50, "threshold too selective for a meaningful pin"
+    assert vec == ref
+
+
+def test_range_search_vectorized_cross_relation_probes(spark, sf_dir):
+    """probes != corpus must work (review finding: the verify stage
+    used to resolve probe vectors from the CORPUS by id, so disjoint
+    probe ids returned empty and colliding ids certified the wrong
+    vector). Split the table into even/odd halves and search across."""
+    emb = tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") % 2 == 0)
+    corpus = emb.filter(F.col("vec_id") % 2 == 1)
+    got = set(
+        map(
+            tuple,
+            ann.range_search_vectorized(
+                corpus, probes, threshold=0.3
+            ).collect(),
+        )
+    )
+    ref = set(
+        map(
+            tuple,
+            ann.range_search_shuffle(
+                corpus, probes, threshold=0.3
+            ).collect(),
+        )
+    )
+    assert got == ref and len(got) > 0
