@@ -1088,3 +1088,75 @@ def qreg1_grouped_ols(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "qab1_welch_ttest",
+    oracle="""
+WITH g AS (SELECT event_type,
+                  count(*) AS n,
+                  avg(value) AS m,
+                  var_samp(value) AS v
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY event_type),
+a AS (SELECT n, m, v FROM g WHERE event_type = 'click'),
+b AS (SELECT n, m, v FROM g WHERE event_type = 'purchase')
+SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       round(a.m - b.m, 5) AS mean_diff,
+       round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 5) AS t_stat,
+       round(pow(a.v / a.n + b.v / b.n, 2)
+             / (pow(a.v / a.n, 2) / (a.n - 1)
+                + pow(b.v / b.n, 2) / (b.n - 1)), 3) AS welch_df
+FROM a, b
+""",
+    doc="qab1: Welch's two-sample t-test - THE A/B-experiment "
+    "statistic (unequal variances, no pooling): t and the "
+    "Welch-Satterthwaite degrees of freedom between click and "
+    "purchase event values, from nothing but per-group (n, mean, "
+    "var_samp) - one partial-aggregatable pass over the events "
+    "table, two 1-row sides crossed at the end. At 100 TB an "
+    "experimentation platform computes exactly these moments per "
+    "(experiment, arm) in one shuffle; the t/df arithmetic is "
+    "driver-trivial. p-values need the t CDF (no closed SQL form, "
+    "engine-dependent) so the gate certifies the statistic, which "
+    "is the deterministic part. Rounding absorbs float summation "
+    "order as established by qa8.",
+    tags=("agg", "stats", "abtest"),
+)
+def qab1_welch_ttest(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    g = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = g.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = g.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_b"), F.col("m").alias("m_b"),
+        F.col("v").alias("v_b"),
+    )
+    se2a = F.col("v_a") / F.col("n_a")
+    se2b = F.col("v_b") / F.col("n_b")
+    return a.crossJoin(b).select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(F.col("m_a") - F.col("m_b"), 5).alias("mean_diff"),
+        F.round(
+            (F.col("m_a") - F.col("m_b")) / F.sqrt(se2a + se2b), 5
+        ).alias("t_stat"),
+        F.round(
+            F.pow(se2a + se2b, 2)
+            / (
+                F.pow(se2a, 2) / (F.col("n_a") - 1)
+                + F.pow(se2b, 2) / (F.col("n_b") - 1)
+            ),
+            3,
+        ).alias("welch_df"),
+    )
