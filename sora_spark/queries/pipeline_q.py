@@ -2716,3 +2716,219 @@ def qsmp1_weighted_sample(spark, sf_dir):
         )
         .orderBy("l_returnflag", "rn")
     )
+
+
+@query(
+    "qpipe4_curation_gates_pipeline",
+    oracle="""
+WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+wc AS (SELECT doc_id, source, term, count(*) AS c, length(term) AS wl
+       FROM tok GROUP BY doc_id, source, term),
+st AS (SELECT doc_id, source, sum(c) AS n, count(*) AS dn, max(c) AS maxc,
+              sum(c * wl) AS sum_wl
+       FROM wc GROUP BY doc_id, source),
+q1 AS (SELECT doc_id, source, n,
+              ((n BETWEEN 30 AND 90) AND dn * 10 >= n * 4 AND maxc * 5 <= n
+               AND sum_wl * 10 >= n * 39 AND sum_wl * 10 <= n * 52)
+                AS rules_ok
+       FROM st),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (SELECT doc_id, w[i] AS a, w[i + 1] AS b
+       FROM (SELECT doc_id, unnest(range(1, greatest(len(w), 1))) AS i, w
+             FROM w)),
+c2 AS (SELECT a, b, count(*) AS n2 FROM bg GROUP BY a, b),
+c1 AS (SELECT a, count(*) AS n1 FROM bg GROUP BY a),
+ppl AS (SELECT bg.doc_id,
+               round(avg(ln(CAST(n2 AS DOUBLE) / n1)), 6) AS mlp
+        FROM bg JOIN c2 USING (a, b) JOIN c1 USING (a)
+        GROUP BY bg.doc_id),
+sh AS (SELECT DISTINCT doc_id,
+              w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                   || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+                   || ' ' || w[i+7] AS p
+       FROM (SELECT doc_id, unnest(range(1, greatest(len(w) - 6, 1)))
+                      AS i, w
+             FROM w)),
+df AS (SELECT p, count(*) AS n_docs FROM sh GROUP BY p),
+dup AS (SELECT sh.doc_id, count(*) AS n_passages,
+               sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_shared
+        FROM sh JOIN df USING (p) GROUP BY sh.doc_id),
+gated AS (
+  SELECT q1.doc_id, q1.source, q1.n,
+         (q1.rules_ok AND COALESCE(ppl.mlp >= -3.42, FALSE)
+          AND COALESCE(dup.n_shared * 2 <= dup.n_passages, TRUE)) AS keep
+  FROM q1 LEFT JOIN ppl ON ppl.doc_id = q1.doc_id
+          LEFT JOIN dup ON dup.doc_id = q1.doc_id)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN n ELSE 0 END) AS BIGINT)
+         AS kept_tokens
+FROM gated GROUP BY source ORDER BY source
+""",
+    doc="qpipe4: the round-8 curation gates COMPOSED into one pipeline "
+    "- rule-based quality (qta17's integer cross-multiplication "
+    "rules), bigram-perplexity floor (qta19's calibrated lambda), "
+    "and duplicate-passage cap (qd10's document-frequency signal, "
+    "boundary-exact as n_shared*2 <= n_passages) -> per-source doc "
+    "and token yield, the report a data curator actually ships. "
+    "Every stage reuses a derivation whose own declared row is "
+    "already hash-certified, so the composition risk is purely the "
+    "gating logic; docs without bigrams fail the ppl gate (no "
+    "evidence of coherence), docs without passages pass the dup gate "
+    "(nothing shared). One pipeline = one pass over the corpus plus "
+    "the three wordcount-shaped model tables - the gates share the "
+    "tokenize shuffle at 100 TB via cache or re-derive map-side; "
+    "nothing here is more than a keyed join against broadcast-or-"
+    "bounded model tables.",
+    tags=("llm", "pipeline", "curation", "quality"),
+)
+def qpipe4_curation_gates_pipeline(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    wc = (
+        docs.select(
+            "doc_id", "source",
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .groupBy("doc_id", "source", "term")
+        .agg(F.count("*").alias("c"))
+        .select("doc_id", "source", "c", F.length("term").alias("wl"))
+    )
+    st = wc.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("dn"),
+        F.max("c").alias("maxc"),
+        F.sum(F.col("c") * F.col("wl")).alias("sum_wl"),
+    )
+    n, dn, maxc, swl = (F.col(c) for c in ("n", "dn", "maxc", "sum_wl"))
+    rules_ok = (
+        (n >= 30) & (n <= 90)
+        & (dn * 10 >= n * 4)
+        & (maxc * 5 <= n)
+        & (swl * 10 >= n * 39)
+        & (swl * 10 <= n * 52)
+    )
+    q1 = st.select("doc_id", "source", "n", rules_ok.alias("rules_ok"))
+
+    bg = docs.select(
+        "doc_id", F.explode(textstats.bigram_pairs(F.col("text"))).alias("p")
+    ).select("doc_id", "p.a", "p.b")
+    c2 = bg.groupBy("a", "b").agg(F.count("*").alias("n2"))
+    c1 = bg.groupBy("a").agg(F.count("*").alias("n1"))
+    ppl = (
+        bg.join(c2, ["a", "b"])
+        .join(c1, "a")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("n2").cast("double") / F.col("n1"))), 6
+            ).alias("mlp")
+        )
+    )
+
+    w = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(w) >= 8, F.sequence(F.lit(1), F.size(w) - 7)
+    ).otherwise(F.array().cast("array<int>"))
+    passages = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(w, i, 8))
+    )
+    sh = docs.select("doc_id", F.explode(passages).alias("p")).distinct()
+    pdf = sh.groupBy("p").agg(F.count("*").alias("n_docs"))
+    dup = (
+        sh.join(pdf, "p")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias(
+                "n_shared"
+            ),
+        )
+    )
+
+    keep = (
+        F.col("rules_ok")
+        & F.coalesce(F.col("mlp") >= -3.42, F.lit(False))
+        & F.coalesce(
+            F.col("n_shared") * 2 <= F.col("n_passages"), F.lit(True)
+        )
+    )
+    gated = (
+        q1.join(ppl, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select("doc_id", "source", "n", keep.alias("keep"))
+    )
+    return (
+        gated.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "qdz9_woe_encoding",
+    oracle="""
+WITH c AS (SELECT o_orderpriority AS cat,
+                  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS n_good,
+                  sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                    AS n_bad
+           FROM orders GROUP BY cat),
+t AS (SELECT sum(n_good) AS tg, sum(n_bad) AS tb FROM c)
+SELECT cat AS o_orderpriority,
+       CAST(n_good + n_bad AS BIGINT) AS n,
+       CAST(n_good AS BIGINT) AS n_good,
+       round(ln((n_good * 1.0 / tg) / (n_bad * 1.0 / tb)), 6) AS woe,
+       round((n_good * 1.0 / tg - n_bad * 1.0 / tb)
+             * ln((n_good * 1.0 / tg) / (n_bad * 1.0 / tb)), 6)
+         AS iv_term
+FROM c, t ORDER BY cat
+""",
+    doc="qdz9: weight-of-evidence encoding + information value - the "
+    "credit-scoring / feature-selection companion to qdz3's mean "
+    "target encoding: per category (order priority) against the "
+    "binary target (status = 'F'), WOE = ln(P(cat|good)/P(cat|bad)) "
+    "and the category's IV contribution. One two-counter groupBy + a "
+    "broadcast 1-row totals join; every input to the logs is a "
+    "ratio of exact integer counts, so only the final ln/round "
+    "touches floats. Fixture categories all carry both classes; "
+    "production WOE adds Laplace smoothing for empty cells, which "
+    "would change the oracle formula, not the shape.",
+    tags=("feature", "encoding", "woe", "stats"),
+)
+def qdz9_woe_encoding(spark, sf_dir):
+    o = tables(spark, sf_dir).orders
+    c = o.groupBy(F.col("o_orderpriority").alias("cat")).agg(
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("n_good"),
+        F.sum(
+            F.when(F.col("o_orderstatus") != "F", 1).otherwise(0)
+        ).alias("n_bad"),
+    )
+    t = c.agg(
+        F.sum("n_good").alias("tg"), F.sum("n_bad").alias("tb")
+    )
+    pg = F.col("n_good") / F.col("tg")
+    pb = F.col("n_bad") / F.col("tb")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.col("cat").alias("o_orderpriority"),
+            (F.col("n_good") + F.col("n_bad"))
+            .cast("bigint")
+            .alias("n"),
+            F.col("n_good").cast("bigint").alias("n_good"),
+            F.round(F.log(pg / pb), 6).alias("woe"),
+            F.round((pg - pb) * F.log(pg / pb), 6).alias("iv_term"),
+        )
+        .orderBy("o_orderpriority")
+    )
