@@ -1160,3 +1160,61 @@ def qab1_welch_ttest(spark, sf_dir):
             3,
         ).alias("welch_df"),
     )
+
+
+@query(
+    "qa26_higher_moments",
+    oracle="""
+WITH m AS (SELECT l_returnflag AS rf, count(*) AS n,
+                  avg(l_quantity) AS m1,
+                  avg(l_quantity * l_quantity) AS m2,
+                  avg(l_quantity * l_quantity * l_quantity) AS m3,
+                  avg(l_quantity * l_quantity * l_quantity * l_quantity)
+                    AS m4
+           FROM lineitem GROUP BY rf),
+c AS (SELECT rf, n,
+             m2 - m1 * m1 AS v,
+             m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1 AS u3,
+             m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2
+                - 3 * m1 * m1 * m1 * m1 AS u4
+      FROM m)
+SELECT rf AS l_returnflag, CAST(n AS BIGINT) AS n,
+       round(v, 4) AS variance_pop,
+       round(u3 / pow(v, 1.5), 5) AS skewness,
+       round(u4 / (v * v) - 3, 5) AS excess_kurtosis
+FROM c ORDER BY rf
+""",
+    doc="qa26: population skewness and excess kurtosis per return "
+    "flag, computed from RAW power sums (E[x^k], k<=4) with the "
+    "central-moment identities applied explicitly - NOT the builtin "
+    "skewness()/kurtosis() aggregates, because Spark and DuckDB "
+    "disagree on the estimator (population vs sample-adjusted), a "
+    "dialect trap this row documents by construction. One "
+    "partial-aggregatable pass (power sums are plain sums - "
+    "map-side combine applies at any scale); quantity's small "
+    "magnitude (<= 50) keeps the k=4 power sums well inside double "
+    "precision. Completes the moments ladder above qa8's "
+    "stddev/corr.",
+    tags=("agg", "stats", "moments"),
+)
+def qa26_higher_moments(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    q = F.col("l_quantity")
+    m = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.count("*").alias("n"),
+        F.avg(q).alias("m1"),
+        F.avg(q * q).alias("m2"),
+        F.avg(q * q * q).alias("m3"),
+        F.avg(q * q * q * q).alias("m4"),
+    )
+    m1, m2, m3, m4 = (F.col(c) for c in ("m1", "m2", "m3", "m4"))
+    v = m2 - m1 * m1
+    u3 = m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1
+    u4 = m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
+    return m.select(
+        F.col("rf").alias("l_returnflag"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(v, 4).alias("variance_pop"),
+        F.round(u3 / F.pow(v, 1.5), 5).alias("skewness"),
+        F.round(u4 / (v * v) - 3, 5).alias("excess_kurtosis"),
+    ).orderBy("l_returnflag")

@@ -697,3 +697,86 @@ def qx18_binary_codecs(spark, sf_dir):
         .alias("n_b64_prefixes"),
         F.countDistinct("hx").cast("bigint").alias("n_hex"),
     )
+
+
+@query(
+    "qx19_map_lambda_family",
+    oracle="""
+WITH li AS (SELECT l_orderkey AS o, l_linenumber AS ln,
+                   max(CAST(l_quantity AS BIGINT)) AS q,
+                   max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS pc
+            FROM lineitem GROUP BY o, ln)
+SELECT o AS l_orderkey,
+       string_agg(ln || '=' || q * 2, ',' ORDER BY ln) AS doubled,
+       COALESCE(string_agg(CASE WHEN q >= 25
+                                THEN ln || '=' || q END,
+                           ',' ORDER BY ln), '') AS filtered,
+       string_agg(ln || '=' || q * pc, ',' ORDER BY ln) AS zipped
+FROM li GROUP BY o ORDER BY o LIMIT 200
+""",
+    doc="qx19: the MAP higher-order-lambda family executed for real - "
+    "transform_values, map_filter and map_zip_with over per-order "
+    "maps (linenumber -> quantity / price-cents) built with "
+    "map_from_entries(collect_list(struct)). Results serialize as "
+    "sorted 'k=v' entry strings (integer-only arithmetic: quantity "
+    "as BIGINT, price in cents), because nested struct arrays "
+    "compare engine-specifically while strings hash clean - the "
+    "oracle derives the same entries straight from the rows, which "
+    "also proves the maps were built losslessly. Completes the "
+    "lambda surface next to qx12's ARRAY lambdas. Note the fixture "
+    "duplicates (orderkey, linenumber) for a few orders: "
+    "map_from_entries REJECTS duplicate keys, so entries "
+    "deduplicate per (ln) by the max of each measure first - "
+    "that pre-agg is part of the declared contract.",
+    tags=("scalar", "map", "lambda"),
+)
+def qx19_map_lambda_family(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    base = (
+        li.select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_linenumber").alias("ln"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("pc"),
+        )
+        # (orderkey, linenumber) is NOT unique in the fixture and
+        # map_from_entries rejects duplicate keys — dedupe per line
+        # by the max of each measure (mirrored in the oracle CTE)
+        .groupBy("o", "ln")
+        .agg(F.max("q").alias("q"), F.max("pc").alias("pc"))
+    )
+    m = base.groupBy("o").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("ln", "q")))
+        ).alias("mq"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("ln", "pc")))
+        ).alias("mp"),
+    )
+
+    def entries_str(mcol):
+        return F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries(mcol)),
+                lambda e: F.concat_ws("=", e["key"], e["value"]),
+            ),
+            ",",
+        )
+
+    doubled = F.transform_values(F.col("mq"), lambda k, v: v * 2)
+    filtered = F.map_filter(F.col("mq"), lambda k, v: v >= 25)
+    zipped = F.map_zip_with(
+        F.col("mq"), F.col("mp"), lambda k, v1, v2: v1 * v2
+    )
+    return (
+        m.select(
+            F.col("o").alias("l_orderkey"),
+            entries_str(doubled).alias("doubled"),
+            entries_str(filtered).alias("filtered"),
+            entries_str(zipped).alias("zipped"),
+        )
+        .orderBy("l_orderkey")
+        .limit(200)
+    )
