@@ -785,3 +785,17 @@ def test_bucketed_join_eliminates_input_shuffles(spark, sf_dir):
     assert shuffles(tp) == base + 2, (
         "unbucketed twin should add one shuffle per join input:\n" + tp
     )
+
+
+def test_semantic_decontamination_broadcasts_eval_side(spark, sf_dir):
+    """qcont3's 100 TB posture IS the broadcast: the eval split must
+    ship to the executors (BroadcastExchange feeding a broadcast
+    join) and the train side must never shuffle for the similarity
+    pass — the only shuffle Exchange is the per-label rollup chain."""
+    p = _plan(spark, sf_dir, "qcont3_semantic_decontamination", mode="simple")
+    assert "BroadcastExchange" in p, p
+    assert "SortMergeJoin" not in p, p
+    shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+    assert shuffles <= 3, (
+        "similarity pass must not shuffle the train side:\n" + p
+    )
