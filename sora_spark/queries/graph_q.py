@@ -2430,3 +2430,116 @@ def qg47_minimizer_seed_recall(spark, sf_dir):
             F.round(F.col("n_hits") / F.col("n_true_pairs"), 5),
         )
     )
+
+
+@query(
+    "qg48_consensus_polish",
+    oracle=f"""
+WITH reads AS MATERIALIZED ({READS10_SQL}),
+base AS (SELECT read_id, read_id // 1000 AS doc_id,
+                (read_id % 1000) * 10 AS off, p,
+                substr(seq, CAST(p AS BIGINT), 1) AS ch
+         FROM reads, unnest(range(1, 41)) AS t(p)),
+mut AS (SELECT doc_id, off + p AS pos,
+               CASE WHEN substr(md5(read_id || ':' || p), 1, 2) = '00'
+                    THEN 'z' ELSE ch END AS ch
+        FROM base),
+votes AS (SELECT doc_id, pos, ch, count(*) AS c
+          FROM mut GROUP BY doc_id, pos, ch),
+cons AS (SELECT doc_id, pos, ch,
+                row_number() OVER (PARTITION BY doc_id, pos
+                                   ORDER BY c DESC, ch) AS rn
+         FROM votes),
+cstr AS (SELECT doc_id,
+                string_agg(ch, '' ORDER BY pos) AS consensus,
+                count(*) AS n_pos
+         FROM cons WHERE rn = 1 GROUP BY doc_id),
+diff AS (SELECT c.doc_id, c.n_pos, c.consensus,
+                (SELECT count(*) FROM unnest(range(1, c.n_pos + 1))
+                   AS t(q)
+                 WHERE substr(c.consensus, CAST(q AS BIGINT), 1)
+                       <> substr(d.text, CAST(q AS BIGINT), 1))
+                  AS n_diff
+         FROM cstr c JOIN documents d USING (doc_id))
+SELECT doc_id, md5(consensus) AS consensus_md5,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_diff AS BIGINT) AS n_diff
+FROM diff ORDER BY doc_id LIMIT 300
+""",
+    doc="qg48: CONSENSUS polishing - the C in overlap-layout-"
+    "consensus, the assembly step after qg20's layout (SURVEY 0.3 "
+    "step 6): stride-10 reads carry DETERMINISTIC synthetic "
+    "sequencing errors (position p of read r flips to 'z' when "
+    "md5(r:p) opens '00', ~0.4% error rate - reproducible in SQL, "
+    "no RNG), the per-document pileup stacks ~4x coverage, and the "
+    "consensus takes the majority base per position (count desc, "
+    "char asc tiebreak - exact under any vote split, including the "
+    "2-2 ties at the coverage edges where recovery is not "
+    "guaranteed; n_diff counts residual divergence from the true "
+    "sequence). Shapes: map-side read + per-base explode (fan-out = "
+    "read length, the k-mer economics), one (doc, pos, char) vote "
+    "count with map-side partials, one per-position argmax window, "
+    "one per-doc ordered reassembly - every stage keyed by "
+    "(doc, pos), so a 100 TB pileup partitions by genomic "
+    "coordinate exactly like a real polisher.",
+    tags=("graph", "assembly", "consensus", "pileup"),
+)
+def qg48_consensus_polish(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    reads = derive_reads(docs, read_len=40, stride=10)
+    base = reads.select(
+        "read_id",
+        (F.col("read_id") / 1000).cast("bigint").alias("doc_id"),
+        ((F.col("read_id") % 1000) * 10).alias("off"),
+        F.explode(F.sequence(F.lit(1), F.lit(40))).alias("p"),
+        "seq",
+    ).select(
+        "doc_id",
+        (F.col("off") + F.col("p")).alias("pos"),
+        F.when(
+            F.substring(
+                F.md5(F.concat_ws(":", "read_id", "p")), 1, 2
+            )
+            == "00",
+            F.lit("z"),
+        )
+        .otherwise(F.col("seq").substr(F.col("p"), F.lit(1)))
+        .alias("ch"),
+    )
+    votes = base.groupBy("doc_id", "pos", "ch").agg(
+        F.count("*").alias("c")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id", "pos").orderBy(
+            F.desc("c"), F.col("ch")
+        )
+    )
+    cons = votes.withColumn("rn", rn).filter(F.col("rn") == 1)
+    cstr = cons.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ch"))),
+                lambda e: e["ch"],
+            ),
+            "",
+        ).alias("consensus"),
+        F.count("*").alias("n_pos"),
+    )
+    joined = cstr.join(docs.select("doc_id", "text"), "doc_id")
+    n_diff = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.col("n_pos").cast("int")),
+            lambda q: F.col("consensus").substr(q, F.lit(1))
+            != F.col("text").substr(q, F.lit(1)),
+        )
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.md5("consensus").alias("consensus_md5"),
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            n_diff.cast("bigint").alias("n_diff"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
