@@ -2932,3 +2932,70 @@ def qdz9_woe_encoding(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "qup6_time_travel",
+    oracle="""
+WITH h AS (
+  SELECT user_id, value, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
+  FROM events WHERE event_type = 'signup'),
+pits AS (SELECT unnest(['2024-01-08 00:00:00', '2024-01-15 00:00:00',
+                         '2024-01-22 00:00:00']) AS as_of),
+snap AS (
+  SELECT a.as_of, h.user_id, h.value,
+         (h.valid_to IS NULL) AS is_open
+  FROM pits a JOIN h
+    ON h.valid_from <= CAST(a.as_of AS TIMESTAMP)
+   AND (h.valid_to IS NULL
+        OR h.valid_to > CAST(a.as_of AS TIMESTAMP)))
+SELECT as_of, CAST(count(*) AS BIGINT) AS n_keys,
+       round(sum(value), 2) AS sum_value,
+       CAST(sum(CASE WHEN is_open THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_open_versions
+FROM snap GROUP BY as_of ORDER BY as_of
+""",
+    doc="qup6: TIME TRAVEL over the SCD2 dimension (qup4's history, "
+    "operators/scd.py) - reconstruct the dimension AS OF three fixed "
+    "timestamps: the row version valid at T is the one with "
+    "valid_from <= T < valid_to (open versions unbounded). This is "
+    "the point-in-time read every warehouse table format sells "
+    "(snapshot isolation over history); here it is one range "
+    "predicate against the windowed history - the as-of timestamps "
+    "broadcast (3 literals), the history is scanned ONCE, and at "
+    "100 TB the predicate prunes by valid_from partition exactly "
+    "like any time-partitioned dimension. Each as-of row's key "
+    "count equals the number of users signed up by T - a snapshot "
+    "consistency check the oracle certifies per timestamp.",
+    tags=("pipeline", "cdc", "scd", "time-travel"),
+)
+def qup6_time_travel(spark, sf_dir):
+    from sora_spark.operators.scd import scd2_history
+
+    ev = tables(spark, sf_dir).events.filter(
+        F.col("event_type") == "signup"
+    )
+    h = scd2_history(ev, ["user_id"], "ts", "event_id", ["value"])
+    asof = spark.createDataFrame(
+        [("2024-01-08 00:00:00",), ("2024-01-15 00:00:00",),
+         ("2024-01-22 00:00:00",)],
+        "as_of string",
+    ).select("as_of", F.col("as_of").cast("timestamp").alias("t"))
+    snap = h.join(
+        F.broadcast(asof),
+        (F.col("valid_from") <= F.col("t"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("t"))),
+    )
+    return (
+        snap.groupBy("as_of")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_open_versions"),
+        )
+        .orderBy("as_of")
+    )
