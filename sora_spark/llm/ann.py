@@ -25,6 +25,11 @@ from pyspark.sql.window import Window
 
 from sora_spark.functions import vector
 
+# range_search_vectorized ships the probe matrix in the mapInPandas
+# closure; 2M float32-ish probes at dim<=128 is ~2 GB — beyond that the
+# two-sided range_search_shuffle is the right tool, so raise early.
+_RANGE_SEARCH_MAX_PROBES = 2_000_000
+
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -558,39 +563,62 @@ def range_search_vectorized(
     `exclude_self=True` drops probe_id == neighbor_id pairs and is
     only meaningful for self-search (probes and corpus the same
     relation) — for cross-relation search coinciding ids are
-    legitimate pairs, so the flag defaults off. At 100 TB the probe
-    matrix chunks to closure size and the corpus pass tiles per
-    chunk; the verify stage stays candidate-sized."""
+    legitimate pairs, so the flag defaults off.
+
+    The probe relation is collected to the driver and shipped in the
+    closure, so this path is for BOUNDED probe sets only — above
+    `max_probes` it raises and the caller should use
+    `range_search_shuffle` (the two-sided beyond-broadcast path).
+    Inside each Arrow batch the matmul runs over probe TILES of
+    `probe_tile` columns, so executor peak memory is
+    |batch| x probe_tile doubles regardless of total probe count.
+    Ids keep their native Spark type end-to-end (the candidate schema
+    is derived from the inputs — string/int ids both work)."""
     import numpy as np
+    import pandas as pd
 
     if slack is None:
         slack = 0.5 * 10.0 ** (-sim_decimals) + 1e-9
+    pid_t = probes.schema[id_col].dataType.simpleString()
+    nid_t = corpus.schema[id_col].dataType.simpleString()
+    cand_schema = f"probe_id {pid_t}, neighbor_id {nid_t}"
     prows = probes.select(id_col, vec_col).collect()
-    pids = np.array([r[0] for r in prows], dtype=np.int64)
+    if len(prows) > _RANGE_SEARCH_MAX_PROBES:
+        raise ValueError(
+            f"range_search_vectorized: {len(prows)} probes exceeds the "
+            f"driver-collect bound ({_RANGE_SEARCH_MAX_PROBES}); use "
+            "range_search_shuffle for beyond-broadcast probe sets"
+        )
+    if not prows:
+        # np.linalg.norm over a 0-row matrix raises; the correct
+        # result is simply the empty pair set (review finding).
+        return probes.sparkSession.createDataFrame(
+            [], f"{cand_schema}, sim double"
+        )
+    pids = pd.Series([r[0] for r in prows]).to_numpy()
     P = np.array([r[1] for r in prows], dtype=np.float64)
     Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
+    probe_tile = 16384
 
     def gen(batches):
-        import pandas as pd
-
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             M = np.array(list(pdf[vec_col]), dtype=np.float64)
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            S = Mn @ Pn.T
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            ii, jj = np.nonzero(S >= threshold - slack)
-            if exclude_self:
-                keep = ids[ii] != pids[jj]
-                ii, jj = ii[keep], jj[keep]
-            yield pd.DataFrame(
-                {"probe_id": pids[jj], "neighbor_id": ids[ii]}
-            )
+            ids = pdf[id_col].to_numpy()
+            for lo in range(0, Pn.shape[0], probe_tile):
+                S = Mn @ Pn[lo : lo + probe_tile].T
+                ii, jj = np.nonzero(S >= threshold - slack)
+                jj = jj + lo
+                if exclude_self:
+                    keep = ids[ii] != pids[jj]
+                    ii, jj = ii[keep], jj[keep]
+                yield pd.DataFrame(
+                    {"probe_id": pids[jj], "neighbor_id": ids[ii]}
+                )
 
-    cand = corpus.select(id_col, vec_col).mapInPandas(
-        gen, "probe_id long, neighbor_id long"
-    )
+    cand = corpus.select(id_col, vec_col).mapInPandas(gen, cand_schema)
     a = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
     )

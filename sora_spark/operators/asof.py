@@ -186,22 +186,23 @@ def _asof_nearest(
         back = F.when(back["_t"] >= F.col(time_col) - tol, back)
         fwd = F.when(fwd["_t"] <= F.col(time_col) + tol, fwd)
     t = F.col(time_col)
-    # Exact-integer gap arithmetic: for timestamps, epoch-double casts
-    # carry ~2.4e-7 s representation error, enough to flip the
-    # backward/forward choice on 1-microsecond-different gaps vs an
-    # exact-microsecond oracle. unix_micros keeps it integral.
-    is_ts = isinstance(
-        unioned.schema[time_col].dataType, (TimestampType, TimestampNTZType)
-    )
-    if is_ts:
-        # unix_micros rejects TIMESTAMP_NTZ (review finding) — cast
-        # through TIMESTAMP first; both compared columns share the
-        # type, so the session-tz reinterpretation cancels in the gap
-        def um(c):
-            return F.unix_micros(c.cast("timestamp"))
-
-        gap_back = um(t) - um(back["_t"])
-        gap_fwd = um(fwd["_t"]) - um(t)
+    # Exact gap arithmetic: epoch-double casts carry ~2.4e-7 s
+    # representation error, enough to flip the backward/forward choice
+    # on 1-microsecond-different gaps vs an exact-microsecond oracle.
+    dt = unioned.schema[time_col].dataType
+    if isinstance(dt, TimestampNTZType):
+        # NTZ gaps must come from the wall-clock values themselves:
+        # routing through a session-tz TIMESTAMP cast only cancels in
+        # the gap for fixed-offset zones — across a DST transition the
+        # two casts apply different offsets and the gap deviates from
+        # the wall-clock difference (review finding). Direct NTZ
+        # subtraction yields an exact-microsecond DayTimeInterval,
+        # which compares natively below.
+        gap_back = t - back["_t"]
+        gap_fwd = fwd["_t"] - t
+    elif isinstance(dt, TimestampType):
+        gap_back = F.unix_micros(t) - F.unix_micros(back["_t"])
+        gap_fwd = F.unix_micros(fwd["_t"]) - F.unix_micros(t)
     else:
         gap_back = t.cast("double") - back["_t"].cast("double")
         gap_fwd = fwd["_t"].cast("double") - t.cast("double")

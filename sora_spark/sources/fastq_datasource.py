@@ -128,14 +128,25 @@ class FastqWriter(DataSourceWriter):
         return _FastqCommit(tmp, final)
 
     def commit(self, messages):
-        ours = {os.path.basename(m.tmp) for m in messages if m is not None}
-        if self.overwrite:
-            for f in os.listdir(self.path):
-                if f not in ours:
-                    os.remove(os.path.join(self.path, f))
+        finals = set()
         for m in messages:
             if m is not None:
                 os.replace(m.tmp, os.path.join(self.path, m.final))
+                finals.add(m.final)
+        if self.overwrite:
+            # Overwrite sweeps ONLY files this sink could have produced
+            # (part-*.fq output and _tmp_* leftovers) — never
+            # user-placed files — and only AFTER every rename has
+            # succeeded, so a crash mid-commit leaves stale parts
+            # behind rather than a partially-deleted directory
+            # (review finding).
+            for f in os.listdir(self.path):
+                if f in finals:
+                    continue
+                if (f.startswith("part-") and f.endswith(".fq")) or f.startswith(
+                    "_tmp_"
+                ):
+                    os.remove(os.path.join(self.path, f))
 
     def abort(self, messages):
         for m in messages:

@@ -438,9 +438,14 @@ def test_replicated_bpe_and_kmeans_invariance(spark, sf_dir):
 
 def test_replicated_debruijn_stress(spark, sf_dir):
     """De Bruijn family (qg44/qg45) under corpus replication stress:
-    each replica maps the text through a DISTINCT alphabet rotation
-    (F.translate), so the replicas' 12-mer spaces are disjoint while
-    every replica's graph is isomorphic to the base — a correctness
+    the text is first NORMALIZED onto a closed 26-letter alphabet,
+    then each replica maps that alphabet into its own disjoint
+    26-character Unicode block (F.translate) — so the replicas'
+    12-mer spaces are pairwise disjoint BY CONSTRUCTION (disjoint
+    character sets, not the earlier rotation scheme, whose replicas
+    could in principle share k-mers since rotation permutes the same
+    alphabet — review finding) while every replica's graph stays
+    isomorphic to the normalized base. This gives a correctness
     oracle at sizes past what the recursive-CTE oracle checks, plus
     the scale invariant that matters: pointer-doubling round count
     must NOT grow with corpus size (disjoint chains compact in
@@ -451,11 +456,19 @@ def test_replicated_debruijn_stress(spark, sf_dir):
 
     factor = 6
     alpha = "abcdefghijklmnopqrstuvwxyz"
-    docs = tables(spark, sf_dir).documents.select("text", "n_chars")
+    raw = tables(spark, sf_dir).documents.select("text", "n_chars")
+    # closed alphabet: every character lands in a-z, so per-replica
+    # translate covers the entire k-mer character domain
+    docs = raw.select(
+        F.regexp_replace(F.lower("text"), "[^a-z]", "x").alias("text"),
+        "n_chars",
+    )
     reps = []
     for r in range(factor):
-        rot = alpha[r:] + alpha[:r]
-        reps.append(docs.select(F.translate("text", alpha, rot).alias("text"), "n_chars"))
+        block = "".join(chr(0x100 + r * 26 + i) for i in range(26))
+        reps.append(
+            docs.select(F.translate("text", alpha, block).alias("text"), "n_chars")
+        )
     big_docs = reps[0]
     for d in reps[1:]:
         big_docs = big_docs.unionByName(d)
