@@ -16,6 +16,7 @@ overlapping runs ('aaa' + merge(a,a) -> [aa, a], never [a, aa]).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -56,6 +57,63 @@ def merge_pair(sym_col, a: str, b: str):
             ),
         ).otherwise(F.concat(acc, F.array(x))),
     )
+
+
+def apply_merges(df: DataFrame, merges, sym_col: str = "sym") -> DataFrame:
+    """Apply an ordered merge list to a symbolized table by chaining
+    the JVM `merge_pair` fold once per merge — pure whole-stage-codegen
+    path, right for small merge lists (plan depth grows with k)."""
+    col = F.col(sym_col)
+    for a, b, *_ in merges:
+        col = merge_pair(col, a, b)
+    return df.withColumn(sym_col, col)
+
+
+def encode_words(
+    words: DataFrame, merges, word_col: str = "word"
+) -> DataFrame:
+    """Distributed BPE ENCODE — tokenize words with a LEARNED merge
+    list. The operator a training-data pipeline runs orders of
+    magnitude more often than `train`.
+
+    The merge table ships broadcast in the UDF closure (a merge list
+    is KB–MB scale even at 50k merges; never a join). Each word is
+    encoded by applying the merges IN TRAINING ORDER with the same
+    greedy leftmost-first fold as `merge_pair`/`train` — sequential
+    application is exactly what the unrolled-SQL oracle computes, so
+    the two engines agree by construction. (For production-sized merge
+    lists the classic rank-dict optimization — only attempt merges
+    whose operands are currently present — drops the per-word cost
+    from O(k·len) to O(len·log len) without changing the result,
+    because a trained list's operands are only producible by earlier
+    merges.)
+
+    Scale shape: run this on the DISTINCT word table (vocab-sized),
+    then join token arrays or token counts back to the corpus by word
+    — the corpus-sized pass stays a hash join, the Python work stays
+    vocabulary-sized. Arrow-batched pandas UDF, never per-row Python
+    in the corpus path."""
+    from pyspark.sql.functions import pandas_udf
+
+    merge_list = [(a, b) for a, b, *_ in merges]
+
+    @pandas_udf("array<string>")
+    def _enc(s: pd.Series) -> pd.Series:
+        def one(w):
+            sym = list(w)
+            for a, b in merge_list:
+                out = []
+                for x in sym:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                sym = out
+            return sym
+
+        return s.map(one)
+
+    return words.withColumn("tokens", _enc(F.col(word_col)))
 
 
 def _adjacent_pairs(df: DataFrame) -> DataFrame:

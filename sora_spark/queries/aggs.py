@@ -1218,3 +1218,49 @@ def qa26_higher_moments(spark, sf_dir):
         F.round(u3 / F.pow(v, 1.5), 5).alias("skewness"),
         F.round(u4 / (v * v) - 3, 5).alias("excess_kurtosis"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "qa27_grouping_sets",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS sum_price,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY status, priority
+""",
+    doc="qa27: explicit GROUPING SETS — the general form rollup and "
+    "cube (qa4/qa5) are sugar for, with an ASYMMETRIC set list "
+    "((status), (priority), ()) that is NEITHER a rollup prefix "
+    "chain nor a full cube, so the row certifies the arbitrary-sets "
+    "path (DataFrame.groupingSets, Spark 4). One pass with partial "
+    "aggregation per set via Expand — no per-set rescans; the "
+    "grand-total row disambiguates the 'ALL'/'ALL' coordinate. Keys "
+    "COALESCE to 'ALL' per the module convention (no NULL-ordering "
+    "dialect trap).",
+    tags=("agg", "grouping_sets"),
+)
+def qa27_grouping_sets(spark, sf_dir):
+    orders = tables(spark, sf_dir).orders
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "sum_price",
+            "avg_price",
+        )
+        .orderBy("status", "priority")
+    )

@@ -289,3 +289,89 @@ def qml3_regression_metrics(spark, sf_dir):
             ).alias("r2"),
         )
     )
+
+
+@query(
+    "qml4_calibration_report",
+    oracle="""
+WITH lab AS (SELECT o_orderkey,
+                    o_orderpriority AS prio, o_orderstatus AS stat,
+                    month(o_orderdate) AS mon,
+                    CASE WHEN o_totalprice > 150000 THEN 1.0 ELSE 0.0 END AS y
+             FROM orders),
+train AS (SELECT prio, stat, mon,
+                 sum(y) / count(*) AS score
+          FROM lab WHERE o_orderkey % 2 = 0 GROUP BY prio, stat, mon),
+test AS (SELECT l.y, t.score,
+                least(CAST(floor(t.score * 10) AS INTEGER), 9) AS bin
+         FROM lab l JOIN train t USING (prio, stat, mon)
+         WHERE l.o_orderkey % 2 = 1),
+b AS (SELECT bin, count(*)::BIGINT AS n,
+             avg(score) AS conf, avg(y) AS acc
+      FROM test GROUP BY bin)
+SELECT bin, n, round(conf, 6) AS conf, round(acc, 6) AS acc,
+       round(abs(conf - acc), 6) AS gap,
+       round(sum(n * abs(conf - acc)) OVER () / sum(n) OVER (), 6) AS ece
+FROM b ORDER BY bin
+""",
+    doc="qml4: probability-calibration report — reliability bins + "
+    "expected calibration error (ECE) for a frequency predictor "
+    "(per (priority, status, order-month) positive rate learned on "
+    "the even-key "
+    "half, evaluated on the odd-key half; positive = totalprice > "
+    "150k). The fourth leg of the qml eval family: qml1 judges "
+    "labels, qml2 rankings, qml3 point estimates — this row judges "
+    "PROBABILITIES, the thing an LLM data pipeline's quality/"
+    "filter scores actually are before a threshold is chosen. "
+    "Scale shape: train pass and test pass are each one "
+    "aggregation; the reliability table is <= 10 rows, ECE a "
+    "window-sum over it — eval cost is two scans at any corpus "
+    "size. Scores are exact integer ratios (sum/count of 0/1 in "
+    "double), bins by floor(score*10) capped at 9, so both engines "
+    "bin identically; only the display values round.",
+    tags=("eval", "calibration", "metrics"),
+)
+def qml4_calibration_report(spark, sf_dir):
+    orders = tables(spark, sf_dir).orders
+    lab = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("stat"),
+        F.month("o_orderdate").alias("mon"),
+        F.when(F.col("o_totalprice") > 150000, 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    train = (
+        lab.filter(F.col("o_orderkey") % 2 == 0)
+        .groupBy("prio", "stat", "mon")
+        .agg((F.sum("y") / F.count("*")).alias("score"))
+    )
+    test = (
+        lab.filter(F.col("o_orderkey") % 2 == 1)
+        .join(F.broadcast(train), ["prio", "stat", "mon"])
+        .select(
+            "y",
+            "score",
+            F.least(
+                F.floor(F.col("score") * 10).cast("int"), F.lit(9)
+            ).alias("bin"),
+        )
+    )
+    b = test.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg("score").alias("conf"),
+        F.avg("y").alias("acc"),
+    )
+    w = Window.partitionBy()
+    gap = F.abs(F.col("conf") - F.col("acc"))
+    return b.select(
+        "bin",
+        "n",
+        F.round("conf", 6).alias("conf"),
+        F.round("acc", 6).alias("acc"),
+        F.round(gap, 6).alias("gap"),
+        F.round(
+            F.sum(F.col("n") * gap).over(w) / F.sum("n").over(w), 6
+        ).alias("ece"),
+    ).orderBy("bin")

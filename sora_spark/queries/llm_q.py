@@ -2028,6 +2028,159 @@ def qix4_proximity_query(spark, sf_dir):
     )
 
 
+_BPE_ENC_MERGES = 6
+
+
+@query(
+    "qta20_bpe_encode",
+    oracle=(
+        """
+WITH w AS (SELECT word, count(*)::BIGINT AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS word
+                 FROM documents) u
+           WHERE len(word) > 0 GROUP BY word),
+s0 AS (SELECT word, n, string_split(word, '') AS sym FROM w),"""
+        + ",".join(
+            _bpe_round_sql(f"s{i - 1}", i)
+            for i in range(1, _BPE_ENC_MERGES + 1)
+        )
+        + f"""
+, tok AS (SELECT word, n, unnest(sym) AS token FROM s{_BPE_ENC_MERGES})
+SELECT token, CAST(sum(n) AS BIGINT) AS total_n,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_words
+FROM tok GROUP BY token ORDER BY total_n DESC, token LIMIT 20"""
+    ),
+    doc=f"qta20: distributed BPE ENCODE — tokenize the corpus with the "
+    f"{_BPE_ENC_MERGES} merges LEARNED by qta15's trainer, the operator "
+    "an actual training-data pipeline runs 1000x more often than "
+    "train. The Spark side runs the standalone encoder "
+    "(llm/bpe.py encode_words: broadcast merge table, Arrow-batched "
+    "pandas UDF, greedy leftmost fold per merge in training order) "
+    "over the DISTINCT word table — Python work stays "
+    "vocabulary-sized; corpus weights come from the (word, n) "
+    "frequency join, so the gate certifies corpus-level token totals, "
+    "not just per-word splits. Oracle re-derives the same "
+    "merges AND the encoding via the unrolled-SQL rounds, so a "
+    "divergence in either training or encoding fails the hash. "
+    "Result: top-20 tokens by corpus-weighted frequency (ties broken "
+    "on token — total order, stable under LIMIT).",
+    tags=("llm", "text", "tokenizer", "bpe"),
+)
+def qta20_bpe_encode(spark, sf_dir):
+    from sora_spark.llm import bpe
+
+    docs = tables(spark, sf_dir).documents
+    wc = bpe.word_counts(docs).localCheckpoint(eager=True)
+    merges, _ = bpe.train(wc, _BPE_ENC_MERGES)
+    enc = bpe.encode_words(wc, merges)
+    return (
+        enc.select("word", "n", F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum("n").cast("bigint").alias("total_n"),
+            F.countDistinct("word").cast("bigint").alias("n_words"),
+        )
+        .orderBy(F.desc("total_n"), "token")
+        .limit(20)
+    )
+
+
+_PACK_BUDGET = 800
+
+
+@query(
+    "qpipe5_tokenize_and_pack",
+    oracle=(
+        """
+WITH RECURSIVE wc AS (SELECT word, count(*)::BIGINT AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS word
+                 FROM documents) u
+           WHERE len(word) > 0 GROUP BY word),
+s0 AS (SELECT word, n, string_split(word, '') AS sym FROM wc),"""
+        + ",".join(
+            _bpe_round_sql(f"s{i - 1}", i)
+            for i in range(1, _BPE_ENC_MERGES + 1)
+        )
+        + f"""
+, wtok AS (SELECT word, len(sym) AS n_tok FROM s{_BPE_ENC_MERGES}),
+dw AS (SELECT doc_id, word
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents) u
+       WHERE len(word) > 0),
+dt AS (SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       FROM dw JOIN wtok USING (word) GROUP BY doc_id),
+o AS (SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY doc_id) AS rn FROM dt),
+walk(rn, doc_id, n, fill, bin) AS (
+  SELECT rn, doc_id, n_tokens, least(n_tokens, {_PACK_BUDGET}), 0
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN wk.fill + least(o.n_tokens, {_PACK_BUDGET})
+                     > {_PACK_BUDGET}
+              THEN least(o.n_tokens, {_PACK_BUDGET})
+              ELSE wk.fill + least(o.n_tokens, {_PACK_BUDGET}) END,
+         CASE WHEN wk.fill + least(o.n_tokens, {_PACK_BUDGET})
+                     > {_PACK_BUDGET}
+              THEN wk.bin + 1 ELSE wk.bin END
+  FROM walk wk JOIN o ON o.rn = wk.rn + 1)
+SELECT CAST(bin AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS tok_sum
+FROM walk GROUP BY bin ORDER BY bin_id"""
+    ),
+    doc="qpipe5: tokenizer-true sequence packing — the composed "
+    "pretraining-batch pipeline: train BPE merges on the corpus "
+    "(qta15), ENCODE every distinct word with them (qta20), roll "
+    "real token counts up to documents (explode + vocab-sized hash "
+    "join — the corpus pass never runs Python), then greedy-pack "
+    f"docs into {_PACK_BUDGET}-token context windows (qcur8's "
+    "operator, single-partition doc_id order so the bin walk is the "
+    "oracle's linear recursion). Replaces qcur8's whitespace proxy "
+    "counts with LEARNED-tokenizer counts — the number that actually "
+    "bounds an attention matrix. Gate certifies per-bin doc counts "
+    "and token sums end-to-end: a drift in training, encoding, "
+    "doc rollup, OR packing moves some bin's row. Scale shape: "
+    "Python work is vocabulary-sized, packing is per-partition "
+    "greedy (the multi-partition form is the 100 TB path; this row "
+    "pins the algebra).",
+    tags=("llm", "pipeline", "tokenizer", "packing"),
+)
+def qpipe5_tokenize_and_pack(spark, sf_dir):
+    from sora_spark.llm import bpe, curate
+
+    docs = tables(spark, sf_dir).documents
+    wc = bpe.word_counts(docs).localCheckpoint(eager=True)
+    merges, _ = bpe.train(wc, _BPE_ENC_MERGES)
+    wtok = bpe.encode_words(wc, merges).select(
+        "word", F.size("tokens").alias("n_tok")
+    )
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    dt = (
+        dw.join(wtok, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+    )
+    packed = curate.pack_documents(
+        dt.coalesce(1), token_budget=_PACK_BUDGET, token_col="n_tokens"
+    )
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tok_sum"),
+        )
+        .select(
+            F.col("bin_id").cast("bigint").alias("bin_id"),
+            "n_docs",
+            "tok_sum",
+        )
+        .orderBy("bin_id")
+    )
+
+
 def _pq_sub_sql(k: int) -> str:
     """Unrolled per-subspace k-means for PQ: slice columns are
     1-indexed INCLUSIVE in DuckDB (v[a:b]); one assign → mean update →

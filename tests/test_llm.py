@@ -755,6 +755,38 @@ def test_bpe_greedy_merge_and_reference(spark):
     assert got_syms == syms
 
 
+def test_bpe_encode_roundtrip_and_twins(spark, sf_dir):
+    """qta20's encoder invariants on the real corpus: (1) ROUND-TRIP —
+    concatenating each word's tokens reproduces the word exactly, for
+    every distinct word; (2) the Arrow pandas encoder (encode_words,
+    the broadcast-merge-table scale path) is value-identical to the
+    JVM fold-chain twin (apply_merges, qta15's merge_pair logic) AND
+    to train()'s own final symbolization — three independent
+    implementations of sequential greedy BPE apply, one answer."""
+    from sora_spark.llm import bpe
+
+    docs = tables(spark, sf_dir).documents
+    wc = bpe.word_counts(docs).localCheckpoint(eager=True)
+    merges, final = bpe.train(wc, 6)
+    assert len(merges) == 6
+
+    enc = bpe.encode_words(wc, merges)
+    bad = enc.filter(
+        F.concat_ws("", F.col("tokens")) != F.col("word")
+    ).count()
+    assert bad == 0
+
+    jvm = bpe.apply_merges(
+        wc.select("word", "n", bpe.chars("word").alias("sym")), merges
+    )
+    pand = {r.word: r.tokens for r in enc.select("word", "tokens").collect()}
+    fold = {r.word: r.sym for r in jvm.select("word", "sym").collect()}
+    train_syms = {r.word: r.sym for r in final.select("word", "sym").collect()}
+    assert pand == fold == train_syms
+    # encoding is non-trivial at 6 merges: some word actually fused
+    assert any(len(t) < len(w) for w, t in pand.items())
+
+
 def test_mips_augmentation_matches_dot_ranking(spark, sf_dir):
     """ql11's reduction certificate: the norm-augmented L2 distance
     orders the FULL corpus exactly like the raw inner product (ties
@@ -816,6 +848,45 @@ def test_neardup_clusters_string_ids(spark):
     assert out["urlA"] == ("urlA", True)
     assert out["urlB"] == ("urlA", False)
     assert out["urlC"][0] == "urlC"
+
+
+def test_neardup_distributed_fallback_equivalence(spark, sf_dir, monkeypatch):
+    """The hybrid's both branches, one answer (VERDICT r08 watch item):
+    forcing `_DRIVER_UF_MAX_PAIRS` to 0 routes every pair set through
+    the distributed min-label-propagation fallback, which must produce
+    the exact (doc_id, cluster_id, is_canonical) set the driver
+    union-find produces on the real corpus. This is the correctness
+    certificate for the >5M-pair regime that no test-scale corpus can
+    reach by size alone."""
+    from sora_spark.llm import dedup
+
+    docs = tables(spark, sf_dir).documents
+    uf = set(map(tuple, dedup.near_dup_clusters(docs).collect()))
+    monkeypatch.setattr(dedup, "_DRIVER_UF_MAX_PAIRS", 0)
+    dist = set(map(tuple, dedup.near_dup_clusters(docs).collect()))
+    assert uf == dist
+    # the corpus actually has near-dup structure: some non-singleton
+    # cluster exists, so the two paths agreed on real merges
+    assert any(not r[2] for r in uf)
+
+
+def test_range_search_vectorized_bounds(spark, sf_dir, monkeypatch):
+    """Review fixes for the driver-collect path: (1) an EMPTY probe
+    relation returns the empty pair set (was: numpy norm crash on a
+    0-row matrix) with the full output schema; (2) a probe set past
+    the documented driver-collect bound raises with a pointer to
+    range_search_shuffle rather than silently OOMing the driver."""
+    import pytest as _pytest
+
+    emb = tables(spark, sf_dir).embeddings
+    empty = emb.filter(F.lit(False))
+    out = ann.range_search_vectorized(empty, emb, threshold=0.9)
+    assert out.columns == ["probe_id", "neighbor_id", "sim"]
+    assert out.count() == 0
+
+    monkeypatch.setattr(ann, "_RANGE_SEARCH_MAX_PROBES", 10)
+    with _pytest.raises(ValueError, match="range_search_shuffle"):
+        ann.range_search_vectorized(emb, emb, threshold=0.9)
 
 
 def test_range_search_vectorized_matches_jvm_shuffle(spark, sf_dir):
