@@ -93,6 +93,43 @@ _LEGACY_STALE = frozenset(
         "qcur8_packing_gate",
         "qev6_cumulative_reach",
         "qsub3_lateral_join",
+        # Second generation (VERDICT r08 item 1): declared in rounds
+        # <= 8, judge-verified green locally, never yet inside a
+        # driver window.  Fronted ahead of rows first declared in
+        # round 9 for the same reason as the first set.
+        "qta17_quality_gate",
+        "qta18_repetition_signals",
+        "qta19_perplexity_gate",
+        "ql12_cosine_range_search",
+        "qcont3_semantic_decontamination",
+        "qd10_duplicate_passages",
+        "qs9_chained_window_aggs",
+        "qs10_join_then_window_gate",
+        "qs5d_stream_stream_full_outer_sink",
+        "qs11_parquet_file_sink",
+        "qs12_dedup_within_watermark_sink",
+        "qts4_dow_profile",
+        "qiv2_interval_union",
+        "qts5_cusum_changepoint",
+        "qev7_markov_transitions",
+        "qprof2_association_stats",
+        "qcur10_stratified_split",
+        "qdiff3_table_fingerprint",
+        "qdz3_target_encoding",
+        "qev8_stickiness",
+        "qup5_merge_tri_state",
+        "qev9_linear_attribution",
+        "qev10_cohort_ltv",
+        "qev11_windowed_funnel",
+        "qdz7_feature_hashing",
+        "qsmp1_weighted_sample",
+        "qpipe4_curation_gates_pipeline",
+        "qdz9_woe_encoding",
+        "qup6_time_travel",
+        "qsub4_recursive_cte",
+        "qml1_classification_report",
+        "qml2_ranking_metrics",
+        "qml3_regression_metrics",
     }
 )
 
