@@ -787,6 +787,35 @@ def test_bpe_encode_roundtrip_and_twins(spark, sf_dir):
     assert any(len(t) < len(w) for w, t in pand.items())
 
 
+def test_bpe_ranked_encoder_matches_sequential(spark, sf_dir):
+    """encode_words_ranked (lowest-rank-first, the production-scale
+    encoder whose per-word cost is independent of merge-list size)
+    must be token-identical to encode_words (training-order replay,
+    the oracle-matching reference) over every distinct corpus word —
+    at a DEEPER merge count (12) than any oracle-gated row uses, so
+    the equivalence is pinned where the merge interactions are
+    richest. Round-trip holds too."""
+    from sora_spark.llm import bpe
+
+    docs = tables(spark, sf_dir).documents
+    wc = bpe.word_counts(docs).localCheckpoint(eager=True)
+    merges, _ = bpe.train(wc, 12)
+    assert len(merges) == 12
+
+    seq = {
+        r.word: r.tokens
+        for r in bpe.encode_words(wc, merges).select("word", "tokens").collect()
+    }
+    ranked = {
+        r.word: r.tokens
+        for r in bpe.encode_words_ranked(wc, merges)
+        .select("word", "tokens")
+        .collect()
+    }
+    assert ranked == seq
+    assert all("".join(t) == w for w, t in ranked.items())
+
+
 def test_mips_augmentation_matches_dot_ranking(spark, sf_dir):
     """ql11's reduction certificate: the norm-augmented L2 distance
     orders the FULL corpus exactly like the raw inner product (ties
