@@ -1264,3 +1264,79 @@ def qa27_grouping_sets(spark, sf_dir):
         )
         .orderBy("status", "priority")
     )
+
+
+@query(
+    "qab2_chi_square",
+    oracle="""
+WITH obs AS (SELECT event_type, user_id % 4 AS cohort,
+                    count(*)::DOUBLE AS o
+             FROM events GROUP BY 1, 2),
+tot AS (SELECT sum(o) AS n FROM obs),
+rowm AS (SELECT event_type, sum(o) AS r FROM obs GROUP BY 1),
+colm AS (SELECT cohort, sum(o) AS c FROM obs GROUP BY 1),
+cells AS (SELECT o, r * c / n AS e
+          FROM obs JOIN rowm USING (event_type)
+                   JOIN colm USING (cohort) CROSS JOIN tot),
+stat AS (SELECT sum((o - e) * (o - e) / e) AS chi2, sum(o) AS n
+         FROM cells),
+dims AS (SELECT (SELECT count(*) FROM rowm) AS nr,
+                (SELECT count(*) FROM colm) AS nc)
+SELECT round(chi2, 6) AS chi2,
+       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+       round(sqrt(chi2 / (n * least(nr - 1, nc - 1))), 6) AS cramers_v,
+       CAST(n AS BIGINT) AS n
+FROM stat CROSS JOIN dims
+""",
+    doc="qab2: chi-square test of independence — event_type vs a "
+    "4-way user cohort (user_id % 4: deterministic, identical in "
+    "both engines), with degrees of freedom and Cramer's V effect "
+    "size. The categorical counterpart to qab1's Welch t-test: "
+    "qab1 answers 'did the metric move', this answers 'is the "
+    "categorical mix independent of the assignment' — the "
+    "guardrail/SRM check every A/B platform runs before trusting "
+    "the metric. Scale shape: one contingency aggregation (the "
+    "only corpus-sized pass, map-side combinable), then marginals "
+    "and the statistic over the |types| x |cohorts| cell table — "
+    "driver-tiny regardless of event volume. Observed counts are "
+    "exact integers; expected counts and the statistic are "
+    "arithmetic over a 20-cell table, rounded at 6dp.",
+    tags=("agg", "stats", "abtest"),
+)
+def qab2_chi_square(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    obs = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("cohort")
+    ).agg(F.count("*").cast("double").alias("o"))
+    rowm = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    colm = obs.groupBy("cohort").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(rowm, "event_type")
+        .join(F.broadcast(colm), "cohort")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o", (F.col("r") * F.col("c") / F.col("n")).alias("e")
+        )
+    )
+    stat = cells.agg(
+        F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")).alias("chi2"),
+        F.sum("o").alias("n"),
+    )
+    dims = rowm.agg(F.count("*").alias("nr")).crossJoin(
+        colm.agg(F.count("*").alias("nc"))
+    )
+    return stat.crossJoin(F.broadcast(dims)).select(
+        F.round("chi2", 6).alias("chi2"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.col("n").cast("bigint").alias("n"),
+    )

@@ -133,3 +133,55 @@ ORDER BY day
 def qsub4_recursive_cte(spark, sf_dir):
     tables(spark, sf_dir).register_views()
     return spark.sql(_RECURSIVE_SPINE_SPARK)
+
+
+_PIVOT_SQL = """
+SELECT prio,
+       coalesce(f_n, 0)     AS f_n,
+       coalesce(f_amt, 0.0) AS f_amt,
+       coalesce(o_n, 0)     AS o_n,
+       coalesce(o_amt, 0.0) AS o_amt,
+       coalesce(p_n, 0)     AS p_n,
+       coalesce(p_amt, 0.0) AS p_amt
+FROM (
+  SELECT o_orderpriority AS prio, o_orderstatus AS st, o_totalprice
+  FROM orders
+) PIVOT (
+  count(*) AS n, round(sum(o_totalprice), 2) AS amt
+  FOR st IN ('F' AS f, 'O' AS o, 'P' AS p)
+)
+ORDER BY prio
+"""
+
+
+@query(
+    "qsub5_sql_pivot",
+    oracle="""
+SELECT o_orderpriority AS prio,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_n,
+       coalesce(round(sum(CASE WHEN o_orderstatus = 'F'
+                               THEN o_totalprice END), 2), 0.0) AS f_amt,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_n,
+       coalesce(round(sum(CASE WHEN o_orderstatus = 'O'
+                               THEN o_totalprice END), 2), 0.0) AS o_amt,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_n,
+       coalesce(round(sum(CASE WHEN o_orderstatus = 'P'
+                               THEN o_totalprice END), 2), 0.0) AS p_amt
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY prio
+""",
+    doc="qsub5: SQL PIVOT clause through the SQL entry point — "
+    "multi-aggregate (count + sum) pivot of order status against "
+    "priority with explicit value aliases, certifying Spark's "
+    "'valueAlias_aggAlias' output naming and the NULL-for-absent-"
+    "cell semantics (coalesced identically on both sides; the "
+    "oracle is the conditional-aggregation desugaring, which is "
+    "also exactly the physical plan — one hash aggregate, no "
+    "per-status rescans). Complements the DataFrame-API pivot/"
+    "unpivot rows (qu1/qu2 family) on the SQL surface.",
+    tags=("sql", "pivot"),
+)
+def qsub5_sql_pivot(spark, sf_dir):
+    tables(spark, sf_dir).register_views()
+    return spark.sql(_PIVOT_SQL)

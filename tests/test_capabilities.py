@@ -1559,3 +1559,62 @@ def test_asof_nearest_on_timestamp_ntz(spark):
         right_value_col="v", direction="nearest",
     )
     assert [r["asof_value"] for r in out.collect()] == [10.0]
+
+
+def test_quantile_summary_rank_error_bound(spark, sf_dir):
+    """quantile_summary's deterministic guarantee, checked against
+    exact ranks: for each probe quantile p, the estimate's TRUE rank
+    interval [#{v < est}, #{v <= est}] must overlap the target rank
+    ceil(p*n) within the documented bound sum_p ceil(n_p/m) <= n/m+P.
+    Also pins mergeability-by-construction (the summary is the
+    groupBy-merged union of per-partition summaries) and that the
+    summary is actually sketch-sized."""
+    from sora_spark.operators.sketch import (
+        quantile_summary,
+        summary_quantiles,
+    )
+
+    li = tables(spark, sf_dir).lineitem.select("l_extendedprice")
+    li = li.repartition(8)  # force a real multi-partition merge
+    m = 64
+    summ = quantile_summary(li, "l_extendedprice", m=m).localCheckpoint(
+        eager=True
+    )
+    n = li.count()
+    n_parts = li.rdd.getNumPartitions()
+    assert summ.count() <= m * n_parts + n_parts  # sketch-sized
+
+    probs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = {
+        r["p"]: r["value"]
+        for r in summary_quantiles(summ, probs).collect()
+    }
+    bound = n / m + n_parts  # sum of per-partition strides, relaxed
+    import math
+
+    for p in probs:
+        v = est[p]
+        target = math.ceil(p * n)
+        lt = li.filter(F.col("l_extendedprice") < v).count()
+        le = li.filter(F.col("l_extendedprice") <= v).count()
+        assert lt - bound <= target <= le + bound, (
+            p, v, lt, le, target, bound,
+        )
+
+
+def test_quantile_summary_exact_when_m_exceeds_n(spark):
+    """With m >= n every partition block is a single element, so the
+    summary IS the exact weighted value histogram and quantiles are
+    exact order statistics."""
+    from sora_spark.operators.sketch import (
+        quantile_summary,
+        summary_quantiles,
+    )
+
+    vals = [float(x) for x in [5, 1, 9, 3, 7, 2, 8, 4, 6, 10]]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    summ = quantile_summary(df, "x", m=64)
+    got = {r["p"]: r["value"] for r in summary_quantiles(
+        summ, [0.1, 0.5, 1.0]
+    ).collect()}
+    assert got == {0.1: 1.0, 0.5: 5.0, 1.0: 10.0}
