@@ -18,11 +18,17 @@ SF_DIR = os.environ.get("SORA_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    # drop replay/roundtrip leftovers from earlier sessions (gitignored
-    # scratch space; regenerated on demand)
+    # drop replay/roundtrip leftovers from DEAD sessions only — scratch
+    # paths are pid-suffixed ("name-<pid>"), and a blanket rmtree here
+    # deletes a CONCURRENT pytest process's in-flight roundtrip dirs
+    # (observed: qsrc3 flaking only when two suites share the box)
     import shutil
 
-    shutil.rmtree("/root/repo/.scratch", ignore_errors=True)
+    for root, _dirs, _files in list(os.walk("/root/repo/.scratch")):
+        for d in list(_dirs):
+            pid = d.rsplit("-", 1)[-1]
+            if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     s = build_session(
         app_name="sora-tests",
         master=os.environ.get("SORA_TEST_MASTER", "local[4]"),
