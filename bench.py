@@ -63,6 +63,15 @@ BENCH_QUERIES = {
     # 19.8 s; engine 8.17 s same-day, 0.83× stock — the doubling win is
     # bounded here because corpus chains are short, ≤ 20 edges).
     "q13": "qg45_debruijn_unitigs",
+    # B14: corpus BPE tokenization (train 6 merges + encode + top-20
+    # token totals) — the tokenizer-throughput path every training-data
+    # pipeline pays. Budget derived the B10..B13 way from a stock twin
+    # (benchmarks/stock_twin_b14.py, output-identical at sf0.001/0.01,
+    # full-word-occurrence row-at-a-time Python UDF encode; measured
+    # 2026-08-15: warm 4.89 s ⇒ budget 9.8 s; engine 3.82 s same-day,
+    # 0.78× stock — both sides are train-bound at sf0.1; the engine's
+    # vocab-sized-encode advantage widens as corpus/vocab grows).
+    "q14": "qta20_bpe_encode",
 }
 
 
