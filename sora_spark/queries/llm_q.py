@@ -2882,3 +2882,99 @@ def qd10_duplicate_passages(spark, sf_dir):
         .orderBy("doc_id")
         .limit(300)
     )
+
+
+@query(
+    "qta21_url_canonicalize",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id, source,
+         'https://' || source || '.example.com/docs/' || doc_id
+           || '?lang=' || lang AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id, source,
+         'HTTPS://' || upper(source) || '.Example.COM:443/docs/' || doc_id
+           || '/?lang=' || lang || '&utm_source=feed#sec' AS url
+  FROM documents),
+canon AS (
+  SELECT doc_id, source,
+         url,
+         'https://'
+           || replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+                      ':443', '')
+           || regexp_replace(
+                regexp_replace(
+                  regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^#]*)', 1),
+                  '&utm_[^&]*', ''),
+                '/[?]', '?') AS curl
+  FROM raw)
+SELECT source,
+       CAST(count(*) AS BIGINT)                 AS n_urls,
+       CAST(count(DISTINCT url) AS BIGINT)      AS n_raw_distinct,
+       CAST(count(DISTINCT curl) AS BIGINT)     AS n_canon_distinct,
+       min(curl)                                AS sample_canonical
+FROM canon GROUP BY source ORDER BY source
+""",
+    doc="qta21: URL canonicalization — the crawl-dedup normalizer "
+    "(case-fold scheme+host, strip default :443 port, drop fragment "
+    "and utm_* tracking params, collapse the trailing-slash-before-"
+    "query variant) run over deterministic clean/messy variant PAIRS "
+    "of the same logical URL, so the gate proves actual collisions: "
+    "n_canon_distinct must be exactly half of n_raw_distinct per "
+    "source, and the canonical string itself is hash-checked "
+    "(sample_canonical). Identical RE2-safe regexes both engines (no "
+    "lookahead — DuckDB is RE2); host-only case folding, not "
+    "whole-URL lowercase, so paths keep their case semantics. "
+    "Map-only over the corpus + one aggregation — the cheapest "
+    "dedup key a 100 TB crawl pipeline computes before any content "
+    "hashing.",
+    tags=("llm", "text", "url", "dedup"),
+)
+def qta21_url_canonicalize(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    did = F.col("doc_id").cast("string")
+    clean = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        did, F.lit("?lang="), F.col("lang"),
+    )
+    messy = F.concat(
+        F.lit("HTTPS://"), F.upper("source"),
+        F.lit(".Example.COM:443/docs/"), did,
+        F.lit("/?lang="), F.col("lang"), F.lit("&utm_source=feed#sec"),
+    )
+    raw = docs.select(
+        "doc_id", "source",
+        F.explode(F.array(clean, messy)).alias("url"),
+    )
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"^[a-zA-Z]+://([^/?#]+)", 1)),
+        ":443",
+        "",
+    )
+    rest = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract("url", r"^[a-zA-Z]+://[^/?#]+([^#]*)", 1),
+            "&utm_[^&]*",
+            "",
+        ),
+        "/[?]",
+        "?",
+    )
+    canon = raw.select(
+        "source",
+        "url",
+        F.concat(F.lit("https://"), host, rest).alias("curl"),
+    )
+    return (
+        canon.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.countDistinct("url").cast("bigint").alias("n_raw_distinct"),
+            F.countDistinct("curl")
+            .cast("bigint")
+            .alias("n_canon_distinct"),
+            F.min("curl").alias("sample_canonical"),
+        )
+        .orderBy("source")
+    )

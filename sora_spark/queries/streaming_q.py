@@ -1012,6 +1012,46 @@ def qs5d_stream_stream_full_outer_sink(spark, sf_dir):
 
 
 @query(
+    "qs5e_stream_stream_semi_sink",
+    oracle="""
+SELECT p.user_id, p.event_id AS purchase_id
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND EXISTS (SELECT 1 FROM events v
+              WHERE v.event_type = 'view'
+                AND v.user_id = p.user_id
+                AND v.ts <= p.ts
+                AND v.ts >  p.ts - INTERVAL 1 HOUR)
+ORDER BY 1, 2
+""",
+    doc="LEFT SEMI stream-stream join at the hash tier — completes "
+    "the qs5/qs5c/qs5d join-mode matrix with the streaming EXISTS: "
+    "each purchase with >= 1 same-user view in the preceding hour "
+    "emits EXACTLY ONCE, with no view columns and no match "
+    "multiplicity (inner + downstream distinct would need unbounded "
+    "output-dedup state; semi's emit-on-first-match is the bounded "
+    "form). Same sentinel protocol as the outer gates (harmless "
+    "here — semi emits eagerly like inner); hash-matched against "
+    "the batch EXISTS oracle.",
+    tags=("streaming", "hash-tier", "join"),
+)
+def qs5e_stream_stream_semi_sink(spark, sf_dir):
+    from sora_spark.streaming import replay
+    from sora_spark.streaming.stateful import purchases_after_views_semi
+
+    d = replay.stage_run_dir(spark, sf_dir, "qs5e")
+    replay.append_flush_sentinel_pairs(spark, d)
+    got = replay.run_to_memory(
+        purchases_after_views_semi(replay.events_stream(spark, d)),
+        "qs5e_sink",
+        "append",
+    )
+    return got.filter(F.col("user_id") != replay.SENTINEL_USER).orderBy(
+        "user_id", "purchase_id"
+    )
+
+
+@query(
     "qs11_parquet_file_sink",
     oracle="""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,

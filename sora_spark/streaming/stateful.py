@@ -186,6 +186,7 @@ def _purchase_view_join(
     so neither side's state is evicted before the laggard catches up."""
     if events_p is None:
         events_p = events
+    semi = how == "left_semi"
     views = (
         events.filter(F.col("event_type") == "view")
         .select(
@@ -204,13 +205,20 @@ def _purchase_view_join(
         )
         .withWatermark("p_ts", watermark)
     )
-    return purchases.join(
+    joined = purchases.join(
         views,
         (F.col("p_user") == F.col("v_user"))
         & (F.col("v_ts") <= F.col("p_ts"))
         & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
         how,
-    ).select(
+    )
+    if semi:
+        # semi join keeps only the left schema: each qualifying
+        # purchase exactly once, no view columns to project
+        return joined.select(
+            F.col("p_user").alias("user_id"), "purchase_id"
+        )
+    return joined.select(
         # coalesce: identical to p_user for inner/left (purchase side is
         # the preserved side) and NULL-safe for full_outer's unmatched
         # views
@@ -249,6 +257,18 @@ def purchases_after_views_full(
     the view side's state must outlive its own event time by the join
     interval). Same sentinel-advance protocol as left_outer."""
     return _purchase_view_join(events, watermark, "full_outer")
+
+
+def purchases_after_views_semi(
+    events: DataFrame, watermark: str = "40 days"
+) -> DataFrame:
+    """LEFT SEMI variant: each purchase with >= 1 view in the
+    preceding hour emits EXACTLY ONCE (no view columns, no match
+    multiplicity) — the streaming EXISTS. The view side keeps the
+    same interval-bounded state as inner; the left row's dedup-on-
+    first-match is the semantics inner + distinct can't reproduce
+    without unbounded output state."""
+    return _purchase_view_join(events, watermark, "left_semi")
 
 
 def purchases_after_views_outer(
