@@ -738,3 +738,42 @@ def qts9_rolling_zscore_anomalies(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "qw14_rank_family",
+    oracle="""
+SELECT o_orderkey,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6)    AS cd,
+       ntile(4) OVER w                 AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+""",
+    doc="qw14: the relative-rank window family — percent_rank, "
+    "cume_dist and ntile(4) per priority partition, completing the "
+    "ranking surface beyond qw1's row_number/rank. The ORDER BY "
+    "includes the unique key, so ranks are a TOTAL order and the "
+    "ratios ((rank-1)/(n-1), rank/n) and quartile boundaries are "
+    "identical in both engines — no tie ambiguity to paper over. "
+    "One shuffle on the partition key, rank math streamed within "
+    "each partition; output is corpus-sized (the gate hashes every "
+    "row, not a summary).",
+    tags=("window", "rank"),
+)
+def qw14_rank_family(spark, sf_dir):
+    orders = tables(spark, sf_dir).orders
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_orderkey")
+    )
