@@ -777,3 +777,58 @@ def qw14_rank_family(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "qts10_rolling_median",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         round(sum(value), 2) AS v
+  FROM events GROUP BY 1, 2)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       round(quantile_cont(v, 0.5) OVER (
+         PARTITION BY event_type ORDER BY d
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7,
+       round(quantile_cont(v, 0.9) OVER (
+         PARTITION BY event_type ORDER BY d
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS p90_7
+FROM daily ORDER BY event_type, day
+""",
+    doc="qts10: rolling 7-day median and p90 of the daily value series "
+    "per event type — the robust-baseline smoother (median ignores "
+    "single-day spikes that drag qts3's EWMA) every monitoring "
+    "pipeline runs next to a z-score. Exercises EXACT percentile as a "
+    "WINDOW aggregate over a ROWS frame — an interplay no other row "
+    "pins (qa7 is global, qw5-family frames use sums). Both engines "
+    "interpolate linearly over the <= 7-element frame; input values "
+    "are pre-rounded at 2dp so the interpolation arithmetic is "
+    "identical, output rounded at 4. Scale shape: the window runs "
+    "over the DAY-COUNT-sized daily series (one corpus-sized "
+    "aggregation first), so frame re-sorting is calendar-sized "
+    "regardless of event volume.",
+    tags=("timeseries", "window", "percentile"),
+)
+def qts10_rolling_median(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round(F.percentile("v", F.lit(0.5)).over(w), 4).alias(
+                "med7"
+            ),
+            F.round(F.percentile("v", F.lit(0.9)).over(w), 4).alias(
+                "p90_7"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
