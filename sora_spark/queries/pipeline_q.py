@@ -2999,3 +2999,68 @@ def qup6_time_travel(spark, sf_dir):
         )
         .orderBy("as_of")
     )
+
+
+@query(
+    "qev12_time_to_convert",
+    oracle="""
+WITH fv AS (SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+fp AS (SELECT user_id, min(ts) AS t_buy FROM events
+       WHERE event_type = 'purchase' GROUP BY 1),
+d AS (SELECT fv.user_id,
+             epoch_us(t_buy) - epoch_us(t_view) AS us
+      FROM fv JOIN fp USING (user_id)
+      WHERE t_buy >= t_view)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(us, 0.25) / 3600e6, 4) AS p25_hours,
+       round(quantile_cont(us, 0.5)  / 3600e6, 4) AS median_hours,
+       round(quantile_cont(us, 0.9)  / 3600e6, 4) AS p90_hours,
+       round(avg(us) / 3600e6, 4)                 AS mean_hours
+FROM d
+""",
+    doc="qev12: time-to-convert distribution — per user, the lag from "
+    "FIRST view to FIRST purchase (view-before-purchase only), "
+    "summarized as p25/median/p90/mean hours — the conversion-"
+    "latency read every growth team pairs with qev11's windowed "
+    "funnel counts. Durations are exact integer MICROSECONDS on both "
+    "engines (unix_micros / epoch_us) — second-granularity date_diff "
+    "truncates the two endpoints independently and can disagree by "
+    "1s on sub-second components, a dialect trap this row "
+    "deliberately sidesteps; percentile interpolation then runs over "
+    "identical integers. Scale shape: two per-user min aggregations "
+    "(map-side combinable) + a user-keyed join; the percentile runs "
+    "over the CONVERTER-sized duration set.",
+    tags=("events", "funnel", "percentile"),
+)
+def qev12_time_to_convert(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    d = (
+        fv.join(fp, "user_id")
+        .filter(F.col("t_buy") >= F.col("t_view"))
+        .select(
+            (
+                F.unix_micros("t_buy") - F.unix_micros("t_view")
+            ).alias("us")
+        )
+    )
+    h = 3600e6
+    return d.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.round(F.percentile("us", F.lit(0.25)) / h, 4).alias("p25_hours"),
+        F.round(F.percentile("us", F.lit(0.5)) / h, 4).alias(
+            "median_hours"
+        ),
+        F.round(F.percentile("us", F.lit(0.9)) / h, 4).alias("p90_hours"),
+        F.round(F.avg("us") / h, 4).alias("mean_hours"),
+    )
