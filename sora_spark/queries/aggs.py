@@ -1305,28 +1305,27 @@ FROM stat CROSS JOIN dims
 )
 def qab2_chi_square(spark, sf_dir):
     ev = tables(spark, sf_dir).events
+    # ONE corpus-sized pass; marginals and expecteds are window sums
+    # over the |types| x |cohorts| cell table (a re-aggregation per
+    # marginal would re-scan the corpus once per margin — 4 scans for
+    # a 20-row contingency, the shape the first cut actually planned)
     obs = ev.groupBy(
         "event_type", (F.col("user_id") % 4).alias("cohort")
     ).agg(F.count("*").cast("double").alias("o"))
-    rowm = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
-    colm = obs.groupBy("cohort").agg(F.sum("o").alias("c"))
-    n = obs.agg(F.sum("o").alias("n"))
-    cells = (
-        obs.join(rowm, "event_type")
-        .join(F.broadcast(colm), "cohort")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "o", (F.col("r") * F.col("c") / F.col("n")).alias("e")
-        )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("cohort")
+    wn = Window.partitionBy()
+    e = (
+        F.sum("o").over(wr) * F.sum("o").over(wc) / F.sum("o").over(wn)
     )
+    cells = obs.select("event_type", "cohort", "o", e.alias("e"))
     stat = cells.agg(
         F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")).alias("chi2"),
         F.sum("o").alias("n"),
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("cohort").alias("nc"),
     )
-    dims = rowm.agg(F.count("*").alias("nr")).crossJoin(
-        colm.agg(F.count("*").alias("nc"))
-    )
-    return stat.crossJoin(F.broadcast(dims)).select(
+    return stat.select(
         F.round("chi2", 6).alias("chi2"),
         ((F.col("nr") - 1) * (F.col("nc") - 1))
         .cast("bigint")

@@ -3028,31 +3028,36 @@ FROM d
     "truncates the two endpoints independently and can disagree by "
     "1s on sub-second components, a dialect trap this row "
     "deliberately sidesteps; percentile interpolation then runs over "
-    "identical integers. Scale shape: two per-user min aggregations "
-    "(map-side combinable) + a user-keyed join; the percentile runs "
-    "over the CONVERTER-sized duration set.",
+    "identical integers. Scale shape: ONE conditional-min aggregation "
+    "per user (map-side combinable, single corpus scan, single "
+    "shuffle); the percentile runs over the CONVERTER-sized "
+    "duration set.",
     tags=("events", "funnel", "percentile"),
 )
 def qev12_time_to_convert(spark, sf_dir):
     ev = tables(spark, sf_dir).events
-    fv = (
-        ev.filter(F.col("event_type") == "view")
+    # ONE corpus pass: both first-event timestamps come from a single
+    # conditional-min aggregation per user (a per-type agg + self-join
+    # would scan the corpus twice and shuffle it twice for the same
+    # user-keyed result)
+    firsts = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    fp = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_buy"))
-    )
-    d = (
-        fv.join(fp, "user_id")
-        .filter(F.col("t_buy") >= F.col("t_view"))
-        .select(
-            (
-                F.unix_micros("t_buy") - F.unix_micros("t_view")
-            ).alias("us")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("t_view"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("t_buy"),
         )
+    )
+    d = firsts.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_view"))
+    ).select(
+        (F.unix_micros("t_buy") - F.unix_micros("t_view")).alias("us")
     )
     h = 3600e6
     return d.agg(

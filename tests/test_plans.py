@@ -799,3 +799,43 @@ def test_semantic_decontamination_broadcasts_eval_side(spark, sf_dir):
     assert shuffles <= 3, (
         "similarity pass must not shuffle the train side:\n" + p
     )
+
+
+def test_chi_square_single_corpus_pass(spark, sf_dir):
+    """qab2's contingency pipeline must scan the corpus ONCE: the
+    observed-count aggregation is the only corpus-sized exchange;
+    marginals/expecteds are window sums over the 20-cell table (the
+    first cut planned 8 exchanges — one re-aggregation per marginal,
+    each re-scanning events)."""
+    p = _plan(spark, sf_dir, "qab2_chi_square", mode="simple")
+    assert p.count("Exchange hashpartitioning") <= 2, p
+    assert "partial_" in p
+
+
+def test_time_to_convert_single_aggregation(spark, sf_dir):
+    """qev12 derives BOTH first-event timestamps from one
+    conditional-min aggregation: exactly one hash exchange (user_id)
+    — the per-type agg + self-join alternative costs two corpus scans
+    and two shuffles for the same result."""
+    p = _plan(spark, sf_dir, "qev12_time_to_convert", mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "partial_" in p
+
+
+def test_rank_family_single_shuffle(spark, sf_dir):
+    """qw14's three relative-rank functions share ONE window spec, so
+    the plan carries exactly one hash exchange (the partition key) —
+    a second exchange would mean the functions stopped sharing the
+    sort."""
+    p = _plan(spark, sf_dir, "qw14_rank_family", mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    """qa27 plans as ONE Expand + one partial-merged aggregate — the
+    grouping-sets contract: per-set rescans would show as multiple
+    scans/unions."""
+    p = _plan(spark, sf_dir, "qa27_grouping_sets", mode="simple")
+    assert p.count("Expand") == 1, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "partial_" in p
