@@ -1456,3 +1456,46 @@ def test_kmeans_lloyd_objective_monotone(spark, sf_dir):
     c0 = ann.kmeans_centroids(emb, n_centroids=4, iters=0)
     c1 = ann.kmeans_centroids(emb, n_centroids=4, iters=1)
     assert objective(c1) <= objective(c0) + 1e-9
+
+
+# ---- BPE encoder equivalence family --------------------------------------
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words=st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=12),
+    min_size=3, max_size=40,
+))
+def test_bpe_ranked_equals_sequential_on_trained_lists(words, spark):
+    """The rank-dict encoder's equivalence claim, adversarially probed:
+    a 2-letter alphabet with heavy repetition maximizes merge
+    interaction (overlapping runs, merged tokens immediately feeding
+    later merges — the regime where lowest-rank-first could in
+    principle diverge from training-order replay if the merge list
+    admitted two derivations of one token string). For every
+    hypothesis corpus: train up to 8 merges with the REAL trainer,
+    then encode_words_ranked must be token-identical to encode_words
+    on every distinct word, and both must round-trip."""
+    from sora_spark.llm import bpe
+
+    docs = spark.createDataFrame(
+        [(" ".join(words),)], "text string"
+    )
+    wc = bpe.word_counts(docs).localCheckpoint(eager=True)
+    merges, _ = bpe.train(wc, 8)
+    seq = {
+        r.word: r.tokens
+        for r in bpe.encode_words(wc, merges)
+        .select("word", "tokens")
+        .collect()
+    }
+    ranked = {
+        r.word: r.tokens
+        for r in bpe.encode_words_ranked(wc, merges)
+        .select("word", "tokens")
+        .collect()
+    }
+    assert ranked == seq, (merges, {
+        w: (ranked[w], seq[w]) for w in seq if ranked[w] != seq[w]
+    })
+    assert all("".join(t) == w for w, t in ranked.items())
