@@ -1151,3 +1151,87 @@ def qs12_dedup_within_watermark_sink(spark, sf_dir):
         F.count("*").alias("n_first"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "qs13_dynamic_gap_sessions",
+    oracle="""
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         600 * (1 + user_id % 3) AS gap_s
+  FROM events),
+m AS (
+  SELECT *, max(ts + to_seconds(gap_s)) OVER
+        (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM d),
+s AS (
+  SELECT *, sum(CASE WHEN prev_end IS NULL OR ts >= prev_end
+                     THEN 1 ELSE 0 END) OVER
+        (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+  FROM m),
+ps AS (
+  SELECT user_id, sess_id, count(*) AS n_events,
+         max(ts + to_seconds(gap_s)) AS sess_end
+  FROM s GROUP BY user_id, sess_id)
+SELECT strftime(date_trunc('day', sess_end - INTERVAL 1 microsecond),
+                '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(max(n_events) AS BIGINT) AS max_session_events
+FROM ps GROUP BY day ORDER BY day
+""",
+    doc="DYNAMIC-gap session windows + chained stateful rollup at the "
+    "hash tier (VERDICT r08 item 8): F.session_window with a per-ROW "
+    "gap COLUMN (a string interval expression '600|1200|1800 seconds' "
+    "derived from user_id), executed through the REAL micro-batch "
+    "path (4 parquet files, one per trigger), then a SECOND stateful "
+    "aggregation in the same query re-windowing the emitted sessions "
+    "into 1-day rollups via F.window(F.window_time(session_window)) — "
+    "the SPARK-40925 chained-stateful shape composed with session "
+    "MERGE state. The per-user-constant gap keeps the oracle exact: "
+    "merged session end = last_ts + gap, and sessionization is the "
+    "classic running-max boundary scan (ts >= max of all prior "
+    "ts+gap within the user — a prior session's end can never exceed "
+    "a later boundary event's ts, so the plain running max is the "
+    "correct merge bound). Day bucket uses end - 1 microsecond, "
+    "matching window_time()'s inclusive event-time convention. "
+    "Sentinel rows flush both state stages and land in 2030 windows, "
+    "filtered by year. At 100 TB the gap column costs nothing (a "
+    "map-side expression); state scales with open sessions per key, "
+    "same as fixed-gap qs3c.",
+    tags=("streaming", "hash-tier", "session", "chained", "dynamic-gap"),
+)
+def qs13_dynamic_gap_sessions(spark, sf_dir):
+    from sora_spark.streaming import replay
+
+    d = replay.stage_run_dir(spark, sf_dir, "qs13", n_files=4)
+    ev = replay.events_stream(spark, d).withWatermark("ts", "40 days")
+    gap = F.concat(
+        (F.lit(600) * (F.lit(1) + F.pmod("user_id", F.lit(3))))
+        .cast("string"),
+        F.lit(" seconds"),
+    )
+    sess = ev.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    daily = sess.groupBy(
+        F.window(F.window_time("session_window"), "1 day").alias("w2")
+    ).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+    sink = replay.run_to_memory_flush(daily, "qs13_sink", d)
+    return (
+        sink.filter(F.year(F.col("w2.start")) < 2029)
+        .select(
+            F.date_format(F.col("w2.start"), "yyyy-MM-dd").alias("day"),
+            F.col("n_sessions").cast("bigint").alias("n_sessions"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("max_session_events")
+            .cast("bigint")
+            .alias("max_session_events"),
+        )
+        .orderBy("day")
+    )
