@@ -1024,3 +1024,47 @@ def test_pack_documents_multi_partition_invariants(spark, sf_dir):
     # partitions, which per_bin.count() == distinct count already
     # implies; assert the pid prefix actually spreads ids
     assert multi.select("bin_id").distinct().count() == n_multi
+
+
+def test_ivf_clustered_recall(spark, tmp_path):
+    """The >=0.9-recall IVF claim, placed where it is meaningful: the
+    fixture embeddings are measured isotropic-random (intra- and
+    inter-label mean cosine both ~1e-5), where NO partition-based ANN
+    can beat its scan fraction — so the B15 bench row gates recall at
+    the calibrated isotropic floor, and THIS test proves the quality
+    bar on a corpus with real cluster structure: 16 well-separated
+    Gaussian clusters, one seed vector per cluster in the first 16 ids
+    (round-robin cluster = vec_id % 16, matching kmeans_centroids'
+    first-n init), index probed at n_probe=2/16 — a 12.5% scan
+    fraction — must reach recall@10 >= 0.9 vs the exact scan."""
+    import random
+
+    rng = random.Random(7)
+    dim, n_clusters, n_vecs = 16, 16, 640
+    cents = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    for vid in range(n_vecs):
+        c = cents[vid % n_clusters]
+        rows.append(
+            (vid, [x + rng.gauss(0.0, 0.05) for x in c], vid % n_clusters)
+        )
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label BIGINT"
+    )
+    probes = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "ivf_clustered")
+    ann.write_ivf_index(emb, path, n_centroids=n_clusters, iters=2)
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ann.brute_force_topk(emb, probes, k=10).collect()
+    }
+    got = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ann.ivf_topk_indexed(
+            spark, path, probes, k=10, n_probe=2
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"clustered IVF recall {recall:.3f} < 0.9"
