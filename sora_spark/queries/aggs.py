@@ -1339,3 +1339,98 @@ def qab2_chi_square(spark, sf_dir):
         ).alias("cramers_v"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "qa28_quantile_summary_certificate",
+    oracle="""
+WITH vc AS (SELECT l_quantity AS v, count(*) AS c FROM lineitem GROUP BY v),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum_le FROM vc),
+n AS (SELECT count(*) AS n FROM lineitem),
+probs(p) AS (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)),
+t AS (SELECT p, CAST(ceil(p * n.n) AS BIGINT) AS target FROM probs, n)
+SELECT CAST(t.p AS DOUBLE) AS p,
+       round(min(cum.v), 1) AS exact_q,
+       true AS within_bound
+FROM t JOIN cum ON cum.cum_le >= t.target
+GROUP BY t.p ORDER BY p
+""",
+    doc="Q-A28: the mergeable quantile summary (operators/sketch.py "
+    "quantile_summary / summary_quantiles, Munro-Paterson per-"
+    "partition block compression) promoted to the declared tier as a "
+    "CERTIFICATE row: for six probabilities over lineitem.l_quantity "
+    "it emits (p, exact type-1 quantile, within_bound), where "
+    "exact_q is the smallest value whose cumulative count reaches "
+    "ceil(p*N) — computed scale-consciously from the value-bucketed "
+    "counts (l_quantity has a 50-value domain, so the cumsum window "
+    "runs over <= 50 rows, never the data) and hash-matched against "
+    "the identically-defined DuckDB cumsum — and within_bound checks "
+    "the SUMMARY's estimate against the deterministic rank-error "
+    "guarantee: the estimate's true-rank interval [cum_lt, cum_le] "
+    "must land within N/m + P of the target rank (m=256, P = actual "
+    "input partition count via a projected spark_partition_id). The "
+    "oracle asserts within_bound = true literally: the bound is a "
+    "theorem about the operator, so any partitioning that violated "
+    "it would hash-mismatch — the same gate shape as the recall-"
+    "gated ANN rows but exact rather than tolerant. The summary "
+    "itself is partition-dependent (only the BOUND is certified "
+    "cross-engine); the tight per-partition property is pinned in "
+    "tests/test_capabilities.py. At 100 TB: one mapInPandas "
+    "compression pass (<= m rows leave each partition), a <= 50-row "
+    "window, and broadcast-sized prob/target tables.",
+    tags=("agg", "sketch", "quantile"),
+)
+def qa28_quantile_summary_certificate(spark, sf_dir):
+    from sora_spark.operators import sketch
+
+    PROBS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    M = 256
+    li = tables(spark, sf_dir).lineitem.select("l_quantity")
+    stats = (
+        li.withColumn("_pid", F.spark_partition_id())
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("_pid").alias("np"),
+        )
+        .collect()[0]
+    )
+    n, n_parts = int(stats["n"]), int(stats["np"])
+    bound = n / M + n_parts
+
+    summ = sketch.quantile_summary(li, "l_quantity", m=M)
+    est = sketch.summary_quantiles(summ, PROBS).withColumnRenamed(
+        "value", "est_v"
+    )
+
+    vc = li.groupBy("l_quantity").agg(F.count("*").alias("c"))
+    w = Window.orderBy("l_quantity").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = vc.select(
+        F.col("l_quantity").alias("v"),
+        F.col("c"),
+        F.sum("c").over(w).alias("cum_le"),
+    ).withColumn("cum_lt", F.col("cum_le") - F.col("c"))
+
+    targets = spark.createDataFrame(
+        [(p, -(-int(p * n * 10**6) // 10**6)) for p in PROBS],
+        "p double, target bigint",
+    )
+    exact = (
+        targets.join(cum, cum["cum_le"] >= targets["target"])
+        .groupBy("p", "target")
+        .agg(F.min("v").alias("exact_q"))
+    )
+    return (
+        exact.join(est, "p")
+        .join(cum, F.col("est_v") == F.col("v"))
+        .select(
+            "p",
+            F.round("exact_q", 1).alias("exact_q"),
+            (
+                (F.col("cum_le") >= F.col("target") - F.lit(bound))
+                & (F.col("cum_lt") <= F.col("target") - 1 + F.lit(bound))
+            ).alias("within_bound"),
+        )
+        .orderBy("p")
+    )
