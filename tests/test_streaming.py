@@ -523,3 +523,50 @@ def test_tws_env_gap_is_loud(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_qs13_chained_two_state_operators(spark, sf_dir):
+    """Execution-evidence pin for the qs13 topology: ONE streaming
+    query must hold TWO state stores — session-window MERGE state for
+    the dynamic-gap sessions AND a downstream streaming-agg store for
+    the 1-day rollup (the SPARK-40925 chained-stateful shape). The
+    declared row hash-gates the VALUES; this pins the mechanism, so a
+    refactor that silently collapses the chain into one stateful
+    stage (or splits it into two queries) fails here even if values
+    survive."""
+    d = replay.stage_run_dir(spark, sf_dir, "qs13pin", n_files=3)
+    ev = replay.events_stream(spark, d).withWatermark("ts", "40 days")
+    gap = F.concat(
+        (F.lit(600) * (F.lit(1) + F.pmod("user_id", F.lit(3))))
+        .cast("string"),
+        F.lit(" seconds"),
+    )
+    sess = ev.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    daily = sess.groupBy(
+        F.window(F.window_time("session_window"), "1 day")
+    ).agg(F.count("*").alias("n_sessions"))
+    q = (
+        daily.writeStream.format("memory")
+        .queryName(_qname())
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        names = sorted(
+            o.get("operatorName", "")
+            for o in q.lastProgress["stateOperators"]
+        )
+        assert names == ["sessionWindowStateStoreSaveExec", "stateStoreSave"], (
+            f"expected session-window + downstream agg state, got {names}"
+        )
+        merge_state = next(
+            o
+            for o in q.lastProgress["stateOperators"]
+            if o["operatorName"] == "sessionWindowStateStoreSaveExec"
+        )
+        assert merge_state["numRowsTotal"] > 0
+    finally:
+        q.stop()
