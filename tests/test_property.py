@@ -1499,3 +1499,54 @@ def test_bpe_ranked_equals_sequential_on_trained_lists(words, spark):
         w: (ranked[w], seq[w]) for w in seq if ranked[w] != seq[w]
     })
     assert all("".join(t) == w for w, t in ranked.items())
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),  # ts
+            st.integers(min_value=1, max_value=40),   # per-event gap
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_running_max_sessionization_theorem(events):
+    """The qs13 oracle's load-bearing claim, property-tested in pure
+    Python: sessionizing by the RUNNING MAX of all prior (ts + gap)
+    equals true interval-merge sessionization (Spark's session_window
+    semantics: event windows [ts, ts+gap) merge while they overlap,
+    half-open so ts == current session end starts a NEW session).
+
+    Why they agree: if some prior event's end exceeds the current
+    event's ts, that prior event must belong to the CURRENT session —
+    an earlier session's end can never exceed a later session's
+    boundary-event ts (the boundary event started a new session
+    precisely because its ts reached the running end at that point,
+    and ends only grow within a session). Tested with PER-EVENT
+    variable gaps — strictly more general than qs13's per-user-
+    constant gaps — including ties on ts."""
+    evs = sorted(events)
+
+    # ground truth: interval-merge scan (the session_window definition)
+    true_sid, cur_end = [], None
+    sid = 0
+    for ts, gap in evs:
+        if cur_end is None or ts >= cur_end:
+            sid += 1
+            cur_end = ts + gap
+        else:
+            cur_end = max(cur_end, ts + gap)
+        true_sid.append(sid)
+
+    # oracle form: boundary = ts >= max of ALL prior (ts + gap)
+    oracle_sid, run_max = [], None
+    sid2 = 0
+    for ts, gap in evs:
+        if run_max is None or ts >= run_max:
+            sid2 += 1
+        run_max = ts + gap if run_max is None else max(run_max, ts + gap)
+        oracle_sid.append(sid2)
+
+    assert oracle_sid == true_sid
