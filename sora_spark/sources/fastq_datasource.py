@@ -134,19 +134,26 @@ class FastqWriter(DataSourceWriter):
                 os.replace(m.tmp, os.path.join(self.path, m.final))
                 finals.add(m.final)
         if self.overwrite:
-            # Overwrite sweeps ONLY files this sink could have produced
-            # (part-*.fq output and _tmp_* leftovers) — never
-            # user-placed files — and only AFTER every rename has
-            # succeeded, so a crash mid-commit leaves stale parts
-            # behind rather than a partially-deleted directory
-            # (review finding).
+            # mode("overwrite") replaces the directory's CONTENTS —
+            # the same contract as Spark's built-in file sinks — so
+            # the sweep removes every regular file not written by this
+            # run, including foreign files: the reader lists every
+            # non-_tmp_ file in the directory, so anything left behind
+            # would be read back and silently violate overwrite
+            # read-back == written-data (round-9 review finding; the
+            # r08 pattern-restricted sweep had exactly that hole).
+            # Ordering: sweep only AFTER every rename has succeeded,
+            # so a crash mid-commit leaves extra stale files (append-
+            # like, recoverable) rather than a partially-deleted
+            # directory (r08 review finding). Subdirectories are left
+            # alone — the sink never creates them and the reader
+            # never descends into them.
             for f in os.listdir(self.path):
                 if f in finals:
                     continue
-                if (f.startswith("part-") and f.endswith(".fq")) or f.startswith(
-                    "_tmp_"
-                ):
-                    os.remove(os.path.join(self.path, f))
+                full = os.path.join(self.path, f)
+                if os.path.isfile(full):
+                    os.remove(full)
 
     def abort(self, messages):
         for m in messages:

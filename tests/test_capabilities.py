@@ -1618,3 +1618,43 @@ def test_quantile_summary_exact_when_m_exceeds_n(spark):
         summ, [0.1, 0.5, 1.0]
     ).collect()}
     assert got == {0.1: 1.0, 0.5: 5.0, 1.0: 10.0}
+
+
+def test_fastq_overwrite_replaces_directory_contents(spark):
+    """mode('overwrite') must mean read-back == this write, exactly —
+    the reader lists EVERY non-temp file in the directory, so the
+    overwrite sweep has to remove foreign files too (a pattern-
+    restricted sweep leaves a hand-placed 'legacy.fq' that the next
+    read silently unions in — round-9 review finding). Append mode,
+    by contrast, leaves existing files alone. Crash-safety ordering
+    (delete after rename) is preserved: the sweep only runs once this
+    run's parts are all in place."""
+    from sora_spark.sources.fastq_datasource import register
+
+    register(spark)
+    out = f"/root/repo/.scratch/fastqow-{uuid.uuid4().hex[:6]}"
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "legacy.fq"), "w") as f:
+        f.write("@old\nAA\n+\nII\n")
+    df = spark.createDataFrame(
+        [("r1", "ACGT", "IIII")], "header string, sequence string, quality string"
+    )
+    df.write.format("fastq").mode("overwrite").save(out)
+    back = {
+        (r["header"], r["sequence"], r["quality"])
+        for r in spark.read.format("fastq").load(out).collect()
+    }
+    assert back == {("r1", "ACGT", "IIII")}, (
+        "overwrite left stale records readable"
+    )
+    assert not os.path.exists(os.path.join(out, "legacy.fq"))
+    # append keeps everything already there
+    df2 = spark.createDataFrame(
+        [("r2", "GG", "!!")], "header string, sequence string, quality string"
+    )
+    df2.write.format("fastq").mode("append").save(out)
+    back2 = {
+        r["header"]
+        for r in spark.read.format("fastq").load(out).collect()
+    }
+    assert back2 == {"r1", "r2"}
