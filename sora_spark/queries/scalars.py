@@ -780,3 +780,87 @@ def qx19_map_lambda_family(spark, sf_dir):
         .orderBy("l_orderkey")
         .limit(200)
     )
+
+
+@query(
+    "qx20_variant_type",
+    oracle="""
+WITH j AS (
+  SELECT event_type,
+         '{"meta":{"uid":' || user_id || ',"et":"' || event_type ||
+         '"},"cents":' || CAST(floor(value * 100) AS BIGINT) ||
+         ',"tags":[' || event_id % 7 || ',' || event_id % 3 || ']}' AS js
+  FROM events),
+x AS (
+  SELECT event_type,
+         CAST(json_extract(js, '$.meta.uid') AS BIGINT) AS uid,
+         CAST(json_extract(js, '$.cents') AS BIGINT) AS cents,
+         CAST(json_extract(js, '$.tags[0]') AS BIGINT) AS t0,
+         CAST(json_extract(js, '$.tags[1]') AS BIGINT) AS t1,
+         json_extract(js, '$.missing') AS m
+  FROM j)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(uid) AS BIGINT) AS sum_uid,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(sum(t0 * 10 + t1) AS BIGINT) AS sum_tags,
+       CAST(sum(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing,
+       'OBJECT<cents: BIGINT, meta: OBJECT<et: STRING, uid: BIGINT>, tags: ARRAY<BIGINT>>'
+         AS schema_min
+FROM x GROUP BY event_type ORDER BY event_type
+""",
+    doc="Q-X20: the Spark 4 VARIANT type end-to-end — parse_json into "
+    "a VariantType column, typed path extraction with variant_get "
+    "(nested object '$.meta.uid', top-level '$.cents', array "
+    "subscripts '$.tags[0]'), try_variant_get returning NULL for a "
+    "missing path (counted per group, so the null contract is "
+    "hash-gated), and schema_of_variant's inferred schema string "
+    "pinned as a literal in the oracle (the Spark 4.1 format — a "
+    "format change surfaces as a visible hash break, which is the "
+    "point of pinning it). Input JSON is constructed "
+    "deterministically from events columns (ints and enum strings "
+    "only — no doubles serialized into text, and cents via floor() "
+    "which is representation-exact in both engines). The oracle is "
+    "plain json_extract over the same strings: VARIANT's typed "
+    "accessors must agree with classic JSON extraction wherever "
+    "both are defined. At 100 TB VARIANT is the semi-structured "
+    "scan format: parse once, binary-encoded fields after, no "
+    "per-query string re-parsing — map-only here, one aggregation.",
+    tags=("scalar", "json", "variant", "spark4"),
+)
+def qx20_variant_type(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    j = F.concat(
+        F.lit('{"meta":{"uid":'), F.col("user_id"),
+        F.lit(',"et":"'), F.col("event_type"),
+        F.lit('"},"cents":'), F.floor(F.col("value") * 100).cast("long"),
+        F.lit(',"tags":['), F.pmod("event_id", F.lit(7)),
+        F.lit(","), F.pmod("event_id", F.lit(3)), F.lit("]}"),
+    )
+    v = F.parse_json(j)
+    return (
+        ev.select(
+            F.col("event_type"),
+            F.variant_get(v, "$.meta.uid", "long").alias("uid"),
+            F.variant_get(v, "$.cents", "long").alias("cents"),
+            F.variant_get(v, "$.tags[0]", "long").alias("t0"),
+            F.variant_get(v, "$.tags[1]", "long").alias("t1"),
+            F.try_variant_get(v, "$.missing", "long").alias("m"),
+            F.schema_of_variant(v).alias("sch"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("uid").cast("bigint").alias("sum_uid"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.sum(F.col("t0") * 10 + F.col("t1"))
+            .cast("bigint")
+            .alias("sum_tags"),
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing"),
+            F.min("sch").alias("schema_min"),
+        )
+        .orderBy("event_type")
+    )
