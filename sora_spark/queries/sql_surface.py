@@ -185,3 +185,52 @@ ORDER BY prio
 def qsub5_sql_pivot(spark, sf_dir):
     tables(spark, sf_dir).register_views()
     return spark.sql(_PIVOT_SQL)
+
+
+_PARAM_SQL = """
+SELECT c.c_mktsegment AS seg,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice >= :min_total
+  AND c.c_mktsegment IN (:seg_a, :seg_b)
+GROUP BY seg
+ORDER BY seg
+"""
+
+
+@query(
+    "qsub6_parameterized_sql",
+    oracle="""
+SELECT c.c_mktsegment AS seg,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice >= 150000.0
+  AND c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+GROUP BY seg
+ORDER BY seg
+""",
+    doc="qsub6: parameterized SQL (Spark 4 named parameter markers) — "
+    "the SQL text carries :min_total/:seg_a/:seg_b placeholders and "
+    "values arrive via spark.sql(query, args={...}), the "
+    "injection-safe API a multi-tenant SQL entry point must use "
+    "instead of string interpolation. Parameters bind as typed "
+    "literals BEFORE analysis, so Catalyst constant-folds and "
+    "pushes the bound predicate into the scan exactly as a literal "
+    "query would. The oracle is the literal-substituted text; "
+    "matching hashes certify that binding is value-identical to "
+    "inlining. Engine.sql(query, args=...) exposes the same call "
+    "shape (parity pinned in tests/test_sql_parity.py).",
+    tags=("sql", "parameterized"),
+)
+def qsub6_parameterized_sql(spark, sf_dir):
+    tables(spark, sf_dir).register_views()
+    return spark.sql(
+        _PARAM_SQL,
+        args={
+            "min_total": 150000.0,
+            "seg_a": "BUILDING",
+            "seg_b": "MACHINERY",
+        },
+    )

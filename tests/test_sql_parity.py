@@ -175,3 +175,37 @@ def test_sql_entry_parity(engine, spark, sf_dir, family):
         REGISTRY[name].spark_fn(spark, sf_dir).columns
     ), f"{family}/{name}: column mismatch"
     assert sql_rows == df_rows, f"{family}/{name}: value mismatch"
+
+
+def test_sql_entry_parameterized_args(engine, spark, sf_dir):
+    """Engine.sql(query, args=...) — named-parameter binding through
+    the engine surface must equal both the literal-inlined SQL text
+    and the qsub6 registry row (which certifies the same binding
+    against DuckDB)."""
+    from sora_spark.queries.sql_surface import _PARAM_SQL
+
+    args = {
+        "min_total": 150000.0,
+        "seg_a": "BUILDING",
+        "seg_b": "MACHINERY",
+    }
+    bound = sorted(map(tuple, engine.sql(_PARAM_SQL, args=args).collect()))
+    literal = sorted(
+        map(
+            tuple,
+            engine.sql(
+                _PARAM_SQL.replace(":min_total", "150000.0")
+                .replace(":seg_a", "'BUILDING'")
+                .replace(":seg_b", "'MACHINERY'")
+            ).collect(),
+        )
+    )
+    reg = sorted(
+        map(
+            tuple,
+            REGISTRY["qsub6_parameterized_sql"]
+            .spark_fn(spark, sf_dir)
+            .collect(),
+        )
+    )
+    assert bound == literal == reg
