@@ -839,3 +839,22 @@ def test_grouping_sets_single_expand(spark, sf_dir):
     assert p.count("Expand") == 1, p
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "partial_" in p
+
+
+def test_parameterized_sql_binds_before_pushdown(spark, sf_dir):
+    """qsub6's load-bearing claim: named parameters bind as typed
+    literals BEFORE analysis, so the bound predicates reach the
+    parquet scans exactly like literal SQL — GreaterThanOrEqual on
+    o_totalprice pushed to the orders scan, the two-segment In() to
+    the customer scan, and the customer side broadcast (it is
+    dim-sized). A parameter binding that survived to runtime as an
+    opaque expression would break all three."""
+    p = _plan(spark, sf_dir, "qsub6_parameterized_sql")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any(
+        "GreaterThanOrEqual(o_totalprice,150000.0)" in l for l in pushed
+    ), f"bound :min_total not pushed to the orders scan: {pushed}"
+    assert any(
+        "In(c_mktsegment" in l and "BUILDING" in l for l in pushed
+    ), f"bound segment IN-list not pushed to the customer scan: {pushed}"
+    assert "BroadcastExchange" in p, "customer side must broadcast"
