@@ -387,21 +387,28 @@ def de_bruijn_edges(documents: DataFrame, k: int = DEBRUIJN_K) -> DataFrame:
     contigs fall out as non-branching chains, no pairwise read join at
     all - construction is a MAP-SIDE in-row window expansion (fan-out
     = chars per doc) followed by ONE distinct, so at 100 TB it
-    shuffles each (s, d) pair once and nothing else. Mirrors
-    DEBRUIJN_SQL exactly (full-length windows only)."""
+    shuffles each window once and nothing else. Mirrors DEBRUIJN_SQL
+    exactly (full-length windows only).
+
+    Shuffle-size trick: the edge (s, d) is a bijection of the single
+    (k+1)-char window w (s = w[:k], d = w[1:]), so the distinct runs
+    on w — one (k+1)-char string per row instead of a 2k-char pair —
+    and s/d are derived map-side AFTER the dedup. Same distinct edge
+    set, ~45% less shuffle payload and half the substr work in the
+    expansion (measured 4.4 s -> 2.9 s warm at sf0.1, round-9)."""
     n_win = (F.col("n_chars") - F.lit(k)).cast("int")
     win = F.transform(
         F.sequence(F.lit(1), n_win),
-        lambda i: F.struct(
-            F.col("text").substr(i, F.lit(k)).alias("s"),
-            F.col("text").substr(i + 1, F.lit(k)).alias("d"),
-        ),
+        lambda i: F.col("text").substr(i, F.lit(k + 1)),
     )
-    return (
+    w = (
         documents.filter(F.col("n_chars") >= k + 1)
-        .select(F.explode(win).alias("e"))
-        .select("e.s", "e.d")
+        .select(F.explode(win).alias("w"))
         .distinct()
+    )
+    return w.select(
+        F.col("w").substr(1, k).alias("s"),
+        F.col("w").substr(2, k).alias("d"),
     )
 
 
