@@ -864,3 +864,56 @@ def qx20_variant_type(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "qx21_collated_strings",
+    oracle="""
+WITH v AS (
+  SELECT lang, unnest([source, upper(source)]) AS src FROM documents)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_binary_distinct,
+       CAST(count(DISTINCT lower(src)) AS BIGINT) AS n_ci_distinct,
+       CAST(sum(CASE WHEN lower(src) = lower('SRC0') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_eq_src0,
+       'SYSTEM.BUILTIN.UTF8_LCASE' AS coll_name
+FROM v GROUP BY lang ORDER BY lang
+""",
+    doc="Q-X21: Spark 4 string collations — F.collate(col, "
+    "'UTF8_LCASE') makes case-insensitivity a property of the TYPE, "
+    "so equality, aggregation keys and countDistinct all follow it "
+    "without rewriting expressions: the row certifies collated "
+    "countDistinct (case-folded distinct = exactly half the binary "
+    "distinct on the clean/SHOUTED variant pairs), collated equality "
+    "against a literal, and F.collation() reporting the qualified "
+    "collation name (pinned literally — a provider/name change is a "
+    "visible hash break). Oracle = lower()-based folding, which for "
+    "the fixture's ASCII source tags is definitionally identical to "
+    "UTF8_LCASE. Grouping stays on the BINARY lang column, so "
+    "cross-engine sort order never depends on collator internals. "
+    "At 100 TB collation-aware shuffles hash the collation key "
+    "(Spark derives it), so a ci-groupBy partitions correctly "
+    "without a manual lower() normalization column.",
+    tags=("scalar", "collation", "spark4"),
+)
+def qx21_collated_strings(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    v = docs.select(
+        "lang",
+        F.explode(F.array(F.col("source"), F.upper("source"))).alias("src"),
+    )
+    ci = F.collate(F.col("src"), "UTF8_LCASE")
+    return (
+        v.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct("src").cast("bigint").alias("n_binary_distinct"),
+            F.countDistinct(ci).cast("bigint").alias("n_ci_distinct"),
+            F.sum((ci == F.lit("SRC0")).cast("int"))
+            .cast("bigint")
+            .alias("n_eq_src0"),
+            F.min(F.collation(ci)).alias("coll_name"),
+        )
+        .orderBy("lang")
+    )
