@@ -52,15 +52,13 @@ class Engine:
 
     # ---- entry points ---------------------------------------------------
 
-    def sql(self, query: str, args=None) -> DataFrame:
+    def sql(self, query: str, args: dict | list | None = None) -> DataFrame:
         """SQL entry point over the attached views. `args` forwards to
         Spark's named-parameter binding (`spark.sql(query, args=...)`,
         markers like `:min_total`) — the injection-safe path a
         multi-tenant entry point must offer; qsub6 certifies that
         binding is value-identical to literal inlining."""
         self._require_attached()
-        if args is None:
-            return self.spark.sql(query)
         return self.spark.sql(query, args=args)
 
     def table(self, name: str) -> DataFrame:
