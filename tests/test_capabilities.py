@@ -1658,3 +1658,35 @@ def test_fastq_overwrite_replaces_directory_contents(spark):
         for r in spark.read.format("fastq").load(out).collect()
     }
     assert back2 == {"r1", "r2"}
+
+
+def test_variant_parquet_roundtrip(spark, tmp_path):
+    """qx20's storage claim executed: a VariantType column written to
+    parquet survives as VARIANT (not stringified) and typed
+    variant_get paths read back the same values — the parse-once,
+    binary-encoded-thereafter contract that makes VARIANT the
+    semi-structured scan format at 100 TB. Also pins the physical
+    behavior: a missing path stays NULL through the roundtrip."""
+    df = spark.range(50).select(
+        F.col("id"),
+        F.parse_json(
+            F.concat(
+                F.lit('{"a":'), F.col("id"),
+                F.lit(',"b":[1,'), F.pmod("id", F.lit(7)), F.lit("]}"),
+            )
+        ).alias("v"),
+    )
+    d = str(tmp_path / "variant_pq")
+    df.write.parquet(d)
+    back = spark.read.parquet(d)
+    assert dict(back.dtypes)["v"] == "variant", back.dtypes
+    got = {
+        (r["id"], r["a"], r["b1"], r["m"])
+        for r in back.select(
+            "id",
+            F.variant_get("v", "$.a", "long").alias("a"),
+            F.variant_get("v", "$.b[1]", "long").alias("b1"),
+            F.try_variant_get("v", "$.missing", "long").alias("m"),
+        ).collect()
+    }
+    assert got == {(i, i, i % 7, None) for i in range(50)}
