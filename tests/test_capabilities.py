@@ -1690,3 +1690,40 @@ def test_variant_parquet_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert got == {(i, i, i % 7, None) for i in range(50)}
+
+
+def test_collated_keys_drive_join_and_groupby(spark):
+    """qx21's shuffle claim executed: UTF8_LCASE collated columns used
+    as JOIN and groupBy keys must hash case-variants into the same
+    partition/group — i.e. collation participates in the equality the
+    shuffle uses, with no manual lower() normalization column."""
+    left = spark.createDataFrame(
+        [("Alpha", 1), ("BETA", 2), ("gamma", 3)], "k string, a int"
+    ).select(F.collate("k", "UTF8_LCASE").alias("k"), "a")
+    right = spark.createDataFrame(
+        [("alpha", 10), ("beta", 20), ("GAMMA", 30), ("delta", 40)],
+        "k string, b int",
+    ).select(F.collate("k", "UTF8_LCASE").alias("k"), "b")
+    j = left.join(right, "k").select("a", "b")
+    assert sorted(map(tuple, j.collect())) == [(1, 10), (2, 20), (3, 30)]
+    g = (
+        left.unionByName(right.select("k", F.col("b").alias("a")))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {(r["k"].lower(), r["n"]) for r in g.collect()}
+    assert got == {("alpha", 2), ("beta", 2), ("gamma", 2), ("delta", 1)}
+
+
+def test_parameterized_sql_positional_markers(spark):
+    """The positional twin of qsub6: '?' markers bound from a list via
+    spark.sql(query, args=[...]) must equal the literal form."""
+    spark.range(10).createOrReplaceTempView("pp_r")
+    bound = spark.sql(
+        "SELECT count(*) AS n, sum(id) AS s FROM pp_r WHERE id >= ? AND id < ?",
+        args=[3, 8],
+    ).collect()
+    literal = spark.sql(
+        "SELECT count(*) AS n, sum(id) AS s FROM pp_r WHERE id >= 3 AND id < 8"
+    ).collect()
+    assert [tuple(r) for r in bound] == [tuple(r) for r in literal] == [(5, 25)]
