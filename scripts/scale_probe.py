@@ -159,10 +159,13 @@ def main() -> None:
     from sora_spark.queries import REGISTRY
     from sora_spark.session import build_session
 
+    # q15 (indexed ANN probe) lives outside BENCH_QUERIES — bench.py
+    # special-cases it for setup — so include it explicitly in the
+    # default sweep or a full probe run would silently skip it
     wanted = (
         {q.strip() for q in args.queries.split(",")}
         if args.queries
-        else set(BENCH_QUERIES)
+        else set(BENCH_QUERIES) | {"q15"}
     )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = build_session(app_name="sora-scale-probe", master=f"local[{cpus}]")
