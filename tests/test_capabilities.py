@@ -1727,3 +1727,32 @@ def test_parameterized_sql_positional_markers(spark):
         "SELECT count(*) AS n, sum(id) AS s FROM pp_r WHERE id >= 3 AND id < 8"
     ).collect()
     assert [tuple(r) for r in bound] == [tuple(r) for r in literal] == [(5, 25)]
+
+
+def test_entry_rotation_fronts_stalest_rows():
+    """__spark_entry__._ordered_names() is what decides which 50 rows
+    the driver's CORRECTNESS window certifies each round — pin its
+    contract: (1) a permutation of the registry, (2) every row with
+    NO driver-green record sorts before every row that has one (so a
+    bounded window always certifies the stalest results first),
+    (3) rows lacking an oracle never displace an oracle-eligible
+    never-green row, (4) deterministic across calls."""
+    import __spark_entry__ as entry
+    from sora_spark.queries import REGISTRY as REG
+
+    names = entry._ordered_names()
+    assert sorted(names) == sorted(REG), "must be a registry permutation"
+    assert names == entry._ordered_names(), "must be deterministic"
+
+    latest = entry._last_green_round()
+    first_green = next(
+        (i for i, n in enumerate(names) if n in latest), len(names)
+    )
+    stale_after_green = [
+        n for n in names[first_green:] if n not in latest
+        and REG[n].oracle is not None
+    ]
+    assert stale_after_green == [], (
+        "oracle-eligible never-green rows sorted behind a green row: "
+        f"{stale_after_green[:5]}"
+    )
