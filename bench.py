@@ -8,6 +8,17 @@ robust to one noisy run in either direction — round-2 finding on q1).
 The JSON line carries provenance (git SHA, session conf, versions) so
 cross-round comparisons can separate code changes from host drift.
 
+Round-10 addition (r09 verdict task 1): per-query DETERMINISTIC
+execution metrics next to wall-clock — shuffle read/write bytes,
+input bytes and total task CPU seconds, read from the public
+AppStatusStore (the same store that backs the monitoring REST API).
+Shuffle/input bytes are load-independent for a fixed plan, so a
+code-path regression shows up as a bytes/CPU delta even when the host
+is noisy; two consecutive rounds of wall-clock drift arguments
+(q2/q4/q11 in r08, q10/q12 in r09) end here. Emitted as
+`"exec_metrics": {q: {shuffle_read_mb, shuffle_write_mb, input_mb,
+cpu_s, run_s}}` (median of the 3 warm runs, bytes rounded to 0.01 MB).
+
 Gate (BASELINE.md): each warm time <= 2x the pyspark-stock warm column.
 """
 
@@ -93,7 +104,56 @@ BENCH_QUERIES = {
 B15_RECALL_FLOOR = 0.70
 
 
-def _bench_q15(spark, sf_dir: str, warm: dict, gates: dict) -> None:
+def _stage_totals(spark) -> dict[str, float]:
+    """Cumulative task metrics over every stage the status store retains.
+
+    Reads the in-process AppStatusStore (public monitoring data — the
+    identical numbers the /api/v1/.../stages REST endpoint serves) via
+    py4j; the bench session raises spark.ui.retainedStages above the
+    whole run's stage count so no stage is evicted between snapshots.
+    The listener bus is drained first so the just-finished job's task
+    metrics are fully posted before we read.
+    """
+    sc = spark.sparkContext
+    try:
+        sc._jsc.sc().listenerBus().waitUntilEmpty()
+    except Exception:
+        time.sleep(0.2)  # bus drain best-effort; metrics post within ms
+    store = sc._jsc.sc().statusStore()
+    empty = sc._jvm.java.util.ArrayList()
+    no_quantiles = sc._gateway.new_array(sc._gateway.jvm.double, 0)
+    stages = store.stageList(empty, False, False, no_quantiles, empty)
+    tot = {"shuffle_read": 0, "shuffle_write": 0, "input": 0,
+           "cpu_ns": 0, "run_ms": 0}
+    it = stages.iterator()
+    while it.hasNext():
+        s = it.next()
+        tot["shuffle_read"] += s.shuffleReadBytes()
+        tot["shuffle_write"] += s.shuffleWriteBytes()
+        tot["input"] += s.inputBytes()
+        tot["cpu_ns"] += s.executorCpuTime()
+        tot["run_ms"] += s.executorRunTime()
+    return tot
+
+
+def _metrics_delta(before: dict, after: dict) -> dict[str, float]:
+    mb = 1024.0 * 1024.0
+    return {
+        "shuffle_read_mb": round((after["shuffle_read"] - before["shuffle_read"]) / mb, 2),
+        "shuffle_write_mb": round((after["shuffle_write"] - before["shuffle_write"]) / mb, 2),
+        "input_mb": round((after["input"] - before["input"]) / mb, 2),
+        "cpu_s": round((after["cpu_ns"] - before["cpu_ns"]) / 1e9, 3),
+        "run_s": round((after["run_ms"] - before["run_ms"]) / 1e3, 3),
+    }
+
+
+def _median_metrics(deltas: list[dict]) -> dict[str, float]:
+    return {k: round(statistics.median(d[k] for d in deltas), 3)
+            for k in deltas[0]}
+
+
+def _bench_q15(spark, sf_dir: str, warm: dict, gates: dict,
+               exec_metrics: dict) -> None:
     import shutil
     import tempfile
 
@@ -114,15 +174,20 @@ def _bench_q15(spark, sf_dir: str, warm: dict, gates: dict) -> None:
             for r in ann.brute_force_topk(emb, probes, k=10).collect()
         }
         times = []
+        deltas = []
         rows = None
-        for _ in range(4):
+        for i in range(4):
             gc.collect()
+            before = _stage_totals(spark)
             t0 = time.perf_counter()
             rows = ann.ivf_topk_indexed(
                 spark, path, probes, k=10, n_probe=8
             ).collect()
             times.append(time.perf_counter() - t0)
+            if i > 0:
+                deltas.append(_metrics_delta(before, _stage_totals(spark)))
         warm["q15"] = round(statistics.median(times[1:]), 4)
+        exec_metrics["q15"] = _median_metrics(deltas)
         got = {(r["probe_id"], r["neighbor_id"]) for r in rows}
         recall = round(len(exact & got) / len(exact), 4)
         gates["q15_recall_at_10"] = recall
@@ -152,7 +217,14 @@ def main() -> None:
     from sora_spark.queries import REGISTRY
     from sora_spark.session import build_session
 
-    spark = build_session(app_name="sora-bench", master=f"local[{cpus}]")
+    spark = build_session(
+        app_name="sora-bench",
+        master=f"local[{cpus}]",
+        # keep every stage of the whole bench run in the status store so
+        # the per-query metric snapshots never lose stages to eviction
+        # (r09 ended near stage 1600; 20k is ~12x headroom)
+        extra_conf={"spark.ui.retainedStages": "20000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # SORA_ANALYZE=1: exercise the CBO feed path (external metastore
@@ -167,28 +239,36 @@ def main() -> None:
         register_analyzed_tables(spark, sf_dir)
 
     warm: dict[str, float] = {}
+    exec_metrics: dict[str, dict] = {}
     for key, name in BENCH_QUERIES.items():
         fn = REGISTRY[name].spark_fn
         times = []
-        for _ in range(4):
+        deltas = []
+        for i in range(4):
             # drop refs to the previous run's localCheckpoint RDDs so
             # ContextCleaner frees their blocks — otherwise iterative
             # queries (q10) accumulate block-manager pressure across
             # runs and warm runs come out SLOWER than cold
             gc.collect()
+            before = _stage_totals(spark)
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             times.append(time.perf_counter() - t0)
+            if i > 0:  # metrics for the warm runs only, like the clock
+                deltas.append(_metrics_delta(before, _stage_totals(spark)))
         # warm = median of the 3 post-cold runs (run 1 pays codegen/JIT)
         warm[key] = round(statistics.median(times[1:]), 4)
+        exec_metrics[key] = _median_metrics(deltas)
         print(
             f"[bench] {key} {name}: cold={times[0]:.3f}s "
-            f"warm={warm[key]:.3f}s runs={[round(t, 3) for t in times[1:]]}",
+            f"warm={warm[key]:.3f}s runs={[round(t, 3) for t in times[1:]]} "
+            f"cpu={exec_metrics[key]['cpu_s']}s "
+            f"shuf_w={exec_metrics[key]['shuffle_write_mb']}MB",
             file=sys.stderr,
         )
 
     gates: dict[str, float] = {}
-    _bench_q15(spark, sf_dir, warm, gates)
+    _bench_q15(spark, sf_dir, warm, gates, exec_metrics)
 
     try:
         sha = subprocess.run(
@@ -205,6 +285,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": warm,
+        "exec_metrics": exec_metrics,
         "gates": gates,
         "sf": sf,
         "provenance": {
