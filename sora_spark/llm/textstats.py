@@ -3,10 +3,14 @@ extensions): language-ID (stopword heuristic), quality scoring,
 token counting, TF-IDF, document fingerprinting.
 
 All pure Column/DataFrame compositions — explode + groupBy shapes that
-stay inside whole-stage codegen; nothing here crosses into Python.
+stay inside whole-stage codegen; the ONE exception is the NFC step of
+encoding_repair (an Arrow-batched pandas UDF — Unicode normalization
+has no JVM builtin).
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -586,3 +590,148 @@ def bigram_pairs(text_col):
             F.element_at(w, i + 1).alias("b"),
         ),
     )
+
+
+def chargram_language_id(
+    df: DataFrame, n: int = 3, mod: int = 10, train_lt: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-n-gram Naive-Bayes language identification (the
+    textcat / langid.py family): per-language n-gram profiles learned
+    on a deterministic train split (doc_id % mod < train_lt), held-out
+    docs scored by add-one-smoothed multinomial log-likelihood plus a
+    log-prior, argmax with a language-name tie-break.
+
+    Returns one row per held-out doc: (doc_id, actual_lang, pred_lang).
+
+    Scale shape (100 TB): the profile table is VOCAB-sized (char
+    n-grams are bounded by charset^n, not corpus size) and the
+    language list is tiny, so both ride a broadcast; the corpus-sized
+    work is one explode + two hash aggregations + a broadcast join —
+    map-side all the way, no all-pairs anything. The argmax window
+    partitions by doc_id (perfectly parallel).
+
+    On THIS fixture the label is statistically independent of the text
+    (every lang draws from the same 31-word vocabulary), so accuracy
+    sits near the majority-class floor — a property of the synthetic
+    data, not the operator; the oracle certifies the math, and the
+    confusion matrix makes the floor visible instead of hiding it.
+    """
+    g = df.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % mod < train_lt).alias("is_train"),
+        F.explode(char_shingles(F.col(text_col), n)).alias("g"),
+    )
+    train_g = g.filter("is_train")
+    prof = train_g.groupBy("lang", "g").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    tot = prof.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    vocab = train_g.agg(F.countDistinct("g").cast("double").alias("v"))
+    train_docs = df.filter(F.col("doc_id") % mod < train_lt)
+    priors = (
+        train_docs.groupBy("lang")
+        .agg(F.count("*").cast("double").alias("nd"))
+        .crossJoin(
+            F.broadcast(
+                train_docs.agg(F.count("*").cast("double").alias("ntot"))
+            )
+        )
+        .select("lang", F.log(F.col("nd") / F.col("ntot")).alias("prior"))
+    )
+    # 5-row candidate table: (cand_lang, prior, tot, v)
+    cands = (
+        priors.join(tot, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col("lang").alias("cand_lang"), "prior", "tot", "v")
+    )
+    tf = (
+        g.filter(~F.col("is_train"))
+        .groupBy("doc_id", F.col("lang").alias("actual_lang"), "g")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    scored = (
+        tf.crossJoin(F.broadcast(cands))
+        .join(
+            F.broadcast(
+                prof.select(F.col("lang").alias("cand_lang"), "g", "cnt")
+            ),
+            ["cand_lang", "g"],
+            "left",
+        )
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0.0)))
+        .withColumn(
+            "term",
+            F.col("tf")
+            * F.log((F.col("cnt") + 1.0) / (F.col("tot") + F.col("v"))),
+        )
+        .groupBy("doc_id", "actual_lang", "cand_lang", "prior")
+        .agg(F.sum("term").alias("ll"))
+        .withColumn("score", F.col("ll") + F.col("prior"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cand_lang")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", "actual_lang", F.col("cand_lang").alias("pred_lang")
+        )
+    )
+
+
+# Control characters a text-cleaning pass strips (keeps \t \n \r, which
+# whitespace canonicalization handles): same RE2-safe class both engines.
+_CTRL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+# The classic UTF-8-read-as-Latin-1 mojibake pairs a crawl cleaner maps
+# back. Deliberately a small fixed table mirrored verbatim in the
+# oracle SQL; extend both sides together.
+MOJIBAKE_MAP: list[tuple[str, str]] = [
+    ("Ã©", "é"),  # A-tilde + copyright-ish pair -> e-acute
+    ("Ã¨", "è"),  # -> e-grave
+    ("Ã¤", "ä"),  # -> a-umlaut
+    ("\u00e2\u20ac\u2122", "\u2019"),  # a-circ euro tm -> right single quote
+]
+
+
+def encoding_repair(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-hygiene pass: detect and repair the byte-level junk a
+    100 TB crawl carries — BOM / zero-width no-break, NBSP, control
+    characters, CRLF, Latin-1 mojibake, decomposed combining marks —
+    then NFC-normalize and canonicalize whitespace.
+
+    Adds detection flags (computed on the INPUT text) and a `repaired`
+    column. Everything except the NFC step is JVM-side
+    replace/regexp_replace inside codegen; NFC is one Arrow-batched
+    pandas UDF (Python's unicodedata and DuckDB's utf8proc implement
+    the same Unicode normalization standard).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    t = F.col(text_col)
+    out = (
+        df.withColumn("had_bom", t.contains("\ufeff"))
+        .withColumn("had_nbsp", t.contains("\u00a0"))
+        .withColumn("had_ctrl", t.rlike(_CTRL_CLASS))
+        .withColumn("had_crlf", t.contains("\r\n"))
+        .withColumn("had_combining", t.contains("\u0301"))
+        .withColumn("had_mojibake", t.contains("Ã©"))
+    )
+    r = t
+    for bad, good in MOJIBAKE_MAP:
+        r = F.replace(r, F.lit(bad), F.lit(good))
+    r = F.replace(r, F.lit("\ufeff"), F.lit(""))
+    r = F.replace(r, F.lit("\u00a0"), F.lit(" "))
+    r = F.regexp_replace(r, _CTRL_CLASS, "")
+    r = _nfc(r)
+    r = F.trim(F.regexp_replace(r, r"\s+", " "))
+    return out.withColumn("repaired", r)

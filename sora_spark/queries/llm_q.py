@@ -2978,3 +2978,171 @@ def qta21_url_canonicalize(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "qta22_language_id_ngram",
+    oracle="""
+WITH t AS (SELECT doc_id, lang, text, (doc_id % 10 < 8) AS is_train
+           FROM documents),
+g AS (SELECT doc_id, lang, is_train, substring(text, CAST(i AS INT), 3) AS g
+      FROM (SELECT doc_id, lang, is_train, text,
+                   unnest(range(1, greatest(length(text) - 1, 1))) AS i
+            FROM t)),
+prof AS (SELECT lang, g, CAST(count(*) AS DOUBLE) AS cnt
+         FROM g WHERE is_train GROUP BY 1, 2),
+tot AS (SELECT lang, sum(cnt) AS tot FROM prof GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT g) AS DOUBLE) AS v
+          FROM g WHERE is_train),
+priors AS (SELECT lang,
+                  ln(CAST(count(*) AS DOUBLE)
+                     / (SELECT count(*) FROM t WHERE is_train)) AS prior
+           FROM t WHERE is_train GROUP BY 1),
+cands AS (SELECT p.lang AS cand_lang, p.prior, tt.tot, v.v
+          FROM priors p JOIN tot tt ON tt.lang = p.lang CROSS JOIN vocab v),
+tf AS (SELECT doc_id, lang AS actual_lang, g,
+              CAST(count(*) AS DOUBLE) AS tf
+       FROM g WHERE NOT is_train GROUP BY 1, 2, 3),
+scored AS (SELECT tf.doc_id, tf.actual_lang, c.cand_lang,
+                  sum(tf.tf * ln((coalesce(pr.cnt, 0) + 1)
+                                 / (c.tot + c.v))) + c.prior AS score
+           FROM tf CROSS JOIN cands c
+           LEFT JOIN prof pr ON pr.lang = c.cand_lang AND pr.g = tf.g
+           GROUP BY tf.doc_id, tf.actual_lang, c.cand_lang, c.prior),
+pred AS (SELECT doc_id, actual_lang, cand_lang AS pred_lang,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, cand_lang) AS rn
+         FROM scored)
+SELECT actual_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="qta22: character-trigram Naive-Bayes language ID (the "
+    "textcat/langid.py design, complementing qta1's stopword "
+    "heuristic) — per-language trigram profiles with add-one "
+    "smoothing learned on the deterministic doc_id%10<8 train split, "
+    "held-out docs scored by log-likelihood + log-prior, argmax with "
+    "language-name tie-break; output is the confusion matrix gated "
+    "against the fixture's lang column. Unrounded scores order the "
+    "argmax on BOTH sides (margins are O(1); cross-engine libm log "
+    "drift is ~1e-12, so rounding before ranking would only ADD a "
+    "boundary risk). On this fixture lang is independent of text "
+    "(all langs share one 31-word vocabulary), so accuracy sits at "
+    "the majority-class floor — a fixture property the confusion "
+    "matrix exposes honestly; the oracle certifies the classifier "
+    "math. Scale: profiles are charset^3-bounded -> broadcast; "
+    "corpus work is explode + hash agg, map-side.",
+    tags=("llm", "text", "language-id"),
+)
+def qta22_language_id_ngram(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    pred = textstats.chargram_language_id(docs, n=3, mod=10, train_lt=8)
+    return (
+        pred.groupBy("actual_lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("actual_lang", "pred_lang")
+    )
+
+
+@query(
+    "qta23_encoding_repair",
+    oracle="""
+WITH c0 AS (SELECT doc_id, text FROM documents),
+c1 AS (SELECT doc_id, text,
+              CASE WHEN doc_id % 11 = 0
+                   THEN replace(text, ' the ',
+                                ' th' || chr(195) || chr(169) || ' ')
+                   ELSE text END AS c FROM c0),
+c2 AS (SELECT doc_id, text,
+              CASE WHEN doc_id % 7 = 0
+                   THEN replace(c, 'e', 'e' || chr(769))
+                   ELSE c END AS c FROM c1),
+c3 AS (SELECT doc_id, text,
+              CASE WHEN doc_id % 5 = 0
+                   THEN replace(c, ' ', chr(13) || chr(10) || chr(7))
+                   ELSE c END AS c FROM c2),
+c4 AS (SELECT doc_id, text,
+              CASE WHEN doc_id % 3 = 0
+                   THEN replace(c, ' ', chr(160))
+                   ELSE c END AS c FROM c3),
+corrupt AS (SELECT doc_id, text,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN chr(65279) || c ELSE c END AS c FROM c4),
+rep AS (SELECT doc_id, text, c,
+  trim(regexp_replace(
+    nfc_normalize(
+      regexp_replace(
+        replace(
+          replace(
+            replace(
+              replace(
+                replace(
+                  replace(c, chr(195) || chr(169), chr(233)),
+                  chr(195) || chr(168), chr(232)),
+                chr(195) || chr(164), chr(228)),
+              chr(226) || chr(8364) || chr(8482), chr(8217)),
+            chr(65279), ''),
+          chr(160), ' '),
+        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')),
+    '\\s+', ' ', 'g')) AS r
+  FROM corrupt)
+SELECT doc_id,
+       CAST(contains(c, chr(65279)) AS INT)             AS had_bom,
+       CAST(contains(c, chr(160)) AS INT)               AS had_nbsp,
+       CAST(regexp_matches(c,
+            '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]') AS INT) AS had_ctrl,
+       CAST(contains(c, chr(13) || chr(10)) AS INT)     AS had_crlf,
+       CAST(contains(c, chr(769)) AS INT)               AS had_combining,
+       CAST(contains(c, chr(195) || chr(169)) AS INT)   AS had_mojibake,
+       CASE WHEN doc_id % 7 != 0 AND doc_id % 11 != 0
+            THEN CAST((r = text) AS INT) END            AS recovered,
+       md5(r)                                           AS repaired_md5
+FROM rep ORDER BY doc_id LIMIT 300
+""",
+    doc="qta23: encoding hygiene — mojibake / BOM / NBSP / control-char "
+    "/ CRLF / decomposed-combining-mark detection and repair with NFC "
+    "normalization and whitespace canonicalization "
+    "(textstats.encoding_repair). The fixture text is clean, so the "
+    "query first injects each defect class DETERMINISTICALLY by "
+    "doc_id residue (both engines build the identical corrupted "
+    "corpus), then repairs; the `recovered` column PROVES the repair "
+    "inverts every lossless defect (BOM, NBSP, ctrl+CRLF) back to the "
+    "byte-identical original, and md5(repaired) hash-gates the lossy "
+    "normalizations (mojibake->é, combining->NFC) cross-engine. "
+    "Everything but the NFC step is JVM replace/regexp inside "
+    "codegen; NFC is one Arrow pandas UDF (unicodedata vs DuckDB "
+    "utf8proc — the same Unicode standard). Map-only at any scale.",
+    tags=("llm", "text", "encoding"),
+)
+def qta23_encoding_repair(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents.select("doc_id", "text")
+    d = F.col("doc_id")
+    c = F.col("text")
+    c = F.when(
+        d % 11 == 0, F.replace(c, F.lit(" the "), F.lit(" thÃ© "))
+    ).otherwise(c)
+    c = F.when(
+        d % 7 == 0, F.replace(c, F.lit("e"), F.lit("e\u0301"))
+    ).otherwise(c)
+    c = F.when(
+        d % 5 == 0, F.replace(c, F.lit(" "), F.lit("\r\n\x07"))
+    ).otherwise(c)
+    c = F.when(
+        d % 3 == 0, F.replace(c, F.lit(" "), F.lit("\u00a0"))
+    ).otherwise(c)
+    c = F.when(d % 2 == 0, F.concat(F.lit("\ufeff"), c)).otherwise(c)
+    corrupted = docs.select("doc_id", F.col("text").alias("orig"),
+                            c.alias("text"))
+    rep = textstats.encoding_repair(corrupted)
+    lossless = (d % 7 != 0) & (d % 11 != 0)
+    return rep.select(
+        "doc_id",
+        F.col("had_bom").cast("int").alias("had_bom"),
+        F.col("had_nbsp").cast("int").alias("had_nbsp"),
+        F.col("had_ctrl").cast("int").alias("had_ctrl"),
+        F.col("had_crlf").cast("int").alias("had_crlf"),
+        F.col("had_combining").cast("int").alias("had_combining"),
+        F.col("had_mojibake").cast("int").alias("had_mojibake"),
+        F.when(lossless, (F.col("repaired") == F.col("orig")).cast("int"))
+        .alias("recovered"),
+        F.md5("repaired").alias("repaired_md5"),
+    ).orderBy("doc_id").limit(300)
