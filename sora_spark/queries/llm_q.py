@@ -2074,7 +2074,15 @@ def qta20_bpe_encode(spark, sf_dir):
     merges, _ = bpe.train(wc, _BPE_ENC_MERGES)
     enc = bpe.encode_words(wc, merges)
     return (
-        enc.select("word", "n", F.explode("tokens").alias("token"))
+        # explode_OUTER, deliberately: plain explode makes Catalyst
+        # infer `size(tokens) > 0` under the Generate and push it past
+        # the projection, which re-evaluates the Arrow encode UDF a
+        # second time per word (seen as two ArrowEvalPython nodes —
+        # 2x the Python cost; round-10 plan-pin finding). Outer explode
+        # carries no inferred filter, and the outputs are identical:
+        # every non-empty word encodes to >= 1 token, so there are no
+        # empty arrays for outer to turn into NULL rows.
+        enc.select("word", "n", F.explode_outer("tokens").alias("token"))
         .groupBy("token")
         .agg(
             F.sum("n").cast("bigint").alias("total_n"),

@@ -858,3 +858,66 @@ def test_parameterized_sql_binds_before_pushdown(spark, sf_dir):
         "In(c_mktsegment" in l and "BUILDING" in l for l in pushed
     ), f"bound segment IN-list not pushed to the customer scan: {pushed}"
     assert "BroadcastExchange" in p, "customer side must broadcast"
+
+
+def test_bpe_encode_single_arrow_eval(spark, sf_dir):
+    """qta20's 100 TB posture: ONE ArrowEvalPython over the
+    checkpointed DISTINCT word table — no parquet rescan below the
+    Python node (the corpus pass already happened and was
+    checkpointed), no row-at-a-time BatchEvalPython, and exactly one
+    UDF evaluation. Plain explode regressed this silently: Catalyst's
+    InferFiltersFromGenerate pushed a size(tokens)>0 filter below the
+    projection and re-evaluated the encode UDF twice per word (2x the
+    vocab-sized Python cost); explode_outer carries no inferred filter
+    (round-10 finding, fixed in qta20)."""
+    import re as _re
+
+    p = _plan(spark, sf_dir, "qta20_bpe_encode")
+    arrow_nodes = _re.findall(r"^\(\d+\) ArrowEvalPython", p, _re.M)
+    assert len(arrow_nodes) == 1, (
+        f"encode must evaluate the Arrow UDF exactly once "
+        f"({len(arrow_nodes)} nodes):\n" + p
+    )
+    assert "BatchEvalPython" not in p, "row-at-a-time Python crept in"
+    assert not _re.search(r"^\(\d+\) Scan parquet", p, _re.M), (
+        "the Python stage must run over the checkpointed word table, "
+        "not a corpus rescan:\n" + p
+    )
+
+
+def test_ivf_indexed_probe_prunes_partitions(spark, sf_dir):
+    """B15's scale contract, pinned at plan level: the probe-side read
+    of a write_ivf_index layout must (a) carry the candidate-cid
+    IN-list as a PARTITION filter (file-level pruning of non-candidate
+    inverted lists — the reason the index exists), and (b) broadcast
+    the probe set into the bucket join (probes are query-sized, the
+    corpus is not); a SortMergeJoin would shuffle the corpus and erase
+    the index's advantage."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sora_spark.llm import ann
+    from sora_spark.queries.bench_core import tables
+
+    emb = tables(spark, sf_dir).embeddings
+    root = tempfile.mkdtemp(prefix="sora_pin_ivf_")
+    path = root + "/index"
+    try:
+        ann.write_ivf_index(emb, path, n_centroids=4, iters=1)
+        probes = emb.filter(F.col("vec_id") % 10 == 0)
+        df = ann.ivf_topk_indexed(spark, path, probes, k=3, n_probe=2)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        part_lines = [l for l in p.splitlines() if "PartitionFilters" in l]
+        assert any(
+            "_cid" in l and " IN " in l for l in part_lines
+        ), f"candidate cids must prune partitions: {part_lines}"
+        assert "BroadcastHashJoin" in p, p
+        assert "SortMergeJoin" not in p, p
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
