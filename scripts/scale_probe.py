@@ -112,6 +112,16 @@ def build(factor: int, out_dir: str, force: bool) -> None:
                     "CASE WHEN r.r = 0 THEN text "
                     "ELSE 'zrep' || r.r || ' ' || text END AS text"
                 )
+            elif t == "documents" and c == "n_chars":
+                # keep n_chars == length(text) on replicas too: the
+                # zrep prefix lengthens the text, so de Bruijn windows
+                # and any n_chars-consistency metric would otherwise
+                # drift on r > 0 rows (r09 ADVICE)
+                sel.append(
+                    "CASE WHEN r.r = 0 THEN n_chars "
+                    "ELSE n_chars + length('zrep' || r.r || ' ') "
+                    "END AS n_chars"
+                )
             else:
                 sel.append(c)
         con.execute(

@@ -582,18 +582,24 @@ def range_search_vectorized(
     pid_t = probes.schema[id_col].dataType.simpleString()
     nid_t = corpus.schema[id_col].dataType.simpleString()
     cand_schema = f"probe_id {pid_t}, neighbor_id {nid_t}"
-    # bound check BEFORE the collect — counting limit(max+1) costs one
-    # cheap distributed job and never materializes the probes on the
-    # driver, so an over-bound probe set raises instead of OOMing the
-    # driver inside collect() (round-9 review finding)
-    probe_probe = probes.limit(_RANGE_SEARCH_MAX_PROBES + 1).count()
-    if probe_probe > _RANGE_SEARCH_MAX_PROBES:
+    # bound check AND collect in ONE action: limit(max+1) caps what
+    # can ever reach the driver (so an over-bound probe set raises
+    # instead of OOMing inside collect), and doing it in the same
+    # collect means a nondeterministic probe plan (sample,
+    # rand-filtered) cannot pass a separate count job yet materialize
+    # more rows later — and bounded callers don't pay an extra
+    # distributed job (r09 ADVICE).
+    prows = (
+        probes.select(id_col, vec_col)
+        .limit(_RANGE_SEARCH_MAX_PROBES + 1)
+        .collect()
+    )
+    if len(prows) > _RANGE_SEARCH_MAX_PROBES:
         raise ValueError(
             f"range_search_vectorized: probe count exceeds the "
             f"driver-collect bound ({_RANGE_SEARCH_MAX_PROBES}); use "
             "range_search_shuffle for beyond-broadcast probe sets"
         )
-    prows = probes.select(id_col, vec_col).collect()
     if not prows:
         # np.linalg.norm over a 0-row matrix raises; the correct
         # result is simply the empty pair set (review finding).

@@ -96,7 +96,17 @@ class FastqWriter(DataSourceWriter):
     FASTA writer: tasks stage `_tmp_*` files, driver commit atomically
     renames, abort removes this run's temps (None messages from failed
     tasks are skipped). Rows must carry header/sequence/quality; the
-    length invariant is enforced per row at write time."""
+    length invariant is enforced per row at write time.
+
+    Single writer per target directory, like Spark's built-in file
+    sinks: two jobs writing the same path concurrently are undefined
+    (in overwrite mode the contents sweep would delete the other
+    job's in-flight `_tmp_` files and break its commit renames).
+    Spark's own parquet/csv sinks carry the identical caveat — their
+    overlapping `_temporary` dirs and final-file sweeps corrupt each
+    other too — so this documents the shared contract rather than
+    adding pid-ownership tracking the built-ins don't have
+    (r09 ADVICE, documentation route)."""
 
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")

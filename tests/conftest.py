@@ -51,7 +51,11 @@ def spark():
                         f"/proc/{pid}"
                     ):
                         shutil.rmtree(full, ignore_errors=True)
-                        dirs.remove(d)
+                    # never descend into pid-owned dirs: either just
+                    # removed, or owned by a LIVE run (ours included)
+                    # whose early-created scratch files must not age
+                    # out underneath a >6h suite (r09 ADVICE)
+                    dirs.remove(d)
                 elif now - os.path.getmtime(full) > stale_s:
                     shutil.rmtree(full, ignore_errors=True)
                     dirs.remove(d)
