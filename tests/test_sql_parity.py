@@ -5,8 +5,10 @@ attached views instead of chaining DataFrames. The registry certifies
 the DataFrame path against DuckDB; this file certifies that the SQL
 STRING path produces value-identical results to the DataFrame twin for
 a representative query per SURVEY §2 family — one test, parametrized
-over 11 families (filter, agg, join, window, sort, setop, scalar,
-streaming-batch, graph, llm-text, llm-dedup).
+over 16 families (filter, agg, join, window, sort, setop, scalar,
+streaming-batch, graph, llm-text, llm-dedup, and since r10: eval
+metrics, timeseries, CDC diff, event analytics, feature encoding —
+VERDICT r09 item 7).
 
 Both sides run on the same SparkSession, so equality is exact tuple
 equality after an order-insensitive sort (several twins deliberately
@@ -155,7 +157,122 @@ PARITY = {
         FROM documents
         """,
     ),
+    # r10 extension (VERDICT r09 item 7): one family per remaining
+    # SQL-expressible SURVEY group — eval metrics, timeseries, CDC
+    # diff, event analytics, feature encoding. The lexicon VALUES for
+    # the eval family is injected below from textstats.STOPWORDS so
+    # both paths share one source of truth.
+    "eval-metrics": (
+        "qml1_classification_report",
+        """
+        WITH lex AS (SELECT * FROM VALUES {lex} AS t(tok, lang_cand)),
+        tok AS (SELECT doc_id, explode(split(text, ' ')) AS tok
+                FROM documents),
+        hits AS (SELECT doc_id, lang_cand, count(*) AS n_hits
+                 FROM tok JOIN lex USING (tok) GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY n_hits DESC, lang_cand) AS rn FROM hits),
+        pred AS (SELECT d.doc_id, d.lang AS y, r.lang_cand AS yhat
+                 FROM documents d
+                 JOIN r ON r.doc_id = d.doc_id AND r.rn = 1),
+        cls AS (SELECT y AS label, CAST(count(*) AS DOUBLE) AS support,
+                       CAST(sum(CASE WHEN yhat = y THEN 1 ELSE 0 END)
+                            AS DOUBLE) AS tp
+                FROM pred GROUP BY y),
+        pcol AS (SELECT yhat AS label, CAST(count(*) AS DOUBLE) AS n_pred
+                 FROM pred GROUP BY yhat),
+        j AS (SELECT cls.label, support, tp,
+                     coalesce(n_pred, CAST(0 AS DOUBLE)) AS n_pred
+              FROM cls LEFT JOIN pcol USING (label)),
+        met AS (SELECT label, support,
+                       CASE WHEN n_pred > 0 THEN tp / n_pred
+                            ELSE 0.0 END AS prec,
+                       tp / support AS rec
+                FROM j)
+        SELECT label, CAST(support AS BIGINT) AS support,
+               round(prec, 6) AS precision, round(rec, 6) AS recall,
+               round(CASE WHEN prec + rec > 0
+                          THEN 2 * prec * rec / (prec + rec)
+                          ELSE 0.0 END, 6) AS f1
+        FROM met ORDER BY label
+        """,
+    ),
+    "timeseries": (
+        "qts4_dow_profile",
+        """
+        SELECT CAST(dow AS INT) AS dow,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+               round(count(*) / count(DISTINCT day), 4) AS events_per_day,
+               round(avg(value), 4) AS avg_value
+        FROM (SELECT weekday(ts) + 1 AS dow,
+                     date_trunc('day', ts) AS day, value
+              FROM events)
+        GROUP BY dow ORDER BY dow
+        """,
+    ),
+    "cdc-diff": (
+        "qdiff3_table_fingerprint",
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(conv(substring(hx, 1, 10), 16, 10)
+                             AS BIGINT)) AS BIGINT) AS fp_lane1,
+               CAST(sum(CAST(conv(substring(hx, 11, 10), 16, 10)
+                             AS BIGINT)) AS BIGINT) AS fp_lane2,
+               CAST(count(DISTINCT hx) AS BIGINT) AS n_distinct
+        FROM (SELECT md5(concat_ws('|',
+                         CAST(o_orderkey AS STRING),
+                         CAST(o_custkey AS STRING),
+                         o_orderstatus, o_orderpriority,
+                         date_format(o_orderdate, 'yyyy-MM-dd'))) AS hx
+              FROM orders)
+        """,
+    ),
+    "event-analytics": (
+        "qev8_stickiness",
+        """
+        WITH ud AS (SELECT DISTINCT user_id,
+                           date_trunc('day', ts) AS day FROM events),
+        dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                FROM ud GROUP BY day),
+        target AS (SELECT user_id,
+                          explode(sequence(to_date(day),
+                                           date_add(to_date(day), 6)))
+                            AS tday
+                   FROM ud),
+        wau AS (SELECT tday, CAST(count(DISTINCT user_id) AS BIGINT)
+                        AS wau
+                FROM target GROUP BY tday)
+        SELECT date_format(day, 'yyyy-MM-dd') AS day, dau, wau,
+               round(dau / wau, 6) AS stickiness
+        FROM dau JOIN wau ON to_date(day) = tday ORDER BY day
+        """,
+    ),
+    "feature-encoding": (
+        "qdz3_target_encoding",
+        """
+        WITH g AS (SELECT avg(o_totalprice) AS gm FROM orders),
+        c AS (SELECT o_orderpriority AS priority,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     sum(o_totalprice) AS s
+              FROM orders GROUP BY o_orderpriority)
+        SELECT priority, CAST(n AS BIGINT) AS n,
+               round((s + 20.0 * gm) / (n + 20.0), 4) AS encoded,
+               round(s / n - gm, 4) AS raw_lift
+        FROM c CROSS JOIN g ORDER BY priority
+        """,
+    ),
 }
+
+# inject the shared lexicon into the eval-metrics SQL so both paths
+# read textstats.STOPWORDS
+from sora_spark.llm.textstats import STOPWORDS as _STOPWORDS  # noqa: E402
+
+_LEX = ", ".join(f"('{t}', '{lang}')" for t, lang in _STOPWORDS)
+PARITY["eval-metrics"] = (
+    PARITY["eval-metrics"][0],
+    PARITY["eval-metrics"][1].replace("{lex}", _LEX),
+)
 
 
 @pytest.fixture(scope="module")
