@@ -11,6 +11,7 @@ in sora_spark.graph are scale-free (iterative joins + localCheckpoint).
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import functions as F
@@ -56,6 +57,13 @@ def _require_calibrated_sf(sf_dir: str, what: str) -> None:
     try:
         sf = float(m.group(1))
     except ValueError:
+        return
+    if os.environ.get("SORA_UNCALIBRATED_SF_OK") == "1":
+        # explicit bench/scale-run escape: the ENGINE side runs its
+        # loops to the true fixpoint at any sf — only the UNROLLED
+        # ORACLE comparison is calibration-bound, and a bench run
+        # never consults the oracle. Never set this for a hash-gated
+        # run (r10, for the organic-sf1.0 scale table).
         return
     if sf > _CALIBRATED_MAX_SF + 1e-12:
         raise ValueError(
