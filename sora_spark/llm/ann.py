@@ -42,12 +42,23 @@ def brute_force_topk(
     """Exact top-k cosine neighbors per probe (self excluded) →
     (probe_id, rn, neighbor_id, sim). Ranks on the ROUNDED similarity
     with neighbor-id tie-break so results are engine-independent."""
+    # hoist both norms out of the pair loop: Spark's array HOFs run
+    # interpreted, so cosine-per-pair pays three aggregates where one
+    # dot suffices; sqrt(dot(x,x)) per side is loop-invariant. The
+    # corpus-side projection is pipelined (one extra aggregate per
+    # corpus row, amortized over |probes| pairs), the probe side is
+    # materialized by the broadcast. Bit-identical to cosine(): same
+    # IEEE ops in the same order (r10 scale-table finding — 3x less
+    # probe CPU at organic-sf1.0 pair counts).
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
-    )
-    j = corpus.join(F.broadcast(p), F.col(id_col) != F.col("probe_id"))
+    ).withColumn("_pnrm", vector.norm(F.col("probe_vec")))
+    c = corpus.withColumn("_cnrm", vector.norm(F.col(vec_col)))
+    j = c.join(F.broadcast(p), F.col(id_col) != F.col("probe_id"))
     sim = F.round(
-        vector.cosine(F.col(vec_col), F.col("probe_vec")), sim_decimals
+        vector.dot(F.col(vec_col), F.col("probe_vec"))
+        / (F.col("_cnrm") * F.col("_pnrm")),
+        sim_decimals,
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
@@ -331,9 +342,15 @@ def write_ivf_index(
     (file pruning, pinned by tests/test_llm.py), never the full corpus.
     """
     cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
-    assign_cids(corpus, cents, vec_col).write.partitionBy("_cid").mode(
-        "overwrite"
-    ).parquet(path)
+    # store each vector's norm IN the index: cosine at probe time then
+    # pays ONE aggregate (the dot) per candidate pair instead of three
+    # — the two norm aggregates are loop-invariant and Spark's
+    # higher-order array functions evaluate interpreted, so hoisting
+    # them out of the pair loop cut probe CPU ~3x at the organic-sf1.0
+    # pair counts (r10 scale-table finding)
+    assign_cids(corpus, cents, vec_col).withColumn(
+        "_nrm", vector.norm(F.col(vec_col))
+    ).write.partitionBy("_cid").mode("overwrite").parquet(path)
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(i + 1, c) for i, c in enumerate(cents)],
@@ -382,10 +399,25 @@ def ivf_topk_indexed(
     )
     cand_cids = [r["_cid"] for r in p.select("_cid").distinct().collect()]
     corpus = spark.read.parquet(path).filter(F.col("_cid").isin(cand_cids))
+    # probe norms once per probe row, MATERIALIZED by the broadcast
+    # exchange (not inlined past the join into the pair loop)
+    p = p.withColumn("_pnrm", vector.norm(F.col("probe_vec")))
     j = corpus.join(F.broadcast(p), "_cid").filter(
         F.col(id_col) != F.col("probe_id")
     )
-    sim = F.round(vector.cosine(F.col(vec_col), F.col("probe_vec")), 5)
+    if "_nrm" in corpus.columns:
+        # corpus norms precomputed at index-write time: with both
+        # factors hoisted, each candidate pair pays ONE interpreted
+        # array aggregate (the dot) instead of three — bit-identical
+        # to cosine(): same IEEE ops in the same order, the
+        # sqrt(dot(x,x)) factors are just evaluated once
+        sim = F.round(
+            vector.dot(F.col(vec_col), F.col("probe_vec"))
+            / (F.col("_nrm") * F.col("_pnrm")),
+            5,
+        )
+    else:  # pre-r10 index layout without stored norms
+        sim = F.round(vector.cosine(F.col(vec_col), F.col("probe_vec")), 5)
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
         j.select("probe_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
