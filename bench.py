@@ -118,38 +118,74 @@ def _stage_totals(spark) -> dict[str, float]:
     try:
         sc._jsc.sc().listenerBus().waitUntilEmpty()
     except Exception:
-        time.sleep(0.2)  # bus drain best-effort; metrics post within ms
+        # best-effort drain: a backlogged bus that blows the no-arg
+        # waitUntilEmpty timeout gets a full second, not 200ms — a
+        # partial drain here silently shifts a run's metrics into the
+        # NEXT run's delta (review finding)
+        time.sleep(1.0)
     store = sc._jsc.sc().statusStore()
     empty = sc._jvm.java.util.ArrayList()
     no_quantiles = sc._gateway.new_array(sc._gateway.jvm.double, 0)
     stages = store.stageList(empty, False, False, no_quantiles, empty)
     tot = {"shuffle_read": 0, "shuffle_write": 0, "input": 0,
-           "cpu_ns": 0, "run_ms": 0}
+           "cpu_ns": 0, "run_ms": 0, "n_stages": 0}
     it = stages.iterator()
+    terminal = {"COMPLETE", "FAILED", "SKIPPED"}
     while it.hasNext():
         s = it.next()
-        tot["shuffle_read"] += s.shuffleReadBytes()
-        tot["shuffle_write"] += s.shuffleWriteBytes()
-        tot["input"] += s.inputBytes()
-        tot["cpu_ns"] += s.executorCpuTime()
-        tot["run_ms"] += s.executorRunTime()
+        # terminal stages never change — cache their metrics so each
+        # stage pays its 6 py4j getter round-trips ONCE per bench run
+        # instead of once per snapshot (the naive loop is
+        # O(total_stages^2) JVM traffic by the end of the run)
+        key = (s.stageId(), s.attemptId())
+        vals = _STAGE_CACHE.get(key)
+        if vals is None:
+            vals = (
+                s.shuffleReadBytes(), s.shuffleWriteBytes(),
+                s.inputBytes(), s.executorCpuTime(), s.executorRunTime(),
+            )
+            if str(s.status()) in terminal:
+                _STAGE_CACHE[key] = vals
+        tot["shuffle_read"] += vals[0]
+        tot["shuffle_write"] += vals[1]
+        tot["input"] += vals[2]
+        tot["cpu_ns"] += vals[3]
+        tot["run_ms"] += vals[4]
+        tot["n_stages"] += 1
     return tot
+
+
+_STAGE_CACHE: dict = {}
 
 
 def _metrics_delta(before: dict, after: dict) -> dict[str, float]:
     mb = 1024.0 * 1024.0
-    return {
+    d = {
         "shuffle_read_mb": round((after["shuffle_read"] - before["shuffle_read"]) / mb, 2),
         "shuffle_write_mb": round((after["shuffle_write"] - before["shuffle_write"]) / mb, 2),
         "input_mb": round((after["input"] - before["input"]) / mb, 2),
         "cpu_s": round((after["cpu_ns"] - before["cpu_ns"]) / 1e9, 3),
         "run_s": round((after["run_ms"] - before["run_ms"]) / 1e3, 3),
     }
+    if min(d.values()) < 0:
+        # a negative delta means the status store EVICTED stages
+        # between snapshots (retainedStages too low for this run) —
+        # make it loud instead of poisoning the cross-round
+        # comparisons these metrics exist for (review finding)
+        print(
+            f"[bench] WARNING: negative metric delta {d} — stage "
+            f"eviction suspected (stages {before['n_stages']} -> "
+            f"{after['n_stages']}); raise spark.ui.retainedStages",
+            file=sys.stderr,
+        )
+        d["eviction_suspect"] = 1.0
+    return d
 
 
 def _median_metrics(deltas: list[dict]) -> dict[str, float]:
-    return {k: round(statistics.median(d[k] for d in deltas), 3)
-            for k in deltas[0]}
+    keys = {k for d in deltas for k in d}  # eviction_suspect is sparse
+    return {k: round(statistics.median(d.get(k, 0.0) for d in deltas), 3)
+            for k in keys}
 
 
 def _bench_q15(spark, sf_dir: str, warm: dict, gates: dict,
@@ -178,7 +214,7 @@ def _bench_q15(spark, sf_dir: str, warm: dict, gates: dict,
         rows = None
         for i in range(n_runs):
             gc.collect()
-            before = _stage_totals(spark)
+            before = _stage_totals(spark) if i > 0 else None
             t0 = time.perf_counter()
             rows = ann.ivf_topk_indexed(
                 spark, path, probes, k=10, n_probe=8
@@ -255,11 +291,13 @@ def main() -> None:
             # queries (q10) accumulate block-manager pressure across
             # runs and warm runs come out SLOWER than cold
             gc.collect()
-            before = _stage_totals(spark)
+            # metrics for the warm runs only, like the clock — the
+            # cold run's before-snapshot would never be read
+            before = _stage_totals(spark) if i > 0 else None
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             times.append(time.perf_counter() - t0)
-            if i > 0:  # metrics for the warm runs only, like the clock
+            if i > 0:
                 deltas.append(_metrics_delta(before, _stage_totals(spark)))
         # warm = median of the 3 post-cold runs (run 1 pays codegen/JIT)
         warm[key] = round(statistics.median(times[1:]), 4)

@@ -188,9 +188,10 @@ def main() -> None:
                  * INTERVAL 1 DAY AS l_shipdate
         FROM l""")
 
-    # events: Zipf-mixture user key over nc/7.5 users (fixture ratio),
+    # events: Zipf-mixture user key over nc/10 users (the driver
+    # fixture's customers:event-users ratio — 15000:1500 at sf0.1),
     # 30-day span with microsecond jitter
-    nu = max(nc // 8, 10)
+    nu = max(nc // 10, 10)
     copy("events", f"""
         SELECT i AS event_id,
                TIMESTAMP '2024-01-01'

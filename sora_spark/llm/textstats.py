@@ -695,6 +695,13 @@ MOJIBAKE_MAP: list[tuple[str, str]] = [
 ]
 
 
+def _any_contains(col, needles: list[str]):
+    out = F.lit(False)
+    for n in needles:
+        out = out | col.contains(n)
+    return out
+
+
 def encoding_repair(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Encoding-hygiene pass: detect and repair the byte-level junk a
     100 TB crawl carries — BOM / zero-width no-break, NBSP, control
@@ -724,7 +731,13 @@ def encoding_repair(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("had_ctrl", t.rlike(_CTRL_CLASS))
         .withColumn("had_crlf", t.contains("\r\n"))
         .withColumn("had_combining", t.contains("\u0301"))
-        .withColumn("had_mojibake", t.contains("Ã©"))
+        .withColumn(
+            "had_mojibake",
+            # ANY known pair, not just the first — the repair rewrites
+            # all four, so the audit flag must cover what the repair
+            # touches (review finding)
+            _any_contains(t, [bad for bad, _ in MOJIBAKE_MAP]),
+        )
     )
     r = t
     for bad, good in MOJIBAKE_MAP:

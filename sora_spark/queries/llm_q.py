@@ -3100,7 +3100,11 @@ SELECT doc_id,
             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]') AS INT) AS had_ctrl,
        CAST(contains(c, chr(13) || chr(10)) AS INT)     AS had_crlf,
        CAST(contains(c, chr(769)) AS INT)               AS had_combining,
-       CAST(contains(c, chr(195) || chr(169)) AS INT)   AS had_mojibake,
+       CAST(contains(c, chr(195) || chr(169))
+            OR contains(c, chr(195) || chr(168))
+            OR contains(c, chr(195) || chr(164))
+            OR contains(c, chr(226) || chr(8364) || chr(8482))
+            AS INT)                                      AS had_mojibake,
        CASE WHEN doc_id % 7 != 0 AND doc_id % 11 != 0
             THEN CAST((r = text) AS INT) END            AS recovered,
        md5(r)                                           AS repaired_md5

@@ -40,12 +40,15 @@ def _scoped_confs(spark, confs: dict):
                 spark.conf.set(k, v)
 
 
-def _plan(spark, sf_dir, name: str, mode: str = "formatted") -> str:
-    df = REGISTRY[name].spark_fn(spark, sf_dir)
+def _plan_df(df, mode: str = "formatted") -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain(mode)
     return buf.getvalue()
+
+
+def _plan(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    return _plan_df(REGISTRY[name].spark_fn(spark, sf_dir), mode)
 
 
 def test_selective_filter_pushes_down(spark, sf_dir):
@@ -909,10 +912,7 @@ def test_ivf_indexed_probe_prunes_partitions(spark, sf_dir):
         ann.write_ivf_index(emb, path, n_centroids=4, iters=1)
         probes = emb.filter(F.col("vec_id") % 10 == 0)
         df = ann.ivf_topk_indexed(spark, path, probes, k=3, n_probe=2)
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        p = buf.getvalue()
+        p = _plan_df(df)
         part_lines = [l for l in p.splitlines() if "PartitionFilters" in l]
         assert any(
             "_cid" in l and " IN " in l for l in part_lines

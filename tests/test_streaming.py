@@ -511,11 +511,14 @@ def test_tws_env_gap_is_loud(spark, sf_dir):
             "import — TWS is one env fix away; fix the install instead of "
             "falling back to the state-tuple twin"
         )
-        # the certified path: the state-tuple twin, end-to-end
+        # the certified path, THROUGH the facade: with protobuf absent
+        # the auto facade must resolve to the state-tuple twin, and
+        # running it here is what enforces that resolution (a facade
+        # regression to a broken third path fails this test)
         d = replay.materialize_replay_dir(
             spark, sf_dir, "tws_rescope", n_files=3
         )
-        stream = stateful.running_user_counts(
+        stream = stateful.running_user_counts_auto(
             replay.events_stream(spark, d)
         )
         got = replay.run_to_memory(stream, _qname(), "update")
