@@ -71,3 +71,52 @@ def topk_per_group(
         reduced.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
+
+
+def topk_per_group_salted(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    tiebreak_cols: list[str],
+    descending: bool = True,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Skew-proof top-k per group, pure JVM: phase 1 ranks within
+    (group, salt) — so `n_salts` reducers SHARE each hot group — and
+    keeps k rows per salted bucket; phase 2's exact per-group window
+    then sees at most k·n_salts rows per group REGARDLESS of the
+    group's input size. Same result as the plain window (each global
+    top-k row is necessarily top-k within its own salt bucket; both
+    phases use the identical total order, so ranks are exact).
+
+    This is the window-skew remedy AQE does not provide: adaptive
+    execution splits skewed JOIN partitions but a skewed
+    row_number() partition still lands on one task. With an organic
+    1.5%-hot key (gen_organic sf1.0), one task owns ~27k of 1.5M
+    orders under the plain window; here it owns ≤ k·n_salts rows.
+    The extra exchange costs ~20-30% on unskewed local data — use the
+    plain window until a group exceeds what one task should sort
+    (the same trade as topk_per_group's Arrow combiner, but staying
+    JVM-side: no Python transit, so it beats the combiner whenever
+    whole-row Arrow serialization dominates — measured in SCALE.md
+    round 10)."""
+    salt = F.pmod(
+        F.hash(*[F.col(c) for c in tiebreak_cols]), F.lit(n_salts)
+    )
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        *[F.col(c).asc() for c in tiebreak_cols],
+    ]
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order)
+    reduced = (
+        df.withColumn("_salt", salt)
+        .withColumn("_prn", F.row_number().over(w1))
+        .filter(F.col("_prn") <= k)
+        .drop("_salt", "_prn")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        reduced.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+    )

@@ -832,3 +832,52 @@ def qts10_rolling_median(spark, sf_dir):
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "qw15_topk_salted",
+    oracle="""
+SELECT o_orderpriority AS priority, rn, o_orderkey,
+       round(o_totalprice, 2) AS total
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) t
+WHERE rn <= 4
+ORDER BY priority, rn
+""",
+    doc="qw15: SKEW-PROOF top-k per group via the salted two-phase "
+    "operator (operators/topk.topk_per_group_salted), certified "
+    "EXACT against the plain-window oracle. Phase 1 ranks within "
+    "(group, salt) so 32 reducers share each group and keeps k per "
+    "salted bucket; phase 2's exact window sees <= k*32 rows per "
+    "group regardless of group size. The group here is "
+    "o_orderpriority — FIVE groups over the whole table, the shape "
+    "where a plain row_number() window is five tasks no matter how "
+    "big the cluster is and one hot group is one straggler; the "
+    "salted form bounds every task's sort at k*n_salts rows. AQE "
+    "splits skewed JOIN partitions but not skewed WINDOW partitions "
+    "(r10 organic-skew finding) — this operator is the remedy, and "
+    "the oracle proves exactness (each global top-k row is top-k "
+    "within its own salt bucket; both phases share one total order).",
+    tags=("window", "topk", "skew"),
+)
+def qw15_topk_salted(spark, sf_dir):
+    from sora_spark.operators.topk import topk_per_group_salted
+
+    orders = tables(spark, sf_dir).orders
+    return (
+        topk_per_group_salted(
+            orders, ["o_orderpriority"], "o_totalprice", 4,
+            tiebreak_cols=["o_orderkey"],
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            "rn",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+        .orderBy("priority", "rn")
+    )

@@ -1756,3 +1756,40 @@ def test_entry_rotation_fronts_stalest_rows():
         "oracle-eligible never-green rows sorted behind a green row: "
         f"{stale_after_green[:5]}"
     )
+
+
+def test_topk_salted_matches_window_under_skew(spark):
+    """topk_per_group_salted == plain window on a deliberately nasty
+    distribution: one group holds ~96% of all rows (the organic-skew
+    shape AQE cannot fix for windows), plus NULL order values (Spark
+    desc = NULLS LAST must survive both phases) and duplicate order
+    values resolved by the tiebreak."""
+    from pyspark.sql.window import Window
+
+    from sora_spark.operators.topk import topk_per_group_salted
+
+    df = spark.range(50_000).select(
+        F.when(F.col("id") % 25 == 0, F.col("id") % 5)
+        .otherwise(F.lit(99)).alias("g"),
+        # duplicates (id % 1000) and a NULL stripe
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise((F.col("id") % 1000).cast("double")).alias("v"),
+        F.col("id"),
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("v"), "id")
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 7).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            topk_per_group_salted(
+                df, ["g"], "v", 7, tiebreak_cols=["id"]
+            ).collect(),
+        )
+    )
+    assert got == want
