@@ -141,6 +141,12 @@ def build(factor: int, out_dir: str, force: bool) -> None:
 def run_query(spark, fn, sf_dir: str, warm_runs: int) -> tuple[float, int]:
     import gc
 
+    # drop the PREVIOUS query's localCheckpoint RDD refs before the
+    # cold run too — the r10 full sweep OOMed in q10's cold run while
+    # the block manager still held q1-q9's checkpoint blocks (the
+    # warm-loop gc below only protects warm runs)
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
     fn(spark, sf_dir).collect()  # cold
     times = []
     rows = 0
@@ -178,7 +184,19 @@ def main() -> None:
         else set(BENCH_QUERIES) | {"q15"}
     )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = build_session(app_name="sora-scale-probe", master=f"local[{cpus}]")
+    # the probe alternates TWO fixture scales in one session (base +
+    # factor-N blocks, both sides' checkpoint blocks live at the
+    # handover points), so it gets more heap than the 8g bench
+    # default unless the caller pins SORA_DRIVER_MEMORY
+    spark = build_session(
+        app_name="sora-scale-probe",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SORA_DRIVER_MEMORY", "16g"
+            )
+        },
+    )
 
     results = {}
     for q, name in BENCH_QUERIES.items():
