@@ -3158,3 +3158,75 @@ def qta23_encoding_repair(spark, sf_dir):
         .alias("recovered"),
         F.md5("repaired").alias("repaired_md5"),
     ).orderBy("doc_id").limit(300)
+
+
+@query(
+    "qta24_source_divergence",
+    oracle="""
+WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+wc AS (SELECT source, w, CAST(count(*) AS DOUBLE) AS c
+       FROM w WHERE len(w) > 0 GROUP BY 1, 2),
+st AS (SELECT source, sum(c) AS n_s FROM wc GROUP BY 1),
+g AS (SELECT w, sum(c) AS cg FROM wc GROUP BY 1),
+gt AS (SELECT sum(cg) AS n FROM g),
+grid AS (SELECT st.source, st.n_s, g.w, g.cg, gt.n,
+                coalesce(wc.c, 0) AS c
+         FROM st CROSS JOIN g CROSS JOIN gt
+         LEFT JOIN wc ON wc.source = st.source AND wc.w = g.w),
+terms AS (SELECT source, n_s,
+                 c / n_s AS p, cg / n AS q,
+                 (c / n_s + cg / n) / 2 AS m
+          FROM grid)
+SELECT source,
+       CAST(any_value(n_s) AS BIGINT) AS n_tokens,
+       round(sum(0.5 * (CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END)
+                 + 0.5 * q * ln(q / m)), 6) AS js_divergence
+FROM terms GROUP BY source ORDER BY source
+""",
+    doc="qta24: per-source Jensen-Shannon divergence from the corpus "
+    "unigram distribution — the 'which source went bad' monitor a "
+    "curation pipeline runs before mixing (a scraper regression, "
+    "template flood or language drift shows as a JS spike long "
+    "before downstream evals move). Complements qdrift1 (numeric "
+    "histogram L1): this one is over TEXT distributions. Shape: one "
+    "wordcount pass, then everything is vocab x sources sized — the "
+    "per-source and global distributions broadcast, the JS grid is "
+    "dimension-sized regardless of corpus size. 0 ln 0 = 0 handled "
+    "explicitly on both engines; the global term q is never 0 "
+    "because the grid's vocabulary IS the global vocabulary. Final "
+    "sum rounded to 6dp (the repo's standard float-order guard).",
+    tags=("llm", "text", "drift", "curation"),
+)
+def qta24_source_divergence(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    w = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    wc = w.groupBy("source", "w").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    st = wc.groupBy("source").agg(F.sum("c").alias("n_s"))
+    g = wc.groupBy("w").agg(F.sum("c").alias("cg"))
+    gt = g.agg(F.sum("cg").alias("n"))
+    grid = (
+        st.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(gt))
+        .join(wc, ["source", "w"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0.0)))
+    )
+    p = F.col("c") / F.col("n_s")
+    q = F.col("cg") / F.col("n")
+    m = (p + q) / 2
+    contrib = 0.5 * (
+        F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+    ) + 0.5 * q * F.log(q / m)
+    return (
+        grid.withColumn("term", contrib)
+        .groupBy("source")
+        .agg(
+            F.any_value("n_s").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("term"), 6).alias("js_divergence"),
+        )
+        .orderBy("source")
+    )
