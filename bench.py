@@ -184,8 +184,14 @@ def _metrics_delta(before: dict, after: dict) -> dict[str, float]:
 
 def _median_metrics(deltas: list[dict]) -> dict[str, float]:
     keys = {k for d in deltas for k in d}  # eviction_suspect is sparse
-    return {k: round(statistics.median(d.get(k, 0.0) for d in deltas), 3)
-            for k in keys}
+    return {
+        # the eviction flag must survive if ANY run tripped it — a
+        # median would erase a single poisoned run (review finding)
+        k: (max if k == "eviction_suspect" else
+            lambda vs: round(statistics.median(vs), 3))(
+            [d.get(k, 0.0) for d in deltas])
+        for k in keys
+    }
 
 
 def _bench_q15(spark, sf_dir: str, warm: dict, gates: dict,

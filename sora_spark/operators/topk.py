@@ -101,6 +101,15 @@ def topk_per_group_salted(
     JVM-side: no Python transit, so it beats the combiner whenever
     whole-row Arrow serialization dominates — measured in SCALE.md
     round 10)."""
+    clash = {"_salt", "_prn", "rn"} & set(df.columns)
+    if clash:
+        # withColumn would silently REPLACE (and drop then remove) a
+        # caller column of the same name — fail loudly instead
+        raise ValueError(
+            f"topk_per_group_salted: input already has {sorted(clash)}; "
+            "rename before calling (the operator emits `rn` and uses "
+            "_salt/_prn internally)"
+        )
     salt = F.pmod(
         F.hash(*[F.col(c) for c in tiebreak_cols]), F.lit(n_salts)
     )

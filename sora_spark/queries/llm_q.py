@@ -3203,9 +3203,12 @@ def qta24_source_divergence(spark, sf_dir):
     w = docs.select(
         "source", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.length("w") > 0)
+    # four consumers (st, g, gt, the grid join) reuse this wordcount —
+    # checkpoint so the tokenize pass runs ONCE unconditionally (the
+    # qta20/qd5 convention for fanned-out subtrees)
     wc = w.groupBy("source", "w").agg(
         F.count("*").cast("double").alias("c")
-    )
+    ).localCheckpoint(eager=True)
     st = wc.groupBy("source").agg(F.sum("c").alias("n_s"))
     g = wc.groupBy("w").agg(F.sum("c").alias("cg"))
     gt = g.agg(F.sum("cg").alias("n"))

@@ -1769,8 +1769,12 @@ def test_topk_salted_matches_window_under_skew(spark):
     from sora_spark.operators.topk import topk_per_group_salted
 
     df = spark.range(50_000).select(
-        F.when(F.col("id") % 25 == 0, F.col("id") % 5)
-        .otherwise(F.lit(99)).alias("g"),
+        # five distinct SMALL groups (0..4) next to the 96%-hot group
+        # 99 — id % 5 under id % 25 == 0 would always be 0 and
+        # collapse them into one (review finding)
+        F.when(
+            F.col("id") % 25 == 0, (F.col("id") / 25).cast("long") % 5
+        ).otherwise(F.lit(99)).alias("g"),
         # duplicates (id % 1000) and a NULL stripe
         F.when(F.col("id") % 7 == 0, None)
         .otherwise((F.col("id") % 1000).cast("double")).alias("v"),
