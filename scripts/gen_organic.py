@@ -77,6 +77,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", default="/tmp/sora_organic/sf1.0")
+    ap.add_argument(
+        "--lang-signal", action="store_true",
+        help="make documents.lang statistically recoverable from the "
+        "text (lang-skewed word draws; near-dups inherit the decade "
+        "base's lang)",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -211,8 +217,37 @@ def main() -> None:
 
     # documents: shared vocabulary read from the driver fixture (as
     # DATA, not copied rows); decade residues 8/9 are ~5%-perturbed
-    # re-emissions of the decade base -> organic near-dups
+    # re-emissions of the decade base -> organic near-dups.
+    #
+    # --lang-signal: lang becomes a function of the decade base (so
+    # near-dups share their parent's lang) and 30% of word draws come
+    # from a lang-specific 6-word slice of the vocabulary — a REAL
+    # learnable signal, unlike the driver fixture where lang is
+    # independent of text. Off by default so the drift/dedup/scale
+    # numbers measured on the plain organic fixture stay reproducible.
     nd = n["documents"]
+    lang_expr = (
+        """CASE WHEN hash(seed_doc * 107 + 103) % 100 < 44 THEN 0
+                WHEN hash(seed_doc * 107 + 103) % 100 < 58 THEN 1
+                WHEN hash(seed_doc * 107 + 103) % 100 < 72 THEN 2
+                WHEN hash(seed_doc * 107 + 103) % 100 < 86 THEN 3
+                ELSE 4 END"""
+        if args.lang_signal
+        else
+        """CASE WHEN hash(i * 107 + 103) % 100 < 44 THEN 0
+                WHEN hash(i * 107 + 103) % 100 < 58 THEN 1
+                WHEN hash(i * 107 + 103) % 100 < 72 THEN 2
+                WHEN hash(i * 107 + 103) % 100 < 86 THEN 3
+                ELSE 4 END"""
+    )
+    word_idx = "CAST(hash(seed * 100003 + p.j * 17 + 5) % v.nv AS INT)"
+    if args.lang_signal:
+        # 30% of draws come from words [lang_id*6 .. lang_id*6+5]
+        word_idx = (
+            "CAST(CASE WHEN hash(seed * 139 + p.j * 11 + 7) % 10 < 3 "
+            "THEN p.lang_id * 6 + hash(seed * 100003 + p.j * 17 + 5) % 6 "
+            "ELSE hash(seed * 100003 + p.j * 17 + 5) % v.nv END AS INT)"
+        )
     copy("documents", f"""
         WITH vocab AS (
             SELECT list(w ORDER BY w) AS v, count(*) AS nv FROM (
@@ -224,26 +259,23 @@ def main() -> None:
                        AS seed_doc,
                      (i % 10 >= 8) AS is_dup
               FROM range({nd}) t(i)),
-        pos AS (SELECT i, seed_doc, is_dup,
+        d2 AS (SELECT *, {lang_expr} AS lang_id FROM d),
+        pos AS (SELECT i, seed_doc, is_dup, lang_id,
                        unnest(range(CAST(10 + hash(seed_doc * 103 + 101)
                                          % 91 AS BIGINT))) AS j
-                FROM d),
+                FROM d2),
         words AS (
-            SELECT p.i, p.j,
-                   v.v[1 + CAST(hash(
-                       CASE WHEN p.is_dup
-                                 AND hash(p.i * 131 + p.j * 7 + 3) % 100 < 5
-                            THEN p.i ELSE p.seed_doc END
-                       * 100003 + p.j * 17 + 5) % v.nv AS INT)] AS w
-            FROM pos p CROSS JOIN vocab v),
-        txt AS (SELECT i, string_agg(w, ' ' ORDER BY j) AS text
+            SELECT p.i, p.j, p.lang_id, v.v[1 + {word_idx}] AS w
+            FROM (SELECT *,
+                         CASE WHEN is_dup
+                                   AND hash(i * 131 + j * 7 + 3) % 100 < 5
+                              THEN i ELSE seed_doc END AS seed
+                  FROM pos) p CROSS JOIN vocab v),
+        txt AS (SELECT i, any_value(lang_id) AS lang_id,
+                       string_agg(w, ' ' ORDER BY j) AS text
                 FROM words GROUP BY i)
         SELECT i AS doc_id, text,
-               CASE WHEN hash(i * 107 + 103) % 100 < 44 THEN 'en'
-                    WHEN hash(i * 107 + 103) % 100 < 58 THEN 'de'
-                    WHEN hash(i * 107 + 103) % 100 < 72 THEN 'es'
-                    WHEN hash(i * 107 + 103) % 100 < 86 THEN 'fr'
-                    ELSE 'zh' END AS lang,
+               ['en','de','es','fr','zh'][1 + lang_id] AS lang,
                'src' || (hash(i * 109 + 107) % 20) AS source,
                length(text) AS n_chars
         FROM txt""")
