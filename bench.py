@@ -270,7 +270,15 @@ def main() -> None:
         # keep every stage of the whole bench run in the status store so
         # the per-query metric snapshots never lose stages to eviction
         # (r09 ended near stage 1600; 20k is ~12x headroom)
-        extra_conf={"spark.ui.retainedStages": "20000"},
+        extra_conf={
+            "spark.ui.retainedStages": "20000",
+            # JVM unified logging writes to STDOUT — under memory
+            # pressure gc+alloc GCLocker warnings land in front of the
+            # one-JSON-line contract (seen at organic sf1.0, r10);
+            # route the JVM's log stream to stderr where the rest of
+            # the bench chatter already lives
+            "spark.driver.extraJavaOptions": "-Xlog:all=warning:stderr",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
