@@ -194,7 +194,11 @@ def main() -> None:
         extra_conf={
             "spark.driver.memory": os.environ.get(
                 "SORA_DRIVER_MEMORY", "16g"
-            )
+            ),
+            # same one-JSON-line stdout contract as bench.py, higher
+            # memory pressure: keep JVM unified logging (GCLocker
+            # warnings) off stdout (r10 review finding)
+            "spark.driver.extraJavaOptions": "-Xlog:all=warning:stderr",
         },
     )
 

@@ -40,6 +40,13 @@ def topk_per_group(
     descending: bool = True,
 ) -> DataFrame:
     """Rows of the top-k per group, with `rn` (1-based rank)."""
+    if "rn" in df.columns:
+        # withColumn("rn", ...) would silently replace the caller's
+        # column (same guard as the salted variant)
+        raise ValueError(
+            "topk_per_group: input already has `rn`; rename before "
+            "calling (the operator emits `rn`)"
+        )
     sort_cols = [order_col, *tiebreak_cols]
     ascending = [not descending] + [True] * len(tiebreak_cols)
 

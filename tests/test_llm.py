@@ -1118,11 +1118,14 @@ def test_neardup_recovers_planted_organic_clusters(spark, tmp_path):
     import subprocess
     import sys
 
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = str(tmp_path / "organic_sf002")
     subprocess.run(
         [sys.executable, "scripts/gen_organic.py",
          "--sf", "0.02", "--out", out],
-        check=True, capture_output=True, cwd="/root/repo",
+        check=True, capture_output=True, cwd=repo,
     )
     docs = spark.read.parquet(out + "/documents.parquet")
     n_docs = docs.count()
@@ -1158,24 +1161,36 @@ def test_chargram_language_id_learns_when_signal_exists(spark, tmp_path):
     majority floor — a FIXTURE property. This proves the operator
     itself LEARNS: gen_organic --lang-signal draws 30% of words from
     a lang-specific vocabulary slice (near-dups inherit their decade
-    base's lang), and the same char-trigram Naive Bayes then reads
-    99.5% held-out accuracy at sf0.02 (majority floor 0.47).
-    Deterministic (hash-seeded generator, md5-free scoring); floor
-    pinned at 0.90 with margin."""
+    base's lang).
+
+    Split hygiene (review finding): with train_lt=8 the held-out set
+    is EXACTLY the planted residue-8/9 near-duplicates of training
+    docs — memorizing train trigram profiles would pass. So train on
+    residues 0-6 and score residue-7 docs, which share no planted
+    structure with any training doc: measured 0.980 over 100
+    genuinely independent held-outs (majority floor 0.47; the
+    near-dup residues read 0.995 — reported separately, never
+    pinned as generalization). Deterministic; floor 0.90."""
+    import os
     import subprocess
     import sys
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = str(tmp_path / "org_lang")
     subprocess.run(
         [sys.executable, "scripts/gen_organic.py",
          "--sf", "0.02", "--out", out, "--lang-signal"],
-        check=True, capture_output=True, cwd="/root/repo",
+        check=True, capture_output=True, cwd=repo,
     )
     docs = spark.read.parquet(out + "/documents.parquet")
     pred = textstats.chargram_language_id(
-        docs, n=3, mod=10, train_lt=8
+        docs, n=3, mod=10, train_lt=7
     ).collect()
+    indep = [r for r in pred if r["doc_id"] % 10 == 7]
     acc = sum(
-        1 for r in pred if r["actual_lang"] == r["pred_lang"]
-    ) / len(pred)
-    assert acc >= 0.90, f"classifier failed to learn: acc={acc:.3f}"
+        1 for r in indep if r["actual_lang"] == r["pred_lang"]
+    ) / len(indep)
+    assert acc >= 0.90, (
+        f"classifier failed to generalize: independent-holdout "
+        f"acc={acc:.3f} over {len(indep)}"
+    )
