@@ -748,3 +748,99 @@ def encoding_repair(df: DataFrame, text_col: str = "text") -> DataFrame:
     r = _nfc(r)
     r = F.trim(F.regexp_replace(r, r"\s+", " "))
     return out.withColumn("repaired", r)
+
+
+def source_divergence(
+    docs: DataFrame,
+    top_k: int = 16,
+    text_col: str = "text",
+    source_col: str = "source",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Per-source Jensen-Shannon divergence from the corpus unigram
+    distribution, over the global TOP-K vocabulary plus one explicit
+    "OTHER" residual bucket per distribution (qta24).
+
+    Why the cap: the r10 shape broadcast the FULL vocabulary into the
+    JS grid; under Heaps' law the distinct-token table of a 100 TB
+    crawl is billions of rows — a driver OOM. A truncated+remainder
+    distribution is still a distribution, so JS over it is still a
+    valid drift monitor (tail drift shows as OTHER-mass drift), and
+    the truncation is not silent: n_vocab / vocab_kept ride in every
+    result row. Top-K selection plans as TakeOrderedAndProject
+    (per-partition top-K, K-row driver merge) — the vocabulary is
+    never globally sorted, collected, or broadcast; only the K-row
+    top table and two scalar aggregates broadcast.
+
+    `checkpoint=False` skips the localCheckpoints so plan tests can
+    see the full lineage (the checkpoints turn subtrees into
+    ExistingRDD leaves, hiding the limit from `.explain`).
+    """
+    _cp = (lambda df: df.localCheckpoint(eager=True)) if checkpoint \
+        else (lambda df: df)
+    w = docs.select(
+        source_col, F.explode(F.split(text_col, " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    # four consumers (st, g, the grid join, the OTHER residual) reuse
+    # this wordcount — checkpoint so the tokenize pass runs ONCE
+    # unconditionally (the qta20/qd5 convention for fanned-out subtrees)
+    wc = _cp(w.groupBy(source_col, "w").agg(
+        F.count("*").cast("double").alias("c")))
+    st = wc.groupBy(source_col).agg(F.sum("c").alias("n_s"))
+    g = wc.groupBy("w").agg(F.sum("c").alias("cg"))
+    gt = g.agg(F.sum("cg").alias("n"), F.count("*").alias("n_vocab"))
+    # deterministic tie-break at the K boundary: (count DESC, token ASC)
+    top = _cp(g.orderBy(F.desc("cg"), F.asc("w")).limit(top_k))
+    tt = top.agg(F.sum("cg").alias("cg_top"))
+    # pre-filter the wordcount to the top-K words BEFORE the grid
+    # join: joining the grid directly against the vocab-sized wc made
+    # Spark broadcast wc (the grid side is smaller) — the exact
+    # unbounded-broadcast shape this operator exists to avoid. wt is
+    # <= K x sources rows by construction, so whichever side the
+    # planner builds is bounded.
+    wt = wc.join(F.broadcast(top.select("w")), "w", "inner")
+    grid = (
+        st.crossJoin(F.broadcast(top))
+        .join(wt, [source_col, "w"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0.0)))
+        .crossJoin(F.broadcast(gt))
+    )
+    p = F.col("c") / F.col("n_s")
+    q = F.col("cg") / F.col("n")
+    m = (p + q) / 2
+    # 0 ln 0 = 0 for BOTH sides (q is always > 0 over the top vocab,
+    # but the OTHER bucket below reuses the symmetric form)
+    contrib = 0.5 * F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0)) \
+        + 0.5 * F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    topagg = (
+        grid.withColumn("term", contrib)
+        .groupBy(source_col)
+        .agg(
+            F.any_value("n_s").alias("n_s"),
+            F.sum("c").alias("c_top"),
+            F.sum("term").alias("js_top"),
+        )
+    )
+    # OTHER bucket: the tail mass each distribution lost to the cap.
+    # Counts are integers carried in doubles, so the subtractions are
+    # exact (< 2^53); q_o == 0 exactly when top_k >= vocab.
+    p_o = (F.col("n_s") - F.col("c_top")) / F.col("n_s")
+    q_o = (F.col("n") - F.col("cg_top")) / F.col("n")
+    m_o = (p_o + q_o) / 2
+    term_o = (
+        F.when(p_o > 0, 0.5 * p_o * F.log(p_o / m_o)).otherwise(F.lit(0.0))
+        + F.when(q_o > 0, 0.5 * q_o * F.log(q_o / m_o)).otherwise(F.lit(0.0))
+    )
+    return (
+        topagg.crossJoin(F.broadcast(gt))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            source_col,
+            F.col("n_s").cast("bigint").alias("n_tokens"),
+            F.round(F.col("js_top") + term_o, 6).alias("js_divergence"),
+            F.col("n_vocab").cast("bigint").alias("n_vocab"),
+            F.least(F.lit(top_k), F.col("n_vocab"))
+            .cast("bigint").alias("vocab_kept"),
+        )
+        .orderBy(source_col)
+    )

@@ -921,3 +921,67 @@ def test_ivf_indexed_probe_prunes_partitions(spark, sf_dir):
         assert "SortMergeJoin" not in p, p
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _tree_subtrees(plan: str, node: str) -> list[str]:
+    """Every `node` occurrence in a simple-mode plan tree, with its
+    full subtree. Spark's text tree indents every descendant strictly
+    to the right of its parent's operator-name column, so a subtree
+    ends at the first line whose operator starts at or left of the
+    root's column."""
+    import re as _re
+
+    lines = plan.splitlines()
+
+    def _col(line: str) -> int:
+        m = _re.search(r"[+:]- ", line)
+        return m.end() if m else 0
+
+    out = []
+    for i, line in enumerate(lines):
+        if node not in line:
+            continue
+        col = _col(line)
+        sub = [line]
+        for nxt in lines[i + 1:]:
+            if _col(nxt) <= col and nxt.strip():
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+def test_source_divergence_never_broadcasts_full_vocab(spark, sf_dir):
+    """qta24's 100 TB posture (r10 verdict item 2 fix): the JS grid
+    joins a TOP-K vocabulary, never the full distinct-token table —
+    under Heaps' law the full vocab of a crawl corpus is billions of
+    rows and broadcasting it OOMs the driver. Pinned on the
+    uncheckpointed lineage (checkpoint=False keeps the limit visible;
+    the production path checkpoints the same subtrees into
+    ExistingRDD leaves): the top-K select must plan as
+    TakeOrderedAndProject (per-partition top-K + K-row merge — no
+    global sort, no driver collect), and EVERY BroadcastExchange
+    subtree must be bounded by construction — i.e. contain either
+    that limit or a scalar aggregate. This is the pin that caught the
+    first r11 rewrite: the grid's left join against the unfiltered
+    wordcount auto-broadcast the vocab-sized wc (bounded at fixture
+    scale only by luck), fixed by pre-filtering wc to the top-K words
+    (wt <= K x sources rows)."""
+    from sora_spark.llm import textstats
+    from sora_spark.queries.bench_core import tables
+
+    docs = tables(spark, sf_dir).documents
+    p = _plan_df(textstats.source_divergence(
+        docs, top_k=16, checkpoint=False), mode="simple")
+    assert "TakeOrderedAndProject" in p, (
+        "top-K vocab must plan as TakeOrderedAndProject:\n" + p)
+    assert "CollectLimit" not in p, (
+        "vocab top-K must not collect to the driver:\n" + p)
+    assert "CartesianProduct" not in p
+    subs = _tree_subtrees(p, "BroadcastExchange")
+    assert subs, "expected broadcast exchanges in the grid plan:\n" + p
+    for s in subs:
+        assert (
+            "TakeOrderedAndProject" in s        # the K-limited vocab
+            or "HashAggregate(keys=[]" in s     # a scalar aggregate
+        ), "unbounded broadcast side in JS grid:\n" + s + "\n\nFULL:\n" + p
