@@ -11,7 +11,9 @@ Shuffle volume drops from |rows| to ≲ k · groups · batches.
 
 Ties on `order_col` are broken by `tiebreak_cols` (required — without
 a total order, "top-k" is not well-defined and the partial pass could
-legally disagree with the final pass).
+legally disagree with the final pass). All variants share this
+precondition: (order_col, *tiebreak_cols) must totally order each
+group's rows.
 
 MEASURED trade (local[32], 4.8M rows, 3 groups, k=5): window 5.8 s vs
 combiner 6.8 s — on a single machine the shuffle is nearly free and
@@ -117,6 +119,16 @@ def topk_per_group_salted(
             "rename before calling (the operator emits `rn` and uses "
             "_salt/_prn internally)"
         )
+    if not tiebreak_cols:
+        # F.hash() with zero columns raises an opaque py4j error; and
+        # without tiebreaks (order_col, tiebreak_cols) is not a total
+        # order, so the salted/plain equivalence guarantee is void —
+        # which rows of a tie survive would differ per salt layout
+        raise ValueError(
+            "topk_per_group_salted: tiebreak_cols must be non-empty — "
+            "(order_col, *tiebreak_cols) must totally order each group "
+            "for the salted result to equal the plain window's"
+        )
     salt = F.pmod(
         F.hash(*[F.col(c) for c in tiebreak_cols]), F.lit(n_salts)
     )
@@ -134,5 +146,101 @@ def topk_per_group_salted(
     w2 = Window.partitionBy(*group_cols).orderBy(*order)
     return (
         reduced.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def estimate_max_group_rows(
+    df: DataFrame,
+    group_cols: list[str],
+    sample_fraction: float = 0.001,
+    seed: int = 8191,
+) -> int:
+    """Sampled estimate of the LARGEST group's row count: scan
+    `sample_fraction` of the group columns only (column-pruned at the
+    source), count per group map-side, take the max. One cheap eager
+    job; the estimate scales the sampled max back up by 1/fraction.
+    Deterministic seed so the dispatch below is stable run-to-run."""
+    r = (
+        df.select(*group_cols)
+        .sample(fraction=sample_fraction, seed=seed)
+        .groupBy(*group_cols)
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    return 0 if r is None else int(r / sample_fraction)
+
+
+def choose_topk_strategy(
+    df: DataFrame,
+    group_cols: list[str],
+    skew_threshold: int = 5_000_000,
+    sample_fraction: float = 0.001,
+) -> str:
+    """'salted' when the estimated hottest group exceeds
+    `skew_threshold` rows, else 'plain'. The threshold is a REGIME
+    boundary, not a correctness boundary — both paths are exact (qw15
+    certifies the salted form against the plain-window oracle), so a
+    sampling error costs only performance. Default 5M: a single-task
+    sort of a few million rows is fine (the r10 organic probe's 27k-row
+    hot task was free); past that one reducer owns the whole hot group
+    no matter the cluster size, which is exactly what the salted form
+    bounds at k*n_salts rows per task."""
+    return (
+        "salted"
+        if estimate_max_group_rows(df, group_cols, sample_fraction)
+        > skew_threshold
+        else "plain"
+    )
+
+
+def topk_per_group_adaptive(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    tiebreak_cols: list[str],
+    descending: bool = True,
+    n_salts: int = 32,
+    skew_threshold: int = 5_000_000,
+    sample_fraction: float = 0.001,
+) -> DataFrame:
+    """THE per-group top-k entry point: route skewed inputs to the
+    salted two-phase form automatically, the same spirit as AQE's
+    skew-join split (which does not cover windows — r10 organic-skew
+    finding). A cheap sampled pre-count estimates the hottest group;
+    past `skew_threshold` rows the salted form runs (every task sorts
+    <= k*n_salts rows regardless of group size), otherwise the plain
+    single-window form (no extra exchange). Identical results either
+    way — qw15's oracle proves the salted/plain equivalence, and both
+    share the (order_col, *tiebreak_cols) total-order precondition.
+
+    The r10 verdict's q4 nit closes here: callers no longer need to
+    know their key distribution; the operator measures it."""
+    if choose_topk_strategy(
+        df, group_cols, skew_threshold, sample_fraction
+    ) == "salted":
+        return topk_per_group_salted(
+            df, group_cols, order_col, k, tiebreak_cols,
+            descending=descending, n_salts=n_salts,
+        )
+    if "rn" in df.columns:
+        raise ValueError(
+            "topk_per_group_adaptive: input already has `rn`; rename "
+            "before calling (the operator emits `rn`)"
+        )
+    if not tiebreak_cols:
+        raise ValueError(
+            "topk_per_group_adaptive: tiebreak_cols must be non-empty — "
+            "(order_col, *tiebreak_cols) must totally order each group"
+        )
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        *[F.col(c).asc() for c in tiebreak_cols],
+    ]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )

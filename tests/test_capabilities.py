@@ -1797,3 +1797,85 @@ def test_topk_salted_matches_window_under_skew(spark):
         )
     )
     assert got == want
+
+
+def test_topk_adaptive_dispatch_engages_salt_only_under_skew(spark):
+    """topk_per_group_adaptive (r10 verdict item 3): the SAME entry
+    point must route a skewed input through the salted two-phase form
+    (its plan carries the pmod(hash(..)) salt) and a uniform input
+    through the plain single-window form (no salt, no second window) —
+    and both dispatches must return exactly the plain window's rows.
+    Thresholds are scaled to the 50k-row fixture; the default 5M
+    threshold is the regime boundary documented in the operator."""
+    import io
+
+    from pyspark.sql.window import Window
+
+    from sora_spark.operators.topk import (
+        choose_topk_strategy,
+        topk_per_group_adaptive,
+    )
+
+    def plan_of(df):
+        import contextlib
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("simple")
+        return buf.getvalue()
+
+    # ~96% of rows in group 99 (hot), groups 0..4 tiny
+    skewed = spark.range(50_000).select(
+        F.when(
+            F.col("id") % 25 == 0, (F.col("id") / 25).cast("long") % 5
+        ).otherwise(F.lit(99)).alias("g"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+        F.col("id"),
+    )
+    # uniform: 1000 groups of ~50 rows
+    uniform = spark.range(50_000).select(
+        (F.col("id") % 1000).alias("g"),
+        (F.col("id") % 777).cast("double").alias("v"),
+        F.col("id"),
+    )
+    kw = dict(skew_threshold=5_000, sample_fraction=0.5)
+
+    assert choose_topk_strategy(skewed, ["g"], **kw) == "salted"
+    assert choose_topk_strategy(uniform, ["g"], **kw) == "plain"
+
+    for df in (skewed, uniform):
+        got = topk_per_group_adaptive(
+            df, ["g"], "v", 5, tiebreak_cols=["id"], **kw
+        )
+        p = plan_of(got)
+        if df is skewed:
+            assert "pmod(hash" in p, "salted path must engage:\n" + p
+        else:
+            assert "pmod(hash" not in p, (
+                "plain path must not pay the salt exchange:\n" + p)
+        w = Window.partitionBy("g").orderBy(F.desc("v"), "id")
+        want = sorted(map(tuple, df.withColumn(
+            "rn", F.row_number().over(w)
+        ).filter(F.col("rn") <= 5).collect()))
+        assert sorted(map(tuple, got.collect())) == want
+
+
+def test_topk_salted_rejects_empty_tiebreak(spark):
+    """ADVICE r10: F.hash() with zero cols raised an opaque py4j
+    error; both the salted and adaptive forms now fail with a clear
+    message naming the total-order precondition."""
+    import pytest as _pytest
+
+    from sora_spark.operators.topk import (
+        topk_per_group_adaptive,
+        topk_per_group_salted,
+    )
+
+    df = spark.range(10).select(
+        F.lit(1).alias("g"), F.col("id").cast("double").alias("v"))
+    with _pytest.raises(ValueError, match="tiebreak_cols"):
+        topk_per_group_salted(df, ["g"], "v", 3, tiebreak_cols=[])
+    with _pytest.raises(ValueError, match="tiebreak_cols"):
+        topk_per_group_adaptive(
+            df, ["g"], "v", 3, tiebreak_cols=[],
+            skew_threshold=1, sample_fraction=1.0)
