@@ -32,10 +32,40 @@ from pyspark.sql import functions as F
 @dataclass
 class Graph:
     """Edges (s, d) with optional vertex frame. Undirected algorithms
-    treat (s, d) as canonical (s < d) undirected edges."""
+    treat (s, d) as canonical (s < d) undirected edges.
+
+    `reliable_checkpoint_dir`: every fixpoint loop cuts lineage with a
+    checkpoint per round. The default (None) uses
+    `localCheckpoint(eager=True)` — blocks live in executor storage,
+    zero HDFS traffic, correct on a healthy cluster — but a local
+    checkpoint DIES WITH ITS EXECUTOR: on preemptible/spot nodes a
+    40-round CC restarts from zero when one machine disappears late in
+    the run. Pass a fault-tolerant path (HDFS/S3) to swap every
+    per-round cut in this class for a reliable `checkpoint()` against
+    that directory: rounds then survive executor loss at the price of
+    one distributed write per round. Same results bit-for-bit either
+    way (one parametrized oracle test runs CC/PageRank/k-core under
+    both modes)."""
 
     edges: DataFrame  # columns: s, d (+ attrs)
     vertices: DataFrame | None = None
+    reliable_checkpoint_dir: str | None = None
+
+    def _cp(self, df: DataFrame) -> DataFrame:
+        """The per-round lineage cut every fixpoint in this class uses
+        (via `.transform(self._cp)` so call sites stay postfix).
+        Local by default; reliable when the Graph was built with
+        `reliable_checkpoint_dir` (see class docstring for the
+        executor-loss trade)."""
+        if self.reliable_checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        sc = df.sparkSession.sparkContext
+        # setCheckpointDir once per context/dir, not per round — it
+        # round-trips to the JVM and mkdirs the path every call
+        if getattr(sc, "_sora_ckpt_dir", None) != self.reliable_checkpoint_dir:
+            sc.setCheckpointDir(self.reliable_checkpoint_dir)
+            sc._sora_ckpt_dir = self.reliable_checkpoint_dir
+        return df.checkpoint(eager=True)
 
     # ---- basic structure -------------------------------------------------
 
@@ -212,10 +242,10 @@ class Graph:
         sym = self.edges.select("s", "d").union(
             self.edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
         )
-        sym = sym.repartition("s").localCheckpoint(eager=True)
+        sym = sym.repartition("s").transform(self._cp)
         labels = self.vertex_ids().select(
             F.col("v"), F.col("v").alias("component")
-        ).localCheckpoint(eager=True)
+        ).transform(self._cp)
 
         from pyspark.sql.types import (
             ByteType,
@@ -275,7 +305,7 @@ class Graph:
                         F.coalesce(F.col("nbr_component"), F.col("component")),
                     ).alias("component"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(self._cp)
             )
             if numeric_ids:
                 new_mass = _label_mass(new_labels)
@@ -306,7 +336,7 @@ class Graph:
         chains. Same output contract, same qg4 oracle; `stats` (if
         given) records {"rounds": k} for the round-count comparison.
         """
-        verts = self.vertex_ids().localCheckpoint(eager=True)
+        verts = self.vertex_ids().transform(self._cp)
         e = (
             self.edges.select("s", "d")
             .filter(F.col("s") != F.col("d"))
@@ -314,7 +344,7 @@ class Graph:
                 F.greatest("s", "d").alias("u"), F.least("s", "d").alias("v")
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(self._cp)
         )
         rounds = 0
         converged = False
@@ -358,7 +388,7 @@ class Graph:
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
                 .union(m2.select("u", F.col("m").alias("v")))
                 .distinct()
-                .localCheckpoint(eager=True)
+                .transform(self._cp)
             )
             rounds += 1
             n2, sig2 = e2.count(), _edge_sig(e2)
@@ -396,10 +426,8 @@ class Graph:
         checkpointed to cut lineage; rounds = graph diameter."""
         sym = self.edges.select("s", "d").union(
             self.edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
-        ).localCheckpoint(eager=True)
-        dist = sources.select(F.col("v"), F.lit(0).alias("hop")).localCheckpoint(
-            eager=True
-        )
+        ).transform(self._cp)
+        dist = sources.select(F.col("v"), F.lit(0).alias("hop")).transform(self._cp)
         frontier = dist.select("v")
         for h in range(1, max_hops + 1):
             nxt = (
@@ -407,13 +435,13 @@ class Graph:
                 .select(F.col("d").alias("v"))
                 .distinct()
                 .join(dist.select("v"), "v", "left_anti")
-                .localCheckpoint(eager=True)
+                .transform(self._cp)
             )
             if nxt.isEmpty():
                 break
             dist = dist.union(
                 nxt.select("v", F.lit(h).alias("hop"))
-            ).localCheckpoint(eager=True)
+            ).transform(self._cp)
             frontier = nxt
         return dist
 
@@ -443,12 +471,12 @@ class Graph:
         warm at sf0.1): bench q10 10.3s (r05 driver record) -> 8.1s;
         output verified byte-identical to the alternating loop on
         e_co_small and the read-overlap graph at sf0.001/0.01."""
-        edges = self.edges.localCheckpoint(eager=True)
+        edges = self.edges.transform(self._cp)
         prev = edges.count()
         counts = [prev]
         rounds = 0
         for it in range(max_iter):
-            g = Graph(edges)
+            g = Graph(edges, reliable_checkpoint_dir=self.reliable_checkpoint_dir)
             if it == 0:
                 # checkpoint the reduced edges BEFORE the tip trim: the
                 # trim plan references this subplan several times (edge
@@ -456,9 +484,7 @@ class Graph:
                 # exchanges — not the 2-path semi-join itself — get
                 # ReusedExchange'd, so without the cut the round's
                 # heaviest join runs 3-4x
-                reduced = g.transitive_reduction_round().localCheckpoint(
-                    eager=True
-                )
+                reduced = g.transitive_reduction_round().transform(self._cp)
             else:
                 reduced = edges
             # tips-first convergence: the tip set is degree-1-bounded
@@ -472,9 +498,10 @@ class Graph:
             # detection round instead of appending the duplicate
             # confirm entry.
             tips = (
-                Graph(reduced)
+                Graph(reduced,
+                      reliable_checkpoint_dir=self.reliable_checkpoint_dir)
                 .tips(hub_degree=hub_degree)
-                .localCheckpoint(eager=True)
+                .transform(self._cp)
             )
             rounds += 1
             if tips.count() == 0:
@@ -483,7 +510,7 @@ class Graph:
                 break
             edges = self._trim_with_tips(
                 reduced, tips, g._bc(None)
-            ).localCheckpoint(eager=True)
+            ).transform(self._cp)
             n = edges.count()
             # nudge the driver GC so py4j refs to the PREVIOUS round's
             # checkpointed blocks release promptly — otherwise the
@@ -599,14 +626,14 @@ class Graph:
         counts = list(rstats["edge_counts"])
         bubble_rounds = 0
         for _ in range(max_iter):
-            g = Graph(edges)
+            g = Graph(edges, reliable_checkpoint_dir=self.reliable_checkpoint_dir)
             # removal-first convergence (same trick as the tips-first
             # reduce loop): the removal set is bubble-bounded — when
             # empty, skip the anti-join + full-edge checkpoint AND the
             # legacy no-op confirm round
             removal = g._bubble_removals(
                 min_mids, g._bc(None)
-            ).localCheckpoint(eager=True)
+            ).transform(self._cp)
             bubble_rounds += 1
             if removal.count() == 0:
                 counts.append(prev)
@@ -615,7 +642,7 @@ class Graph:
                 F.broadcast(removal) if g._bc(None) else removal,
                 ["s", "d"],
                 "left_anti",
-            ).localCheckpoint(eager=True)
+            ).transform(self._cp)
             n = edges.count()
             gc.collect()  # release prior round's checkpoint blocks
             counts.append(n)
@@ -657,12 +684,12 @@ class Graph:
         """Exactly `n_rounds` of the reduction loop body, NO convergence
         check — the SQL-expressible (unrollable) twin of
         `reduce_pipeline`, used by the oracle-checked qg11."""
-        edges = self.edges.localCheckpoint(eager=True)
+        edges = self.edges.transform(self._cp)
         for _ in range(n_rounds):
-            g = Graph(edges)
+            g = Graph(edges, reliable_checkpoint_dir=self.reliable_checkpoint_dir)
             edges = self._trim_tips(
                 g.transitive_reduction_round(), hub_degree, g._bc(None)
-            ).localCheckpoint(eager=True)
+            ).transform(self._cp)
         return edges
 
     def k_core(self, k: int = 2, max_iter: int = 50) -> DataFrame:
@@ -675,7 +702,7 @@ class Graph:
             self.edges.select("s", "d")
             .union(self.edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(self._cp)
         )
         for _ in range(max_iter):
             deg = e.groupBy("s").agg(F.count("*").alias("_deg"))
@@ -683,9 +710,7 @@ class Graph:
             # sub-k vertices EXIST — the drop set is vertex-bounded and
             # cheap to test, the skipped work is two semi-joins plus a
             # full edge checkpoint on the final (no-op) round
-            drop = deg.filter(F.col("_deg") < k).select("s").localCheckpoint(
-                eager=True
-            )
+            drop = deg.filter(F.col("_deg") < k).select("s").transform(self._cp)
             if drop.count() == 0:
                 return e.select(F.col("s").alias("v")).distinct()
             keep = deg.filter(F.col("_deg") >= k).select("s")
@@ -693,7 +718,7 @@ class Graph:
                 e.join(keep, "s", "left_semi")
                 .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
                 .select("s", "d")
-                .localCheckpoint(eager=True)
+                .transform(self._cp)
             )
         raise RuntimeError(
             f"k_core: still peeling after max_iter={max_iter} rounds —"
@@ -728,7 +753,7 @@ class Graph:
             )
             .filter(F.col("s") != F.col("d"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(self._cp)
         )
         out: DataFrame | None = None
         rounds = 0
@@ -768,10 +793,10 @@ class Graph:
                 .select(
                     F.col("a.v").alias("x"), F.col("a.u").alias("y")
                 )
-                .localCheckpoint(eager=True)
+                .transform(self._cp)
             )
             out = newm if out is None else out.unionByName(newm)
-            out = out.localCheckpoint(eager=True)
+            out = out.transform(self._cp)
             mv = newm.select(F.col("x").alias("v")).union(
                 newm.select(F.col("y").alias("v"))
             )
@@ -779,7 +804,7 @@ class Graph:
                 e.join(mv.withColumnRenamed("v", "s"), "s", "left_anti")
                 .join(mv.withColumnRenamed("v", "d"), "d", "left_anti")
                 .select("s", "d")
-                .localCheckpoint(eager=True)
+                .transform(self._cp)
             )
         else:
             # The for/else fires when the loop ran all max_iter rounds;
@@ -823,17 +848,15 @@ class Graph:
         {"rounds": outer+trim round count}."""
         edges = self.edges.select("s", "d").filter(
             F.col("s") != F.col("d")
-        ).distinct().localCheckpoint(eager=True)
-        remaining = self.vertex_ids().localCheckpoint(eager=True)
+        ).distinct().transform(self._cp)
+        remaining = self.vertex_ids().transform(self._cp)
         done: DataFrame | None = None
         rounds = 0
 
         def _propagate(e, vs):
             # min-label to fixpoint along DIRECTED edges: lab(v) =
             # min(v, min over in-neighbors' labels)
-            lab = vs.select("v", F.col("v").alias("lab")).localCheckpoint(
-                eager=True
-            )
+            lab = vs.select("v", F.col("v").alias("lab")).transform(self._cp)
 
             def _mass(df_):
                 # labels only decrease and are integral → equal decimal
@@ -857,7 +880,7 @@ class Graph:
                             F.col("lab"), F.coalesce("nl", F.col("lab"))
                         ).alias("lab"),
                     )
-                    .localCheckpoint(eager=True)
+                    .transform(self._cp)
                 )
                 # carry the previous round's mass forward — one
                 # aggregate scan (barrier) per hop, not two
@@ -871,7 +894,7 @@ class Graph:
         def _emit(part):
             nonlocal done
             done = part if done is None else done.unionByName(part)
-            done = done.localCheckpoint(eager=True)
+            done = done.transform(self._cp)
 
         for _ in range(max_iter):
             # (a) trim loop: no-in or no-out vertices are singleton SCCs
@@ -879,9 +902,7 @@ class Graph:
                 rounds += 1
                 ins = edges.select(F.col("d").alias("v")).distinct()
                 outs = edges.select(F.col("s").alias("v")).distinct()
-                core = ins.join(outs, "v", "left_semi").localCheckpoint(
-                    eager=True
-                )
+                core = ins.join(outs, "v", "left_semi").transform(self._cp)
                 triv = remaining.join(core, "v", "left_anti")
                 if triv.isEmpty():
                     break
@@ -891,7 +912,7 @@ class Graph:
                     edges.join(core, edges.s == core.v, "left_semi")
                     .join(core.withColumnRenamed("v", "d"), "d", "left_semi")
                     .select("s", "d")
-                    .localCheckpoint(eager=True)
+                    .transform(self._cp)
                 )
                 if remaining.isEmpty():
                     break
@@ -907,18 +928,16 @@ class Graph:
             # (c) peel complete SCCs
             peel = lab.filter(F.col("f") == F.col("b")).select(
                 "v", F.col("f").alias("component")
-            ).localCheckpoint(eager=True)
+            ).transform(self._cp)
             _emit(peel)
-            remaining = remaining.join(peel, "v", "left_anti").localCheckpoint(
-                eager=True
-            )
+            remaining = remaining.join(peel, "v", "left_anti").transform(self._cp)
             if remaining.isEmpty():
                 break
             edges = (
                 edges.join(peel, edges.s == peel.v, "left_anti")
                 .join(peel.withColumnRenamed("v", "d"), "d", "left_anti")
                 .select("s", "d")
-                .localCheckpoint(eager=True)
+                .transform(self._cp)
             )
         else:
             raise RuntimeError(
@@ -952,7 +971,7 @@ class Graph:
                 F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d")
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(self._cp)
         )
         rounds = 0
 
@@ -984,7 +1003,7 @@ class Graph:
             sup = _support(e)
             scored = e.join(sup, ["s", "d"], "left").select(
                 "s", "d", F.coalesce("support", F.lit(0)).alias("support")
-            ).localCheckpoint(eager=True)
+            ).transform(self._cp)
             rounds += 1
             drop = scored.filter(F.col("support") < k - 2)
             if drop.isEmpty():
@@ -993,17 +1012,16 @@ class Graph:
                 return scored
             e = scored.filter(F.col("support") >= k - 2).select(
                 "s", "d"
-            ).localCheckpoint(eager=True)
+            ).transform(self._cp)
         raise RuntimeError(
             f"k_truss: still peeling after max_iter={max_iter} rounds —"
             " raise max_iter (a partial peel is NOT a k-truss)"
         )
 
-    @staticmethod
-    def _power_iterate(verts, edges, out_deg, ranks, n_iter, update_fn):
+    def _power_iterate(self, verts, edges, out_deg, ranks, n_iter, update_fn):
         """Shared PageRank-family round loop: each round is one join
         (rank → out-edges) + one destination-sum groupBy, dangling mass
-        riding as a broadcast 1-row aggregate, `localCheckpoint` per
+        riding as a broadcast 1-row aggregate, a checkpoint per
         round keeping the plan flat. `update_fn(dmass, contrib)`
         builds the new rank column — the ONLY thing that differs
         between uniform-teleport PageRank and seed-teleport PPR.
@@ -1039,7 +1057,7 @@ class Graph:
                         F.col("_dmass"), F.coalesce("c", F.lit(0.0))
                     ).alias("rank"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(self._cp)
             )
         return ranks
 
@@ -1059,17 +1077,15 @@ class Graph:
         flat. Dangling mass rides the same round as a broadcast 1-row
         aggregate (cross-join), so each round is exactly ONE action
         (the ranks checkpoint) — no separate driver-side scalar job."""
-        verts = self.vertex_ids().localCheckpoint(eager=True)
+        verts = self.vertex_ids().transform(self._cp)
         n_v = verts.count()
         # checkpoint the edge set and degree table once so the per-round
         # action never re-evaluates the full edge derivation
-        edges = self.edges.select("s", "d").localCheckpoint(eager=True)
+        edges = self.edges.select("s", "d").transform(self._cp)
         out_deg = edges.groupBy("s").agg(
             F.count("*").alias("_od")
-        ).localCheckpoint(eager=True)
-        ranks = verts.select("v", F.lit(1.0).alias("rank")).localCheckpoint(
-            eager=True
-        )
+        ).transform(self._cp)
+        ranks = verts.select("v", F.lit(1.0).alias("rank")).transform(self._cp)
 
         # same float op order as the collected-scalar form:
         # ((1-d) + (d*D)/n) + d*c — keeps qg14's hash stable
@@ -1111,7 +1127,7 @@ class Graph:
             raise ValueError(
                 "personalized_pagerank: seeds must be non-empty"
             )
-        verts = self.vertex_ids().localCheckpoint(eager=True)
+        verts = self.vertex_ids().transform(self._cp)
         present = {
             r.v
             for r in verts.filter(F.col("v").isin(list(seeds))).collect()
@@ -1121,17 +1137,15 @@ class Graph:
             raise ValueError(
                 f"personalized_pagerank: seeds not in graph: {missing!r}"
             )
-        edges = self.edges.select("s", "d").localCheckpoint(eager=True)
+        edges = self.edges.select("s", "d").transform(self._cp)
         out_deg = edges.groupBy("s").agg(
             F.count("*").alias("_od")
-        ).localCheckpoint(eager=True)
+        ).transform(self._cp)
         n_s = float(len(seeds))
         seed_ind = F.when(
             F.col("v").isin(list(seeds)), F.lit(1.0 / n_s)
         ).otherwise(F.lit(0.0))
-        ranks = verts.select("v", seed_ind.alias("rank")).localCheckpoint(
-            eager=True
-        )
+        ranks = verts.select("v", seed_ind.alias("rank")).transform(self._cp)
 
         # float op order fixed for the oracle hash:
         # s(v)*((1-d) + d*D) + d*c
@@ -1168,7 +1182,7 @@ class Graph:
         e = self.edges.select("s", "d", w.cast("double").alias("_w"))
         dist = sources.select(
             F.col("v"), F.lit(0.0).alias("dist")
-        ).localCheckpoint(eager=True)
+        ).transform(self._cp)
         for _ in range(max_iter):
             cand = (
                 e.join(dist, e.s == dist.v)
@@ -1176,7 +1190,7 @@ class Graph:
                 .union(dist)
                 .groupBy("v")
                 .agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=True)
+                .transform(self._cp)
             )
             improved = (
                 cand.alias("c")
@@ -1225,7 +1239,7 @@ class Graph:
             F.col("d").alias("end"),
             F.lit(1).alias("dist"),
             *lab0,
-        ).localCheckpoint(eager=True)
+        ).transform(self._cp)
         prev_total = None
         rounds = 0
         for _ in range(max_iter):
@@ -1250,7 +1264,7 @@ class Graph:
                     ).alias("dist"),
                     *lab,
                 )
-                .localCheckpoint(eager=True)
+                .transform(self._cp)
             )
             total = p.agg(F.sum("dist")).collect()[0][0]
             if total == prev_total:
@@ -1314,12 +1328,12 @@ class Graph:
             )
             .distinct()
             .repartition("d")
-            .localCheckpoint(eager=True)
+            .transform(self._cp)
         )
         labels = (
             self.vertex_ids()
             .select("v", F.col("v").alias("lab"))
-            .localCheckpoint(eager=True)
+            .transform(self._cp)
         )
         w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("lab"))
         for _ in range(n_rounds):
@@ -1341,7 +1355,7 @@ class Graph:
                 .select(
                     "v", F.coalesce(F.col("lab"), F.col("_old")).alias("lab")
                 )
-                .localCheckpoint(eager=True)
+                .transform(self._cp)
             )
         return labels
 
@@ -1371,17 +1385,15 @@ class Graph:
         exhaustion inside a block emit empty frames — harmless, and
         the block boundary re-checks convergence/cycle exactly as
         before."""
-        remaining = self.edges.select("s", "d").localCheckpoint(eager=True)
-        verts = self.vertex_ids().localCheckpoint(eager=True)
+        remaining = self.edges.select("s", "d").transform(self._cp)
+        verts = self.vertex_ids().transform(self._cp)
         out: DataFrame | None = None
         level = 0
         while level < max_iter:
             block_out: DataFrame | None = None
             for _ in range(min(block, max_iter - level)):
                 targets = remaining.select(F.col("d").alias("v")).distinct()
-                zero = verts.join(targets, "v", "left_anti").localCheckpoint(
-                    eager=True
-                )
+                zero = verts.join(targets, "v", "left_anti").transform(self._cp)
                 lv = zero.select("v", F.lit(level).alias("level"))
                 block_out = (
                     lv if block_out is None else block_out.unionByName(lv)
@@ -1391,9 +1403,9 @@ class Graph:
                 )
                 verts = verts.join(zero, "v", "left_anti")
                 level += 1
-            block_out = block_out.localCheckpoint(eager=True)
-            remaining = remaining.localCheckpoint(eager=True)
-            verts = verts.localCheckpoint(eager=True)
+            block_out = block_out.transform(self._cp)
+            remaining = remaining.transform(self._cp)
+            verts = verts.transform(self._cp)
             emitted = block_out.count()
             out = (
                 block_out
@@ -1493,11 +1505,11 @@ class Graph:
             F.least("s", "d").alias("s"),
             F.greatest("s", "d").alias("d"),
             F.col(weight_col).alias("w"),
-        ).localCheckpoint(eager=True)
+        ).transform(self._cp)
         comp = (
             self.vertex_ids()
             .select("v", F.col("v").alias("c"))
-            .localCheckpoint(eager=True)
+            .transform(self._cp)
         )
         forest: DataFrame | None = None
         rounds = 0
@@ -1518,7 +1530,7 @@ class Graph:
                 .agg(F.min("p").alias("p"))
                 .select("p.s", "p.d", "p.w", "p.cs", "p.cd")
                 .distinct()
-                .localCheckpoint(eager=True)
+                .transform(self._cp)
             )
             rounds += 1
             if chosen.count() == 0:
@@ -1529,13 +1541,14 @@ class Graph:
                 if forest is None
                 else forest.unionByName(picked).distinct()
             )
-            forest = forest.localCheckpoint(eager=True)
+            forest = forest.transform(self._cp)
             # contract: CC over the (cs, cd) merge graph — component-
             # count sized, shrinks >= 2x per round
             merge = Graph(
                 chosen.select(
                     F.col("cs").alias("s"), F.col("cd").alias("d")
-                )
+                ),
+                reliable_checkpoint_dir=self.reliable_checkpoint_dir,
             ).connected_components()
             comp = (
                 comp.join(
@@ -1548,7 +1561,7 @@ class Graph:
                 .select(
                     "v", F.coalesce(F.col("_nc"), F.col("c")).alias("c")
                 )
-                .localCheckpoint(eager=True)
+                .transform(self._cp)
             )
         else:
             raise RuntimeError(

@@ -488,3 +488,41 @@ def test_bwt_known_value(spark):
         table = sorted(got[i] + table[i] for i in range(n))
     original = next(r for r in table if r.endswith("\x01"))
     assert original == "banana\x01"
+
+
+def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
+    """Graph(reliable_checkpoint_dir=...) swaps every per-round
+    localCheckpoint for a reliable checkpoint() against a real
+    directory (r10 verdict item 4 — local checkpoint blocks die with
+    their executor; at 100 TB on preemptible nodes a 40-round CC
+    would restart from zero). Same results bit-for-bit across
+    CC / two-phase CC / PageRank / k-core / reduce_pipeline, and the
+    reliable run must actually write RDD checkpoint files into the
+    directory (otherwise the mode silently fell back to local)."""
+    import os
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (2, 6),
+             (7, 8), (8, 9), (7, 9), (10, 11)]
+    ckpt = str(tmp_path / "reliable_ckpt")
+
+    def run(**kw):
+        g = Graph(spark.createDataFrame(edges, "s long, d long"), **kw)
+        return {
+            "cc": sorted(map(tuple, g.connected_components().collect())),
+            "cc2": sorted(map(tuple,
+                              g.connected_components_twophase().collect())),
+            "pr": sorted(
+                (r["v"], round(r["rank"], 9))
+                for r in g.pagerank(n_iter=4).collect()),
+            "kcore": sorted(map(tuple, g.k_core(2).collect())),
+            "reduce": sorted(map(tuple, g.reduce_pipeline().collect())),
+        }
+
+    local = run()
+    reliable = run(reliable_checkpoint_dir=ckpt)
+    assert reliable == local
+    written = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "reliable mode must write checkpoint files"
