@@ -228,8 +228,9 @@ def kmeans_centroids(
     if n_centroids > 4096:
         raise ValueError(
             f"kmeans_centroids: n_centroids={n_centroids} exceeds the "
-            "driver-side design bound (4096); use a hierarchical/"
-            "sampled clustering for larger codebooks"
+            "single-level design bound (4096); use "
+            "kmeans_centroids_hierarchical (write_ivf_index dispatches "
+            "there automatically for larger codebooks)"
         )
     cents = [
         [float(x) for x in r[vec_col]]
@@ -327,6 +328,192 @@ def assign_cids(
     return corpus.withColumn("_cid", F.array_position(dists, F.array_min(dists)))
 
 
+def _dist2_col(vec_col, cent_col):
+    """Squared distance between two ARRAY<DOUBLE> columns (the
+    column-vs-column twin of `_dist2`, for centroids that arrive via a
+    broadcast join instead of as plan literals)."""
+    diff = F.zip_with(
+        vector.to_double(vec_col), cent_col, lambda a, b: (a - b) * (a - b)
+    )
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _lit_matrix(cents: list[list[float]]):
+    """A centroid matrix as ONE array<array<double>> literal built via
+    a single SQL expression: the per-element `F.lit` route costs one
+    py4j round-trip per scalar (65 branches x dim 8 ≈ 2 s of plan
+    construction per probe call — measured r11); one `F.expr` parse of
+    the equivalent SQL string is milliseconds. CAST('…' AS DOUBLE)
+    keeps repr()'s full precision incl. scientific notation."""
+    rows = ",".join(
+        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c)
+        + ")"
+        for c in cents
+    )
+    return F.expr(f"array({rows})")
+
+
+def _nearest_branch(vec_col, coarse: list[list[float]]):
+    """1-based nearest-coarse-branch id via a JVM transform over the
+    single-literal coarse matrix (no per-centroid Python expression
+    building)."""
+    d = F.transform(
+        _lit_matrix(coarse), lambda c: _dist2_col(vec_col, c)
+    )
+    return F.array_position(d, F.array_min(d))
+
+
+def _leaf_table(spark, leaves: dict[int, list[tuple[int, list[float]]]]):
+    """dict branch -> [(cid, centroid), ...] as a broadcastable frame
+    with ONE row per branch carrying its leaf array — the join key is
+    the branch, and per-row argmin/top-k run as array HOFs over the
+    branch's leaves (bounded by the per-level cap, never the full
+    codebook)."""
+    return spark.createDataFrame(
+        [(b, [(cid, c) for cid, c in ls]) for b, ls in leaves.items()],
+        "_branch BIGINT, _leaves ARRAY<STRUCT<cid: BIGINT, "
+        "centroid: ARRAY<DOUBLE>>>",
+    )
+
+
+def kmeans_centroids_hierarchical(
+    corpus: DataFrame,
+    n_centroids: int,
+    iters: int = 2,
+    max_per_level: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], dict[int, list[tuple[int, list[float]]]]]:
+    """Two-level k-means for codebooks past the single-level design
+    bound (the `kmeans_centroids` 4096 refusal — r10 verdict item 5's
+    named upgrade): level 1 clusters the corpus into `n_coarse`
+    branches with the existing distributed Lloyd (literal-argmin
+    assignment, <= max_per_level literals); level 2 refines each
+    branch's share of the codebook with Lloyd rounds where assignment
+    is a per-row HOF over the branch's OWN leaf array, delivered by a
+    broadcast join on the branch id — so no plan ever carries more
+    than max_per_level centroid literals and no row ever compares
+    against more than (n_coarse + leaves-per-branch) centroids, while
+    the total codebook goes to max_per_level² (16.7M; a 65536-list
+    IVF is n_coarse=256 x 256 leaves).
+
+    Returns (coarse, leaves): coarse = branch centroids (index =
+    branch id, 0-based); leaves = branch -> [(global 1-based cid,
+    centroid), ...]. Branches with fewer vectors than their leaf
+    quota yield fewer leaves (the codebook can come back smaller than
+    requested on tiny corpora — callers see it via the flat list).
+    Driver memory is bounded by the codebook itself
+    (n_centroids x dim doubles — 33 MB at 65536x64), the same
+    bound the index's centroid sidecar table already implies.
+    Level-2 means collect as (cid, pos, avg) rows per round: also
+    codebook-sized, never corpus-sized."""
+    import math
+
+    if n_centroids > max_per_level * max_per_level:
+        raise ValueError(
+            f"kmeans_centroids_hierarchical: n_centroids={n_centroids} "
+            f"exceeds the two-level bound ({max_per_level}^2); add a "
+            "level (or raise max_per_level deliberately)"
+        )
+    spark = corpus.sparkSession
+    # balanced split: ~sqrt branches, but never more than the level cap
+    # and never so few that a branch's quota would exceed the cap
+    n_coarse = min(
+        max(math.ceil(math.sqrt(n_centroids)),
+            math.ceil(n_centroids / max_per_level)),
+        max_per_level,
+    )
+    quota = [
+        n_centroids // n_coarse + (1 if b < n_centroids % n_coarse else 0)
+        for b in range(n_coarse)
+    ]
+    coarse = kmeans_centroids(corpus, n_coarse, iters, id_col, vec_col)
+    assigned = corpus.select(id_col, vec_col).withColumn(
+        "_branch", _nearest_branch(F.col(vec_col), coarse)
+    )
+    # leaf init = first quota[b] vectors of each branch by id (the
+    # deterministic first-n convention of kmeans_centroids, per branch)
+    w = Window.partitionBy("_branch").orderBy(id_col)
+    init_rows = (
+        assigned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max(quota))
+        .select("_branch", "_rn", vec_col)
+        .collect()
+    )
+    by_branch: dict[int, list[list[float]]] = {}
+    for r in sorted(init_rows, key=lambda r: (r["_branch"], r["_rn"])):
+        b = int(r["_branch"]) - 1
+        if len(by_branch.setdefault(b, [])) < quota[b]:
+            by_branch[b].append([float(x) for x in r[vec_col]])
+    # global 1-based cids: branch-major running offsets
+    leaves: dict[int, list[tuple[int, list[float]]]] = {}
+    nxt = 1
+    for b in sorted(by_branch):
+        leaves[b] = []
+        for c in by_branch[b]:
+            leaves[b].append((nxt, c))
+            nxt += 1
+    for _ in range(iters):
+        lt = _leaf_table(spark, {b + 1: ls for b, ls in leaves.items()})
+        j = assigned.join(F.broadcast(lt), "_branch")
+        d = F.transform(
+            "_leaves", lambda s: _dist2_col(F.col(vec_col), s["centroid"])
+        )
+        cid = F.element_at(
+            "_leaves", F.array_position(d, F.array_min(d)).cast("int")
+        )["cid"]
+        means = (
+            j.select(
+                cid.alias("_cid"),
+                F.posexplode(vector.to_double(F.col(vec_col))),
+            )
+            .groupBy("_cid", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(int(r["_cid"]), {})[int(r["pos"])] = r["m"]
+        for b, ls in leaves.items():
+            leaves[b] = [
+                (
+                    cid_,
+                    [by_cid[cid_][dd] for dd in range(len(c))]
+                    if cid_ in by_cid else c,  # empty cluster keeps init
+                )
+                for cid_, c in ls
+            ]
+    return coarse, leaves
+
+
+def assign_cids_hierarchical(
+    corpus: DataFrame,
+    coarse: list[list[float]],
+    leaves: dict[int, list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus + `_cid` via the two-level argmin: nearest coarse branch
+    (literal argmin, <= max_per_level literals), then nearest leaf
+    within that branch (HOF over the broadcast-joined leaf array).
+    Standard IVF coarse quantization — a vector near a branch boundary
+    may land in a different list than the flat argmin would pick,
+    which trades a little recall for never materializing a
+    codebook-sized expression; the probe side compensates with
+    n_probe_coarse > 1."""
+    spark = corpus.sparkSession
+    lt = _leaf_table(spark, {b + 1: ls for b, ls in leaves.items()})
+    j = corpus.withColumn(
+        "_branch", _nearest_branch(F.col(vec_col), coarse)
+    ).join(F.broadcast(lt), "_branch")
+    d = F.transform(
+        "_leaves", lambda s: _dist2_col(F.col(vec_col), s["centroid"])
+    )
+    cid = F.element_at(
+        "_leaves", F.array_position(d, F.array_min(d)).cast("int")
+    )["cid"]
+    return j.withColumn("_cid", cid).drop("_branch", "_leaves")
+
+
 def write_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -334,13 +521,44 @@ def write_ivf_index(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_per_level: int = 4096,
 ) -> list[list[float]]:
     """Materialize the IVF inverted lists as a Hive-partitioned parquet
     layout: one partition directory per `_cid`, plus a tiny sibling
     `<path>_centroids` table. At scale this is the on-disk ANN index —
     probing reads only the `n_probe` matching partition directories
     (file pruning, pinned by tests/test_llm.py), never the full corpus.
+
+    Codebooks past `max_per_level` lists go through the TWO-LEVEL path
+    (kmeans_centroids_hierarchical): the layout gains a `branch`
+    column in `_centroids` and a sibling `<path>_coarse` table of
+    branch centroids, and `ivf_topk_indexed` detects the coarse table
+    and probes hierarchically — up to max_per_level² (65536+) lists,
+    the 10⁹-vector regime, with no level ever exceeding the
+    expression-tree/driver bounds.
     """
+    spark = corpus.sparkSession
+    if n_centroids > max_per_level:
+        coarse, leaves = kmeans_centroids_hierarchical(
+            corpus, n_centroids, iters, max_per_level, id_col, vec_col
+        )
+        assigned = assign_cids_hierarchical(corpus, coarse, leaves, vec_col)
+        cent_rows = [
+            (cid, c, b + 1) for b, ls in sorted(leaves.items())
+            for cid, c in ls
+        ]
+        cents = [c for _, c, _ in cent_rows]
+        assigned.withColumn(
+            "_nrm", vector.norm(F.col(vec_col))
+        ).write.partitionBy("_cid").mode("overwrite").parquet(path)
+        spark.createDataFrame(
+            cent_rows, "cid BIGINT, centroid ARRAY<DOUBLE>, branch BIGINT"
+        ).coalesce(1).write.mode("overwrite").parquet(path + "_centroids")
+        spark.createDataFrame(
+            [(i + 1, c) for i, c in enumerate(coarse)],
+            "branch BIGINT, centroid ARRAY<DOUBLE>",
+        ).coalesce(1).write.mode("overwrite").parquet(path + "_coarse")
+        return cents
     cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
     # store each vector's norm IN the index: cosine at probe time then
     # pays ONE aggregate (the dot) per candidate pair instead of three
@@ -351,12 +569,84 @@ def write_ivf_index(
     assign_cids(corpus, cents, vec_col).withColumn(
         "_nrm", vector.norm(F.col(vec_col))
     ).write.partitionBy("_cid").mode("overwrite").parquet(path)
-    spark = corpus.sparkSession
     spark.createDataFrame(
         [(i + 1, c) for i, c in enumerate(cents)],
         "cid BIGINT, centroid ARRAY<DOUBLE>",
     ).coalesce(1).write.mode("overwrite").parquet(path + "_centroids")
     return cents
+
+
+def _probe_cids_hierarchical(
+    spark, path, probes, n_probe, n_probe_coarse, id_col, vec_col
+) -> DataFrame:
+    """Probe rows exploded to their `n_probe` candidate inverted-list
+    ids under the two-level layout: literal argsort over the (<=
+    max_per_level) COARSE centroids picks `n_probe_coarse` branches
+    per probe, a broadcast join delivers just those branches' leaf
+    arrays, and a per-probe window keeps the n_probe nearest leaves —
+    no plan ever carries the full codebook as literals and nothing
+    codebook-sized reaches the driver here (the coarse table is
+    branch-count sized)."""
+    coarse_rows = (
+        spark.read.parquet(path + "_coarse").orderBy("branch").collect()
+    )
+    coarse = [list(r["centroid"]) for r in coarse_rows]
+    # (dist, branch) structs via ONE transform over the single-literal
+    # coarse matrix (2-arg lambda gives the 0-based index) — struct
+    # natural order sorts by dist then branch, so the slice is the
+    # nb nearest branches deterministically
+    bd_structs = F.transform(
+        _lit_matrix(coarse),
+        lambda c, i: F.struct(
+            _dist2_col(F.col("probe_vec"), c).alias("d"),
+            (i + 1).cast("long").alias("_branch"),
+        ),
+    )
+    nb = min(n_probe_coarse, len(coarse))
+    p = (
+        probes.select(
+            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+        )
+        .withColumn(
+            "_branch",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(bd_structs), 1, nb),
+                    lambda s: s["_branch"],
+                )
+            ),
+        )
+    )
+    lt = (
+        spark.read.parquet(path + "_centroids")
+        .groupBy(F.col("branch").alias("_branch"))
+        .agg(F.collect_list(F.struct("cid", "centroid")).alias("_leaves"))
+    )
+    cand = (
+        p.join(F.broadcast(lt), "_branch")
+        .select(
+            "probe_id",
+            "probe_vec",
+            F.explode(
+                F.transform(
+                    "_leaves",
+                    lambda s: F.struct(
+                        _dist2_col(F.col("probe_vec"), s["centroid"])
+                        .alias("d"),
+                        s["cid"].alias("cid"),
+                    ),
+                )
+            ).alias("_dc"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("_dc.d").asc(), F.col("_dc.cid").asc()
+    )
+    return (
+        cand.withColumn("_lrn", F.row_number().over(w))
+        .filter(F.col("_lrn") <= n_probe)
+        .select("probe_id", "probe_vec", F.col("_dc.cid").alias("_cid"))
+    )
 
 
 def ivf_topk_indexed(
@@ -367,38 +657,91 @@ def ivf_topk_indexed(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe_coarse: int = 4,
 ) -> DataFrame:
     """IVF top-k against a `write_ivf_index` layout. The candidate cid
     set (union over probes of their n_probe nearest lists) is collected
     driver-side — bounded by n_centroids, NOT by probe count — and
     applied as a static `_cid IN (...)` filter, so partition pruning
     drops non-candidate inverted lists at the file level before the
-    bucket equi-join."""
-    cents_rows = spark.read.parquet(path + "_centroids").orderBy("cid").collect()
-    cents = [list(r["centroid"]) for r in cents_rows]
-    pd_structs = F.array(
-        *[
-            F.struct(_dist2(F.col("probe_vec"), c).alias("d"),
-                     F.lit(i + 1).cast("long").alias("cid"))
-            for i, c in enumerate(cents)
-        ]
-    )
-    p = (
-        probes.select(
-            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    bucket equi-join.
+
+    Two-level layouts (a `<path>_coarse` sibling exists — codebooks
+    past the per-level cap) probe hierarchically: `n_probe_coarse`
+    nearest branches per probe, then the n_probe nearest leaves from
+    just those branches. Raising n_probe_coarse buys recall near
+    branch boundaries at candidate-set cost."""
+    # layout detection via the filesystem, not try/except around the
+    # whole hierarchical path (which would silently mask real failures
+    # inside it as "must be a flat layout")
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path + "_coarse")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        p = _probe_cids_hierarchical(
+            spark, path, probes, n_probe, n_probe_coarse, id_col, vec_col
         )
-        .withColumn(
-            "_cid",
-            F.explode(
-                F.transform(
-                    F.slice(F.array_sort(pd_structs), 1, n_probe),
-                    lambda s: s["cid"],
-                )
-            ),
+        # two consumers (the cid collect below + the bucket join) over
+        # a nontrivial subtree (leaf-table join + per-probe window) —
+        # checkpoint so it runs once; probe-sized by the probe
+        # contract, so the materialization is bounded. The flat branch
+        # below skips this: its probe subplan is a literal-struct
+        # projection, cheaper to evaluate twice than to materialize.
+        p = p.localCheckpoint(eager=True)
+    else:  # single-level layout
+        cents_rows = (
+            spark.read.parquet(path + "_centroids").orderBy("cid").collect()
         )
-    )
+        cents = [list(r["centroid"]) for r in cents_rows]
+        pd_structs = F.array(
+            *[
+                F.struct(_dist2(F.col("probe_vec"), c).alias("d"),
+                         F.lit(i + 1).cast("long").alias("cid"))
+                for i, c in enumerate(cents)
+            ]
+        )
+        p = (
+            probes.select(
+                F.col(id_col).alias("probe_id"),
+                F.col(vec_col).alias("probe_vec"),
+            )
+            .withColumn(
+                "_cid",
+                F.explode(
+                    F.transform(
+                        F.slice(F.array_sort(pd_structs), 1, n_probe),
+                        lambda s: s["cid"],
+                    )
+                ),
+            )
+        )
     cand_cids = [r["_cid"] for r in p.select("_cid").distinct().collect()]
-    corpus = spark.read.parquet(path).filter(F.col("_cid").isin(cand_cids))
+    # list ONLY the candidate inverted-list directories: reading the
+    # index root makes the driver enumerate EVERY partition directory
+    # before pruning — at a 4100-list codebook that listing alone cost
+    # ~13 s per probe call (r11 measurement), dwarfing the actual scan.
+    # basePath keeps `_cid` a partition column, the isin filter stays
+    # as defense-in-depth (and keeps the pruning visible in the plan);
+    # empty inverted lists have no directory, so existence-check the
+    # candidate paths (bounded by the candidate count, never the
+    # codebook).
+    hconf = spark._jsc.hadoopConfiguration()
+    jPath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jPath(path).getFileSystem(hconf)
+    cand_dirs = [
+        d for c in cand_cids
+        if fs.exists(jPath(d := f"{path}/_cid={c}"))
+    ]
+    if not cand_dirs:
+        empty = probes.sparkSession.createDataFrame(
+            [], f"probe_id {probes.schema[id_col].dataType.simpleString()},"
+                " rn int, neighbor_id "
+                f"{probes.schema[id_col].dataType.simpleString()},"
+                " sim double")
+        return empty
+    corpus = (
+        spark.read.option("basePath", path).parquet(*cand_dirs)
+        .filter(F.col("_cid").isin(cand_cids))
+    )
     # probe norms once per probe row, MATERIALIZED by the broadcast
     # exchange (not inlined past the join into the pair loop)
     p = p.withColumn("_pnrm", vector.norm(F.col("probe_vec")))
