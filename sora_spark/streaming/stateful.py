@@ -139,13 +139,16 @@ def running_user_counts_auto(events: DataFrame) -> DataFrame:
     return running_user_counts(events)
 
 
-def running_user_counts_tws(events: DataFrame) -> DataFrame:
-    """Spark 4 transformWithState variant of running_user_counts —
-    ValueState per user via the StatefulProcessor API. Requires the
-    RocksDB state store provider (CLUSTER_CONF) AND the `protobuf`
-    package — the state-message protocol imports google.protobuf in
-    the driver worker. Call through `running_user_counts_auto`, which
-    probes the env and falls back to applyInPandasWithState."""
+def make_user_counter():
+    """The running_user_counts_tws StatefulProcessor, built at module
+    level so the TWS contract test can construct it, pickle-roundtrip
+    it (the worker ships it via cloudpickle), and drive
+    init/handleInputRows against a fake handle — everything short of
+    the protobuf wire protocol, which this container cannot run
+    (has_tws_support). Imports of the StatefulProcessor ABC live
+    inside the factory: pyspark.sql.streaming.stateful_processor is
+    importable without protobuf (verified by the contract test), but
+    keeping it lazy preserves module import on exotic builds."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -165,8 +168,18 @@ def running_user_counts_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return UserCounter()
+
+
+def running_user_counts_tws(events: DataFrame) -> DataFrame:
+    """Spark 4 transformWithState variant of running_user_counts —
+    ValueState per user via the StatefulProcessor API. Requires the
+    RocksDB state store provider (CLUSTER_CONF) AND the `protobuf`
+    package — the state-message protocol imports google.protobuf in
+    the driver worker. Call through `running_user_counts_auto`, which
+    probes the env and falls back to applyInPandasWithState."""
     return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=UserCounter(),
+        statefulProcessor=make_user_counter(),
         outputStructType="user_id bigint, n_events bigint",
         outputMode="Update",
         timeMode="None",
@@ -292,12 +305,27 @@ def rolling_last_k_tws(events: DataFrame, k: int = 3) -> DataFrame:
     consumer contract). Correct under time-ordered sequential replay;
     within a batch rows are explicitly re-sorted by (ts, event_id)
     (shuffle order is not arrival order)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_last_k(k),
+        outputStructType="user_id bigint, n_seen bigint, sum_lastk double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def make_last_k(k: int = 3):
+    """The rolling_last_k_tws StatefulProcessor (ListState +
+    ValueState), module-level for the same contract-test reasons as
+    `make_user_counter`."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
 
     class LastK(StatefulProcessor):
+        def __init__(self, k: int) -> None:
+            self._k = k
+
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._vals = handle.getListState("vals", "v double")
             self._n = handle.getValueState("n", "n bigint")
@@ -310,7 +338,7 @@ def rolling_last_k_tws(events: DataFrame, k: int = 3) -> DataFrame:
             for v in batch["value"]:
                 vals.append(float(v))
                 n += 1
-            vals = vals[-k:]
+            vals = vals[-self._k:]
             self._vals.put([(v,) for v in vals])
             self._n.update((n,))
             yield pd.DataFrame(
@@ -324,12 +352,7 @@ def rolling_last_k_tws(events: DataFrame, k: int = 3) -> DataFrame:
         def close(self) -> None:
             pass
 
-    return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=LastK(),
-        outputStructType="user_id bigint, n_seen bigint, sum_lastk double",
-        outputMode="Update",
-        timeMode="None",
-    )
+    return LastK(k)
 
 
 def rolling_last_k(events: DataFrame, k: int = 3) -> DataFrame:

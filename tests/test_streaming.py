@@ -592,3 +592,113 @@ def test_qs13_chained_two_state_operators(spark, sf_dir):
         assert merge_state["numRowsTotal"] > 0
     finally:
         q.stop()
+
+
+def test_tws_processors_contract_up_to_protobuf_boundary(spark):
+    """r10 verdict item 6: the transformWithState upgrade path
+    (stateful.py auto-upgrade wherever protobuf imports) had never
+    executed in this container. Certify everything SHORT of the wire
+    protocol, so only protobuf-serialized state transport remains
+    unexercised at first cluster use:
+
+    1. the TWS query BUILDS against a streaming source — analysis,
+       output schema, Update-mode wiring all resolve without protobuf;
+    2. the StatefulProcessor instances survive the cloudpickle
+       roundtrip the Python worker ships them through;
+    3. driven against a fake StatefulProcessorHandle, the
+       (deserialized!) processors' state arithmetic matches the
+       applyInPandasWithState twins' hash-gated semantics: running
+       counts accumulate across batches, the last-k buffer truncates,
+       n_seen is monotone.
+
+    First-cluster-run checklist (the residue this test cannot cover):
+    executor Python envs need `protobuf` (has_tws_support probes the
+    DRIVER only), the RocksDB provider conf must be set before
+    `.start()` (rocksdb_provider / _auto's documented session set),
+    and state-schema evolution across restarts is untested here."""
+    import pandas as pd
+
+    from pyspark import cloudpickle
+    from sora_spark.streaming import stateful
+
+    # 1. query construction against a never-started streaming source
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.col("value").alias("user_id"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("event_id"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    lastk_df = stateful.rolling_last_k_tws(src, k=3)
+    assert lastk_df.isStreaming
+    assert lastk_df.schema.simpleString() == (
+        "struct<user_id:bigint,n_seen:bigint,sum_lastk:double>")
+    counts_df = stateful.running_user_counts_tws(
+        src.select("user_id", "ts"))
+    assert counts_df.schema.simpleString() == (
+        "struct<user_id:bigint,n_events:bigint>")
+
+    # 2. worker-shipping serialization
+    counter = cloudpickle.loads(
+        cloudpickle.dumps(stateful.make_user_counter()))
+    lastk = cloudpickle.loads(cloudpickle.dumps(stateful.make_last_k(3)))
+
+    # 3. state arithmetic against a fake handle
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeListState:
+        def __init__(self):
+            self._l = []
+
+        def get(self):
+            return iter(list(self._l))
+
+        def put(self, rows):
+            self._l = [tuple(r) for r in rows]
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema, ttl=None):
+            return self.states.setdefault(name, FakeValueState())
+
+        def getListState(self, name, schema, ttl=None):
+            return self.states.setdefault(name, FakeListState())
+
+    h = FakeHandle()
+    counter.init(h)
+    out1 = list(counter.handleInputRows(
+        (7,), iter([pd.DataFrame({"user_id": [7, 7], "ts": [1, 2]})]),
+        None))
+    out2 = list(counter.handleInputRows(
+        (7,), iter([pd.DataFrame({"user_id": [7], "ts": [3]})]), None))
+    assert out1[0]["n_events"].tolist() == [2]
+    assert out2[0]["n_events"].tolist() == [3]  # accumulated, not reset
+
+    h2 = FakeHandle()
+    lastk.init(h2)
+    b1 = pd.DataFrame({"user_id": [1] * 4, "ts": [1, 2, 3, 4],
+                       "event_id": [1, 2, 3, 4],
+                       "value": [10.0, 20.0, 30.0, 40.0]})
+    b2 = pd.DataFrame({"user_id": [1], "ts": [5], "event_id": [5],
+                       "value": [50.0]})
+    r1 = list(lastk.handleInputRows((1,), iter([b1]), None))[0]
+    r2 = list(lastk.handleInputRows((1,), iter([b2]), None))[0]
+    assert r1["n_seen"].tolist() == [4]
+    assert r1["sum_lastk"].tolist() == [90.0]   # 20+30+40: k=3 window
+    assert r2["n_seen"].tolist() == [5]         # monotone
+    assert r2["sum_lastk"].tolist() == [120.0]  # 30+40+50
