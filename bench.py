@@ -304,39 +304,52 @@ def main() -> None:
 
         register_analyzed_tables(spark, sf_dir)
 
+    # bench never consults the truncation-sensitive unrolled oracles,
+    # so the calibration guard may be scoped off HERE (and only here /
+    # scale_probe): at organic-sf1.0 dirs the guarded queries
+    # (qg20 etc.) would otherwise refuse to run. This replaces the
+    # r10 SORA_UNCALIBRATED_SF_OK env escape, which was process-wide
+    # and could leak into hash-gated runs (r10 ADVICE).
+    from sora_spark.queries.graph_q import allow_uncalibrated_sf
+
     warm: dict[str, float] = {}
     exec_metrics: dict[str, dict] = {}
-    for key, name in BENCH_QUERIES.items():
-        fn = REGISTRY[name].spark_fn
-        times = []
-        deltas = []
-        for i in range(n_runs):
-            # drop refs to the previous run's localCheckpoint RDDs so
-            # ContextCleaner frees their blocks — otherwise iterative
-            # queries (q10) accumulate block-manager pressure across
-            # runs and warm runs come out SLOWER than cold
-            gc.collect()
-            # metrics for the warm runs only, like the clock — the
-            # cold run's before-snapshot would never be read
-            before = _stage_totals(spark) if i > 0 else None
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            times.append(time.perf_counter() - t0)
-            if i > 0:
-                deltas.append(_metrics_delta(before, _stage_totals(spark)))
-        # warm = median of the 3 post-cold runs (run 1 pays codegen/JIT)
-        warm[key] = round(statistics.median(times[1:]), 4)
-        exec_metrics[key] = _median_metrics(deltas)
-        print(
-            f"[bench] {key} {name}: cold={times[0]:.3f}s "
-            f"warm={warm[key]:.3f}s runs={[round(t, 3) for t in times[1:]]} "
-            f"cpu={exec_metrics[key]['cpu_s']}s "
-            f"shuf_w={exec_metrics[key]['shuffle_write_mb']}MB",
-            file=sys.stderr,
-        )
-
     gates: dict[str, float] = {}
-    _bench_q15(spark, sf_dir, warm, gates, exec_metrics, n_runs)
+    with allow_uncalibrated_sf():
+        for key, name in BENCH_QUERIES.items():
+            fn = REGISTRY[name].spark_fn
+            times = []
+            deltas = []
+            for i in range(n_runs):
+                # drop refs to the previous run's localCheckpoint RDDs
+                # so ContextCleaner frees their blocks — otherwise
+                # iterative queries (q10) accumulate block-manager
+                # pressure across runs and warm runs come out SLOWER
+                # than cold
+                gc.collect()
+                # metrics for the warm runs only, like the clock — the
+                # cold run's before-snapshot would never be read
+                before = _stage_totals(spark) if i > 0 else None
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                times.append(time.perf_counter() - t0)
+                if i > 0:
+                    deltas.append(
+                        _metrics_delta(before, _stage_totals(spark)))
+            # warm = median of the 3 post-cold runs (run 1 pays
+            # codegen/JIT)
+            warm[key] = round(statistics.median(times[1:]), 4)
+            exec_metrics[key] = _median_metrics(deltas)
+            print(
+                f"[bench] {key} {name}: cold={times[0]:.3f}s "
+                f"warm={warm[key]:.3f}s "
+                f"runs={[round(t, 3) for t in times[1:]]} "
+                f"cpu={exec_metrics[key]['cpu_s']}s "
+                f"shuf_w={exec_metrics[key]['shuffle_write_mb']}MB",
+                file=sys.stderr,
+            )
+
+        _bench_q15(spark, sf_dir, warm, gates, exec_metrics, n_runs)
 
     try:
         sha = subprocess.run(

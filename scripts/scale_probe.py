@@ -202,7 +202,16 @@ def main() -> None:
         },
     )
 
+    # scale runs never consult the unrolled oracles — scope off the
+    # sf-calibration guard here (the r11 replacement for the
+    # process-wide SORA_UNCALIBRATED_SF_OK env escape). The replicated
+    # dirs (/tmp/sora_scale_probe/x{N}) don't match the sf-name regex
+    # anyway; this covers probes pointed at sf-named fixtures too.
+    from sora_spark.queries.graph_q import allow_uncalibrated_sf
+
     results = {}
+    guard_off = allow_uncalibrated_sf()
+    guard_off.__enter__()  # released in the finally at the end of main
     for q, name in BENCH_QUERIES.items():
         if q not in wanted:
             continue
@@ -273,6 +282,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    guard_off.__exit__(None, None, None)
     print(
         json.dumps(
             {

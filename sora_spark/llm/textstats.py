@@ -730,7 +730,11 @@ def encoding_repair(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("had_nbsp", t.contains("\u00a0"))
         .withColumn("had_ctrl", t.rlike(_CTRL_CLASS))
         .withColumn("had_crlf", t.contains("\r\n"))
-        .withColumn("had_combining", t.contains("\u0301"))
+        # the NFC step repairs EVERY decomposed combining mark, so the
+        # audit flag covers the full Combining Diacritical Marks block
+        # (U+0300-U+036F), not just U+0301 (r10 ADVICE \u2014 same class of
+        # gap as the mojibake-flag fix)
+        .withColumn("had_combining", t.rlike("[\u0300-\u036f]"))
         .withColumn(
             "had_mojibake",
             # ANY known pair, not just the first — the repair rewrites

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import re
+from contextlib import contextmanager
 
 from pyspark.sql import functions as F
 
@@ -49,6 +50,30 @@ from sora_spark.queries.registry import query
 # calibration extended to sf0.1; full suite green there.
 _CALIBRATED_MAX_SF = 0.1
 
+# The calibration escape is a SCOPED in-process flag, not an env var
+# (r10 ADVICE: SORA_UNCALIBRATED_SF_OK=1 was process-wide and its
+# safety rested on a comment; an env leak into a hash-gated run could
+# certify truncated-unroll oracles beyond the proven sf). Bench/scale
+# entrypoints — which never consult oracles — wrap their runs in
+# `allow_uncalibrated_sf()`; everything else hits the guard.
+_UNCALIBRATED_OK = False
+
+
+@contextmanager
+def allow_uncalibrated_sf():
+    """Scoped escape from the unrolled-oracle calibration guard, for
+    bench/scale entrypoints only: the ENGINE side runs its loops to
+    the calibrated max_iter at any sf (perf-representative work), and
+    a bench run never compares against the truncation-sensitive
+    unrolled oracle. Never wrap a hash-gated comparison in this."""
+    global _UNCALIBRATED_OK
+    prev = _UNCALIBRATED_OK
+    _UNCALIBRATED_OK = True
+    try:
+        yield
+    finally:
+        _UNCALIBRATED_OK = prev
+
 
 def _require_calibrated_sf(sf_dir: str, what: str) -> None:
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
@@ -58,20 +83,22 @@ def _require_calibrated_sf(sf_dir: str, what: str) -> None:
         sf = float(m.group(1))
     except ValueError:
         return
-    if os.environ.get("SORA_UNCALIBRATED_SF_OK") == "1":
-        # explicit bench/scale-run escape: the ENGINE side runs its
-        # loops to the true fixpoint at any sf — only the UNROLLED
-        # ORACLE comparison is calibration-bound, and a bench run
-        # never consults the oracle. Never set this for a hash-gated
-        # run (r10, for the organic-sf1.0 scale table).
+    if _UNCALIBRATED_OK:
         return
     if sf > _CALIBRATED_MAX_SF + 1e-12:
+        hint = ""
+        if os.environ.get("SORA_UNCALIBRATED_SF_OK") == "1":
+            hint = (
+                " (the SORA_UNCALIBRATED_SF_OK env escape was removed "
+                "in r11 — bench/scale entrypoints now scope the bypass "
+                "via graph_q.allow_uncalibrated_sf())"
+            )
         raise ValueError(
             f"{what}: unrolled-fixpoint oracle calibrated for "
             f"sf <= {_CALIBRATED_MAX_SF}, got sf={sf}. Re-measure "
             "rounds-to-fixpoint at this scale and raise the unroll "
             "constant (see graph_q.py fixpoint queries) before "
-            "trusting the hash comparison."
+            "trusting the hash comparison." + hint
         )
 
 

@@ -3099,7 +3099,9 @@ SELECT doc_id,
        CAST(regexp_matches(c,
             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]') AS INT) AS had_ctrl,
        CAST(contains(c, chr(13) || chr(10)) AS INT)     AS had_crlf,
-       CAST(contains(c, chr(769)) AS INT)               AS had_combining,
+       CAST(regexp_matches(c,
+            '[' || chr(768) || '-' || chr(879) || ']') AS INT)
+                                                        AS had_combining,
        CAST(contains(c, chr(195) || chr(169))
             OR contains(c, chr(195) || chr(168))
             OR contains(c, chr(195) || chr(164))

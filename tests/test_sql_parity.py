@@ -268,7 +268,13 @@ PARITY = {
 # read textstats.STOPWORDS
 from sora_spark.llm.textstats import STOPWORDS as _STOPWORDS  # noqa: E402
 
-_LEX = ", ".join(f"('{t}', '{lang}')" for t, lang in _STOPWORDS)
+# escape single quotes SQL-style: a future stopword like "don't"
+# would otherwise break the spliced VALUES list with a confusing
+# parse error (r10 ADVICE)
+_LEX = ", ".join(
+    f"""('{t.replace("'", "''")}', '{lang.replace("'", "''")}')"""
+    for t, lang in _STOPWORDS
+)
 PARITY["eval-metrics"] = (
     PARITY["eval-metrics"][0],
     PARITY["eval-metrics"][1].replace("{lex}", _LEX),
