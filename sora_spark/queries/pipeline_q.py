@@ -3069,3 +3069,88 @@ def qev12_time_to_convert(spark, sf_dir):
         F.round(F.percentile("us", F.lit(0.9)) / h, 4).alias("p90_hours"),
         F.round(F.avg("us") / h, 4).alias("mean_hours"),
     )
+
+
+@query(
+    "qup7_commit_log_table",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price, o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 7 = 0),
+batch AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice + 1000, 2) AS price,
+         o_orderdate + INTERVAL 1 DAY AS ts
+  FROM orders WHERE o_orderkey % 5 = 0),
+u AS (SELECT *, 0 AS src FROM snap
+      UNION ALL SELECT *, 1 FROM batch),
+r AS (SELECT *, row_number() OVER (PARTITION BY k
+                                   ORDER BY ts DESC, src DESC) AS rn
+      FROM u),
+v2 AS (SELECT k, st, price, ts FROM r WHERE rn = 1),
+versions AS (
+  SELECT 1 AS version, * FROM snap
+  UNION ALL SELECT 2, * FROM v2)
+SELECT version, k, st, price,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM versions ORDER BY version, k
+""",
+    doc="qup7: the COMMIT-LOG table lifecycle (sources/commit_log.py — "
+    "the snapshot-isolated upgrade of qup1's atomic-swap sink): "
+    "create version 1 from the orders snapshot (key%7), pin a READER "
+    "on it, MERGE the qup1 update batch (key%5: +1000 price, +1 day) "
+    "as version 2 — data directories are immutable, the merge only "
+    "DELISTS v1's directory in the log — then emit BOTH versions' "
+    "full rows: version 1 via the reader pinned BEFORE the merge "
+    "committed (snapshot isolation, not a re-read) and version 2 via "
+    "a fresh read. The oracle recomputes both logical snapshots with "
+    "the SQL MERGE equivalent, so the hash certifies isolation AND "
+    "time travel, not just the merge. Batch ts is strictly newer so "
+    "the tiebreak never decides — deterministic cross-engine. Log "
+    "cost: one tiny JSON per commit; reads are ordinary parquet "
+    "scans of the live directories (pushdown intact).",
+    tags=("sink", "cdc", "upsert", "acid"),
+)
+def qup7_commit_log_table(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    batch = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") + 1000, 2).alias("price"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+    )
+    path = os.path.join(_roundtrip_dir("commit_log_orders"), "table")
+    # the roundtrip dir is pid-scoped but create_table is
+    # version-exclusive — clear any previous run's log in this process
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(spark, path, snap)
+    pinned_v1 = cl.read_table(spark, path)  # BEFORE the merge commits
+    cl.merge_upsert(spark, path, batch, ["k"], "ts")
+    v2 = cl.read_table(spark, path)
+
+    def shape(df, version):
+        return df.select(
+            F.lit(version).cast("int").alias("version"),
+            "k",
+            "st",
+            "price",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+
+    return (
+        shape(pinned_v1, 1).unionByName(shape(v2, 2))
+        .orderBy("version", "k")
+    )

@@ -1879,3 +1879,76 @@ def test_topk_salted_rejects_empty_tiebreak(spark):
         topk_per_group_adaptive(
             df, ["g"], "v", 3, tiebreak_cols=[],
             skew_threshold=1, sample_fraction=1.0)
+
+
+def test_commit_log_table_lifecycle(spark, tmp_path):
+    """sources/commit_log.py core contracts beyond qup7's oracle:
+    append versioning, snapshot isolation of a pinned reader across an
+    APPEND, time travel to every version, orphan data invisibility
+    (a data directory without a published commit does not exist), and
+    the single-writer claim (a second commit of the same version
+    raises ConcurrentWriteError instead of silently winning)."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    df1 = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    assert cl.create_table(spark, path, df1) == 1
+    pinned = cl.read_table(spark, path)
+    df2 = spark.range(5, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    assert cl.append(spark, path, df2) == 2
+    # pinned reader resolved its file list at version 1
+    assert pinned.count() == 5
+    assert cl.read_table(spark, path).count() == 8
+    assert cl.read_table(spark, path, version=1).count() == 5
+    assert cl.table_versions(path) == [1, 2]
+
+    # schema drift refuses
+    bad = spark.range(1).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError, match="schema"):
+        cl.append(spark, path, bad)
+
+    # orphan data dir (crashed writer: data written, commit never
+    # published) must be invisible
+    orphan = os.path.join(path, "data", "v99999999-dead")
+    spark.range(50).write.parquet(orphan)
+    assert cl.read_table(spark, path).count() != 50
+
+    # single-writer claim: hand-publish a conflicting version
+    v = cl.table_versions(path)[-1]
+    with _pytest.raises(cl.ConcurrentWriteError):
+        cl._publish(path, {"version": v, "operation": "append",
+                           "added": [], "removed": []})
+
+    # commits are valid standalone JSON (the log is the table)
+    with open(os.path.join(path, "_commits", f"{v:08d}.json")) as f:
+        entry = json.load(f)
+    assert entry["version"] == v
+
+
+def test_commit_log_merge_time_travel(spark, tmp_path):
+    """merge_upsert delists, never deletes: after the merge, version 1
+    reads back byte-identical and version 2 is the SQL-MERGE result
+    (latest ts per key, batch wins ties)."""
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "m")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)],
+        "k bigint, s string, ts bigint")
+    cl.create_table(spark, path, base)
+    batch = spark.createDataFrame(
+        [(2, "B", 20), (4, "d", 20)], "k bigint, s string, ts bigint")
+    v2 = cl.merge_upsert(spark, path, batch, ["k"], "ts")
+    assert v2 == 2
+    got_v1 = sorted(map(tuple, cl.read_table(spark, path, 1).collect()))
+    assert got_v1 == [(1, "a", 10), (2, "b", 10), (3, "c", 10)]
+    got_v2 = sorted(map(tuple, cl.read_table(spark, path).collect()))
+    assert got_v2 == [(1, "a", 10), (2, "B", 20), (3, "c", 10),
+                      (4, "d", 20)]
