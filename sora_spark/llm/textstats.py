@@ -732,7 +732,7 @@ def encoding_repair(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("had_crlf", t.contains("\r\n"))
         # the NFC step repairs EVERY decomposed combining mark, so the
         # audit flag covers the full Combining Diacritical Marks block
-        # (U+0300-U+036F), not just U+0301 (r10 ADVICE \u2014 same class of
+        # (U+0300-U+036F), not just U+0301 (r10 ADVICE; same class of
         # gap as the mojibake-flag fix)
         .withColumn("had_combining", t.rlike("[\u0300-\u036f]"))
         .withColumn(
