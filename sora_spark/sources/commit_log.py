@@ -207,3 +207,43 @@ def merge_upsert(
         {"version": version, "operation": "merge_upsert",
          "added": [rel], "removed": live},
     )
+
+
+def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """Reclaim data directories no snapshot in the retention window
+    can reach: keep everything live at any of the newest
+    `keep_versions` versions; delete data dirs that are BOTH delisted
+    before the window AND not referenced inside it. Time travel to
+    versions older than the window stops working (their commit JSONs
+    remain as provenance; reads raise on the missing dirs) — the same
+    trade Delta's VACUUM makes, so the default keeps only the current
+    version reachable, explicitly.
+
+    Single-writer discipline applies: run vacuum from the (one)
+    writer, never concurrently with a reader that pinned a snapshot
+    older than the window — a pinned DataFrame holds paths, not locks.
+    Returns the deleted relative paths. Orphan dirs from crashed
+    writers (data written, commit never published) are also removed:
+    they are invisible to every reader by construction."""
+    import shutil
+
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no commit-log table at {path}")
+    keep = versions[-max(keep_versions, 1):]
+    reachable: set[str] = set()
+    for v in keep:
+        reachable.update(_live_dirs(path, v))
+    ever: set[str] = set()
+    for c in _read_commits(path, None):
+        ever.update(c.get("added", []))
+    data_root = os.path.join(path, _DATA)
+    on_disk = {
+        os.path.join(_DATA, d)
+        for d in (os.listdir(data_root) if os.path.isdir(data_root) else [])
+    }
+    # committed-but-unreachable ∪ orphaned-on-disk
+    doomed = sorted((ever - reachable) | (on_disk - ever))
+    for rel in doomed:
+        shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+    return doomed

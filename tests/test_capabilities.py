@@ -1952,3 +1952,39 @@ def test_commit_log_merge_time_travel(spark, tmp_path):
     got_v2 = sorted(map(tuple, cl.read_table(spark, path).collect()))
     assert got_v2 == [(1, "a", 10), (2, "B", 20), (3, "c", 10),
                       (4, "d", 20)]
+
+
+def test_commit_log_vacuum_retention(spark, tmp_path):
+    """vacuum keeps every directory reachable from the newest
+    `keep_versions` snapshots, deletes delisted + orphan dirs, and
+    time travel inside the window still works while outside it the
+    commit JSON remains but the read fails (the documented Delta-style
+    trade)."""
+    import os
+
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "v")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "k bigint, s string, ts bigint")
+    cl.create_table(spark, path, base)                       # v1
+    cl.merge_upsert(spark, path, spark.createDataFrame(
+        [(2, "B", 20)], "k bigint, s string, ts bigint"),
+        ["k"], "ts")                                         # v2 delists v1
+    cl.append(spark, path, spark.createDataFrame(
+        [(3, "c", 30)], "k bigint, s string, ts bigint"))    # v3
+    # orphan from a "crashed writer"
+    orphan_rel = os.path.join("data", "v00000099-orphan")
+    spark.range(3).write.parquet(os.path.join(path, orphan_rel))
+
+    deleted = cl.vacuum(path, keep_versions=2)  # window = {v2, v3}
+    # v1's dir (delisted at v2) and the orphan go; v2/v3 dirs stay
+    assert orphan_rel in deleted
+    assert len(deleted) == 2
+    assert cl.read_table(spark, path, 2).count() == 2
+    assert cl.read_table(spark, path, 3).count() == 3
+    assert cl.table_versions(path) == [1, 2, 3]  # provenance retained
+    with _pytest.raises(Exception):
+        cl.read_table(spark, path, 1).count()    # outside the window
