@@ -649,6 +649,67 @@ def _probe_cids_hierarchical(
     )
 
 
+def _probe_cids_flat(
+    spark, path, probes, n_probe, id_col, vec_col
+) -> DataFrame:
+    """Probe rows exploded to their n_probe candidate list ids under
+    the single-level layout (literal-struct argsort over the
+    <= 4096-entry centroid sidecar)."""
+    cents_rows = (
+        spark.read.parquet(path + "_centroids").orderBy("cid").collect()
+    )
+    cents = [list(r["centroid"]) for r in cents_rows]
+    pd_structs = F.array(
+        *[
+            F.struct(_dist2(F.col("probe_vec"), c).alias("d"),
+                     F.lit(i + 1).cast("long").alias("cid"))
+            for i, c in enumerate(cents)
+        ]
+    )
+    return (
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+        )
+        .withColumn(
+            "_cid",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(pd_structs), 1, n_probe),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+    )
+
+
+def _pruned_read(spark, path: str, p: DataFrame) -> DataFrame | None:
+    """Read ONLY the candidate inverted-list directories named by the
+    probe frame's distinct `_cid`s (collected driver-side — bounded by
+    the codebook, never probe count). Reading the index ROOT makes the
+    driver enumerate EVERY partition directory before pruning — at a
+    4100-list codebook that listing alone cost ~13 s per probe call
+    (r11 measurement), dwarfing the actual scan. basePath keeps `_cid`
+    a partition column; the isin filter stays as defense-in-depth (and
+    keeps the pruning visible in the plan); empty inverted lists have
+    no directory, so existence-check the candidate paths. Returns None
+    when no candidate directory exists."""
+    cand_cids = [r["_cid"] for r in p.select("_cid").distinct().collect()]
+    hconf = spark._jsc.hadoopConfiguration()
+    jPath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jPath(path).getFileSystem(hconf)
+    cand_dirs = [
+        d for c in cand_cids
+        if fs.exists(jPath(d := f"{path}/_cid={c}"))
+    ]
+    if not cand_dirs:
+        return None
+    return (
+        spark.read.option("basePath", path).parquet(*cand_dirs)
+        .filter(F.col("_cid").isin(cand_cids))
+    )
+
+
 def ivf_topk_indexed(
     spark,
     path: str,
@@ -688,60 +749,17 @@ def ivf_topk_indexed(
         # projection, cheaper to evaluate twice than to materialize.
         p = p.localCheckpoint(eager=True)
     else:  # single-level layout
-        cents_rows = (
-            spark.read.parquet(path + "_centroids").orderBy("cid").collect()
+        p = _probe_cids_flat(
+            spark, path, probes, n_probe, id_col, vec_col
         )
-        cents = [list(r["centroid"]) for r in cents_rows]
-        pd_structs = F.array(
-            *[
-                F.struct(_dist2(F.col("probe_vec"), c).alias("d"),
-                         F.lit(i + 1).cast("long").alias("cid"))
-                for i, c in enumerate(cents)
-            ]
-        )
-        p = (
-            probes.select(
-                F.col(id_col).alias("probe_id"),
-                F.col(vec_col).alias("probe_vec"),
-            )
-            .withColumn(
-                "_cid",
-                F.explode(
-                    F.transform(
-                        F.slice(F.array_sort(pd_structs), 1, n_probe),
-                        lambda s: s["cid"],
-                    )
-                ),
-            )
-        )
-    cand_cids = [r["_cid"] for r in p.select("_cid").distinct().collect()]
-    # list ONLY the candidate inverted-list directories: reading the
-    # index root makes the driver enumerate EVERY partition directory
-    # before pruning — at a 4100-list codebook that listing alone cost
-    # ~13 s per probe call (r11 measurement), dwarfing the actual scan.
-    # basePath keeps `_cid` a partition column, the isin filter stays
-    # as defense-in-depth (and keeps the pruning visible in the plan);
-    # empty inverted lists have no directory, so existence-check the
-    # candidate paths (bounded by the candidate count, never the
-    # codebook).
-    hconf = spark._jsc.hadoopConfiguration()
-    jPath = spark._jvm.org.apache.hadoop.fs.Path
-    fs = jPath(path).getFileSystem(hconf)
-    cand_dirs = [
-        d for c in cand_cids
-        if fs.exists(jPath(d := f"{path}/_cid={c}"))
-    ]
-    if not cand_dirs:
+    corpus = _pruned_read(spark, path, p)
+    if corpus is None:
         empty = probes.sparkSession.createDataFrame(
             [], f"probe_id {probes.schema[id_col].dataType.simpleString()},"
                 " rn int, neighbor_id "
                 f"{probes.schema[id_col].dataType.simpleString()},"
                 " sim double")
         return empty
-    corpus = (
-        spark.read.option("basePath", path).parquet(*cand_dirs)
-        .filter(F.col("_cid").isin(cand_cids))
-    )
     # probe norms once per probe row, MATERIALIZED by the broadcast
     # exchange (not inlined past the join into the pair loop)
     p = p.withColumn("_pnrm", vector.norm(F.col("probe_vec")))
@@ -1020,4 +1038,174 @@ def range_search_vectorized(
         a.join(F.broadcast(with_nv), "probe_id")
         .select("probe_id", "neighbor_id", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
+    )
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m_subs: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF-PQ index: the inverted lists store PRODUCT-QUANTIZED codes,
+    not vectors — the storage/IO lever for the 10⁹-vector regime that
+    partition pruning alone doesn't give. Each vector's dim-d
+    embedding becomes m_subs uint8-sized codes (one per d/m_subs-dim
+    subspace, its nearest entry in that subspace's n_codes-entry
+    codebook): at 64-dim float64 that is 512 B -> 4 B per vector, so
+    an inverted-list scan reads ~128x fewer bytes. Composes qvq2's PQ
+    (same Lloyd protocol per subspace) with the write_ivf_index layout
+    (Hive-partitioned by `_cid`, norms stored); sidecars:
+    `<path>_centroids` (coarse, probe-side list selection) and
+    `<path>_pq` (sub, code, centroid — the ADC lookup table's rows).
+    The ORIGINAL vectors are not stored: exact re-rank at probe time
+    joins the candidate ids back to the corpus relation (which exists
+    anyway at scale), candidate-sized work.
+
+    Bounds: n_centroids <= 4096 (the single-level coarse bound — the
+    hierarchical composition is write_ivf_index's job, not duplicated
+    here), n_codes <= 256 (a code must fit the byte the format
+    promises), dim % m_subs == 0."""
+    if n_codes > 256:
+        raise ValueError(
+            f"write_ivfpq_index: n_codes={n_codes} > 256 — PQ codes "
+            "are byte-sized by design; raise m_subs instead"
+        )
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m_subs:
+        raise ValueError(
+            f"write_ivfpq_index: dim {dim} not divisible by "
+            f"m_subs={m_subs}"
+        )
+    sub = dim // m_subs
+    spark = corpus.sparkSession
+    v = vector.to_double(F.col(vec_col))
+    cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    books = []
+    for s in range(m_subs):
+        sub_df = corpus.select(
+            id_col, F.slice(v, sub * s + 1, sub).alias("sub")
+        )
+        books.append(
+            kmeans_centroids(sub_df, n_codes, iters, id_col, vec_col="sub")
+        )
+    code_cols = []
+    for s in range(m_subs):
+        d = centroid_distances(F.slice(v, sub * s + 1, sub), books[s])
+        code_cols.append(
+            F.array_position(d, F.array_min(d)).cast("int")
+        )
+    assign_cids(corpus, cents, vec_col).select(
+        id_col,
+        F.array(*code_cols).alias("_codes"),
+        vector.norm(F.col(vec_col)).alias("_nrm"),
+        "_cid",
+    ).write.partitionBy("_cid").mode("overwrite").parquet(path)
+    spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(cents)],
+        "cid BIGINT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_centroids")
+    spark.createDataFrame(
+        [(s, j + 1, c) for s, b in enumerate(books) for j, c in enumerate(b)],
+        "sub INT, code INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_pq")
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    n_probe: int = 4,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ probe with asymmetric-distance pruning and EXACT
+    re-rank: (1) each probe selects its n_probe nearest inverted
+    lists (same literal machinery and candidate-dir-only pruned read
+    as ivf_topk_indexed); (2) candidates rank by the ADC
+    approximation — per probe, a (m_subs x n_codes) lookup table of
+    squared subspace distances is computed ONCE against the PQ
+    codebooks and the candidate's distance is m_subs element_at
+    lookups over its stored codes, touching only the 4-byte codes,
+    never vectors; (3) the k*refine ADC-best candidates per probe
+    join back to `corpus` by id (broadcast, candidate-sized) for the
+    exact rounded-cosine top-k, so the OUTPUT values are bit-identical
+    to the exact pipeline on whatever survives the pruning — ADC
+    quality only moves recall, never sim values (the
+    certified-filter/pruner split range_search_vectorized uses).
+    With n_probe >= n_centroids and refine large the result equals
+    brute force exactly — the hash-gated qix5 contract; the
+    recall-at-refine trade is measured in tests/test_llm.py."""
+    pq_rows = (
+        spark.read.parquet(path + "_pq").orderBy("sub", "code").collect()
+    )
+    m_subs = 1 + max(r["sub"] for r in pq_rows)
+    n_codes = max(r["code"] for r in pq_rows)
+    books = [
+        [list(r["centroid"]) for r in pq_rows if r["sub"] == s]
+        for s in range(m_subs)
+    ]
+    sub = len(books[0][0])
+    p = _probe_cids_flat(spark, path, probes, n_probe, id_col, vec_col)
+    lists = _pruned_read(spark, path, p)
+    if lists is None:
+        return probes.sparkSession.createDataFrame(
+            [], f"probe_id {probes.schema[id_col].dataType.simpleString()},"
+                " rn int, neighbor_id "
+                f"{probes.schema[id_col].dataType.simpleString()},"
+                " sim double")
+    pv = vector.to_double(F.col("probe_vec"))
+    lut = F.array(*[
+        _dist2(F.slice(pv, sub * s + 1, sub), books[s][j])
+        for s in range(m_subs)
+        for j in range(n_codes)
+    ])
+    p = p.withColumn("_lut", lut).withColumn(
+        "_pnrm", vector.norm(F.col("probe_vec"))
+    )
+    j = lists.join(F.broadcast(p), "_cid").filter(
+        F.col(id_col) != F.col("probe_id")
+    )
+    adc = None
+    for s in range(m_subs):
+        term = F.element_at(
+            "_lut", F.lit(s * n_codes) + F.element_at("_codes", s + 1)
+        )
+        adc = term if adc is None else adc + term
+    w_adc = Window.partitionBy("probe_id").orderBy(
+        F.col("_adc").asc(), F.col(id_col).asc()
+    )
+    cand = (
+        j.withColumn("_adc", adc)
+        .withColumn("_arn", F.row_number().over(w_adc))
+        .filter(F.col("_arn") <= k * refine)
+        .select(
+            "probe_id", "probe_vec", "_pnrm", "_nrm",
+            F.col(id_col).alias("neighbor_id"),
+        )
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    # broadcast the CANDIDATE-sized side into the corpus scan, never
+    # the corpus; stored norms make the exact cosine one dot per pair
+    rer = nv.join(F.broadcast(cand), "neighbor_id")
+    sim = F.round(
+        vector.dot(F.col("_nv"), F.col("probe_vec"))
+        / (F.col("_nrm") * F.col("_pnrm")),
+        5,
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        rer.select("probe_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "rn", "neighbor_id", "sim")
     )

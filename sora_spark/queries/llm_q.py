@@ -3242,3 +3242,52 @@ FROM other ORDER BY source
 def qta24_source_divergence(spark, sf_dir):
     docs = tables(spark, sf_dir).documents
     return textstats.source_divergence(docs, top_k=_QTA24_TOP_K)
+
+
+@query(
+    "qix5_ivfpq_exhaustive_probe",
+    oracle="""
+WITH s AS (
+  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(p.embedding AS DOUBLE[])), 5) AS sim
+  FROM embeddings p, embeddings e
+  WHERE p.vec_id < 20 AND e.vec_id <> p.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM s)
+SELECT probe_id, CAST(rn AS INT) AS rn, neighbor_id, sim
+FROM r WHERE rn <= 3 ORDER BY probe_id, rn
+""",
+    doc="qix5: the IVF-PQ index (llm/ann.py write_ivfpq_index / "
+    "ivfpq_topk_indexed — inverted lists store m_subs=4 PQ codes + a "
+    "norm per vector, 512 B -> 4 B of codes at dim 64; probe = ADC "
+    "lookup-table pruning inside partition-pruned candidate lists, "
+    "then EXACT rounded-cosine re-rank of the ADC-best candidates "
+    "joined back to the corpus). Hash-gated through the exhaustive "
+    "configuration: every list probed, refine unbounded, so the "
+    "output must equal the brute-force kNN oracle EXACTLY — this "
+    "certifies the whole pipeline (index write, code storage, LUT "
+    "arithmetic reaching all candidates, re-rank join, rank/tiebreak) "
+    "with zero approximation slack; the recall-vs-refine pruning "
+    "trade is measured separately (tests/test_llm.py, recall >= 0.9 "
+    "at a 2/16 scan with refine=4). The ADC stage can only PRUNE — "
+    "emitted sims always come from the exact re-rank, so approximation "
+    "moves recall, never values (the certified-filter/pruner split "
+    "ql12 uses).",
+    tags=("llm", "vector", "index", "pq", "ann"),
+)
+def qix5_ivfpq_exhaustive_probe(spark, sf_dir):
+    import os
+
+    from sora_spark.queries.relational import _roundtrip_dir
+
+    emb = tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 20)
+    path = os.path.join(_roundtrip_dir("ivfpq_emb"), "index")
+    ann.write_ivfpq_index(
+        emb, path, n_centroids=16, m_subs=4, n_codes=16, iters=2
+    )
+    return ann.ivfpq_topk_indexed(
+        spark, path, emb, probes, k=3, n_probe=16, refine=10**6
+    ).orderBy("probe_id", "rn")

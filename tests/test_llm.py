@@ -1280,3 +1280,51 @@ def test_kmeans_hierarchical_rejects_past_two_level_bound(spark):
     emb = _clustered_emb(spark, n_vecs=32)
     with _pytest.raises(ValueError, match="two-level bound"):
         ann.kmeans_centroids_hierarchical(emb, 82, max_per_level=9)
+
+
+def test_ivfpq_recall_and_code_layout(spark, tmp_path):
+    """IVF-PQ (write_ivfpq_index / ivfpq_topk_indexed): (a) the
+    inverted lists store CODES, not vectors — m_subs ints + a norm per
+    row (the 128x byte shrink that makes a 10⁹-vector list scan
+    readable); (b) ADC pruning at the default refine keeps recall@10
+    >= 0.9 on the clustered corpus at a 2/16 scan fraction (same bar
+    as the flat and hierarchical IVF tests); (c) with every list
+    probed and refine unbounded the output is EXACTLY brute force —
+    the ADC stage only prunes, the emitted sims come from the exact
+    re-rank (certified-filter/pruner split)."""
+    emb = _clustered_emb(spark)
+    probes = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "pq")
+    ann.write_ivfpq_index(emb, path, n_centroids=16, m_subs=4,
+                          n_codes=16, iters=2)
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"vec_id", "_codes", "_nrm", "_cid"}
+    row = stored.first()
+    assert len(row["_codes"]) == 4  # m_subs byte-sized codes
+
+    exact_df = ann.brute_force_topk(emb, probes, k=10)
+    exact = {(r["probe_id"], r["neighbor_id"]) for r in exact_df.collect()}
+    got = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ann.ivfpq_topk_indexed(
+            spark, path, emb, probes, k=10, n_probe=2, refine=4
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"IVF-PQ recall {recall:.3f} < 0.9"
+
+    full = sorted(map(tuple, ann.ivfpq_topk_indexed(
+        spark, path, emb, probes, k=10, n_probe=16, refine=10**6
+    ).collect()))
+    want = sorted(map(tuple, exact_df.collect()))
+    assert full == want
+
+
+def test_ivfpq_rejects_bad_geometry(spark):
+    import pytest as _pytest
+
+    emb = _clustered_emb(spark, dim=16, n_vecs=64)
+    with _pytest.raises(ValueError, match="n_codes"):
+        ann.write_ivfpq_index(emb, "/tmp/never", n_codes=300)
+    with _pytest.raises(ValueError, match="divisible"):
+        ann.write_ivfpq_index(emb, "/tmp/never", m_subs=5)
