@@ -1050,6 +1050,7 @@ def write_ivfpq_index(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_per_level: int = 4096,
 ) -> None:
     """IVF-PQ index: the inverted lists store PRODUCT-QUANTIZED codes,
     not vectors — the storage/IO lever for the 10⁹-vector regime that
@@ -1066,10 +1067,14 @@ def write_ivfpq_index(
     joins the candidate ids back to the corpus relation (which exists
     anyway at scale), candidate-sized work.
 
-    Bounds: n_centroids <= 4096 (the single-level coarse bound — the
-    hierarchical composition is write_ivf_index's job, not duplicated
-    here), n_codes <= 256 (a code must fit the byte the format
-    promises), dim % m_subs == 0."""
+    Codebooks past `max_per_level` coarse lists compose with the
+    hierarchical quantizer exactly like write_ivf_index: two-level
+    training/assignment, a `_coarse` sidecar, a `branch` column in
+    `_centroids` — and the PQ codes ride in the (65536+)-list layout
+    unchanged, which is the genuine 10⁹-vector shape: pruning bounds
+    which lists are read, PQ bounds the bytes per list. Other bounds:
+    n_codes <= 256 (a code must fit the byte the format promises),
+    dim % m_subs == 0."""
     if n_codes > 256:
         raise ValueError(
             f"write_ivfpq_index: n_codes={n_codes} > 256 — PQ codes "
@@ -1084,7 +1089,19 @@ def write_ivfpq_index(
     sub = dim // m_subs
     spark = corpus.sparkSession
     v = vector.to_double(F.col(vec_col))
-    cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    if n_centroids > max_per_level:
+        coarse, leaves = kmeans_centroids_hierarchical(
+            corpus, n_centroids, iters, max_per_level, id_col, vec_col
+        )
+        assigned = assign_cids_hierarchical(corpus, coarse, leaves, vec_col)
+        cent_rows = [
+            (cid, c, b + 1) for b, ls in sorted(leaves.items())
+            for cid, c in ls
+        ]
+    else:
+        cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
+        assigned = assign_cids(corpus, cents, vec_col)
+        cent_rows = [(i + 1, c, None) for i, c in enumerate(cents)]
     books = []
     for s in range(m_subs):
         sub_df = corpus.select(
@@ -1099,16 +1116,20 @@ def write_ivfpq_index(
         code_cols.append(
             F.array_position(d, F.array_min(d)).cast("int")
         )
-    assign_cids(corpus, cents, vec_col).select(
+    assigned.select(
         id_col,
         F.array(*code_cols).alias("_codes"),
         vector.norm(F.col(vec_col)).alias("_nrm"),
         "_cid",
     ).write.partitionBy("_cid").mode("overwrite").parquet(path)
     spark.createDataFrame(
-        [(i + 1, c) for i, c in enumerate(cents)],
-        "cid BIGINT, centroid ARRAY<DOUBLE>",
+        cent_rows, "cid BIGINT, centroid ARRAY<DOUBLE>, branch BIGINT"
     ).coalesce(1).write.mode("overwrite").parquet(path + "_centroids")
+    if n_centroids > max_per_level:
+        spark.createDataFrame(
+            [(i + 1, c) for i, c in enumerate(coarse)],
+            "branch BIGINT, centroid ARRAY<DOUBLE>",
+        ).coalesce(1).write.mode("overwrite").parquet(path + "_coarse")
     spark.createDataFrame(
         [(s, j + 1, c) for s, b in enumerate(books) for j, c in enumerate(b)],
         "sub INT, code INT, centroid ARRAY<DOUBLE>",
@@ -1125,6 +1146,7 @@ def ivfpq_topk_indexed(
     refine: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe_coarse: int = 4,
 ) -> DataFrame:
     """IVF-PQ probe with asymmetric-distance pruning and EXACT
     re-rank: (1) each probe selects its n_probe nearest inverted
@@ -1142,7 +1164,11 @@ def ivfpq_topk_indexed(
     certified-filter/pruner split range_search_vectorized uses).
     With n_probe >= n_centroids and refine large the result equals
     brute force exactly — the hash-gated qix5 contract; the
-    recall-at-refine trade is measured in tests/test_llm.py."""
+    recall-at-refine trade is measured in tests/test_llm.py.
+
+    Two-level layouts (a `<path>_coarse` sibling — 4096+ lists) select
+    candidate lists hierarchically, same as ivf_topk_indexed; the ADC
+    and re-rank stages are layout-agnostic."""
     pq_rows = (
         spark.read.parquet(path + "_pq").orderBy("sub", "code").collect()
     )
@@ -1153,7 +1179,14 @@ def ivfpq_topk_indexed(
         for s in range(m_subs)
     ]
     sub = len(books[0][0])
-    p = _probe_cids_flat(spark, path, probes, n_probe, id_col, vec_col)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path + "_coarse")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        p = _probe_cids_hierarchical(
+            spark, path, probes, n_probe, n_probe_coarse, id_col, vec_col
+        ).localCheckpoint(eager=True)
+    else:
+        p = _probe_cids_flat(spark, path, probes, n_probe, id_col, vec_col)
     lists = _pruned_read(spark, path, p)
     if lists is None:
         return probes.sparkSession.createDataFrame(

@@ -1328,3 +1328,42 @@ def test_ivfpq_rejects_bad_geometry(spark):
         ann.write_ivfpq_index(emb, "/tmp/never", n_codes=300)
     with _pytest.raises(ValueError, match="divisible"):
         ann.write_ivfpq_index(emb, "/tmp/never", m_subs=5)
+
+
+def test_ivfpq_hierarchical_composition(spark, tmp_path):
+    """PQ codes compose with the two-level coarse quantizer (the
+    10⁹-vector shape: hierarchical pruning bounds WHICH lists are
+    read, PQ bounds the BYTES per list). Forced small cap
+    (16 lists / max_per_level=8 -> 4x4 two-level): layout carries all
+    three sidecars, pruned-recall holds the 0.9 bar, and the
+    exhaustive configuration (all branches, all leaves, unbounded
+    refine) equals brute force exactly."""
+    import os
+
+    emb = _clustered_emb(spark)
+    probes = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "hpq")
+    ann.write_ivfpq_index(emb, path, n_centroids=16, m_subs=4,
+                          n_codes=16, iters=2, max_per_level=8)
+    assert os.path.isdir(path + "_coarse")
+    assert os.path.isdir(path + "_pq")
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"vec_id", "_codes", "_nrm", "_cid"}
+
+    exact_df = ann.brute_force_topk(emb, probes, k=10)
+    exact = {(r["probe_id"], r["neighbor_id"]) for r in exact_df.collect()}
+    got = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ann.ivfpq_topk_indexed(
+            spark, path, emb, probes, k=10, n_probe=2, refine=4,
+            n_probe_coarse=2,
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"hierarchical IVF-PQ recall {recall:.3f} < 0.9"
+
+    full = sorted(map(tuple, ann.ivfpq_topk_indexed(
+        spark, path, emb, probes, k=10, n_probe=16, refine=10**6,
+        n_probe_coarse=4,
+    ).collect()))
+    assert full == sorted(map(tuple, exact_df.collect()))
