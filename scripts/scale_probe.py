@@ -207,82 +207,84 @@ def main() -> None:
     # process-wide SORA_UNCALIBRATED_SF_OK env escape). The replicated
     # dirs (/tmp/sora_scale_probe/x{N}) don't match the sf-name regex
     # anyway; this covers probes pointed at sf-named fixtures too.
+    # A real `with` block so the guard releases even when a probe run
+    # raises mid-sweep (r11 review finding — the first version
+    # documented a finally that did not exist).
     from sora_spark.queries.graph_q import allow_uncalibrated_sf
 
     results = {}
-    guard_off = allow_uncalibrated_sf()
-    guard_off.__enter__()  # released in the finally at the end of main
-    for q, name in BENCH_QUERIES.items():
-        if q not in wanted:
-            continue
-        fn = REGISTRY[name].spark_fn
-        base_s, base_rows = run_query(spark, fn, BASE, args.warm)
-        big_s, big_rows = run_query(spark, fn, out_dir, args.warm)
-        ratio = big_s / base_s if base_s > 0 else float("inf")
-        results[q] = {
-            "name": name,
-            "base_s": round(base_s, 3),
-            "big_s": round(big_s, 3),
-            "ratio": round(ratio, 2),
-            "base_rows": base_rows,
-            "big_rows": big_rows,
-        }
-        print(
-            f"[probe] {q} {name}: {base_s:.2f}s -> {big_s:.2f}s "
-            f"(x{ratio:.1f} at factor {args.factor}); "
-            f"rows {base_rows} -> {big_rows}",
-            file=sys.stderr,
-        )
-    # B15 (indexed ANN probe) runs outside BENCH_QUERIES because it
-    # needs per-dir setup: write the IVF index for each corpus size,
-    # then time the probe phase only (bench.py's q15 contract). The
-    # replicated corpus holds `factor` identical copies of every
-    # vector, so probe results include the clones at cosine 1.0 —
-    # throughput is the thing under test here, recall is gated in
-    # bench.py and tests/test_llm.py.
-    if "q15" in wanted:
-        import shutil
-        import tempfile
+    with allow_uncalibrated_sf():
+        for q, name in BENCH_QUERIES.items():
+            if q not in wanted:
+                continue
+            fn = REGISTRY[name].spark_fn
+            base_s, base_rows = run_query(spark, fn, BASE, args.warm)
+            big_s, big_rows = run_query(spark, fn, out_dir, args.warm)
+            ratio = big_s / base_s if base_s > 0 else float("inf")
+            results[q] = {
+                "name": name,
+                "base_s": round(base_s, 3),
+                "big_s": round(big_s, 3),
+                "ratio": round(ratio, 2),
+                "base_rows": base_rows,
+                "big_rows": big_rows,
+            }
+            print(
+                f"[probe] {q} {name}: {base_s:.2f}s -> {big_s:.2f}s "
+                f"(x{ratio:.1f} at factor {args.factor}); "
+                f"rows {base_rows} -> {big_rows}",
+                file=sys.stderr,
+            )
+        # B15 (indexed ANN probe) runs outside BENCH_QUERIES because
+        # it needs per-dir setup: write the IVF index for each corpus
+        # size, then time the probe phase only (bench.py's q15
+        # contract). The replicated corpus holds `factor` identical
+        # copies of every vector, so probe results include the clones
+        # at cosine 1.0 — throughput is the thing under test here,
+        # recall is gated in bench.py and tests/test_llm.py.
+        if "q15" in wanted:
+            import shutil
+            import tempfile
 
-        from pyspark.sql import functions as F
+            from pyspark.sql import functions as F
 
-        from sora_spark.llm import ann
-        from sora_spark.queries.bench_core import tables
+            from sora_spark.llm import ann
+            from sora_spark.queries.bench_core import tables
 
-        timing = {}
-        for tag, d in (("base", BASE), ("big", out_dir)):
-            emb = tables(spark, d).embeddings
-            probes = emb.filter(F.col("vec_id") % 10 == 0)
-            ipath = tempfile.mkdtemp(prefix="sora_probe_ivf_") + "/index"
-            try:
-                ann.write_ivf_index(emb, ipath, n_centroids=16, iters=2)
+            timing = {}
+            for tag, d in (("base", BASE), ("big", out_dir)):
+                emb = tables(spark, d).embeddings
+                probes = emb.filter(F.col("vec_id") % 10 == 0)
+                ipath = tempfile.mkdtemp(prefix="sora_probe_ivf_") + "/index"
+                try:
+                    ann.write_ivf_index(emb, ipath, n_centroids=16, iters=2)
 
-                def fn(s, _d, _p=ipath, _probes=probes):
-                    return ann.ivf_topk_indexed(
-                        s, _p, _probes, k=10, n_probe=8
-                    )
+                    def fn(s, _d, _p=ipath, _probes=probes):
+                        return ann.ivf_topk_indexed(
+                            s, _p, _probes, k=10, n_probe=8
+                        )
 
-                timing[tag] = run_query(spark, fn, d, args.warm)
-            finally:
-                shutil.rmtree(os.path.dirname(ipath), ignore_errors=True)
-        (base_s, base_rows), (big_s, big_rows) = timing["base"], timing["big"]
-        ratio = big_s / base_s if base_s > 0 else float("inf")
-        results["q15"] = {
-            "name": "ivf_topk_indexed",
-            "base_s": round(base_s, 3),
-            "big_s": round(big_s, 3),
-            "ratio": round(ratio, 2),
-            "base_rows": base_rows,
-            "big_rows": big_rows,
-        }
-        print(
-            f"[probe] q15 ivf_topk_indexed: {base_s:.2f}s -> {big_s:.2f}s "
-            f"(x{ratio:.1f} at factor {args.factor}); "
-            f"rows {base_rows} -> {big_rows}",
-            file=sys.stderr,
-        )
+                    timing[tag] = run_query(spark, fn, d, args.warm)
+                finally:
+                    shutil.rmtree(os.path.dirname(ipath), ignore_errors=True)
+            (base_s, base_rows) = timing["base"]
+            (big_s, big_rows) = timing["big"]
+            ratio = big_s / base_s if base_s > 0 else float("inf")
+            results["q15"] = {
+                "name": "ivf_topk_indexed",
+                "base_s": round(base_s, 3),
+                "big_s": round(big_s, 3),
+                "ratio": round(ratio, 2),
+                "base_rows": base_rows,
+                "big_rows": big_rows,
+            }
+            print(
+                f"[probe] q15 ivf_topk_indexed: {base_s:.2f}s -> "
+                f"{big_s:.2f}s (x{ratio:.1f} at factor {args.factor}); "
+                f"rows {base_rows} -> {big_rows}",
+                file=sys.stderr,
+            )
 
-    guard_off.__exit__(None, None, None)
     print(
         json.dumps(
             {

@@ -45,7 +45,16 @@ class Graph:
     that directory: rounds then survive executor loss at the price of
     one distributed write per round. Same results bit-for-bit either
     way (one parametrized oracle test runs CC/PageRank/k-core under
-    both modes)."""
+    both modes).
+
+    RETENTION: Spark never deletes reliable checkpoint files unless
+    `spark.cleaner.referenceTracking.cleanCheckpoints=true` was set at
+    SESSION BUILD time (ContextCleaner reads it once) — without it a
+    40-round loop retains ~rounds x dataset bytes in the directory.
+    `sora_spark.session.build_session` sets it by default; sessions
+    built elsewhere must set it themselves (it is reference-tracked:
+    a round's files are deleted only once nothing holds that RDD, so
+    pinned frames stay readable)."""
 
     edges: DataFrame  # columns: s, d (+ attrs)
     vertices: DataFrame | None = None

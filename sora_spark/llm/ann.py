@@ -323,9 +323,13 @@ def assign_cids(
     cents: list[list[float]],
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Corpus + `_cid` = 1-based nearest-centroid id (JVM-side argmin)."""
-    dists = centroid_distances(F.col(vec_col), cents)
-    return corpus.withColumn("_cid", F.array_position(dists, F.array_min(dists)))
+    """Corpus + `_cid` = 1-based nearest-centroid id (JVM-side argmin
+    via the single-literal matrix — per-scalar lit() construction
+    costs one py4j round-trip each, minutes of plan building at a
+    4096 x 64 codebook; same arithmetic, same ids)."""
+    return corpus.withColumn(
+        "_cid", _nearest_centroid(F.col(vec_col), cents)
+    )
 
 
 def _dist2_col(vec_col, cent_col):
@@ -353,12 +357,13 @@ def _lit_matrix(cents: list[list[float]]):
     return F.expr(f"array({rows})")
 
 
-def _nearest_branch(vec_col, coarse: list[list[float]]):
-    """1-based nearest-coarse-branch id via a JVM transform over the
-    single-literal coarse matrix (no per-centroid Python expression
-    building)."""
+def _nearest_centroid(vec_col, cents: list[list[float]]):
+    """1-based nearest-centroid id via a JVM transform over the
+    single-literal centroid matrix (no per-centroid Python expression
+    building) — shared by coarse-branch assignment, flat `_cid`
+    assignment and the flat probe path."""
     d = F.transform(
-        _lit_matrix(coarse), lambda c: _dist2_col(vec_col, c)
+        _lit_matrix(cents), lambda c: _dist2_col(vec_col, c)
     )
     return F.array_position(d, F.array_min(d))
 
@@ -409,19 +414,29 @@ def kmeans_centroids_hierarchical(
     codebook-sized, never corpus-sized."""
     import math
 
-    if n_centroids > max_per_level * max_per_level:
+    # the COARSE level is hard-capped at kmeans_centroids' 4096
+    # literal-argmin bound regardless of max_per_level (level 1 IS a
+    # single-level k-means); only the LEAF level — per-branch arrays,
+    # no literals — scales with max_per_level. So the two-level bound
+    # is 4096 * max_per_level, not max_per_level², and raising
+    # max_per_level widens branches instead of crashing level 1
+    # (r11 review finding: ceil(sqrt(n)) > 4096 made the advertised
+    # escape raise inside kmeans_centroids).
+    coarse_cap = min(max_per_level, 4096)
+    if n_centroids > coarse_cap * max_per_level:
         raise ValueError(
             f"kmeans_centroids_hierarchical: n_centroids={n_centroids} "
-            f"exceeds the two-level bound ({max_per_level}^2); add a "
-            "level (or raise max_per_level deliberately)"
+            f"exceeds the two-level bound ({coarse_cap} coarse x "
+            f"{max_per_level} leaves); add a level (or raise "
+            "max_per_level — it widens the per-branch leaf arrays)"
         )
     spark = corpus.sparkSession
-    # balanced split: ~sqrt branches, but never more than the level cap
-    # and never so few that a branch's quota would exceed the cap
+    # balanced split: ~sqrt branches, but never more than the coarse
+    # cap and never so few that a branch's quota would exceed the cap
     n_coarse = min(
         max(math.ceil(math.sqrt(n_centroids)),
             math.ceil(n_centroids / max_per_level)),
-        max_per_level,
+        coarse_cap,
     )
     quota = [
         n_centroids // n_coarse + (1 if b < n_centroids % n_coarse else 0)
@@ -429,7 +444,7 @@ def kmeans_centroids_hierarchical(
     ]
     coarse = kmeans_centroids(corpus, n_coarse, iters, id_col, vec_col)
     assigned = corpus.select(id_col, vec_col).withColumn(
-        "_branch", _nearest_branch(F.col(vec_col), coarse)
+        "_branch", _nearest_centroid(F.col(vec_col), coarse)
     )
     # leaf init = first quota[b] vectors of each branch by id (the
     # deterministic first-n convention of kmeans_centroids, per branch)
@@ -503,7 +518,7 @@ def assign_cids_hierarchical(
     spark = corpus.sparkSession
     lt = _leaf_table(spark, {b + 1: ls for b, ls in leaves.items()})
     j = corpus.withColumn(
-        "_branch", _nearest_branch(F.col(vec_col), coarse)
+        "_branch", _nearest_centroid(F.col(vec_col), coarse)
     ).join(F.broadcast(lt), "_branch")
     d = F.transform(
         "_leaves", lambda s: _dist2_col(F.col(vec_col), s["centroid"])
@@ -653,18 +668,24 @@ def _probe_cids_flat(
     spark, path, probes, n_probe, id_col, vec_col
 ) -> DataFrame:
     """Probe rows exploded to their n_probe candidate list ids under
-    the single-level layout (literal-struct argsort over the
-    <= 4096-entry centroid sidecar)."""
+    the single-level layout: (dist, cid) structs via ONE transform
+    over the single-literal centroid matrix (the per-scalar F.lit
+    route costs one py4j round-trip per scalar — ~262k of them at a
+    4096 x 64 codebook, minutes of plan construction per probe call;
+    r11 review finding, same fix as the hierarchical branch path).
+    Struct natural order sorts by dist then cid, so the slice is the
+    n_probe nearest lists deterministically — identical selection to
+    the old literal-struct form."""
     cents_rows = (
         spark.read.parquet(path + "_centroids").orderBy("cid").collect()
     )
     cents = [list(r["centroid"]) for r in cents_rows]
-    pd_structs = F.array(
-        *[
-            F.struct(_dist2(F.col("probe_vec"), c).alias("d"),
-                     F.lit(i + 1).cast("long").alias("cid"))
-            for i, c in enumerate(cents)
-        ]
+    pd_structs = F.transform(
+        _lit_matrix(cents),
+        lambda c, i: F.struct(
+            _dist2_col(F.col("probe_vec"), c).alias("d"),
+            (i + 1).cast("long").alias("cid"),
+        ),
     )
     return (
         probes.select(
@@ -707,6 +728,25 @@ def _pruned_read(spark, path: str, p: DataFrame) -> DataFrame | None:
     return (
         spark.read.option("basePath", path).parquet(*cand_dirs)
         .filter(F.col("_cid").isin(cand_cids))
+    )
+
+
+def _empty_topk(spark, path: str, probes: DataFrame, id_col: str):
+    """Schema-stable empty result for the no-candidate-directory edge:
+    neighbor_id typed from the INDEX files (root listing is acceptable
+    on this rare path; falls back to the probe type when the index has
+    no data at all), so the output schema does not flip between the
+    empty and non-empty paths when probe and corpus id types differ
+    (r11 review finding)."""
+    pid_t = probes.schema[id_col].dataType.simpleString()
+    try:
+        nid_t = (
+            spark.read.parquet(path).schema[id_col].dataType.simpleString()
+        )
+    except Exception:
+        nid_t = pid_t
+    return spark.createDataFrame(
+        [], f"probe_id {pid_t}, rn int, neighbor_id {nid_t}, sim double"
     )
 
 
@@ -754,12 +794,7 @@ def ivf_topk_indexed(
         )
     corpus = _pruned_read(spark, path, p)
     if corpus is None:
-        empty = probes.sparkSession.createDataFrame(
-            [], f"probe_id {probes.schema[id_col].dataType.simpleString()},"
-                " rn int, neighbor_id "
-                f"{probes.schema[id_col].dataType.simpleString()},"
-                " sim double")
-        return empty
+        return _empty_topk(spark, path, probes, id_col)
     # probe norms once per probe row, MATERIALIZED by the broadcast
     # exchange (not inlined past the join into the pair loop)
     p = p.withColumn("_pnrm", vector.norm(F.col("probe_vec")))
@@ -1189,17 +1224,25 @@ def ivfpq_topk_indexed(
         p = _probe_cids_flat(spark, path, probes, n_probe, id_col, vec_col)
     lists = _pruned_read(spark, path, p)
     if lists is None:
-        return probes.sparkSession.createDataFrame(
-            [], f"probe_id {probes.schema[id_col].dataType.simpleString()},"
-                " rn int, neighbor_id "
-                f"{probes.schema[id_col].dataType.simpleString()},"
-                " sim double")
+        return _empty_topk(spark, path, probes, id_col)
     pv = vector.to_double(F.col("probe_vec"))
-    lut = F.array(*[
-        _dist2(F.slice(pv, sub * s + 1, sub), books[s][j])
-        for s in range(m_subs)
-        for j in range(n_codes)
-    ])
+    # the LUT as ONE transform over the flattened (m_subs*n_codes)
+    # codebook matrix: entry i belongs to subspace i div n_codes, so
+    # the matching probe slice start is computed per element JVM-side
+    # (same py4j-cost fix as _probe_cids_flat; per-scalar lit() at
+    # 8 subs x 256 codes x 8 dims would be ~16k round-trips per call)
+    flat_books = [c for b in books for c in b]
+    lut = F.transform(
+        _lit_matrix(flat_books),
+        lambda c, i: _dist2_col(
+            F.slice(
+                pv,
+                (F.floor(i / n_codes).cast("int") * sub + 1),
+                sub,
+            ),
+            c,
+        ),
+    )
     p = p.withColumn("_lut", lut).withColumn(
         "_pnrm", vector.norm(F.col("probe_vec"))
     )

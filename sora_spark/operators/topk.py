@@ -218,22 +218,27 @@ def topk_per_group_adaptive(
 
     The r10 verdict's q4 nit closes here: callers no longer need to
     know their key distribution; the operator measures it."""
+    # validate BEFORE the sampled pre-count — invalid arguments must
+    # not cost a cluster job, and both dispatch targets share these
+    # preconditions (r11 review finding)
+    clash = {"_salt", "_prn", "rn"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"topk_per_group_adaptive: input already has {sorted(clash)}; "
+            "rename before calling (the operator emits `rn` and the "
+            "salted path uses _salt/_prn internally)"
+        )
+    if not tiebreak_cols:
+        raise ValueError(
+            "topk_per_group_adaptive: tiebreak_cols must be non-empty — "
+            "(order_col, *tiebreak_cols) must totally order each group"
+        )
     if choose_topk_strategy(
         df, group_cols, skew_threshold, sample_fraction
     ) == "salted":
         return topk_per_group_salted(
             df, group_cols, order_col, k, tiebreak_cols,
             descending=descending, n_salts=n_salts,
-        )
-    if "rn" in df.columns:
-        raise ValueError(
-            "topk_per_group_adaptive: input already has `rn`; rename "
-            "before calling (the operator emits `rn`)"
-        )
-    if not tiebreak_cols:
-        raise ValueError(
-            "topk_per_group_adaptive: tiebreak_cols must be non-empty — "
-            "(order_col, *tiebreak_cols) must totally order each group"
         )
     order = [
         F.col(order_col).desc() if descending else F.col(order_col).asc(),

@@ -44,6 +44,14 @@ BUILD_CONF: dict[str, str] = {
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": os.environ.get("SORA_DRIVER_MEMORY", "8g"),
+    # reference-tracked deletion of RELIABLE checkpoint files (the
+    # Graph(reliable_checkpoint_dir=...) mode): without it Spark keeps
+    # every per-round checkpoint forever and a 40-round fixpoint
+    # retains ~rounds x dataset bytes in the checkpoint dir (r11
+    # review finding). Read at ContextCleaner construction — must be
+    # a build-time conf; sessions built elsewhere need it too
+    # (documented on Graph).
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
 # Cluster profile (100 TB posture): apply on top of BUILD_CONF when

@@ -188,6 +188,16 @@ def merge_upsert(
     from pyspark.sql.window import Window
 
     commits = _read_commits(path, None)
+    want = commits[0].get("schema")
+    if want and batch_df.schema.simpleString() != want:
+        # same gate as append: without it a type-drifting batch would
+        # be COERCED by unionByName and committed as a silently
+        # different table schema, wedging later appends against the
+        # stale recorded one (r11 review finding)
+        raise ValueError(
+            f"merge_upsert batch schema "
+            f"{batch_df.schema.simpleString()} != table schema {want}"
+        )
     version = commits[-1]["version"] + 1
     live = _live_dirs(path, None)
     cur = read_table(spark, path).withColumn("_src", F.lit(0))
