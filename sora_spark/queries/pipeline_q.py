@@ -3154,3 +3154,277 @@ def qup7_commit_log_table(spark, sf_dir):
         shape(pinned_v1, 1).unionByName(shape(v2, 2))
         .orderBy("version", "k")
     )
+
+
+@query(
+    "qup8_merge_pruned",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price, o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 6 = 0),
+batch AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice + 500, 2) AS price,
+         o_orderdate + INTERVAL 1 DAY AS ts
+  FROM orders
+  WHERE o_orderkey % 15 = 0
+    AND 2 * o_orderkey >= (SELECT max(o_orderkey) FROM orders
+                           WHERE o_orderkey % 6 = 0)),
+merged AS (
+  SELECT * FROM batch
+  UNION ALL
+  SELECT * FROM snap WHERE k NOT IN (SELECT k FROM batch))
+SELECT k, st, price, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM merged ORDER BY k
+""",
+    doc="qup8: DATA-SKIPPED MERGE on the commit-log table "
+    "(sources/commit_log.py merge_upsert prune=True — the fact-scale "
+    "form its r10 docstring promised): the snapshot is laid down as "
+    "THREE key-disjoint directories (ntile(3) over the key, each "
+    "commit recording min/max/null stats for k), then a key-narrow "
+    "batch (upper half of the key range, a mix of updates and "
+    "inserts) merges — directories whose recorded range is provably "
+    "disjoint from the batch stay LISTED AND UNREAD, so the rewrite "
+    "cost tracks the touched data, not the table. The oracle is "
+    "MERGE INTO semantics (batch wins; untouched rows pass through), "
+    "which pruning cannot change on a key-unique table; the pruning "
+    "itself (removed = only overlapping dirs) is pinned on a fixed "
+    "fixture in test_capabilities.py::test_commit_log_merge_data_"
+    "skipping. Scale: stats live in the commit JSON (driver-side, "
+    "commit-count bounded); the disjointness test is pure Python "
+    "over per-dir ranges — the Delta/Iceberg file-skipping shape.",
+    tags=("sink", "upsert", "acid", "prune"),
+)
+def qup8_merge_pruned(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    tiled = snap.withColumn(
+        "_t", F.ntile(3).over(Window.orderBy("k"))
+    )
+    path = os.path.join(_roundtrip_dir("commit_log_pruned"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(
+        spark, path, tiled.filter("_t = 1").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 2").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 3").drop("_t"), stats_cols=["k"])
+
+    maxk = snap.agg(F.max("k")).collect()[0][0]
+    batch = (
+        orders.filter(
+            (F.col("o_orderkey") % 15 == 0)
+            & (2 * F.col("o_orderkey") >= F.lit(maxk))
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            F.round(F.col("o_totalprice") + 500, 2).alias("price"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        )
+    )
+    cl.merge_upsert(spark, path, batch, ["k"], "ts")
+    return (
+        cl.read_table(spark, path)
+        .select(
+            "k", "st", "price",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "qup9_table_changes",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price, o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 7 = 0),
+b AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice + 1000, 2) AS price,
+         o_orderdate + INTERVAL 1 DAY AS ts
+  FROM orders WHERE o_orderkey % 5 = 0),
+diff AS (
+  SELECT b.k, b.st, b.price, b.ts,
+         CASE WHEN s.k IS NULL THEN 'insert' ELSE 'update' END AS change
+  FROM b LEFT JOIN snap s USING (k)
+  UNION ALL
+  SELECT s.k, s.st, s.price, s.ts, 'delete' AS change
+  FROM snap s
+  WHERE s.k % 21 = 0 AND s.k NOT IN (SELECT k FROM b))
+SELECT k, st, price, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, change
+FROM diff ORDER BY k
+""",
+    doc="qup9: snapshot CDC (sources/commit_log.py table_changes): "
+    "v1 = create (key%7), v2 = DELETE key%21, v3 = MERGE the key%5 "
+    "batch (+1000 price, +1 day); table_changes(1, 3) emits one row "
+    "per changed key — inserts carry the v3 image, deletes the v1 "
+    "image, updates the post-image; keys deleted at v2 then "
+    "re-inserted by the v3 merge (key%105) correctly surface as "
+    "UPDATES because the diff compares snapshots, not replayed ops. "
+    "No changelog is stored: the diff is ONE null-safe full-outer "
+    "join on the key, so it works across any version pair and "
+    "shuffles once on the key — the scan of each side is an ordinary "
+    "pruned parquet read. Oracle replays the same lifecycle in set "
+    "algebra.",
+    tags=("cdc", "acid"),
+)
+def qup9_table_changes(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    batch = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") + 1000, 2).alias("price"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+    )
+    path = os.path.join(_roundtrip_dir("commit_log_cdc"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(spark, path, snap, stats_cols=["k"])      # v1
+    cl.delete_where(spark, path, "k % 21 = 0")                # v2
+    cl.merge_upsert(spark, path, batch, ["k"], "ts")          # v3
+    return (
+        cl.table_changes(spark, path, 1, 3, ["k"])
+        .select(
+            "k", "st", "price",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.col("_change_type").alias("change"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "qup10_delete_compact",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 6 = 0),
+stages AS (
+  SELECT 'before' AS stage, k, st, price FROM snap
+  UNION ALL
+  SELECT 'after' AS stage, k, st, price FROM snap WHERE st <> 'F')
+SELECT stage, k, st, price FROM stages ORDER BY stage, k
+""",
+    doc="qup10: DELETE + OPTIMIZE lifecycle on the commit-log table: "
+    "the snapshot lands as three key-range directories, DELETE st='F' "
+    "rewrites only the directories that contain matching rows (found "
+    "by ONE _metadata.file_path pushdown pass whose driver result is "
+    "bounded by the live-directory count), then OPTIMIZE bin-packs "
+    "the survivors into a single directory WITHOUT changing the "
+    "data. The 'before' half of the output is read via TIME TRAVEL "
+    "to the pre-delete version AFTER the compaction committed — "
+    "proving delete/optimize delist rather than destroy. NULL-safe "
+    "delete semantics (condition NULL keeps the row) are pinned in "
+    "test_capabilities.py::test_commit_log_delete_compact.",
+    tags=("sink", "acid", "prune"),
+)
+def qup10_delete_compact(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    tiled = snap.withColumn("_t", F.ntile(3).over(Window.orderBy("k")))
+    path = os.path.join(_roundtrip_dir("commit_log_delopt"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(
+        spark, path, tiled.filter("_t = 1").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 2").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 3").drop("_t"), stats_cols=["k"])
+    pre_delete = cl.table_versions(path)[-1]
+    cl.delete_where(spark, path, "st = 'F'")
+    cl.compact(spark, path)
+
+    def shape(df, stage):
+        return df.select(
+            F.lit(stage).alias("stage"), "k", "st", "price")
+
+    before = cl.read_table(spark, path, pre_delete)  # time travel
+    after = cl.read_table(spark, path)
+    return (
+        shape(before, "before").unionByName(shape(after, "after"))
+        .orderBy("stage", "k")
+    )
+
+
+@query(
+    "qup11_txn_exactly_once",
+    oracle="""
+SELECT o_orderkey AS k, o_orderstatus AS st,
+       round(o_totalprice, 2) AS price
+FROM orders WHERE o_orderkey % 3 = 0 ORDER BY k
+""",
+    doc="qup11: EXACTLY-ONCE streaming sink protocol "
+    "(sources/commit_log.py txn_append / exactly_once_sink — the "
+    "Delta txnAppId/txnVersion shape): three foreachBatch epochs "
+    "land (key%9 residues 0, 3, 6), with epoch 1 REPLAYED carrying "
+    "poisoned prices (+9999) — the replay is refused by the txn "
+    "watermark without reading its data, so the poison can never "
+    "appear; any failure of the skip is a value-hash mismatch "
+    "against the oracle (the union of the three epochs = key%3). "
+    "The skip-check races with the atomic version claim, so a "
+    "duplicate writer loses the claim and its retry skips — pinned "
+    "with a real writeStream.foreachBatch replay in "
+    "test_capabilities.py::test_commit_log_exactly_once_sink.",
+    tags=("sink", "streaming", "acid"),
+)
+def qup11_txn_exactly_once(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+
+    def epoch(residue, poison=0):
+        return orders.filter(F.col("o_orderkey") % 9 == residue).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            F.round(F.col("o_totalprice") + poison, 2).alias("price"),
+        )
+
+    path = os.path.join(_roundtrip_dir("commit_log_txn"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    sink = cl.exactly_once_sink(path, "qup11", stats_cols=["k"])
+    sink(epoch(0), 0)
+    sink(epoch(3), 1)
+    sink(epoch(3, poison=9999), 1)  # replayed epoch: must be skipped
+    sink(epoch(6), 2)
+    return cl.read_table(spark, path).orderBy("k")

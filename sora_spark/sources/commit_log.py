@@ -31,9 +31,27 @@ the smallest Delta/Iceberg-shaped core that fixes both:
 Scale posture: the log is one tiny JSON per commit and the snapshot
 resolve is a driver-side directory listing bounded by commit count —
 data-size independent. Reads are ordinary parquet scans of the live
-directories (pushdown/pruning intact). The merge rewrite is
-full-table like upsert.py — right for dimension tables; a fact-scale
-merge would partition the rewrite by touched keys, same log protocol.
+directories (pushdown/pruning intact). MERGE is DATA-SKIPPED: commits
+record per-directory min/max/null stats for declared stats columns,
+and `merge_upsert` rewrites ONLY the live directories whose key
+ranges can overlap the batch — untouched directories stay listed, so
+the rewrite cost is proportional to the touched data, not the table
+(the Delta/Iceberg file-skipping shape). Directories without stats
+are conservatively treated as touched, so the pruning is always
+sound; a table written without stats degrades to the full rewrite.
+DELETE locates touched directories with one pushdown scan over
+`_metadata.file_path` and rewrites only those. `compact` (OPTIMIZE)
+bin-packs the live directories into one without changing the data.
+`table_changes` is snapshot CDC. `txn_append`/`exactly_once_sink`
+give Structured Streaming foreachBatch an idempotent commit keyed by
+(app_id, epoch), the Delta txnAppId/txnVersion protocol shape.
+
+SEMANTIC NOTE on pruned MERGE: with pruning, rows in untouched
+directories pass through unchanged — standard MERGE INTO semantics.
+The pre-r11 behavior additionally deduplicated keys duplicated WITHIN
+the current table (possible only after overlapping raw `append`s);
+the two agree whenever the table is key-unique, which create+merge
+lifecycles guarantee. Pass `prune=False` for the full-table dedup.
 """
 
 from __future__ import annotations
@@ -97,10 +115,98 @@ def _live_dirs(path: str, upto: int | None) -> list[str]:
     return live
 
 
-def _write_data(df: DataFrame, path: str, version: int) -> str:
+def _stat_scalar(v):
+    """JSON-safe, ORDER-PRESERVING encoding of a min/max value, or
+    None when the type has no such encoding (then the column is
+    omitted from stats and never prunes — conservative). ISO date /
+    timestamp strings sort like the values they encode; Decimal does
+    NOT sort lexicographically as a string, so it is excluded."""
+    import datetime
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (int, float, str)):
+        return v
+    return None
+
+
+def _column_stats(df: DataFrame, cols: list[str]) -> dict:
+    """One column-pruned pass: {col: {min, max, nulls}} for every
+    prunable column; all-null columns carry {'nulls': n, 'allnull':
+    True}; unprunable types are omitted entirely (distinct from
+    all-null, so _disjoint_on can still prune against an all-null
+    side). Called on the just-written parquet, so it is a footer-
+    friendly scan of the new directory only, never the table."""
+    from pyspark.sql import functions as F
+
+    cols = [c for c in cols if c in df.columns]
+    if not cols:
+        return {}
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs += [
+            F.min(c).alias(f"mn{i}"),
+            F.max(c).alias(f"mx{i}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nu{i}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = {}
+    for i, c in enumerate(cols):
+        nulls = int(row[f"nu{i}"] or 0)
+        lo, hi = _stat_scalar(row[f"mn{i}"]), _stat_scalar(row[f"mx{i}"])
+        if row[f"mn{i}"] is None:
+            out[c] = {"nulls": nulls, "allnull": True}
+        elif lo is not None and hi is not None:
+            out[c] = {"min": lo, "max": hi, "nulls": nulls}
+        # else: unprunable type — omit
+    return out
+
+
+def _disjoint_on(a: dict | None, b: dict | None) -> bool:
+    """True only when NO row behind stats `a` can share this key-column
+    value with a row behind stats `b`. SQL/window equality semantics:
+    null groups with null, so two sides that both contain nulls are
+    never disjoint; an all-null side is disjoint from a null-free one."""
+    if a is None or b is None:
+        return False  # no stats on a side -> cannot prune
+    if a.get("nulls", 0) > 0 and b.get("nulls", 0) > 0:
+        return False  # null == null under groupBy/window semantics
+    if a.get("allnull") or b.get("allnull"):
+        return True  # only nulls on that side; other side has none
+    try:
+        return a["max"] < b["min"] or b["max"] < a["min"]
+    except (KeyError, TypeError):
+        return False  # missing/incomparable ranges -> conservative
+
+
+def _write_data(
+    df: DataFrame,
+    path: str,
+    version: int,
+    stats_cols: list[str] | None = None,
+) -> tuple[str, dict]:
     rel = os.path.join(_DATA, f"v{version:08d}-{uuid.uuid4().hex[:12]}")
-    df.write.mode("error").parquet(os.path.join(path, rel))
-    return rel
+    full = os.path.join(path, rel)
+    df.write.mode("error").parquet(full)
+    stats = (
+        _column_stats(df.sparkSession.read.parquet(full), stats_cols)
+        if stats_cols
+        else {}
+    )
+    return rel, stats
+
+
+def _live_stats(path: str, upto: int | None = None) -> dict:
+    """{relpath: stats} for the live directories at `upto` (stats as
+    recorded by the commit that ADDED each directory; dirs committed
+    without stats map to {})."""
+    recorded: dict[str, dict] = {}
+    for c in _read_commits(path, upto):
+        for rel, st in c.get("stats", {}).items():
+            recorded[rel] = st
+    return {d: recorded.get(d, {}) for d in _live_dirs(path, upto)}
 
 
 def _publish(path: str, entry: dict) -> int:
@@ -129,17 +235,29 @@ def _publish(path: str, entry: dict) -> int:
     return version
 
 
-def create_table(spark: SparkSession, path: str, df: DataFrame) -> int:
-    """Version 1: initial rows. Fails if the table already has commits."""
-    rel = _write_data(df, path, 1)
-    return _publish(
-        path,
-        {"version": 1, "operation": "create", "added": [rel],
-         "removed": [], "schema": df.schema.simpleString()},
-    )
+def create_table(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Version 1: initial rows. Fails if the table already has commits.
+    `stats_cols` records per-directory min/max/null stats in the
+    commit so later merges/deletes can data-skip this directory."""
+    rel, stats = _write_data(df, path, 1, stats_cols)
+    entry = {"version": 1, "operation": "create", "added": [rel],
+             "removed": [], "schema": df.schema.simpleString()}
+    if stats:
+        entry["stats"] = {rel: stats}
+    return _publish(path, entry)
 
 
-def append(spark: SparkSession, path: str, df: DataFrame) -> int:
+def append(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Append-only commit: adds a data directory, removes nothing."""
     commits = _read_commits(path, None)
     want = commits[0].get("schema")
@@ -149,12 +267,12 @@ def append(spark: SparkSession, path: str, df: DataFrame) -> int:
             f"schema {want}"
         )
     version = commits[-1]["version"] + 1
-    rel = _write_data(df, path, version)
-    return _publish(
-        path,
-        {"version": version, "operation": "append", "added": [rel],
-         "removed": []},
-    )
+    rel, stats = _write_data(df, path, version, stats_cols)
+    entry = {"version": version, "operation": "append", "added": [rel],
+             "removed": []}
+    if stats:
+        entry["stats"] = {rel: stats}
+    return _publish(path, entry)
 
 
 def read_table(
@@ -175,15 +293,27 @@ def merge_upsert(
     batch_df: DataFrame,
     key_cols: list[str],
     ts_col: str,
+    prune: bool = True,
 ) -> int:
     """MERGE with the qup1 semantics (latest `ts_col` per key, batch
     wins ties) as a commit: reads the current snapshot, writes the
     merged rows to a NEW data directory, and commits it while
-    DELISTING every previously-live directory — old versions stay
-    readable (time travel), and a concurrent commit between the
-    snapshot read and the publish surfaces as ConcurrentWriteError
-    instead of silently losing one writer's rows (the atomic-swap
-    sink's failure mode)."""
+    DELISTING the rewritten directories — old versions stay readable
+    (time travel), and a concurrent commit between the snapshot read
+    and the publish surfaces as ConcurrentWriteError instead of
+    silently losing one writer's rows (the atomic-swap sink's
+    failure mode).
+
+    DATA SKIPPING (the 100 TB lever): with `prune=True`, a live
+    directory whose recorded key-column stats are provably disjoint
+    from the batch's key ranges is left LISTED and unread — only the
+    overlapping directories union with the batch, get deduplicated,
+    and are rewritten. Cost is then proportional to touched data.
+    Directories without stats (or incomparable/null-entangled ranges)
+    are conservatively rewritten, so pruning never changes which keys
+    the merge can see for a key-unique table (see the module-level
+    SEMANTIC NOTE for the overlapping-append caveat; `prune=False`
+    restores the full-table dedup unconditionally)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -200,23 +330,297 @@ def merge_upsert(
         )
     version = commits[-1]["version"] + 1
     live = _live_dirs(path, None)
-    cur = read_table(spark, path).withColumn("_src", F.lit(0))
+
+    touched, untouched = list(live), []
+    if prune:
+        bstats = _column_stats(batch_df, key_cols)
+        dstats = _live_stats(path)
+        touched, untouched = [], []
+        for d in live:
+            skip = any(
+                _disjoint_on(dstats[d].get(k), bstats.get(k))
+                for k in key_cols
+            )
+            (untouched if skip else touched).append(d)
+
     new = batch_df.withColumn("_src", F.lit(1))
+    if touched:
+        cur = spark.read.parquet(
+            *[os.path.join(path, d) for d in touched]
+        ).withColumn("_src", F.lit(0))
+        unioned = cur.unionByName(new)
+    else:
+        unioned = new  # pure insert: nothing overlaps, dedup batch only
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(ts_col).desc(), F.col("_src").desc()
     )
     merged = (
-        cur.unionByName(new)
+        unioned
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
-    rel = _write_data(merged, path, version)
-    return _publish(
-        path,
-        {"version": version, "operation": "merge_upsert",
-         "added": [rel], "removed": live},
+    rel, stats = _write_data(merged, path, version, key_cols)
+    entry = {"version": version, "operation": "merge_upsert",
+             "added": [rel], "removed": touched,
+             "pruned_dirs": len(untouched)}
+    if stats:
+        entry["stats"] = {rel: stats}
+    return _publish(path, entry)
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    stats_cols: list[str] | None = None,
+) -> int | None:
+    """DELETE FROM table WHERE condition, as a commit. One pushdown
+    scan over `_metadata.file_path` finds the live directories that
+    actually CONTAIN matching rows (driver result bounded by the live
+    directory count, never row count); only those are rewritten with
+    the survivors — untouched directories stay listed unread, so the
+    rewrite cost tracks the matched data. Returns the new version, or
+    None when nothing matched (no commit published). NULL-safe: rows
+    where the condition is NULL are kept, like SQL DELETE.
+
+    `stats_cols` defaults to every column any live directory already
+    has stats for, so data-skipping survives the rewrite."""
+    from pyspark.sql import functions as F
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    commits = _read_commits(path, None)
+    version = commits[-1]["version"] + 1
+    live = _live_dirs(path, None)
+    live_stats = _live_stats(path)
+    if stats_cols is None:
+        stats_cols = sorted({c for s in live_stats.values() for c in s})
+
+    full = spark.read.parquet(*[os.path.join(path, d) for d in live])
+    hit = {
+        r[0]
+        for r in full.filter(cond)
+        .select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"),
+                r"(data/v\d{8}-[0-9a-f]+)",
+                1,
+            ).alias("d")
+        )
+        .distinct()
+        .collect()
+    }
+    touched = [d for d in live if d in hit]
+    if not touched:
+        return None
+    keep = spark.read.parquet(
+        *[os.path.join(path, d) for d in touched]
+    ).filter(~F.coalesce(cond, F.lit(False)))
+    added, entry_stats = [], {}
+    if not keep.isEmpty():
+        rel, stats = _write_data(keep, path, version, stats_cols)
+        added = [rel]
+        if stats:
+            entry_stats = {rel: stats}
+    entry = {"version": version, "operation": "delete",
+             "added": added, "removed": touched,
+             "pruned_dirs": len(live) - len(touched)}
+    if entry_stats:
+        entry["stats"] = entry_stats
+    return _publish(path, entry)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int = 1,
+    min_dirs: int = 2,
+) -> int | None:
+    """OPTIMIZE: rewrite the live directories into ONE directory with
+    `target_partitions` files, as a commit — the data is logically
+    unchanged, old versions stay time-travelable, and `vacuum` later
+    reclaims the delisted small directories. A no-op (returns None)
+    below `min_dirs` live directories. Pick `target_partitions` by
+    size (e.g. live bytes / 128 MB) for fact tables; the default 1 is
+    the dimension-table setting. Stats columns are inherited so
+    data-skipping keeps working on the compacted directory."""
+    live = _live_dirs(path, None)
+    if len(live) < min_dirs:
+        return None
+    commits = _read_commits(path, None)
+    version = commits[-1]["version"] + 1
+    live_stats = _live_stats(path)
+    stats_cols = sorted({c for s in live_stats.values() for c in s})
+    full = spark.read.parquet(*[os.path.join(path, d) for d in live])
+    rel, stats = _write_data(
+        full.repartition(max(int(target_partitions), 1)),
+        path, version, stats_cols,
     )
+    entry = {"version": version, "operation": "optimize",
+             "added": [rel], "removed": live}
+    if stats:
+        entry["stats"] = {rel: stats}
+    return _publish(path, entry)
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Snapshot CDC: the row-level diff between two committed versions
+    as a DataFrame with the table's columns plus `_change_type` in
+    ('insert', 'update', 'delete'). Inserts/updates carry the v_to
+    image, deletes the v_from image. Computed as ONE null-safe
+    full-outer join on the key columns — no changelog is stored, so
+    this works across ANY version pair (including spans that contain
+    compactions, which diff to zero rows). Requires both snapshots to
+    be key-unique, which create/merge/delete lifecycles guarantee;
+    duplicate keys would multiply join matches."""
+    import functools
+    import operator
+
+    from pyspark.sql import functions as F
+
+    a = read_table(spark, path, v_from)
+    cols = a.columns
+    nonkey = [c for c in cols if c not in key_cols]
+    A = a.select(
+        *[F.col(c).alias(f"_a_{c}") for c in cols],
+        F.lit(1).alias("_in_a"),
+    )
+    b = read_table(spark, path, v_to)
+    B = b.select(
+        *[F.col(c).alias(f"_b_{c}") for c in cols],
+        F.lit(1).alias("_in_b"),
+    )
+    on = functools.reduce(
+        operator.and_,
+        [F.col(f"_a_{k}").eqNullSafe(F.col(f"_b_{k}")) for k in key_cols],
+    )
+    j = A.join(B, on, "full_outer")
+    same = (
+        F.struct(*[F.col(f"_a_{c}") for c in nonkey]).eqNullSafe(
+            F.struct(*[F.col(f"_b_{c}") for c in nonkey])
+        )
+        if nonkey
+        else F.lit(True)
+    )
+    change = (
+        F.when(F.col("_in_a").isNull(), F.lit("insert"))
+        .when(F.col("_in_b").isNull(), F.lit("delete"))
+        .when(same, F.lit(None).cast("string"))
+        .otherwise(F.lit("update"))
+    )
+    out = [
+        F.when(change == "delete", F.col(f"_a_{c}"))
+        .otherwise(F.col(f"_b_{c}"))
+        .alias(c)
+        for c in cols
+    ]
+    return (
+        j.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select(*out, "_change_type")
+    )
+
+
+def latest_txn_version(path: str, app_id: str) -> int | None:
+    """Highest transaction version committed for `app_id`, or None.
+    Driver-side fold over the commit log — bounded by commit count."""
+    best = None
+    for c in _read_commits(path, None):
+        t = c.get("txn")
+        if t and t.get("app") == app_id:
+            v = int(t["version"])
+            best = v if best is None or v > best else best
+    return best
+
+
+def txn_append(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    app_id: str,
+    txn_version: int,
+    stats_cols: list[str] | None = None,
+    create_ok: bool = False,
+) -> int | None:
+    """Idempotent append: commits `df` tagged {app_id, txn_version}
+    and SKIPS (returns None) when a commit with the same app_id and a
+    >= txn_version already exists — the Delta txnAppId/txnVersion
+    protocol that makes foreachBatch exactly-once: a replayed epoch
+    re-offers the same txn_version and is refused without reading the
+    data. The skip-check and the version claim are not one atomic
+    step, but the claim IS atomic (`_publish`), so a racing duplicate
+    loses the claim with ConcurrentWriteError, and its retry re-reads
+    the log and skips — no path double-commits an epoch. Empty
+    batches commit a data-less entry so the txn watermark still
+    advances. `create_ok` bootstraps the table on the first batch."""
+    if create_ok and not table_versions(path):
+        try:
+            rel, stats = _write_data(df, path, 1, stats_cols)
+            entry = {"version": 1, "operation": "create",
+                     "added": [rel], "removed": [],
+                     "schema": df.schema.simpleString(),
+                     "txn": {"app": app_id, "version": int(txn_version)}}
+            if stats:
+                entry["stats"] = {rel: stats}
+            return _publish(path, entry)
+        except ConcurrentWriteError:
+            pass  # someone else created it: fall through to txn check
+    seen = latest_txn_version(path, app_id)
+    if seen is not None and seen >= int(txn_version):
+        return None
+    commits = _read_commits(path, None)
+    want = commits[0].get("schema")
+    if want and df.schema.simpleString() != want:
+        raise ValueError(
+            f"txn_append schema {df.schema.simpleString()} != table "
+            f"schema {want}"
+        )
+    version = commits[-1]["version"] + 1
+    added, entry_stats = [], {}
+    if not df.isEmpty():
+        rel, stats = _write_data(df, path, version, stats_cols)
+        added = [rel]
+        if stats:
+            entry_stats = {rel: stats}
+    entry = {"version": version, "operation": "txn_append",
+             "added": added, "removed": [],
+             "txn": {"app": app_id, "version": int(txn_version)}}
+    if entry_stats:
+        entry["stats"] = entry_stats
+    return _publish(path, entry)
+
+
+def exactly_once_sink(
+    path: str,
+    app_id: str,
+    stats_cols: list[str] | None = None,
+):
+    """`writeStream.foreachBatch(exactly_once_sink(path, app))`:
+    each micro-batch becomes one idempotent txn_append keyed by the
+    epoch id, so a batch replayed after a failure (the foreachBatch
+    at-least-once contract) is skipped instead of duplicated —
+    end-to-end exactly-once into the commit-log table. Retries the
+    claim on ConcurrentWriteError (the re-read then skips if the
+    lost race was this very epoch)."""
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        while True:
+            try:
+                txn_append(
+                    batch_df.sparkSession, path, batch_df, app_id,
+                    int(epoch_id), stats_cols=stats_cols, create_ok=True,
+                )
+                return
+            except ConcurrentWriteError:
+                continue
+
+    return _write
 
 
 def vacuum(path: str, keep_versions: int = 1) -> list[str]:

@@ -1988,3 +1988,194 @@ def test_commit_log_vacuum_retention(spark, tmp_path):
     assert cl.table_versions(path) == [1, 2, 3]  # provenance retained
     with _pytest.raises(Exception):
         cl.read_table(spark, path, 1).count()    # outside the window
+
+
+def test_commit_log_merge_data_skipping(spark, tmp_path):
+    """The pruned MERGE (r11): live directories whose recorded key
+    stats are disjoint from the batch's key range stay LISTED and
+    unrewritten — the commit's `removed` names only the overlapping
+    directories — and the merged result equals MERGE INTO semantics.
+    A directory committed WITHOUT stats is conservatively rewritten."""
+    import json
+    import os
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "p")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, s string, ts bigint")
+    cl.create_table(spark, path, mk([(1, "a", 10), (2, "b", 10)]),
+                    stats_cols=["k"])                       # keys 1-2
+    cl.append(spark, path, mk([(10, "j", 10), (11, "k", 10)]),
+              stats_cols=["k"])                             # keys 10-11
+    cl.append(spark, path, mk([(20, "t", 10), (21, "u", 10)]),
+              stats_cols=["k"])                             # keys 20-21
+    dirs_before = cl._live_dirs(path, None)
+    assert len(dirs_before) == 3
+
+    # batch touches only the middle range (keys 10-12)
+    v = cl.merge_upsert(
+        spark, path, mk([(10, "J", 20), (12, "m", 20)]), ["k"], "ts")
+    with open(os.path.join(path, "_commits", f"{v:08d}.json")) as f:
+        entry = json.load(f)
+    assert entry["removed"] == [dirs_before[1]]   # only keys 10-11 dir
+    assert entry["pruned_dirs"] == 2
+    live = cl._live_dirs(path, None)
+    assert dirs_before[0] in live and dirs_before[2] in live
+    got = sorted(map(tuple, cl.read_table(spark, path).collect()))
+    assert got == [(1, "a", 10), (2, "b", 10), (10, "J", 20),
+                   (11, "k", 10), (12, "m", 20), (20, "t", 10),
+                   (21, "u", 10)]
+    # the merge output dir itself carries stats (pruning survives)
+    assert entry["stats"][entry["added"][0]]["k"]["min"] == 10
+
+    # a stats-less directory is never skipped (conservative)
+    cl.append(spark, path, mk([(30, "x", 10)]))   # no stats_cols
+    v2 = cl.merge_upsert(spark, path, mk([(1, "A", 30)]), ["k"], "ts")
+    with open(os.path.join(path, "_commits", f"{v2:08d}.json")) as f:
+        e2 = json.load(f)
+    removed = set(e2["removed"])
+    assert any("v%08d" % 5 in d for d in removed) or len(removed) >= 2
+    got2 = dict((r[0], r[1]) for r in cl.read_table(spark, path).collect())
+    assert got2[1] == "A" and got2[30] == "x"
+
+
+def test_commit_log_merge_null_keys_not_pruned(spark, tmp_path):
+    """Null keys group together under the merge window: a directory
+    containing null keys must NOT be skipped when the batch also has
+    null keys, even if the non-null ranges are disjoint."""
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "n")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, s string, ts bigint")
+    cl.create_table(spark, path, mk([(None, "old", 10), (1, "a", 10)]),
+                    stats_cols=["k"])
+    cl.append(spark, path, mk([(50, "z", 10)]), stats_cols=["k"])
+    cl.merge_upsert(spark, path, mk([(None, "NEW", 20), (99, "q", 20)]),
+                    ["k"], "ts")
+    got = sorted(map(tuple, cl.read_table(spark, path).collect()),
+                 key=lambda t: (t[0] is None, t[0]))
+    assert (None, "NEW", 20) in got and (None, "old", 10) not in got
+    assert (1, "a", 10) in got and (50, "z", 10) in got and (99, "q", 20) in got
+
+
+def test_commit_log_delete_compact(spark, tmp_path):
+    """DELETE rewrites only directories that contain matching rows
+    (found via one _metadata.file_path pass); OPTIMIZE bin-packs the
+    live dirs into one without changing the data; history survives."""
+    import json
+    import os
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "d")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, s string, ts bigint")
+    cl.create_table(spark, path, mk([(1, "a", 10), (2, "b", 10)]),
+                    stats_cols=["k"])
+    cl.append(spark, path, mk([(10, "a", 10), (11, "c", 10)]),
+              stats_cols=["k"])
+    cl.append(spark, path, mk([(20, "d", 10)]), stats_cols=["k"])
+    dirs = cl._live_dirs(path, None)
+
+    v = cl.delete_where(spark, path, "s = 'a'")   # hits dirs 1 and 2 only
+    with open(os.path.join(path, "_commits", f"{v:08d}.json")) as f:
+        e = json.load(f)
+    assert set(e["removed"]) == {dirs[0], dirs[1]}
+    assert e["pruned_dirs"] == 1
+    got = sorted(map(tuple, cl.read_table(spark, path).collect()))
+    assert got == [(2, "b", 10), (11, "c", 10), (20, "d", 10)]
+    # no matches -> no commit
+    assert cl.delete_where(spark, path, "s = 'zzz'") is None
+    # NULL predicate rows are KEPT (SQL DELETE semantics)
+    cl.append(spark, path, mk([(30, None, 10)]), stats_cols=["k"])
+    cl.delete_where(spark, path, F.col("s") < "c")
+    kept = {r[0] for r in cl.read_table(spark, path).collect()}
+    assert kept == {11, 20, 30}
+
+    before = sorted(map(tuple, cl.read_table(spark, path).collect()),
+                    key=str)
+    vc = cl.compact(spark, path)
+    assert vc is not None
+    assert len(cl._live_dirs(path, None)) == 1
+    after = sorted(map(tuple, cl.read_table(spark, path).collect()),
+                   key=str)
+    assert before == after
+    # compacted dir inherits stats -> future merges still skip
+    st = cl._live_stats(path)
+    (only,) = st.values()
+    assert "k" in only
+    # idempotent-ish: a second compact on a single dir is a no-op
+    assert cl.compact(spark, path) is None
+    # history: the pre-delete version still reads
+    assert cl.read_table(spark, path, 3).count() == 5
+
+
+def test_commit_log_table_changes(spark, tmp_path):
+    """Snapshot CDC across a delete + merge span: inserts carry the
+    new image, deletes the old image, updates the post-image, and
+    identical rows are absent; an optimize-only span diffs to zero."""
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "c")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, s string, ts bigint")
+    cl.create_table(spark, path, mk(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10), (4, "d", 10)]),
+        stats_cols=["k"])                                     # v1
+    cl.delete_where(spark, path, "k = 3")                     # v2
+    cl.merge_upsert(spark, path, mk([(2, "B", 20), (5, "e", 20)]),
+                    ["k"], "ts")                              # v3
+    ch = sorted(
+        map(tuple, cl.table_changes(spark, path, 1, 3, ["k"]).collect()))
+    assert ch == [(2, "B", 20, "update"), (3, "c", 10, "delete"),
+                  (5, "e", 20, "insert")]
+    cl.append(spark, path, mk([(9, "z", 10)]), stats_cols=["k"])  # v4
+    assert cl.compact(spark, path) == 5                       # v5
+    assert cl.table_changes(spark, path, 4, 5, ["k"]).count() == 0
+
+
+def test_commit_log_exactly_once_sink(spark, tmp_path):
+    """txn_append skips a replayed (app, epoch) pair — the foreachBatch
+    exactly-once contract — including empty-batch watermark advance,
+    and the real writeStream.foreachBatch path lands each file-source
+    batch exactly once despite a manual replay."""
+    import os
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, v bigint")
+    sink = cl.exactly_once_sink(path, "appA", stats_cols=["k"])
+    sink(mk([(1, 10)]), 0)            # creates the table
+    sink(mk([(2, 20)]), 1)
+    sink(mk([(2, 999)]), 1)           # REPLAY of epoch 1: must skip
+    sink(mk([]), 2)                   # empty batch advances watermark
+    sink(mk([(9, 90)]), 2)            # replay of (now-seen) epoch 2
+    got = sorted(map(tuple, cl.read_table(spark, path).collect()))
+    assert got == [(1, 10), (2, 20)]
+    assert cl.latest_txn_version(path, "appA") == 2
+    assert cl.latest_txn_version(path, "nobody") is None
+    # a different app id is independent
+    assert cl.txn_append(spark, path, mk([(3, 30)]), "appB", 0) is not None
+
+    # real structured-streaming path: file source -> foreachBatch sink
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    mk([(100, 1), (101, 1)]).coalesce(1).write.json(os.path.join(src, "b0"))
+    stream = (
+        spark.readStream.schema("k bigint, v bigint")
+        .json(os.path.join(src, "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            cl.exactly_once_sink(path2 := str(tmp_path / "t2"), "s1"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n1 = cl.read_table(spark, path2).count()
+    assert n1 == 2
+    # manual replay of epoch 0 (simulated failure-after-commit)
+    replay = spark.read.schema("k bigint, v bigint").json(
+        os.path.join(src, "b0"))
+    cl.exactly_once_sink(path2, "s1")(replay, 0)
+    assert cl.read_table(spark, path2).count() == 2
