@@ -591,6 +591,77 @@ def write_ivf_index(
     return cents
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally add vectors to an EXISTING on-disk IVF index
+    without rebuilding: the stored codebook (`<path>_centroids`, plus
+    `<path>_coarse` under the two-level layout) is read back, the new
+    vectors are assigned with the SAME quantizer arithmetic the build
+    used (flat literal argmin / two-level branch-then-leaf HOF), and
+    the rows land as additional part-files inside the existing
+    `_cid=` partition directories via a partitioned append — probes
+    see them immediately through the unchanged partition-pruned read
+    path. Cost is one assignment pass + write over the NEW vectors
+    only; the existing index bytes are never touched, so this is the
+    streaming-ingest shape (pair with commit_log-style retries at the
+    job level if multiple writers append).
+
+    The CENTROIDS ARE FROZEN: appended mass can drift the list
+    balance away from the trained codebook. That trades exactness of
+    nothing (probing is still correct — `ivf_index_stats` exposes the
+    imbalance) for never re-reading the corpus; rebuild when
+    max/median list size degrades the scan fraction you sized
+    n_probe for (~4x is a good trigger). Returns the number of
+    vectors appended."""
+    spark = new_vectors.sparkSession
+    n = new_vectors.count()
+    from pyspark.errors import AnalysisException
+
+    try:
+        coarse_rows = (
+            spark.read.parquet(path + "_coarse").orderBy("branch").collect()
+        )
+    except AnalysisException:
+        coarse_rows = None  # flat layout: no sibling coarse table
+    if coarse_rows:
+        cent = spark.read.parquet(path + "_centroids").collect()
+        coarse = [[float(x) for x in r["centroid"]] for r in coarse_rows]
+        leaves: dict[int, list[tuple[int, list[float]]]] = {}
+        for r in sorted(cent, key=lambda r: int(r["cid"])):
+            leaves.setdefault(int(r["branch"]) - 1, []).append(
+                (int(r["cid"]), [float(x) for x in r["centroid"]])
+            )
+        assigned = assign_cids_hierarchical(
+            new_vectors, coarse, leaves, vec_col
+        )
+    else:
+        cent = (
+            spark.read.parquet(path + "_centroids").orderBy("cid").collect()
+        )
+        cents = [[float(x) for x in r["centroid"]] for r in cent]
+        assigned = assign_cids(new_vectors, cents, vec_col)
+    assigned.withColumn(
+        "_nrm", vector.norm(F.col(vec_col))
+    ).write.partitionBy("_cid").mode("append").parquet(path)
+    return n
+
+
+def ivf_index_stats(spark, path: str) -> DataFrame:
+    """Per-inverted-list row counts for an on-disk IVF index — the
+    imbalance monitor for `append_to_ivf_index`'s frozen-centroid
+    drift (compare max to median; rebuild past ~4x). One column-pruned
+    scan; output is codebook-sized."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("_cid")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("_cid")
+    )
+
+
 def _probe_cids_hierarchical(
     spark, path, probes, n_probe, n_probe_coarse, id_col, vec_col
 ) -> DataFrame:

@@ -3291,3 +3291,55 @@ def qix5_ivfpq_exhaustive_probe(spark, sf_dir):
     return ann.ivfpq_topk_indexed(
         spark, path, emb, probes, k=3, n_probe=16, refine=10**6
     ).orderBy("probe_id", "rn")
+
+
+@query(
+    "qix6_ivf_incremental_append",
+    oracle="""
+WITH s AS (
+  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(p.embedding AS DOUBLE[])), 5) AS sim
+  FROM embeddings p, embeddings e
+  WHERE p.vec_id < 20 AND e.vec_id <> p.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM s)
+SELECT probe_id, CAST(rn AS INT) AS rn, neighbor_id, sim
+FROM r WHERE rn <= 3 ORDER BY probe_id, rn
+""",
+    doc="qix6: INCREMENTAL index ingest (llm/ann.py "
+    "append_to_ivf_index): the index is built from only 3/4 of the "
+    "corpus (vec_id % 4 != 0), the remaining quarter is APPENDED — "
+    "assigned with the stored frozen codebook and written as extra "
+    "part-files inside the existing _cid= partition directories, "
+    "never rebuilding or re-reading the index — and the exhaustive "
+    "probe (every list, so zero approximation slack) must equal the "
+    "brute-force kNN oracle over the FULL corpus. That certifies "
+    "appended vectors are immediately searchable through the "
+    "unchanged partition-pruned read path, with identical quantizer "
+    "arithmetic, norms, ranking, and tiebreaks. Streaming-ingest "
+    "shape: cost is one assignment pass over the NEW vectors only; "
+    "frozen-centroid drift is monitored by ivf_index_stats (pinned "
+    "with the two-level layout in tests/test_llm.py).",
+    tags=("llm", "vector", "index", "ann", "ingest"),
+)
+def qix6_ivf_incremental_append(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+
+    emb = tables(spark, sf_dir).embeddings
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    extra = emb.filter(F.col("vec_id") % 4 == 0)
+    path = os.path.join(_roundtrip_dir("ivf_append_emb"), "index")
+    # mode("append") accumulates across runs in one process: start clean
+    for p in (path, path + "_centroids", path + "_coarse"):
+        shutil.rmtree(p, ignore_errors=True)
+    ann.write_ivf_index(base, path, n_centroids=16, iters=2)
+    ann.append_to_ivf_index(extra, path)
+    probes = emb.filter(F.col("vec_id") < 20)
+    return ann.ivf_topk_indexed(
+        spark, path, probes, k=3, n_probe=16
+    ).orderBy("probe_id", "rn")

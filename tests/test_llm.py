@@ -1367,3 +1367,53 @@ def test_ivfpq_hierarchical_composition(spark, tmp_path):
         n_probe_coarse=4,
     ).collect()))
     assert full == sorted(map(tuple, exact_df.collect()))
+
+
+def test_ivf_incremental_append(spark, tmp_path):
+    """append_to_ivf_index (r11 ingest path) on BOTH layouts: the
+    appended vectors must land inside the existing _cid= partition
+    directories (no rebuild — the pre-append part-files survive
+    byte-identical), be assigned with the stored frozen codebook, and
+    make the exhaustive post-append probe equal brute force over the
+    FULL corpus; ivf_index_stats totals must account for every vector."""
+    import glob
+    import os
+
+    emb = _clustered_emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    extra = emb.filter(F.col("vec_id") % 5 == 0)
+    probes = emb.filter(F.col("vec_id") % 10 == 0)
+
+    for name, kw in (
+        ("flat", {"n_centroids": 8}),
+        ("hier", {"n_centroids": 16, "max_per_level": 8}),
+    ):
+        path = str(tmp_path / name)
+        ann.write_ivf_index(base, path, iters=2, **kw)
+        before_files = set(glob.glob(os.path.join(path, "_cid=*", "*.parquet")))
+        before_dirs = {os.path.dirname(f) for f in before_files}
+        n = ann.append_to_ivf_index(extra, path)
+        assert n == extra.count()
+        # no rebuild: every pre-append part-file still present, and at
+        # least one appended file landed in an EXISTING partition dir
+        after_files = set(glob.glob(os.path.join(path, "_cid=*", "*.parquet")))
+        assert before_files <= after_files
+        assert any(
+            os.path.dirname(f) in before_dirs
+            for f in after_files - before_files
+        ), "append should reuse existing _cid partitions"
+        stats = ann.ivf_index_stats(spark, path).collect()
+        assert sum(r["n_vectors"] for r in stats) == emb.count()
+        nc = kw["n_centroids"]
+        got_df = ann.ivf_topk_indexed(
+            spark, path, probes, k=10, n_probe=nc,
+            **({"n_probe_coarse": 4} if name == "hier" else {}))
+        exact = {
+            (r["probe_id"], r["neighbor_id"], r["sim"])
+            for r in ann.brute_force_topk(emb, probes, k=10).collect()
+        }
+        got = {
+            (r["probe_id"], r["neighbor_id"], r["sim"])
+            for r in got_df.collect()
+        }
+        assert got == exact, f"{name}: exhaustive post-append != brute force"
