@@ -848,3 +848,93 @@ def source_divergence(
         )
         .orderBy(source_col)
     )
+
+
+def crossdoc_span_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """CROSS-document duplicated-span REMOVAL — the transform behind
+    qd10's detection signal (the training-data dedup literature's
+    ExactSubstr step, re-expressed as an n-gram cover instead of a
+    suffix array, which is the Spark-native shape): every n-word
+    passage that occurs in >= 2 DOCUMENTS is removed from every
+    occurrence except the globally-first one (min (doc, pos)), where
+    'removed' means every token position covered by a non-canonical
+    duplicated passage; the cleaned text is rebuilt from the
+    surviving tokens in order. Intra-document repetition with no
+    cross-doc twin is left alone — that is `intradoc_dedup`'s job.
+
+    → (id, clean_text, n_kept, n_removed); fully-scrubbed docs come
+    back with empty clean_text, n_kept 0 (audit rows, not silent
+    drops).
+
+    Scale shape: tokenize (map-side posexplode), per-doc window leads
+    to form grams (keyed by doc), ONE corpus groupBy on the gram
+    (wordcount economics — partial-agg map-side; the gram df table
+    is the same key space qd10 shuffles), an equi-join back, a
+    bounded x n coverage explode, and a left-anti join on (doc, pos).
+    No Python, no driver state; the n-gram cover over-approximates
+    suffix-array maximal matches by at most n-1 boundary tokens per
+    span, the standard trade for distributing the pass."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    wo = Window.partitionBy("id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("w"), *[F.lead("w", i).over(wo) for i in range(1, n)]
+    )
+    # gram and the completeness flag MUST land in one projection: a
+    # filter between them would re-evaluate the gram's leads over the
+    # FILTERED partition, silently truncating grams near doc ends
+    # (concat_ws skips the now-NULL leads)
+    occ = (
+        tok.select(
+            "id",
+            "pos",
+            gram.alias("_gram"),
+            F.lead("w", n - 1).over(wo).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("id", "pos", "_gram")
+    )
+    # encoded (doc, pos) min is portable across engines (struct min
+    # ordering differs in corner cases); pos is bounded far below 1e9
+    enc = F.col("id") * F.lit(1_000_000_000) + F.col("pos")
+    st = occ.groupBy("_gram").agg(
+        F.countDistinct("id").alias("_nd"),
+        F.min(enc).alias("_first"),
+    )
+    dup = (
+        occ.join(st, "_gram")
+        .filter((F.col("_nd") >= 2) & (enc != F.col("_first")))
+    )
+    covered = dup.select(
+        "id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = tok.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("bigint").alias("n_kept"),
+    )
+    totals = tok.groupBy("id").agg(F.count("*").alias("_n_total"))
+    return totals.join(rebuilt, "id", "left").select(
+        "id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("_n_total") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+    )

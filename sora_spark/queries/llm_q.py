@@ -3343,3 +3343,61 @@ def qix6_ivf_incremental_append(spark, sf_dir):
     return ann.ivf_topk_indexed(
         spark, path, probes, k=3, n_probe=16
     ).orderBy("probe_id", "rn")
+
+
+@query(
+    "qd11_crossdoc_span_scrub",
+    oracle="""
+WITH tok AS (SELECT doc_id AS id, i - 1 AS pos, w[CAST(i AS INT)] AS w
+             FROM (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+                  unnest(range(1, len(w) + 1)) AS t(i)),
+g AS (SELECT id, pos, w,
+        w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+          || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+          || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win
+          || ' ' || lead(w, 7) OVER win AS gram,
+        lead(w, 7) OVER win IS NOT NULL AS ok
+      FROM tok WINDOW win AS (PARTITION BY id ORDER BY pos)),
+occ AS (SELECT id, pos, gram FROM g WHERE ok),
+st AS (SELECT gram, count(DISTINCT id) AS nd,
+              min(id * 1000000000 + pos) AS fe
+       FROM occ GROUP BY gram),
+dup AS (SELECT o.id, o.pos FROM occ o JOIN st USING (gram)
+        WHERE nd >= 2 AND o.id * 1000000000 + o.pos <> fe),
+cov AS (SELECT DISTINCT id, pos + j AS pos
+        FROM dup, unnest(range(0, 8)) AS r(j)),
+kept AS (SELECT t.id, t.pos, t.w FROM tok t
+         LEFT JOIN cov c ON t.id = c.id AND t.pos = c.pos
+         WHERE c.id IS NULL),
+reb AS (SELECT id, string_agg(w, ' ' ORDER BY pos) AS ct,
+               count(*) AS nk
+        FROM kept GROUP BY id),
+tot AS (SELECT id, count(*) AS nt FROM tok GROUP BY id)
+SELECT tot.id, coalesce(ct, '') AS clean_text,
+       CAST(coalesce(nk, 0) AS BIGINT) AS n_kept,
+       CAST(nt - coalesce(nk, 0) AS BIGINT) AS n_removed
+FROM tot LEFT JOIN reb USING (id) ORDER BY id
+""",
+    doc="qd11: cross-document duplicated-SPAN removal "
+    "(textstats.crossdoc_span_scrub) — the REMOVAL transform behind "
+    "qd10's detection signal, the training-data literature's "
+    "ExactSubstr dedup re-expressed as an 8-gram cover (the "
+    "Spark-native stand-in for a distributed suffix array; it "
+    "over-marks a boundary of at most n-1 tokens per span): every "
+    "8-word passage occurring in >= 2 docs is scrubbed from every "
+    "position except its globally-first occurrence (min (doc, pos), "
+    "encoded as one bigint so both engines share the tiebreak), and "
+    "the text is rebuilt from surviving tokens; fully-scrubbed docs "
+    "surface with empty clean_text rather than vanishing. Cleaned "
+    "strings hash character-for-character against the oracle. Shapes: "
+    "per-doc window leads (keyed by doc), ONE corpus gram groupBy "
+    "(wordcount economics), equi-join back, bounded x8 coverage "
+    "explode, left-anti join on (doc, pos) — no Python, no driver "
+    "state; intra-doc-only repetition is qta11's job and is "
+    "deliberately untouched here.",
+    tags=("llm", "dedup", "passage", "transform"),
+)
+def qd11_crossdoc_span_scrub(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    return textstats.crossdoc_span_scrub(docs, n=8).orderBy("id")

@@ -1417,3 +1417,27 @@ def test_ivf_incremental_append(spark, tmp_path):
             for r in got_df.collect()
         }
         assert got == exact, f"{name}: exhaustive post-append != brute force"
+
+
+def test_crossdoc_span_scrub_semantics(spark):
+    """Planted-fixture pins for crossdoc_span_scrub: the globally-first
+    occurrence (min (doc, pos)) of a cross-doc duplicated span
+    survives, later occurrences are covered token-by-token, intra-doc
+    repetition WITHOUT a cross-doc twin is untouched (qta11's job),
+    and a fully-duplicated doc surfaces with empty clean_text."""
+    span = "a b c d e f g h"                       # 8 tokens
+    rows = [
+        (1, f"intro {span} outro"),                # first occurrence: kept
+        (2, f"pre {span} post"),                   # later: span scrubbed
+        (3, span),                                 # fully duplicated
+        (4, "x y x y x y x y x y"),                # intra-doc only: kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in textstats.crossdoc_span_scrub(df, n=8).collect()
+    }
+    assert got[1] == (f"intro {span} outro", 10, 0)
+    assert got[2] == ("pre post", 2, 8)
+    assert got[3] == ("", 0, 8)
+    assert got[4] == ("x y x y x y x y x y", 10, 0)
