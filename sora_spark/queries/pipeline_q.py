@@ -3428,3 +3428,77 @@ def qup11_txn_exactly_once(spark, sf_dir):
     sink(epoch(3, poison=9999), 1)  # replayed epoch: must be skipped
     sink(epoch(6), 2)
     return cl.read_table(spark, path).orderBy("k")
+
+
+@query(
+    "qup12_stream_table_to_table",
+    oracle="""
+SELECT o_orderkey AS k, o_orderstatus AS st,
+       round(round(o_totalprice, 2) + 250, 2) AS adj_price,
+       CASE WHEN o_orderkey % 8 = 0 THEN 'even' ELSE 'odd' END AS lane
+FROM orders WHERE o_orderkey % 4 = 0 ORDER BY k
+""",
+    doc="qup12: the full exactly-once STREAMING LOOP over the "
+    "commit-log format (sources/commit_log_stream.py source + "
+    "commit_log.exactly_once_sink): a source table receives two "
+    "append commits (key%8 residues 0 and 4), "
+    "readStream.format('commitlog') turns its VERSIONS into offsets "
+    "(immutable data dirs make offset replay byte-deterministic), a "
+    "map-only transform reprices and lanes each row, and foreachBatch "
+    "lands the result in a SECOND commit-log table through the "
+    "txn-watermark sink — table -> stream -> transform -> "
+    "exactly-once sink -> table, the Delta-shaped CDC pipeline, "
+    "availableNow-triggered so the run drains and stops. The output "
+    "hashes against plain SQL over orders because exactly-once "
+    "composition means batch boundaries CANNOT affect the result. "
+    "Failure modes are pinned in tests: checkpoint resume emits only "
+    "unseen versions, data-changing commits fail the source loudly "
+    "unless skipChangeCommits, replayed epochs are refused by the "
+    "sink watermark.",
+    tags=("sink", "streaming", "acid", "cdc"),
+)
+def qup12_stream_table_to_table(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+    from sora_spark.sources import commit_log_stream as cls_
+
+    cls_.register(spark)
+    orders = tables(spark, sf_dir).orders
+
+    def epoch(residue):
+        return orders.filter(F.col("o_orderkey") % 8 == residue).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+
+    base = _roundtrip_dir("commit_log_loop")
+    src = os.path.join(base, "src")
+    dst = os.path.join(base, "dst")
+    ck = os.path.join(base, "ck")
+    for p in (src, dst, ck):
+        shutil.rmtree(p, ignore_errors=True)
+    cl.create_table(spark, src, epoch(0), stats_cols=["k"])
+    cl.append(spark, src, epoch(4), stats_cols=["k"])
+
+    stream = spark.readStream.format("commitlog").option("path", src).load()
+    transformed = stream.select(
+        "k",
+        "st",
+        F.round(F.col("price") + 250, 2).alias("adj_price"),
+        F.when(F.col("k") % 8 == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("lane"),
+    )
+    q = (
+        transformed.writeStream.foreachBatch(
+            cl.exactly_once_sink(dst, "qup12", stats_cols=["k"]))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return cl.read_table(spark, dst).orderBy("k")

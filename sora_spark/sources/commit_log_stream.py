@@ -1,0 +1,164 @@
+"""Streaming SOURCE over the commit-log table (Python DataSource API,
+Spark 4): `spark.readStream.format("commitlog").load(path)` turns the
+table's append history into micro-batches — the Delta-streaming-source
+shape, completing the loop the r11 sink opened (commit_log.
+exactly_once_sink): table → readStream → transform → exactly-once sink
+→ table is an end-to-end exactly-once pipeline over this format.
+
+Offsets ARE table versions. A micro-batch (start, end] reads exactly
+the data directories ADDED by versions start+1..end; because data
+directories are immutable and the log is append-only, replaying any
+offset range after a failure yields byte-identical rows — the
+determinism Structured Streaming's offset-log replay contract needs,
+with no extra bookkeeping.
+
+Non-append commits (merge_upsert / delete / optimize) rewrite data, so
+their added directories are NOT new rows. Exactly like Delta's source,
+the default is to FAIL loudly on them; `option("skipChangeCommits",
+"true")` streams past them (their rewrites are silently ignored —
+appropriate for append-mostly fact streams where merges are
+compactions of history the stream already saw). `option(
+"startingVersion", N)` begins at version N instead of 1.
+
+Scale posture: partition planning is driver-side and bounded by the
+commit count + file count of the NEW versions only (never the table);
+each part-file becomes one InputPartition, so a batch's read
+parallelism equals its file count; rows travel as Arrow record
+batches (pyarrow.parquet → Spark's arrow path, no per-row Python).
+The local-filesystem listing mirrors the commit-log module's POSIX
+contract; an object-store port swaps the listing calls.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+_APPEND_OPS = {"create", "append", "txn_append"}
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _read_commit(table_path: str, version: int) -> dict:
+    p = os.path.join(table_path, "_commits", f"{version:08d}.json")
+    with open(p) as f:
+        return json.load(f)
+
+
+def _versions(table_path: str) -> list[int]:
+    d = os.path.join(table_path, "_commits")
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[:-5])
+        for f in os.listdir(d)
+        if f.endswith(".json") and f[:-5].isdigit()
+    )
+
+
+class CommitLogStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("commitlog source requires a path")
+        self.skip_changes = (
+            str(options.get("skipChangeCommits", "false")).lower() == "true"
+        )
+        self.starting_version = int(options.get("startingVersion", 1))
+
+    def initialOffset(self) -> dict:
+        # offset = highest version already emitted; start BEFORE the
+        # starting version so it is included in the first batch
+        return {"version": self.starting_version - 1}
+
+    def latestOffset(self) -> dict:
+        vs = _versions(self.path)
+        if not vs:
+            raise FileNotFoundError(
+                f"commitlog source: no commit-log table at {self.path!r}"
+            )
+        return {"version": vs[-1]}
+
+    def partitions(self, start: dict, end: dict):
+        parts: list[_FilePartition] = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            entry = _read_commit(self.path, v)
+            op = entry.get("operation")
+            if op not in _APPEND_OPS:
+                if self.skip_changes:
+                    continue
+                raise ValueError(
+                    f"commitlog source: version {v} is a data-changing "
+                    f"commit ({op}); streaming reads require append-only "
+                    "history — set skipChangeCommits=true to ignore "
+                    "rewrites (Delta-source semantics)"
+                )
+            for rel in entry.get("added", []):
+                for f in sorted(
+                    glob.glob(
+                        os.path.join(glob.escape(
+                            os.path.join(self.path, rel)), "*.parquet")
+                    )
+                ):
+                    parts.append(_FilePartition(f))
+        # Spark requires >= 1 partition per batch; an empty range (or
+        # an empty txn_append batch) still needs a planable no-op
+        return parts or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return iter(())
+        import pyarrow.parquet as pq
+
+        return iter(pq.read_table(partition.path).to_batches())
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; nothing to reclaim
+
+
+class CommitLogDataSource(DataSource):
+    """`format("commitlog")`: schema comes from the table's recorded
+    create-commit schema (simpleString round-trips through fromDDL),
+    so readers never infer from data files."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "commitlog"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("commitlog source requires a path")
+        vs = _versions(path)
+        if not vs:
+            raise FileNotFoundError(
+                f"commitlog source: no commit-log table at {path!r}"
+            )
+        ddl = _read_commit(path, vs[0]).get("schema")
+        if not ddl:
+            raise ValueError(
+                f"commitlog source: table at {path!r} has no recorded "
+                "schema in its create commit"
+            )
+        # return the simpleString DDL itself: schema() executes in the
+        # sessionless datasource worker, where StructType.fromDDL has
+        # no context — the JVM parses the struct<...> form instead
+        return ddl
+
+    def streamReader(self, schema: StructType) -> CommitLogStreamReader:
+        return CommitLogStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(CommitLogDataSource)

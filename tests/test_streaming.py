@@ -702,3 +702,68 @@ def test_tws_processors_contract_up_to_protobuf_boundary(spark):
     assert r1["sum_lastk"].tolist() == [90.0]   # 20+30+40: k=3 window
     assert r2["n_seen"].tolist() == [5]         # monotone
     assert r2["sum_lastk"].tolist() == [120.0]  # 30+40+50
+
+
+def test_commitlog_streaming_source(spark, tmp_path):
+    """sources/commit_log_stream.py: versions are offsets — an
+    availableNow run emits exactly the unseen versions' appended rows,
+    a checkpoint resume continues where it left off (no re-emission),
+    a data-changing commit fails the stream loudly by default and is
+    skipped under skipChangeCommits=true, and startingVersion begins
+    mid-history."""
+    import os
+
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+    from sora_spark.sources import commit_log_stream as cls_
+
+    cls_.register(spark)
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, v bigint")
+    cl.create_table(spark, path, mk([(1, 10), (2, 20)]))       # v1
+    cl.append(spark, path, mk([(3, 30)]))                      # v2
+
+    def run(ck_dir, **opts):
+        r = spark.readStream.format("commitlog").option("path", path)
+        for k_, v_ in opts.items():
+            r = r.option(k_, v_)
+        q = (
+            r.load().writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck_dir)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run(ck)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == [
+        (1, 10), (2, 20), (3, 30)]
+    cl.append(spark, path, mk([(4, 40)]))                      # v3
+    run(ck)  # resume: only v3 is new
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == [
+        (1, 10), (2, 20), (3, 30), (4, 40)]
+
+    # a merge is a data-CHANGING commit: loud failure by default...
+    cl.merge_upsert(spark, path, mk([(4, 99)]), ["k"], "v")    # v4
+    cl.append(spark, path, mk([(5, 50)]))                      # v5
+    with _pytest.raises(Exception, match="skipChangeCommits"):
+        run(ck)
+    # ...and skipped (rewrite ignored, append still streamed) on opt-in
+    run(ck, skipChangeCommits="true")
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == [
+        (1, 10), (2, 20), (3, 30), (4, 40), (5, 50)]
+
+    # startingVersion: fresh checkpoint, history from v2 only
+    out2 = str(tmp_path / "out2")
+    q = (
+        spark.readStream.format("commitlog").option("path", path)
+        .option("startingVersion", 2).option("skipChangeCommits", "true")
+        .load().writeStream.format("parquet").option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert sorted(map(tuple, spark.read.parquet(out2).collect())) == [
+        (3, 30), (4, 40), (5, 50)]
