@@ -3502,3 +3502,55 @@ def qup12_stream_table_to_table(spark, sf_dir):
     )
     q.awaitTermination(300)
     return cl.read_table(spark, dst).orderBy("k")
+
+
+@query(
+    "qup13_schema_evolution",
+    oracle="""
+SELECT o_orderkey AS k, o_orderstatus AS st,
+       CAST(NULL AS DOUBLE) AS price
+FROM orders WHERE o_orderkey % 9 = 0
+UNION ALL
+SELECT o_orderkey AS k, o_orderstatus AS st,
+       round(o_totalprice, 2) AS price
+FROM orders WHERE o_orderkey % 9 = 3
+ORDER BY k
+""",
+    doc="qup13: SCHEMA EVOLUTION on the commit-log table "
+    "(commit_log.append merge_schema=True — Delta's mergeSchema "
+    "contract): the table is created with (k, st), a later append "
+    "ADDS a price column, and the evolved schema is re-recorded in "
+    "that commit — reads apply the schema AS OF the read version "
+    "(explicit .schema() on the scan, so pre-evolution files come "
+    "back with NULL price and NO footer-merge pass ever runs; time "
+    "travel before the evolution keeps the old two-column shape). "
+    "Dropping or retyping columns still refuses loudly, batches must "
+    "carry the full current schema afterwards, and a running "
+    "commitlog STREAM stops at the evolution commit instead of "
+    "silently truncating new columns — all pinned in "
+    "test_capabilities/test_streaming. Scale: evolution is one JSON "
+    "entry; no data rewrite, no footer scan.",
+    tags=("sink", "acid", "schema"),
+)
+def qup13_schema_evolution(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    v1 = orders.filter(F.col("o_orderkey") % 9 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 9 == 3).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    path = os.path.join(_roundtrip_dir("commit_log_evo"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(spark, path, v1, stats_cols=["k"])
+    cl.append(spark, path, v2, stats_cols=["k"], merge_schema=True)
+    return cl.read_table(spark, path).orderBy("k")

@@ -115,6 +115,19 @@ def _live_dirs(path: str, upto: int | None) -> list[str]:
     return live
 
 
+def _latest_schema(commits: list[dict]) -> str | None:
+    """The table schema AT the last commit in `commits` — the most
+    recent entry that recorded one (create always does; schema-
+    evolving appends re-record). Time travel passes a truncated
+    commit list, so historical reads resolve the schema as of that
+    version, not today's."""
+    for c in reversed(commits):
+        s = c.get("schema")
+        if s:
+            return s
+    return None
+
+
 def _stat_scalar(v):
     """JSON-safe, ORDER-PRESERVING encoding of a min/max value, or
     None when the type has no such encoding (then the column is
@@ -179,6 +192,22 @@ def _disjoint_on(a: dict | None, b: dict | None) -> bool:
         return a["max"] < b["min"] or b["max"] < a["min"]
     except (KeyError, TypeError):
         return False  # missing/incomparable ranges -> conservative
+
+
+def _read_dirs(
+    spark: SparkSession, path: str, dirs: list[str], ddl: str | None
+) -> DataFrame:
+    """Read specific data directories WITH the table's recorded schema
+    applied — after a merge_schema evolution, pre-evolution files must
+    surface NULLs in the added columns here exactly as read_table
+    does, or rewrite paths (merge/delete/compact) would union-fail or
+    silently re-commit the old shape."""
+    reader = spark.read
+    if ddl:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromDDL(ddl))
+    return reader.parquet(*[os.path.join(path, d) for d in dirs])
 
 
 def _write_data(
@@ -257,19 +286,49 @@ def append(
     path: str,
     df: DataFrame,
     stats_cols: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
-    """Append-only commit: adds a data directory, removes nothing."""
+    """Append-only commit: adds a data directory, removes nothing.
+
+    `merge_schema=True` permits SCHEMA EVOLUTION with Delta's
+    mergeSchema contract: the batch may ADD new columns (old files
+    read back with NULLs there — `read_table` applies the latest
+    recorded schema, so no footer-merge pass is ever needed), but
+    may not drop columns or change a shared column's type — those
+    still refuse loudly. The evolved schema is re-recorded in this
+    commit, so time travel before it keeps the old shape."""
     commits = _read_commits(path, None)
-    want = commits[0].get("schema")
-    if want and df.schema.simpleString() != want:
-        raise ValueError(
-            f"append schema {df.schema.simpleString()} != table "
-            f"schema {want}"
-        )
+    want = _latest_schema(commits)
+    got = df.schema.simpleString()
+    evolved = False
+    if want and got != want:
+        if not merge_schema:
+            raise ValueError(
+                f"append schema {got} != table schema {want} "
+                "(pass merge_schema=True to add columns)"
+            )
+        from pyspark.sql.types import StructType
+
+        old = {f.name: f.dataType for f in StructType.fromDDL(want).fields}
+        new = {f.name: f.dataType for f in df.schema.fields}
+        missing = [c for c in old if c not in new]
+        changed = [
+            c for c, t in old.items() if c in new and new[c] != t
+        ]
+        if missing or changed:
+            raise ValueError(
+                "merge_schema only ADDS columns: "
+                + (f"batch drops {missing} " if missing else "")
+                + (f"batch retypes {changed}" if changed else "")
+            )
+        evolved = True
     version = commits[-1]["version"] + 1
     rel, stats = _write_data(df, path, version, stats_cols)
     entry = {"version": version, "operation": "append", "added": [rel],
              "removed": []}
+    if evolved:
+        entry["schema"] = got
+        entry["schema_evolved"] = True
     if stats:
         entry["stats"] = {rel: stats}
     return _publish(path, entry)
@@ -280,11 +339,26 @@ def read_table(
 ) -> DataFrame:
     """Snapshot read: resolves the live directory list ONCE (here), so
     the returned DataFrame is pinned to this version even if commits
-    land while it is still being consumed. `version=` time-travels."""
-    dirs = _live_dirs(path, version)
-    if not dirs:
+    land while it is still being consumed. `version=` time-travels.
+    The read applies the schema RECORDED as of that version: after a
+    merge_schema append, files written before the evolution come back
+    with NULLs in the new columns (no mergeSchema footer pass), and
+    time travel to pre-evolution versions keeps the old shape."""
+    commits = _read_commits(path, version)
+    live: list[str] = []
+    for c in commits:
+        for r in c.get("removed", []):
+            live.remove(r)
+        live.extend(c.get("added", []))
+    if not live:
         raise ValueError(f"table at {path} has no live data")
-    return spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+    reader = spark.read
+    ddl = _latest_schema(commits)
+    if ddl:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromDDL(ddl))
+    return reader.parquet(*[os.path.join(path, d) for d in live])
 
 
 def merge_upsert(
@@ -318,7 +392,7 @@ def merge_upsert(
     from pyspark.sql.window import Window
 
     commits = _read_commits(path, None)
-    want = commits[0].get("schema")
+    want = _latest_schema(commits)
     if want and batch_df.schema.simpleString() != want:
         # same gate as append: without it a type-drifting batch would
         # be COERCED by unionByName and committed as a silently
@@ -345,9 +419,8 @@ def merge_upsert(
 
     new = batch_df.withColumn("_src", F.lit(1))
     if touched:
-        cur = spark.read.parquet(
-            *[os.path.join(path, d) for d in touched]
-        ).withColumn("_src", F.lit(0))
+        cur = _read_dirs(spark, path, touched, want).withColumn(
+            "_src", F.lit(0))
         unioned = cur.unionByName(new)
     else:
         unioned = new  # pure insert: nothing overlaps, dedup batch only
@@ -396,7 +469,8 @@ def delete_where(
     if stats_cols is None:
         stats_cols = sorted({c for s in live_stats.values() for c in s})
 
-    full = spark.read.parquet(*[os.path.join(path, d) for d in live])
+    ddl = _latest_schema(commits)
+    full = _read_dirs(spark, path, live, ddl)
     hit = {
         r[0]
         for r in full.filter(cond)
@@ -413,9 +487,8 @@ def delete_where(
     touched = [d for d in live if d in hit]
     if not touched:
         return None
-    keep = spark.read.parquet(
-        *[os.path.join(path, d) for d in touched]
-    ).filter(~F.coalesce(cond, F.lit(False)))
+    keep = _read_dirs(spark, path, touched, ddl).filter(
+        ~F.coalesce(cond, F.lit(False)))
     added, entry_stats = [], {}
     if not keep.isEmpty():
         rel, stats = _write_data(keep, path, version, stats_cols)
@@ -451,7 +524,7 @@ def compact(
     version = commits[-1]["version"] + 1
     live_stats = _live_stats(path)
     stats_cols = sorted({c for s in live_stats.values() for c in s})
-    full = spark.read.parquet(*[os.path.join(path, d) for d in live])
+    full = _read_dirs(spark, path, live, _latest_schema(commits))
     rel, stats = _write_data(
         full.repartition(max(int(target_partitions), 1)),
         path, version, stats_cols,
@@ -575,7 +648,7 @@ def txn_append(
     if seen is not None and seen >= int(txn_version):
         return None
     commits = _read_commits(path, None)
-    want = commits[0].get("schema")
+    want = _latest_schema(commits)
     if want and df.schema.simpleString() != want:
         raise ValueError(
             f"txn_append schema {df.schema.simpleString()} != table "

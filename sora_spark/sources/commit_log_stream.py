@@ -94,6 +94,19 @@ class CommitLogStreamReader(DataSourceStreamReader):
         parts: list[_FilePartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             entry = _read_commit(self.path, v)
+            if entry.get("schema_evolved") and v > self.starting_version:
+                # an evolution AT startingVersion is already the
+                # stream's declared schema (schema() resolves <= start);
+                # only LATER evolutions invalidate it
+                # the stream's declared schema was fixed at start; rows
+                # after an evolution would be silently truncated to it.
+                # Delta's contract: schema change stops the stream —
+                # restart with a fresh checkpoint to adopt the new shape
+                raise ValueError(
+                    f"commitlog source: version {v} evolved the table "
+                    "schema; restart the stream with a fresh checkpoint "
+                    "(and a fresh sink) to pick up the new columns"
+                )
             op = entry.get("operation")
             if op not in _APPEND_OPS:
                 if self.skip_changes:
@@ -145,11 +158,20 @@ class CommitLogDataSource(DataSource):
             raise FileNotFoundError(
                 f"commitlog source: no commit-log table at {path!r}"
             )
-        ddl = _read_commit(path, vs[0]).get("schema")
+        # the schema AS OF startingVersion: every version the stream
+        # can emit conforms to it, because a later schema_evolved
+        # commit stops the stream (see partitions()). Default start=1
+        # resolves to the create commit's schema.
+        start = int(self.options.get("startingVersion", 1))
+        ddl = None
+        for v in vs:
+            if v > start:
+                break
+            ddl = _read_commit(path, v).get("schema") or ddl
         if not ddl:
             raise ValueError(
                 f"commitlog source: table at {path!r} has no recorded "
-                "schema in its create commit"
+                f"schema at or before version {start}"
             )
         # return the simpleString DDL itself: schema() executes in the
         # sessionless datasource worker, where StructType.fromDDL has

@@ -2179,3 +2179,87 @@ def test_commit_log_exactly_once_sink(spark, tmp_path):
         os.path.join(src, "b0"))
     cl.exactly_once_sink(path2, "s1")(replay, 0)
     assert cl.read_table(spark, path2).count() == 2
+
+
+def test_commit_log_schema_evolution(spark, tmp_path):
+    """merge_schema appends ADD columns only: old files read back with
+    NULLs in the new column (no footer merge — read_table applies the
+    recorded schema), time travel before the evolution keeps the old
+    shape, drops/retypes refuse loudly, post-evolution writers must
+    carry the full current schema, and the merge gate follows the
+    LATEST schema."""
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "e")
+    cl.create_table(spark, path, spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k bigint, s string"))
+    with _pytest.raises(ValueError, match="merge_schema=True"):
+        cl.append(spark, path, spark.createDataFrame(
+            [(3, "c", 1.5)], "k bigint, s string, w double"))
+    cl.append(spark, path, spark.createDataFrame(
+        [(3, "c", 1.5)], "k bigint, s string, w double"),
+        merge_schema=True)
+    got = sorted(map(tuple, cl.read_table(spark, path).collect()))
+    assert got == [(1, "a", None), (2, "b", None), (3, "c", 1.5)]
+    # time travel: pre-evolution version keeps the 2-column shape
+    assert cl.read_table(spark, path, 1).columns == ["k", "s"]
+    # drops / retypes refuse
+    with _pytest.raises(ValueError, match="drops"):
+        cl.append(spark, path, spark.createDataFrame(
+            [(4, 2.0)], "k bigint, w double"), merge_schema=True)
+    with _pytest.raises(ValueError, match="retypes"):
+        cl.append(spark, path, spark.createDataFrame(
+            [(4, "d", 7)], "k bigint, s string, w bigint"),
+            merge_schema=True)
+    # the merge gate follows the LATEST schema: a full-schema batch
+    # merges fine, an old-shape batch refuses
+    cl.merge_upsert(spark, path, spark.createDataFrame(
+        [(2, "B", 9.0)], "k bigint, s string, w double"), ["k"], "w")
+    with _pytest.raises(ValueError, match="schema"):
+        cl.merge_upsert(spark, path, spark.createDataFrame(
+            [(1, "A")], "k bigint, s string"), ["k"], "s")
+    got2 = {r["k"]: (r["s"], r["w"])
+            for r in cl.read_table(spark, path).collect()}
+    assert got2[2] == ("B", 9.0) and got2[3] == ("c", 1.5)
+
+
+def test_commitlog_stream_stops_on_schema_evolution(spark, tmp_path):
+    """A running commitlog stream must STOP at a schema_evolved commit
+    (its declared schema was fixed at start — continuing would
+    silently truncate the new column); a FRESH stream starting after
+    the evolution adopts the new schema."""
+    import os
+
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+    from sora_spark.sources import commit_log_stream as cls_
+
+    cls_.register(spark)
+    path = str(tmp_path / "t")
+    cl.create_table(spark, path, spark.createDataFrame(
+        [(1, "a")], "k bigint, s string"))                    # v1
+    cl.append(spark, path, spark.createDataFrame(
+        [(2, "b", 5.0)], "k bigint, s string, w double"),
+        merge_schema=True)                                    # v2
+
+    def run(out, ck, start=None):
+        r = spark.readStream.format("commitlog").option("path", path)
+        if start is not None:
+            r = r.option("startingVersion", start)
+        q = (
+            r.load().writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    with _pytest.raises(Exception, match="fresh checkpoint"):
+        run(str(tmp_path / "o1"), str(tmp_path / "c1"))
+    out2 = str(tmp_path / "o2")
+    run(out2, str(tmp_path / "c2"), start=2)
+    rows = spark.read.parquet(out2)
+    assert rows.columns == ["k", "s", "w"]
+    assert sorted(map(tuple, rows.collect())) == [(2, "b", 5.0)]
