@@ -595,6 +595,7 @@ def append_to_ivf_index(
     new_vectors: DataFrame,
     path: str,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> int:
     """Incrementally add vectors to an EXISTING on-disk IVF index
     without rebuilding: the stored codebook (`<path>_centroids`, plus
@@ -607,7 +608,12 @@ def append_to_ivf_index(
     path. Cost is one assignment pass + write over the NEW vectors
     only; the existing index bytes are never touched, so this is the
     streaming-ingest shape (pair with commit_log-style retries at the
-    job level if multiple writers append).
+    job level if multiple writers append). An IVF-PQ layout (a
+    `<path>_pq` sidecar exists) is detected automatically: new
+    vectors are additionally PRODUCT-QUANTIZED with the stored
+    per-subspace codebooks — same code arithmetic as the build — and
+    land as (id, _codes, _nrm, _cid) rows, so the appended data pays
+    the same ~128x byte shrink as the original lists.
 
     The CENTROIDS ARE FROZEN: appended mass can drift the list
     balance away from the trained codebook. That trades exactness of
@@ -643,6 +649,33 @@ def append_to_ivf_index(
         )
         cents = [[float(x) for x in r["centroid"]] for r in cent]
         assigned = assign_cids(new_vectors, cents, vec_col)
+    try:
+        pq_rows = spark.read.parquet(path + "_pq").collect()
+    except AnalysisException:
+        pq_rows = None  # plain IVF layout: vectors stored as-is
+    if pq_rows:
+        books: dict[int, dict[int, list[float]]] = {}
+        for r in pq_rows:
+            books.setdefault(int(r["sub"]), {})[int(r["code"])] = [
+                float(x) for x in r["centroid"]
+            ]
+        m_subs = len(books)
+        sub = len(books[0][1])
+        v = vector.to_double(F.col(vec_col))
+        code_cols = []
+        for s in range(m_subs):
+            book = [books[s][j] for j in sorted(books[s])]
+            d = centroid_distances(F.slice(v, sub * s + 1, sub), book)
+            code_cols.append(
+                F.array_position(d, F.array_min(d)).cast("int")
+            )
+        assigned.select(
+            id_col,
+            F.array(*code_cols).alias("_codes"),
+            vector.norm(F.col(vec_col)).alias("_nrm"),
+            "_cid",
+        ).write.partitionBy("_cid").mode("append").parquet(path)
+        return n
     assigned.withColumn(
         "_nrm", vector.norm(F.col(vec_col))
     ).write.partitionBy("_cid").mode("append").parquet(path)

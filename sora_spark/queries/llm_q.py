@@ -3401,3 +3401,55 @@ FROM tot LEFT JOIN reb USING (id) ORDER BY id
 def qd11_crossdoc_span_scrub(spark, sf_dir):
     docs = tables(spark, sf_dir).documents
     return textstats.crossdoc_span_scrub(docs, n=8).orderBy("id")
+
+
+@query(
+    "qix7_ivfpq_incremental_append",
+    oracle="""
+WITH s AS (
+  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(p.embedding AS DOUBLE[])), 5) AS sim
+  FROM embeddings p, embeddings e
+  WHERE p.vec_id < 20 AND e.vec_id <> p.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM s)
+SELECT probe_id, CAST(rn AS INT) AS rn, neighbor_id, sim
+FROM r WHERE rn <= 3 ORDER BY probe_id, rn
+""",
+    doc="qix7: incremental ingest into the IVF-PQ index "
+    "(append_to_ivf_index auto-detects the _pq sidecar): the index "
+    "is built from 3/4 of the corpus, the appended quarter is "
+    "assigned with the stored frozen coarse codebook AND "
+    "product-quantized with the stored per-subspace codebooks — "
+    "appended rows are (id, codes, norm, cid), paying the same "
+    "~128x byte shrink as the build — and the exhaustive probe "
+    "(every list, refine unbounded) must equal the brute-force kNN "
+    "oracle over the FULL corpus, certifying quantizer + code "
+    "arithmetic parity between build and ingest with zero "
+    "approximation slack (ADC can only PRUNE; sims come from the "
+    "exact re-rank). Streaming-ingest economics: one assignment + "
+    "encode pass over the NEW vectors only.",
+    tags=("llm", "vector", "index", "pq", "ann", "ingest"),
+)
+def qix7_ivfpq_incremental_append(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+
+    emb = tables(spark, sf_dir).embeddings
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    extra = emb.filter(F.col("vec_id") % 4 == 0)
+    path = os.path.join(_roundtrip_dir("ivfpq_append_emb"), "index")
+    for p in (path, path + "_centroids", path + "_coarse", path + "_pq"):
+        shutil.rmtree(p, ignore_errors=True)
+    ann.write_ivfpq_index(
+        base, path, n_centroids=16, m_subs=4, n_codes=16, iters=2
+    )
+    ann.append_to_ivf_index(extra, path)
+    probes = emb.filter(F.col("vec_id") < 20)
+    return ann.ivfpq_topk_indexed(
+        spark, path, emb, probes, k=3, n_probe=16, refine=10**6
+    ).orderBy("probe_id", "rn")

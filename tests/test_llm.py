@@ -1441,3 +1441,39 @@ def test_crossdoc_span_scrub_semantics(spark):
     assert got[2] == ("pre post", 2, 8)
     assert got[3] == ("", 0, 8)
     assert got[4] == ("x y x y x y x y x y", 10, 0)
+
+
+def test_ivfpq_incremental_append(spark, tmp_path):
+    """append_to_ivf_index auto-detects the PQ layout (the _pq
+    sidecar): appended vectors are product-quantized with the STORED
+    per-subspace codebooks and land as (id, _codes, _nrm, _cid) rows
+    inside existing partitions; the exhaustive post-append probe must
+    equal brute force over the full corpus (codes only PRUNE — sims
+    come from the exact re-rank)."""
+    import glob
+    import os
+
+    emb = _clustered_emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    extra = emb.filter(F.col("vec_id") % 5 == 0)
+    probes = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "pq")
+    ann.write_ivfpq_index(base, path, n_centroids=8, m_subs=4,
+                          n_codes=16, iters=2)
+    before = set(glob.glob(os.path.join(path, "_cid=*", "*.parquet")))
+    n = ann.append_to_ivf_index(extra, path)
+    assert n == extra.count()
+    after = set(glob.glob(os.path.join(path, "_cid=*", "*.parquet")))
+    assert before < after
+    # appended rows are CODES, not vectors (schema parity with build)
+    assert set(spark.read.parquet(path).columns) == {
+        "vec_id", "_codes", "_nrm", "_cid"}
+    got_df = ann.ivfpq_topk_indexed(
+        spark, path, emb, probes, k=10, n_probe=8, refine=10**6)
+    exact = {
+        (r["probe_id"], r["neighbor_id"], r["sim"])
+        for r in ann.brute_force_topk(emb, probes, k=10).collect()
+    }
+    got = {(r["probe_id"], r["neighbor_id"], r["sim"])
+           for r in got_df.collect()}
+    assert got == exact
