@@ -985,3 +985,33 @@ def test_source_divergence_never_broadcasts_full_vocab(spark, sf_dir):
             "TakeOrderedAndProject" in s        # the K-limited vocab
             or "HashAggregate(keys=[]" in s     # a scalar aggregate
         ), "unbounded broadcast side in JS grid:\n" + s + "\n\nFULL:\n" + p
+
+
+def test_commit_log_read_keeps_pushdown(spark, tmp_path):
+    """The commit-log read path must stay an ordinary pruned parquet
+    scan: read_table applies an EXPLICIT schema (the schema-evolution
+    mechanism), which must not cost predicate pushdown or column
+    pruning — a filter on the snapshot reaches the scan's
+    PushedFilters and a narrow projection narrows ReadSchema. Also
+    pins that the delete path's directory-discovery filter itself
+    pushes down (its driver result is dir-bounded only because the
+    matching-row scan is)."""
+    from pyspark.sql import functions as F
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("v"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    cl.create_table(spark, path, df, stats_cols=["k"])
+    snap = cl.read_table(spark, path).filter(F.col("k") > 900).select("k", "v")
+    p = _plan_df(snap)
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed and any("GreaterThan(k,900" in l for l in pushed), (
+        "filter must push into the commit-log scan:\n" + p)
+    rs = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert rs and all("s:string" not in l for l in rs), (
+        "projection must prune the unused string column:\n" + p)
