@@ -150,3 +150,65 @@ def summary_quantiles(summary: DataFrame, probs) -> DataFrame:
         .agg(F.min("value").alias("value"))
     )
     return hit.orderBy("p")
+
+
+def hll_registers(df: DataFrame, col: str, m: int = 64) -> DataFrame:
+    """PORTABLE HyperLogLog registers over `df[col]` — the mergeable
+    cardinality sketch, built from arithmetic every SQL engine shares
+    (md5 + hex->int + bin + instr), so the register TABLE itself is
+    hash-tier deterministic across engines (unlike the builtin
+    approx_count_distinct, whose HLL++ internals are engine-private;
+    this is the certificate variant, not a replacement for the
+    builtin's speed).
+
+    Per value: h = md5(value); bucket j = first-2-hex-chars % m;
+    rho = 1-based position of the first set bit in the next 32 hash
+    bits (33 if none). Register M_j = max rho over the bucket —
+    duplicates collapse by construction, the groupBy is m-bounded,
+    and merging sketches is elementwise MAX of registers (the
+    mergeable-summary property; union = max is proven in the
+    capability test). Returns (j, m_j) with ALL m rows present
+    (empty buckets at 0)."""
+    if m < 1 or m > 256:
+        raise ValueError(f"m must be in 1..256 (got {m}); bucket bits "
+                         "come from the first hash byte")
+    spark = df.sparkSession
+    h = F.md5(F.col(col).cast("string"))
+    j = (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % m).alias("j")
+    w = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
+    first_one = F.instr(F.lpad(F.bin(w), 32, "0"), "1")
+    rho = F.when(first_one == 0, F.lit(33)).otherwise(first_one)
+    regs = (
+        df.filter(F.col(col).isNotNull())
+        .select(j, rho.alias("rho"))
+        .groupBy("j")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    all_j = spark.range(m).select(F.col("id").alias("j"))
+    return all_j.join(regs, "j", "left").select(
+        "j", F.coalesce("m_j", F.lit(0)).cast("int").alias("m_j")
+    )
+
+
+def hll_estimate(registers: DataFrame, m: int = 64) -> DataFrame:
+    """Cardinality estimate from an `hll_registers` table (standard
+    HLL with the small-range linear-counting correction). The
+    harmonic sum is EXACT in doubles (64 dyadic terms with exponent
+    spread << 53 bits), so the estimate is bit-deterministic given
+    the registers; ln is pre-rounded before the blend (cross-libm
+    1-ulp hygiene). alpha for m=64 per Flajolet et al. 2007."""
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("z"),
+        F.sum((F.col("m_j") == 0).cast("long")).alias("v0"),
+    )
+    raw = F.lit(alpha) * F.lit(float(m * m)) / F.col("z")
+    lin = F.lit(float(m)) * F.round(
+        F.log(F.lit(float(m)) / F.col("v0")), 8
+    )
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("v0") > 0), lin
+    ).otherwise(raw)
+    return agg.select(F.round(est, 4).alias("estimate"))

@@ -1434,3 +1434,74 @@ def qa28_quantile_summary_certificate(spark, sf_dir):
         )
         .orderBy("p")
     )
+
+
+@query(
+    "qa29_hll_register_sketch",
+    oracle="""
+WITH vals AS (
+  SELECT md5(CAST(o_custkey AS VARCHAR)) AS h
+  FROM orders WHERE o_custkey IS NOT NULL),
+rr AS (
+  SELECT (('0x' || substr(h, 1, 2))::BIGINT) % 64 AS j,
+         CASE WHEN instr(lpad(bin(('0x' || substr(h, 3, 8))::BIGINT),
+                              32, '0'), '1') = 0
+              THEN 33
+              ELSE instr(lpad(bin(('0x' || substr(h, 3, 8))::BIGINT),
+                              32, '0'), '1') END AS rho
+  FROM vals),
+regs0 AS (SELECT j, max(rho) AS m_j FROM rr GROUP BY j),
+allj AS (SELECT unnest(range(0, 64)) AS j),
+regs AS (SELECT allj.j, CAST(coalesce(regs0.m_j, 0) AS INT) AS m_j
+         FROM allj LEFT JOIN regs0 ON allj.j = regs0.j),
+s AS (SELECT sum(power(2.0, -m_j)) AS z,
+             sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS v0 FROM regs),
+e AS (SELECT round(CASE WHEN 0.709 * 4096 / z <= 160.0 AND v0 > 0
+                        THEN 64 * round(ln(64.0 / v0), 8)
+                        ELSE 0.709 * 4096 / z END, 4) AS estimate
+      FROM s),
+x AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders WHERE o_custkey IS NOT NULL)
+SELECT regs.j, regs.m_j, e.estimate, x.exact_distinct,
+       (abs(e.estimate - x.exact_distinct) / x.exact_distinct < 0.39)
+         AS within_bound
+FROM regs, e, x ORDER BY j
+""",
+    doc="qa29: PORTABLE HyperLogLog certificate "
+    "(operators/sketch.py hll_registers/hll_estimate) — the mergeable "
+    "cardinality sketch built from arithmetic every engine shares "
+    "(md5, hex->int, bin, instr), so the ENTIRE 64-register table is "
+    "hash-tier deterministic cross-engine, unlike builtin "
+    "approx_count_distinct whose HLL++ internals are engine-private. "
+    "Output = all 64 registers + the standard-HLL estimate "
+    "(small-range linear-counting correction; harmonic sum is EXACT "
+    "in doubles — 64 dyadic terms, no order sensitivity; ln "
+    "pre-rounded for cross-libm hygiene) + exact distinct + a "
+    "3-sigma relative-error flag over o_custkey. Shapes: one "
+    "map-side hash projection, an m-bounded groupBy (m=64 rows "
+    "shuffle, never values), merge of two sketches = elementwise "
+    "MAX (pinned in test_capabilities). The builtin stays the speed "
+    "path; this is the cross-engine-verifiable twin.",
+    tags=("agg", "sketch", "approx"),
+)
+def qa29_hll_register_sketch(spark, sf_dir):
+    from sora_spark.operators import sketch
+
+    orders = tables(spark, sf_dir).orders
+    regs = sketch.hll_registers(orders, "o_custkey", m=64)
+    est = sketch.hll_estimate(regs, m=64)
+    exact = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .agg(F.countDistinct("o_custkey").cast("bigint")
+             .alias("exact_distinct"))
+    )
+    return (
+        regs.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "j", "m_j", "estimate", "exact_distinct",
+            (F.abs(F.col("estimate") - F.col("exact_distinct"))
+             / F.col("exact_distinct") < 0.39).alias("within_bound"),
+        )
+        .orderBy("j")
+    )

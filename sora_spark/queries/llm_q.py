@@ -3453,3 +3453,68 @@ def qix7_ivfpq_incremental_append(spark, sf_dir):
     return ann.ivfpq_topk_indexed(
         spark, path, emb, probes, k=3, n_probe=16, refine=10**6
     ).orderBy("probe_id", "rn")
+
+
+@query(
+    "qta25_readability",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+           AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))
+           AS n_syllables
+  FROM documents),
+s AS (
+  SELECT doc_id, n_words,
+         CAST(n_sentences AS BIGINT) AS n_sentences,
+         CAST(n_syllables AS BIGINT) AS n_syllables,
+         round(206.835 - 1.015 * (round(n_words * 1.0 / n_sentences, 6))
+                       - 84.6 * (round(n_syllables * 1.0 / n_words, 6)),
+               4) AS flesch,
+         round(0.39 * (round(n_words * 1.0 / n_sentences, 6))
+               + 11.8 * (round(n_syllables * 1.0 / n_words, 6))
+               - 15.59, 4) AS fk_grade
+  FROM m WHERE n_words > 0)
+SELECT doc_id, n_words, n_sentences, n_syllables, flesch, fk_grade
+FROM s ORDER BY doc_id
+""",
+    doc="qta25: READABILITY metrics per document — Flesch reading "
+    "ease + Flesch-Kincaid grade with the standard deterministic "
+    "proxy pipeline: words = the repo's shared whitespace tokenizer, "
+    "sentences = runs of [.!?] (floored at 1 so fragment docs score "
+    "instead of dividing by zero), syllables = vowel-GROUP count "
+    "([aeiouy]+ runs, the classic cheap estimator — stated proxy, "
+    "not hidden). Both ratio terms are pre-rounded before the blend "
+    "so the affine combination sums bitwise-identical doubles in "
+    "both engines (the qta2 1-ulp lesson). Shapes: one map-side "
+    "projection, three regexp passes per doc, zero shuffles before "
+    "the sort — the cheapest possible quality-gate feature at "
+    "100 TB, and the usual companion to qta17's gates.",
+    tags=("llm", "text", "quality"),
+)
+def qta25_readability(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    n_words = F.size(F.split(F.col("text"), " "))
+    n_sentences = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")),
+        F.lit(1),
+    )
+    n_syllables = F.size(
+        F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    )
+    wps = F.round(n_words * F.lit(1.0) / n_sentences, 6)
+    spw = F.round(n_syllables * F.lit(1.0) / n_words, 6)
+    return (
+        docs.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_sentences.cast("bigint").alias("n_sentences"),
+            n_syllables.cast("bigint").alias("n_syllables"),
+            F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch"),
+            F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
+        )
+        .filter(F.col("n_words") > 0)
+        .orderBy("doc_id")
+    )

@@ -2263,3 +2263,26 @@ def test_commitlog_stream_stops_on_schema_evolution(spark, tmp_path):
     rows = spark.read.parquet(out2)
     assert rows.columns == ["k", "s", "w"]
     assert sorted(map(tuple, rows.collect())) == [(2, "b", 5.0)]
+
+
+def test_hll_sketch_merge_is_elementwise_max(spark):
+    """The portable HLL's mergeable-summary property: the register
+    table of A ∪ B must equal the elementwise MAX of A's and B's
+    register tables (so shards sketch independently and merge without
+    touching data), and the estimate must track exact cardinality
+    within the 3-sigma relative bound at m=64."""
+    from sora_spark.operators import sketch
+
+    a = spark.range(0, 4000).select(F.col("id").alias("v"))
+    b = spark.range(3000, 9000).select(F.col("id").alias("v"))
+    ra = sketch.hll_registers(a, "v")
+    rb = sketch.hll_registers(b, "v")
+    merged = (
+        ra.join(rb.withColumnRenamed("m_j", "m_b"), "j")
+        .select("j", F.greatest("m_j", "m_b").alias("m_j"))
+    )
+    direct = sketch.hll_registers(a.unionByName(b), "v")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
+    est = sketch.hll_estimate(direct).collect()[0]["estimate"]
+    assert abs(est - 9000) / 9000 < 0.39, est
