@@ -558,17 +558,31 @@ def table_changes(
     from pyspark.sql import functions as F
 
     a = read_table(spark, path, v_from)
-    cols = a.columns
-    nonkey = [c for c in cols if c not in key_cols]
-    A = a.select(
-        *[F.col(c).alias(f"_a_{c}") for c in cols],
-        F.lit(1).alias("_in_a"),
-    )
     b = read_table(spark, path, v_to)
-    B = b.select(
-        *[F.col(c).alias(f"_b_{c}") for c in cols],
-        F.lit(1).alias("_in_b"),
-    )
+    # schema evolution only ADDS columns, so align the older side to
+    # the newer shape with NULL fills: a pre-evolution row then diffs
+    # as an UPDATE against its post-evolution image when the added
+    # column gained a value — without this, the diff would silently
+    # drop the added columns from the comparison and the output
+    b_wider = len(b.columns) >= len(a.columns)
+    cols = b.columns if b_wider else a.columns
+    by_name = {
+        f.name: f.dataType for f in (b.schema if b_wider else a.schema)
+    }
+
+    def aligned(df, prefix, marker):
+        return df.select(
+            *[
+                (F.col(c) if c in df.columns
+                 else F.lit(None).cast(by_name[c])).alias(f"{prefix}{c}")
+                for c in cols
+            ],
+            F.lit(1).alias(marker),
+        )
+
+    nonkey = [c for c in cols if c not in key_cols]
+    A = aligned(a, "_a_", "_in_a")
+    B = aligned(b, "_b_", "_in_b")
     on = functools.reduce(
         operator.and_,
         [F.col(f"_a_{k}").eqNullSafe(F.col(f"_b_{k}")) for k in key_cols],

@@ -2286,3 +2286,30 @@ def test_hll_sketch_merge_is_elementwise_max(spark):
         sorted(map(tuple, direct.collect()))
     est = sketch.hll_estimate(direct).collect()[0]["estimate"]
     assert abs(est - 9000) / 9000 < 0.39, est
+
+
+def test_commit_log_cdc_across_schema_evolution(spark, tmp_path):
+    """table_changes spanning a merge_schema evolution aligns the
+    older snapshot to the newer shape with NULL fills: a row whose
+    only change is gaining a value in the ADDED column surfaces as an
+    update (null -> value is a real diff), untouched rows stay
+    absent, and deletes carry a NULL in the added column."""
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "c")
+    cl.create_table(spark, path, spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, s string"))   # v1
+    cl.append(spark, path, spark.createDataFrame(
+        [(4, "d", 1.0)], "k bigint, s string, w double"),
+        merge_schema=True)                                       # v2
+    cl.delete_where(spark, path, "k = 3")                        # v3
+    cl.merge_upsert(spark, path, spark.createDataFrame(
+        [(2, "b", 9.0)], "k bigint, s string, w double"),
+        ["k"], "w")                                              # v4
+    ch = sorted(map(tuple,
+                    cl.table_changes(spark, path, 1, 4, ["k"]).collect()))
+    assert ch == [
+        (2, "b", 9.0, "update"),        # gained a value in the added col
+        (3, "c", None, "delete"),       # old image, NULL in added col
+        (4, "d", 1.0, "insert"),
+    ]
