@@ -622,9 +622,14 @@ def append_to_ivf_index(
     max/median list size degrades the scan fraction you sized
     n_probe for (~4x is a good trigger). Returns the number of
     vectors appended."""
-    spark = new_vectors.sparkSession
-    n = new_vectors.count()
     from pyspark.errors import AnalysisException
+    from pyspark.sql import Observation
+
+    spark = new_vectors.sparkSession
+    # count rides the write via an Observation: no upfront count()
+    # job doubling the source scan (r11 review finding)
+    obs = Observation()
+    new_vectors = new_vectors.observe(obs, F.count(F.lit(1)).alias("n"))
 
     try:
         coarse_rows = (
@@ -675,11 +680,11 @@ def append_to_ivf_index(
             vector.norm(F.col(vec_col)).alias("_nrm"),
             "_cid",
         ).write.partitionBy("_cid").mode("append").parquet(path)
-        return n
+        return int(obs.get["n"])
     assigned.withColumn(
         "_nrm", vector.norm(F.col(vec_col))
     ).write.partitionBy("_cid").mode("append").parquet(path)
-    return n
+    return int(obs.get["n"])
 
 
 def ivf_index_stats(spark, path: str) -> DataFrame:

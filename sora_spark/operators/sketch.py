@@ -169,9 +169,17 @@ def hll_registers(df: DataFrame, col: str, m: int = 64) -> DataFrame:
     mergeable-summary property; union = max is proven in the
     capability test). Returns (j, m_j) with ALL m rows present
     (empty buckets at 0)."""
-    if m < 1 or m > 256:
-        raise ValueError(f"m must be in 1..256 (got {m}); bucket bits "
-                         "come from the first hash byte")
+    if m not in (16, 32, 64, 128, 256):
+        # the bucket index is (first hash byte) % m: any m that does
+        # not divide 256 biases low buckets (extra 1/256 occupancy
+        # each), and the alpha constants are defined for m >= 16 —
+        # so only power-of-two register counts in 16..256 are valid
+        # (r11 review finding)
+        raise ValueError(
+            f"m must be one of 16/32/64/128/256 (got {m}): bucket "
+            "bits come from the first hash byte and the bias "
+            "correction is defined for these register counts"
+        )
     spark = df.sparkSession
     h = F.md5(F.col(col).cast("string"))
     j = (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % m).alias("j")

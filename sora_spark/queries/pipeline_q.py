@@ -3525,11 +3525,12 @@ ORDER BY k
     "back with NULL price and NO footer-merge pass ever runs; time "
     "travel before the evolution keeps the old two-column shape). "
     "Dropping or retyping columns still refuses loudly, batches must "
-    "carry the full current schema afterwards, and a running "
-    "commitlog STREAM stops at the evolution commit instead of "
-    "silently truncating new columns — all pinned in "
-    "test_capabilities/test_streaming. Scale: evolution is one JSON "
-    "entry; no data rewrite, no footer scan.",
+    "carry the full current schema afterwards, and a commitlog STREAM "
+    "refuses to ADVANCE past the evolution (every pre-evolution row "
+    "still delivered; a fresh checkpoint at the evolution adopts the "
+    "new shape, nothing lost between the two) — all pinned in "
+    "test_capabilities. Scale: evolution is one JSON entry; no data "
+    "rewrite, no footer scan.",
     tags=("sink", "acid", "schema"),
 )
 def qup13_schema_evolution(spark, sf_dir):

@@ -106,13 +106,17 @@ def _read_commits(path: str, upto: int | None) -> list[dict]:
     return commits
 
 
-def _live_dirs(path: str, upto: int | None) -> list[str]:
+def _fold_live(commits: list[dict]) -> list[str]:
     live: list[str] = []
-    for c in _read_commits(path, upto):
+    for c in commits:
         for r in c.get("removed", []):
             live.remove(r)
         live.extend(c.get("added", []))
     return live
+
+
+def _live_dirs(path: str, upto: int | None) -> list[str]:
+    return _fold_live(_read_commits(path, upto))
 
 
 def _latest_schema(commits: list[dict]) -> str | None:
@@ -125,6 +129,22 @@ def _latest_schema(commits: list[dict]) -> str | None:
         s = c.get("schema")
         if s:
             return s
+    return None
+
+
+def _schema_struct(commits: list[dict]):
+    """StructType of the table as of the last commit, or None. Prefers
+    the lossless JSON form (schema_json, parsed sessionlessly via
+    fromJson — survives column names simpleString cannot round-trip,
+    the r11 review finding); falls back to parsing the simpleString
+    DDL for pre-json commits."""
+    from pyspark.sql.types import StructType
+
+    for c in reversed(commits):
+        if c.get("schema_json"):
+            return StructType.fromJson(json.loads(c["schema_json"]))
+        if c.get("schema"):
+            return StructType.fromDDL(c["schema"])
     return None
 
 
@@ -195,18 +215,17 @@ def _disjoint_on(a: dict | None, b: dict | None) -> bool:
 
 
 def _read_dirs(
-    spark: SparkSession, path: str, dirs: list[str], ddl: str | None
+    spark: SparkSession, path: str, dirs: list[str], schema
 ) -> DataFrame:
     """Read specific data directories WITH the table's recorded schema
-    applied — after a merge_schema evolution, pre-evolution files must
-    surface NULLs in the added columns here exactly as read_table
-    does, or rewrite paths (merge/delete/compact) would union-fail or
-    silently re-commit the old shape."""
+    (a StructType, from _schema_struct) applied — after a merge_schema
+    evolution, pre-evolution files must surface NULLs in the added
+    columns here exactly as read_table does, or rewrite paths
+    (merge/delete/compact) would union-fail or silently re-commit the
+    old shape."""
     reader = spark.read
-    if ddl:
-        from pyspark.sql.types import StructType
-
-        reader = reader.schema(StructType.fromDDL(ddl))
+    if schema is not None:
+        reader = reader.schema(schema)
     return reader.parquet(*[os.path.join(path, d) for d in dirs])
 
 
@@ -227,15 +246,22 @@ def _write_data(
     return rel, stats
 
 
-def _live_stats(path: str, upto: int | None = None) -> dict:
+def _live_stats(
+    path: str,
+    upto: int | None = None,
+    commits: list[dict] | None = None,
+) -> dict:
     """{relpath: stats} for the live directories at `upto` (stats as
     recorded by the commit that ADDED each directory; dirs committed
-    without stats map to {})."""
+    without stats map to {}). Pass `commits` to reuse an
+    already-read log instead of re-reading it."""
+    if commits is None:
+        commits = _read_commits(path, upto)
     recorded: dict[str, dict] = {}
-    for c in _read_commits(path, upto):
+    for c in commits:
         for rel, st in c.get("stats", {}).items():
             recorded[rel] = st
-    return {d: recorded.get(d, {}) for d in _live_dirs(path, upto)}
+    return {d: recorded.get(d, {}) for d in _fold_live(commits)}
 
 
 def _publish(path: str, entry: dict) -> int:
@@ -275,7 +301,8 @@ def create_table(
     commit so later merges/deletes can data-skip this directory."""
     rel, stats = _write_data(df, path, 1, stats_cols)
     entry = {"version": 1, "operation": "create", "added": [rel],
-             "removed": [], "schema": df.schema.simpleString()}
+             "removed": [], "schema": df.schema.simpleString(),
+             "schema_json": df.schema.json()}
     if stats:
         entry["stats"] = {rel: stats}
     return _publish(path, entry)
@@ -328,6 +355,7 @@ def append(
              "removed": []}
     if evolved:
         entry["schema"] = got
+        entry["schema_json"] = df.schema.json()
         entry["schema_evolved"] = True
     if stats:
         entry["stats"] = {rel: stats}
@@ -345,19 +373,17 @@ def read_table(
     with NULLs in the new columns (no mergeSchema footer pass), and
     time travel to pre-evolution versions keeps the old shape."""
     commits = _read_commits(path, version)
-    live: list[str] = []
-    for c in commits:
-        for r in c.get("removed", []):
-            live.remove(r)
-        live.extend(c.get("added", []))
+    live = _fold_live(commits)
+    schema = _schema_struct(commits)
     if not live:
+        if schema is not None:
+            # a delete that matched every row leaves zero live dirs;
+            # SQL/Delta semantics: the table is EMPTY, not unreadable
+            return spark.createDataFrame([], schema)
         raise ValueError(f"table at {path} has no live data")
     reader = spark.read
-    ddl = _latest_schema(commits)
-    if ddl:
-        from pyspark.sql.types import StructType
-
-        reader = reader.schema(StructType.fromDDL(ddl))
+    if schema is not None:
+        reader = reader.schema(schema)
     return reader.parquet(*[os.path.join(path, d) for d in live])
 
 
@@ -403,12 +429,15 @@ def merge_upsert(
             f"{batch_df.schema.simpleString()} != table schema {want}"
         )
     version = commits[-1]["version"] + 1
-    live = _live_dirs(path, None)
+    live = _fold_live(commits)
 
     touched, untouched = list(live), []
-    if prune:
+    # compute batch stats ONLY when some live dir can actually be
+    # pruned — otherwise the pass over the batch is pure waste
+    # (r11 review finding)
+    dstats = _live_stats(path, commits=commits) if prune else {}
+    if prune and any(dstats.values()):
         bstats = _column_stats(batch_df, key_cols)
-        dstats = _live_stats(path)
         touched, untouched = [], []
         for d in live:
             skip = any(
@@ -419,8 +448,9 @@ def merge_upsert(
 
     new = batch_df.withColumn("_src", F.lit(1))
     if touched:
-        cur = _read_dirs(spark, path, touched, want).withColumn(
-            "_src", F.lit(0))
+        cur = _read_dirs(
+            spark, path, touched, _schema_struct(commits)
+        ).withColumn("_src", F.lit(0))
         unioned = cur.unionByName(new)
     else:
         unioned = new  # pure insert: nothing overlaps, dedup batch only
@@ -464,13 +494,13 @@ def delete_where(
     cond = F.expr(condition) if isinstance(condition, str) else condition
     commits = _read_commits(path, None)
     version = commits[-1]["version"] + 1
-    live = _live_dirs(path, None)
-    live_stats = _live_stats(path)
+    live = _fold_live(commits)
+    live_stats = _live_stats(path, commits=commits)
     if stats_cols is None:
         stats_cols = sorted({c for s in live_stats.values() for c in s})
 
-    ddl = _latest_schema(commits)
-    full = _read_dirs(spark, path, live, ddl)
+    schema = _schema_struct(commits)
+    full = _read_dirs(spark, path, live, schema)
     hit = {
         r[0]
         for r in full.filter(cond)
@@ -487,7 +517,7 @@ def delete_where(
     touched = [d for d in live if d in hit]
     if not touched:
         return None
-    keep = _read_dirs(spark, path, touched, ddl).filter(
+    keep = _read_dirs(spark, path, touched, schema).filter(
         ~F.coalesce(cond, F.lit(False)))
     added, entry_stats = [], {}
     if not keep.isEmpty():
@@ -517,14 +547,14 @@ def compact(
     size (e.g. live bytes / 128 MB) for fact tables; the default 1 is
     the dimension-table setting. Stats columns are inherited so
     data-skipping keeps working on the compacted directory."""
-    live = _live_dirs(path, None)
+    commits = _read_commits(path, None)
+    live = _fold_live(commits)
     if len(live) < min_dirs:
         return None
-    commits = _read_commits(path, None)
     version = commits[-1]["version"] + 1
-    live_stats = _live_stats(path)
+    live_stats = _live_stats(path, commits=commits)
     stats_cols = sorted({c for s in live_stats.values() for c in s})
-    full = _read_dirs(spark, path, live, _latest_schema(commits))
+    full = _read_dirs(spark, path, live, _schema_struct(commits))
     rel, stats = _write_data(
         full.repartition(max(int(target_partitions), 1)),
         path, version, stats_cols,
@@ -652,6 +682,7 @@ def txn_append(
             entry = {"version": 1, "operation": "create",
                      "added": [rel], "removed": [],
                      "schema": df.schema.simpleString(),
+                     "schema_json": df.schema.json(),
                      "txn": {"app": app_id, "version": int(txn_version)}}
             if stats:
                 entry["stats"] = {rel: stats}

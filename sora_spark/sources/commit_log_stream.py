@@ -42,6 +42,8 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from sora_spark.sources.commit_log import _commit_path, table_versions
+
 _APPEND_OPS = {"create", "append", "txn_append"}
 
 
@@ -51,20 +53,9 @@ class _FilePartition(InputPartition):
 
 
 def _read_commit(table_path: str, version: int) -> dict:
-    p = os.path.join(table_path, "_commits", f"{version:08d}.json")
-    with open(p) as f:
+    # layout knowledge lives in commit_log; this module only folds it
+    with open(_commit_path(table_path, version)) as f:
         return json.load(f)
-
-
-def _versions(table_path: str) -> list[int]:
-    d = os.path.join(table_path, "_commits")
-    if not os.path.isdir(d):
-        return []
-    return sorted(
-        int(f[:-5])
-        for f in os.listdir(d)
-        if f.endswith(".json") and f[:-5].isdigit()
-    )
 
 
 class CommitLogStreamReader(DataSourceStreamReader):
@@ -83,11 +74,22 @@ class CommitLogStreamReader(DataSourceStreamReader):
         return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
-        vs = _versions(self.path)
+        vs = table_versions(self.path)
         if not vs:
             raise FileNotFoundError(
                 f"commitlog source: no commit-log table at {self.path!r}"
             )
+        # NEVER advance past a schema evolution: the stream's declared
+        # schema was fixed at startingVersion, so the offset is capped
+        # at the last pre-evolution version — everything before the
+        # evolution is still delivered (a raise here would strand it),
+        # the stream then idles, and a fresh checkpoint with
+        # startingVersion >= the evolution picks up the new shape
+        for v in vs:
+            if v <= self.starting_version:
+                continue
+            if _read_commit(self.path, v).get("schema_evolved"):
+                return {"version": v - 1}
         return {"version": vs[-1]}
 
     def partitions(self, start: dict, end: dict):
@@ -95,13 +97,15 @@ class CommitLogStreamReader(DataSourceStreamReader):
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             entry = _read_commit(self.path, v)
             if entry.get("schema_evolved") and v > self.starting_version:
-                # an evolution AT startingVersion is already the
-                # stream's declared schema (schema() resolves <= start);
-                # only LATER evolutions invalidate it
-                # the stream's declared schema was fixed at start; rows
-                # after an evolution would be silently truncated to it.
-                # Delta's contract: schema change stops the stream —
-                # restart with a fresh checkpoint to adopt the new shape
+                # SAFETY NET: latestOffset() never advances past a
+                # post-start evolution, so a normal run cannot plan
+                # this range — only a checkpoint that already spans
+                # the evolution (written before the cap existed, or
+                # against a different table) lands here. Rows after
+                # the evolution would be silently truncated to the
+                # stream's declared schema; refuse instead.
+                # (An evolution AT startingVersion is fine: schema()
+                # resolves <= start, so it IS the declared schema.)
                 raise ValueError(
                     f"commitlog source: version {v} evolved the table "
                     "schema; restart the stream with a fresh checkpoint "
@@ -142,8 +146,9 @@ class CommitLogStreamReader(DataSourceStreamReader):
 
 class CommitLogDataSource(DataSource):
     """`format("commitlog")`: schema comes from the table's recorded
-    create-commit schema (simpleString round-trips through fromDDL),
-    so readers never infer from data files."""
+    schema as of startingVersion (the lossless schema_json parsed
+    sessionlessly, simpleString DDL for pre-json commits), so readers
+    never infer from data files."""
 
     @classmethod
     def name(cls) -> str:
@@ -153,7 +158,7 @@ class CommitLogDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("commitlog source requires a path")
-        vs = _versions(path)
+        vs = table_versions(path)
         if not vs:
             raise FileNotFoundError(
                 f"commitlog source: no commit-log table at {path!r}"
@@ -163,20 +168,25 @@ class CommitLogDataSource(DataSource):
         # commit stops the stream (see partitions()). Default start=1
         # resolves to the create commit's schema.
         start = int(self.options.get("startingVersion", 1))
-        ddl = None
+        entry = None
         for v in vs:
             if v > start:
                 break
-            ddl = _read_commit(path, v).get("schema") or ddl
-        if not ddl:
+            c = _read_commit(path, v)
+            if c.get("schema_json") or c.get("schema"):
+                entry = c
+        if entry is None:
             raise ValueError(
                 f"commitlog source: table at {path!r} has no recorded "
                 f"schema at or before version {start}"
             )
-        # return the simpleString DDL itself: schema() executes in the
-        # sessionless datasource worker, where StructType.fromDDL has
-        # no context — the JVM parses the struct<...> form instead
-        return ddl
+        if entry.get("schema_json"):
+            # lossless and SESSIONLESS (fromJson is pure Python) —
+            # schema() runs in the datasource worker with no context
+            return StructType.fromJson(json.loads(entry["schema_json"]))
+        # pre-json commits: return the simpleString DDL and let the
+        # JVM parse the struct<...> form
+        return entry["schema"]
 
     def streamReader(self, schema: StructType) -> CommitLogStreamReader:
         return CommitLogStreamReader(self.options)

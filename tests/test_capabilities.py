@@ -2226,13 +2226,12 @@ def test_commit_log_schema_evolution(spark, tmp_path):
 
 
 def test_commitlog_stream_stops_on_schema_evolution(spark, tmp_path):
-    """A running commitlog stream must STOP at a schema_evolved commit
-    (its declared schema was fixed at start — continuing would
-    silently truncate the new column); a FRESH stream starting after
-    the evolution adopts the new schema."""
+    """A commitlog stream must not ADVANCE past a post-start
+    schema_evolved commit (continuing would silently truncate the new
+    column), but every pre-evolution row is still DELIVERED; a FRESH
+    stream starting at the evolution adopts the new schema with no
+    row lost between the two."""
     import os
-
-    import pytest as _pytest
 
     from sora_spark.sources import commit_log as cl
     from sora_spark.sources import commit_log_stream as cls_
@@ -2256,8 +2255,21 @@ def test_commitlog_stream_stops_on_schema_evolution(spark, tmp_path):
         )
         q.awaitTermination(120)
 
-    with _pytest.raises(Exception, match="fresh checkpoint"):
-        run(str(tmp_path / "o1"), str(tmp_path / "c1"))
+    # old-shape stream: drains v1 and refuses to ADVANCE into v2
+    # (latestOffset caps at the last pre-evolution version, so every
+    # pre-evolution row is delivered rather than stranded)
+    out1 = str(tmp_path / "o1")
+    run(out1, str(tmp_path / "c1"))
+    rows1 = spark.read.parquet(out1)
+    assert rows1.columns == ["k", "s"]
+    assert sorted(map(tuple, rows1.collect())) == [(1, "a")]
+    # rerunning the same checkpoint idles at the cap: no error, no dups
+    run(out1, str(tmp_path / "c1"))
+    assert sorted(map(tuple, spark.read.parquet(out1).collect())) == [
+        (1, "a")]
+
+    # fresh stream AT the evolution version: new schema, only v2 rows
+    # -> the handoff between the two streams loses nothing
     out2 = str(tmp_path / "o2")
     run(out2, str(tmp_path / "c2"), start=2)
     rows = spark.read.parquet(out2)
@@ -2313,3 +2325,24 @@ def test_commit_log_cdc_across_schema_evolution(spark, tmp_path):
         (3, "c", None, "delete"),       # old image, NULL in added col
         (4, "d", 1.0, "insert"),
     ]
+
+
+def test_commit_log_delete_all_leaves_empty_table(spark, tmp_path):
+    """A delete that matches every row must leave a READABLE EMPTY
+    table (SQL/Delta semantics), not an unreadable one: read_table
+    falls back to an empty DataFrame with the recorded schema when
+    zero directories are live, appends revive the table, and CDC
+    across the empty state works."""
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "z")
+    cl.create_table(spark, path, spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k bigint, s string"))
+    v = cl.delete_where(spark, path, "k > 0")
+    empty = cl.read_table(spark, path)
+    assert empty.columns == ["k", "s"] and empty.count() == 0
+    ch = sorted(map(tuple, cl.table_changes(spark, path, 1, v, ["k"]).collect()))
+    assert ch == [(1, "a", "delete"), (2, "b", "delete")]
+    cl.append(spark, path, spark.createDataFrame(
+        [(3, "c")], "k bigint, s string"))
+    assert cl.read_table(spark, path).count() == 1
