@@ -3555,3 +3555,159 @@ def qup13_schema_evolution(spark, sf_dir):
     cl.create_table(spark, path, v1, stats_cols=["k"])
     cl.append(spark, path, v2, stats_cols=["k"], merge_schema=True)
     return cl.read_table(spark, path).orderBy("k")
+
+
+@query(
+    "qup14_clustered_optimize",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price, o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 6 = 0),
+batch AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice + 500, 2) AS price,
+         o_orderdate + INTERVAL 1 DAY AS ts
+  FROM orders
+  WHERE o_orderkey % 15 = 0
+    AND 2 * o_orderkey >= (SELECT max(o_orderkey) FROM orders
+                           WHERE o_orderkey % 6 = 0)),
+merged AS (
+  SELECT * FROM batch
+  UNION ALL
+  SELECT * FROM snap WHERE k NOT IN (SELECT k FROM batch))
+SELECT k, st, price, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM merged ORDER BY k
+""",
+    doc="qup14: CLUSTERED OPTIMIZE (commit_log.compact cluster_by — "
+    "the liquid-clustering shape) certified through the merge it "
+    "enables: the snapshot lands as three INTERLEAVED directories "
+    "(k%18 residue classes — every dir spans the whole key range, so "
+    "qup8's data skipping has nothing to prune), clustered OPTIMIZE "
+    "rewrites them as range-disjoint buckets via repartitionByRange "
+    "(sampled boundaries affect layout only, never data; each bucket "
+    "is its own commit relpath with tight min/max stats), and the "
+    "same key-narrow batch as qup8 then merges — now pruning to the "
+    "overlapping bucket(s). The oracle is layout-independent MERGE "
+    "INTO semantics, so any clustering bug that loses or duplicates "
+    "a row is a hash mismatch; the pruning/disjointness/vacuum "
+    "mechanics are pinned on a fixed fixture in "
+    "test_capabilities.py::test_commit_log_clustered_compact. At "
+    "100 TB this is how an append-as-it-arrives table is retrofitted "
+    "into a prunable layout without ever rewriting more than once.",
+    tags=("sink", "acid", "prune", "layout"),
+)
+def qup14_clustered_optimize(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    path = os.path.join(_roundtrip_dir("commit_log_cluster"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(
+        spark, path, snap.filter(F.col("k") % 18 == 0), stats_cols=["k"])
+    cl.append(
+        spark, path, snap.filter(F.col("k") % 18 == 6), stats_cols=["k"])
+    cl.append(
+        spark, path, snap.filter(F.col("k") % 18 == 12), stats_cols=["k"])
+    cl.compact(spark, path, target_partitions=4, cluster_by=["k"])
+
+    maxk = snap.agg(F.max("k")).collect()[0][0]
+    batch = (
+        orders.filter(
+            (F.col("o_orderkey") % 15 == 0)
+            & (2 * F.col("o_orderkey") >= F.lit(maxk))
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            F.round(F.col("o_totalprice") + 500, 2).alias("price"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        )
+    )
+    cl.merge_upsert(spark, path, batch, ["k"], "ts")
+    return (
+        cl.read_table(spark, path)
+        .select(
+            "k", "st", "price",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "qup15_check_constraints",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, round(o_totalprice, 2) AS price,
+         o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 9 = 0),
+extra AS (
+  SELECT o_orderkey AS k, round(o_totalprice, 2) AS price,
+         o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 9 = 3)
+SELECT k, price, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM (SELECT * FROM snap UNION ALL SELECT * FROM extra)
+ORDER BY k
+""",
+    doc="qup15: CHECK constraints on the commit-log table "
+    "(commit_log create_table(check=...) — the Delta "
+    "constraint/expectations shape): the table declares price > 0 at "
+    "create; EVERY writer validates its batch as an Observation "
+    "riding the data write itself (zero extra passes over the batch "
+    "— the scale-right enforcement) and refuses to publish "
+    "violations. The declared row creates the table, attempts an "
+    "append whose prices are NEGATED (must raise "
+    "ConstraintViolationError and commit nothing — if enforcement "
+    "ever silently passed, the negated rows would reach the final "
+    "read and hash-mismatch the oracle), then lands a valid batch. "
+    "NULL-passes semantics, violating CREATE leaving no table, and "
+    "orphan reclamation by vacuum are pinned in "
+    "test_capabilities.py::test_commit_log_check_constraint.",
+    tags=("sink", "acid", "constraint"),
+)
+def qup15_check_constraints(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+
+    def sel(residue, negate=False):
+        price = F.round("o_totalprice", 2)
+        return orders.filter(F.col("o_orderkey") % 9 == residue).select(
+            F.col("o_orderkey").alias("k"),
+            (-price if negate else price).alias("price"),
+            F.col("o_orderdate").alias("ts"),
+        )
+
+    path = os.path.join(_roundtrip_dir("commit_log_check"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(spark, path, sel(0), stats_cols=["k"],
+                    check="price > 0")
+    try:
+        cl.append(spark, path, sel(6, negate=True), stats_cols=["k"])
+        raise AssertionError("CHECK constraint did not fire")
+    except cl.ConstraintViolationError:
+        pass
+    cl.append(spark, path, sel(3), stats_cols=["k"])
+    return (
+        cl.read_table(spark, path)
+        .select(
+            "k", "price",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+        .orderBy("k")
+    )

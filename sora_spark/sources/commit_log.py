@@ -71,6 +71,13 @@ class ConcurrentWriteError(RuntimeError):
     (your snapshot is stale) and retry the operation."""
 
 
+class ConstraintViolationError(ValueError):
+    """The batch contains rows that violate the table's CHECK
+    constraint: nothing was committed (the written data directory is
+    an unpublished orphan — invisible to readers, reclaimed by
+    vacuum)."""
+
+
 def _commit_path(path: str, version: int) -> str:
     return os.path.join(path, _COMMITS, f"{version:08d}.json")
 
@@ -130,6 +137,11 @@ def _latest_schema(commits: list[dict]) -> str | None:
         if s:
             return s
     return None
+
+
+def _table_check(commits: list[dict]) -> str | None:
+    """The table's CHECK constraint expression (create-time only)."""
+    return commits[0].get("check") if commits else None
 
 
 def _schema_struct(commits: list[dict]):
@@ -234,10 +246,36 @@ def _write_data(
     path: str,
     version: int,
     stats_cols: list[str] | None = None,
+    check: str | None = None,
 ) -> tuple[str, dict]:
+    """Write df to a fresh data directory. With `check`, a CHECK
+    violation count rides the write itself as an Observation (zero
+    extra passes — the scale-right validation); on violation the
+    directory is left UNPUBLISHED (the caller never commits it) and
+    ConstraintViolationError raises. SQL CHECK semantics: NULL
+    passes, only FALSE violates."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Observation
+
     rel = os.path.join(_DATA, f"v{version:08d}-{uuid.uuid4().hex[:12]}")
     full = os.path.join(path, rel)
+    obs = None
+    if check:
+        obs = Observation()
+        df = df.observe(
+            obs,
+            F.sum(
+                (~F.coalesce(F.expr(check), F.lit(True))).cast("long")
+            ).alias("viol"),
+        )
     df.write.mode("error").parquet(full)
+    if obs is not None:
+        bad = int(obs.get["viol"] or 0)
+        if bad:
+            raise ConstraintViolationError(
+                f"{bad} row(s) violate the table CHECK ({check}); "
+                "nothing was committed"
+            )
     stats = (
         _column_stats(df.sparkSession.read.parquet(full), stats_cols)
         if stats_cols
@@ -295,14 +333,23 @@ def create_table(
     path: str,
     df: DataFrame,
     stats_cols: list[str] | None = None,
+    check: str | None = None,
 ) -> int:
     """Version 1: initial rows. Fails if the table already has commits.
     `stats_cols` records per-directory min/max/null stats in the
-    commit so later merges/deletes can data-skip this directory."""
-    rel, stats = _write_data(df, path, 1, stats_cols)
+    commit so later merges/deletes can data-skip this directory.
+    `check` declares a CHECK constraint (a SQL boolean expression
+    over the table's columns): EVERY writer — append, merge, txn —
+    validates its batch against it as an Observation riding the data
+    write (no extra pass) and refuses to commit violations with
+    ConstraintViolationError. NULL passes, FALSE violates (SQL
+    semantics)."""
+    rel, stats = _write_data(df, path, 1, stats_cols, check=check)
     entry = {"version": 1, "operation": "create", "added": [rel],
              "removed": [], "schema": df.schema.simpleString(),
              "schema_json": df.schema.json()}
+    if check:
+        entry["check"] = check
     if stats:
         entry["stats"] = {rel: stats}
     return _publish(path, entry)
@@ -350,7 +397,8 @@ def append(
             )
         evolved = True
     version = commits[-1]["version"] + 1
-    rel, stats = _write_data(df, path, version, stats_cols)
+    rel, stats = _write_data(
+        df, path, version, stats_cols, check=_table_check(commits))
     entry = {"version": version, "operation": "append", "added": [rel],
              "removed": []}
     if evolved:
@@ -463,7 +511,8 @@ def merge_upsert(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
-    rel, stats = _write_data(merged, path, version, key_cols)
+    rel, stats = _write_data(
+        merged, path, version, key_cols, check=_table_check(commits))
     entry = {"version": version, "operation": "merge_upsert",
              "added": [rel], "removed": touched,
              "pruned_dirs": len(untouched)}
@@ -507,7 +556,9 @@ def delete_where(
         .select(
             F.regexp_extract(
                 F.col("_metadata.file_path"),
-                r"(data/v\d{8}-[0-9a-f]+)",
+                # clustered-compact dirs register their _bucket= hive
+                # subdir as the relpath — capture it when present
+                r"(data/v\d{8}-[0-9a-f]+(?:/_bucket=\d+)?)",
                 1,
             ).alias("d")
         )
@@ -538,15 +589,30 @@ def compact(
     path: str,
     target_partitions: int = 1,
     min_dirs: int = 2,
+    cluster_by: list[str] | None = None,
 ) -> int | None:
-    """OPTIMIZE: rewrite the live directories into ONE directory with
-    `target_partitions` files, as a commit — the data is logically
-    unchanged, old versions stay time-travelable, and `vacuum` later
-    reclaims the delisted small directories. A no-op (returns None)
-    below `min_dirs` live directories. Pick `target_partitions` by
-    size (e.g. live bytes / 128 MB) for fact tables; the default 1 is
-    the dimension-table setting. Stats columns are inherited so
-    data-skipping keeps working on the compacted directory."""
+    """OPTIMIZE: rewrite the live directories, as a commit — the data
+    is logically unchanged, old versions stay time-travelable, and
+    `vacuum` later reclaims the delisted small directories. A no-op
+    (returns None) below `min_dirs` live directories. Pick
+    `target_partitions` by size (e.g. live bytes / 128 MB) for fact
+    tables; the default 1 is the dimension-table setting. Stats
+    columns are inherited so data-skipping keeps working.
+
+    CLUSTERED OPTIMIZE (`cluster_by=[cols]`, the liquid-clustering
+    shape): instead of one directory, the table is range-partitioned
+    on the cluster columns into `target_partitions` RANGE-DISJOINT
+    directories, each committed with its own tight min/max stats —
+    so subsequent merges and deletes keyed near those columns prune
+    to a few directories no matter how the table was originally
+    laid down. Uses repartitionByRange (sampled range boundaries —
+    the distributed shape; boundaries affect layout only, never the
+    data) and registers each range bucket as its own relpath inside
+    one write (a _bucket=i hive subdir; the bucket column itself is
+    not part of the table schema and disappears under read_table's
+    explicit schema)."""
+    from pyspark.sql import functions as F
+
     commits = _read_commits(path, None)
     live = _fold_live(commits)
     if len(live) < min_dirs:
@@ -554,15 +620,49 @@ def compact(
     version = commits[-1]["version"] + 1
     live_stats = _live_stats(path, commits=commits)
     stats_cols = sorted({c for s in live_stats.values() for c in s})
-    full = _read_dirs(spark, path, live, _schema_struct(commits))
-    rel, stats = _write_data(
-        full.repartition(max(int(target_partitions), 1)),
-        path, version, stats_cols,
+    schema = _schema_struct(commits)
+    full = _read_dirs(spark, path, live, schema)
+    n_out = max(int(target_partitions), 1)
+
+    if not cluster_by:
+        rel, stats = _write_data(
+            full.repartition(n_out), path, version, stats_cols,
+        )
+        entry = {"version": version, "operation": "optimize",
+                 "added": [rel], "removed": live}
+        if stats:
+            entry["stats"] = {rel: stats}
+        return _publish(path, entry)
+
+    stats_cols = sorted(set(stats_cols) | set(cluster_by))
+    staged = (
+        full.repartitionByRange(n_out, *[F.col(c) for c in cluster_by])
+        .withColumn("_bucket", F.spark_partition_id())
     )
+    base_rel = os.path.join(
+        _DATA, f"v{version:08d}-{uuid.uuid4().hex[:12]}"
+    )
+    staged.write.partitionBy("_bucket").mode("error").parquet(
+        os.path.join(path, base_rel)
+    )
+    buckets = sorted(
+        d for d in os.listdir(os.path.join(path, base_rel))
+        if d.startswith("_bucket=")
+    )
+    added, entry_stats = [], {}
+    for b in buckets:
+        rel = os.path.join(base_rel, b)
+        st = _column_stats(
+            spark.read.parquet(os.path.join(path, rel)), stats_cols
+        )
+        added.append(rel)
+        if st:
+            entry_stats[rel] = st
     entry = {"version": version, "operation": "optimize",
-             "added": [rel], "removed": live}
-    if stats:
-        entry["stats"] = {rel: stats}
+             "added": added, "removed": live,
+             "clustered_by": list(cluster_by)}
+    if entry_stats:
+        entry["stats"] = entry_stats
     return _publish(path, entry)
 
 
@@ -702,7 +802,8 @@ def txn_append(
     version = commits[-1]["version"] + 1
     added, entry_stats = [], {}
     if not df.isEmpty():
-        rel, stats = _write_data(df, path, version, stats_cols)
+        rel, stats = _write_data(
+            df, path, version, stats_cols, check=_table_check(commits))
         added = [rel]
         if stats:
             entry_stats = {rel: stats}
@@ -774,8 +875,22 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
         os.path.join(_DATA, d)
         for d in (os.listdir(data_root) if os.path.isdir(data_root) else [])
     }
+    # a clustered compact registers SUBDIRS of one write (e.g.
+    # data/vN-x/_bucket=3) as separate relpaths, so a top-level dir is
+    # an orphan only if NO committed relpath lives at or under it
+    def _under(top: str) -> bool:
+        sep = top + os.sep
+        return any(e == top or e.startswith(sep) for e in ever)
+
+    orphans = {d for d in on_disk if not _under(d)}
     # committed-but-unreachable ∪ orphaned-on-disk
-    doomed = sorted((ever - reachable) | (on_disk - ever))
+    doomed = sorted((ever - reachable) | orphans)
     for rel in doomed:
         shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+        parent = os.path.dirname(os.path.join(path, rel))
+        if os.path.basename(parent) != _DATA:
+            try:
+                os.rmdir(parent)  # clustered-write shell, if now empty
+            except OSError:
+                pass
     return doomed

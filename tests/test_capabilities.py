@@ -2346,3 +2346,102 @@ def test_commit_log_delete_all_leaves_empty_table(spark, tmp_path):
     cl.append(spark, path, spark.createDataFrame(
         [(3, "c")], "k bigint, s string"))
     assert cl.read_table(spark, path).count() == 1
+
+
+def test_commit_log_clustered_compact(spark, tmp_path):
+    """compact(cluster_by=...) — the liquid-clustering shape: the live
+    directories are rewritten as range-disjoint buckets with tight
+    per-bucket stats, the data is unchanged, a subsequent key-narrow
+    MERGE prunes to one bucket, DELETE's file-path discovery resolves
+    the bucket relpaths, and vacuum reclaims delisted buckets without
+    eating the shared parent."""
+    import json
+    import os
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "c")
+    # interleaved appends: every dir spans the whole key range, so
+    # nothing prunes before clustering
+    rows = [(k, "s%d" % k, 10) for k in range(200)]
+    mk = lambda rs: spark.createDataFrame(rs, "k bigint, s string, ts bigint")
+    cl.create_table(spark, path, mk(rows[0::3]), stats_cols=["k"])
+    cl.append(spark, path, mk(rows[1::3]), stats_cols=["k"])
+    cl.append(spark, path, mk(rows[2::3]), stats_cols=["k"])
+    before = sorted(map(tuple, cl.read_table(spark, path).collect()))
+
+    v = cl.compact(spark, path, target_partitions=4, cluster_by=["k"])
+    with open(os.path.join(path, "_commits", "%08d.json" % v)) as f:
+        e = json.load(f)
+    assert e["clustered_by"] == ["k"]
+    assert 2 <= len(e["added"]) <= 4
+    assert all("_bucket=" in d for d in e["added"])
+    # buckets are range-DISJOINT on k
+    ranges = sorted(
+        (e["stats"][d]["k"]["min"], e["stats"][d]["k"]["max"])
+        for d in e["added"]
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    assert sorted(map(tuple, cl.read_table(spark, path).collect())) == before
+
+    # a key-narrow merge now prunes to ONE bucket
+    vm = cl.merge_upsert(spark, path, mk([(5, "S5", 20)]), ["k"], "ts")
+    with open(os.path.join(path, "_commits", "%08d.json" % vm)) as f:
+        em = json.load(f)
+    assert len(em["removed"]) == 1 and em["pruned_dirs"] == len(e["added"]) - 1
+
+    # DELETE resolves bucket relpaths through _metadata.file_path
+    vd = cl.delete_where(spark, path, "k = 190")
+    with open(os.path.join(path, "_commits", "%08d.json" % vd)) as f:
+        ed = json.load(f)
+    assert len(ed["removed"]) == 1
+    got = {r["k"] for r in cl.read_table(spark, path).collect()}
+    assert 190 not in got and got == set(range(200)) - {190}
+
+    # vacuum reclaims the delisted buckets but not live siblings
+    deleted = cl.vacuum(path, keep_versions=1)
+    assert any("_bucket=" in d for d in deleted)
+    assert sorted(map(tuple, cl.read_table(spark, path).collect())) == sorted(
+        map(tuple, [(k, "s%d" % k, 10) for k in range(200)
+                    if k not in (5, 190)] + [(5, "S5", 20)]))
+
+
+def test_commit_log_check_constraint(spark, tmp_path):
+    """CHECK constraints: declared at create, enforced by EVERY writer
+    (append / merge / txn sink) as an Observation riding the data
+    write — a violating batch raises ConstraintViolationError and
+    commits NOTHING (the written directory is an unpublished orphan,
+    reclaimed by vacuum); NULL passes (SQL semantics); a violating
+    CREATE leaves no table at all."""
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k bigint, price double, ts bigint")
+
+    # violating CREATE: no table comes into existence
+    p0 = str(tmp_path / "t0")
+    with _pytest.raises(cl.ConstraintViolationError):
+        cl.create_table(spark, p0, mk([(1, -5.0, 1)]), check="price >= 0")
+    assert cl.table_versions(p0) == []
+
+    path = str(tmp_path / "t")
+    cl.create_table(spark, path, mk([(1, 10.0, 1), (2, None, 1)]),
+                    check="price >= 0")          # NULL passes
+    with _pytest.raises(cl.ConstraintViolationError, match="1 row"):
+        cl.append(spark, path, mk([(3, -1.0, 1)]))
+    with _pytest.raises(cl.ConstraintViolationError):
+        cl.merge_upsert(spark, path, mk([(1, -99.0, 2)]), ["k"], "ts")
+    with _pytest.raises(cl.ConstraintViolationError):
+        cl.txn_append(spark, path, mk([(4, -2.0, 1)]), "app", 0)
+    # nothing committed; the orphaned violation dirs vacuum away
+    assert cl.table_versions(path) == [1]
+    assert sorted(map(tuple, cl.read_table(spark, path).collect()),
+                  key=str) == sorted(
+        [(1, 10.0, 1), (2, None, 1)], key=str)
+    deleted = cl.vacuum(path, keep_versions=1)
+    assert len(deleted) == 3  # the three unpublished writes
+    cl.append(spark, path, mk([(5, 5.0, 1)]))  # valid writes still land
+    assert cl.read_table(spark, path).count() == 3
