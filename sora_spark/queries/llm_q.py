@@ -3518,3 +3518,92 @@ def qta25_readability(spark, sf_dir):
         .filter(F.col("n_words") > 0)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "qm7_patch_grid",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 37 = 0),
+dims AS (
+  SELECT doc_id, hx, CAST(n // 16 AS BIGINT) AS n_rows FROM b),
+grid AS (
+  SELECT doc_id, hx, pr, pc
+  FROM dims,
+       unnest(range(0, CAST(n_rows // 4 AS BIGINT))) AS r(pr),
+       unnest(range(0, 4)) AS c(pc)),
+patch AS (
+  SELECT doc_id, pr, pc,
+         substr(hx, CAST(((pr*4+0)*16 + pc*4)*2 + 1 AS BIGINT), 8) ||
+         substr(hx, CAST(((pr*4+1)*16 + pc*4)*2 + 1 AS BIGINT), 8) ||
+         substr(hx, CAST(((pr*4+2)*16 + pc*4)*2 + 1 AS BIGINT), 8) ||
+         substr(hx, CAST(((pr*4+3)*16 + pc*4)*2 + 1 AS BIGINT), 8)
+           AS phex
+  FROM grid)
+SELECT doc_id, CAST(pr AS BIGINT) AS pr, CAST(pc AS BIGINT) AS pc,
+       md5(phex) AS patch_md5
+FROM patch ORDER BY doc_id, pr, pc LIMIT 500
+""",
+    doc="qm7: ViT-style PATCH-GRID extraction over opaque binary "
+    "payloads — the multimodal plumbing step between qm2's 1-D frame "
+    "sampling and a real vision encoder: the payload is treated as a "
+    "row-major 16-bytes-per-row raster, tiled into 4x4-byte patches, "
+    "and each patch's STRIDED 2-D slice (four non-contiguous row "
+    "segments, gathered and concatenated) is fingerprinted — "
+    "certifying exact offset arithmetic, stride math, and byte-level "
+    "gather, the part of patch embedding Spark must get right before "
+    "any decoder runs (the decode itself stays a stub per the "
+    "container's no-image-libs contract). Both engines address bytes "
+    "through the lower-hex encoding (qm5's established idiom; DuckDB "
+    "1.0 has no BLOB substring). All JVM string ops: hex once per "
+    "doc, then slice/concat/md5 per patch — map-side, zero Python, "
+    "zero shuffles before the sort; patches-per-doc is bounded by "
+    "payload size, and at 100 TB each doc's grid explodes locally "
+    "exactly like qd10's shingles.",
+    tags=("llm", "multimodal", "binary"),
+)
+def qm7_patch_grid(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents.filter(
+        F.col("doc_id") % 37 == 0)
+    b = docs.select(
+        "doc_id",
+        F.lower(F.hex(F.encode(F.col("text"), "UTF-8"))).alias("hx"),
+        F.floor(
+            F.octet_length(F.encode(F.col("text"), "UTF-8")) / 16
+        ).alias("n_rows"),
+    )
+    grid = (
+        b.withColumn(
+            "pr",
+            F.explode(
+                F.when(
+                    F.col("n_rows") >= 4,
+                    F.sequence(
+                        F.lit(0).cast("bigint"),
+                        (F.floor(F.col("n_rows") / 4) - 1).cast("bigint"),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
+            ),
+        )
+        .withColumn("pc", F.explode(F.array(*[F.lit(i).cast("bigint")
+                                              for i in range(4)])))
+    )
+    seg = [
+        F.substring(
+            F.col("hx"),
+            (((F.col("pr") * 4 + k) * 16 + F.col("pc") * 4) * 2 + 1)
+            .cast("int"),
+            8,
+        )
+        for k in range(4)
+    ]
+    return (
+        grid.select(
+            "doc_id", "pr", "pc",
+            F.md5(F.concat(*seg)).alias("patch_md5"),
+        )
+        .orderBy("doc_id", "pr", "pc")
+        .limit(500)
+    )
