@@ -1,0 +1,102 @@
+"""On-disk POSTINGS-LIST text index — the text-search twin of the IVF
+vector index (llm/ann.py write_ivf_index): build once, then serve
+BM25 queries reading only the term buckets the query touches.
+
+Layout: `<path>` holds the postings relation (term, doc_id, tf, dl)
+Hive-partitioned by `_tb = pmod(xxhash64(term), n_buckets)`; document
+length rides denormalized IN the posting (the Lucene norms-in-postings
+trick), so scoring never joins a doc-length table. Sidecars:
+`<path>_terms` (term, df — the corpus document frequencies) and
+`<path>_consts` (n_docs, avgdl, n_buckets), both tiny coalesced
+tables.
+
+Query cost at 100 TB: a Q-term query reads <= Q of the n_buckets
+partition directories (file-level partition pruning on `_tb`, exactly
+the qix-IVF mechanism, plan-pinned in tests/test_plans.py) and pushes
+`term IN (...)` into the parquet scan of those buckets; everything
+after the scan is |matching postings| sized. The BM25 arithmetic is
+bit-compatible with the from-scratch scorer (textstats.bm25_topk):
+Lucene idf, same k1/b, per-term contributions rounded to 6dp before
+the per-doc sum so float drift cannot reorder the top-k boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_text_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the postings index: one tokenize pass feeds both
+    the (doc, term) tf aggregation and the per-doc lengths; postings
+    land bucketed by term hash so queries prune whole directories."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    postings = tf.join(dl, "doc_id").withColumn(
+        "_tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    )
+    postings.write.partitionBy("_tb").mode("overwrite").parquet(path)
+    # df = docs containing the term (tf is per-doc distinct already)
+    tf.groupBy("term").agg(F.count("*").alias("df")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(path + "_terms")
+    dl.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.lit(n_buckets).alias("n_buckets"),
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_consts")
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Serve a BM25 query from the on-disk index → (doc_id, score),
+    top_k best (score desc, id tiebreak) — same output contract and
+    rounding discipline as textstats.bm25_topk, but reading only the
+    query terms' hash buckets instead of the corpus."""
+    terms = list(query_terms)
+    consts = spark.read.parquet(path + "_consts").collect()[0]
+    n_docs, avgdl = int(consts["n_docs"]), float(consts["avgdl"])
+    nb = int(consts["n_buckets"])
+    buckets = [
+        r[0]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(nb)))
+        .distinct()
+        .collect()
+    ]
+    p = spark.read.parquet(path).filter(
+        F.col("_tb").isin(buckets) & F.col("term").isin(terms)
+    )
+    dfreq = spark.read.parquet(path + "_terms").filter(
+        F.col("term").isin(terms)
+    )
+    j = p.join(F.broadcast(dfreq), "term")
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    contrib = F.round(idf * norm, 6)
+    return (
+        j.groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(top_k)
+    )

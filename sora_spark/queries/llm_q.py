@@ -3607,3 +3607,59 @@ def qm7_patch_grid(spark, sf_dir):
         .orderBy("doc_id", "pr", "pc")
         .limit(500)
     )
+
+
+@query(
+    "qix8_bm25_indexed",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+consts AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'vector', 'window')
+       GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         round(ln(((c.n_docs - f.df + 0.5) / (f.df + 0.5)) + 1.0)
+               * ((t.tf * 2.2)
+                  / (t.tf + 1.2 * (0.25 + (0.75 * d.dl) / c.avgdl))),
+               6) AS contrib
+  FROM tf t JOIN dl d USING (doc_id)
+  CROSS JOIN consts c JOIN dfreq f USING (term))
+SELECT doc_id, round(sum(contrib), 6) AS score
+FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+""",
+    doc="qix8: BM25 served from the ON-DISK postings index "
+    "(llm/textindex.py write_text_index / bm25_topk_indexed — the "
+    "text-search twin of the IVF vector index): postings (term, doc, "
+    "tf, dl — doc length DENORMALIZED into the posting, the Lucene "
+    "norms trick, so scoring never joins a length table) live "
+    "Hive-partitioned by term-hash bucket; the fixed query {spark, "
+    "vector, window} reads <= 3 of 16 bucket directories (file-level "
+    "partition pruning, plan-pinned) with term IN pushed into those "
+    "scans, and everything after the scan is |matching postings| "
+    "sized. Arithmetic is bit-compatible with qix3's from-scratch "
+    "scorer — same Lucene idf, same k1/b, contributions rounded 6dp "
+    "before the per-doc sum — so the oracle is qix3's own SQL and "
+    "any drift between build-time and query-time arithmetic is a "
+    "hash mismatch. df and the corpus constants come from tiny "
+    "coalesced sidecars.",
+    tags=("llm", "text", "index", "ranking"),
+)
+def qix8_bm25_indexed(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.llm import textindex
+    from sora_spark.queries.relational import _roundtrip_dir
+
+    docs = tables(spark, sf_dir).documents
+    path = os.path.join(_roundtrip_dir("text_index_docs"), "index")
+    for p in (path, path + "_terms", path + "_consts"):
+        shutil.rmtree(p, ignore_errors=True)
+    textindex.write_text_index(docs, path, n_buckets=16)
+    return textindex.bm25_topk_indexed(
+        spark, path, ["spark", "vector", "window"], top_k=20
+    )

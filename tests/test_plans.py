@@ -1015,3 +1015,24 @@ def test_commit_log_read_keeps_pushdown(spark, tmp_path):
     rs = [l for l in p.splitlines() if "ReadSchema" in l]
     assert rs and all("s:string" not in l for l in rs), (
         "projection must prune the unused string column:\n" + p)
+
+
+def test_text_index_prunes_term_buckets(spark, sf_dir, tmp_path):
+    """The postings index must serve a query by reading ONLY the query
+    terms' hash-bucket partitions (PartitionFilters on _tb) with the
+    term IN filter pushed into those scans — the qix-IVF mechanism
+    applied to text search."""
+    from sora_spark.catalog import tables
+    from sora_spark.llm import textindex
+
+    docs = tables(spark, sf_dir).documents
+    path = str(tmp_path / "ti")
+    textindex.write_text_index(docs, path, n_buckets=16)
+    q = textindex.bm25_topk_indexed(spark, path, ["spark", "window"])
+    p = _plan_df(q)
+    part = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert any("_tb" in l and " IN " in l for l in part), (
+        "query must prune term buckets:\n" + p)
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("In(term" in l for l in pushed), (
+        "term IN must push into the bucket scans:\n" + p)
