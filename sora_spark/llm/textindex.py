@@ -50,9 +50,13 @@ def write_text_index(
     tf.groupBy("term").agg(F.count("*").alias("df")).coalesce(
         1
     ).write.mode("overwrite").parquet(path + "_terms")
+    # store the MERGEABLE moments (n_docs, sum_dl), not avgdl itself:
+    # incremental appends then update the constants with exact integer
+    # adds, and avgdl = sum_dl / n_docs is the same double the
+    # from-scratch avg computes (sum-then-divide in both engines)
     dl.agg(
         F.count("*").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("sum_dl"),
         F.lit(n_buckets).alias("n_buckets"),
     ).coalesce(1).write.mode("overwrite").parquet(path + "_consts")
 
@@ -71,7 +75,8 @@ def bm25_topk_indexed(
     query terms' hash buckets instead of the corpus."""
     terms = list(query_terms)
     consts = spark.read.parquet(path + "_consts").collect()[0]
-    n_docs, avgdl = int(consts["n_docs"]), float(consts["avgdl"])
+    n_docs = int(consts["n_docs"])
+    avgdl = float(consts["sum_dl"]) / n_docs
     nb = int(consts["n_buckets"])
     buckets = [
         r[0]
@@ -100,3 +105,57 @@ def bm25_topk_indexed(
         .orderBy(F.desc("score"), "doc_id")
         .limit(top_k)
     )
+
+
+def append_to_text_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incrementally ingest NEW documents into an existing postings
+    index: their postings land as extra part-files inside the
+    existing term-bucket partitions (same hash, same layout — the
+    append_to_ivf_index shape), and the df/consts sidecars are
+    updated with exact integer merges (df adds per term; the
+    constants' mergeable moments add), so served scores are
+    IDENTICAL to a full rebuild over the union.
+
+    CONTRACT: appended doc_ids must be NEW — a doc split across
+    build and append would carry two partial (doc, term) postings
+    and BM25 is nonlinear in tf. One tokenize pass over the new
+    docs only; sidecar rewrites are term-count / 1-row sized."""
+    spark = new_docs.sparkSession
+    consts = spark.read.parquet(path + "_consts").collect()[0]
+    nb = int(consts["n_buckets"])
+    tok = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf.join(dl, "doc_id").withColumn(
+        "_tb", F.pmod(F.xxhash64("term"), F.lit(nb))
+    ).write.partitionBy("_tb").mode("append").parquet(path)
+
+    new_df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    old_terms = spark.read.parquet(path + "_terms")
+    merged = (
+        old_terms.unionByName(new_df)
+        .groupBy("term")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)  # sever lineage from the file
+    )
+    merged.write.mode("overwrite").parquet(path + "_terms")
+    add = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    spark.createDataFrame(
+        [(
+            int(consts["n_docs"]) + int(add["n"]),
+            int(consts["sum_dl"]) + int(add["s"]),
+            nb,
+        )],
+        "n_docs BIGINT, sum_dl BIGINT, n_buckets INT",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_consts")

@@ -3663,3 +3663,62 @@ def qix8_bm25_indexed(spark, sf_dir):
     return textindex.bm25_topk_indexed(
         spark, path, ["spark", "vector", "window"], top_k=20
     )
+
+
+@query(
+    "qix9_text_index_append",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+consts AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'vector', 'window')
+       GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         round(ln(((c.n_docs - f.df + 0.5) / (f.df + 0.5)) + 1.0)
+               * ((t.tf * 2.2)
+                  / (t.tf + 1.2 * (0.25 + (0.75 * d.dl) / c.avgdl))),
+               6) AS contrib
+  FROM tf t JOIN dl d USING (doc_id)
+  CROSS JOIN consts c JOIN dfreq f USING (term))
+SELECT doc_id, round(sum(contrib), 6) AS score
+FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+""",
+    doc="qix9: incremental ingest into the postings index "
+    "(textindex.append_to_text_index — completing the ingest story "
+    "across all three on-disk indexes: IVF qix6, IVF-PQ qix7, "
+    "postings here): the index is built from 3/4 of the corpus, the "
+    "remaining quarter's postings land as extra part-files inside "
+    "the existing term-bucket partitions, and the df/consts sidecars "
+    "update via EXACT integer merges (per-term df adds; the "
+    "constants store mergeable moments (n_docs, sum_dl) rather than "
+    "avgdl, so the merged average is bit-identical to the "
+    "from-scratch one). The served query must therefore equal the "
+    "FULL-corpus from-scratch BM25 oracle exactly — global "
+    "statistics (idf, avgdl) are where naive index appends silently "
+    "go stale, and any staleness here is a hash mismatch. Appended "
+    "doc_ids must be new (BM25 is nonlinear in tf; contract "
+    "documented on the operator).",
+    tags=("llm", "text", "index", "ranking", "ingest"),
+)
+def qix9_text_index_append(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.llm import textindex
+    from sora_spark.queries.relational import _roundtrip_dir
+
+    docs = tables(spark, sf_dir).documents
+    path = os.path.join(_roundtrip_dir("text_index_append"), "index")
+    for p in (path, path + "_terms", path + "_consts"):
+        shutil.rmtree(p, ignore_errors=True)
+    textindex.write_text_index(
+        docs.filter(F.col("doc_id") % 4 != 0), path, n_buckets=16)
+    textindex.append_to_text_index(
+        docs.filter(F.col("doc_id") % 4 == 0), path)
+    return textindex.bm25_topk_indexed(
+        spark, path, ["spark", "vector", "window"], top_k=20
+    )
