@@ -32,15 +32,25 @@ def write_text_index(
     n_buckets: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    positions: bool = False,
 ) -> None:
     """Materialize the postings index: one tokenize pass feeds both
     the (doc, term) tf aggregation and the per-doc lengths; postings
-    land bucketed by term hash so queries prune whole directories."""
+    land bucketed by term hash so queries prune whole directories.
+    `positions=True` stores each posting's sorted in-doc position
+    array (the positional index), enabling phrase/proximity queries
+    straight from the index (`phrase_docs_indexed`) at the cost of
+    one int per token of index size — the Lucene positions trade."""
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    if positions:
+        tf = tok.groupBy("doc_id", "term").agg(
+            F.sort_array(F.collect_list("pos")).alias("positions")
+        ).withColumn("tf", F.size("positions").cast("bigint"))
+    else:
+        tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     postings = tf.join(dl, "doc_id").withColumn(
         "_tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
@@ -128,11 +138,17 @@ def append_to_text_index(
     spark = new_docs.sparkSession
     consts = spark.read.parquet(path + "_consts").collect()[0]
     nb = int(consts["n_buckets"])
+    positional = "positions" in spark.read.parquet(path).columns
     tok = new_docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    if positional:
+        tf = tok.groupBy("doc_id", "term").agg(
+            F.sort_array(F.collect_list("pos")).alias("positions")
+        ).withColumn("tf", F.size("positions").cast("bigint"))
+    else:
+        tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     tf.join(dl, "doc_id").withColumn(
         "_tb", F.pmod(F.xxhash64("term"), F.lit(nb))
@@ -159,3 +175,58 @@ def append_to_text_index(
         )],
         "n_docs BIGINT, sum_dl BIGINT, n_buckets INT",
     ).coalesce(1).write.mode("overwrite").parquet(path + "_consts")
+
+
+def phrase_docs_indexed(
+    spark,
+    path: str,
+    phrase_terms: list[str],
+) -> DataFrame:
+    """Exact-phrase matching served from a POSITIONAL index (built
+    with positions=True) → the doc_ids containing the consecutive
+    phrase. Reads only the phrase terms' hash buckets (same pruning
+    as bm25_topk_indexed); the phrase check is the classic positional
+    intersection — fold over terms keeping the candidate END
+    positions: cand_{i+1} = (cand_i + 1) ∩ positions(term_{i+1}) —
+    all JVM array functions, candidate-doc sized after the first
+    join, no text rescard."""
+    terms = list(phrase_terms)
+    if len(terms) < 2:
+        raise ValueError("phrase needs >= 2 terms")
+    consts = spark.read.parquet(path + "_consts").collect()[0]
+    nb = int(consts["n_buckets"])
+    buckets = [
+        r[0]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(nb)))
+        .distinct()
+        .collect()
+    ]
+    p = spark.read.parquet(path).filter(
+        F.col("_tb").isin(buckets) & F.col("term").isin(terms)
+    )
+    if "positions" not in p.columns:
+        raise ValueError(
+            "phrase_docs_indexed needs a POSITIONAL index — rebuild "
+            "with write_text_index(..., positions=True)"
+        )
+    cur = p.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("positions").alias("_cand")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = p.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"_p{i}")
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .withColumn(
+                "_cand",
+                F.array_intersect(
+                    F.transform("_cand", lambda x: x + 1),
+                    F.col(f"_p{i}"),
+                ),
+            )
+            .filter(F.size("_cand") > 0)
+            .select("doc_id", "_cand")
+        )
+    return cur.select("doc_id").orderBy("doc_id")

@@ -1505,3 +1505,67 @@ def qa29_hll_register_sketch(spark, sf_dir):
         )
         .orderBy("j")
     )
+
+
+@query(
+    "qa30_weighted_percentiles",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag AS g, round(l_extendedprice, 2) AS v,
+         l_quantity AS wt,
+         sum(l_quantity) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY round(l_extendedprice, 2), l_orderkey, l_linenumber
+         ) AS cw,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem)
+SELECT g,
+       round(min(CASE WHEN cw >= 0.25 * tw THEN v END), 2) AS w_p25,
+       round(min(CASE WHEN cw >= 0.50 * tw THEN v END), 2) AS w_median,
+       round(min(CASE WHEN cw >= 0.75 * tw THEN v END), 2) AS w_p75
+FROM w GROUP BY g ORDER BY g
+""",
+    doc="qa30: WEIGHTED percentiles per group — the quantity-weighted "
+    "p25/median/p75 of extended price per return flag (weighted "
+    "type-1 quantile: the smallest value whose cumulative weight "
+    "reaches p of the group total). The unweighted percentile "
+    "family (qa7 etc.) treats every row equally; weighting by "
+    "quantity answers 'the price level at which half the VOLUME "
+    "trades' — the inventory/curriculum-sampling form. Shapes: one "
+    "window cumsum under a TOTAL order (value + the (orderkey, "
+    "linenumber) unique tiebreak, so equal prices accumulate in the "
+    "same deterministic order in both engines) + one conditional-min "
+    "aggregation; weights sum as integers (no float drift in the "
+    "thresholds' left side; the p*total threshold is one exact "
+    "int-to-double product per group).",
+    tags=("agg", "percentile", "weighted"),
+)
+def qa30_weighted_percentiles(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    v = F.round("l_extendedprice", 2)
+    w = (
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            v.alias("v"),
+            F.col("l_quantity").alias("wt"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .withColumn(
+            "cw",
+            F.sum("wt").over(
+                Window.partitionBy("g").orderBy(
+                    "v", "l_orderkey", "l_linenumber")
+            ),
+        )
+        .withColumn("tw", F.sum("wt").over(Window.partitionBy("g")))
+    )
+    def pct(p, name):
+        return F.round(
+            F.min(F.when(F.col("cw") >= p * F.col("tw"), F.col("v"))), 2
+        ).alias(name)
+    return (
+        w.groupBy("g")
+        .agg(pct(0.25, "w_p25"), pct(0.50, "w_median"), pct(0.75, "w_p75"))
+        .orderBy("g")
+    )

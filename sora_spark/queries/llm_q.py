@@ -3722,3 +3722,46 @@ def qix9_text_index_append(spark, sf_dir):
     return textindex.bm25_topk_indexed(
         spark, path, ["spark", "vector", "window"], top_k=20
     )
+
+
+@query(
+    "qix10_phrase_from_index",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id FROM t
+WHERE len(list_filter(range(1, len(w)),
+          i -> w[CAST(i AS INT)] = 'the'
+           AND w[CAST(i AS INT) + 1] = 'data')) > 0
+ORDER BY doc_id
+""",
+    doc="qix10: exact-PHRASE query served from the POSITIONAL "
+    "postings index (textindex write_text_index(positions=True) / "
+    "phrase_docs_indexed): each posting stores its sorted in-doc "
+    "position array (the Lucene positions trade — one int per "
+    "token), and the phrase check is the classic positional "
+    "intersection fold (cand+1 ∩ next term's positions), all JVM "
+    "array functions, candidate-doc sized after the first join — no "
+    "text rescan. The index is built from 3/4 of the corpus and the "
+    "rest APPENDED (positional append path), so the row also "
+    "certifies positional ingest; reads prune to the phrase terms' "
+    "hash buckets exactly like qix8. Oracle verifies from the raw "
+    "token arrays; qix2 is the from-scratch twin of this query.",
+    tags=("llm", "text", "index", "phrase", "ingest"),
+)
+def qix10_phrase_from_index(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.llm import textindex
+    from sora_spark.queries.relational import _roundtrip_dir
+
+    docs = tables(spark, sf_dir).documents
+    path = os.path.join(_roundtrip_dir("text_index_pos"), "index")
+    for p in (path, path + "_terms", path + "_consts"):
+        shutil.rmtree(p, ignore_errors=True)
+    textindex.write_text_index(
+        docs.filter(F.col("doc_id") % 4 != 0), path, n_buckets=16,
+        positions=True)
+    textindex.append_to_text_index(
+        docs.filter(F.col("doc_id") % 4 == 0), path)
+    return textindex.phrase_docs_indexed(spark, path, ["the", "data"])
