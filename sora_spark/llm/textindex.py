@@ -1,46 +1,60 @@
 """On-disk POSTINGS-LIST text index — the text-search twin of the IVF
 vector index (llm/ann.py write_ivf_index): build once, then serve
-BM25 queries reading only the term buckets the query touches.
+BM25 / phrase queries reading only the term buckets the query
+touches.
 
-Layout: `<path>` holds the postings relation (term, doc_id, tf, dl)
-Hive-partitioned by `_tb = pmod(xxhash64(term), n_buckets)`; document
-length rides denormalized IN the posting (the Lucene norms-in-postings
-trick), so scoring never joins a doc-length table. Sidecars:
-`<path>_terms` (term, df — the corpus document frequencies) and
-`<path>_consts` (n_docs, avgdl, n_buckets), both tiny coalesced
-tables.
+Layout: `<path>` holds the postings relation (term, doc_id, tf, dl
+[, positions]) Hive-partitioned by `_tb = pmod(xxhash64(term),
+n_buckets)`; document length rides denormalized IN the posting (the
+Lucene norms-in-postings trick), so scoring never joins a doc-length
+table; `positions=True` adds each posting's sorted in-doc position
+array (the Lucene positions trade — one int per token) for
+phrase/proximity queries. Sidecars: `<path>_terms` (term, df) and
+`<path>_consts` (n_docs, sum_dl, n_buckets).
+
+THE SIDECARS ARE A CACHE: df and the corpus constants are pure
+aggregates of the postings relation (dl is denormalized per doc), so
+`rebuild_sidecars` re-derives both with two column-pruned reads of
+the index — never re-tokenizing the corpus. Build and append both go
+through it, which is also the CRASH-RECOVERY path: an append is
+postings-append (the only mutation of record) followed by a sidecar
+rebuild, so a failure between the two leaves correct postings with
+stale sidecars, and re-running `rebuild_sidecars` restores
+consistency exactly. Multi-file atomicity beyond that (concurrent
+writers, torn sidecar swaps) is the commit-log module's job — wrap
+index directories in a commit_log table for that regime.
 
 Query cost at 100 TB: a Q-term query reads <= Q of the n_buckets
-partition directories (file-level partition pruning on `_tb`, exactly
-the qix-IVF mechanism, plan-pinned in tests/test_plans.py) and pushes
-`term IN (...)` into the parquet scan of those buckets; everything
-after the scan is |matching postings| sized. The BM25 arithmetic is
-bit-compatible with the from-scratch scorer (textstats.bm25_topk):
-Lucene idf, same k1/b, per-term contributions rounded to 6dp before
-the per-doc sum so float drift cannot reorder the top-k boundary.
+partition directories (file-level partition pruning on `_tb`, the
+qix-IVF mechanism, plan-pinned in tests/test_plans.py) and pushes
+`term IN (...)` into those scans; everything after the scan is
+|matching postings| sized. BM25 arithmetic is bit-compatible with
+the from-scratch scorer (textstats.bm25_topk): Lucene idf, same
+k1/b, per-term contributions rounded to 6dp before the per-doc sum.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def write_text_index(
+def _postings(
     docs: DataFrame,
-    path: str,
-    n_buckets: int = 16,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    positions: bool = False,
-) -> None:
-    """Materialize the postings index: one tokenize pass feeds both
-    the (doc, term) tf aggregation and the per-doc lengths; postings
-    land bucketed by term hash so queries prune whole directories.
-    `positions=True` stores each posting's sorted in-doc position
-    array (the positional index), enabling phrase/proximity queries
-    straight from the index (`phrase_docs_indexed`) at the cost of
-    one int per token of index size — the Lucene positions trade."""
+    text_col: str,
+    id_col: str,
+    positions: bool,
+    n_buckets,
+) -> DataFrame:
+    """ONE tokenize pass → the postings relation (term, doc_id, tf,
+    dl[, positions], _tb). Shared verbatim by build and append so
+    tokenization and bucket hashing can never diverge between them
+    (divergent hashing would land appended postings in the wrong
+    buckets and queries would silently miss them)."""
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
@@ -52,23 +66,105 @@ def write_text_index(
     else:
         tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    postings = tf.join(dl, "doc_id").withColumn(
+    return tf.join(dl, "doc_id").withColumn(
         "_tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     )
-    postings.write.partitionBy("_tb").mode("overwrite").parquet(path)
-    # df = docs containing the term (tf is per-doc distinct already)
-    tf.groupBy("term").agg(F.count("*").alias("df")).coalesce(
-        1
-    ).write.mode("overwrite").parquet(path + "_terms")
-    # store the MERGEABLE moments (n_docs, sum_dl), not avgdl itself:
-    # incremental appends then update the constants with exact integer
-    # adds, and avgdl = sum_dl / n_docs is the same double the
-    # from-scratch avg computes (sum-then-divide in both engines)
-    dl.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-        F.lit(n_buckets).alias("n_buckets"),
-    ).coalesce(1).write.mode("overwrite").parquet(path + "_consts")
+
+
+def _term_buckets(spark, terms: list[str], nb: int) -> list[int]:
+    """The query terms' partition buckets, via the SAME JVM hash the
+    writer used (one tiny job — literals through xxhash64)."""
+    return [
+        r[0]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(nb)))
+        .distinct()
+        .collect()
+    ]
+
+
+def rebuild_sidecars(spark, path: str, n_buckets: int) -> None:
+    """Re-derive `<path>_terms` and `<path>_consts` from the postings
+    relation: df = docs per term, constants from the per-doc
+    denormalized dl (first() per doc — every posting of a doc carries
+    the same dl). Two COLUMN-PRUNED reads of the index, never a
+    corpus re-tokenize. Also the crash-recovery path: postings are
+    the only data of record, so rerunning this after a failed append
+    restores sidecar consistency exactly. Each sidecar lands under a
+    temp name first and swaps in via rename, so a crash mid-rebuild
+    leaves either the old or the new sidecar, not a torn one."""
+    p = spark.read.parquet(path)
+    df_tbl = p.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df")
+    ).coalesce(1)
+    consts = (
+        p.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            F.lit(n_buckets).alias("n_buckets"),
+        )
+        .coalesce(1)
+    )
+    for side, frame in (("_terms", df_tbl), ("_consts", consts)):
+        final = path + side
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        frame.write.mode("overwrite").parquet(tmp)
+        old = f"{final}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def write_text_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    positions: bool = False,
+) -> None:
+    """Materialize the postings index: ONE tokenize pass writes the
+    postings; the sidecars are then derived from the written index
+    (column-pruned reads — the same discipline textstats.bm25_topk
+    adopted after its round-7 four-scan plan review)."""
+    spark = docs.sparkSession
+    _postings(docs, text_col, id_col, positions, n_buckets).write.partitionBy(
+        "_tb"
+    ).mode("overwrite").parquet(path)
+    rebuild_sidecars(spark, path, n_buckets)
+
+
+def append_to_text_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incrementally ingest NEW documents: their postings land as
+    extra part-files inside the existing term-bucket partitions (same
+    hash, same layout — the append_to_ivf_index shape), then the
+    df/consts sidecars are rebuilt from the postings relation, so
+    served scores are IDENTICAL to a full rebuild over the union and
+    global statistics (idf, avgdl) can never go stale. A crash
+    between the postings append and the rebuild leaves correct
+    postings with stale sidecars — rerun `rebuild_sidecars` to
+    recover (postings are the only data of record).
+
+    CONTRACT: appended doc_ids must be NEW — a doc split across
+    build and append would carry two partial (doc, term) postings
+    and BM25 is nonlinear in tf. One tokenize pass over the new
+    docs; the sidecar rebuild reads two columns of the index."""
+    spark = new_docs.sparkSession
+    consts = spark.read.parquet(path + "_consts").collect()[0]
+    nb = int(consts["n_buckets"])
+    positional = "positions" in spark.read.parquet(path).columns
+    _postings(new_docs, text_col, id_col, positional, nb).write.partitionBy(
+        "_tb"
+    ).mode("append").parquet(path)
+    rebuild_sidecars(spark, path, nb)
 
 
 def bm25_topk_indexed(
@@ -86,17 +182,16 @@ def bm25_topk_indexed(
     terms = list(query_terms)
     consts = spark.read.parquet(path + "_consts").collect()[0]
     n_docs = int(consts["n_docs"])
+    if n_docs == 0:
+        raise ValueError(
+            f"text index at {path!r} is empty (n_docs=0); build it "
+            "over a non-empty corpus before querying"
+        )
     avgdl = float(consts["sum_dl"]) / n_docs
     nb = int(consts["n_buckets"])
-    buckets = [
-        r[0]
-        for r in spark.createDataFrame([(t,) for t in terms], "term string")
-        .select(F.pmod(F.xxhash64("term"), F.lit(nb)))
-        .distinct()
-        .collect()
-    ]
     p = spark.read.parquet(path).filter(
-        F.col("_tb").isin(buckets) & F.col("term").isin(terms)
+        F.col("_tb").isin(_term_buckets(spark, terms, nb))
+        & F.col("term").isin(terms)
     )
     dfreq = spark.read.parquet(path + "_terms").filter(
         F.col("term").isin(terms)
@@ -117,66 +212,6 @@ def bm25_topk_indexed(
     )
 
 
-def append_to_text_index(
-    new_docs: DataFrame,
-    path: str,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> None:
-    """Incrementally ingest NEW documents into an existing postings
-    index: their postings land as extra part-files inside the
-    existing term-bucket partitions (same hash, same layout — the
-    append_to_ivf_index shape), and the df/consts sidecars are
-    updated with exact integer merges (df adds per term; the
-    constants' mergeable moments add), so served scores are
-    IDENTICAL to a full rebuild over the union.
-
-    CONTRACT: appended doc_ids must be NEW — a doc split across
-    build and append would carry two partial (doc, term) postings
-    and BM25 is nonlinear in tf. One tokenize pass over the new
-    docs only; sidecar rewrites are term-count / 1-row sized."""
-    spark = new_docs.sparkSession
-    consts = spark.read.parquet(path + "_consts").collect()[0]
-    nb = int(consts["n_buckets"])
-    positional = "positions" in spark.read.parquet(path).columns
-    tok = new_docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
-    )
-    if positional:
-        tf = tok.groupBy("doc_id", "term").agg(
-            F.sort_array(F.collect_list("pos")).alias("positions")
-        ).withColumn("tf", F.size("positions").cast("bigint"))
-    else:
-        tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    tf.join(dl, "doc_id").withColumn(
-        "_tb", F.pmod(F.xxhash64("term"), F.lit(nb))
-    ).write.partitionBy("_tb").mode("append").parquet(path)
-
-    new_df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    old_terms = spark.read.parquet(path + "_terms")
-    merged = (
-        old_terms.unionByName(new_df)
-        .groupBy("term")
-        .agg(F.sum("df").cast("bigint").alias("df"))
-        .coalesce(1)
-        .localCheckpoint(eager=True)  # sever lineage from the file
-    )
-    merged.write.mode("overwrite").parquet(path + "_terms")
-    add = dl.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("s")
-    ).collect()[0]
-    spark.createDataFrame(
-        [(
-            int(consts["n_docs"]) + int(add["n"]),
-            int(consts["sum_dl"]) + int(add["s"]),
-            nb,
-        )],
-        "n_docs BIGINT, sum_dl BIGINT, n_buckets INT",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "_consts")
-
-
 def phrase_docs_indexed(
     spark,
     path: str,
@@ -189,21 +224,15 @@ def phrase_docs_indexed(
     intersection — fold over terms keeping the candidate END
     positions: cand_{i+1} = (cand_i + 1) ∩ positions(term_{i+1}) —
     all JVM array functions, candidate-doc sized after the first
-    join, no text rescard."""
+    join, no text rescan."""
     terms = list(phrase_terms)
     if len(terms) < 2:
         raise ValueError("phrase needs >= 2 terms")
     consts = spark.read.parquet(path + "_consts").collect()[0]
     nb = int(consts["n_buckets"])
-    buckets = [
-        r[0]
-        for r in spark.createDataFrame([(t,) for t in terms], "term string")
-        .select(F.pmod(F.xxhash64("term"), F.lit(nb)))
-        .distinct()
-        .collect()
-    ]
     p = spark.read.parquet(path).filter(
-        F.col("_tb").isin(buckets) & F.col("term").isin(terms)
+        F.col("_tb").isin(_term_buckets(spark, terms, nb))
+        & F.col("term").isin(terms)
     )
     if "positions" not in p.columns:
         raise ValueError(

@@ -209,6 +209,37 @@ def _column_stats(df: DataFrame, cols: list[str]) -> dict:
     return out
 
 
+def _bucket_stats(df: DataFrame, cols: list[str]) -> dict:
+    """Per-_bucket column stats in ONE grouped aggregation:
+    {bucket: {col: {min, max, nulls}}} with _column_stats' exact
+    encoding/omission rules."""
+    from pyspark.sql import functions as F
+
+    cols = [c for c in cols if c in df.columns]
+    if not cols:
+        return {}
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs += [
+            F.min(c).alias(f"mn{i}"),
+            F.max(c).alias(f"mx{i}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nu{i}"),
+        ]
+    out: dict = {}
+    for row in df.groupBy("_bucket").agg(*aggs).collect():
+        st = {}
+        for i, c in enumerate(cols):
+            nulls = int(row[f"nu{i}"] or 0)
+            lo = _stat_scalar(row[f"mn{i}"])
+            hi = _stat_scalar(row[f"mx{i}"])
+            if row[f"mn{i}"] is None:
+                st[c] = {"nulls": nulls, "allnull": True}
+            elif lo is not None and hi is not None:
+                st[c] = {"min": lo, "max": hi, "nulls": nulls}
+        out[int(row["_bucket"])] = st
+    return out
+
+
 def _disjoint_on(a: dict | None, b: dict | None) -> bool:
     """True only when NO row behind stats `a` can share this key-column
     value with a row behind stats `b`. SQL/window equality semantics:
@@ -615,7 +646,11 @@ def compact(
 
     commits = _read_commits(path, None)
     live = _fold_live(commits)
-    if len(live) < min_dirs:
+    # min_dirs is the small-file heuristic for plain OPTIMIZE; an
+    # explicit cluster_by re-layout request is never silently ignored
+    # (r11 review finding: a single-directory interleaved table is
+    # exactly the retrofit case)
+    if len(live) < min_dirs and not cluster_by:
         return None
     version = commits[-1]["version"] + 1
     live_stats = _live_stats(path, commits=commits)
@@ -649,13 +684,17 @@ def compact(
         d for d in os.listdir(os.path.join(path, base_rel))
         if d.startswith("_bucket=")
     )
+    # ONE grouped pass over the written data computes every bucket's
+    # stats (the hive read exposes _bucket as a partition column) —
+    # not a per-bucket driver loop of read jobs (r11 review finding)
     added, entry_stats = [], {}
+    grouped = _bucket_stats(
+        spark.read.parquet(os.path.join(path, base_rel)), stats_cols
+    )
     for b in buckets:
         rel = os.path.join(base_rel, b)
-        st = _column_stats(
-            spark.read.parquet(os.path.join(path, rel)), stats_cols
-        )
         added.append(rel)
+        st = grouped.get(int(b.split("=", 1)[1]), {})
         if st:
             entry_stats[rel] = st
     entry = {"version": version, "operation": "optimize",

@@ -2445,3 +2445,49 @@ def test_commit_log_check_constraint(spark, tmp_path):
     assert len(deleted) == 3  # the three unpublished writes
     cl.append(spark, path, mk([(5, 5.0, 1)]))  # valid writes still land
     assert cl.read_table(spark, path).count() == 3
+
+
+def test_clustered_compact_single_dir_and_sidecar_recovery(spark, tmp_path):
+    """Two r11 review closures: (a) an explicit cluster_by request is
+    honored even on a single-directory table (min_dirs gates only
+    plain OPTIMIZE); (b) the text index's sidecars are a derived
+    cache — after a simulated crash between postings-append and
+    sidecar update (stale sidecars), rebuild_sidecars restores exact
+    consistency from the postings alone."""
+    import json
+    import os
+
+    from sora_spark.llm import textindex
+    from sora_spark.sources import commit_log as cl
+
+    # (a) one interleaved dir -> clustered layout
+    path = str(tmp_path / "t")
+    mk = lambda rs: spark.createDataFrame(rs, "k bigint, s string, ts bigint")
+    cl.create_table(spark, path, mk([(k, "x", 1) for k in range(100)]),
+                    stats_cols=["k"])
+    v = cl.compact(spark, path, target_partitions=4, cluster_by=["k"])
+    assert v is not None
+    with open(os.path.join(path, "_commits", "%08d.json" % v)) as f:
+        assert len(json.load(f)["added"]) >= 2
+
+    # (b) stale-sidecar recovery
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma " + ("delta " * (i % 3)).strip())
+         for i in range(40)],
+        "doc_id bigint, text string")
+    ipath = str(tmp_path / "ix")
+    textindex.write_text_index(
+        docs.filter("doc_id % 2 = 0"), ipath, n_buckets=8)
+    # simulate the crash: postings of the second half land, sidecars
+    # do NOT (raw postings append without the rebuild step)
+    textindex._postings(
+        docs.filter("doc_id % 2 = 1"), "text", "doc_id", False, 8
+    ).write.partitionBy("_tb").mode("append").parquet(ipath)
+    textindex.rebuild_sidecars(spark, ipath, 8)
+    served = {r["doc_id"]: r["score"] for r in textindex.bm25_topk_indexed(
+        spark, ipath, ["delta", "beta"], top_k=40).collect()}
+    fresh_path = str(tmp_path / "ix2")
+    textindex.write_text_index(docs, fresh_path, n_buckets=8)
+    fresh = {r["doc_id"]: r["score"] for r in textindex.bm25_topk_indexed(
+        spark, fresh_path, ["delta", "beta"], top_k=40).collect()}
+    assert served == fresh
