@@ -3711,3 +3711,71 @@ def qup15_check_constraints(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@query(
+    "qts11_seasonal_naive_backtest",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+lagged AS (
+  SELECT event_type, d, n,
+         lag(n, 7) OVER w AS f_seasonal,
+         lag(n, 1) OVER w AS f_naive
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+scored AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days_scored,
+         round(avg(abs(n - f_naive)), 5) AS mae_naive,
+         round(avg(abs(n - f_seasonal)), 5) AS mae_seasonal
+  FROM lagged
+  WHERE f_seasonal IS NOT NULL AND f_naive IS NOT NULL
+  GROUP BY event_type)
+SELECT event_type, n_days_scored, mae_naive, mae_seasonal,
+       round(mae_seasonal / mae_naive, 5) AS mase
+FROM scored ORDER BY event_type
+""",
+    doc="qts11: seasonal-naive FORECAST BACKTEST per event type — "
+    "forecast(d) = count(d-7) (weekly seasonal naive) scored against "
+    "the actual daily counts on every day where both it and the "
+    "1-day naive baseline exist, reporting MAE of each and MASE "
+    "(the scale-free forecast-accuracy standard: seasonal MAE over "
+    "naive MAE; < 1 means the seasonal structure helps). Completes "
+    "the qts7 decomposition with the FORECASTING side of the "
+    "time-series family. Determinism: counts are integers, the MAEs "
+    "are exact integer-sum/count divisions, and MASE is a ratio of "
+    "the PRE-ROUNDED MAEs (the pre-rounded-components idiom), so no "
+    "float drift crosses engines. Shapes: one daily aggregation "
+    "(shuffle on (type, day)), two lags over a per-type window, one "
+    "per-type reduce — wordcount economics; the events-table "
+    "TIMESTAMP(NANOS) path rides the catalog's runtime conf.",
+    tags=("timeseries", "forecast", "eval"),
+)
+def qts11_seasonal_naive_backtest(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type", "d", "n",
+        F.lag("n", 7).over(w).alias("f_seasonal"),
+        F.lag("n", 1).over(w).alias("f_naive"),
+    ).filter(
+        F.col("f_seasonal").isNotNull() & F.col("f_naive").isNotNull()
+    )
+    scored = lagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days_scored"),
+        F.round(F.avg(F.abs(F.col("n") - F.col("f_naive"))), 5)
+        .alias("mae_naive"),
+        F.round(F.avg(F.abs(F.col("n") - F.col("f_seasonal"))), 5)
+        .alias("mae_seasonal"),
+    )
+    return scored.select(
+        "event_type", "n_days_scored", "mae_naive", "mae_seasonal",
+        F.round(F.col("mae_seasonal") / F.col("mae_naive"), 5)
+        .alias("mase"),
+    ).orderBy("event_type")

@@ -234,3 +234,40 @@ def qsub6_parameterized_sql(spark, sf_dir):
             "seg_b": "MACHINERY",
         },
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey,
+       o.k,
+       o.price
+FROM customer c,
+     LATERAL (SELECT o_orderkey AS k,
+                     round(o_totalprice, 2) AS price
+              FROM orders
+              WHERE o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+              LIMIT 2) o
+WHERE c.c_custkey % 50 = 0
+ORDER BY c.c_custkey, price DESC, k
+"""
+
+
+@query(
+    "qsub7_lateral_topk",
+    oracle=_LATERAL_SQL,
+    doc="qsub7: LATERAL correlated subquery — per-customer top-2 "
+    "orders by price through the SQL entry point, the standard "
+    "'top-N per entity' idiom ANSI LATERAL expresses without a "
+    "window function. Catalyst decorrelates the LATERAL into a "
+    "ranked join (never one subquery execution per outer row — the "
+    "nested-loop trap the decorrelation rules exist to avoid); "
+    "DuckDB runs the IDENTICAL SQL string, so the oracle certifies "
+    "both the decorrelation's semantics (per-key LIMIT, "
+    "deterministic tiebreak) and the dialect compatibility of the "
+    "statement itself. Customers without orders contribute no rows "
+    "(inner-lateral semantics).",
+    tags=("sql", "subquery", "lateral"),
+)
+def qsub7_lateral_topk(spark, sf_dir):
+    tables(spark, sf_dir).register_views()
+    return spark.sql(_LATERAL_SQL)
