@@ -3779,3 +3779,65 @@ def qts11_seasonal_naive_backtest(spark, sf_dir):
         F.round(F.col("mae_seasonal") / F.col("mae_naive"), 5)
         .alias("mase"),
     ).orderBy("event_type")
+
+
+@query(
+    "qdz10_benford_audit",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_d FROM d GROUP BY digit),
+t AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM c)
+SELECT c.digit, c.n_d,
+       round(c.n_d * 1.0 / t.n, 6) AS obs_frac,
+       round(log10(1.0 + 1.0 / c.digit), 6) AS benford_frac,
+       round(pow(c.n_d - t.n * round(log10(1.0 + 1.0 / c.digit), 6), 2)
+             / (t.n * round(log10(1.0 + 1.0 / c.digit), 6)), 6)
+         AS chi2_contrib
+FROM c, t ORDER BY c.digit
+""",
+    doc="qdz10: BENFORD'S-LAW first-digit audit of order totals — the "
+    "classic fraud/synthetic-data screen: observed leading-digit "
+    "frequencies vs the Benford expectation log10(1+1/d), with the "
+    "per-digit chi-square contribution (the global statistic is the "
+    "9-row sum; emitting contributions keeps every output a "
+    "deterministic function of one digit's integers — no "
+    "order-sensitive 9-term float sum crosses engines, the "
+    "pre-rounded-components discipline). Digit extraction goes "
+    "through floor -> BIGINT -> string so both engines see the same "
+    "integer text (never scientific notation). Shapes: map-side "
+    "digit projection, a 9-row groupBy, one scalar total — "
+    "wordcount economics; at 100 TB this is a metadata-cheap "
+    "screen over any numeric column.",
+    tags=("quality", "audit", "agg"),
+)
+def qdz10_benford_audit(spark, sf_dir):
+    orders = tables(spark, sf_dir).orders
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    c = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n_d"))
+    )
+    t = c.agg(F.sum("n_d").cast("bigint").alias("n"))
+    e = F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n_d",
+            F.round(F.col("n_d") * 1.0 / F.col("n"), 6).alias("obs_frac"),
+            e.alias("benford_frac"),
+            F.round(
+                F.pow(F.col("n_d") - F.col("n") * e, 2)
+                / (F.col("n") * e),
+                6,
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("digit")
+    )

@@ -271,3 +271,41 @@ ORDER BY c.c_custkey, price DESC, k
 def qsub7_lateral_topk(spark, sf_dir):
     tables(spark, sf_dir).register_views()
     return spark.sql(_LATERAL_SQL)
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE tree AS (
+  SELECT s_suppkey AS k, 0 AS depth, round(s_acctbal, 2) AS bal
+  FROM supplier WHERE s_suppkey = 1
+  UNION ALL
+  SELECT s.s_suppkey, t.depth + 1, round(s.s_acctbal, 2)
+  FROM supplier s
+  JOIN tree t
+    ON s.s_suppkey = 2 * t.k OR s.s_suppkey = 2 * t.k + 1
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(sum(bal), 2) AS sum_bal
+FROM tree GROUP BY depth ORDER BY depth
+"""
+
+
+@query(
+    "qsub8_recursive_cte",
+    oracle=_RECURSIVE_SQL,
+    doc="qsub8: RECURSIVE CTE (Spark 4's WITH RECURSIVE — the "
+    "iterative-SQL surface) — a binary-tree traversal over the "
+    "supplier table (children of k are 2k and 2k+1), aggregating "
+    "count and balance per depth. DuckDB runs the IDENTICAL SQL "
+    "string, so the oracle certifies the recursion semantics "
+    "(anchor + step, termination when the step yields no rows) and "
+    "the dialect compatibility at once. Depth is log2(|supplier|) "
+    "(~14 at sf1), far under the engine's recursion-level limit; "
+    "each step is one equi-ish join of the frontier against the "
+    "supplier relation — the same per-iteration shape the Graph "
+    "module's fixpoint loops hand-roll, now expressible in pure "
+    "SQL.",
+    tags=("sql", "subquery", "recursive"),
+)
+def qsub8_recursive_cte(spark, sf_dir):
+    tables(spark, sf_dir).register_views()
+    return spark.sql(_RECURSIVE_SQL)
