@@ -236,7 +236,7 @@ def qsub6_parameterized_sql(spark, sf_dir):
     )
 
 
-_LATERAL_SQL = """
+_LATERAL_TOPK_SQL = """
 SELECT c.c_custkey,
        o.k,
        o.price
@@ -254,7 +254,7 @@ ORDER BY c.c_custkey, price DESC, k
 
 @query(
     "qsub7_lateral_topk",
-    oracle=_LATERAL_SQL,
+    oracle=_LATERAL_TOPK_SQL,
     doc="qsub7: LATERAL correlated subquery — per-customer top-2 "
     "orders by price through the SQL entry point, the standard "
     "'top-N per entity' idiom ANSI LATERAL expresses without a "
@@ -270,10 +270,10 @@ ORDER BY c.c_custkey, price DESC, k
 )
 def qsub7_lateral_topk(spark, sf_dir):
     tables(spark, sf_dir).register_views()
-    return spark.sql(_LATERAL_SQL)
+    return spark.sql(_LATERAL_TOPK_SQL)
 
 
-_RECURSIVE_SQL = """
+_RECURSIVE_TREE_SQL = """
 WITH RECURSIVE tree AS (
   SELECT s_suppkey AS k, 0 AS depth, round(s_acctbal, 2) AS bal
   FROM supplier WHERE s_suppkey = 1
@@ -291,7 +291,7 @@ FROM tree GROUP BY depth ORDER BY depth
 
 @query(
     "qsub8_recursive_cte",
-    oracle=_RECURSIVE_SQL,
+    oracle=_RECURSIVE_TREE_SQL,
     doc="qsub8: RECURSIVE CTE (Spark 4's WITH RECURSIVE — the "
     "iterative-SQL surface) — a binary-tree traversal over the "
     "supplier table (children of k are 2k and 2k+1), aggregating "
@@ -308,4 +308,4 @@ FROM tree GROUP BY depth ORDER BY depth
 )
 def qsub8_recursive_cte(spark, sf_dir):
     tables(spark, sf_dir).register_views()
-    return spark.sql(_RECURSIVE_SQL)
+    return spark.sql(_RECURSIVE_TREE_SQL)
