@@ -106,3 +106,35 @@ def test_facade_analytics_matches_registry(spark, sf_dir):
         for r in REGISTRY["qg25_label_propagation"].spark_fn(spark, sf_dir).collect()
     }
     assert com == want
+
+
+def test_no_duplicate_module_level_names():
+    """No module in the package may define a module-level name twice:
+    function bodies resolve module names at CALL time, so a later
+    re-assignment silently rebinds every earlier user — exactly how
+    an appended query constant (_LATERAL_SQL, r11) made qsub3 execute
+    qsub7's SQL against its own oracle. AST-level, zero Spark."""
+    import ast
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "sora_spark")
+    offenders = []
+    for f in sorted(glob.glob(os.path.join(root, "**", "*.py"),
+                              recursive=True)):
+        with open(f) as fh:
+            tree = ast.parse(fh.read())
+        seen = {}
+        for node in tree.body:
+            names = []
+            if isinstance(node, ast.Assign):
+                names = [t.id for t in node.targets
+                         if isinstance(t, ast.Name)]
+            elif isinstance(node, (ast.FunctionDef, ast.ClassDef)):
+                names = [node.name]
+            for n in names:
+                if n in seen:
+                    offenders.append(f"{f}:{node.lineno} rebinds {n} "
+                                     f"(first bound at {seen[n]})")
+                seen[n] = node.lineno
+    assert not offenders, "\n".join(offenders)
