@@ -1550,3 +1550,118 @@ def test_running_max_sessionization_theorem(events):
         oracle_sid.append(sid2)
 
     assert oracle_sid == true_sid
+
+
+def _cl_lifecycle_spec():
+    """A random commit-log lifecycle: create rows, then a sequence of
+    merge/delete/append/compact ops over a small key space. Appended
+    keys come from per-step disjoint blocks (the format's new-rows
+    contract); batch keys within one merge are unique (the merge
+    window breaks exact (ts, src) ties arbitrarily otherwise)."""
+    key = st.integers(min_value=0, max_value=19)
+    row = st.tuples(key, st.sampled_from("abcd"), st.integers(1, 5))
+    merge_op = st.tuples(
+        st.just("merge"),
+        st.lists(row, min_size=1, max_size=6,
+                 unique_by=lambda r: r[0]),
+    )
+    delete_op = st.tuples(
+        st.just("delete"),
+        st.tuples(st.integers(2, 5), st.integers(0, 4)),
+    )
+    append_op = st.tuples(
+        st.just("append"),
+        st.lists(st.tuples(st.integers(0, 9), st.sampled_from("xyz"),
+                           st.integers(1, 5)),
+                 min_size=1, max_size=4,
+                 unique_by=lambda r: r[0]),
+    )
+    compact_op = st.tuples(st.just("compact"), st.booleans())
+    return st.tuples(
+        st.lists(row, min_size=1, max_size=8, unique_by=lambda r: r[0]),
+        st.lists(st.one_of(merge_op, delete_op, append_op, compact_op),
+                 min_size=2, max_size=5),
+    )
+
+
+def test_commit_log_lifecycle_property(spark, tmp_path):
+    """Property family for the commit-log table: after EVERY op the
+    table equals a pure-Python reference model; every historical
+    version time-travels to its model snapshot; and the CDC apply
+    invariant holds for version pairs — applying table_changes(i, j)
+    onto snapshot i reproduces snapshot j exactly. Exercises pruned
+    merges, file-path-discovered deletes, plain and clustered
+    compaction, and empty-table states under one random schedule."""
+    import uuid as _uuid
+
+    from sora_spark.sources import commit_log as cl
+
+    examples = []
+
+    @settings(max_examples=6, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(spec=_cl_lifecycle_spec())
+    def _collect(spec):
+        if spec not in examples:
+            examples.append(spec)
+    _collect()
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k bigint, s string, ts bigint")
+
+    for create_rows, ops in examples:
+        path = str(tmp_path / f"t{_uuid.uuid4().hex[:8]}")
+        model = {k: (s, ts) for k, s, ts in create_rows}
+        cl.create_table(spark, path, mk(create_rows), stats_cols=["k"])
+        snaps = {1: dict(model)}
+        next_block = 100
+        for kind, arg in ops:
+            if kind == "merge":
+                batch = [(k, s, ts) for k, s, ts in arg]
+                v = cl.merge_upsert(spark, path, mk(batch), ["k"], "ts")
+                for k, s, ts in batch:
+                    old = model.get(k)
+                    # latest ts wins; batch wins ties (window _src desc)
+                    if old is None or ts >= old[1]:
+                        model[k] = (s, ts)
+            elif kind == "delete":
+                m, r = arg
+                v = cl.delete_where(spark, path, f"k % {m} = {r}")
+                if v is None:
+                    assert not any(k % m == r for k in model)
+                    continue
+                model = {k: v_ for k, v_ in model.items() if k % m != r}
+            elif kind == "append":
+                rows = [(next_block + k, s, ts) for k, s, ts in arg]
+                next_block += 100
+                v = cl.append(spark, path, mk(rows), stats_cols=["k"])
+                for k, s, ts in rows:
+                    model[k] = (s, ts)
+            else:
+                v = cl.compact(
+                    spark, path, target_partitions=2,
+                    cluster_by=["k"] if arg else None)
+                if v is None:
+                    continue
+            got = {r["k"]: (r["s"], r["ts"])
+                   for r in cl.read_table(spark, path).collect()}
+            assert got == model, f"after {kind}: {got} != {model}"
+            snaps[v] = dict(model)
+
+        versions = sorted(snaps)
+        # time travel to every recorded version
+        for v in versions:
+            got = {r["k"]: (r["s"], r["ts"])
+                   for r in cl.read_table(spark, path, v).collect()}
+            assert got == snaps[v], f"time travel v{v}"
+        # CDC apply invariant on the longest span
+        if len(versions) >= 2:
+            i, j = versions[0], versions[-1]
+            a, b = snaps[i], snaps[j]
+            applied = dict(a)
+            for r in cl.table_changes(spark, path, i, j, ["k"]).collect():
+                if r["_change_type"] == "delete":
+                    applied.pop(r["k"])
+                else:
+                    applied[r["k"]] = (r["s"], r["ts"])
+            assert applied == b, f"CDC apply {i}->{j}"
