@@ -1,0 +1,140 @@
+"""Commit-log table-format scale probe: measures the data-skipping
+levers on a replicated sf0.1 orders fixture (the SCALE.md round-11
+tables). Prints ONE JSON line:
+
+  {"pruned_merge": {...}, "clustered_retrofit": {...}, ...}
+
+Protocol (matches SCALE.md):
+- 4.8M rows / ~650 MB: sf0.1 orders x32 into disjoint key spaces
+  with a sha512 payload column.
+- pruned_merge: 16 KEY-DISJOINT directories (ntile), key-narrow
+  20k-row batch, merge with prune=True vs prune=False; results
+  asserted row-identical.
+- clustered_retrofit: 16 INTERLEAVED directories (k%16 — nothing
+  prunable), the same narrow merge before clustering, one clustered
+  OPTIMIZE, the merge again after; results asserted row-identical.
+
+Run: PYTHONPATH=. python scripts/table_probe.py  (local[32], ~2 min)
+"""
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from sora_spark.sources import commit_log as cl  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main():
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    snap = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderdate").alias("ts"),
+        F.sha2(F.concat(F.lit("pad"), F.col("o_orderkey")), 512)
+        .alias("payload"),
+    )
+    REP, NB = 32, 16
+    big = (
+        snap.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(REP - 1))))
+        .withColumn("k", F.col("k") + F.col("_r") * F.lit(10_000_000))
+        .drop("_r")
+        .withColumn(
+            "payload", F.sha2(F.concat(F.col("payload"), F.col("k")), 512)
+        )
+        .persist()
+    )
+    n_rows = big.count()
+    maxk = big.agg(F.max("k")).collect()[0][0]
+
+    def batch():
+        return big.filter(F.col("k") >= maxk - 20000).select(
+            "k", "st", F.round(F.col("price") + 1, 2).alias("price"),
+            "ts", "payload",
+        )
+
+    def entry(path, v):
+        with open(os.path.join(path, "_commits", f"{v:08d}.json")) as f:
+            return json.load(f)
+
+    def identical(path, v1, v2):
+        a, b = cl.read_table(spark, path, v1), cl.read_table(spark, path, v2)
+        return bool(
+            a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+            and a.count() == b.count()
+        )
+
+    out = {"n_rows": n_rows, "n_dirs": NB, "batch_rows": batch().count()}
+    d = tempfile.mkdtemp()
+    try:
+        # --- pruned merge: key-disjoint layout
+        p1 = os.path.join(d, "disjoint")
+        tiled = big.withColumn("_t", F.ntile(NB).over(Window.orderBy("k")))
+        cl.create_table(spark, p1, tiled.filter("_t = 1").drop("_t"),
+                        stats_cols=["k"])
+        for i in range(2, NB + 1):
+            cl.append(spark, p1, tiled.filter(f"_t = {i}").drop("_t"),
+                      stats_cols=["k"])
+        t0 = time.time()
+        v = cl.merge_upsert(spark, p1, batch(), ["k"], "ts", prune=True)
+        t_pruned = time.time() - t0
+        t0 = time.time()
+        v2 = cl.merge_upsert(spark, p1, batch(), ["k"], "ts", prune=False)
+        t_full = time.time() - t0
+        out["pruned_merge"] = {
+            "pruned_s": round(t_pruned, 2), "full_s": round(t_full, 2),
+            "speedup": round(t_full / t_pruned, 1),
+            "dirs_rewritten": len(entry(p1, v)["removed"]),
+            "dirs_pruned": entry(p1, v)["pruned_dirs"],
+            "identical": identical(p1, v, v2),
+        }
+
+        # --- clustered retrofit: interleaved layout
+        p2 = os.path.join(d, "interleaved")
+        cl.create_table(spark, p2, big.filter(F.col("k") % NB == 0),
+                        stats_cols=["k"])
+        for i in range(1, NB):
+            cl.append(spark, p2, big.filter(F.col("k") % NB == i),
+                      stats_cols=["k"])
+        t0 = time.time()
+        vb = cl.merge_upsert(spark, p2, batch(), ["k"], "ts")
+        t_before = time.time() - t0
+        t0 = time.time()
+        vc = cl.compact(spark, p2, target_partitions=NB, cluster_by=["k"])
+        t_cluster = time.time() - t0
+        t0 = time.time()
+        va = cl.merge_upsert(spark, p2, batch(), ["k"], "ts")
+        t_after = time.time() - t0
+        out["clustered_retrofit"] = {
+            "merge_before_s": round(t_before, 2),
+            "cluster_s": round(t_cluster, 2),
+            "merge_after_s": round(t_after, 2),
+            "speedup": round(t_before / t_after, 1),
+            "buckets": len(entry(p2, vc)["added"]),
+            "dirs_pruned_after": entry(p2, va)["pruned_dirs"],
+            "identical": identical(p2, vb, va),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
