@@ -337,7 +337,12 @@ def _publish(path: str, entry: dict) -> int:
     """Atomically claim `entry['version']`: write the JSON fully under
     a temp name, then hard-link it to the final name — the link is
     atomic and raises if the version exists, so a loser never
-    publishes a half-written or conflicting commit."""
+    publishes a half-written or conflicting commit. Every entry is
+    stamped with its publish wall-clock (`committed_at`) for
+    timestamp-based time travel and DESCRIBE HISTORY."""
+    import time
+
+    entry.setdefault("committed_at", time.time())
     os.makedirs(os.path.join(path, _COMMITS), exist_ok=True)
     version = entry["version"]
     final = _commit_path(path, version)
@@ -441,8 +446,56 @@ def append(
     return _publish(path, entry)
 
 
+def version_as_of(path: str, timestamp: float) -> int:
+    """The newest version committed AT OR BEFORE the unix timestamp —
+    Delta's AS OF TIMESTAMP resolution. Raises if the table did not
+    exist yet. Commits published before the committed_at stamp
+    existed (pre-r11 tables) sort as 0 and therefore always
+    qualify."""
+    best = None
+    for c in _read_commits(path, None):
+        if float(c.get("committed_at", 0.0)) <= timestamp:
+            v = int(c["version"])
+            best = v if best is None or v > best else best
+    if best is None:
+        raise ValueError(
+            f"table at {path} has no version committed at or before "
+            f"timestamp {timestamp}"
+        )
+    return best
+
+
+def history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per commit — version, operation,
+    publish timestamp, add/remove/prune counts, schema-evolution
+    flag, and the txn tag if any. Driver-side fold of the log
+    (commit-count bounded) surfaced as a DataFrame so it joins and
+    filters like any relation."""
+    rows = [
+        (
+            int(c["version"]),
+            c.get("operation"),
+            float(c.get("committed_at", 0.0)),
+            len(c.get("added", [])),
+            len(c.get("removed", [])),
+            int(c.get("pruned_dirs", 0)),
+            bool(c.get("schema_evolved", False)),
+            (c.get("txn") or {}).get("app"),
+            (c.get("txn") or {}).get("version"),
+        )
+        for c in _read_commits(path, None)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version BIGINT, operation STRING, committed_at DOUBLE, "
+        "n_added INT, n_removed INT, n_pruned INT, "
+        "schema_evolved BOOLEAN, txn_app STRING, txn_version BIGINT",
+    )
+
+
 def read_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
     """Snapshot read: resolves the live directory list ONCE (here), so
     the returned DataFrame is pinned to this version even if commits
@@ -450,7 +503,13 @@ def read_table(
     The read applies the schema RECORDED as of that version: after a
     merge_schema append, files written before the evolution come back
     with NULLs in the new columns (no mergeSchema footer pass), and
-    time travel to pre-evolution versions keeps the old shape."""
+    time travel to pre-evolution versions keeps the old shape.
+    `timestamp=` (unix seconds) time-travels to the newest version
+    committed at or before that instant — Delta's AS OF TIMESTAMP."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version= or timestamp=, not both")
+        version = version_as_of(path, timestamp)
     commits = _read_commits(path, version)
     live = _fold_live(commits)
     schema = _schema_struct(commits)

@@ -2491,3 +2491,39 @@ def test_clustered_compact_single_dir_and_sidecar_recovery(spark, tmp_path):
     fresh = {r["doc_id"]: r["score"] for r in textindex.bm25_topk_indexed(
         spark, fresh_path, ["delta", "beta"], top_k=40).collect()}
     assert served == fresh
+
+
+def test_commit_log_timestamp_travel_and_history(spark, tmp_path):
+    """AS OF TIMESTAMP time travel (newest version committed at or
+    before the instant; exact commit instants included; pre-table
+    instants refuse) and DESCRIBE HISTORY (one row per commit with
+    operation, counts, evolution flag, and txn tags)."""
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, v bigint")
+    cl.create_table(spark, path, mk([(1, 10)]), stats_cols=["k"])
+    cl.append(spark, path, mk([(2, 20)]))
+    cl.merge_upsert(spark, path, mk([(1, 99)]), ["k"], "v")
+    cl.txn_append(spark, path, mk([(3, 30)]), "appZ", 5)
+
+    h = {r["version"]: r for r in cl.history(spark, path).collect()}
+    assert [h[v]["operation"] for v in sorted(h)] == [
+        "create", "append", "merge_upsert", "txn_append"]
+    assert h[4]["txn_app"] == "appZ" and h[4]["txn_version"] == 5
+    assert h[3]["n_removed"] >= 1
+    stamps = [h[v]["committed_at"] for v in sorted(h)]
+    assert stamps == sorted(stamps) and stamps[0] > 0
+
+    # timestamp travel: exactly-at and between-commit instants
+    assert cl.version_as_of(path, stamps[1]) == 2
+    mid = (stamps[2] + stamps[3]) / 2
+    got = sorted(map(tuple, cl.read_table(
+        spark, path, timestamp=mid).collect()))
+    assert got == [(1, 99), (2, 20)]
+    with _pytest.raises(ValueError, match="at or before"):
+        cl.version_as_of(path, stamps[0] - 10)
+    with _pytest.raises(ValueError, match="not both"):
+        cl.read_table(spark, path, version=1, timestamp=mid)
