@@ -131,6 +131,48 @@ def main():
             "dirs_pruned_after": entry(p2, va)["pruned_dirs"],
             "identical": identical(p2, vb, va),
         }
+
+        # --- deletion vectors vs rewrite (r12): the same selective
+        # DELETE (k % 1000 = 0 — ~0.1% of rows, spread across EVERY
+        # directory, the rewrite path's worst case) as a DV commit on
+        # one copy of the table and a rewrite commit on another;
+        # results asserted row-identical, then the DV read tax and the
+        # compact that retires it
+        p3 = os.path.join(d, "dv_copy")
+        shutil.copytree(p2, p3)
+        cond = "k % 1000 = 0"
+        t0 = time.time()
+        vdv = cl.delete_where(spark, p2, cond, deletion_vectors=True)
+        t_dv = time.time() - t0
+        t0 = time.time()
+        vrw = cl.delete_where(spark, p3, cond)
+        t_rw = time.time() - t0
+        a, b = cl.read_table(spark, p2), cl.read_table(spark, p3)
+        same = bool(
+            a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+            and a.count() == b.count()
+        )
+        t0 = time.time()
+        n_dv_read = cl.read_table(spark, p2).count()
+        t_read_dv = time.time() - t0
+        t0 = time.time()
+        cl.compact(spark, p2, target_partitions=NB)
+        t_compact = time.time() - t0
+        t0 = time.time()
+        n_clean_read = cl.read_table(spark, p2).count()
+        t_read_clean = time.time() - t0
+        edv, erw = entry(p2, vdv), entry(p3, vrw)
+        out["dv_delete"] = {
+            "dv_s": round(t_dv, 2), "rewrite_s": round(t_rw, 2),
+            "speedup": round(t_rw / t_dv, 1),
+            "dv_dirs_rewritten": len(edv["removed"]),
+            "dv_rows": edv["dv_rows"],
+            "rewrite_dirs_rewritten": len(erw["removed"]),
+            "identical": same and n_dv_read == n_clean_read,
+            "read_with_dv_s": round(t_read_dv, 2),
+            "read_after_compact_s": round(t_read_clean, 2),
+            "compact_s": round(t_compact, 2),
+        }
     finally:
         shutil.rmtree(d, ignore_errors=True)
     print(json.dumps(out))

@@ -687,6 +687,71 @@ def append_to_ivf_index(
     return int(obs.get["n"])
 
 
+def delete_from_ivf_index(
+    spark,
+    path: str,
+    vec_ids,
+    id_col: str = "vec_id",
+) -> int:
+    """Remove vectors from an on-disk IVF / IVF-PQ index WITHOUT a
+    rebuild — the removal twin of `append_to_ivf_index` (r11 verdict
+    item 4). One column-pruned pass finds the dead vectors' inverted
+    lists (`_cid` partitions — the only ones that need rewriting);
+    those partitions are rewritten survivors-only via a dynamic
+    partition overwrite, and lists whose every vector died are
+    removed explicitly (dynamic overwrite only replaces partitions it
+    writes rows for). The codebook sidecars are untouched: centroids
+    are frozen by the same contract appends document, and IVF has no
+    corpus-global statistics to go stale (unlike BM25's idf/avgdl) —
+    a probe over the surviving index is exactly a probe over a
+    from-scratch assignment of the survivors, because assignment is
+    per-vector. Works identically on the PQ layout (rows are
+    (id, _codes, _nrm, _cid) there). Cost tracks the touched lists,
+    never the index. Returns the number of vectors removed; ids not
+    in the index are ignored. `vec_ids` is a list or a single-column
+    DataFrame. Single-writer discipline like appends — wrap the index
+    in a commit-log table for multi-writer regimes."""
+    import os
+    import shutil
+
+    ids_df = (
+        vec_ids.select(F.col(vec_ids.columns[0]).alias(id_col))
+        if isinstance(vec_ids, DataFrame)
+        else spark.createDataFrame(
+            [(i,) for i in vec_ids],
+            f"{id_col} {'string' if vec_ids and isinstance(vec_ids[0], str) else 'bigint'}",
+        )
+    )
+    p = spark.read.parquet(path)
+    dead = p.join(F.broadcast(ids_df), id_col, "left_semi")
+    # resolve everything the rewrite needs BEFORE it mutates the path
+    # (lazy plans re-read their source on execution)
+    per_cid = {
+        int(r["_cid"]): int(r["n"])
+        for r in dead.groupBy("_cid").agg(F.count("*").alias("n")).collect()
+    }
+    n_dead = sum(per_cid.values())
+    if n_dead == 0:
+        return 0
+    cids = sorted(per_cid)
+    survivors = p.filter(F.col("_cid").isin(cids)).join(
+        F.broadcast(ids_df), id_col, "left_anti"
+    )
+    kept = {int(r[0]) for r in survivors.select("_cid").distinct().collect()}
+    (
+        survivors.write.partitionBy("_cid")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    for c in cids:
+        if c not in kept:
+            shutil.rmtree(
+                os.path.join(path, f"_cid={c}"), ignore_errors=True
+            )
+    return n_dead
+
+
 def ivf_index_stats(spark, path: str) -> DataFrame:
     """Per-inverted-list row counts for an on-disk IVF index — the
     imbalance monitor for `append_to_ivf_index`'s frozen-centroid

@@ -878,7 +878,26 @@ def crossdoc_span_scrub(
     bounded x n coverage explode, and a left-anti join on (doc, pos).
     No Python, no driver state; the n-gram cover over-approximates
     suffix-array maximal matches by at most n-1 boundary tokens per
-    span, the standard trade for distributing the pass."""
+    span, the standard trade for distributing the pass.
+
+    CONTRACT: `id_col` must be an INTEGRAL column — the globally-first
+    occurrence is encoded as id*1e9 + pos so both engines share one
+    total order (struct-min ordering differs in corner cases). A
+    string id would make that arithmetic NULL, every gram's _first
+    NULL, and the scrub a silent no-op — so non-integral ids refuse
+    loudly here instead (r11 advisory). Map string ids to a dense
+    bigint (zipWithIndex / xxhash64) before calling."""
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"crossdoc_span_scrub needs an integral {id_col!r} (got "
+            f"{id_type.simpleString()}): the first-occurrence tiebreak "
+            "is encoded as id*1e9+pos — map ids to bigint first"
+        )
     tok = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),

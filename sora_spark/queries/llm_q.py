@@ -3644,8 +3644,11 @@ FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
     "scorer — same Lucene idf, same k1/b, contributions rounded 6dp "
     "before the per-doc sum — so the oracle is qix3's own SQL and "
     "any drift between build-time and query-time arithmetic is a "
-    "hash mismatch. df and the corpus constants come from tiny "
-    "coalesced sidecars.",
+    "hash mismatch. df comes from the vocabulary-sized _terms "
+    "sidecar — written partitioned by the SAME term-hash bucket "
+    "(multi-task, and the lookup prunes to the query terms' buckets; "
+    "r12) — and the corpus constants from a single-row _consts "
+    "sidecar.",
     tags=("llm", "text", "index", "ranking"),
 )
 def qix8_bm25_indexed(spark, sf_dir):
@@ -3765,3 +3768,114 @@ def qix10_phrase_from_index(spark, sf_dir):
     textindex.append_to_text_index(
         docs.filter(F.col("doc_id") % 4 == 0), path)
     return textindex.phrase_docs_indexed(spark, path, ["the", "data"])
+
+
+@query(
+    "qix11_text_index_delete",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents WHERE doc_id % 4 <> 0),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+consts AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'vector', 'window')
+       GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         round(ln(((c.n_docs - f.df + 0.5) / (f.df + 0.5)) + 1.0)
+               * ((t.tf * 2.2)
+                  / (t.tf + 1.2 * (0.25 + (0.75 * d.dl) / c.avgdl))),
+               6) AS contrib
+  FROM tf t JOIN dl d USING (doc_id)
+  CROSS JOIN consts c JOIN dfreq f USING (term))
+SELECT doc_id, round(sum(contrib), 6) AS score
+FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+""",
+    doc="qix11: DOCUMENT DELETION from the postings index "
+    "(textindex.delete_from_text_index — the GDPR-removal path, r11 "
+    "verdict item 4, and the qix9 ingest merge run in reverse): the "
+    "index is built over the FULL corpus, the doc_id%4=0 quarter is "
+    "deleted — survivors-only rewrite of just the touched term-hash "
+    "buckets via dynamic partition overwrite, plus EXACT integer "
+    "sidecar merges (per-term df decrements, terms reaching 0 drop "
+    "out; n_docs/sum_dl subtract the deleted docs' snapshot) — and "
+    "the served query must equal the from-scratch BM25 oracle over "
+    "the SURVIVING corpus exactly. Global statistics (idf, avgdl) "
+    "are where naive index deletes silently go stale: any staleness "
+    "here is a hash mismatch, never drift. Cost tracks the touched "
+    "buckets + the deleted docs' postings, never the corpus; a crash "
+    "between rewrite and sidecar merge recovers via "
+    "rebuild_sidecars (postings are the only data of record).",
+    tags=("llm", "text", "index", "ranking", "delete"),
+)
+def qix11_text_index_delete(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.llm import textindex
+    from sora_spark.queries.relational import _roundtrip_dir
+
+    docs = tables(spark, sf_dir).documents
+    path = os.path.join(_roundtrip_dir("text_index_delete"), "index")
+    for p in (path, path + "_terms", path + "_consts"):
+        shutil.rmtree(p, ignore_errors=True)
+    textindex.write_text_index(docs, path, n_buckets=16)
+    textindex.delete_from_text_index(
+        spark, path, docs.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    )
+    return textindex.bm25_topk_indexed(
+        spark, path, ["spark", "vector", "window"], top_k=20
+    )
+
+
+@query(
+    "qix12_ivf_index_delete",
+    oracle="""
+WITH s AS (
+  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(p.embedding AS DOUBLE[])), 5) AS sim
+  FROM embeddings p, embeddings e
+  WHERE p.vec_id < 20 AND e.vec_id <> p.vec_id AND e.vec_id % 4 <> 0),
+r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM s)
+SELECT probe_id, CAST(rn AS INT) AS rn, neighbor_id, sim
+FROM r WHERE rn <= 3 ORDER BY probe_id, rn
+""",
+    doc="qix12: VECTOR DELETION from the on-disk IVF index "
+    "(llm/ann.py delete_from_ivf_index — the removal twin of qix6's "
+    "append, r11 verdict item 4): the index is built over the full "
+    "corpus, the vec_id%4=0 quarter is deleted — survivors-only "
+    "rewrite of just the touched _cid inverted lists via dynamic "
+    "partition overwrite, fully-emptied lists removed explicitly, "
+    "codebook untouched (frozen-centroid contract; IVF has no "
+    "corpus-global statistics to go stale, unlike BM25) — and the "
+    "exhaustive probe (every list, zero approximation slack) must "
+    "equal the brute-force kNN oracle over the SURVIVING corpus: "
+    "identical quantizer arithmetic, norms, ranking, and tiebreaks, "
+    "with no deleted vector ever surfacing as a neighbor. Cost "
+    "tracks the touched lists, never the index — at 100 TB a "
+    "targeted removal rewrites a few inverted lists, not the "
+    "corpus.",
+    tags=("llm", "vector", "index", "ann", "delete"),
+)
+def qix12_ivf_index_delete(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+
+    emb = tables(spark, sf_dir).embeddings
+    path = os.path.join(_roundtrip_dir("ivf_delete_emb"), "index")
+    for p in (path, path + "_centroids", path + "_coarse"):
+        shutil.rmtree(p, ignore_errors=True)
+    ann.write_ivf_index(emb, path, n_centroids=16, iters=2)
+    ann.delete_from_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") % 4 == 0).select("vec_id")
+    )
+    probes = emb.filter(F.col("vec_id") < 20)
+    return ann.ivf_topk_indexed(
+        spark, path, probes, k=3, n_probe=16
+    ).orderBy("probe_id", "rn")

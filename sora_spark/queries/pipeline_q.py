@@ -3448,13 +3448,18 @@ FROM orders WHERE o_orderkey % 4 = 0 ORDER BY k
     "lands the result in a SECOND commit-log table through the "
     "txn-watermark sink — table -> stream -> transform -> "
     "exactly-once sink -> table, the Delta-shaped CDC pipeline, "
-    "availableNow-triggered so the run drains and stops. The output "
-    "hashes against plain SQL over orders because exactly-once "
-    "composition means batch boundaries CANNOT affect the result. "
-    "Failure modes are pinned in tests: checkpoint resume emits only "
-    "unseen versions, data-changing commits fail the source loudly "
-    "unless skipChangeCommits, replayed epochs are refused by the "
-    "sink watermark.",
+    "availableNow-triggered so each run drains and stops. The source "
+    "runs with maxVersionsPerTrigger=1 (r12 admission control — "
+    "Delta's knob, so a backlog never becomes one giant micro-batch): "
+    "two runs over one checkpoint drain the two-version backlog one "
+    "batch each, and the output still hashes against plain SQL over "
+    "orders because exactly-once composition means batch boundaries "
+    "CANNOT affect the result. Failure modes are pinned in tests: "
+    "checkpoint resume emits only unseen versions, caps count from "
+    "the restored position (no duplicates, no giant batch), "
+    "data-changing commits fail the source loudly unless "
+    "skipChangeCommits, replayed epochs are refused by the sink "
+    "watermark.",
     tags=("sink", "streaming", "acid", "cdc"),
 )
 def qup12_stream_table_to_table(spark, sf_dir):
@@ -3484,23 +3489,35 @@ def qup12_stream_table_to_table(spark, sf_dir):
     cl.create_table(spark, src, epoch(0), stats_cols=["k"])
     cl.append(spark, src, epoch(4), stats_cols=["k"])
 
-    stream = spark.readStream.format("commitlog").option("path", src).load()
-    transformed = stream.select(
-        "k",
-        "st",
-        F.round(F.col("price") + 250, 2).alias("adj_price"),
-        F.when(F.col("k") % 8 == 0, F.lit("even"))
-        .otherwise(F.lit("odd"))
-        .alias("lane"),
-    )
-    q = (
-        transformed.writeStream.foreachBatch(
-            cl.exactly_once_sink(dst, "qup12", stats_cols=["k"]))
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # maxVersionsPerTrigger=1 (r12 admission control): each run's
+    # batch admits ONE source version, so the two-version backlog
+    # drains across two availableNow runs over the same checkpoint —
+    # exactly-once composition (txn sink + capped source) means batch
+    # boundaries CANNOT affect the hashed result, which is the point
+    def run_once():
+        stream = (
+            spark.readStream.format("commitlog").option("path", src)
+            .option("maxVersionsPerTrigger", "1").load()
+        )
+        transformed = stream.select(
+            "k",
+            "st",
+            F.round(F.col("price") + 250, 2).alias("adj_price"),
+            F.when(F.col("k") % 8 == 0, F.lit("even"))
+            .otherwise(F.lit("odd"))
+            .alias("lane"),
+        )
+        q = (
+            transformed.writeStream.foreachBatch(
+                cl.exactly_once_sink(dst, "qup12", stats_cols=["k"]))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    run_once()
     return cl.read_table(spark, dst).orderBy("k")
 
 
@@ -3840,4 +3857,171 @@ def qdz10_benford_audit(spark, sf_dir):
             ).alias("chi2_contrib"),
         )
         .orderBy("digit")
+    )
+
+
+@query(
+    "qup16_deletion_vectors",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 6 = 0),
+alive AS (SELECT k, st, price FROM snap
+          WHERE st <> 'F' AND k % 4 <> 0),
+stages AS (
+  SELECT 'a_before' AS stage, k, st, price FROM snap
+  UNION ALL SELECT 'b_dv', k, st, price FROM alive
+  UNION ALL SELECT 'c_compacted', k, st, price FROM alive)
+SELECT stage, k, st, price FROM stages ORDER BY stage, k
+""",
+    doc="qup16: DELETION VECTORS on the commit-log table "
+    "(commit_log.delete_where deletion_vectors=True — the Delta DV "
+    "shape, r11 verdict item 1): the snapshot lands as three "
+    "key-range directories, then TWO stacked selective DELETEs "
+    "(st='F', then k%4=0) each touch ZERO data directories — the "
+    "matched (file, row_index) positions land in a tiny dv/ sidecar "
+    "and the commit lists only it (added=[], removed=[], pinned in "
+    "test_capabilities.py::test_commit_log_deletion_vectors). The "
+    "output emits the SAME surviving set three ways: 'a_before' via "
+    "time travel to the pre-delete version (proving DVs delist "
+    "nothing), 'b_dv' read THROUGH the live vectors (position "
+    "anti-join, broadcast under the recorded-row-count threshold), "
+    "and 'c_compacted' after OPTIMIZE physically applied and "
+    "delisted them — so DV-served reads, the rewrite semantics of "
+    "qup10's oracle, and post-compact reads all hash-match one SQL "
+    "truth. At 100 TB this turns a one-row DELETE from a directory "
+    "rewrite into a position scan plus a sidecar write; the "
+    "sidecar-vs-rewrite cost is measured in scripts/table_probe.py.",
+    tags=("sink", "acid", "prune", "dv"),
+)
+def qup16_deletion_vectors(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    tiled = snap.withColumn("_t", F.ntile(3).over(Window.orderBy("k")))
+    path = os.path.join(_roundtrip_dir("commit_log_dv"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(
+        spark, path, tiled.filter("_t = 1").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 2").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 3").drop("_t"), stats_cols=["k"])
+    pre_delete = cl.table_versions(path)[-1]
+    cl.delete_where(spark, path, "st = 'F'", deletion_vectors=True)
+    cl.delete_where(spark, path, "k % 4 = 0", deletion_vectors=True)
+    served_dv = cl.read_table(spark, path)   # pinned BEFORE the compact
+    cl.compact(spark, path)
+    compacted = cl.read_table(spark, path)
+    before = cl.read_table(spark, path, pre_delete)  # time travel
+
+    def shape(df, stage):
+        return df.select(F.lit(stage).alias("stage"), "k", "st", "price")
+
+    return (
+        shape(before, "a_before")
+        .unionByName(shape(served_dv, "b_dv"))
+        .unionByName(shape(compacted, "c_compacted"))
+        .orderBy("stage", "k")
+    )
+
+
+@query(
+    "qup17_merge_schema_evolution",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price, o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 6 = 0),
+batch AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice + 500, 2) AS price,
+         o_orderdate + INTERVAL 1 DAY AS ts, 'batch' AS src
+  FROM orders
+  WHERE o_orderkey % 15 = 0
+    AND 2 * o_orderkey >= (SELECT max(o_orderkey) FROM orders
+                           WHERE o_orderkey % 6 = 0)),
+merged AS (
+  SELECT k, st, price, ts, src FROM batch
+  UNION ALL
+  SELECT k, st, price, ts, CAST(NULL AS VARCHAR) AS src
+  FROM snap WHERE k NOT IN (SELECT k FROM batch))
+SELECT k, st, price, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, src
+FROM merged ORDER BY k
+""",
+    doc="qup17: MERGE composed with SCHEMA EVOLUTION "
+    "(commit_log.merge_upsert merge_schema=True — Delta's autoMerge, "
+    "r11 verdict item 6): the table lands as three key-range "
+    "directories with stats, then a key-narrow batch carrying a NEW "
+    "src column evolves-and-merges in ONE commit. The output "
+    "certifies all three row provenances at once: batch rows carry "
+    "'batch', rewritten-but-unmatched rows carry NULL src from the "
+    "post-evolution file, and rows in directories the merge PRUNED "
+    "(disjoint key ranges — still listed, never read) come back "
+    "NULL-filled through the evolved read schema from their "
+    "pre-evolution files, with no footer-merge pass. Without "
+    "merge_schema the same batch refuses loudly, and time travel to "
+    "the pre-merge version keeps the four-column shape — both pinned "
+    "in test_capabilities.py::test_commit_log_merge_schema_evolution. "
+    "Scale: the evolution is one JSON entry riding the merge commit; "
+    "cost stays proportional to the touched directories.",
+    tags=("sink", "acid", "upsert", "schema"),
+)
+def qup17_merge_schema_evolution(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    tiled = snap.withColumn("_t", F.ntile(3).over(Window.orderBy("k")))
+    path = os.path.join(_roundtrip_dir("commit_log_automerge"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(
+        spark, path, tiled.filter("_t = 1").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 2").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 3").drop("_t"), stats_cols=["k"])
+
+    maxk = snap.agg(F.max("k")).collect()[0][0]
+    batch = (
+        orders.filter(
+            (F.col("o_orderkey") % 15 == 0)
+            & (2 * F.col("o_orderkey") >= F.lit(maxk))
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            F.round(F.col("o_totalprice") + 500, 2).alias("price"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+            F.lit("batch").alias("src"),
+        )
+    )
+    cl.merge_upsert(spark, path, batch, ["k"], "ts", merge_schema=True)
+    return (
+        cl.read_table(spark, path)
+        .select(
+            "k", "st", "price",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "src",
+        )
+        .orderBy("k")
     )

@@ -20,6 +20,23 @@ appropriate for append-mostly fact streams where merges are
 compactions of history the stream already saw). `option(
 "startingVersion", N)` begins at version N instead of 1.
 
+ADMISSION CONTROL (Delta's knobs, r11 verdict item 5): a large
+backlog must not become one giant micro-batch. `option(
+"maxVersionsPerTrigger", N)` admits at most N table versions per
+batch; `option("maxBytesPerTrigger", B)` admits versions until their
+added data files exceed B bytes (always at least one version, so an
+oversized commit cannot starve the stream — Delta's soft-cap
+semantics). Both cap `latestOffset` relative to the highest position this
+reader has seen (seeded at startingVersion-1 — Spark calls
+latestOffset BEFORE initialOffset on a fresh stream, so the seed is
+what makes the FIRST batch of a backlog capped, the case the knob
+exists for). After a checkpoint RESTART the reader re-learns its
+true position from the restore call Spark issues before the first
+latestOffset (partitions at the checkpointed position — measured),
+so the caps count from the right base across restarts too. Byte sizes come from a driver-side listing of the candidate
+versions' added directories only (bounded by the backlog's file
+count, never the table).
+
 Scale posture: partition planning is driver-side and bounded by the
 commit count + file count of the NEW versions only (never the table);
 each part-file becomes one InputPartition, so a batch's read
@@ -67,11 +84,39 @@ class CommitLogStreamReader(DataSourceStreamReader):
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
         self.starting_version = int(options.get("startingVersion", 1))
+        mv = options.get("maxVersionsPerTrigger")
+        self.max_versions = int(mv) if mv is not None else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError("maxVersionsPerTrigger must be >= 1")
+        mb = options.get("maxBytesPerTrigger")
+        self.max_bytes = int(mb) if mb is not None else None
+        if self.max_bytes is not None and self.max_bytes < 1:
+            raise ValueError("maxBytesPerTrigger must be >= 1")
+        # the highest table version this reader has seen planned or
+        # committed — the base the admission caps count from AND the
+        # duplicate-emission floor for partitions(). Seeded at
+        # startingVersion-1 because Spark calls latestOffset before
+        # initialOffset on a fresh stream (measured, r12): without the
+        # seed the first backlog batch would be uncapped — exactly the
+        # batch the caps exist for.
+        self._seen: int = self.starting_version - 1
 
     def initialOffset(self) -> dict:
         # offset = highest version already emitted; start BEFORE the
         # starting version so it is included in the first batch
         return {"version": self.starting_version - 1}
+
+    def _version_bytes(self, version: int) -> int:
+        """On-disk bytes of one version's added data files — a listing
+        of just that commit's directories (backlog-bounded)."""
+        total = 0
+        for rel in _read_commit(self.path, version).get("added", []):
+            pat = os.path.join(
+                glob.escape(os.path.join(self.path, rel)), "*.parquet"
+            )
+            for f in glob.glob(pat):
+                total += os.path.getsize(f)
+        return total
 
     def latestOffset(self) -> dict:
         vs = table_versions(self.path)
@@ -85,16 +130,45 @@ class CommitLogStreamReader(DataSourceStreamReader):
         # evolution is still delivered (a raise here would strand it),
         # the stream then idles, and a fresh checkpoint with
         # startingVersion >= the evolution picks up the new shape
+        latest = vs[-1]
         for v in vs:
             if v <= self.starting_version:
                 continue
             if _read_commit(self.path, v).get("schema_evolved"):
-                return {"version": v - 1}
-        return {"version": vs[-1]}
+                latest = v - 1
+                break
+        base = self._seen
+        if self.max_versions is None and self.max_bytes is None:
+            return {"version": latest}
+        # admission control: walk the backlog in version order, admit
+        # at least one version, stop when the next would exceed a cap
+        admitted, bytes_used, end = 0, 0, base
+        for v in vs:
+            if v <= base or v > latest:
+                continue
+            sz = self._version_bytes(v) if self.max_bytes is not None else 0
+            if admitted >= 1 and (
+                (self.max_versions is not None
+                 and admitted >= self.max_versions)
+                or (self.max_bytes is not None
+                    and bytes_used + sz > self.max_bytes)
+            ):
+                break
+            admitted += 1
+            bytes_used += sz
+            end = v
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
+        start_v, end_v = int(start["version"]), int(end["version"])
+        # every restarted stream begins with a restore call
+        # partitions(C, C) at the checkpointed position (measured, this
+        # Spark version — before any latestOffset), so _seen is correct
+        # by the time the admission caps read it; a replay of an
+        # uncommitted batch legitimately re-emits (start, end] verbatim
+        self._seen = max(self._seen, start_v, end_v)
         parts: list[_FilePartition] = []
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+        for v in range(start_v + 1, end_v + 1):
             entry = _read_commit(self.path, v)
             if entry.get("schema_evolved") and v > self.starting_version:
                 # SAFETY NET: latestOffset() never advances past a
@@ -141,7 +215,9 @@ class CommitLogStreamReader(DataSourceStreamReader):
         return iter(pq.read_table(partition.path).to_batches())
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in Spark's checkpoint; nothing to reclaim
+        # offsets live in Spark's checkpoint; nothing to reclaim —
+        # just keep the admission-cap base current
+        self._seen = max(self._seen, int(end["version"]))
 
 
 class CommitLogDataSource(DataSource):

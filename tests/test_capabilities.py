@@ -2527,3 +2527,213 @@ def test_commit_log_timestamp_travel_and_history(spark, tmp_path):
         cl.version_as_of(path, stamps[0] - 10)
     with _pytest.raises(ValueError, match="not both"):
         cl.read_table(spark, path, version=1, timestamp=mid)
+
+
+def test_commit_log_deletion_vectors(spark, tmp_path):
+    """DV mode (r12): a selective DELETE with deletion_vectors=True
+    touches ZERO data directories — commit-pinned (added=[],
+    removed=[], dv_added one sidecar, dv_rows the matched count);
+    reads reconcile live vectors; NULL predicate rows are kept; DVs
+    stack; a DV'd row cannot resurrect through a merge; compact
+    applies + delists them and vacuum reclaims the sidecars."""
+    import json
+    import os
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "dv")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, s string, ts bigint")
+    cl.create_table(spark, path, mk([(1, "a", 10), (2, "b", 10)]),
+                    stats_cols=["k"])
+    cl.append(spark, path, mk([(10, "a", 10), (11, None, 10)]),
+              stats_cols=["k"])
+    dirs_before = cl._live_dirs(path, None)
+
+    v = cl.delete_where(spark, path, "s = 'a'", deletion_vectors=True)
+    with open(os.path.join(path, "_commits", f"{v:08d}.json")) as f:
+        e = json.load(f)
+    assert e["operation"] == "delete_dv"
+    assert e["added"] == [] and e["removed"] == []
+    assert len(e["dv_added"]) == 1 and e["dv_added"][0].startswith("dv/")
+    assert e["dv_rows"] == 2
+    # zero data directories touched — the live set is unchanged
+    assert cl._live_dirs(path, None) == dirs_before
+    got = sorted(map(tuple, cl.read_table(spark, path).collect()), key=str)
+    assert got == sorted([(2, "b", 10), (11, None, 10)], key=str)
+
+    # NULL predicate rows are KEPT; no-match publishes nothing
+    assert cl.delete_where(
+        spark, path, F.col("s") < "a", deletion_vectors=True) is None
+    # stacking: second DV delete sees only live rows
+    cl.delete_where(spark, path, "k = 2", deletion_vectors=True)
+    assert {r[0] for r in cl.read_table(spark, path).collect()} == {11}
+
+    # a DV'd key must not resurrect by losing a merge tiebreak
+    cl.merge_upsert(spark, path, mk([(2, "z", 5)]), ["k"], "ts")
+    rows = {r[0]: r[1] for r in cl.read_table(spark, path).collect()}
+    assert rows == {11: None, 2: "z"}  # re-INSERTED by batch, not revived
+
+    # compact applies + delists; vacuum reclaims the dv sidecars
+    vc = cl.compact(spark, path)
+    assert vc is not None
+    assert cl._fold_live_dvs(cl._read_commits(path, None)) == []
+    rows2 = {r[0]: r[1] for r in cl.read_table(spark, path).collect()}
+    assert rows2 == rows
+    doomed = cl.vacuum(path)
+    assert any(d.startswith("dv/") for d in doomed)
+    assert not os.path.isdir(os.path.join(path, "dv")) or not os.listdir(
+        os.path.join(path, "dv"))
+    assert {r[0] for r in cl.read_table(spark, path).collect()} == {2, 11}
+
+
+def test_commit_log_merge_schema_evolution(spark, tmp_path):
+    """merge_upsert(merge_schema=True) evolves-and-merges in one
+    commit (Delta autoMerge): refusal without the flag, NULL fill for
+    pass-through and pruned rows, time travel keeps the old shape,
+    drops/retypes still refuse."""
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "am")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, p double, ts bigint")
+    mkw = lambda rows: spark.createDataFrame(
+        rows, "k bigint, p double, ts bigint, tag string")
+    cl.create_table(spark, path, mk([(1, 1.0, 10), (2, 2.0, 10)]),
+                    stats_cols=["k"])
+    cl.append(spark, path, mk([(100, 3.0, 10)]), stats_cols=["k"])
+
+    batch = mkw([(2, 9.0, 20, "b"), (3, 4.0, 20, "b")])
+    with _pytest.raises(ValueError, match="merge_schema"):
+        cl.merge_upsert(spark, path, batch, ["k"], "ts")
+    v = cl.merge_upsert(spark, path, batch, ["k"], "ts", merge_schema=True)
+
+    t = cl.read_table(spark, path)
+    assert t.columns == ["k", "p", "ts", "tag"]
+    rows = {r["k"]: (r["p"], r["tag"]) for r in t.collect()}
+    # k=100 lives in a PRUNED pre-evolution directory -> NULL tag
+    assert rows == {1: (1.0, None), 2: (9.0, "b"), 3: (4.0, "b"),
+                    100: (3.0, None)}
+    e = cl._read_commits(path, None)[-1]
+    assert e["schema_evolved"] and e["pruned_dirs"] == 1
+    # time travel keeps the pre-evolution shape
+    assert cl.read_table(spark, path, v - 1).columns == ["k", "p", "ts"]
+    # drops/retypes still refuse even with the flag
+    bad = spark.createDataFrame([(1, "x", 10)], "k bigint, p string, ts bigint")
+    with _pytest.raises(ValueError, match="retypes"):
+        cl.merge_upsert(spark, path, bad, ["k"], "ts", merge_schema=True)
+
+
+def test_commit_with_retry_bounded():
+    """commit_with_retry: passes results through, rebases via re-call
+    on ConcurrentWriteError, and re-raises after the attempt cap
+    instead of spinning."""
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise cl.ConcurrentWriteError("lost the claim")
+        return 42
+
+    assert cl.commit_with_retry(flaky, attempts=5, backoff=0.001) == 42
+    assert calls["n"] == 3
+
+    def always():
+        raise cl.ConcurrentWriteError("never wins")
+
+    with _pytest.raises(cl.ConcurrentWriteError):
+        cl.commit_with_retry(always, attempts=2, backoff=0.001)
+
+
+def test_commit_log_vacuum_shell_cleanup(spark, tmp_path):
+    """r11 advisory: after vacuum reclaims every _bucket= relpath of a
+    clustered compact, the parent shell (holding only Spark's
+    _SUCCESS/.crc markers) is stripped and removed too — no permanent
+    empty-directory leak."""
+    import os
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "shell")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, v bigint")
+    cl.create_table(spark, path, mk([(i, i) for i in range(40)]),
+                    stats_cols=["k"])
+    cl.compact(spark, path, target_partitions=3, cluster_by=["k"])
+    shells = [d for d in os.listdir(os.path.join(path, "data"))]
+    # a second compact delists the clustered buckets...
+    cl.compact(spark, path, target_partitions=1)
+    cl.vacuum(path)
+    left = set(os.listdir(os.path.join(path, "data")))
+    # ...and vacuum must remove the clustered write's shell entirely
+    live = set(
+        d.split("/", 2)[1] for d in cl._live_dirs(path, None))
+    assert left == live, (left, live, shells)
+    assert cl.read_table(spark, path).count() == 40
+
+
+def test_commit_log_two_process_race(spark, tmp_path):
+    """r11 verdict item 3: two REAL processes (separate Python+JVM,
+    subprocess) race txn_append commits against one table, each
+    wrapped in commit_with_retry. The os.link claim must give every
+    version exactly one winner; losers rebase and retry; the final
+    table equals the serial union and both apps' txn watermarks are
+    complete — the optimistic-concurrency protocol the module
+    documents, executed for real across process boundaries."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "race")
+    go = str(tmp_path / "go")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint")
+    cl.create_table(spark, path, mk([(-1,)]))
+
+    script = textwrap.dedent(
+        """
+        import os, sys, time
+        path, app, lo, go = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        from sora_spark.sources import commit_log as cl
+        # barrier: both workers start committing at the same instant
+        while not os.path.exists(go):
+            time.sleep(0.02)
+        for i in range(4):
+            df = spark.range(lo + i * 10, lo + i * 10 + 10).selectExpr("id AS k")
+            cl.commit_with_retry(
+                lambda: cl.txn_append(spark, path, df, app, i))
+        spark.stop()
+        """
+    )
+    env = dict(os.environ, PYTHONPATH=os.getcwd())
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, path, app, str(lo), go],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for app, lo in (("alpha", 0), ("beta", 1000))
+    ]
+    open(go, "w").close()
+    for p in procs:
+        _, err = p.communicate(timeout=420)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    # one winner per version, no gaps: 1 (create) + 8 txn commits
+    assert cl.table_versions(path) == list(range(1, 10))
+    # both watermarks complete — no epoch lost to a race
+    assert cl.latest_txn_version(path, "alpha") == 3
+    assert cl.latest_txn_version(path, "beta") == 3
+    # final content = the serial schedule's union
+    got = sorted(r[0] for r in cl.read_table(spark, path).collect())
+    want = sorted([-1] + list(range(0, 40)) + list(range(1000, 1040)))
+    assert got == want

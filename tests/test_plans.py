@@ -1036,3 +1036,20 @@ def test_text_index_prunes_term_buckets(spark, sf_dir, tmp_path):
     pushed = [l for l in p.splitlines() if "PushedFilters" in l]
     assert any("In(term" in l for l in pushed), (
         "term IN must push into the bucket scans:\n" + p)
+
+    # the vocabulary-sized _terms sidecar (r11 verdict item 2): written
+    # PARTITIONED by the same _tb hash — a multi-task write, never a
+    # coalesce(1) straggler — and the df lookup prunes to the query
+    # terms' buckets exactly like the postings scan does
+    import glob
+    import os
+
+    tb_dirs = glob.glob(os.path.join(glob.escape(path + "_terms"), "_tb=*"))
+    assert len(tb_dirs) > 1, "_terms must be hash-partitioned"
+    n_files = sum(
+        len(glob.glob(os.path.join(glob.escape(d), "*.parquet")))
+        for d in tb_dirs
+    )
+    assert n_files > 1, "_terms write must be multi-task"
+    assert sum("_tb" in l and " IN " in l for l in part) >= 2, (
+        "BOTH the postings and the _terms scans must prune buckets:\n" + p)
