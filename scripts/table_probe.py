@@ -173,6 +173,46 @@ def main():
             "read_after_compact_s": round(t_read_clean, 2),
             "compact_s": round(t_compact, 2),
         }
+
+        # --- shallow clone (r12): zero-copy of the ~650 MB table —
+        # wall must be metadata-bound (links), reads identical
+        p5 = os.path.join(d, "clone_dst")
+        t0 = time.time()
+        cl.clone_table(spark, p3, p5)
+        t_clone = time.time() - t0
+        na, nb_ = (cl.read_table(spark, p3).count(),
+                   cl.read_table(spark, p5).count())
+        out["shallow_clone"] = {
+            "clone_s": round(t_clone, 2),
+            "identical_counts": na == nb_,
+            "rows": na,
+        }
+
+        # --- log checkpoint (r12): fold cost over a LONG history —
+        # 400 data-less commits (the driver-side cost is log-bound,
+        # not data-bound), state resolve with full fold vs
+        # checkpoint + tail
+        p6 = os.path.join(d, "longlog")
+        cl.create_table(spark, p6, spark.range(1).selectExpr("id AS k"))
+        for i in range(2, 402):
+            cl._publish(p6, {"version": i, "operation": "append",
+                             "added": [], "removed": []})
+        t0 = time.time()
+        for _ in range(5):
+            cl._read_state_commits(p6)
+        t_full_fold = (time.time() - t0) / 5
+        cl.checkpoint_log(p6)
+        t0 = time.time()
+        for _ in range(5):
+            st = cl._read_state_commits(p6)
+        t_ckpt_fold = (time.time() - t0) / 5
+        out["log_checkpoint"] = {
+            "commits": 401,
+            "full_fold_ms": round(t_full_fold * 1000, 1),
+            "ckpt_fold_ms": round(t_ckpt_fold * 1000, 1),
+            "speedup": round(t_full_fold / max(t_ckpt_fold, 1e-9), 1),
+            "state_len_after_ckpt": len(st),
+        }
     finally:
         shutil.rmtree(d, ignore_errors=True)
     print(json.dumps(out))

@@ -4025,3 +4025,302 @@ def qup17_merge_schema_evolution(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@query(
+    "qup18_update_where",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 6 = 0)
+SELECT k,
+       CASE WHEN st = 'F' THEN 'U' ELSE st END AS st,
+       CASE WHEN st = 'F' THEN round(price + 100, 2) ELSE price END
+         AS price
+FROM snap ORDER BY k
+""",
+    doc="qup18: UPDATE ... SET ... WHERE as a commit "
+    "(commit_log.update_where — completing the table format's DML "
+    "triad: MERGE qup7/qup8, DELETE qup10/qup16, UPDATE here): the "
+    "snapshot lands as three key-range directories, then UPDATE SET "
+    "st='U', price=round(price+100,2) WHERE st='F' rewrites ONLY the "
+    "directories that contain matching rows (the DELETE-shaped "
+    "position scan; untouched directories stay listed unread — "
+    "pruning pinned in test_capabilities.py::"
+    "test_commit_log_update_where), with matched rows transformed "
+    "and unmatched rows passing through verbatim. Assignments are "
+    "CAST back to each column's current type so an UPDATE can never "
+    "silently drift the table schema; NULL conditions leave rows "
+    "unchanged (SQL semantics); live deletion vectors are "
+    "reconciled on the read so dead rows can neither match nor "
+    "revive. Old versions stay time-travelable.",
+    tags=("sink", "acid", "update"),
+)
+def qup18_update_where(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    tiled = snap.withColumn("_t", F.ntile(3).over(Window.orderBy("k")))
+    path = os.path.join(_roundtrip_dir("commit_log_update"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(
+        spark, path, tiled.filter("_t = 1").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 2").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 3").drop("_t"), stats_cols=["k"])
+    cl.update_where(
+        spark, path, "st = 'F'",
+        {"st": "'U'", "price": "round(price + 100, 2)"},
+    )
+    return cl.read_table(spark, path).orderBy("k")
+
+
+@query(
+    "qup19_restore_table",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price, o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 7 = 0),
+b AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice + 1000, 2) AS price,
+         o_orderdate + INTERVAL 1 DAY AS ts
+  FROM orders WHERE o_orderkey % 5 = 0),
+v3 AS (
+  SELECT * FROM (
+    SELECT * FROM b
+    UNION ALL
+    SELECT * FROM snap WHERE k NOT IN (SELECT k FROM b))
+  WHERE k % 3 <> 0),
+stages AS (
+  SELECT 'a_mutated' AS stage, k, st, price FROM v3
+  UNION ALL SELECT 'b_restored', k, st, price FROM snap)
+SELECT stage, k, st, price FROM stages ORDER BY stage, k
+""",
+    doc="qup19: RESTORE TABLE ... TO VERSION (commit_log."
+    "restore_table — Delta's rollback): after a merge (v2) and a "
+    "DELETE (v3) mutate the table, RESTORE publishes a NEW commit "
+    "whose live file set equals version 1's — pure log manipulation, "
+    "no data read or written, history intact (the rollback itself is "
+    "time-travelable and shows in DESCRIBE HISTORY). The output "
+    "emits the mutated v3 state alongside the post-restore read, and "
+    "the restored half must hash-match the ORIGINAL snapshot SQL — "
+    "any file-set reconstruction error (a lost directory, a "
+    "resurrected delete) is a mismatch. Refusal when vacuum already "
+    "reclaimed a needed directory is pinned in "
+    "test_capabilities.py::test_commit_log_restore. At 100 TB a "
+    "fat-finger DELETE is undone in one driver-side commit.",
+    tags=("acid", "restore", "cdc"),
+)
+def qup19_restore_table(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    batch = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") + 1000, 2).alias("price"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+    )
+    path = os.path.join(_roundtrip_dir("commit_log_restore"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(spark, path, snap, stats_cols=["k"])      # v1
+    cl.merge_upsert(spark, path, batch, ["k"], "ts")          # v2
+    cl.delete_where(spark, path, "k % 3 = 0")                 # v3
+    mutated = cl.read_table(spark, path)
+    cl.restore_table(spark, path, 1)                          # v4
+    restored = cl.read_table(spark, path)
+
+    def shape(df, stage):
+        return df.select(F.lit(stage).alias("stage"), "k", "st", "price")
+
+    return (
+        shape(mutated, "a_mutated")
+        .unionByName(shape(restored, "b_restored"))
+        .orderBy("stage", "k")
+    )
+
+
+@query(
+    "qup20_shallow_clone",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price, o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 7 = 0),
+pruned AS (SELECT * FROM snap WHERE st <> 'F'),
+b AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice + 1000, 2) AS price,
+         o_orderdate + INTERVAL 1 DAY AS ts
+  FROM orders WHERE o_orderkey % 5 = 0),
+merged AS (
+  SELECT * FROM b
+  UNION ALL
+  SELECT * FROM pruned WHERE k NOT IN (SELECT k FROM b)),
+stages AS (
+  SELECT 'a_clone' AS stage, k, st, price FROM pruned
+  UNION ALL SELECT 'b_source', k, st, price FROM merged)
+SELECT stage, k, st, price FROM stages ORDER BY stage, k
+""",
+    doc="qup20: SHALLOW CLONE (commit_log.clone_table — Delta's "
+    "zero-copy clone, hard-link flavored for the POSIX tier; an "
+    "object store would reference manifests): the source table "
+    "carries a live DELETION VECTOR (st='F' DV-deleted) when it is "
+    "cloned, so the clone must inherit data directories, stats, "
+    "schema AND the live vectors by linking — no data bytes copied, "
+    "cost is one link per file (measured metadata-only in "
+    "scripts/table_probe.py). The source then mutates (a merge "
+    "rewrites its directories) AND VACUUMS the delisted files — the "
+    "clone still reads the pre-mutation snapshot through its "
+    "refcounted links (true independence, not delayed deletion), "
+    "while the source serves the merged state: both emitted and "
+    "hashed against their SQL truths in one output.",
+    tags=("acid", "clone", "dv"),
+)
+def qup20_shallow_clone(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    batch = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") + 1000, 2).alias("price"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+    )
+    base = _roundtrip_dir("commit_log_clone")
+    src = os.path.join(base, "src")
+    dst = os.path.join(base, "dst")
+    for p in (src, dst):
+        shutil.rmtree(p, ignore_errors=True)
+    cl.create_table(spark, src, snap, stats_cols=["k"])
+    cl.delete_where(spark, src, "st = 'F'", deletion_vectors=True)
+    cl.clone_table(spark, src, dst)
+    cl.merge_upsert(spark, src, batch, ["k"], "ts")  # mutate SOURCE only
+    # the strongest isolation proof: the source VACUUMS its delisted
+    # files — the clone still reads them through its hard links
+    # (refcounted inodes), so 'a_clone' below certifies true
+    # independence, not just delayed deletion
+    cl.vacuum(src)
+
+    def shape(df, stage):
+        return df.select(F.lit(stage).alias("stage"), "k", "st", "price")
+
+    return (
+        shape(cl.read_table(spark, dst), "a_clone")
+        .unionByName(shape(cl.read_table(spark, src), "b_source"))
+        .orderBy("stage", "k")
+    )
+
+
+@query(
+    "qup21_log_checkpoint",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price, o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 6 = 0),
+alive AS (SELECT * FROM snap WHERE st <> 'F'),
+b AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice + 1000, 2) AS price,
+         o_orderdate + INTERVAL 1 DAY AS ts
+  FROM orders WHERE o_orderkey % 15 = 0),
+merged AS (
+  SELECT * FROM b
+  UNION ALL
+  SELECT * FROM alive WHERE k NOT IN (SELECT k FROM b))
+SELECT k, st, price, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM merged ORDER BY k
+""",
+    doc="qup21: LOG CHECKPOINTS (commit_log.checkpoint_log — Delta's "
+    "_last_checkpoint shape, the feature that keeps a table with "
+    "years of commits driver-cheap): after a create + two appends + "
+    "a DV delete, the folded state (live dirs + stats, live vectors "
+    "+ row count, schema, CHECK, txn watermarks) lands in one "
+    "checkpoint file, and EVERY subsequent snapshot resolve reads "
+    "checkpoint + tail — O(tail) instead of O(history) per "
+    "operation, verified structurally in test_capabilities.py::"
+    "test_commit_log_checkpoint (state list length 1 right after "
+    "checkpointing; torn checkpoints fall back to the full fold; "
+    "historical paths still read raw commits). This declared row "
+    "certifies VALUE fidelity: the post-checkpoint MERGE and read "
+    "both resolve through the synthetic checkpoint commit, and the "
+    "result must hash-match MERGE-over-(snapshot-minus-DV-deleted) "
+    "SQL — any state lost or invented by the fold (a dropped live "
+    "dir, a forgotten deletion vector, stale stats pruning the "
+    "wrong directory) is a mismatch.",
+    tags=("acid", "checkpoint", "prune"),
+)
+def qup21_log_checkpoint(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    batch = orders.filter(F.col("o_orderkey") % 15 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") + 1000, 2).alias("price"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+    )
+    tiled = snap.withColumn("_t", F.ntile(3).over(Window.orderBy("k")))
+    path = os.path.join(_roundtrip_dir("commit_log_ckpt"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(
+        spark, path, tiled.filter("_t = 1").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 2").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 3").drop("_t"), stats_cols=["k"])
+    cl.delete_where(spark, path, "st = 'F'", deletion_vectors=True)
+    cl.checkpoint_log(path)
+    cl.merge_upsert(spark, path, batch, ["k"], "ts")  # through the ckpt
+    return (
+        cl.read_table(spark, path)
+        .select(
+            "k", "st", "price",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+        .orderBy("k")
+    )

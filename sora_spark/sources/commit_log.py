@@ -129,6 +129,127 @@ def _read_commits(path: str, upto: int | None) -> list[dict]:
     return commits
 
 
+def _latest_checkpoint_version(path: str) -> int | None:
+    """Newest `%08d.ckpt.json` log checkpoint, or None."""
+    d = os.path.join(path, _COMMITS)
+    if not os.path.isdir(d):
+        return None
+    best = None
+    for f in os.listdir(d):
+        if f.endswith(".ckpt.json") and f.split(".")[0].isdigit():
+            v = int(f.split(".")[0])
+            best = v if best is None or v > best else best
+    return best
+
+
+def _read_state_commits(path: str) -> list[dict]:
+    """CURRENT-state commit list, checkpoint-accelerated: when a log
+    checkpoint exists, return [synthetic checkpoint commit] + the tail
+    commits after it — every state fold (_fold_live, _live_stats,
+    _latest_schema, _table_check, txn watermarks, dv_rows) then costs
+    O(tail), not O(history). The synthetic commit is shaped exactly
+    like a real one so no fold changes; `txn_watermarks` carries the
+    multi-app map (latest_txn_version understands it). HISTORICAL
+    paths — time travel, version_as_of, history(), table_changes,
+    vacuum's ever-added set, restore — keep reading the raw per-commit
+    files, which are never deleted; the checkpoint is pure read
+    acceleration, falling back to the full fold when absent or
+    unreadable."""
+    cv = _latest_checkpoint_version(path)
+    if cv is None:
+        return _read_commits(path, None)
+    try:
+        with open(
+            os.path.join(path, _COMMITS, f"{cv:08d}.ckpt.json")
+        ) as f:
+            state = json.load(f)
+    except (OSError, ValueError):
+        return _read_commits(path, None)
+    synthetic = {
+        "version": int(state["version"]),
+        "operation": "checkpoint",
+        "added": state.get("live", []),
+        "removed": [],
+        "dv_added": state.get("live_dvs", []),
+        "dv_removed": [],
+    }
+    for k in ("schema", "schema_json", "check", "stats",
+              "txn_watermarks", "committed_at"):
+        if state.get(k):
+            synthetic[k] = state[k]
+    if state.get("live_dvs"):
+        synthetic["dv_rows"] = int(state.get("dv_rows") or 0)
+    # tail = only the commits AFTER the checkpoint — the whole point;
+    # table_versions is a single listdir, no per-commit file reads
+    tail = []
+    for v in table_versions(path):
+        if v > cv:
+            with open(_commit_path(path, v)) as f:
+                tail.append(json.load(f))
+    return [synthetic] + tail
+
+
+def checkpoint_log(path: str) -> int:
+    """Write a LOG CHECKPOINT: the folded current state (live
+    directories + their stats, live deletion vectors + row count,
+    schema, CHECK constraint, per-app txn watermarks) lands in
+    `_commits/%08d.ckpt.json`, and every subsequent snapshot resolve
+    reads checkpoint + tail instead of the whole history — Delta's
+    _last_checkpoint shape, the thing that keeps a table with years
+    of commits driver-cheap (O(tail) instead of O(history) per
+    operation). The per-commit JSONs are kept (provenance, time
+    travel, DESCRIBE HISTORY, vacuum's ever-set all still read them);
+    re-checkpointing after more commits supersedes by version. Write
+    is tmp+rename atomic; a torn file is ignored by readers (full
+    fold fallback). Returns the checkpointed version. Cadence is the
+    caller's (Delta defaults to every 10 commits)."""
+    commits = _read_commits(path, None)
+    live = _fold_live(commits)
+    dvs = _fold_live_dvs(commits)
+    recorded: dict[str, dict] = {}
+    for c in commits:
+        for rel, st in c.get("stats", {}).items():
+            recorded[rel] = st
+    watermarks: dict[str, int] = {}
+    for c in commits:
+        t = c.get("txn")
+        if t and t.get("app") is not None:
+            v = int(t["version"])
+            if watermarks.get(t["app"], v - 1) < v:
+                watermarks[t["app"]] = v
+    state = {
+        "version": commits[-1]["version"],
+        "live": live,
+        "live_dvs": dvs,
+        "dv_rows": sum(
+            int(c.get("dv_rows") or 0) for c in commits if c.get("dv_added")
+        ),
+        "stats": {d: recorded[d] for d in live if recorded.get(d)},
+        "committed_at": commits[-1].get("committed_at"),
+    }
+    if _latest_schema(commits):
+        state["schema"] = _latest_schema(commits)
+    for c in reversed(commits):
+        if c.get("schema_json"):
+            state["schema_json"] = c["schema_json"]
+            break
+    if _table_check(commits):
+        state["check"] = _table_check(commits)
+    if watermarks:
+        state["txn_watermarks"] = watermarks
+    final = os.path.join(
+        path, _COMMITS, f"{state['version']:08d}.ckpt.json"
+    )
+    tmp = final + f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(state, f, sort_keys=True)
+        f.write("\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, final)
+    return state["version"]
+
+
 def _fold_live(commits: list[dict]) -> list[str]:
     live: list[str] = []
     for c in commits:
@@ -166,43 +287,76 @@ def _with_position(df: DataFrame) -> DataFrame:
     ).withColumn("_r", F.col("_metadata.row_index"))
 
 
-def _apply_dvs(
-    spark: SparkSession,
-    path: str,
-    commits: list[dict],
-    df: DataFrame,
-    keep_position: bool = False,
-) -> DataFrame:
-    """Reconcile the live deletion vectors at READ time: anti-join the
-    scan on (file, row_index) against the union of live `dv/` sidecars.
-    No live vectors → the input plan is returned untouched (the common
-    case pays nothing). The DV side is broadcast while the commits'
-    recorded `dv_rows` total stays under _DV_BROADCAST_ROWS — at 100 TB
-    a delete-heavy table past that threshold still reads correctly, it
-    just shuffles on the position key until the next compact reconciles.
-    Vectors addressing files a later rewrite already delisted simply
-    match nothing — stale entries are harmless, only unreconciled ones
-    ever bloat the join side.
-
-    `keep_position=True` carries the `_f`/`_r` position columns into
-    the output (always, even with no live vectors) for callers that
-    address rows physically — `_metadata` cannot be re-resolved after
-    the anti-join, so the tagging must happen here."""
+def _dv_relation(spark: SparkSession, path: str, commits: list[dict]):
+    """The union of live deletion-vector sidecars as (_dv_file,
+    _dv_row), broadcast while the commits' recorded row counts stay
+    under _DV_BROADCAST_ROWS."""
     from pyspark.sql import functions as F
 
     dvs = _fold_live_dvs(commits)
-    if not dvs:
-        return _with_position(df) if keep_position else df
-    cols = df.columns + (["_f", "_r"] if keep_position else [])
     dv = spark.read.parquet(
         *[os.path.join(path, d) for d in dvs]
     ).select("_dv_file", "_dv_row")
     known = [c.get("dv_rows") for c in commits if c.get("dv_added")]
     if all(n is not None for n in known) and sum(known) <= _DV_BROADCAST_ROWS:
         dv = F.broadcast(dv)
-    tagged = _with_position(df)
-    cond = (tagged["_f"] == dv["_dv_file"]) & (tagged["_r"] == dv["_dv_row"])
-    return tagged.join(dv, cond, "left_anti").select(*cols)
+    return dv
+
+
+def _read_live(
+    spark: SparkSession,
+    path: str,
+    commits: list[dict],
+    dirs: list[str],
+    schema,
+    keep_position: bool = False,
+) -> DataFrame:
+    """DV-aware read of specific live directories, SPLIT by whether a
+    live deletion vector actually targets them: CLEAN directories scan
+    with no join in their subtree at all (at 100 TB, after a targeted
+    delete, that is almost the whole table — the read tax tracks the
+    DIRTY data, not the table), DIRTY directories anti-join the
+    vectors; one unionByName stitches the two. The dirty set comes
+    from one tiny distinct-directories job over the vector sidecars
+    (|live DV rows| in, |directories| out). With no live vectors this
+    is exactly a plain partitioned scan."""
+    from pyspark.sql import functions as F
+
+    dvs = _fold_live_dvs(commits)
+    if not dvs or not dirs:
+        df = _read_dirs(spark, path, dirs, schema)
+        return _with_position(df) if keep_position else df
+    dv = _dv_relation(spark, path, commits)
+    affected = {
+        r[0]
+        for r in dv.select(
+            F.regexp_extract(
+                "_dv_file", r"(data/v\d{8}-[0-9a-f]+(?:/_bucket=\d+)?)", 1
+            ).alias("d")
+        )
+        .distinct()
+        .collect()
+    }
+    dirty = [d for d in dirs if d in affected]
+    clean = [d for d in dirs if d not in affected]
+    parts: list[DataFrame] = []
+    if dirty:
+        tagged = _with_position(_read_dirs(spark, path, dirty, schema))
+        cond = (
+            (tagged["_f"] == dv["_dv_file"])
+            & (tagged["_r"] == dv["_dv_row"])
+        )
+        joined = tagged.join(dv, cond, "left_anti")
+        if not keep_position:
+            joined = joined.drop("_f", "_r")
+        parts.append(joined)
+    if clean:
+        cdf = _read_dirs(spark, path, clean, schema)
+        parts.append(_with_position(cdf) if keep_position else cdf)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _latest_schema(commits: list[dict]) -> str | None:
@@ -518,7 +672,7 @@ def append(
     may not drop columns or change a shared column's type — those
     still refuse loudly. The evolved schema is re-recorded in this
     commit, so time travel before it keeps the old shape."""
-    commits = _read_commits(path, None)
+    commits = _read_state_commits(path)
     evolved = _evolution_gate(commits, df, merge_schema, "append")
     version = commits[-1]["version"] + 1
     rel, stats = _write_data(
@@ -598,7 +752,12 @@ def read_table(
         if version is not None:
             raise ValueError("pass version= or timestamp=, not both")
         version = version_as_of(path, timestamp)
-    commits = _read_commits(path, version)
+    # current-version reads take the checkpoint-accelerated state
+    # path; time travel reads the raw per-commit files (always kept)
+    commits = (
+        _read_state_commits(path) if version is None
+        else _read_commits(path, version)
+    )
     live = _fold_live(commits)
     schema = _schema_struct(commits)
     if not live:
@@ -607,11 +766,7 @@ def read_table(
             # SQL/Delta semantics: the table is EMPTY, not unreadable
             return spark.createDataFrame([], schema)
         raise ValueError(f"table at {path} has no live data")
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    df = reader.parquet(*[os.path.join(path, d) for d in live])
-    return _apply_dvs(spark, path, commits, df)
+    return _read_live(spark, path, commits, live, schema)
 
 
 def merge_upsert(
@@ -658,7 +813,7 @@ def merge_upsert(
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    commits = _read_commits(path, None)
+    commits = _read_state_commits(path)
     # same gate as append: without it a type-drifting batch would
     # be COERCED by unionByName and committed as a silently
     # different table schema, wedging later appends against the
@@ -692,9 +847,8 @@ def merge_upsert(
 
     new = batch_df.withColumn("_src", F.lit(1))
     if touched:
-        cur = _apply_dvs(
-            spark, path, commits,
-            _read_dirs(spark, path, touched, _schema_struct(commits)),
+        cur = _read_live(
+            spark, path, commits, touched, _schema_struct(commits)
         ).withColumn("_src", F.lit(0))
         # evolution: the current rows lack the batch's added columns —
         # allowMissingColumns fills them with NULLs (Delta autoMerge)
@@ -761,7 +915,7 @@ def delete_where(
     from pyspark.sql import Observation
 
     cond = F.expr(condition) if isinstance(condition, str) else condition
-    commits = _read_commits(path, None)
+    commits = _read_state_commits(path)
     version = commits[-1]["version"] + 1
     live = _fold_live(commits)
     live_stats = _live_stats(path, commits=commits)
@@ -769,9 +923,8 @@ def delete_where(
         stats_cols = sorted({c for s in live_stats.values() for c in s})
 
     schema = _schema_struct(commits)
-    full = _apply_dvs(
-        spark, path, commits, _read_dirs(spark, path, live, schema),
-        keep_position=True,
+    full = _read_live(
+        spark, path, commits, live, schema, keep_position=True
     )
 
     if deletion_vectors:
@@ -811,7 +964,7 @@ def delete_where(
         .select(
             F.regexp_extract(
                 # _f is the table-relative FILE path (tagged by
-                # _apply_dvs); its directory prefix is the relpath —
+                # _read_live); its directory prefix is the relpath —
                 # clustered-compact dirs register their _bucket= hive
                 # subdir as the relpath, so capture it when present
                 F.col("_f"),
@@ -825,9 +978,8 @@ def delete_where(
     touched = [d for d in live if d in hit]
     if not touched:
         return None
-    keep = _apply_dvs(
-        spark, path, commits, _read_dirs(spark, path, touched, schema)
-    ).filter(~F.coalesce(cond, F.lit(False)))
+    keep = _read_live(spark, path, commits, touched, schema).filter(
+        ~F.coalesce(cond, F.lit(False)))
     added, entry_stats = [], {}
     if not keep.isEmpty():
         rel, stats = _write_data(keep, path, version, stats_cols)
@@ -839,6 +991,88 @@ def delete_where(
              "pruned_dirs": len(live) - len(touched)}
     if entry_stats:
         entry["stats"] = entry_stats
+    return _publish(path, entry)
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    set_exprs: dict,
+    stats_cols: list[str] | None = None,
+) -> int | None:
+    """UPDATE table SET col = expr, ... WHERE condition, as a commit.
+    Same cost shape as the rewrite DELETE: one pushdown scan over the
+    row positions finds the live directories that CONTAIN matching
+    rows, and only those are rewritten — matched rows get `set_exprs`
+    applied (values for unlisted columns pass through), unmatched
+    rows in the same directory pass through verbatim, untouched
+    directories stay listed unread. SQL UPDATE semantics: a NULL
+    condition leaves the row unchanged. Returns the new version, or
+    None when nothing matched (no commit published).
+
+    `set_exprs` maps column name -> SQL expression string or Column;
+    expressions may reference any table column (e.g. {"price":
+    "price * 1.1"}). Updating may not change the table schema: each
+    assignment is CAST back to the column's current type, so an
+    expression whose value cannot cast refuses at write time rather
+    than silently committing a drifted schema. Live deletion vectors
+    are reconciled on every read here, so a DV-deleted row can
+    neither match nor resurrect. `stats_cols` defaults like DELETE's
+    (every column live directories already track). The table CHECK
+    constraint validates the rewritten directory as usual."""
+    from pyspark.sql import functions as F
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    commits = _read_state_commits(path)
+    version = commits[-1]["version"] + 1
+    live = _fold_live(commits)
+    live_stats = _live_stats(path, commits=commits)
+    if stats_cols is None:
+        stats_cols = sorted({c for s in live_stats.values() for c in s})
+
+    schema = _schema_struct(commits)
+    full = _read_live(
+        spark, path, commits, live, schema, keep_position=True
+    )
+    bad = [c for c in set_exprs if c not in full.columns]
+    if bad:
+        raise ValueError(f"update_where sets unknown column(s) {bad}")
+    hit = {
+        r[0]
+        for r in full.filter(cond)
+        .select(
+            F.regexp_extract(
+                F.col("_f"),
+                r"(data/v\d{8}-[0-9a-f]+(?:/_bucket=\d+)?)",
+                1,
+            ).alias("d")
+        )
+        .distinct()
+        .collect()
+    }
+    touched = [d for d in live if d in hit]
+    if not touched:
+        return None
+    cur = _read_live(spark, path, commits, touched, schema)
+    types = {f.name: f.dataType for f in cur.schema.fields}
+    matched = F.coalesce(cond, F.lit(False))  # NULL cond -> unchanged
+    out_cols = []
+    for c in cur.columns:
+        if c in set_exprs:
+            e = set_exprs[c]
+            e = (F.expr(e) if isinstance(e, str) else e).cast(types[c])
+            out_cols.append(F.when(matched, e).otherwise(F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    updated = cur.select(*out_cols)
+    rel, stats = _write_data(
+        updated, path, version, stats_cols, check=_table_check(commits))
+    entry = {"version": version, "operation": "update",
+             "added": [rel], "removed": touched,
+             "pruned_dirs": len(live) - len(touched)}
+    if stats:
+        entry["stats"] = {rel: stats}
     return _publish(path, entry)
 
 
@@ -871,7 +1105,7 @@ def compact(
     explicit schema)."""
     from pyspark.sql import functions as F
 
-    commits = _read_commits(path, None)
+    commits = _read_state_commits(path)
     live = _fold_live(commits)
     # compact is where deletion vectors are PHYSICALLY applied: the
     # rewrite reads through them, so the output contains survivors
@@ -889,9 +1123,7 @@ def compact(
     live_stats = _live_stats(path, commits=commits)
     stats_cols = sorted({c for s in live_stats.values() for c in s})
     schema = _schema_struct(commits)
-    full = _apply_dvs(
-        spark, path, commits, _read_dirs(spark, path, live, schema)
-    )
+    full = _read_live(spark, path, commits, live, schema)
     n_out = max(int(target_partitions), 1)
 
     if not cluster_by:
@@ -940,6 +1172,123 @@ def compact(
     if entry_stats:
         entry["stats"] = entry_stats
     return _publish(path, entry)
+
+
+def restore_table(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION — Delta's rollback: publish a NEW
+    commit whose live file set (and live deletion vectors, and
+    schema) equal those of `version`, leaving all history intact —
+    the rollback is itself time-travelable and shows in DESCRIBE
+    HISTORY, nothing is deleted. Pure log manipulation: no data is
+    read or written, cost is the driver-side fold. Refuses if any
+    directory the target version needs was already reclaimed by
+    vacuum (Delta's restore has the same failure mode)."""
+    commits_now = _read_commits(path, None)
+    commits_then = _read_commits(path, version)
+    live_now, live_then = _fold_live(commits_now), _fold_live(commits_then)
+    dv_now = _fold_live_dvs(commits_now)
+    dv_then = _fold_live_dvs(commits_then)
+    missing = [
+        d for d in live_then + dv_then
+        if not os.path.isdir(os.path.join(path, d))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot restore to version {version}: {len(missing)} "
+            f"directories were vacuumed (e.g. {missing[0]})"
+        )
+    new_version = commits_now[-1]["version"] + 1
+    entry = {
+        "version": new_version, "operation": "restore",
+        "restored_version": int(version),
+        "removed": [d for d in live_now if d not in set(live_then)],
+        "added": [d for d in live_then if d not in set(live_now)],
+        "dv_removed": [d for d in dv_now if d not in set(dv_then)],
+        "dv_added": [d for d in dv_then if d not in set(dv_now)],
+    }
+    # re-record the target's schema so post-evolution rollbacks read
+    # with the right shape; stats for re-added dirs are re-recorded
+    # from what their original commits carried
+    then_schema = _latest_schema(commits_then)
+    now_schema = _latest_schema(commits_now)
+    if then_schema and then_schema != now_schema:
+        entry["schema"] = then_schema
+        for c in reversed(commits_then):
+            if c.get("schema_json"):
+                entry["schema_json"] = c["schema_json"]
+                break
+        entry["schema_evolved"] = True
+    then_stats = _live_stats(path, commits=commits_then)
+    readd_stats = {
+        d: then_stats[d] for d in entry["added"] if then_stats.get(d)
+    }
+    if readd_stats:
+        entry["stats"] = readd_stats
+    # dv_rows for re-added vectors: inherit the recorded counts so the
+    # broadcast decision stays informed
+    readd_rows = 0
+    for c in commits_then:
+        for d in c.get("dv_added", []):
+            if d in set(entry["dv_added"]):
+                readd_rows += int(c.get("dv_rows") or 0)
+    if entry["dv_added"]:
+        entry["dv_rows"] = readd_rows
+    return _publish(path, entry)
+
+
+def clone_table(spark: SparkSession, src: str, dst: str) -> int:
+    """SHALLOW-style CLONE: materialize the source's CURRENT snapshot
+    as an independent table at `dst` without copying any data bytes —
+    every live data file (and live deletion-vector file) is
+    HARD-LINKED into the clone (POSIX link: zero-copy, refcounted, so
+    either table may vacuum/rewrite independently afterwards; an
+    object-store port would reference manifests instead, Delta's
+    shallow-clone shape). The clone starts its own history at
+    version 1, inheriting schema, CHECK constraint, per-directory
+    stats, and live DVs — reads of the clone are immediately
+    identical to the source snapshot. Cost is metadata-only
+    (one link per file), measured in scripts/table_probe.py."""
+    commits = _read_state_commits(src)
+    live, dvs = _fold_live(commits), _fold_live_dvs(commits)
+    if os.path.isdir(os.path.join(dst, _COMMITS)):
+        raise ValueError(f"clone target {dst!r} already has a commit log")
+    live_stats = _live_stats(src, commits=commits)
+
+    def _link_dir(rel: str) -> None:
+        s_dir = os.path.join(src, rel)
+        d_dir = os.path.join(dst, rel)
+        os.makedirs(d_dir, exist_ok=True)
+        for f in os.listdir(s_dir):
+            sf = os.path.join(s_dir, f)
+            if os.path.isfile(sf):
+                os.link(sf, os.path.join(d_dir, f))
+
+    for rel in live + dvs:
+        _link_dir(rel)
+    entry = {
+        "version": 1, "operation": "clone", "cloned_from": src,
+        "cloned_version": commits[-1]["version"],
+        "added": list(live), "removed": [],
+    }
+    if dvs:
+        entry["dv_added"] = list(dvs)
+        entry["dv_rows"] = sum(
+            int(c.get("dv_rows") or 0) for c in commits if c.get("dv_added")
+        )
+    schema = _latest_schema(commits)
+    if schema:
+        entry["schema"] = schema
+    for c in reversed(commits):
+        if c.get("schema_json"):
+            entry["schema_json"] = c["schema_json"]
+            break
+    check = _table_check(commits)
+    if check:
+        entry["check"] = check
+    stats = {d: s for d, s in live_stats.items() if s}
+    if stats:
+        entry["stats"] = stats
+    return _publish(dst, entry)
 
 
 def table_changes(
@@ -1051,9 +1400,14 @@ def commit_with_retry(fn, attempts: int = 8, backoff: float = 0.05):
 
 def latest_txn_version(path: str, app_id: str) -> int | None:
     """Highest transaction version committed for `app_id`, or None.
-    Driver-side fold over the commit log — bounded by commit count."""
+    Driver-side fold over the commit log — checkpoint-accelerated
+    (O(tail) with a log checkpoint; the synthetic checkpoint commit
+    carries the folded per-app `txn_watermarks` map)."""
     best = None
-    for c in _read_commits(path, None):
+    for c in _read_state_commits(path):
+        w = c.get("txn_watermarks", {}).get(app_id)
+        if w is not None and (best is None or int(w) > best):
+            best = int(w)
         t = c.get("txn")
         if t and t.get("app") == app_id:
             v = int(t["version"])
@@ -1097,7 +1451,7 @@ def txn_append(
     seen = latest_txn_version(path, app_id)
     if seen is not None and seen >= int(txn_version):
         return None
-    commits = _read_commits(path, None)
+    commits = _read_state_commits(path)
     want = _latest_schema(commits)
     if want and df.schema.simpleString() != want:
         raise ValueError(

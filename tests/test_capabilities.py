@@ -2737,3 +2737,182 @@ def test_commit_log_two_process_race(spark, tmp_path):
     got = sorted(r[0] for r in cl.read_table(spark, path).collect())
     want = sorted([-1] + list(range(0, 40)) + list(range(1000, 1040)))
     assert got == want
+
+
+def test_commit_log_update_where(spark, tmp_path):
+    """UPDATE rewrites only directories containing matched rows
+    (commit-pinned pruning), casts assignments back to the column
+    type (schema can never drift), leaves NULL-condition rows
+    unchanged, respects live DVs, and refuses unknown columns."""
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "u")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, s string, p double")
+    cl.create_table(spark, path, mk([(1, "a", 1.0), (2, "b", 2.0)]),
+                    stats_cols=["k"])
+    cl.append(spark, path, mk([(10, "a", 3.0)]), stats_cols=["k"])
+    cl.append(spark, path, mk([(20, "c", 4.0), (21, None, 5.0)]),
+              stats_cols=["k"])
+
+    v = cl.update_where(spark, path, "s = 'a'",
+                        {"p": "p * 10", "s": "'A'"})
+    e = cl._read_commits(path, None)[-1]
+    assert e["operation"] == "update"
+    assert len(e["removed"]) == 2 and e["pruned_dirs"] == 1
+    got = sorted(map(tuple, cl.read_table(spark, path).collect()), key=str)
+    assert got == sorted(
+        [(1, "A", 10.0), (2, "b", 2.0), (10, "A", 30.0),
+         (20, "c", 4.0), (21, None, 5.0)], key=str)
+    # NULL-condition rows (s IS NULL) stay unchanged under a predicate
+    cl.update_where(spark, path, F.col("s") < "b", {"p": "0.0"})
+    rows = {r[0]: r[2] for r in cl.read_table(spark, path).collect()}
+    assert rows[21] == 5.0 and rows[1] == 0.0  # NULL kept, 'A' updated
+    # schema cannot drift: int expr cast back to double
+    cl.update_where(spark, path, "k = 2", {"p": "7"})
+    t = cl.read_table(spark, path)
+    assert dict(t.dtypes)["p"] == "double"
+    assert {r[0]: r[2] for r in t.collect()}[2] == 7.0
+    # unknown column refuses
+    with _pytest.raises(ValueError, match="unknown column"):
+        cl.update_where(spark, path, "k = 1", {"nope": "1"})
+    # no match -> no commit
+    n = len(cl.table_versions(path))
+    assert cl.update_where(spark, path, "k = 999", {"p": "0"}) is None
+    assert len(cl.table_versions(path)) == n
+    # a DV-deleted row can't match an update
+    cl.delete_where(spark, path, "k = 20", deletion_vectors=True)
+    assert cl.update_where(spark, path, "k = 20", {"p": "1.0"}) is None
+    # time travel still serves the pre-update state
+    assert {r[2] for r in cl.read_table(spark, path, 3).collect()} == \
+        {1.0, 2.0, 3.0, 4.0, 5.0}
+
+
+def test_commit_log_restore(spark, tmp_path):
+    """RESTORE reconstructs a prior version's live set (data + DVs +
+    schema) as a NEW commit — history intact, rollback
+    time-travelable — and refuses when vacuum already reclaimed a
+    needed directory."""
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "r")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, p double, ts bigint")
+    cl.create_table(spark, path, mk([(1, 1.0, 10), (2, 2.0, 10)]))
+    cl.delete_where(spark, path, "k = 1", deletion_vectors=True)  # v2
+    cl.merge_upsert(spark, path, mk([(3, 3.0, 20)]), ["k"], "ts")  # v3
+    # restore to v2: the DV must come back too (k=1 stays deleted)
+    v = cl.restore_table(spark, path, 2)
+    got = {r[0] for r in cl.read_table(spark, path).collect()}
+    assert got == {2}
+    # restore to v1: full original
+    cl.restore_table(spark, path, 1)
+    assert {r[0] for r in cl.read_table(spark, path).collect()} == {1, 2}
+    # rollbacks are themselves history: travel back to the v2-restore
+    assert {r[0] for r in cl.read_table(spark, path, v).collect()} == {2}
+    # schema evolution rolls back shape too
+    wide = spark.createDataFrame([(9, 9.0, 30, "t")],
+                                 "k bigint, p double, ts bigint, tag string")
+    cl.append(spark, path, wide, merge_schema=True)
+    assert "tag" in cl.read_table(spark, path).columns
+    cl.restore_table(spark, path, 1)
+    assert cl.read_table(spark, path).columns == ["k", "p", "ts"]
+    # vacuum, then restoring to a reclaimed version refuses
+    cl.vacuum(path)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        cl.restore_table(spark, path, 3)
+
+
+def test_commit_log_clone_independence(spark, tmp_path):
+    """Shallow clone: zero-copy (hard links — inode-identical files),
+    inherits schema/CHECK/stats/DVs; afterwards the two histories are
+    independent — each side mutates and vacuums without reaching the
+    other; cloning onto an existing table refuses."""
+    import os
+
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, p double, ts bigint")
+    cl.create_table(spark, src, mk([(1, 1.0, 10), (2, 2.0, 10)]),
+                    stats_cols=["k"], check="p >= 0")
+    cl.delete_where(spark, src, "k = 1", deletion_vectors=True)
+    cl.clone_table(spark, src, dst)
+
+    # zero-copy: every cloned data file shares its inode with the source
+    for rel in cl._live_dirs(dst, None):
+        for f in os.listdir(os.path.join(dst, rel)):
+            s, d_ = os.path.join(src, rel, f), os.path.join(dst, rel, f)
+            if os.path.isfile(d_) and os.path.exists(s):
+                assert os.stat(s).st_ino == os.stat(d_).st_ino
+    # inherited state: DV applied, CHECK enforced, stats present
+    assert {r[0] for r in cl.read_table(spark, dst).collect()} == {2}
+    with _pytest.raises(cl.ConstraintViolationError):
+        cl.append(spark, dst, mk([(5, -1.0, 10)]))
+    assert any(cl._live_stats(dst).values())
+    # independence both ways: mutate + vacuum each side
+    cl.merge_upsert(spark, src, mk([(7, 7.0, 20)]), ["k"], "ts")
+    cl.vacuum(src)
+    cl.merge_upsert(spark, dst, mk([(8, 8.0, 20)]), ["k"], "ts")
+    cl.vacuum(dst)
+    assert {r[0] for r in cl.read_table(spark, src).collect()} == {2, 7}
+    assert {r[0] for r in cl.read_table(spark, dst).collect()} == {2, 8}
+    # refuse cloning onto an existing table
+    with _pytest.raises(ValueError, match="already has a commit log"):
+        cl.clone_table(spark, src, dst)
+
+
+def test_commit_log_checkpoint(spark, tmp_path):
+    """Log checkpoints (r12): state resolves as checkpoint + tail —
+    identical reads, working writers/watermarks/CHECK through the
+    synthetic commit, O(tail) fold length — while historical paths
+    (time travel, history, vacuum's ever-set, restore) keep reading
+    the raw per-commit files; a torn checkpoint file falls back to
+    the full fold."""
+    import os
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "ck")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, p double, ts bigint")
+    cl.create_table(spark, path, mk([(1, 1.0, 10), (2, 2.0, 10)]),
+                    stats_cols=["k"], check="p >= 0")
+    cl.append(spark, path, mk([(3, 3.0, 10)]), stats_cols=["k"])
+    cl.delete_where(spark, path, "k = 2", deletion_vectors=True)
+    cl.txn_append(spark, path, mk([(4, 4.0, 10)]), "app", 7,
+                  stats_cols=["k"])
+    pre = sorted(map(tuple, cl.read_table(spark, path).collect()))
+
+    v = cl.checkpoint_log(path)
+    assert v == 4
+    sc = cl._read_state_commits(path)
+    assert sc[0]["operation"] == "checkpoint" and len(sc) == 1  # O(tail)
+    assert sorted(map(tuple, cl.read_table(spark, path).collect())) == pre
+    # folds through the synthetic commit
+    assert cl.latest_txn_version(path, "app") == 7
+    assert cl._table_check(sc) == "p >= 0"
+    assert any(cl._live_stats(path, commits=sc).values())
+    # writers proceed from the checkpointed state
+    cl.merge_upsert(spark, path, mk([(1, 9.0, 20)]), ["k"], "ts")
+    cl.update_where(spark, path, "k = 3", {"p": "33.0"})
+    rows = {r[0]: r[1] for r in cl.read_table(spark, path).collect()}
+    assert rows == {1: 9.0, 3: 33.0, 4: 4.0}  # k=2 stays DV-deleted
+    # historical paths unaffected
+    assert cl.read_table(spark, path, 2).count() == 3
+    assert cl.history(spark, path).count() == 6
+    # torn checkpoint -> silent full-fold fallback
+    v2 = cl.checkpoint_log(path)
+    with open(os.path.join(path, "_commits", f"{v2:08d}.ckpt.json"),
+              "w") as f:
+        f.write("{torn")
+    assert {r[0]: r[1] for r in cl.read_table(spark, path).collect()} == rows
+    # a fresh checkpoint supersedes the torn one
+    v3 = cl.checkpoint_log(path)
+    assert v3 == v2
+    assert len(cl._read_state_commits(path)) == 1
+    assert {r[0]: r[1] for r in cl.read_table(spark, path).collect()} == rows

@@ -1053,3 +1053,34 @@ def test_text_index_prunes_term_buckets(spark, sf_dir, tmp_path):
     assert n_files > 1, "_terms write must be multi-task"
     assert sum("_tb" in l and " IN " in l for l in part) >= 2, (
         "BOTH the postings and the _terms scans must prune buckets:\n" + p)
+
+
+def test_commit_log_dv_read_splits_clean_dirty(spark, tmp_path):
+    """r12: with a live deletion vector targeting ONE directory, the
+    table read must split — the untouched directories' subtree scans
+    with NO join at all (at 100 TB that's almost the whole table), and
+    only the dirty directory anti-joins the vector sidecar."""
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    mk = lambda lo: spark.range(lo, lo + 50).selectExpr(
+        "id AS k", "CAST(id % 5 AS DOUBLE) AS p")
+    cl.create_table(spark, path, mk(0), stats_cols=["k"])
+    cl.append(spark, path, mk(100), stats_cols=["k"])
+    cl.append(spark, path, mk(200), stats_cols=["k"])
+    cl.delete_where(spark, path, "k = 205", deletion_vectors=True)
+
+    # simple mode prints each node once (formatted repeats nodes in
+    # the detail section), so node counts are meaningful
+    plan = _plan_df(cl.read_table(spark, path), mode="simple")
+    # exactly one anti-join (the dirty directory), not one per scan
+    assert plan.count("LeftAnti") == 1, plan
+    # the union stitches a join-free clean scan to the dirty branch
+    assert "Union" in plan, plan
+    # the clean branch reads the two untouched dirs: count parquet
+    # scans of the table — 2 clean + 1 dirty + the DV sidecar
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) >= 2, plan
+    # correctness alongside the shape
+    got = {r[0] for r in cl.read_table(spark, path).collect()}
+    assert 205 not in got and len(got) == 149
