@@ -752,6 +752,108 @@ def delete_from_ivf_index(
     return n_dead
 
 
+def split_ivf_list(
+    spark,
+    path: str,
+    cid: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, int]:
+    """Incrementally REBALANCE a hot inverted list: when
+    `ivf_index_stats` shows one `_cid` list has grown far past the
+    median (frozen-centroid drift under streaming appends — the ~4x
+    rebuild trigger append_to_ivf_index documents), split JUST that
+    list instead of rebuilding the index: a local 2-means over the
+    list's own vectors (kmeans_centroids — same deterministic
+    first-n init as the build) yields two sub-centroids; the list's
+    vectors are reassigned and rewritten as two partitions (the old
+    cid and a fresh max_cid+1, keeping the id space contiguous so
+    the flat probe's position->cid mapping stays valid), and the
+    codebook sidecar swaps one row for two (same branch under the
+    two-level layout, so hierarchical probes route unchanged). Cost
+    is one pass over the HOT LIST only, never the index. Probing
+    stays exact-by-construction: assignment only decides which list
+    holds a vector, so an exhaustive probe equals brute force before
+    AND after (hash-gated in qix13); targeted probes regain the
+    scan-fraction the oversized list was costing. PQ layouts refuse
+    (codes cannot be re-clustered without the original vectors —
+    rebuild instead). Returns (cid, new_cid)."""
+    import os
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(path + "_pq").limit(1).collect()
+        raise ValueError(
+            "split_ivf_list cannot split an IVF-PQ list (stored codes "
+            "cannot be re-clustered) — rebuild with write_ivfpq_index"
+        )
+    except AnalysisException:
+        pass
+    cent_rows = spark.read.parquet(path + "_centroids").collect()
+    by_cid = {int(r["cid"]): r for r in cent_rows}
+    if int(cid) not in by_cid:
+        raise ValueError(f"no inverted list _cid={cid} in {path!r}")
+    new_cid = max(by_cid) + 1
+    hot = spark.read.parquet(path).filter(F.col("_cid") == int(cid))
+    subs = kmeans_centroids(hot, 2, iters, id_col, vec_col)
+    if len(subs) < 2:
+        raise ValueError(f"list _cid={cid} has too few vectors to split")
+    reassigned = hot.withColumn(
+        "_cid",
+        F.when(
+            _dist2_col(F.col(vec_col), F.lit(subs[0]).cast(
+                "array<double>")) <= _dist2_col(
+                F.col(vec_col), F.lit(subs[1]).cast("array<double>")),
+            F.lit(int(cid)),
+        ).otherwise(F.lit(new_cid)).cast("bigint"),
+    )
+    (
+        reassigned.write.partitionBy("_cid")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    # one sub-list can be empty only if 2-means collapsed — the len
+    # check above prevents identical centroids, but a degenerate
+    # assignment still needs its stale partition cleared
+    kept = {
+        int(r[0])
+        for r in spark.read.parquet(path)
+        .filter(F.col("_cid").isin([int(cid), new_cid]))
+        .select("_cid").distinct().collect()
+    }
+    for c in (int(cid), new_cid):
+        if c not in kept:
+            shutil.rmtree(os.path.join(path, f"_cid={c}"),
+                          ignore_errors=True)
+    old = by_cid[int(cid)]
+    has_branch = "branch" in cent_rows[0].asDict()
+    rows = []
+    for r in cent_rows:
+        if int(r["cid"]) == int(cid):
+            continue
+        rows.append(
+            (int(r["cid"]), list(r["centroid"]))
+            + ((int(r["branch"]),) if has_branch else ())
+        )
+    extra = ((int(old["branch"]),) if has_branch else ())
+    rows.append((int(cid), subs[0]) + extra)
+    rows.append((new_cid, subs[1]) + extra)
+    schema = "cid BIGINT, centroid ARRAY<DOUBLE>" + (
+        ", branch BIGINT" if has_branch else "")
+    tmp = path + f"_centroids.tmp-{os.getpid()}"
+    spark.createDataFrame(sorted(rows), schema).coalesce(1).write.mode(
+        "overwrite").parquet(tmp)
+    old_dir = path + f"_centroids.old-{os.getpid()}"
+    os.rename(path + "_centroids", old_dir)
+    os.rename(tmp, path + "_centroids")
+    shutil.rmtree(old_dir, ignore_errors=True)
+    return int(cid), new_cid
+
+
 def ivf_index_stats(spark, path: str) -> DataFrame:
     """Per-inverted-list row counts for an on-disk IVF index — the
     imbalance monitor for `append_to_ivf_index`'s frozen-centroid

@@ -3879,3 +3879,61 @@ def qix12_ivf_index_delete(spark, sf_dir):
     return ann.ivf_topk_indexed(
         spark, path, probes, k=3, n_probe=16
     ).orderBy("probe_id", "rn")
+
+
+@query(
+    "qix13_ivf_list_split",
+    oracle="""
+WITH s AS (
+  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(p.embedding AS DOUBLE[])), 5) AS sim
+  FROM embeddings p, embeddings e
+  WHERE p.vec_id < 20 AND e.vec_id <> p.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM s)
+SELECT probe_id, CAST(rn AS INT) AS rn, neighbor_id, sim
+FROM r WHERE rn <= 3 ORDER BY probe_id, rn
+""",
+    doc="qix13: INCREMENTAL LIST SPLIT (llm/ann.py split_ivf_list — "
+    "the maintenance op completing the index lifecycle: build qix5, "
+    "ingest qix6/qix7/qix9, delete qix11/qix12, REBALANCE here): "
+    "when streaming appends drift a frozen-centroid list far past "
+    "the median (ivf_index_stats' ~4x rebuild trigger), the hot list "
+    "alone is split — local 2-means over its own vectors, rewrite of "
+    "that one partition into two (old cid + max+1, keeping the "
+    "codebook contiguous for the flat probe's position mapping), one "
+    "codebook row becoming two — never a full rebuild. The index is "
+    "built at 8 lists, the LARGEST is split, and the exhaustive "
+    "probe must still equal the brute-force kNN oracle exactly: "
+    "assignment only decides which list holds a vector, so any "
+    "sidecar/partition inconsistency the split could introduce (a "
+    "vector lost between partitions, a stale centroid row, a broken "
+    "cid mapping) is a hash mismatch. Balance improvement, the "
+    "two-level layout (new leaf inherits the branch), and the PQ "
+    "refusal are pinned in tests/test_llm.py::test_split_ivf_list. "
+    "Cost tracks the hot list, never the index.",
+    tags=("llm", "vector", "index", "ann", "maintenance"),
+)
+def qix13_ivf_list_split(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+
+    emb = tables(spark, sf_dir).embeddings
+    path = os.path.join(_roundtrip_dir("ivf_split_emb"), "index")
+    for p in (path, path + "_centroids", path + "_coarse"):
+        shutil.rmtree(p, ignore_errors=True)
+    ann.write_ivf_index(emb, path, n_centroids=8, iters=2)
+    stats = {
+        int(r["_cid"]): int(r["n_vectors"])
+        for r in ann.ivf_index_stats(spark, path).collect()
+    }
+    hot = max(stats, key=lambda c: (stats[c], -c))  # deterministic tie
+    ann.split_ivf_list(spark, path, hot)
+    probes = emb.filter(F.col("vec_id") < 20)
+    return ann.ivf_topk_indexed(
+        spark, path, probes, k=3, n_probe=9
+    ).orderBy("probe_id", "rn")

@@ -4324,3 +4324,57 @@ def qup21_log_checkpoint(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@query(
+    "qup22_zorder_optimize",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k,
+         CAST(strftime(o_orderdate, '%j') AS BIGINT) AS doy,
+         o_orderstatus AS st, round(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 4 = 0)
+SELECT k, doy, st, price FROM snap
+WHERE NOT (doy >= 100 AND doy < 140)
+ORDER BY k, doy
+""",
+    doc="qup22: Z-ORDERED OPTIMIZE (commit_log.compact zorder=True — "
+    "Delta's ZORDER BY, built on operators/layout.py's Morton "
+    "interleave): the orders snapshot carries two independent "
+    "dimensions (order key, day-of-year) and is compacted into 8 "
+    "range-disjoint buckets over the Z-value of the pair — every "
+    "bucket a tight BOX in both dimensions, each committed with its "
+    "own min/max stats on both columns — then a narrow "
+    "SECOND-dimension DELETE (doy in [100,140)) runs and the "
+    "surviving table is emitted. The oracle is layout-independent "
+    "DELETE semantics, so any normalization/interleave bug that "
+    "loses, duplicates, or mis-deletes a row is a hash mismatch; the "
+    "structural contrast (second-dimension delete touches most "
+    "lexicographic buckets but few Z buckets; first-dimension "
+    "pruning preserved) is pinned in test_capabilities.py::"
+    "test_commit_log_zorder_compact. At 100 TB this is how a table "
+    "queried by BOTH time and key gets file skipping on each without "
+    "duplicating the data.",
+    tags=("acid", "layout", "prune"),
+)
+def qup22_zorder_optimize(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.dayofyear("o_orderdate").cast("bigint").alias("doy"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    path = os.path.join(_roundtrip_dir("commit_log_zorder"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(spark, path, snap, stats_cols=["k", "doy"])
+    cl.compact(spark, path, target_partitions=8,
+               cluster_by=["k", "doy"], zorder=True)
+    cl.delete_where(spark, path, "doy >= 100 AND doy < 140")
+    return cl.read_table(spark, path).orderBy("k", "doy")

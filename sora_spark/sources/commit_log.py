@@ -1082,6 +1082,7 @@ def compact(
     target_partitions: int = 1,
     min_dirs: int = 2,
     cluster_by: list[str] | None = None,
+    zorder: bool = False,
 ) -> int | None:
     """OPTIMIZE: rewrite the live directories, as a commit — the data
     is logically unchanged, old versions stay time-travelable, and
@@ -1102,7 +1103,19 @@ def compact(
     data) and registers each range bucket as its own relpath inside
     one write (a _bucket=i hive subdir; the bucket column itself is
     not part of the table schema and disappears under read_table's
-    explicit schema)."""
+    explicit schema).
+
+    Z-ORDERED OPTIMIZE (`zorder=True`, exactly two cluster columns —
+    Delta's ZORDER BY): lexicographic range clustering gives tight
+    per-directory ranges on the FIRST cluster column only (every
+    directory spans the second's full range); the Z variant
+    range-partitions on the Morton interleave of the two columns
+    (operators/layout.py zvalue over width_bucket-normalized values —
+    normalization affects layout only, never data), so every
+    directory is a tight BOX in both dimensions and predicates on
+    EITHER column prune. The structural contrast (second-column
+    delete touches all lexicographic buckets but few Z buckets) is
+    pinned in test_capabilities.py::test_commit_log_zorder_compact."""
     from pyspark.sql import functions as F
 
     commits = _read_state_commits(path)
@@ -1138,10 +1151,50 @@ def compact(
         return _publish(path, entry)
 
     stats_cols = sorted(set(stats_cols) | set(cluster_by))
-    staged = (
-        full.repartitionByRange(n_out, *[F.col(c) for c in cluster_by])
-        .withColumn("_bucket", F.spark_partition_id())
-    )
+    if zorder:
+        if len(cluster_by) != 2:
+            raise ValueError(
+                "zorder=True needs exactly two cluster_by columns "
+                f"(got {cluster_by})"
+            )
+        from sora_spark.operators.layout import zvalue
+
+        x, y = cluster_by
+        # normalize each dimension to 0..255 via width_bucket over its
+        # observed range (one stats pass; layout-only, never the data)
+        lo_hi = full.agg(
+            F.min(x).alias("x0"), F.max(x).alias("x1"),
+            F.min(y).alias("y0"), F.max(y).alias("y1"),
+        ).collect()[0]
+        def _norm(c, lo, hi):
+            if lo is None or hi is None or lo == hi:
+                return F.lit(0).cast("long")
+            # width_bucket maps v==hi to bucket n+1 — clamp into the
+            # 8-bit range zvalue interleaves (layout-only either way)
+            return F.least(
+                F.greatest(
+                    F.width_bucket(
+                        F.col(c).cast("double"), F.lit(float(lo)),
+                        F.lit(float(hi)), F.lit(256),
+                    ) - 1,
+                    F.lit(0),
+                ),
+                F.lit(255),
+            ).cast("long")
+        staged = (
+            full.withColumn("_zx", _norm(x, lo_hi["x0"], lo_hi["x1"]))
+            .withColumn("_zy", _norm(y, lo_hi["y0"], lo_hi["y1"]))
+            .withColumn("_z", zvalue("_zx", "_zy", bits=8))
+            .repartitionByRange(n_out, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_zx", "_zy", "_z")
+            .withColumn("_bucket", F.spark_partition_id())
+        )
+    else:
+        staged = (
+            full.repartitionByRange(n_out, *[F.col(c) for c in cluster_by])
+            .withColumn("_bucket", F.spark_partition_id())
+        )
     base_rel = os.path.join(
         _DATA, f"v{version:08d}-{uuid.uuid4().hex[:12]}"
     )
@@ -1169,6 +1222,8 @@ def compact(
              "added": added, "removed": live,
              "dv_removed": live_dvs,
              "clustered_by": list(cluster_by)}
+    if zorder:
+        entry["zorder"] = True
     if entry_stats:
         entry["stats"] = entry_stats
     return _publish(path, entry)
@@ -1504,7 +1559,12 @@ def exactly_once_sink(
     return _write
 
 
-def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    path: str,
+    keep_versions: int = 1,
+    retain_seconds: float | None = None,
+    dry_run: bool = False,
+) -> list[str]:
     """Reclaim data directories no snapshot in the retention window
     can reach: keep everything live at any of the newest
     `keep_versions` versions; delete data dirs that are BOTH delisted
@@ -1514,6 +1574,14 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     trade Delta's VACUUM makes, so the default keeps only the current
     version reachable, explicitly.
 
+    `retain_seconds` WIDENS the window by publish time (Delta's
+    RETAIN n HOURS): every version committed within the last
+    `retain_seconds` stays reachable too, whatever keep_versions
+    says — the guard that keeps a long-running reader's pinned
+    snapshot alive as long as the pin is younger than the retention.
+    `dry_run=True` returns what WOULD be reclaimed without touching
+    the filesystem (Delta's VACUUM DRY RUN).
+
     Single-writer discipline applies: run vacuum from the (one)
     writer, never concurrently with a reader that pinned a snapshot
     older than the window — a pinned DataFrame holds paths, not locks.
@@ -1521,11 +1589,20 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     writers (data written, commit never published) are also removed:
     they are invisible to every reader by construction."""
     import shutil
+    import time
 
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"no commit-log table at {path}")
     keep = versions[-max(keep_versions, 1):]
+    if retain_seconds is not None:
+        cutoff = time.time() - float(retain_seconds)
+        recent = [
+            int(c["version"])
+            for c in _read_commits(path, None)
+            if float(c.get("committed_at", 0.0)) >= cutoff
+        ]
+        keep = sorted(set(keep) | set(recent))
     reachable: set[str] = set()
     for v in keep:
         commits_v = _read_commits(path, v)
@@ -1552,6 +1629,8 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     orphans = {d for d in on_disk if not _under(d, ever)}
     # committed-but-unreachable ∪ orphaned-on-disk
     doomed = sorted((ever - reachable) | orphans)
+    if dry_run:
+        return doomed
     for rel in doomed:
         shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
     # clustered-write SHELLS: after every _bucket= relpath of a

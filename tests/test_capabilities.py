@@ -2916,3 +2916,79 @@ def test_commit_log_checkpoint(spark, tmp_path):
     assert v3 == v2
     assert len(cl._read_state_commits(path)) == 1
     assert {r[0]: r[1] for r in cl.read_table(spark, path).collect()} == rows
+
+
+def test_commit_log_zorder_compact(spark, tmp_path):
+    """Z-ordered OPTIMIZE (r12): on an independent 2-D grid,
+    lexicographic clustering gives the second column no locality (a
+    narrow second-dimension delete touches most buckets) while the
+    Morton layout keeps both dimensions boxed (same delete touches
+    few); values identical between layouts; non-2-column zorder
+    refuses."""
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+
+    df = spark.range(10000).select(
+        (F.col("id") % 100).alias("k"),
+        (F.col("id") / 100).cast("long").alias("dd"),
+        (F.col("id") % 7).cast("double").alias("p"),
+    )
+
+    def build(path, **kw):
+        cl.create_table(spark, path, df, stats_cols=["k", "dd"])
+        cl.compact(spark, path, target_partitions=16,
+                   cluster_by=["k", "dd"], **kw)
+        return path
+
+    lex = build(str(tmp_path / "lex"))
+    zo = build(str(tmp_path / "zo"), zorder=True)
+
+    def touched_by(path, cond):
+        v = cl.delete_where(spark, path, cond)
+        if v is None:
+            return 0
+        e = cl._read_commits(path, None)[-1]
+        cl.restore_table(spark, path, v - 1)  # undo for the next probe
+        return len(e["removed"])
+
+    lex_d = touched_by(lex, "dd >= 40 AND dd < 50")
+    zo_d = touched_by(zo, "dd >= 40 AND dd < 50")
+    assert zo_d < lex_d and zo_d <= 8, (zo_d, lex_d)
+    # the Z entry records its layout
+    ops = [c for c in cl._read_commits(zo, None)
+           if c.get("operation") == "optimize"]
+    assert ops[0].get("zorder") is True
+    # values identical between layouts
+    a = sorted(map(tuple, cl.read_table(spark, lex).collect()))
+    b = sorted(map(tuple, cl.read_table(spark, zo).collect()))
+    assert a == b and len(a) == 10000
+    with _pytest.raises(ValueError, match="exactly two"):
+        cl.compact(spark, zo, target_partitions=4,
+                   cluster_by=["k"], zorder=True)
+
+
+def test_commit_log_vacuum_dry_run_and_retention(spark, tmp_path):
+    """r12: dry_run reports reclaimable dirs without touching the
+    filesystem; retain_seconds widens the window by publish time so a
+    recent snapshot survives keep_versions=1, and retain_seconds=0
+    restores the pure version-window behavior."""
+    import os
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "v")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, ts bigint")
+    cl.create_table(spark, path, mk([(1, 1)]))
+    cl.merge_upsert(spark, path, mk([(1, 2)]), ["k"], "ts")  # delists v1
+    would = cl.vacuum(path, dry_run=True)
+    assert would, "v1's directory should be reclaimable"
+    for rel in would:
+        assert os.path.isdir(os.path.join(path, rel)), "dry_run deleted!"
+    # every commit here is seconds old: a 1-hour retention keeps all
+    assert cl.vacuum(path, retain_seconds=3600) == []
+    assert cl.read_table(spark, path, 1).count() == 1  # still travels
+    # zero retention = pure version window: now it reclaims
+    gone = cl.vacuum(path, retain_seconds=0)
+    assert sorted(gone) == sorted(would)
+    assert {r[0] for r in cl.read_table(spark, path).collect()} == {1}

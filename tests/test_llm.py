@@ -1477,3 +1477,56 @@ def test_ivfpq_incremental_append(spark, tmp_path):
     got = {(r["probe_id"], r["neighbor_id"], r["sim"])
            for r in got_df.collect()}
     assert got == exact
+
+
+def test_split_ivf_list(spark, tmp_path):
+    """r12 incremental rebalance: splitting a hot inverted list
+    preserves the vector set, shrinks both resulting lists below the
+    split list's size, keeps the codebook contiguous, stays exact
+    under exhaustive probing (flat AND two-level layouts), and
+    refuses on PQ layouts."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from sora_spark.llm import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probe = emb.filter("vec_id % 97 = 0")
+    bf = sorted(map(tuple, ann.brute_force_topk(emb, probe, k=5).collect()))
+
+    idx = str(tmp_path / "flat")
+    ann.write_ivf_index(emb, idx, n_centroids=4, iters=2)
+    stats = {int(r["_cid"]): int(r["n_vectors"])
+             for r in ann.ivf_index_stats(spark, idx).collect()}
+    hot = max(stats, key=stats.get)
+    old_cid, new_cid = ann.split_ivf_list(spark, idx, hot)
+    stats2 = {int(r["_cid"]): int(r["n_vectors"])
+              for r in ann.ivf_index_stats(spark, idx).collect()}
+    assert sum(stats2.values()) == sum(stats.values())
+    assert stats2[old_cid] + stats2[new_cid] == stats[hot]
+    assert stats2[old_cid] < stats[hot] and stats2[new_cid] < stats[hot]
+    # codebook stays contiguous 1..n+1 (the flat probe's mapping)
+    cids = sorted(
+        int(r["cid"])
+        for r in spark.read.parquet(idx + "_centroids").collect())
+    assert cids == list(range(1, len(stats) + 2))
+    post = sorted(map(tuple, ann.ivf_topk_indexed(
+        spark, idx, probe, k=5, n_probe=len(cids)).collect()))
+    assert post == bf
+
+    # two-level layout: the new leaf inherits the split leaf's branch
+    idx2 = str(tmp_path / "hier")
+    ann.write_ivf_index(emb, idx2, n_centroids=6, iters=1, max_per_level=3)
+    s3 = {int(r["_cid"]): int(r["n_vectors"])
+          for r in ann.ivf_index_stats(spark, idx2).collect()}
+    ann.split_ivf_list(spark, idx2, max(s3, key=s3.get))
+    post2 = sorted(map(tuple, ann.ivf_topk_indexed(
+        spark, idx2, probe, k=5, n_probe=7, n_probe_coarse=3).collect()))
+    assert post2 == bf
+
+    # PQ layouts refuse: codes cannot be re-clustered
+    idx3 = str(tmp_path / "pq")
+    ann.write_ivfpq_index(emb, idx3, n_centroids=4, iters=1)
+    with _pytest.raises(ValueError, match="IVF-PQ"):
+        ann.split_ivf_list(spark, idx3, 1)
