@@ -220,3 +220,161 @@ def hll_estimate(registers: DataFrame, m: int = 64) -> DataFrame:
         (raw <= 2.5 * m) & (F.col("v0") > 0), lin
     ).otherwise(raw)
     return agg.select(F.round(est, 4).alias("estimate"))
+
+
+def bloom_bitmap(
+    df: DataFrame, col: str, m_bits: int = 4096, k: int = 3
+) -> list[int]:
+    """PORTABLE Bloom filter over `df[col]`, returned as m_bits/64
+    signed 64-bit words — the broadcastable SCALAR form of the
+    membership screen (cf. hll_registers: same engine-shared
+    arithmetic discipline, so an oracle can rebuild the identical
+    filter). Per value: h = md5(value); h1 = first 8 hex chars as
+    int, h2 = next 8; bit_i = (h1 + i*h2) % m_bits for i in 0..k-1
+    (the Kirsch–Mitzenmacher double-hash construction — k derived
+    hash functions from two real ones, the standard Bloom trick).
+
+    Build cost: one column-pruned pass + a <= m_bits-row distinct —
+    the filter is then a driver-side constant. At 100 TB the build
+    side is the SMALL relation (an eval set, a blocklist); the probe
+    side stays map-only via bloom_probe_col. m_bits must be a
+    multiple of 64. Deterministic by construction: two engines
+    building from the same values set the same bits, INCLUDING the
+    same false positives."""
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64 "
+                         f"(got {m_bits})")
+    h = F.md5(F.col(col).cast("string"))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    bits = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.explode(
+                F.array(*[
+                    ((h1 + F.lit(i) * h2) % m_bits).alias(f"b{i}")
+                    for i in range(k)
+                ])
+            ).alias("bit")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in bits:
+        b = int(r["bit"])
+        words[b // 64] |= 1 << (b % 64)
+    # two's-complement into signed 64-bit so the literals fit LongType
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_probe_col(
+    col: str, words: list[int], k: int = 3
+):
+    """Map-side membership test against a bloom_bitmap: a pure
+    column expression (md5 + the same double-hash + per-word bit
+    tests against the LITERAL filter — no join, no shuffle, no
+    Python), TRUE iff all k bits are set. This is the 100 TB
+    decontamination shape: the filter rides the plan as a constant
+    and the corpus pays one projection. shiftright is arithmetic but
+    `& 1` masks the extracted bit, so bit 63 (sign) tests correctly."""
+    m_bits = len(words) * 64
+    lit_words = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    h = F.md5(F.col(col).cast("string"))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    out = F.lit(True)
+    for i in range(k):
+        bit = (h1 + F.lit(i) * h2) % m_bits
+        word = F.element_at(lit_words, (bit / 64).cast("int") + 1)
+        # the DataFrame-API shiftright only takes a literal shift;
+        # the SQL function accepts a column amount
+        shifted = F.call_function(
+            "shiftright", word, (bit % 64).cast("int")
+        )
+        out = out & (shifted.bitwiseAND(1) == 1)
+    return out
+
+
+def cms_table(
+    df: DataFrame, col: str, width: int = 64, depth: int = 4
+) -> DataFrame:
+    """PORTABLE Count-Min sketch over `df[col]` — the frequency twin
+    of hll_registers (cardinality) and bloom_bitmap (membership),
+    completing the mergeable-summaries trio from the same
+    engine-shared arithmetic (md5 + hex->int + Kirsch–Mitzenmacher
+    double hashing). Row i of the sketch counts occurrences into
+    bucket j_i = (h1 + i*h2) % width; a point estimate is
+    min_i cnt[i][j_i], which can only OVER-count (collisions add,
+    never subtract) — estimate >= true count always, within
+    2N/width with probability 1-2^-depth (the classic CMS bound).
+
+    Returns the FULL depth x width grid (i, j, c) with empty cells
+    at 0 — grid-bounded output at any input volume, built by one
+    map-side explode (depth rows per value) + one partial-aggregable
+    groupBy. Merging sketches over disjoint data is elementwise SUM
+    (proven in the capability test), so per-partition sketches
+    combine exactly — the property that makes this a one-pass
+    distributed summary."""
+    spark = df.sparkSession
+    h = F.md5(F.col(col).cast("string"))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    cells = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        ((h1 + F.lit(i) * h2) % width).alias("j"),
+                    )
+                    for i in range(depth)
+                ])
+            ).alias("cell")
+        )
+        .groupBy(F.col("cell.i").alias("i"), F.col("cell.j").alias("j"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    grid = spark.range(depth).select(
+        F.col("id").cast("int").alias("i")
+    ).crossJoin(
+        spark.range(width).select(F.col("id").cast("bigint").alias("j"))
+    )
+    return grid.join(cells, ["i", "j"], "left").select(
+        "i", "j", F.coalesce("c", F.lit(0)).cast("bigint").alias("c")
+    )
+
+
+def cms_point_estimates(
+    probes: DataFrame,
+    col: str,
+    sketch_df: DataFrame,
+    width: int = 64,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for `probes[col]` against a
+    cms_table: each probe key recomputes its depth bucket addresses
+    with the SAME double hash, joins the (broadcastable,
+    grid-bounded) sketch on (i, j), and keeps min(c) — returns
+    (key, estimate)."""
+    h = F.md5(F.col(col).cast("string"))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    addressed = probes.select(
+        F.col(col).alias("key"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    ((h1 + F.lit(i) * h2) % width).alias("j"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("cell"),
+    ).select("key", F.col("cell.i").alias("i"), F.col("cell.j").alias("j"))
+    return (
+        addressed.join(F.broadcast(sketch_df), ["i", "j"])
+        .groupBy("key")
+        .agg(F.min("c").cast("bigint").alias("estimate"))
+    )

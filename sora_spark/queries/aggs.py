@@ -1569,3 +1569,78 @@ def qa30_weighted_percentiles(spark, sf_dir):
         .agg(pct(0.25, "w_p25"), pct(0.50, "w_median"), pct(0.75, "w_p75"))
         .orderBy("g")
     )
+
+
+@query(
+    "qa32_portable_cms",
+    oracle="""
+WITH vals AS (
+  SELECT md5(CAST(o_custkey AS VARCHAR)) AS h
+  FROM orders WHERE o_custkey IS NOT NULL),
+cells AS (
+  SELECT i,
+         ((('0x' || substr(h, 1, 8))::BIGINT
+           + i * (('0x' || substr(h, 9, 8))::BIGINT)) % 64) AS j,
+         count(*) AS c
+  FROM vals, unnest(range(0, 4)) AS t(i)
+  GROUP BY 1, 2),
+probes AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey % 97 = 0),
+pa AS (
+  SELECT k, i,
+         ((('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT
+           + i * (('0x' || substr(md5(CAST(k AS VARCHAR)), 9, 8))::BIGINT))
+          % 64) AS j
+  FROM probes, unnest(range(0, 4)) AS t(i)),
+est AS (
+  SELECT k, min(coalesce(c, 0)) AS estimate
+  FROM pa LEFT JOIN cells USING (i, j) GROUP BY k),
+exact AS (
+  SELECT o_custkey AS k, count(*) AS exact_n FROM orders GROUP BY 1)
+SELECT est.k, CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(estimate AS BIGINT) AS estimate,
+       estimate >= exact_n AS ge_exact
+FROM est JOIN exact USING (k) ORDER BY est.k
+""",
+    doc="qa32: PORTABLE COUNT-MIN SKETCH (operators/sketch.py "
+    "cms_table / cms_point_estimates) — the frequency member "
+    "completing the mergeable-summaries trio with qa29's portable "
+    "HLL (cardinality) and qcont4's portable Bloom (membership), all "
+    "from the same engine-shared md5 + Kirsch–Mitzenmacher "
+    "arithmetic: a 4x64 grid counts each customer's order "
+    "occurrences into one bucket per row, and a point estimate is "
+    "the min over rows — collisions only ADD, so estimate >= exact "
+    "always (emitted per probe and hash-gated along with the exact "
+    "INTEGER estimates themselves — no float anywhere). Shapes: one "
+    "map-side x4 explode + a grid-bounded partial-aggregable groupBy "
+    "builds the sketch; probes address it via a broadcast join. "
+    "Elementwise-SUM mergeability (the distributed one-pass "
+    "property) and the 2N/width error envelope are pinned in "
+    "test_capabilities.py::test_cms_properties. At 100 TB the raw "
+    "key stream never shuffles wider than depth x width cells.",
+    tags=("agg", "sketch", "approx", "portable"),
+)
+def qa32_portable_cms(spark, sf_dir):
+    from sora_spark.operators import sketch
+
+    orders = tables(spark, sf_dir).orders
+    grid = sketch.cms_table(orders, "o_custkey", width=64, depth=4)
+    probes = (
+        orders.filter(F.col("o_custkey") % 97 == 0)
+        .select("o_custkey").distinct()
+    )
+    est = sketch.cms_point_estimates(
+        probes, "o_custkey", grid, width=64, depth=4
+    ).withColumnRenamed("key", "k")
+    exact = (
+        orders.groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    )
+    return (
+        est.join(exact, "k")
+        .select(
+            "k", "exact_n", "estimate",
+            (F.col("estimate") >= F.col("exact_n")).alias("ge_exact"),
+        )
+        .orderBy("k")
+    )

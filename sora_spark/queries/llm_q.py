@@ -3937,3 +3937,62 @@ def qix13_ivf_list_split(spark, sf_dir):
     return ann.ivf_topk_indexed(
         spark, path, probes, k=3, n_probe=9
     ).orderBy("probe_id", "rn")
+
+
+@query(
+    "qcont4_bloom_screen",
+    oracle="""
+WITH mem AS (
+  SELECT md5(text) AS h FROM documents WHERE doc_id % 13 = 0),
+bits AS (
+  SELECT DISTINCT
+         ((('0x' || substr(h, 1, 8))::BIGINT
+           + i * (('0x' || substr(h, 9, 8))::BIGINT)) % 4096) AS bit
+  FROM mem, unnest(range(0, 3)) AS t(i)),
+pb AS (
+  SELECT doc_id,
+         ((('0x' || substr(md5(text), 1, 8))::BIGINT
+           + i * (('0x' || substr(md5(text), 9, 8))::BIGINT)) % 4096)
+           AS bit
+  FROM documents, unnest(range(0, 3)) AS t(i))
+SELECT doc_id,
+       coalesce(bool_and(bit IN (SELECT bit FROM bits)), FALSE)
+         AS in_bloom
+FROM pb GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="qcont4: PORTABLE BLOOM-FILTER SCREEN (operators/sketch.py "
+    "bloom_bitmap / bloom_probe_col — the decontamination-at-scale "
+    "primitive joining qcont1's exact n-gram and qcont3's semantic "
+    "passes): the eval set's (doc_id%13) text hashes build a "
+    "4096-bit / k=3 filter via the Kirsch–Mitzenmacher double-hash "
+    "over engine-shared arithmetic (md5 + hex->int — the qa29 "
+    "portable-sketch discipline), and the WHOLE corpus is screened "
+    "by a pure map-side projection: the filter rides the plan as a "
+    "64-long literal, each probe tests its k bits with shifts and "
+    "masks — no join, no shuffle, no Python (plan-pinned in "
+    "test_plans.py). Determinism is the point being certified: two "
+    "engines building from the same member set must set IDENTICAL "
+    "bits and therefore agree on every decision INCLUDING the false "
+    "positives, so the full decision vector is hash-gated, not just "
+    "the true members. No-false-negative and false-positive-rate "
+    "properties are pinned in test_capabilities.py. At 100 TB the "
+    "build side is the small relation (eval set / blocklist) and "
+    "the corpus pays one projection — the cheapest possible "
+    "first-pass screen before exact checks.",
+    tags=("llm", "decontamination", "sketch", "filter"),
+)
+def qcont4_bloom_screen(spark, sf_dir):
+    from sora_spark.operators import sketch
+
+    docs = tables(spark, sf_dir).documents
+    members = docs.filter(F.col("doc_id") % 13 == 0)
+    words = sketch.bloom_bitmap(members, "text", m_bits=4096, k=3)
+    return (
+        docs.select(
+            "doc_id",
+            F.coalesce(
+                sketch.bloom_probe_col("text", words, k=3), F.lit(False)
+            ).alias("in_bloom"),
+        )
+        .orderBy("doc_id")
+    )

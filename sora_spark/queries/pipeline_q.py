@@ -4378,3 +4378,118 @@ def qup22_zorder_optimize(spark, sf_dir):
                cluster_by=["k", "doy"], zorder=True)
     cl.delete_where(spark, path, "doy >= 100 AND doy < 140")
     return cl.read_table(spark, path).orderBy("k", "doy")
+
+
+@query(
+    "qts12_linear_interpolation",
+    oracle="""
+WITH daily AS (
+  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+         round(sum(value), 2) AS v
+  FROM events GROUP BY 1, 2),
+sparse AS (
+  SELECT * FROM daily
+  WHERE CAST(strftime(day, '%j') AS BIGINT) % 3 <> 0),
+bounds AS (SELECT t, min(day) AS d0, max(day) AS d1 FROM sparse
+           GROUP BY t),
+grid AS (
+  SELECT t, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+               AS DATE) AS day
+  FROM bounds),
+g AS (
+  SELECT grid.t, grid.day, sparse.v,
+         CASE WHEN sparse.v IS NOT NULL THEN grid.day END AS vd
+  FROM grid LEFT JOIN sparse
+    ON grid.t = sparse.t AND grid.day = sparse.day),
+w AS (
+  SELECT t, day, v,
+         last_value(v IGNORE NULLS) OVER
+           (PARTITION BY t ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS pv,
+         last_value(vd IGNORE NULLS) OVER
+           (PARTITION BY t ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS pd,
+         first_value(v IGNORE NULLS) OVER
+           (PARTITION BY t ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(vd IGNORE NULLS) OVER
+           (PARTITION BY t ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM g)
+SELECT t, strftime(day, '%Y-%m-%d') AS day_s,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  ELSE pv + (nv - pv)
+                       * (CAST(day - pd AS DOUBLE)
+                          / CAST(nd - pd AS DOUBLE)) END, 6) AS vi,
+       (v IS NULL) AS filled
+FROM w ORDER BY t, day_s
+""",
+    doc="qts12: LINEAR INTERPOLATION gap fill — the imputation "
+    "classic qw12's ffill/bfill family was missing: the daily value "
+    "series per event type is made sparse (every day-of-year "
+    "divisible by 3 withheld — deterministic, engine-shared), the "
+    "dense calendar is regenerated per type (sequence between "
+    "observed bounds, so no unbounded edges exist by construction), "
+    "and each missing day blends its bracketing observations as "
+    "pv + (nv-pv) * (day-pd)/(nd-pd) — the EXPRESSION SHAPE is kept "
+    "literally identical in both engines (same op order => same IEEE "
+    "doubles, incl. non-representable ratios like 1/3), rounded 6dp "
+    "only at the end; known days pass through their pre-rounded "
+    "value. Shapes: one daily agg, a per-type calendar explode "
+    "(calendar-sized), two IGNORE-NULLS window passes under one "
+    "partition order — no self-joins, no Python. At 100 TB the "
+    "window state is per-series; the calendar never exceeds "
+    "days x types.",
+    tags=("timeseries", "imputation", "window"),
+)
+def qts12_linear_interpolation(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    daily = (
+        ev.groupBy(
+            F.col("event_type").alias("t"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    sparse = daily.filter(F.dayofyear("day") % 3 != 0)
+    bounds = sparse.groupBy("t").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = bounds.select(
+        "t",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    g = grid.join(sparse, ["t", "day"], "left").withColumn(
+        "vd", F.when(F.col("v").isNotNull(), F.col("day"))
+    )
+    wp = (
+        Window.partitionBy("t").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("t").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w = (
+        g.withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("pd", F.last("vd", ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("nd", F.first("vd", ignorenulls=True).over(wn))
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff("day", "pd").cast("double")
+        / F.datediff("nd", "pd").cast("double")
+    )
+    return (
+        w.select(
+            "t",
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+            F.round(
+                F.when(F.col("v").isNotNull(), F.col("v"))
+                .otherwise(interp), 6,
+            ).alias("vi"),
+            F.col("v").isNull().alias("filled"),
+        )
+        .orderBy("t", "day_s")
+    )

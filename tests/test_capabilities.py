@@ -2992,3 +2992,83 @@ def test_commit_log_vacuum_dry_run_and_retention(spark, tmp_path):
     gone = cl.vacuum(path, retain_seconds=0)
     assert sorted(gone) == sorted(would)
     assert {r[0] for r in cl.read_table(spark, path).collect()} == {1}
+
+
+def test_bloom_filter_properties(spark):
+    """Portable Bloom (r12): NO false negatives ever; false-positive
+    rate near the (1-e^{-kn/m})^k theory; two filters over disjoint
+    sets merge by bitwise OR into exactly the union's filter (the
+    mergeable-summary property, HLL's max analog)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sora_spark.operators import sketch
+
+    vals = spark.range(4000).select(
+        F.concat(F.lit("v"), F.col("id")).alias("s"))
+    members = spark.range(500).select(
+        F.concat(F.lit("v"), F.col("id")).alias("s"))
+    words = sketch.bloom_bitmap(members, "s", m_bits=4096, k=3)
+
+    probed = vals.select(
+        "s", sketch.bloom_probe_col("s", words, k=3).alias("hit"))
+    rows = {r["s"]: r["hit"] for r in probed.collect()}
+    # no false negatives
+    assert all(rows[f"v{i}"] for i in range(500))
+    # false-positive rate near theory (n=500, m=4096, k=3 -> ~2.4%)
+    fp = sum(1 for i in range(500, 4000) if rows[f"v{i}"])
+    theory = (1 - math.exp(-3 * 500 / 4096)) ** 3
+    assert fp / 3500 < 5 * theory, (fp / 3500, theory)
+
+    # mergeable: OR of two disjoint filters == filter of the union
+    a = spark.range(0, 250).select(F.concat(F.lit("v"), F.col("id")).alias("s"))
+    b = spark.range(250, 500).select(F.concat(F.lit("v"), F.col("id")).alias("s"))
+    wa = sketch.bloom_bitmap(a, "s", m_bits=4096, k=3)
+    wb = sketch.bloom_bitmap(b, "s", m_bits=4096, k=3)
+    merged = [x | y for x, y in zip(wa, wb)]
+    assert merged == words
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        sketch.bloom_bitmap(members, "s", m_bits=1000)
+
+
+def test_cms_properties(spark):
+    """Portable CMS (r12): estimates never under-count; every
+    estimate within the 2N/width envelope here; sketches over
+    disjoint data merge by elementwise SUM into exactly the union's
+    sketch (the one-pass distributed property)."""
+    from pyspark.sql import functions as F
+
+    from sora_spark.operators import sketch
+
+    # skewed frequencies: key k appears k times, k = 1..40 (N = 820)
+    data = spark.range(1, 41).select(
+        F.explode(F.sequence(F.lit(1), F.col("id"))).alias("rep"),
+        F.col("id").alias("k"),
+    ).select("k")
+    grid = sketch.cms_table(data, "k", width=64, depth=4)
+    probes = spark.range(1, 41).select(F.col("id").alias("k"))
+    est = {
+        int(r["key"]): int(r["estimate"])
+        for r in sketch.cms_point_estimates(
+            probes, "k", grid, width=64, depth=4).collect()
+    }
+    n = 820
+    for k in range(1, 41):
+        assert est[k] >= k, (k, est[k])          # never under
+        assert est[k] <= k + 2 * n // 64 + 1, (k, est[k])  # envelope
+    # mergeable: SUM of two disjoint sketches == sketch of the union
+    a = data.filter("k <= 20")
+    b = data.filter("k > 20")
+    ga = sketch.cms_table(a, "k", width=64, depth=4)
+    gb = sketch.cms_table(b, "k", width=64, depth=4)
+    summed = (
+        ga.withColumnRenamed("c", "ca")
+        .join(gb.withColumnRenamed("c", "cb"), ["i", "j"])
+        .select("i", "j", (F.col("ca") + F.col("cb")).alias("c"))
+    )
+    full = {(r["i"], r["j"]): r["c"] for r in grid.collect()}
+    got = {(r["i"], r["j"]): r["c"] for r in summed.collect()}
+    assert got == full

@@ -1084,3 +1084,13 @@ def test_commit_log_dv_read_splits_clean_dirty(spark, tmp_path):
     # correctness alongside the shape
     got = {r[0] for r in cl.read_table(spark, path).collect()}
     assert 205 not in got and len(got) == 149
+
+
+def test_bloom_screen_is_map_only(spark, sf_dir):
+    """qcont4's corpus screen must be a pure projection — the filter
+    rides as a literal, so the plan may contain NO join and no
+    exchange besides the output sort."""
+    p = _plan(spark, sf_dir, "qcont4_bloom_screen", mode="simple")
+    assert "Join" not in p, p
+    # exactly the one range exchange the output orderBy needs
+    assert p.count("Exchange") <= 1, p
