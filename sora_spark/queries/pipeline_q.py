@@ -4493,3 +4493,124 @@ def qts12_linear_interpolation(spark, sf_dir):
         )
         .orderBy("t", "day_s")
     )
+
+
+@query(
+    "qup23_change_data_feed",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price, o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 7 = 0),
+app AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price, o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 7 = 1),
+base AS (SELECT * FROM snap UNION ALL SELECT * FROM app),
+batch AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice + 1000, 2) AS price,
+         o_orderdate + INTERVAL 1 DAY AS ts
+  FROM orders WHERE o_orderkey % 5 = 0),
+v3_changes AS (
+  SELECT b.k, b.st, b.price, b.ts,
+         CASE WHEN base.k IS NULL THEN 'insert' ELSE 'update' END AS ct
+  FROM batch b LEFT JOIN base ON b.k = base.k),
+v3_table AS (
+  SELECT * FROM batch
+  UNION ALL
+  SELECT * FROM base WHERE k NOT IN (SELECT k FROM batch)),
+v4_deleted AS (SELECT * FROM v3_table WHERE k % 3 = 0),
+v4_table AS (SELECT * FROM v3_table WHERE k % 3 <> 0),
+v5_changes AS (
+  SELECT k, st, round(price + 50, 2) AS price, ts
+  FROM v4_table WHERE st = 'O'),
+feed AS (
+  SELECT 1 AS v, 'insert' AS change, * FROM snap
+  UNION ALL SELECT 2, 'insert', * FROM app
+  UNION ALL SELECT 3, ct, k, st, price, ts FROM v3_changes
+  UNION ALL SELECT 4, 'delete', * FROM v4_deleted
+  UNION ALL SELECT 5, 'update', * FROM v5_changes)
+SELECT v, change, k, st, price,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM feed ORDER BY v, k
+""",
+    doc="qup23: CHANGE DATA FEED (Delta's CDF architecture, faithfully: "
+    "data-changing WRITERS materialize their row-level changes into "
+    "cdc/ sidecars at commit time — the diff reuses frames the writer "
+    "already holds — and the commitlog stream source serves them "
+    "under option readChangeFeed, appends flagged 'insert' from their "
+    "data files, layout-only optimize commits skipped, every row "
+    "stamped _commit_version): a five-commit lifecycle — create, "
+    "append, MERGE (inserts + updates in one commit), DV DELETE "
+    "(delete images), UPDATE (post-images) — streams its complete "
+    "feed through one availableNow run into a parquet sink, and the "
+    "feed must hash-match the SQL replay of all five stages: any "
+    "wrong diff, misattributed version, duplicated or lost change row "
+    "is a mismatch. Batch prices are +1000 so merge updates can never "
+    "be silent no-ops; the batch ts is strictly newer so the tiebreak "
+    "never decides. This is what downstream CDC consumers (qup9 is "
+    "the batch twin) subscribe to at 100 TB instead of re-diffing "
+    "snapshots: change volume, not table volume, crosses the wire.",
+    tags=("cdc", "streaming", "acid", "sink"),
+)
+def qup23_change_data_feed(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+    from sora_spark.sources import commit_log_stream as cls_
+
+    cls_.register(spark)
+    orders = tables(spark, sf_dir).orders
+
+    def slice_(pred):
+        return orders.filter(pred).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            F.round("o_totalprice", 2).alias("price"),
+            F.col("o_orderdate").alias("ts"),
+        )
+
+    base = _roundtrip_dir("commit_log_cdf")
+    path = os.path.join(base, "table")
+    out = os.path.join(base, "feed")
+    ck = os.path.join(base, "ck")
+    for p in (path, out, ck):
+        shutil.rmtree(p, ignore_errors=True)
+
+    cl.create_table(                                            # v1
+        spark, path, slice_(F.col("o_orderkey") % 7 == 0),
+        change_data_feed=True)
+    cl.append(spark, path, slice_(F.col("o_orderkey") % 7 == 1))  # v2
+    batch = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") + 1000, 2).alias("price"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+    )
+    cl.merge_upsert(spark, path, batch, ["k"], "ts")            # v3
+    cl.delete_where(spark, path, "k % 3 = 0",                   # v4
+                    deletion_vectors=True)
+    cl.update_where(spark, path, "st = 'O'",                    # v5
+                    {"price": "round(price + 50, 2)"})
+
+    q = (
+        spark.readStream.format("commitlog").option("path", path)
+        .option("readChangeFeed", "true").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(out)
+        .select(
+            F.col("_commit_version").alias("v"),
+            F.col("_change_type").alias("change"),
+            "k", "st", "price",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+        .orderBy("v", "k")
+    )

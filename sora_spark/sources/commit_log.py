@@ -74,6 +74,7 @@ from pyspark.sql import DataFrame, SparkSession
 _COMMITS = "_commits"
 _DATA = "data"
 _DV = "dv"
+_CDC = "cdc"
 # a data FILE's table-relative path (dir regexes elsewhere capture the
 # directory; deletion vectors address individual part-files)
 _FILE_RE = r"(data/v\d{8}-[0-9a-f]+(?:/_bucket=\d+)?/[^/]+)$"
@@ -173,7 +174,7 @@ def _read_state_commits(path: str) -> list[dict]:
         "dv_added": state.get("live_dvs", []),
         "dv_removed": [],
     }
-    for k in ("schema", "schema_json", "check", "stats",
+    for k in ("schema", "schema_json", "check", "cdf", "stats",
               "txn_watermarks", "committed_at"):
         if state.get(k):
             synthetic[k] = state[k]
@@ -235,6 +236,8 @@ def checkpoint_log(path: str) -> int:
             break
     if _table_check(commits):
         state["check"] = _table_check(commits)
+    if _table_cdf(commits):
+        state["cdf"] = True
     if watermarks:
         state["txn_watermarks"] = watermarks
     final = os.path.join(
@@ -375,6 +378,73 @@ def _latest_schema(commits: list[dict]) -> str | None:
 def _table_check(commits: list[dict]) -> str | None:
     """The table's CHECK constraint expression (create-time only)."""
     return commits[0].get("check") if commits else None
+
+
+def _table_cdf(commits: list[dict]) -> bool:
+    """Whether the table records a Change Data Feed (create-time
+    property; the synthetic checkpoint commit re-carries it)."""
+    return bool(commits[0].get("cdf")) if commits else False
+
+
+def _write_cdc(changes: DataFrame, path: str, version: int) -> str:
+    """Materialize one commit's row-level changes (table columns +
+    `_change_type`) into a cdc/ sidecar; returns the relpath the
+    commit should list under 'cdc'. Sized by the CHANGED rows."""
+    rel = os.path.join(_CDC, f"v{version:08d}-{uuid.uuid4().hex[:12]}")
+    changes.write.mode("error").parquet(os.path.join(path, rel))
+    return rel
+
+
+def _diff_frames(
+    a: DataFrame, b: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Row-level diff a -> b on key columns (both key-unique, same
+    schema): (table columns + _change_type in insert/update/delete),
+    inserts/updates carrying b's image, deletes a's — the CDF writer's
+    core, one null-safe full-outer join like table_changes but over
+    in-flight frames instead of committed versions."""
+    import functools
+    import operator
+
+    from pyspark.sql import functions as F
+
+    cols = b.columns
+    nonkey = [c for c in cols if c not in key_cols]
+    A = a.select(
+        *[F.col(c).alias(f"_a_{c}") for c in cols], F.lit(1).alias("_in_a")
+    )
+    B = b.select(
+        *[F.col(c).alias(f"_b_{c}") for c in cols], F.lit(1).alias("_in_b")
+    )
+    on = functools.reduce(
+        operator.and_,
+        [F.col(f"_a_{k}").eqNullSafe(F.col(f"_b_{k}")) for k in key_cols],
+    )
+    j = A.join(B, on, "full_outer")
+    same = (
+        F.struct(*[F.col(f"_a_{c}") for c in nonkey]).eqNullSafe(
+            F.struct(*[F.col(f"_b_{c}") for c in nonkey])
+        )
+        if nonkey
+        else F.lit(True)
+    )
+    change = (
+        F.when(F.col("_in_a").isNull(), F.lit("insert"))
+        .when(F.col("_in_b").isNull(), F.lit("delete"))
+        .when(same, F.lit(None).cast("string"))
+        .otherwise(F.lit("update"))
+    )
+    out = [
+        F.when(change == "delete", F.col(f"_a_{c}"))
+        .otherwise(F.col(f"_b_{c}"))
+        .alias(c)
+        for c in cols
+    ]
+    return (
+        j.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select(*out, "_change_type")
+    )
 
 
 def _schema_struct(commits: list[dict]):
@@ -603,6 +673,7 @@ def create_table(
     df: DataFrame,
     stats_cols: list[str] | None = None,
     check: str | None = None,
+    change_data_feed: bool = False,
 ) -> int:
     """Version 1: initial rows. Fails if the table already has commits.
     `stats_cols` records per-directory min/max/null stats in the
@@ -612,13 +683,25 @@ def create_table(
     validates its batch against it as an Observation riding the data
     write (no extra pass) and refuses to commit violations with
     ConstraintViolationError. NULL passes, FALSE violates (SQL
-    semantics)."""
+    semantics).
+
+    `change_data_feed=True` (create-time property, Delta's CDF):
+    every DATA-CHANGING writer additionally materializes its
+    row-level changes into a `cdc/` sidecar listed on the commit —
+    merge emits insert/update rows, DELETE (both modes) emits delete
+    rows, UPDATE emits post-image update rows — so a stream can read
+    the table's CHANGES (option readChangeFeed) instead of refusing
+    change commits. Appends need no sidecar (their added files ARE
+    the inserts). Cost rides the operation: the diff reuses frames
+    the writer already computed."""
     rel, stats = _write_data(df, path, 1, stats_cols, check=check)
     entry = {"version": 1, "operation": "create", "added": [rel],
              "removed": [], "schema": df.schema.simpleString(),
              "schema_json": df.schema.json()}
     if check:
         entry["check"] = check
+    if change_data_feed:
+        entry["cdf"] = True
     if stats:
         entry["stats"] = {rel: stats}
     return _publish(path, entry)
@@ -869,6 +952,23 @@ def merge_upsert(
     entry = {"version": version, "operation": "merge_upsert",
              "added": [rel], "removed": touched,
              "pruned_dirs": len(untouched)}
+    if _table_cdf(commits):
+        # CDF: diff the pre-image (touched rows only — pruned dirs
+        # pass through unchanged, so they contribute no change rows)
+        # against the merged output; rides as one extra join job
+        if touched:
+            pre = cur.drop("_src")
+            have = set(pre.columns)
+            pre = pre.select(*[
+                F.col(f.name) if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in merged.schema.fields
+            ])
+        else:
+            pre = spark.createDataFrame([], merged.schema)
+        entry["cdc"] = [
+            _write_cdc(_diff_frames(pre, merged, key_cols), path, version)
+        ]
     if evolved:
         entry["schema"] = merged.schema.simpleString()
         entry["schema_json"] = merged.schema.json()
@@ -951,12 +1051,20 @@ def delete_where(
 
             shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
             return None
-        return _publish(path, {
+        entry = {
             "version": version, "operation": "delete_dv",
             "added": [], "removed": [],
             "dv_added": [rel], "dv_rows": n,
             "pruned_dirs": len(live),
-        })
+        }
+        if _table_cdf(commits):
+            tcols = [c for c in full.columns if c not in ("_f", "_r")]
+            entry["cdc"] = [_write_cdc(
+                full.filter(cond).select(
+                    *tcols, F.lit("delete").alias("_change_type")),
+                path, version,
+            )]
+        return _publish(path, entry)
 
     hit = {
         r[0]
@@ -989,6 +1097,13 @@ def delete_where(
     entry = {"version": version, "operation": "delete",
              "added": added, "removed": touched,
              "pruned_dirs": len(live) - len(touched)}
+    if _table_cdf(commits):
+        tcols = [c for c in full.columns if c not in ("_f", "_r")]
+        entry["cdc"] = [_write_cdc(
+            full.filter(cond).select(
+                *tcols, F.lit("delete").alias("_change_type")),
+            path, version,
+        )]
     if entry_stats:
         entry["stats"] = entry_stats
     return _publish(path, entry)
@@ -1071,6 +1186,16 @@ def update_where(
     entry = {"version": version, "operation": "update",
              "added": [rel], "removed": touched,
              "pruned_dirs": len(live) - len(touched)}
+    if _table_cdf(commits):
+        # post-image UPDATE rows: the transformation applied to
+        # exactly the rows the condition matched (evaluated over the
+        # ORIGINAL values, like the rewrite itself)
+        changed = cur.filter(matched).select(*out_cols)
+        entry["cdc"] = [_write_cdc(
+            changed.select(
+                "*", F.lit("update").alias("_change_type")),
+            path, version,
+        )]
     if stats:
         entry["stats"] = {rel: stats}
     return _publish(path, entry)
@@ -1609,11 +1734,19 @@ def vacuum(
         reachable.update(_fold_live(commits_v))
         reachable.update(_fold_live_dvs(commits_v))
     ever: set[str] = set()
+    keep_set = set(keep)
     for c in _read_commits(path, None):
         ever.update(c.get("added", []))
         ever.update(c.get("dv_added", []))
+        # CDF sidecars belong to their COMMIT, not the live state:
+        # retained while their version is in the kept window (a CDF
+        # stream replaying the window still finds them), reclaimed
+        # with the history past it
+        ever.update(c.get("cdc", []))
+        if int(c["version"]) in keep_set:
+            reachable.update(c.get("cdc", []))
     on_disk: set[str] = set()
-    for root in (_DATA, _DV):
+    for root in (_DATA, _DV, _CDC):
         full_root = os.path.join(path, root)
         if os.path.isdir(full_root):
             on_disk.update(

@@ -65,8 +65,11 @@ _APPEND_OPS = {"create", "append", "txn_append"}
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, ctype: str | None = None,
+                 version: int | None = None):
         self.path = path
+        self.ctype = ctype      # CDF: literal _change_type, or None
+        self.version = version  # CDF: _commit_version
 
 
 def _read_commit(table_path: str, version: int) -> dict:
@@ -82,6 +85,9 @@ class CommitLogStreamReader(DataSourceStreamReader):
             raise ValueError("commitlog source requires a path")
         self.skip_changes = (
             str(options.get("skipChangeCommits", "false")).lower() == "true"
+        )
+        self.read_changes = (
+            str(options.get("readChangeFeed", "false")).lower() == "true"
         )
         self.starting_version = int(options.get("startingVersion", 1))
         mv = options.get("maxVersionsPerTrigger")
@@ -186,6 +192,33 @@ class CommitLogStreamReader(DataSourceStreamReader):
                     "(and a fresh sink) to pick up the new columns"
                 )
             op = entry.get("operation")
+            if self.read_changes:
+                # CHANGE DATA FEED (Delta CDF, r12): appends stream
+                # their added files flagged 'insert'; data-changing
+                # commits stream the row-level cdc/ sidecar their
+                # writer materialized; layout-only commits (optimize)
+                # change nothing logically and are skipped
+                if op in _APPEND_OPS or op == "clone":
+                    rels, ctype = entry.get("added", []), "insert"
+                elif entry.get("cdc"):
+                    rels, ctype = entry["cdc"], None
+                elif op == "optimize":
+                    continue
+                else:
+                    raise ValueError(
+                        f"commitlog source: version {v} ({op}) carries "
+                        "no change data — readChangeFeed needs a table "
+                        "created with change_data_feed=True (and cannot "
+                        "stream past restore commits)"
+                    )
+                for rel in rels:
+                    pat = os.path.join(
+                        glob.escape(os.path.join(self.path, rel)),
+                        "*.parquet",
+                    )
+                    for f in sorted(glob.glob(pat)):
+                        parts.append(_FilePartition(f, ctype, v))
+                continue
             if op not in _APPEND_OPS:
                 if self.skip_changes:
                     continue
@@ -210,9 +243,27 @@ class CommitLogStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition):
         if not partition.path:
             return iter(())
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        return iter(pq.read_table(partition.path).to_batches())
+        t = pq.read_table(partition.path)
+        if partition.version is None:
+            return iter(t.to_batches())
+        # CDF: data files carry the table columns; cdc sidecars also
+        # carry _change_type — synthesize the missing feed columns so
+        # every partition emits (table cols..., _change_type,
+        # _commit_version) in the declared order
+        n = t.num_rows
+        if partition.ctype is not None:
+            t = t.append_column(
+                pa.field("_change_type", pa.string()),
+                pa.array([partition.ctype] * n, pa.string()),
+            )
+        t = t.append_column(
+            pa.field("_commit_version", pa.int64()),
+            pa.array([partition.version] * n, pa.int64()),
+        )
+        return iter(t.to_batches())
 
     def commit(self, end: dict) -> None:
         # offsets live in Spark's checkpoint; nothing to reclaim —
@@ -256,13 +307,33 @@ class CommitLogDataSource(DataSource):
                 f"commitlog source: table at {path!r} has no recorded "
                 f"schema at or before version {start}"
             )
+        cdf = (
+            str(self.options.get("readChangeFeed", "false")).lower()
+            == "true"
+        )
         if entry.get("schema_json"):
             # lossless and SESSIONLESS (fromJson is pure Python) —
             # schema() runs in the datasource worker with no context
-            return StructType.fromJson(json.loads(entry["schema_json"]))
+            st = StructType.fromJson(json.loads(entry["schema_json"]))
+            if cdf:
+                from pyspark.sql.types import (
+                    LongType,
+                    StringType,
+                    StructField,
+                )
+
+                st = StructType(
+                    st.fields
+                    + [StructField("_change_type", StringType()),
+                       StructField("_commit_version", LongType())]
+                )
+            return st
         # pre-json commits: return the simpleString DDL and let the
         # JVM parse the struct<...> form
-        return entry["schema"]
+        ddl = entry["schema"]
+        if cdf and ddl.startswith("struct<") and ddl.endswith(">"):
+            ddl = ddl[:-1] + ",_change_type:string,_commit_version:bigint>"
+        return ddl
 
     def streamReader(self, schema: StructType) -> CommitLogStreamReader:
         return CommitLogStreamReader(self.options)

@@ -3072,3 +3072,87 @@ def test_cms_properties(spark):
     full = {(r["i"], r["j"]): r["c"] for r in grid.collect()}
     got = {(r["i"], r["j"]): r["c"] for r in summed.collect()}
     assert got == full
+
+
+def test_commit_log_change_data_feed(spark, tmp_path):
+    """CDF (r12): non-CDF tables refuse readChangeFeed loudly;
+    optimize commits are skipped (layout-only); checkpoint resume
+    delivers only new changes; vacuum keeps cdc sidecars of the
+    retained version window and reclaims older ones."""
+    import os
+
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+    from sora_spark.sources import commit_log_stream as cls_
+
+    cls_.register(spark)
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, p double, ts bigint")
+
+    def run(path, out, ck):
+        q = (
+            spark.readStream.format("commitlog").option("path", path)
+            .option("readChangeFeed", "true").load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    # non-CDF table: loud refusal at the change commit
+    p0 = str(tmp_path / "nocdf")
+    cl.create_table(spark, p0, mk([(1, 1.0, 10)]))
+    cl.merge_upsert(spark, p0, mk([(1, 2.0, 20)]), ["k"], "ts")
+    with _pytest.raises(Exception, match="change_data_feed"):
+        run(p0, str(tmp_path / "o0"), str(tmp_path / "c0"))
+
+    # CDF lifecycle with an optimize in the middle (skipped) and a
+    # checkpoint resume
+    p1 = str(tmp_path / "cdf")
+    out, ck = str(tmp_path / "o1"), str(tmp_path / "c1")
+    cl.create_table(spark, p1, mk([(1, 1.0, 10), (2, 2.0, 10)]),
+                    change_data_feed=True)
+    cl.append(spark, p1, mk([(3, 3.0, 10)]))
+    cl.compact(spark, p1)                       # layout-only: no feed
+    cl.merge_upsert(spark, p1, mk([(2, 9.0, 20), (4, 4.0, 20)]),
+                    ["k"], "ts")
+    run(p1, out, ck)
+    feed = sorted(
+        map(tuple, spark.read.parquet(out)
+            .select("_commit_version", "_change_type", "k", "p")
+            .collect()))
+    assert feed == sorted([
+        (1, "insert", 1, 1.0), (1, "insert", 2, 2.0),
+        (2, "insert", 3, 3.0),
+        (4, "update", 2, 9.0), (4, "insert", 4, 4.0),
+    ]), feed
+    # resume: only the new delete arrives
+    cl.delete_where(spark, p1, "k = 1", deletion_vectors=True)
+    run(p1, out, ck)
+    feed2 = sorted(
+        map(tuple, spark.read.parquet(out)
+            .select("_commit_version", "_change_type", "k", "p")
+            .collect()))
+    assert len(feed2) == len(feed) + 1
+    assert (5, "delete", 1, 1.0) in feed2
+    # update post-images flow too
+    cl.update_where(spark, p1, "k = 3", {"p": "30.0"})
+    run(p1, out, ck)
+    feed3 = sorted(
+        map(tuple, spark.read.parquet(out)
+            .select("_commit_version", "_change_type", "k", "p")
+            .collect()))
+    assert (6, "update", 3, 30.0) in feed3
+
+    # vacuum: cdc of versions outside the kept window is reclaimed,
+    # inside it kept
+    cdc_all = []
+    for c in cl._read_commits(p1, None):
+        cdc_all.extend(c.get("cdc", []))
+    assert cdc_all
+    gone = cl.vacuum(p1, keep_versions=2)
+    still = [d for d in cdc_all
+             if os.path.isdir(os.path.join(p1, d))]
+    # version 6 (update) is within the kept window -> its cdc stays
+    assert any("v00000006" in d for d in still), (gone, still)
+    assert any(d.startswith("cdc/") for d in gone)
