@@ -1465,6 +1465,8 @@ def clone_table(spark: SparkSession, src: str, dst: str) -> int:
     check = _table_check(commits)
     if check:
         entry["check"] = check
+    if _table_cdf(commits):
+        entry["cdf"] = True  # the clone keeps recording change data
     stats = {d: s for d, s in live_stats.items() if s}
     if stats:
         entry["stats"] = stats
