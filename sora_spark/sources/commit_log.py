@@ -754,21 +754,42 @@ def append(
     recorded schema, so no footer-merge pass is ever needed), but
     may not drop columns or change a shared column's type — those
     still refuse loudly. The evolved schema is re-recorded in this
-    commit, so time travel before it keeps the old shape."""
+    commit, so time travel before it keeps the old shape.
+
+    CONCURRENCY: a lost version race REBASES IN PLACE (Delta's
+    semantic conflict rule for blind appends — appends commute with
+    every concurrent commit that keeps the schema legal): the
+    already-written data directory is re-published under the next
+    version, so contention never re-reads or re-writes the batch.
+    The schema gate re-checks against each winner's log (a
+    concurrent evolution can legitimately flip the verdict);
+    ConcurrentWriteError surfaces only after the attempt cap."""
     commits = _read_state_commits(path)
     evolved = _evolution_gate(commits, df, merge_schema, "append")
     version = commits[-1]["version"] + 1
     rel, stats = _write_data(
         df, path, version, stats_cols, check=_table_check(commits))
-    entry = {"version": version, "operation": "append", "added": [rel],
-             "removed": []}
-    if evolved:
-        entry["schema"] = df.schema.simpleString()
-        entry["schema_json"] = df.schema.json()
-        entry["schema_evolved"] = True
-    if stats:
-        entry["stats"] = {rel: stats}
-    return _publish(path, entry)
+    last: ConcurrentWriteError | None = None
+    for _ in range(8):
+        entry = {"version": version, "operation": "append",
+                 "added": [rel], "removed": []}
+        if evolved:
+            entry["schema"] = df.schema.simpleString()
+            entry["schema_json"] = df.schema.json()
+            entry["schema_evolved"] = True
+        if stats:
+            entry["stats"] = {rel: stats}
+        try:
+            return _publish(path, entry)
+        except ConcurrentWriteError as e:
+            # rebase: someone else took this version — the data dir is
+            # already on disk; re-gate the schema against the winner's
+            # log and re-claim the next version (no data I/O)
+            last = e
+            commits = _read_state_commits(path)
+            evolved = _evolution_gate(commits, df, merge_schema, "append")
+            version = commits[-1]["version"] + 1
+    raise last
 
 
 def version_as_of(path: str, timestamp: float) -> int:
@@ -1653,7 +1674,23 @@ def txn_append(
              "txn": {"app": app_id, "version": int(txn_version)}}
     if entry_stats:
         entry["stats"] = entry_stats
-    return _publish(path, entry)
+    # lost races REBASE IN PLACE like append (blind appends commute):
+    # re-check the watermark each time — the winner might have been
+    # this very epoch's duplicate (then skip; the orphan directory is
+    # invisible and vacuum reclaims it) — and re-claim the next
+    # version without re-reading or re-writing the batch
+    last: ConcurrentWriteError | None = None
+    for _ in range(8):
+        try:
+            return _publish(path, entry)
+        except ConcurrentWriteError as e:
+            last = e
+            seen = latest_txn_version(path, app_id)
+            if seen is not None and seen >= int(txn_version):
+                return None
+            commits = _read_state_commits(path)
+            entry["version"] = commits[-1]["version"] + 1
+    raise last
 
 
 def exactly_once_sink(

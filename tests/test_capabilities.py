@@ -3156,3 +3156,66 @@ def test_commit_log_change_data_feed(spark, tmp_path):
     # version 6 (update) is within the kept window -> its cdc stays
     assert any("v00000006" in d for d in still), (gone, still)
     assert any(d.startswith("cdc/") for d in gone)
+
+
+def test_commit_log_append_rebase_in_place(spark, tmp_path):
+    """r12: lost version races on (txn_)append rebase IN PLACE — the
+    already-written directory re-publishes under the next version, so
+    contention leaves zero orphan directories and no batch is ever
+    re-read or re-written (Delta's blind-append commute rule)."""
+    import os
+    import threading
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    cl.create_table(spark, path, spark.range(1).selectExpr("id AS k"))
+    errs = []
+
+    def worker(lo):
+        try:
+            for i in range(5):
+                cl.append(
+                    spark, path,
+                    spark.range(lo + i * 10, lo + i * 10 + 10)
+                    .selectExpr("id AS k"),
+                )
+        except Exception as e:  # pragma: no cover - failure reporter
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(lo,))
+          for lo in (100, 2000)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs, errs
+    vs = cl.table_versions(path)
+    assert vs == list(range(1, 12))
+    got = sorted(r[0] for r in cl.read_table(spark, path).collect())
+    assert got == sorted(
+        [0] + list(range(100, 150)) + list(range(2000, 2050)))
+    # ZERO orphans: exactly one data dir per commit — a rewrite-style
+    # retry would have left losers' directories behind
+    assert len(os.listdir(os.path.join(path, "data"))) == len(vs)
+
+    # txn rebase keeps both apps' watermarks complete, still no orphans
+    errs2 = []
+
+    def tw(app, lo):
+        try:
+            for i in range(4):
+                cl.txn_append(
+                    spark, path,
+                    spark.range(lo + i, lo + i + 1).selectExpr("id AS k"),
+                    app, i,
+                )
+        except Exception as e:  # pragma: no cover
+            errs2.append(e)
+
+    t1 = threading.Thread(target=tw, args=("a", 9000))
+    t2 = threading.Thread(target=tw, args=("b", 9500))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs2, errs2
+    assert cl.latest_txn_version(path, "a") == 3
+    assert cl.latest_txn_version(path, "b") == 3
+    assert len(os.listdir(os.path.join(path, "data"))) == \
+        len(cl.table_versions(path))
