@@ -839,6 +839,63 @@ def history(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def describe_detail(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE DETAIL: one row summarizing the table's CURRENT state
+    — version, live file/byte counts, live deletion vectors and their
+    recorded rows, pending cdc sidecars, schema, CHECK constraint,
+    CDF flag, clustering of the newest optimize, and log-checkpoint
+    presence. Driver-side fold (checkpoint-accelerated) plus one
+    os.stat pass over the live files — bounded by file count, no
+    Spark job."""
+    commits = _read_state_commits(path)
+    live = _fold_live(commits)
+    dvs = _fold_live_dvs(commits)
+    n_files, n_bytes = 0, 0
+    for rel in live:
+        full = os.path.join(path, rel)
+        for f in os.listdir(full) if os.path.isdir(full) else []:
+            fp = os.path.join(full, f)
+            if os.path.isfile(fp) and f.endswith(".parquet"):
+                n_files += 1
+                n_bytes += os.path.getsize(fp)
+    # cdc inventory and clustering provenance are HISTORY facts the
+    # checkpoint deliberately doesn't fold — read the raw commits
+    raw = _read_commits(path, None)
+    clustered, zorder = None, False
+    for c in reversed(raw):
+        if c.get("operation") == "optimize" and c.get("clustered_by"):
+            clustered = ",".join(c["clustered_by"])
+            zorder = bool(c.get("zorder"))
+            break
+        if c.get("operation") == "optimize":
+            break
+    n_cdc = sum(len(c.get("cdc", [])) for c in raw)
+    row = (
+        int(commits[-1]["version"]),
+        len(live),
+        n_files,
+        n_bytes,
+        len(dvs),
+        sum(int(c.get("dv_rows") or 0) for c in commits
+            if c.get("dv_added")),
+        n_cdc,
+        _latest_schema(commits),
+        _table_check(commits),
+        _table_cdf(commits),
+        clustered,
+        zorder,
+        _latest_checkpoint_version(path),
+    )
+    return spark.createDataFrame(
+        [row],
+        "version BIGINT, n_live_dirs INT, n_files INT, size_bytes "
+        "BIGINT, n_deletion_vectors INT, dv_rows BIGINT, n_cdc_dirs "
+        "INT, schema STRING, check_constraint STRING, "
+        "change_data_feed BOOLEAN, clustered_by STRING, zorder "
+        "BOOLEAN, checkpoint_version BIGINT",
+    )
+
+
 def read_table(
     spark: SparkSession, path: str, version: int | None = None,
     timestamp: float | None = None,

@@ -3219,3 +3219,35 @@ def test_commit_log_append_rebase_in_place(spark, tmp_path):
     assert cl.latest_txn_version(path, "b") == 3
     assert len(os.listdir(os.path.join(path, "data"))) == \
         len(cl.table_versions(path))
+
+
+def test_commit_log_describe_detail(spark, tmp_path):
+    """DESCRIBE DETAIL (r12): the one-row current-state summary tracks
+    version, live files/bytes, live DVs, cdc sidecars, schema/CHECK/
+    CDF properties, clustering, and checkpoint presence."""
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, p double, ts bigint")
+    cl.create_table(spark, path, mk([(i, 1.0, 1) for i in range(40)]),
+                    stats_cols=["k"], check="p >= 0",
+                    change_data_feed=True)
+    d0 = cl.describe_detail(spark, path).collect()[0]
+    assert d0["version"] == 1 and d0["n_live_dirs"] == 1
+    assert d0["check_constraint"] == "p >= 0"
+    assert d0["change_data_feed"] is True
+    assert d0["n_deletion_vectors"] == 0
+    assert d0["size_bytes"] > 0 and d0["n_files"] >= 1
+    assert d0["checkpoint_version"] is None
+
+    cl.delete_where(spark, path, "k = 3", deletion_vectors=True)
+    cl.compact(spark, path, target_partitions=2, cluster_by=["k", "p"],
+               zorder=True)
+    cl.checkpoint_log(path)
+    d1 = cl.describe_detail(spark, path).collect()[0]
+    assert d1["version"] == 3
+    assert d1["n_deletion_vectors"] == 0   # compact applied + delisted
+    assert d1["n_cdc_dirs"] == 1           # the DV delete's cdc
+    assert d1["clustered_by"] == "k,p" and d1["zorder"] is True
+    assert d1["checkpoint_version"] == 3
+    assert d1["n_live_dirs"] == 2
