@@ -26,16 +26,25 @@ backlog must not become one giant micro-batch. `option(
 batch; `option("maxBytesPerTrigger", B)` admits versions until their
 added data files exceed B bytes (always at least one version, so an
 oversized commit cannot starve the stream — Delta's soft-cap
-semantics). Both cap `latestOffset` relative to the highest position this
-reader has seen (seeded at startingVersion-1 — Spark calls
+semantics). Both cap `latestOffset` relative to the highest position
+this reader has seen (seeded at startingVersion-1 — Spark calls
 latestOffset BEFORE initialOffset on a fresh stream, so the seed is
 what makes the FIRST batch of a backlog capped, the case the knob
 exists for). After a checkpoint RESTART the reader re-learns its
 true position from the restore call Spark issues before the first
 latestOffset (partitions at the checkpointed position — measured),
-so the caps count from the right base across restarts too. Byte sizes come from a driver-side listing of the candidate
-versions' added directories only (bounded by the backlog's file
-count, never the table).
+so the caps count from the right base across restarts too. Byte
+sizes come from a driver-side listing of the candidate versions'
+added directories only (bounded by the backlog's file count, never
+the table).
+
+CHANGE DATA FEED (`option("readChangeFeed", "true")`, r12): instead
+of rows, the stream emits row-level CHANGES — appends flagged
+'insert' straight from their data files, merge/delete/update commits
+served from the cdc/ sidecars their writers materialized (tables
+created with change_data_feed=True), optimize commits skipped as
+layout-only, every row stamped `_commit_version`. The schema gains
+(_change_type STRING, _commit_version BIGINT).
 
 Scale posture: partition planning is driver-side and bounded by the
 commit count + file count of the NEW versions only (never the table);
