@@ -4614,3 +4614,85 @@ def qup23_change_data_feed(spark, sf_dir):
         )
         .orderBy("v", "k")
     )
+
+
+@query(
+    "qup24_column_mapping",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 6 = 0),
+updated AS (
+  SELECT k, CASE WHEN k % 5 = 0 THEN lower(st) ELSE st END AS status
+  FROM snap),
+stages AS (
+  SELECT 'a_before' AS stage, k, st AS status FROM snap
+  UNION ALL SELECT 'b_renamed', k, status FROM updated
+  UNION ALL SELECT 'c_dropped', k, status FROM updated)
+SELECT stage, k, status FROM stages ORDER BY stage, k
+""",
+    doc="qup24: COLUMN MAPPING on the commit-log table "
+    "(commit_log.rename_column / drop_column — Delta's column-mapping "
+    "shape, r12): RENAME COLUMN and DROP COLUMN are METADATA-ONLY "
+    "commits (added=[], removed=[], pinned in test_capabilities.py::"
+    "test_commit_log_column_mapping) — data files keep their PHYSICAL "
+    "names forever, reads stay one scan with a final physical->"
+    "logical projection, and at 100 TB a rename costs one tiny JSON "
+    "instead of a table rewrite. The lifecycle here proves the parts "
+    "that silently go wrong in naive ports: 'a_before' time-travels "
+    "to the pre-rename version (old logical name, aliased for the "
+    "shared output shape), 'b_renamed' reads AFTER an UPDATE wrote "
+    "new data THROUGH the mapping (the rewrite translated the batch "
+    "back to physical names — mixing physical schemas would "
+    "union-fail), and 'c_dropped' reads after price left the schema "
+    "metadata-only (its bytes remain in live files, invisible; the "
+    "physical name is RESERVED so schema evolution cannot bind new "
+    "columns to stale bytes until a compact clears it). All three "
+    "stages hash against one SQL truth; stats pruning, CHECK "
+    "constraints (bound to create-time physical names), restore, "
+    "clone, checkpoint, and the streaming source compose with the "
+    "map in the capability tests.",
+    tags=("sink", "acid", "ddl", "mapping"),
+)
+def qup24_column_mapping(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    tiled = snap.withColumn("_t", F.ntile(3).over(Window.orderBy("k")))
+    path = os.path.join(_roundtrip_dir("commit_log_colmap"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(
+        spark, path, tiled.filter("_t = 1").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 2").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 3").drop("_t"), stats_cols=["k"])
+    pre_rename = cl.table_versions(path)[-1]
+    cl.rename_column(spark, path, "st", "status")
+    v_updated = cl.update_where(
+        spark, path, "k % 5 = 0", {"status": "lower(status)"})
+    cl.drop_column(spark, path, "price")
+    final = cl.read_table(spark, path)            # exactly (k, status)
+    renamed = cl.read_table(spark, path, v_updated)  # still has price
+    before = cl.read_table(spark, path, pre_rename)  # old logical name
+
+    return (
+        before.select(
+            F.lit("a_before").alias("stage"), "k",
+            F.col("st").alias("status"))
+        .unionByName(renamed.select(
+            F.lit("b_renamed").alias("stage"), "k", "status"))
+        .unionByName(final.select(
+            F.lit("c_dropped").alias("stage"), "k", "status"))
+        .orderBy("stage", "k")
+    )

@@ -175,7 +175,8 @@ def _read_state_commits(path: str) -> list[dict]:
         "dv_removed": [],
     }
     for k in ("schema", "schema_json", "check", "cdf", "stats",
-              "txn_watermarks", "committed_at"):
+              "txn_watermarks", "committed_at", "column_map",
+              "reserved_physical"):
         if state.get(k):
             synthetic[k] = state[k]
     if state.get("live_dvs"):
@@ -238,6 +239,13 @@ def checkpoint_log(path: str) -> int:
         state["check"] = _table_check(commits)
     if _table_cdf(commits):
         state["cdf"] = True
+    # empty map/reservation folds may be omitted: the synthetic commit
+    # REPLACES all history at or before it, so "key absent" and
+    # "folded to empty" read back identically
+    if _column_map(commits):
+        state["column_map"] = _column_map(commits)
+    if _reserved_physical(commits):
+        state["reserved_physical"] = _reserved_physical(commits)
     if watermarks:
         state["txn_watermarks"] = watermarks
     final = os.path.join(
@@ -322,13 +330,33 @@ def _read_live(
     vectors; one unionByName stitches the two. The dirty set comes
     from one tiny distinct-directories job over the vector sidecars
     (|live DV rows| in, |directories| out). With no live vectors this
-    is exactly a plain partitioned scan."""
+    is exactly a plain partitioned scan.
+
+    COLUMN MAPPING: data files carry PHYSICAL names, so the scan uses
+    the physical struct and one final projection aliases back to the
+    logical names — every caller (merge/delete/update/compact and
+    read_table itself) therefore sees logical frames and user
+    predicates/keys just work; with an empty map the projection is
+    the identity and is skipped."""
     from pyspark.sql import functions as F
 
+    cmap = _column_map(commits)
+
+    def _logical(df: DataFrame) -> DataFrame:
+        if not cmap:
+            return df
+        keep = [c for c in ("_f", "_r") if c in df.columns]
+        return df.select(
+            *[F.col(cmap.get(f.name, f.name)).alias(f.name)
+              for f in schema.fields],
+            *keep,
+        )
+
+    pschema = _physical_struct(schema, cmap)
     dvs = _fold_live_dvs(commits)
     if not dvs or not dirs:
-        df = _read_dirs(spark, path, dirs, schema)
-        return _with_position(df) if keep_position else df
+        df = _read_dirs(spark, path, dirs, pschema)
+        return _logical(_with_position(df) if keep_position else df)
     dv = _dv_relation(spark, path, commits)
     affected = {
         r[0]
@@ -344,7 +372,7 @@ def _read_live(
     clean = [d for d in dirs if d not in affected]
     parts: list[DataFrame] = []
     if dirty:
-        tagged = _with_position(_read_dirs(spark, path, dirty, schema))
+        tagged = _with_position(_read_dirs(spark, path, dirty, pschema))
         cond = (
             (tagged["_f"] == dv["_dv_file"])
             & (tagged["_r"] == dv["_dv_row"])
@@ -354,12 +382,12 @@ def _read_live(
             joined = joined.drop("_f", "_r")
         parts.append(joined)
     if clean:
-        cdf = _read_dirs(spark, path, clean, schema)
+        cdf = _read_dirs(spark, path, clean, pschema)
         parts.append(_with_position(cdf) if keep_position else cdf)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return _logical(out)
 
 
 def _latest_schema(commits: list[dict]) -> str | None:
@@ -384,6 +412,68 @@ def _table_cdf(commits: list[dict]) -> bool:
     """Whether the table records a Change Data Feed (create-time
     property; the synthetic checkpoint commit re-carries it)."""
     return bool(commits[0].get("cdf")) if commits else False
+
+
+def _column_map(commits: list[dict]) -> dict[str, str]:
+    """COLUMN MAPPING state: {logical name -> physical name} for the
+    columns whose on-disk (parquet) name differs from their current
+    logical name — Delta's column-mapping shape, what makes RENAME
+    COLUMN a metadata-only commit. Identity entries are never stored;
+    a missing key means logical == physical. The LATEST commit
+    carrying the key wins (key presence, not truthiness: renaming a
+    column back to its physical name legitimately empties the map),
+    so time travel resolves the mapping as of its version and the
+    checkpoint's synthetic commit re-carries it."""
+    for c in reversed(commits):
+        if "column_map" in c:
+            return dict(c["column_map"])
+    return {}
+
+
+def _reserved_physical(commits: list[dict]) -> list[str]:
+    """Physical column names DROPPED from the logical schema but still
+    present in live data files (drop_column is metadata-only — the
+    bytes stay until a compact rewrites them). Schema evolution must
+    refuse to ADD a column with one of these names: the physical
+    struct would otherwise bind the new logical column to the old
+    files' STALE bytes instead of NULLs. compact() clears the list —
+    it rewrites every live directory through the logical projection,
+    so the dropped physicals are really gone."""
+    for c in reversed(commits):
+        if "reserved_physical" in c:
+            return list(c["reserved_physical"])
+    return []
+
+
+def _physical_struct(schema, cmap: dict[str, str]):
+    """The on-disk shape of the logical `schema`: field names mapped
+    through the column map (types/nullability/metadata unchanged)."""
+    from pyspark.sql.types import StructField, StructType
+
+    if not cmap or schema is None:
+        return schema
+    return StructType([
+        StructField(
+            cmap.get(f.name, f.name), f.dataType, f.nullable, f.metadata
+        )
+        for f in schema.fields
+    ])
+
+
+def _to_physical(df: DataFrame, cmap: dict[str, str]) -> DataFrame:
+    """Project a LOGICAL frame to its PHYSICAL column names for
+    writing — physical names are fixed at each column's introduction
+    (create or evolution add), so every data directory of the table
+    shares one physical schema forever and reads stay a single scan
+    no matter how many renames happened (the Delta column-mapping
+    invariant)."""
+    from pyspark.sql import functions as F
+
+    if not cmap:
+        return df
+    return df.select(
+        *[F.col(c).alias(cmap.get(c, c)) for c in df.columns]
+    )
 
 
 def _write_cdc(changes: DataFrame, path: str, version: int) -> str:
@@ -581,16 +671,32 @@ def _write_data(
     version: int,
     stats_cols: list[str] | None = None,
     check: str | None = None,
+    column_map: dict[str, str] | None = None,
 ) -> tuple[str, dict]:
     """Write df to a fresh data directory. With `check`, a CHECK
     violation count rides the write itself as an Observation (zero
     extra passes — the scale-right validation); on violation the
     directory is left UNPUBLISHED (the caller never commits it) and
     ConstraintViolationError raises. SQL CHECK semantics: NULL
-    passes, only FALSE violates."""
+    passes, only FALSE violates.
+
+    `column_map` projects the LOGICAL df to its PHYSICAL names first,
+    so every directory of a renamed table keeps one on-disk schema.
+    The CHECK expression binds AFTER the projection: constraints are
+    declared at create time in create-time names, which ARE the
+    physical names of the original columns — so a rename never breaks
+    an existing constraint. `stats_cols` are likewise translated, and
+    stats are recorded under PHYSICAL names (one keyspace across
+    renames; pruning sites translate their lookups)."""
     from pyspark.sql import functions as F
     from pyspark.sql import Observation
 
+    if column_map:
+        df = _to_physical(df, column_map)
+        stats_cols = (
+            sorted({column_map.get(c, c) for c in stats_cols})
+            if stats_cols else stats_cols
+        )
     rel = os.path.join(_DATA, f"v{version:08d}-{uuid.uuid4().hex[:12]}")
     full = os.path.join(path, rel)
     obs = None
@@ -736,6 +842,29 @@ def _evolution_gate(
             + (f"batch drops {missing} " if missing else "")
             + (f"batch retypes {changed}" if changed else "")
         )
+    # COLUMN MAPPING guard: an added column's physical name is its
+    # logical name, so it must not collide with a physical name some
+    # RENAMED column still occupies on disk, nor with one a dropped
+    # column left behind in live files — the physical struct would
+    # bind the new column to stale bytes instead of NULLs
+    cmap = _column_map(commits)
+    taken = set(cmap.values())
+    reserved = set(_reserved_physical(commits))
+    for c in new:
+        if c in old:
+            continue
+        if c in taken:
+            raise ValueError(
+                f"{op}: cannot add column {c!r} — a renamed column "
+                "still uses that physical name on disk; pick another "
+                "name"
+            )
+        if c in reserved:
+            raise ValueError(
+                f"{op}: cannot add column {c!r} — a dropped column of "
+                "that name is still present in live data files; run "
+                "compact() first to rewrite them, then re-add"
+            )
     return True
 
 
@@ -768,7 +897,8 @@ def append(
     evolved = _evolution_gate(commits, df, merge_schema, "append")
     version = commits[-1]["version"] + 1
     rel, stats = _write_data(
-        df, path, version, stats_cols, check=_table_check(commits))
+        df, path, version, stats_cols, check=_table_check(commits),
+        column_map=_column_map(commits))
     last: ConcurrentWriteError | None = None
     for _ in range(8):
         entry = {"version": version, "operation": "append",
@@ -789,6 +919,127 @@ def append(
             commits = _read_state_commits(path)
             evolved = _evolution_gate(commits, df, merge_schema, "append")
             version = commits[-1]["version"] + 1
+    raise last
+
+
+def _mapping_entry(schema, cmap: dict) -> dict:
+    """Shared shape of a column-mapping commit: metadata-only (no
+    added/removed), re-records the logical schema, carries the full
+    map (key-present even when empty — renaming back to the physical
+    name legitimately empties it), and is flagged schema_evolved so
+    the streaming source stops at it exactly like at an evolution
+    (the stream's declared schema is fixed at startingVersion)."""
+    return {
+        "operation": None,  # caller fills
+        "added": [], "removed": [],
+        "column_map": cmap,
+        "schema": schema.simpleString(),
+        "schema_json": schema.json(),
+        "schema_evolved": True,
+    }
+
+
+def rename_column(spark: SparkSession, path: str, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN, metadata-only (Delta's column
+    mapping): publishes a commit that re-records the logical schema
+    with the new name and maps it to the column's unchanged PHYSICAL
+    name — zero data directories are read, written, or delisted, so
+    the cost is one tiny JSON no matter the table size. Everything
+    composes: reads project physical→logical (still one scan), time
+    travel before the rename shows the old name, writers translate
+    batches back to physical names (so stats pruning and the CHECK
+    constraint — which binds create-time physical names — keep
+    working), and RESTORE across a rename reverts the mapping.
+    Streaming reads stop at the rename like at a schema evolution
+    (restart with startingVersion past it to pick up the new name).
+
+    A lost version race rebases in place (metadata-only commits
+    commute with data commits; a concurrent schema change re-runs
+    the validation and may legitimately refuse)."""
+    last: ConcurrentWriteError | None = None
+    for _ in range(8):
+        commits = _read_state_commits(path)
+        schema = _schema_struct(commits)
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(
+                f"rename_column: no column {old!r} (table has {names})"
+            )
+        if new == old:
+            raise ValueError("rename_column: old and new are the same")
+        if new in names:
+            raise ValueError(
+                f"rename_column: column {new!r} already exists"
+            )
+        cmap = _column_map(commits)
+        phys = cmap.pop(old, old)
+        if new != phys:
+            cmap[new] = phys
+        from pyspark.sql.types import StructField, StructType
+
+        renamed = StructType([
+            StructField(new if f.name == old else f.name,
+                        f.dataType, f.nullable, f.metadata)
+            for f in schema.fields
+        ])
+        entry = _mapping_entry(renamed, cmap)
+        entry["operation"] = "rename_column"
+        entry["renamed"] = {"from": old, "to": new}
+        entry["version"] = commits[-1]["version"] + 1
+        try:
+            return _publish(path, entry)
+        except ConcurrentWriteError as e:
+            last = e
+    raise last
+
+
+def drop_column(spark: SparkSession, path: str, col: str) -> int:
+    """ALTER TABLE ... DROP COLUMN, metadata-only (the other half of
+    Delta's column mapping): the column leaves the logical schema in
+    one tiny JSON commit — no data is rewritten; the bytes stay in
+    the live files (invisible: reads project only mapped logical
+    columns) until a compact() rewrites them. The column's PHYSICAL
+    name is recorded as RESERVED so schema evolution cannot re-add a
+    column that would bind to the stale bytes; compact clears the
+    reservation. Refuses to drop the last column or a column the
+    table CHECK constraint references (new writes would no longer
+    carry it, so the constraint could never be evaluated)."""
+    import re
+
+    last: ConcurrentWriteError | None = None
+    for _ in range(8):
+        commits = _read_state_commits(path)
+        schema = _schema_struct(commits)
+        names = [f.name for f in schema.fields]
+        if col not in names:
+            raise ValueError(
+                f"drop_column: no column {col!r} (table has {names})"
+            )
+        if len(names) == 1:
+            raise ValueError("drop_column: cannot drop the only column")
+        cmap = _column_map(commits)
+        phys = cmap.pop(col, col)
+        check = _table_check(commits)
+        if check and re.search(rf"\b{re.escape(phys)}\b", check):
+            raise ValueError(
+                f"drop_column: the table CHECK ({check}) references "
+                f"{phys!r}; drop the constraint path or rewrite the "
+                "table instead"
+            )
+        from pyspark.sql.types import StructType
+
+        shrunk = StructType([f for f in schema.fields if f.name != col])
+        entry = _mapping_entry(shrunk, cmap)
+        entry["operation"] = "drop_column"
+        entry["dropped"] = col
+        entry["reserved_physical"] = sorted(
+            set(_reserved_physical(commits)) | {phys}
+        )
+        entry["version"] = commits[-1]["version"] + 1
+        try:
+            return _publish(path, entry)
+        except ConcurrentWriteError as e:
+            last = e
     raise last
 
 
@@ -995,13 +1246,17 @@ def merge_upsert(
     touched, untouched = list(live), []
     # compute batch stats ONLY when some live dir can actually be
     # pruned — otherwise the pass over the batch is pure waste
-    # (r11 review finding)
+    # (r11 review finding). Recorded stats are keyed by PHYSICAL
+    # names; key_cols are logical — translate the lookup.
+    cmap = _column_map(commits)
     if prune and any(live_stats.values()):
         bstats = _column_stats(batch_df, key_cols)
         touched, untouched = [], []
         for d in live:
             skip = any(
-                _disjoint_on(live_stats[d].get(k), bstats.get(k))
+                _disjoint_on(
+                    live_stats[d].get(cmap.get(k, k)), bstats.get(k)
+                )
                 for k in key_cols
             )
             (untouched if skip else touched).append(d)
@@ -1026,7 +1281,8 @@ def merge_upsert(
         .drop("_rn", "_src")
     )
     rel, stats = _write_data(
-        merged, path, version, stats_cols, check=_table_check(commits))
+        merged, path, version, stats_cols, check=_table_check(commits),
+        column_map=cmap)
     entry = {"version": version, "operation": "merge_upsert",
              "added": [rel], "removed": touched,
              "pruned_dirs": len(untouched)}
@@ -1168,7 +1424,9 @@ def delete_where(
         ~F.coalesce(cond, F.lit(False)))
     added, entry_stats = [], {}
     if not keep.isEmpty():
-        rel, stats = _write_data(keep, path, version, stats_cols)
+        rel, stats = _write_data(
+            keep, path, version, stats_cols,
+            column_map=_column_map(commits))
         added = [rel]
         if stats:
             entry_stats = {rel: stats}
@@ -1260,7 +1518,8 @@ def update_where(
             out_cols.append(F.col(c))
     updated = cur.select(*out_cols)
     rel, stats = _write_data(
-        updated, path, version, stats_cols, check=_table_check(commits))
+        updated, path, version, stats_cols, check=_table_check(commits),
+        column_map=_column_map(commits))
     entry = {"version": version, "operation": "update",
              "added": [rel], "removed": touched,
              "pruned_dirs": len(live) - len(touched)}
@@ -1339,21 +1598,32 @@ def compact(
     live_stats = _live_stats(path, commits=commits)
     stats_cols = sorted({c for s in live_stats.values() for c in s})
     schema = _schema_struct(commits)
+    cmap = _column_map(commits)
     full = _read_live(spark, path, commits, live, schema)
     n_out = max(int(target_partitions), 1)
+    # compact rewrites EVERY live directory through the logical
+    # projection, so physical names reserved by drop_column are
+    # really gone from the live files — clear the reservation (the
+    # name becomes addable again by schema evolution)
+    unreserve = bool(_reserved_physical(commits))
 
     if not cluster_by:
         rel, stats = _write_data(
             full.repartition(n_out), path, version, stats_cols,
+            column_map=cmap,
         )
         entry = {"version": version, "operation": "optimize",
                  "added": [rel], "removed": live,
                  "dv_removed": live_dvs}
+        if unreserve:
+            entry["reserved_physical"] = []
         if stats:
             entry["stats"] = {rel: stats}
         return _publish(path, entry)
 
-    stats_cols = sorted(set(stats_cols) | set(cluster_by))
+    stats_cols = sorted(
+        {cmap.get(c, c) for c in set(stats_cols) | set(cluster_by)}
+    )
     if zorder:
         if len(cluster_by) != 2:
             raise ValueError(
@@ -1398,6 +1668,14 @@ def compact(
             full.repartitionByRange(n_out, *[F.col(c) for c in cluster_by])
             .withColumn("_bucket", F.spark_partition_id())
         )
+    if cmap:
+        # the staged pipeline computed over logical names; write
+        # physical ones (keeping the layout-only _bucket column)
+        staged = staged.select(
+            *[F.col(f.name).alias(cmap.get(f.name, f.name))
+              for f in schema.fields],
+            F.col("_bucket"),
+        )
     base_rel = os.path.join(
         _DATA, f"v{version:08d}-{uuid.uuid4().hex[:12]}"
     )
@@ -1425,6 +1703,8 @@ def compact(
              "added": added, "removed": live,
              "dv_removed": live_dvs,
              "clustered_by": list(cluster_by)}
+    if unreserve:
+        entry["reserved_physical"] = []
     if zorder:
         entry["zorder"] = True
     if entry_stats:
@@ -1476,6 +1756,13 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
                 entry["schema_json"] = c["schema_json"]
                 break
         entry["schema_evolved"] = True
+    # restore across a rename/drop reverts the COLUMN MAPPING too —
+    # the schema string alone would leave reads projecting through
+    # the newer map (key-present records override the fold)
+    if _column_map(commits_then) != _column_map(commits_now):
+        entry["column_map"] = _column_map(commits_then)
+    if _reserved_physical(commits_then) != _reserved_physical(commits_now):
+        entry["reserved_physical"] = _reserved_physical(commits_then)
     then_stats = _live_stats(path, commits=commits_then)
     readd_stats = {
         d: then_stats[d] for d in entry["added"] if then_stats.get(d)
@@ -1545,6 +1832,10 @@ def clone_table(spark: SparkSession, src: str, dst: str) -> int:
         entry["check"] = check
     if _table_cdf(commits):
         entry["cdf"] = True  # the clone keeps recording change data
+    if _column_map(commits):
+        entry["column_map"] = _column_map(commits)
+    if _reserved_physical(commits):
+        entry["reserved_physical"] = _reserved_physical(commits)
     stats = {d: s for d, s in live_stats.items() if s}
     if stats:
         entry["stats"] = stats
@@ -1574,6 +1865,26 @@ def table_changes(
 
     a = read_table(spark, path, v_from)
     b = read_table(spark, path, v_to)
+    # a rename between the versions would make the same physical
+    # column look dropped-and-added (every row a spurious update) —
+    # refuse rather than mislead; diff within one mapping epoch
+    if _column_map(_read_commits(path, v_from)) != _column_map(
+        _read_commits(path, v_to)
+    ):
+        raise ValueError(
+            "table_changes: the column mapping changed between "
+            f"versions {v_from} and {v_to} (rename/drop is "
+            "metadata-only); diff within one mapping epoch instead"
+        )
+    older, newer = (a, b) if v_to >= v_from else (b, a)
+    gone = set(older.columns) - set(newer.columns)
+    if gone:
+        raise ValueError(
+            f"table_changes: column(s) {sorted(gone)} were dropped "
+            f"between versions {v_from} and {v_to}; a drop is "
+            "metadata-only and would surface as spurious updates — "
+            "diff within one mapping epoch instead"
+        )
     # schema evolution only ADDS columns, so align the older side to
     # the newer shape with NULL fills: a pre-evolution row then diffs
     # as an UPDATE against its post-evolution image when the added
@@ -1722,7 +2033,8 @@ def txn_append(
     added, entry_stats = [], {}
     if not df.isEmpty():
         rel, stats = _write_data(
-            df, path, version, stats_cols, check=_table_check(commits))
+            df, path, version, stats_cols, check=_table_check(commits),
+            column_map=_column_map(commits))
         added = [rel]
         if stats:
             entry_stats = {rel: stats}

@@ -87,6 +87,32 @@ def _read_commit(table_path: str, version: int) -> dict:
         return json.load(f)
 
 
+def _mapping_asof(table_path: str, start: int):
+    """(logical field names, {logical -> physical}) as of `start` —
+    what a stream beginning there must project DATA FILES through:
+    files carry PHYSICAL column names, the declared stream schema
+    carries LOGICAL ones, and rename/drop commits INSIDE the streamed
+    range cannot occur (they are schema_evolved-flagged, which stops
+    the stream), so one mapping covers every emitted file. Returns
+    ([], {}) for tables that never renamed/dropped — the fast path
+    skips the projection entirely."""
+    cmap: dict | None = None
+    names: list[str] = []
+    for v in table_versions(table_path):
+        if v > start:
+            break
+        c = _read_commit(table_path, v)
+        if "column_map" in c:
+            cmap = dict(c["column_map"])
+        if c.get("schema_json"):
+            names = [
+                f["name"] for f in json.loads(c["schema_json"])["fields"]
+            ]
+    if not cmap:
+        return [], {}
+    return names, cmap
+
+
 class CommitLogStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.path = options.get("path")
@@ -107,6 +133,12 @@ class CommitLogStreamReader(DataSourceStreamReader):
         self.max_bytes = int(mb) if mb is not None else None
         if self.max_bytes is not None and self.max_bytes < 1:
             raise ValueError("maxBytesPerTrigger must be >= 1")
+        # COLUMN MAPPING as of the starting version: data files carry
+        # physical names; read() projects them to the declared logical
+        # ones. Empty for never-renamed tables (projection skipped).
+        self._logical, self._cmap = _mapping_asof(
+            self.path, self.starting_version
+        )
         # the highest table version this reader has seen planned or
         # committed — the base the admission caps count from AND the
         # duplicate-emission floor for partitions(). Seeded at
@@ -256,6 +288,17 @@ class CommitLogStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         t = pq.read_table(partition.path)
+        # DATA files (plain batches, and CDF 'insert' partitions)
+        # carry PHYSICAL column names — project to the declared
+        # logical schema; cdc sidecars were written logically by
+        # their commit and need none (renames inside the streamed
+        # range are impossible: mapping commits stop the stream)
+        if self._cmap and (
+            partition.version is None or partition.ctype is not None
+        ):
+            t = t.select(
+                [self._cmap.get(n, n) for n in self._logical]
+            ).rename_columns(self._logical)
         if partition.version is None:
             return iter(t.to_batches())
         # CDF: data files carry the table columns; cdc sidecars also

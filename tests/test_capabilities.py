@@ -3251,3 +3251,138 @@ def test_commit_log_describe_detail(spark, tmp_path):
     assert d1["clustered_by"] == "k,p" and d1["zorder"] is True
     assert d1["checkpoint_version"] == 3
     assert d1["n_live_dirs"] == 2
+
+
+def test_commit_log_column_mapping(spark, tmp_path):
+    """sources/commit_log.py rename_column/drop_column (Delta's column
+    mapping): both are METADATA-ONLY commits — zero data directories
+    added or removed, physical parquet names unchanged on disk — while
+    reads project to logical names, writers translate back through the
+    map (update/merge/stats pruning/CHECK all compose), drop RESERVES
+    the physical name until a compact clears it, and restore reverts
+    the mapping with the schema."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    cl.create_table(spark, path, nation, stats_cols=["n_nationkey"])
+    v2 = cl.rename_column(spark, path, "n_name", "nation_name")
+
+    # the rename commit is metadata-only
+    with open(os.path.join(path, "_commits", f"{v2:08d}.json")) as f:
+        entry = json.load(f)
+    assert entry["added"] == [] and entry["removed"] == []
+    assert entry["column_map"] == {"nation_name": "n_name"}
+
+    df = cl.read_table(spark, path)
+    assert df.columns == ["n_nationkey", "nation_name", "n_regionkey"]
+    assert df.count() == 25
+    # time travel before the rename keeps the old logical name
+    assert "n_name" in cl.read_table(spark, path, version=1).columns
+
+    # writes go THROUGH the map: physical files keep the old name
+    v3 = cl.update_where(spark, path, "n_nationkey < 5",
+                         {"nation_name": "lower(nation_name)"})
+    new_dir = cl._read_commits(path, v3)[-1]["added"][0]
+    pf = glob.glob(os.path.join(path, new_dir, "*.parquet"))[0]
+    assert "n_name" in pq.read_schema(pf).names
+    assert "nation_name" not in pq.read_schema(pf).names
+    got = cl.read_table(spark, path).filter("n_nationkey < 5")
+    assert all(r["nation_name"].islower() for r in got.collect())
+
+    # merge through the rename still key-prunes on recorded stats
+    batch = cl.read_table(spark, path).filter("n_nationkey = 7")
+    v4 = cl.merge_upsert(spark, path, batch, ["n_nationkey"],
+                         "n_regionkey")
+    assert cl.read_table(spark, path).count() == 25
+
+    # evolution cannot add a column shadowing the renamed physical
+    with _pytest.raises(ValueError, match="physical name"):
+        cl.append(spark, path,
+                  cl.read_table(spark, path).withColumn(
+                      "n_name", F.lit("x")),
+                  merge_schema=True)
+
+    # drop is metadata-only too, and reserves its physical name
+    cl.append(spark, path,
+              cl.read_table(spark, path).limit(0)
+              .withColumn("note", F.lit("x")), merge_schema=True)
+    v6 = cl.drop_column(spark, path, "note")
+    with open(os.path.join(path, "_commits", f"{v6:08d}.json")) as f:
+        entry = json.load(f)
+    assert entry["added"] == [] and entry["removed"] == []
+    assert entry["reserved_physical"] == ["note"]
+    assert "note" not in cl.read_table(spark, path).columns
+    with _pytest.raises(ValueError, match="compact"):
+        cl.append(spark, path,
+                  cl.read_table(spark, path).withColumn(
+                      "note", F.lit("y")), merge_schema=True)
+    # compact rewrites through the map and clears the reservation
+    cl.compact(spark, path)
+    cl.append(spark, path,
+              cl.read_table(spark, path).limit(1)
+              .withColumn("note", F.lit("y")), merge_schema=True)
+    assert "note" in cl.read_table(spark, path).columns
+
+    # restore to pre-rename reverts mapping + schema together
+    cl.restore_table(spark, path, 1)
+    df = cl.read_table(spark, path)
+    assert "n_name" in df.columns and "nation_name" not in df.columns
+    assert df.count() == 25
+
+    # snapshot CDC refuses to diff across a mapping change
+    with _pytest.raises(ValueError, match="mapping"):
+        cl.table_changes(spark, path, 1, v4, ["n_nationkey"])
+    ch = cl.table_changes(spark, path, v2, v3, ["n_nationkey"])
+    assert ch.filter("_change_type = 'update'").count() == 5
+
+
+def test_commit_log_column_mapping_checkpoint_clone(spark, tmp_path):
+    """The column map and drop reservations survive a LOG CHECKPOINT
+    (the synthetic state commit re-carries them) and propagate through
+    CLONE — the two paths that replace/duplicate history and would
+    silently lose key-present-only state."""
+    from pyspark.sql import functions as F
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    df0 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k BIGINT, s STRING, x DOUBLE")
+    cl.create_table(spark, path, df0, stats_cols=["k"])
+    cl.rename_column(spark, path, "s", "label")
+    cl.drop_column(spark, path, "x")
+    cl.checkpoint_log(path)
+    # state folds now go through the checkpoint: reads, then a write
+    df = cl.read_table(spark, path)
+    assert df.columns == ["k", "label"]
+    cl.append(spark, path, spark.createDataFrame(
+        [(3, "c")], "k BIGINT, label STRING"))
+    assert cl.read_table(spark, path).count() == 3
+    # the physical name on disk is still 's' after the checkpoint
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    last = cl._read_commits(path, None)[-1]["added"][0]
+    pf = glob.glob(os.path.join(path, last, "*.parquet"))[0]
+    assert pq.read_schema(pf).names == ["k", "s"]
+    # clone inherits map + reservation
+    dst = str(tmp_path / "c")
+    cl.clone_table(spark, path, dst)
+    assert cl.read_table(spark, dst).columns == ["k", "label"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dropped column"):
+        cl.append(spark, dst,
+                  cl.read_table(spark, dst).withColumn("x", F.lit(1.0)),
+                  merge_schema=True)

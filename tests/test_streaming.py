@@ -828,3 +828,47 @@ def test_commitlog_source_admission_control(spark, tmp_path):
     got2 = drain({"maxVersionsPerTrigger": "2"}, ck, 30)
     assert sorted(k for b in got2 for k in b) == list(range(60, 90))
     assert all(len(b) <= 20 for b in got2), list(map(len, got2))
+
+
+def test_commitlog_stream_column_mapping(spark, tmp_path):
+    """sources/commit_log_stream.py × column mapping: a running stream
+    STOPS at a rename commit (mapping commits are schema_evolved-
+    flagged — delivered up to it, never past), and a fresh stream
+    starting after the rename projects the data files' PHYSICAL
+    column names to the declared logical schema."""
+    import os
+
+    from sora_spark.sources import commit_log as cl
+    from sora_spark.sources import commit_log_stream as cls_
+
+    cls_.register(spark)
+    path = str(tmp_path / "t")
+    mk = lambda rows, s="k bigint, v bigint": spark.createDataFrame(rows, s)
+    cl.create_table(spark, path, mk([(1, 10), (2, 20)]))       # v1
+    cl.append(spark, path, mk([(3, 30)]))                      # v2
+    cl.rename_column(spark, path, "v", "val")                  # v3
+    cl.append(spark, path, mk([(4, 40)], "k bigint, val bigint"))  # v4
+    cl.append(spark, path, mk([(5, 50)], "k bigint, val bigint"))  # v5
+
+    def run(out, ck, **opts):
+        r = spark.readStream.format("commitlog").option("path", path)
+        for k_, v_ in opts.items():
+            r = r.option(k_, v_)
+        q = (r.load().writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # from v1: everything BEFORE the rename is delivered, then idle
+    out1 = str(tmp_path / "o1")
+    run(out1, str(tmp_path / "c1"))
+    df1 = spark.read.parquet(out1)
+    assert df1.columns == ["k", "v"]
+    assert sorted(map(tuple, df1.collect())) == [(1, 10), (2, 20), (3, 30)]
+
+    # fresh stream past the rename: logical names over physical files
+    out2 = str(tmp_path / "o2")
+    run(out2, str(tmp_path / "c2"), startingVersion=4)
+    df2 = spark.read.parquet(out2)
+    assert df2.columns == ["k", "val"]
+    assert sorted(map(tuple, df2.collect())) == [(4, 40), (5, 50)]
