@@ -3996,3 +3996,89 @@ def qcont4_bloom_screen(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "qix14_hybrid_rrf_fusion",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+consts AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'vector', 'window')
+       GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         round(ln(((c.n_docs - f.df + 0.5) / (f.df + 0.5)) + 1.0)
+               * ((t.tf * 2.2)
+                  / (t.tf + 1.2 * (0.25 + (0.75 * d.dl) / c.avgdl))),
+               6) AS contrib
+  FROM tf t JOIN dl d USING (doc_id)
+  CROSS JOIN consts c JOIN dfreq f USING (term)),
+bm AS (SELECT doc_id, round(sum(contrib), 6) AS score
+       FROM scored GROUP BY doc_id
+       ORDER BY score DESC, doc_id LIMIT 20),
+bt AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS tr
+       FROM bm),
+sim AS (SELECT e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(p.embedding AS DOUBLE[])), 5) AS sim
+        FROM embeddings e, embeddings p
+        WHERE p.vec_id = 0 AND e.vec_id <> 0),
+vt AS (SELECT neighbor_id, vr FROM (
+         SELECT neighbor_id,
+                row_number() OVER (ORDER BY sim DESC, neighbor_id) AS vr
+         FROM sim) WHERE vr <= 20)
+SELECT coalesce(bt.doc_id, vt.neighbor_id) AS id,
+       round(coalesce(1.0 / (60 + tr), 0)
+             + coalesce(1.0 / (60 + vr), 0), 6) AS rrf,
+       CAST(tr AS INT) AS text_rank, CAST(vr AS INT) AS vec_rank
+FROM bt FULL OUTER JOIN vt ON bt.doc_id = vt.neighbor_id
+ORDER BY rrf DESC, id
+""",
+    doc="qix14: HYBRID RETRIEVAL — Reciprocal Rank Fusion (k=60, the "
+    "Cormack/Clarke/Buettcher constant) of the BM25 postings index's "
+    "lexical top-20 (llm/textindex.py, qix8's serving path) and the "
+    "IVF vector index's cosine top-20 (llm/ann.py, exhaustive-config "
+    "probe so the approximation contributes zero slack) via "
+    "llm/hybrid.py rrf_fuse — the standard first-stage retrieval of "
+    "a RAG/training-data pipeline, and the row that JOINS the two "
+    "on-disk index subsystems into one serving path. Rank-based "
+    "fusion needs no score calibration between BM25 logs and "
+    "cosines; ranks are deterministic via each side's (score desc, "
+    "id) total order over already-rounded scores, so the fused list "
+    "hash-matches the from-scratch SQL computing BOTH rankings and "
+    "the same 1/(60+r) arithmetic. Scale: the expensive work "
+    "happened inside the pruned index reads (<=Q term buckets, "
+    "n_probe inverted lists); the fusion itself joins two k-row "
+    "frames — broadcast-sized by construction. The fixture's "
+    "documents/embeddings ids share the 0..499 keyspace, standing in "
+    "for a corpus with both text and an embedding per item.",
+    tags=("llm", "index", "ranking", "hybrid", "ann"),
+)
+def qix14_hybrid_rrf_fusion(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.llm import hybrid, textindex
+    from sora_spark.queries.relational import _roundtrip_dir
+
+    t = tables(spark, sf_dir)
+    base = _roundtrip_dir("hybrid_rrf")
+    tpath = os.path.join(base, "tindex")
+    vpath = os.path.join(base, "vindex")
+    for p in (tpath, tpath + "_terms", tpath + "_consts",
+              vpath, vpath + "_centroids"):
+        shutil.rmtree(p, ignore_errors=True)
+    textindex.write_text_index(t.documents, tpath, n_buckets=16)
+    ann.write_ivf_index(t.embeddings, vpath, n_centroids=16, iters=2)
+    text_hits = textindex.bm25_topk_indexed(
+        spark, tpath, ["spark", "vector", "window"], top_k=20)
+    probes = t.embeddings.filter(F.col("vec_id") == 0)
+    vec_hits = ann.ivf_topk_indexed(
+        spark, vpath, probes, k=20, n_probe=16)
+    return hybrid.rrf_fuse(text_hits, vec_hits)
