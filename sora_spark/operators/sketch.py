@@ -378,3 +378,56 @@ def cms_point_estimates(
         .groupBy("key")
         .agg(F.min("c").cast("bigint").alias("estimate"))
     )
+
+
+def kmv_bottom_k(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) sketch of `df[col]`: the k
+    smallest md5 hashes of the DISTINCT values, one row per kept hash
+    — simultaneously (a) a mergeable distinct-count estimator
+    (D-hat = (k-1)/h_(k) with h_(k) the k-th smallest hash mapped to
+    (0,1]; Bar-Yossef et al. 2002) and (b) a DETERMINISTIC uniform
+    sample of the distinct values (the hash order is a fixed random
+    permutation of the domain), which is what makes this the one
+    cardinality sketch that is hash-gateable cross-engine: md5 is
+    portable, so both engines keep EXACTLY the same k hashes.
+
+    Mergeability is exact set algebra: bottom-k(A ∪ B) =
+    bottom-k(bottom-k(A) ∪ bottom-k(B)) — certified in the qa33
+    declared row by re-sketching per-partition sketches to the
+    identical global rows.
+
+    Scale: map-side partial distinct on the hash, then
+    orderBy().limit(k) — Spark plans TakeOrderedAndProject (per-
+    partition top-k heaps, k-row exchange), so the raw value stream
+    never global-sorts and never shuffles more than n_partitions x k
+    hash rows."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    return (
+        df.select(F.md5(F.col(col).cast("string")).alias("kmv_hash"))
+        .distinct()
+        .orderBy("kmv_hash")
+        .limit(k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """(kth_hash, est) from a kmv_bottom_k sketch. The estimate uses
+    the first 12 hex digits (48 bits — exact in BIGINT and in DOUBLE)
+    as h_(k): frac = v / 16^12 is an EXACT power-of-two scaling, so
+    round((k-1)/frac, 4) is a single IEEE division away from the
+    integer inputs — bit-identical in any engine that evaluates the
+    same expression (the qa33 oracle does). If the sketch holds fewer
+    than k hashes the domain itself is smaller than k: the sketch IS
+    the distinct set and est reports its exact size."""
+    n = sketch.count()
+    kth = sketch.agg(F.max("kmv_hash").alias("kth_hash"))
+    if n < k:
+        return kth.select(
+            "kth_hash", F.round(F.lit(float(n)), 4).alias("est"))
+    v = F.conv(F.substring("kth_hash", 1, 12), 16, 10).cast("double")
+    return kth.select(
+        "kth_hash",
+        F.round(F.lit(float(k - 1)) / (v / F.lit(float(16 ** 12))), 4)
+        .alias("est"),
+    )

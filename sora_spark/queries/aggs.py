@@ -1644,3 +1644,100 @@ def qa32_portable_cms(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@query(
+    "qa33_kmv_bottom_k",
+    oracle="""
+WITH h AS (SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS hh
+           FROM lineitem),
+g AS (SELECT hh FROM h ORDER BY hh LIMIT 64),
+h2 AS (SELECT DISTINCT l_orderkey % 2 AS part,
+              md5(CAST(l_partkey AS VARCHAR)) AS hh
+       FROM lineitem),
+pb AS (SELECT hh FROM (
+         SELECT hh, row_number() OVER (PARTITION BY part
+                                       ORDER BY hh) AS rn
+         FROM h2) t WHERE rn <= 64),
+m AS (SELECT hh FROM (SELECT DISTINCT hh FROM pb) u
+      ORDER BY hh LIMIT 64),
+stg AS (SELECT 'a_global' AS stage, max(hh) AS kth_hash FROM g
+        UNION ALL
+        SELECT 'b_merged', max(hh) FROM m)
+SELECT stage, kth_hash,
+       round(63.0 / ((
+           (strpos('0123456789abcdef', substr(kth_hash, 1, 1)) - 1)
+               * 17592186044416.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 2, 1)) - 1)
+               * 1099511627776.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 3, 1)) - 1)
+               * 68719476736.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 4, 1)) - 1)
+               * 4294967296.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 5, 1)) - 1)
+               * 268435456.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 6, 1)) - 1)
+               * 16777216.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 7, 1)) - 1)
+               * 1048576.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 8, 1)) - 1)
+               * 65536.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 9, 1)) - 1)
+               * 4096.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 10, 1)) - 1)
+               * 256.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 11, 1)) - 1)
+               * 16.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 12, 1)) - 1)
+       ) / 281474976710656.0), 4) AS est
+FROM stg ORDER BY stage
+""",
+    doc="qa33: KMV / bottom-k sketch (operators/sketch.py "
+    "kmv_bottom_k + kmv_estimate) — the fourth member of the "
+    "portable mergeable-summaries family (HLL qa29 / Bloom qcont4 / "
+    "CMS qa32): the k smallest md5 hashes of the distinct l_partkey "
+    "values are simultaneously a distinct-count estimator "
+    "(D-hat = (k-1)/h_(k), Bar-Yossef et al.) and a DETERMINISTIC "
+    "uniform sample of the distinct domain — and because md5 is "
+    "portable, the sketch is hash-gated EXACTLY, estimator included "
+    "(the estimate divides exact 48-bit integers after a "
+    "power-of-two scaling, one IEEE division in both engines — no "
+    "tolerance band needed, unlike every RNG-seeded sampler). The "
+    "'b_merged' stage re-sketches the union of two per-partition "
+    "sketches (l_orderkey%2 halves) and must reproduce the global "
+    "rows bit-for-bit: bottom-k(A∪B) = bottom-k(bottom-k(A) ∪ "
+    "bottom-k(B)) — the mergeability a 1000-executor rollup relies "
+    "on. Scale: map-side partial distinct on hashes, then "
+    "TakeOrderedAndProject (per-partition k-heaps, k-row exchange) — "
+    "the raw value stream never global-sorts; the sketch answers "
+    "'how many distincts and which sample' over 100 TB with k rows "
+    "per summary.",
+    tags=("agg", "sketch", "approx", "dedup"),
+)
+def qa33_kmv_bottom_k(spark, sf_dir):
+    from sora_spark.operators import sketch
+
+    li = tables(spark, sf_dir).lineitem
+    g = sketch.kmv_bottom_k(li, "l_partkey", 64)
+    halves = li.select(
+        (F.col("l_orderkey") % 2).alias("part"),
+        F.md5(F.col("l_partkey").cast("string")).alias("kmv_hash"),
+    ).distinct()
+    w = Window.partitionBy("part").orderBy("kmv_hash")
+    merged = (
+        halves.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .select("kmv_hash")
+        .distinct()
+        .orderBy("kmv_hash")
+        .limit(64)
+    )
+    return (
+        sketch.kmv_estimate(g, 64)
+        .select(F.lit("a_global").alias("stage"), "kth_hash", "est")
+        .unionByName(
+            sketch.kmv_estimate(merged, 64)
+            .select(F.lit("b_merged").alias("stage"), "kth_hash", "est")
+        )
+        .orderBy("stage")
+    )
