@@ -4696,3 +4696,79 @@ def qup24_column_mapping(spark, sf_dir):
             F.lit("c_dropped").alias("stage"), "k", "status"))
         .orderBy("stage", "k")
     )
+
+
+@query(
+    "qts13_ewma_smoothing",
+    oracle="""
+WITH daily AS (
+  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+         round(sum(value), 2) AS v
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT t, day, v,
+         lag(v, 1) OVER w AS v1, lag(v, 2) OVER w AS v2,
+         lag(v, 3) OVER w AS v3, lag(v, 4) OVER w AS v4,
+         lag(v, 5) OVER w AS v5, lag(v, 6) OVER w AS v6,
+         lag(v, 7) OVER w AS v7,
+         row_number() OVER w AS rn
+  FROM daily WINDOW w AS (PARTITION BY t ORDER BY day))
+SELECT t, strftime(day, '%Y-%m-%d') AS day_s,
+       round((v * 1.0
+              + v1 * 0.7
+              + v2 * 0.48999999999999994
+              + v3 * 0.3429999999999999
+              + v4 * 0.24009999999999995
+              + v5 * 0.16806999999999994
+              + v6 * 0.11764899999999996
+              + v7 * 0.08235429999999996)
+             / 3.1411732999999997, 6) AS ewma
+FROM lagged WHERE rn >= 8 ORDER BY t, day_s
+""",
+    doc="qts13: EWMA smoothing (8-tap truncated, decay 0.7) over the "
+    "daily per-type value series — the denoising classic next to "
+    "qts12's gap fill. The truncation is the point, not a shortcut: "
+    "an exact recursive EWMA needs unbounded state and a "
+    "sequentially-dependent fold (order-sensitive float sums that no "
+    "cross-engine hash could pin), while the 8-tap form is what "
+    "bounded-state streaming systems actually compute (weight "
+    "0.7^8 < 6% residual) and is expressible as eight lag() taps "
+    "under ONE window pass. Determinism discipline: every "
+    "coefficient is a repr-exact double LITERAL shared by both "
+    "engines (an engine-side 0.7*0.7*... constant-fold could round "
+    "differently), the tap sum is written in one fixed "
+    "left-associative order, inputs are pre-rounded at the daily "
+    "agg, and only full windows emit (rn >= 8) so there are no "
+    "NULL-tap edge semantics. Scale: one groupBy + one per-series "
+    "window — state is 8 values per series regardless of history "
+    "length.",
+    tags=("timeseries", "window", "smoothing"),
+)
+def qts13_ewma_smoothing(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    daily = (
+        ev.groupBy(
+            F.col("event_type").alias("t"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    w = Window.partitionBy("t").orderBy("day")
+    lagged = daily.select(
+        "t", "day", "v",
+        *[F.lag("v", j).over(w).alias(f"v{j}") for j in range(1, 8)],
+        F.row_number().over(w).alias("rn"),
+    )
+    taps = F.col("v") * F.lit(1.0)
+    for j in range(1, 8):
+        taps = taps + F.col(f"v{j}") * F.lit(0.7 ** j)
+    return (
+        lagged.filter(F.col("rn") >= 8)
+        .select(
+            "t",
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+            F.round(taps / F.lit(sum(0.7 ** j for j in range(8))), 6)
+            .alias("ewma"),
+        )
+        .orderBy("t", "day_s")
+    )
