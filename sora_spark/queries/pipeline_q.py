@@ -4512,28 +4512,29 @@ batch AS (
          round(o_totalprice + 1000, 2) AS price,
          o_orderdate + INTERVAL 1 DAY AS ts
   FROM orders WHERE o_orderkey % 5 = 0),
-v3_changes AS (
-  SELECT b.k, b.st, b.price, b.ts,
-         CASE WHEN base.k IS NULL THEN 'insert' ELSE 'update' END AS ct
-  FROM batch b LEFT JOIN base ON b.k = base.k),
 v3_table AS (
   SELECT * FROM batch
   UNION ALL
   SELECT * FROM base WHERE k NOT IN (SELECT k FROM batch)),
 v4_deleted AS (SELECT * FROM v3_table WHERE k % 3 = 0),
 v4_table AS (SELECT * FROM v3_table WHERE k % 3 <> 0),
-v5_changes AS (
-  SELECT k, st, round(price + 50, 2) AS price, ts
-  FROM v4_table WHERE st = 'O'),
+v5_pre AS (SELECT * FROM v4_table WHERE st = 'O'),
 feed AS (
   SELECT 1 AS v, 'insert' AS change, * FROM snap
   UNION ALL SELECT 2, 'insert', * FROM app
-  UNION ALL SELECT 3, ct, k, st, price, ts FROM v3_changes
+  UNION ALL SELECT 3, 'insert', b.* FROM batch b
+            WHERE b.k NOT IN (SELECT k FROM base)
+  UNION ALL SELECT 3, 'update_preimage', base.* FROM base
+            WHERE base.k IN (SELECT k FROM batch)
+  UNION ALL SELECT 3, 'update_postimage', b.* FROM batch b
+            WHERE b.k IN (SELECT k FROM base)
   UNION ALL SELECT 4, 'delete', * FROM v4_deleted
-  UNION ALL SELECT 5, 'update', * FROM v5_changes)
+  UNION ALL SELECT 5, 'update_preimage', * FROM v5_pre
+  UNION ALL SELECT 5, 'update_postimage', k, st,
+            round(price + 50, 2), ts FROM v5_pre)
 SELECT v, change, k, st, price,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
-FROM feed ORDER BY v, k
+FROM feed ORDER BY v, k, change
 """,
     doc="qup23: CHANGE DATA FEED (Delta's CDF architecture, faithfully: "
     "data-changing WRITERS materialize their row-level changes into "
@@ -4542,16 +4543,20 @@ FROM feed ORDER BY v, k
     "under option readChangeFeed, appends flagged 'insert' from their "
     "data files, layout-only optimize commits skipped, every row "
     "stamped _commit_version): a five-commit lifecycle — create, "
-    "append, MERGE (inserts + updates in one commit), DV DELETE "
-    "(delete images), UPDATE (post-images) — streams its complete "
-    "feed through one availableNow run into a parquet sink, and the "
-    "feed must hash-match the SQL replay of all five stages: any "
-    "wrong diff, misattributed version, duplicated or lost change row "
-    "is a mismatch. Batch prices are +1000 so merge updates can never "
-    "be silent no-ops; the batch ts is strictly newer so the tiebreak "
-    "never decides. This is what downstream CDC consumers (qup9 is "
-    "the batch twin) subscribe to at 100 TB instead of re-diffing "
-    "snapshots: change volume, not table volume, crosses the wire.",
+    "append, MERGE (inserts + update pre/post PAIRS in one commit), "
+    "DV DELETE (delete images), UPDATE (pre/post pairs) — streams "
+    "its complete feed through one availableNow run into a parquet "
+    "sink, and the feed must hash-match the SQL replay of all five "
+    "stages: any wrong diff, misattributed version, duplicated or "
+    "lost change row is a mismatch. Updates emit the Delta-complete "
+    "'update_preimage'+'update_postimage' pair (r12) — without the "
+    "pre-image a downstream incremental consumer cannot RETRACT the "
+    "old contribution (qmv2 exercises exactly that). Batch prices "
+    "are +1000 so merge updates can never be silent no-ops; the "
+    "batch ts is strictly newer so the tiebreak never decides. This "
+    "is what downstream CDC consumers (qup9 is the batch twin) "
+    "subscribe to at 100 TB instead of re-diffing snapshots: change "
+    "volume, not table volume, crosses the wire.",
     tags=("cdc", "streaming", "acid", "sink"),
 )
 def qup23_change_data_feed(spark, sf_dir):
@@ -4612,7 +4617,7 @@ def qup23_change_data_feed(spark, sf_dir):
             "k", "st", "price",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         )
-        .orderBy("v", "k")
+        .orderBy("v", "k", "change")
     )
 
 
@@ -4772,3 +4777,94 @@ def qts13_ewma_smoothing(spark, sf_dir):
         )
         .orderBy("t", "day_s")
     )
+
+
+@query(
+    "qmv2_cdf_incremental_refresh",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pri,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 7 = 0),
+batch AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pri,
+         CAST(round((o_totalprice + 1000) * 100) AS BIGINT) AS cents,
+         o_orderdate + INTERVAL 1 DAY AS ts
+  FROM orders WHERE o_orderkey % 5 = 0),
+v2_table AS (
+  SELECT * FROM batch
+  UNION ALL
+  SELECT * FROM snap WHERE k NOT IN (SELECT k FROM batch)),
+v3_table AS (SELECT * FROM v2_table WHERE k % 3 <> 0)
+SELECT pri, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM v3_table GROUP BY pri ORDER BY pri
+""",
+    doc="qmv2: incremental MV refresh DRIVEN BY THE TABLE'S OWN "
+    "CHANGE FEED — the composition the r12 CDF upgrades exist for: "
+    "a per-priority count+sum view is materialized from the "
+    "commit-log table at v1; the table then takes a MERGE "
+    "(inserts + updates) and a deletion-vector DELETE; the refresh "
+    "consumes table_changes(v1, v3, include_preimages=True) — "
+    "'update_preimage' rows RETRACT the old contribution (op D) and "
+    "'update_postimage'/'insert' rows add the new one (op I), the "
+    "canonical CDC encoding — and merges the signed delta aggregate "
+    "into the stored view (operators/incremental.py: view side never "
+    "re-scanned, delta side broadcast). Without pre-images this "
+    "refresh is IMPOSSIBLE to do correctly — exactly why the CDF "
+    "emits the Delta-complete pair. The measure is integer CENTS so "
+    "the delta algebra is bit-exact (no float-reassociation slack): "
+    "the refreshed view must equal the from-scratch recompute over "
+    "the final snapshot to the last integer. At 100 TB: change "
+    "volume crosses the wire, the view updates in delta-bounded "
+    "work, and the feed comes from the table format itself — no "
+    "external changelog infrastructure.",
+    tags=("cdc", "incremental", "pipeline", "acid"),
+)
+def qmv2_cdf_incremental_refresh(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.operators import incremental as inc
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    batch = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round((F.col("o_totalprice") + 1000) * 100)
+        .cast("bigint").alias("cents"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+    )
+    path = os.path.join(_roundtrip_dir("commit_log_mv"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(spark, path, snap, stats_cols=["k"])        # v1
+    cl.merge_upsert(spark, path, batch, ["k"], "ts")            # v2
+    v3 = cl.delete_where(spark, path, "k % 3 = 0",              # v3
+                         deletion_vectors=True)
+
+    view = inc.build_view(
+        cl.read_table(spark, path, 1), ["pri"], ["cents"])
+    feed = cl.table_changes(
+        spark, path, 1, v3, ["k"], include_preimages=True)
+    cdc = feed.select(
+        "pri", "cents",
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit("I"),
+        ).otherwise(F.lit("D")).alias("op"),
+    )
+    refreshed = inc.refresh(view, cdc, ["pri"], ["cents"])
+    return refreshed.select(
+        "pri",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    ).orderBy("pri")

@@ -489,10 +489,14 @@ def _diff_frames(
     a: DataFrame, b: DataFrame, key_cols: list[str]
 ) -> DataFrame:
     """Row-level diff a -> b on key columns (both key-unique, same
-    schema): (table columns + _change_type in insert/update/delete),
-    inserts/updates carrying b's image, deletes a's — the CDF writer's
-    core, one null-safe full-outer join like table_changes but over
-    in-flight frames instead of committed versions."""
+    schema): (table columns + _change_type), one null-safe full-outer
+    join like table_changes but over in-flight frames instead of
+    committed versions — the CDF writer's core. Inserts carry b's
+    image, deletes a's, and an updated key emits the Delta-complete
+    PAIR: 'update_preimage' (a's row) + 'update_postimage' (b's) —
+    without the pre-image a downstream incremental consumer (MV
+    maintenance, replication) cannot retract the old contribution.
+    One pass: each joined row explodes to 0-2 typed entries."""
     import functools
     import operator
 
@@ -518,22 +522,25 @@ def _diff_frames(
         if nonkey
         else F.lit(True)
     )
-    change = (
-        F.when(F.col("_in_a").isNull(), F.lit("insert"))
-        .when(F.col("_in_b").isNull(), F.lit("delete"))
-        .when(same, F.lit(None).cast("string"))
-        .otherwise(F.lit("update"))
+    pre = F.struct(*[F.col(f"_a_{c}").alias(c) for c in cols])
+    post = F.struct(*[F.col(f"_b_{c}").alias(c) for c in cols])
+
+    def entry(ct, img):
+        return F.struct(F.lit(ct).alias("_ct"), img.alias("img"))
+
+    pair = F.array(
+        entry("update_preimage", pre), entry("update_postimage", post)
     )
-    out = [
-        F.when(change == "delete", F.col(f"_a_{c}"))
-        .otherwise(F.col(f"_b_{c}"))
-        .alias(c)
-        for c in cols
-    ]
-    return (
-        j.withColumn("_change_type", change)
-        .filter(F.col("_change_type").isNotNull())
-        .select(*out, "_change_type")
+    emit = (
+        F.when(F.col("_in_a").isNull(), F.array(entry("insert", post)))
+        .when(F.col("_in_b").isNull(), F.array(entry("delete", pre)))
+        .when(same, F.slice(pair, 1, 0))  # typed empty array
+        .otherwise(pair)
+    )
+    e = j.select(F.explode(emit).alias("e"))
+    return e.select(
+        *[F.col(f"e.img.{c}").alias(c) for c in cols],
+        F.col("e._ct").alias("_change_type"),
     )
 
 
@@ -1524,15 +1531,15 @@ def update_where(
              "added": [rel], "removed": touched,
              "pruned_dirs": len(live) - len(touched)}
     if _table_cdf(commits):
-        # post-image UPDATE rows: the transformation applied to
-        # exactly the rows the condition matched (evaluated over the
-        # ORIGINAL values, like the rewrite itself)
-        changed = cur.filter(matched).select(*out_cols)
-        entry["cdc"] = [_write_cdc(
-            changed.select(
-                "*", F.lit("update").alias("_change_type")),
-            path, version,
-        )]
+        # the Delta-complete UPDATE pair: pre-images are the matched
+        # rows' ORIGINAL values, post-images the transformation
+        # applied to exactly those rows — both change-sized
+        hit_rows = cur.filter(matched)
+        pre = hit_rows.select(
+            "*", F.lit("update_preimage").alias("_change_type"))
+        post = hit_rows.select(*out_cols).select(
+            "*", F.lit("update_postimage").alias("_change_type"))
+        entry["cdc"] = [_write_cdc(pre.unionByName(post), path, version)]
     if stats:
         entry["stats"] = {rel: stats}
     return _publish(path, entry)
@@ -1848,6 +1855,7 @@ def table_changes(
     v_from: int,
     v_to: int,
     key_cols: list[str],
+    include_preimages: bool = False,
 ) -> DataFrame:
     """Snapshot CDC: the row-level diff between two committed versions
     as a DataFrame with the table's columns plus `_change_type` in
@@ -1857,7 +1865,14 @@ def table_changes(
     this works across ANY version pair (including spans that contain
     compactions, which diff to zero rows). Requires both snapshots to
     be key-unique, which create/merge/delete lifecycles guarantee;
-    duplicate keys would multiply join matches."""
+    duplicate keys would multiply join matches.
+
+    `include_preimages=True` switches updates to the Delta-complete
+    PAIR — 'update_preimage' (v_from image) + 'update_postimage'
+    (v_to image) — which is what an incremental consumer needs to
+    RETRACT the old contribution (qmv2's maintenance feed); the
+    default single post-image 'update' row is the compact display
+    form."""
     import functools
     import operator
 
@@ -1921,6 +1936,29 @@ def table_changes(
         if nonkey
         else F.lit(True)
     )
+    if include_preimages:
+        pre = F.struct(*[F.col(f"_a_{c}").alias(c) for c in cols])
+        post = F.struct(*[F.col(f"_b_{c}").alias(c) for c in cols])
+
+        def entry(ct, img):
+            return F.struct(F.lit(ct).alias("_ct"), img.alias("img"))
+
+        pair = F.array(
+            entry("update_preimage", pre),
+            entry("update_postimage", post),
+        )
+        emit = (
+            F.when(F.col("_in_a").isNull(),
+                   F.array(entry("insert", post)))
+            .when(F.col("_in_b").isNull(), F.array(entry("delete", pre)))
+            .when(same, F.slice(pair, 1, 0))
+            .otherwise(pair)
+        )
+        e = j.select(F.explode(emit).alias("e"))
+        return e.select(
+            *[F.col(f"e.img.{c}").alias(c) for c in cols],
+            F.col("e._ct").alias("_change_type"),
+        )
     change = (
         F.when(F.col("_in_a").isNull(), F.lit("insert"))
         .when(F.col("_in_b").isNull(), F.lit("delete"))

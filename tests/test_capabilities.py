@@ -3124,7 +3124,8 @@ def test_commit_log_change_data_feed(spark, tmp_path):
     assert feed == sorted([
         (1, "insert", 1, 1.0), (1, "insert", 2, 2.0),
         (2, "insert", 3, 3.0),
-        (4, "update", 2, 9.0), (4, "insert", 4, 4.0),
+        (4, "update_preimage", 2, 2.0), (4, "update_postimage", 2, 9.0),
+        (4, "insert", 4, 4.0),
     ]), feed
     # resume: only the new delete arrives
     cl.delete_where(spark, p1, "k = 1", deletion_vectors=True)
@@ -3135,14 +3136,15 @@ def test_commit_log_change_data_feed(spark, tmp_path):
             .collect()))
     assert len(feed2) == len(feed) + 1
     assert (5, "delete", 1, 1.0) in feed2
-    # update post-images flow too
+    # updates flow as the Delta-complete pre/post pair
     cl.update_where(spark, p1, "k = 3", {"p": "30.0"})
     run(p1, out, ck)
     feed3 = sorted(
         map(tuple, spark.read.parquet(out)
             .select("_commit_version", "_change_type", "k", "p")
             .collect()))
-    assert (6, "update", 3, 30.0) in feed3
+    assert (6, "update_preimage", 3, 3.0) in feed3
+    assert (6, "update_postimage", 3, 30.0) in feed3
 
     # vacuum: cdc of versions outside the kept window is reclaimed,
     # inside it kept
