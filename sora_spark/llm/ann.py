@@ -1035,6 +1035,7 @@ def ivf_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe_coarse: int = 4,
+    where=None,
 ) -> DataFrame:
     """IVF top-k against a `write_ivf_index` layout. The candidate cid
     set (union over probes of their n_probe nearest lists) is collected
@@ -1047,7 +1048,20 @@ def ivf_topk_indexed(
     past the per-level cap) probe hierarchically: `n_probe_coarse`
     nearest branches per probe, then the n_probe nearest leaves from
     just those branches. Raising n_probe_coarse buys recall near
-    branch boundaries at candidate-set cost."""
+    branch boundaries at candidate-set cost.
+
+    `where` (SQL string or Column over the index's stored metadata
+    columns — assign_cids keeps every corpus column, so labels/ids
+    written with the vectors are queryable) PRE-FILTERS candidates
+    inside the index read: the predicate lands on the pruned
+    partition scan (parquet pushdown on top of the _cid pruning), so
+    a filtered kNN never ranks, fetches, or post-discards ineligible
+    vectors — the filtered-ANN shape (Qdrant/Vespa pre-filtering),
+    vs post-filtering which silently returns < k under selective
+    predicates. With restrictive filters raise n_probe: eligible
+    neighbors concentrate in fewer lists (the classic filtered-ANN
+    recall trade; the exhaustive config is exact). PQ layouts store
+    codes, not metadata — use this entry point for filtered search."""
     # layout detection via the filesystem, not try/except around the
     # whole hierarchical path (which would silently mask real failures
     # inside it as "must be a flat layout")
@@ -1071,6 +1085,10 @@ def ivf_topk_indexed(
     corpus = _pruned_read(spark, path, p)
     if corpus is None:
         return _empty_topk(spark, path, probes, id_col)
+    if where is not None:
+        corpus = corpus.filter(
+            F.expr(where) if isinstance(where, str) else where
+        )
     # probe norms once per probe row, MATERIALIZED by the broadcast
     # exchange (not inlined past the join into the pair loop)
     p = p.withColumn("_pnrm", vector.norm(F.col("probe_vec")))

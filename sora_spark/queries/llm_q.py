@@ -4082,3 +4082,55 @@ def qix14_hybrid_rrf_fusion(spark, sf_dir):
     vec_hits = ann.ivf_topk_indexed(
         spark, vpath, probes, k=20, n_probe=16)
     return hybrid.rrf_fuse(text_hits, vec_hits)
+
+
+@query(
+    "qix15_filtered_knn",
+    oracle="""
+WITH s AS (
+  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(p.embedding AS DOUBLE[])), 5)
+           AS sim
+  FROM embeddings p, embeddings e
+  WHERE p.vec_id < 20 AND e.vec_id <> p.vec_id
+    AND e.label <> 7 AND e.vec_id % 2 = 0),
+r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM s)
+SELECT probe_id, CAST(rn AS INT) AS rn, neighbor_id, sim
+FROM r WHERE rn <= 3 ORDER BY probe_id, rn
+""",
+    doc="qix15: FILTERED vector search — kNN under a metadata "
+    "predicate (label <> 7 AND even vec_id), served from the on-disk "
+    "IVF index with PRE-filtering (llm/ann.py ivf_topk_indexed "
+    "where=): the index's inverted lists store every corpus column "
+    "(assign_cids keeps them), so the predicate rides the "
+    "partition-pruned parquet scan as an ordinary pushdown filter "
+    "and ineligible vectors are never ranked or fetched — the "
+    "filtered-ANN shape every production vector store exposes "
+    "(post-filtering a top-k instead silently returns < k under "
+    "selective predicates, the classic bug this row exists to pin). "
+    "Hash-gated through the exhaustive configuration (every list "
+    "probed), so the output must equal the brute-force filtered kNN "
+    "oracle EXACTLY; under real n_probe budgets the filter "
+    "concentrates eligible neighbors into fewer lists and the "
+    "operator doc records the raise-n_probe recall trade. At 100 TB "
+    "the filter multiplies the candidate-set shrink: pruning drops "
+    "non-probed lists at the file level, the pushdown drops "
+    "ineligible row groups inside the probed ones.",
+    tags=("llm", "vector", "index", "ann", "filter"),
+)
+def qix15_filtered_knn(spark, sf_dir):
+    import os
+
+    from sora_spark.queries.relational import _roundtrip_dir
+
+    emb = tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 20)
+    path = os.path.join(_roundtrip_dir("ivf_filtered"), "index")
+    ann.write_ivf_index(emb, path, n_centroids=16, iters=2)
+    return ann.ivf_topk_indexed(
+        spark, path, probes, k=3, n_probe=16,
+        where="label <> 7 AND vec_id % 2 = 0",
+    ).orderBy("probe_id", "rn")
