@@ -176,7 +176,7 @@ def _read_state_commits(path: str) -> list[dict]:
     }
     for k in ("schema", "schema_json", "check", "cdf", "stats",
               "txn_watermarks", "committed_at", "column_map",
-              "reserved_physical"):
+              "reserved_physical", "reader_features"):
         if state.get(k):
             synthetic[k] = state[k]
     if state.get("live_dvs"):
@@ -246,6 +246,8 @@ def checkpoint_log(path: str) -> int:
         state["column_map"] = _column_map(commits)
     if _reserved_physical(commits):
         state["reserved_physical"] = _reserved_physical(commits)
+    if _reader_features(commits):
+        state["reader_features"] = sorted(_reader_features(commits))
     if watermarks:
         state["txn_watermarks"] = watermarks
     final = os.path.join(
@@ -352,6 +354,7 @@ def _read_live(
             *keep,
         )
 
+    _check_reader_features(commits)
     pschema = _physical_struct(schema, cmap)
     dvs = _fold_live_dvs(commits)
     if not dvs or not dirs:
@@ -412,6 +415,36 @@ def _table_cdf(commits: list[dict]) -> bool:
     """Whether the table records a Change Data Feed (create-time
     property; the synthetic checkpoint commit re-carries it)."""
     return bool(commits[0].get("cdf")) if commits else False
+
+
+# reader features THIS module knows how to honor — the protocol-
+# versioning gate (Delta's readerFeatures): a table whose log demands
+# a feature outside this set must REFUSE to read, because ignoring it
+# returns wrong data silently (e.g. a reader that doesn't understand
+# deletion vectors would resurrect deleted rows)
+_KNOWN_READER_FEATURES = frozenset(
+    {"deletion_vectors", "column_mapping"}
+)
+
+
+def _reader_features(commits: list[dict]) -> set[str]:
+    """Union of reader features any commit activated — conservative
+    (restore/compact never retire a feature; a reader that understands
+    it is still required to read history)."""
+    out: set[str] = set()
+    for c in commits:
+        out.update(c.get("reader_features", []))
+    return out
+
+
+def _check_reader_features(commits: list[dict]) -> None:
+    unknown = _reader_features(commits) - _KNOWN_READER_FEATURES
+    if unknown:
+        raise ValueError(
+            f"table requires reader feature(s) {sorted(unknown)} this "
+            "engine does not implement; refusing to read rather than "
+            "return silently wrong data (protocol-versioning gate)"
+        )
 
 
 def _column_map(commits: list[dict]) -> dict[str, str]:
@@ -943,6 +976,7 @@ def _mapping_entry(schema, cmap: dict) -> dict:
         "schema": schema.simpleString(),
         "schema_json": schema.json(),
         "schema_evolved": True,
+        "reader_features": ["column_mapping"],
     }
 
 
@@ -1180,6 +1214,7 @@ def read_table(
     live = _fold_live(commits)
     schema = _schema_struct(commits)
     if not live:
+        _check_reader_features(commits)
         if schema is not None:
             # a delete that matched every row leaves zero live dirs;
             # SQL/Delta semantics: the table is EMPTY, not unreadable
@@ -1397,6 +1432,7 @@ def delete_where(
             "added": [], "removed": [],
             "dv_added": [rel], "dv_rows": n,
             "pruned_dirs": len(live),
+            "reader_features": ["deletion_vectors"],
         }
         if _table_cdf(commits):
             tcols = [c for c in full.columns if c not in ("_f", "_r")]
@@ -1843,6 +1879,8 @@ def clone_table(spark: SparkSession, src: str, dst: str) -> int:
         entry["column_map"] = _column_map(commits)
     if _reserved_physical(commits):
         entry["reserved_physical"] = _reserved_physical(commits)
+    if _reader_features(commits):
+        entry["reader_features"] = sorted(_reader_features(commits))
     stats = {d: s for d, s in live_stats.items() if s}
     if stats:
         entry["stats"] = stats

@@ -3388,3 +3388,48 @@ def test_commit_log_column_mapping_checkpoint_clone(spark, tmp_path):
         cl.append(spark, dst,
                   cl.read_table(spark, dst).withColumn("x", F.lit(1.0)),
                   merge_schema=True)
+
+
+def test_commit_log_reader_feature_gate(spark, tmp_path):
+    """Protocol versioning (Delta's readerFeatures): commits that
+    activate deletion vectors / column mapping record the reader
+    feature they demand; a log demanding a feature this engine does
+    NOT implement refuses to read (silently wrong data is the
+    alternative); checkpoint and clone carry the demanded set."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    cl.create_table(
+        spark, path,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, s STRING"))
+    cl.delete_where(spark, path, "k = 2", deletion_vectors=True)
+    cl.rename_column(spark, path, "s", "label")
+    feats = cl._reader_features(cl._read_commits(path, None))
+    assert feats == {"deletion_vectors", "column_mapping"}
+    assert cl.read_table(spark, path).count() == 1  # known: reads fine
+
+    # checkpoint keeps demanding them; clone inherits the demand
+    cl.checkpoint_log(path)
+    assert cl._reader_features(cl._read_state_commits(path)) == feats
+    dst = str(tmp_path / "c")
+    cl.clone_table(spark, path, dst)
+    assert cl._reader_features(cl._read_commits(dst, 1)) == feats
+
+    # a future feature this engine does not know -> loud refusal
+    commits = cl._read_commits(path, None)
+    cl._publish(path, {
+        "version": commits[-1]["version"] + 1,
+        "operation": "upgrade", "added": [], "removed": [],
+        "reader_features": ["v2Checkpoints"],
+    })
+    with _pytest.raises(ValueError, match="v2Checkpoints"):
+        cl.read_table(spark, path)
+    # time travel BEFORE the upgrade still reads (feature fold is
+    # per-snapshot commit list)
+    assert cl.read_table(
+        spark, path, version=commits[-1]["version"]).count() == 1
