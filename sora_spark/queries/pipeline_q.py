@@ -4868,3 +4868,132 @@ def qmv2_cdf_incremental_refresh(spark, sf_dir):
         F.col("n").cast("bigint").alias("n"),
         F.col("sum_cents").cast("bigint").alias("sum_cents"),
     ).orderBy("pri")
+
+
+@query(
+    "qmv3_streaming_mv_maintenance",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pri,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 7 = 0),
+batch AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pri,
+         CAST(round((o_totalprice + 1000) * 100) AS BIGINT) AS cents,
+         o_orderdate + INTERVAL 1 DAY AS ts
+  FROM orders WHERE o_orderkey % 5 = 0),
+v2_table AS (
+  SELECT * FROM batch
+  UNION ALL
+  SELECT * FROM snap WHERE k NOT IN (SELECT k FROM batch)),
+v3_table AS (SELECT * FROM v2_table WHERE k % 3 <> 0),
+v4_table AS (
+  SELECT k, pri,
+         CASE WHEN k % 11 = 0 THEN cents + 12345 ELSE cents END AS cents,
+         ts
+  FROM v3_table)
+SELECT pri, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM v4_table GROUP BY pri ORDER BY pri
+""",
+    doc="qmv3: STREAMING materialized-view maintenance, end to end "
+    "through the engine's own pieces (the Delta-Live-Tables shape): "
+    "the source commit-log table takes a MERGE, a DV DELETE, and an "
+    "UPDATE; its persisted CHANGE FEED streams via readChangeFeed "
+    "(startingVersion=2 — v1 is the view's seed) into foreachBatch, "
+    "where each micro-batch's change rows map to signed ops "
+    "(update_preimage retracts — the r12 pre-image pair is load-"
+    "bearing here exactly as in qmv2), delta-aggregate, and "
+    "MERGE INTO the view, itself a commit-log table keyed by group. "
+    "The refresh is replay-idempotent (merging an identical touched-"
+    "group snapshot twice is a no-op for a key-unique view), so a "
+    "failure-replayed batch cannot double-count. The declared output "
+    "is the VIEW TABLE's final contents vs the from-scratch SQL "
+    "replay of all four source stages — integer cents, so any lost/"
+    "double-counted change row misses to the last integer. At "
+    "100 TB: the view updates continuously at change-volume cost, "
+    "with no external changelog infrastructure — source table, feed, "
+    "and view all live in the same format.",
+    tags=("cdc", "incremental", "streaming", "pipeline", "acid"),
+)
+def qmv3_streaming_mv_maintenance(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.operators import incremental as inc
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+    from sora_spark.sources import commit_log_stream as cls_
+
+    cls_.register(spark)
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    batch = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round((F.col("o_totalprice") + 1000) * 100)
+        .cast("bigint").alias("cents"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+    )
+    base = _roundtrip_dir("commit_log_stream_mv")
+    src = os.path.join(base, "source")
+    vw = os.path.join(base, "view")
+    ck = os.path.join(base, "ck")
+    for p in (src, vw, ck):
+        shutil.rmtree(p, ignore_errors=True)
+
+    cl.create_table(spark, src, snap, stats_cols=["k"],         # v1
+                    change_data_feed=True)
+    cl.merge_upsert(spark, src, batch, ["k"], "ts")             # v2
+    cl.delete_where(spark, src, "k % 3 = 0",                    # v3
+                    deletion_vectors=True)
+    cl.update_where(spark, src, "k % 11 = 0",                   # v4
+                    {"cents": "cents + 12345"})
+
+    # seed the view from the v1 snapshot
+    cl.create_table(
+        spark, vw,
+        inc.build_view(cl.read_table(spark, src, 1), ["pri"], ["cents"])
+        .withColumn("_e", F.lit(-1).cast("bigint")))
+
+    def maintain(feed, epoch_id):
+        sess = feed.sparkSession
+        ops = feed.select(
+            "pri", "cents",
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit("I"),
+            ).otherwise(F.lit("D")).alias("op"),
+        )
+        refreshed = inc.refresh(
+            cl.read_table(sess, vw).drop("_e"), ops, ["pri"], ["cents"]
+        ).withColumn("_e", F.lit(int(epoch_id)).cast("bigint"))
+        # key-unique view + identical replayed refresh rows => the
+        # merge is replay-idempotent; _e only breaks the ts tie in
+        # the batch's favor
+        cl.merge_upsert(sess, vw, refreshed, ["pri"], "_e")
+
+    q = (
+        spark.readStream.format("commitlog").option("path", src)
+        .option("readChangeFeed", "true").option("startingVersion", 2)
+        .load()
+        .writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return (
+        cl.read_table(spark, vw)
+        .select(
+            "pri",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("pri")
+    )
