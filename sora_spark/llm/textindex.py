@@ -396,3 +396,57 @@ def phrase_docs_indexed(
             .select("doc_id", "_cand")
         )
     return cur.select("doc_id").orderBy("doc_id")
+
+
+def kwic_snippets_indexed(
+    spark,
+    path: str,
+    docs: DataFrame,
+    term: str,
+    window: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword-in-context SNIPPETS served from the positional index:
+    (doc_id, first_pos, snippet) for every document containing `term`,
+    where snippet = the ±`window` tokens around the FIRST occurrence —
+    the result-rendering step of a search stack (Lucene's highlighter
+    shape, restricted to the deterministic first-occurrence window).
+
+    The index supplies WHERE to look — matching doc_ids and the exact
+    token position, from one pruned bucket read — and only those
+    documents' stored text is fetched (broadcast semi-shaped join
+    against the corpus: at 100 TB the text scan is hit-bounded, the
+    classic retrieve-then-render split). The text re-split is one
+    map-side op on hit rows; positions are 0-based (posexplode's
+    convention, same as phrase_docs_indexed)."""
+    consts = spark.read.parquet(path + "_consts").collect()[0]
+    nb = int(consts["n_buckets"])
+    p = spark.read.parquet(path).filter(
+        F.col("_tb").isin(_term_buckets(spark, [term], nb))
+        & (F.col("term") == term)
+    )
+    if "positions" not in p.columns:
+        raise ValueError(
+            "kwic_snippets_indexed needs a POSITIONAL index — rebuild "
+            "with write_text_index(..., positions=True)"
+        )
+    hits = p.select(
+        "doc_id", F.array_min("positions").alias("first_pos")
+    )
+    j = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    ).join(F.broadcast(hits), "doc_id")
+    w = F.split(F.col("_text"), " ")
+    start0 = F.greatest(F.col("first_pos") - window, F.lit(0))
+    length = F.col("first_pos") - start0 + window + 1
+    return (
+        j.select(
+            "doc_id",
+            F.col("first_pos").cast("int").alias("first_pos"),
+            F.concat_ws(
+                " ", F.slice(w, start0 + 1, length)
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id")
+    )

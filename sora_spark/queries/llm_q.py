@@ -4134,3 +4134,54 @@ def qix15_filtered_knn(spark, sf_dir):
         spark, path, probes, k=3, n_probe=16,
         where="label <> 7 AND vec_id % 2 = 0",
     ).orderBy("probe_id", "rn")
+
+
+@query(
+    "qix16_kwic_snippets",
+    oracle="""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+           FROM documents),
+m AS (SELECT doc_id, w, list_position(w, 'spark') AS p1
+      FROM t WHERE list_contains(w, 'spark'))
+SELECT doc_id, CAST(p1 - 1 AS INT) AS first_pos,
+       array_to_string(
+         w[CASE WHEN p1 - 2 < 1 THEN 1 ELSE p1 - 2 END : p1 + 2],
+         ' ') AS snippet
+FROM m ORDER BY doc_id
+""",
+    doc="qix16: KEYWORD-IN-CONTEXT snippets served from the "
+    "positional index (textindex.kwic_snippets_indexed — the "
+    "result-rendering step of the search stack, Lucene-highlighter "
+    "shaped): the pruned bucket read supplies the matching doc_ids "
+    "AND the exact first-occurrence position (0-based, "
+    "posexplode's convention), only those documents' stored text is "
+    "fetched (broadcast hit-list join — at 100 TB the text scan is "
+    "hit-bounded, the retrieve-then-render split), and the snippet "
+    "is the ±2-token window around the hit with boundary clamping. "
+    "The oracle recomputes from raw text with list_position, so a "
+    "stale/duplicated position in the index, an off-by-one in the "
+    "0/1-based conversion, or wrong clamping at document edges is a "
+    "hash mismatch. The index is built from 3/4 of the corpus with "
+    "the rest APPENDED, so the row also re-certifies positional "
+    "ingest on the serving path that actually consumes positions "
+    "one-at-a-time (qix10 consumes them as intersection sets).",
+    tags=("llm", "text", "index", "snippet", "ingest"),
+)
+def qix16_kwic_snippets(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.llm import textindex
+    from sora_spark.queries.relational import _roundtrip_dir
+
+    docs = tables(spark, sf_dir).documents
+    path = os.path.join(_roundtrip_dir("text_index_kwic"), "index")
+    for p in (path, path + "_terms", path + "_consts"):
+        shutil.rmtree(p, ignore_errors=True)
+    textindex.write_text_index(
+        docs.filter(F.col("doc_id") % 4 != 0), path, n_buckets=16,
+        positions=True)
+    textindex.append_to_text_index(
+        docs.filter(F.col("doc_id") % 4 == 0), path)
+    return textindex.kwic_snippets_indexed(
+        spark, path, docs, "spark", window=2)
