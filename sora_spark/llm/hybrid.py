@@ -40,31 +40,40 @@ def rrf_fuse(
 
     Absent-in-one-system candidates contribute 0 from that system
     (the standard RRF convention). The single-partition rank window
-    over text_hits is bounded by its top-k size, never the corpus."""
+    over text_hits is bounded by its top-k size, never the corpus.
+
+    Fusion shape: UNION + groupBy, not an outer join — Spark cannot
+    broadcast a full-outer join (it would plan a shuffle SortMergeJoin
+    even for two k-row lists; caught by the qix14 plan pin), while the
+    union aggregates the same 2k rows in one tiny hash agg. Per-id
+    contribution order is immaterial (IEEE addition of two terms is
+    commutative), so the fused scores stay hash-deterministic."""
     tw = Window.orderBy(F.desc("score"), F.col("doc_id"))
     t = text_hits.select(
         F.col("doc_id").alias("id"),
         F.row_number().over(tw).alias("text_rank"),
+        F.lit(None).cast("int").alias("vec_rank"),
     )
     v = vec_hits.select(
         F.col("neighbor_id").alias("id"),
+        F.lit(None).cast("int").alias("text_rank"),
         F.col("rn").cast("int").alias("vec_rank"),
     )
-    j = t.join(v, "id", "full_outer")
-    contrib = (
+    u = t.unionByName(v).withColumn(
+        "contrib",
         F.coalesce(
             F.lit(1.0) / (F.lit(k_rrf) + F.col("text_rank")), F.lit(0.0)
         )
         + F.coalesce(
             F.lit(1.0) / (F.lit(k_rrf) + F.col("vec_rank")), F.lit(0.0)
-        )
+        ),
     )
     return (
-        j.select(
-            "id",
-            F.round(contrib, round_to).alias("rrf"),
-            "text_rank",
-            "vec_rank",
+        u.groupBy("id")
+        .agg(
+            F.round(F.sum("contrib"), round_to).alias("rrf"),
+            F.max("text_rank").alias("text_rank"),
+            F.max("vec_rank").alias("vec_rank"),
         )
         .orderBy(F.desc("rrf"), "id")
     )

@@ -1094,3 +1094,72 @@ def test_bloom_screen_is_map_only(spark, sf_dir):
     assert "Join" not in p, p
     # exactly the one range exchange the output orderBy needs
     assert p.count("Exchange") <= 1, p
+
+
+def test_filtered_knn_pushes_predicate_and_prunes(spark, sf_dir, tmp_path):
+    """qix15's scale claim as a tested invariant: a filtered kNN's
+    metadata predicate must land in the index scan's PushedFilters
+    (row-group skipping INSIDE the probed lists) while the _cid
+    PartitionFilters pruning keeps dropping non-probed lists at the
+    file level — pre-filtering composes with partition pruning; a
+    post-scan Filter-only plan would read every eligible row group."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sora_spark.catalog import tables
+    from sora_spark.llm import ann
+
+    emb = tables(spark, sf_dir).embeddings
+    path = os.path.join(str(tmp_path), "ivf_f")
+    ann.write_ivf_index(emb, path, n_centroids=8, iters=2)
+    probes = emb.filter(F.col("vec_id") < 2)
+    out = ann.ivf_topk_indexed(
+        spark, path, probes, k=3, n_probe=2, where="label <> 7"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    pf = [
+        l for l in plan.splitlines()
+        if "PartitionFilters" in l and "_cid" in l
+    ]
+    assert pf, "corpus scan lost its _cid PartitionFilters:\n" + plan
+    pushed = [
+        l for l in plan.splitlines()
+        if "PushedFilters" in l and "label" in l
+    ]
+    assert pushed, "metadata predicate not pushed to the scan:\n" + plan
+
+
+def test_hybrid_rrf_fusion_broadcasts(spark, sf_dir, tmp_path):
+    """qix14's fusion claim: the RRF join of two top-k candidate
+    lists must never plan a shuffle-merge join — at least one side is
+    k-row-bounded by contract, and the plan must broadcast it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sora_spark.catalog import tables
+    from sora_spark.llm import ann, hybrid, textindex
+
+    t = tables(spark, sf_dir)
+    tpath = os.path.join(str(tmp_path), "ti")
+    vpath = os.path.join(str(tmp_path), "vi")
+    textindex.write_text_index(t.documents, tpath, n_buckets=4)
+    ann.write_ivf_index(t.embeddings, vpath, n_centroids=4, iters=1)
+    text_hits = textindex.bm25_topk_indexed(
+        spark, tpath, ["spark"], top_k=10)
+    vec_hits = ann.ivf_topk_indexed(
+        spark, vpath, t.embeddings.filter(F.col("vec_id") == 0),
+        k=10, n_probe=4)
+    out = hybrid.rrf_fuse(text_hits, vec_hits)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin FullOuter" not in plan, (
+        "RRF fusion planned a shuffle-merge full-outer over two "
+        "k-row lists:\n" + plan
+    )
