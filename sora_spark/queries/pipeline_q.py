@@ -4997,3 +4997,75 @@ def qmv3_streaming_mv_maintenance(spark, sf_dir):
         )
         .orderBy("pri")
     )
+
+
+@query(
+    "qup25_replace_where",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 6 = 0),
+repl AS (
+  SELECT k, st, round(price + 777, 2) AS price FROM snap
+  WHERE st = 'F'),
+after AS (
+  SELECT * FROM repl
+  UNION ALL
+  SELECT * FROM snap WHERE st <> 'F'),
+stages AS (
+  SELECT 'a_before' AS stage, k, st, price FROM snap
+  UNION ALL SELECT 'b_after', k, st, price FROM after)
+SELECT stage, k, st, price FROM stages ORDER BY stage, k
+""",
+    doc="qup25: REPLACE WHERE (Delta's replaceWhere / INSERT "
+    "OVERWRITE ... WHERE, commit_log.replace_where): the backfill "
+    "idiom — every st='F' row is atomically replaced by its "
+    "recomputed image (price+777) in ONE commit: delete-of-scope + "
+    "insert-of-batch can never be observed half-applied, and time "
+    "travel to 'a_before' still shows the original rows. The batch "
+    "is GATED to the predicate's scope riding its own write "
+    "(a batch row outside the scope refuses the whole commit — "
+    "pinned in test_commit_log_replace_where, along with the "
+    "key-range pruning that leaves non-matching directories "
+    "unread). Cost shape is DELETE's: position scan -> rewrite only "
+    "the containing directories + one batch directory; at 100 TB "
+    "recomputing one day/segment costs that segment, not the "
+    "table.",
+    tags=("sink", "acid", "prune", "backfill"),
+)
+def qup25_replace_where(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    tiled = snap.withColumn("_t", F.ntile(3).over(Window.orderBy("k")))
+    path = os.path.join(_roundtrip_dir("commit_log_rw"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(
+        spark, path, tiled.filter("_t = 1").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 2").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 3").drop("_t"), stats_cols=["k"])
+    pre = cl.table_versions(path)[-1]
+    batch = snap.filter(F.col("st") == "F").withColumn(
+        "price", F.round(F.col("price") + 777, 2))
+    cl.replace_where(spark, path, "st = 'F'", batch)
+    before = cl.read_table(spark, path, pre)
+    after = cl.read_table(spark, path)
+    return (
+        before.select(F.lit("a_before").alias("stage"), "k", "st", "price")
+        .unionByName(
+            after.select(F.lit("b_after").alias("stage"), "k", "st",
+                         "price"))
+        .orderBy("stage", "k")
+    )

@@ -1488,6 +1488,100 @@ def delete_where(
     return _publish(path, entry)
 
 
+def replace_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    batch_df: DataFrame,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """INSERT OVERWRITE ... WHERE — Delta's replaceWhere: atomically
+    replace exactly the rows matching `condition` with `batch_df`, in
+    ONE commit (the backfill/partition-overwrite idiom: recompute one
+    day/segment and swap it in without touching the rest). The batch
+    must itself satisfy the predicate — rows outside it REFUSE the
+    whole commit (ConstraintViolationError, nothing published),
+    because silently inserting out-of-scope rows while deleting only
+    in-scope ones corrupts the very invariant the caller is relying
+    on. NULL predicate rows count as non-matching (kept, and illegal
+    in the batch), SQL semantics.
+
+    Cost shape is DELETE's: one pushdown position scan finds the
+    directories that CONTAIN matching rows; only those are rewritten
+    (survivors), untouched directories stay listed unread, and the
+    batch lands as its own directory — so replacing one day of a
+    100 TB table costs that day's data, not the table. The table
+    CHECK constraint still validates the batch; live deletion
+    vectors are reconciled on the survivor read; CDF tables record
+    delete images of the replaced rows and insert images of the
+    batch in the same commit."""
+    from pyspark.sql import functions as F
+
+    if not isinstance(condition, str):
+        raise ValueError("replace_where takes the predicate as SQL text")
+    cond = F.expr(condition)
+    commits = _read_state_commits(path)
+    _evolution_gate(commits, batch_df, False, "replace_where batch")
+    version = commits[-1]["version"] + 1
+    live = _fold_live(commits)
+    live_stats = _live_stats(path, commits=commits)
+    if stats_cols is None:
+        stats_cols = sorted({c for s in live_stats.values() for c in s})
+    cmap = _column_map(commits)
+    schema = _schema_struct(commits)
+    full = _read_live(
+        spark, path, commits, live, schema, keep_position=True
+    )
+    # the batch-scope gate rides the batch write itself: every row
+    # must SATISFY the predicate (strictly — NULL is out of scope)
+    scope = f"coalesce(({condition}), false)"
+    check = _table_check(commits)
+    gate = f"({scope}) AND ({check})" if check else scope
+    batch_rel, batch_stats = _write_data(
+        batch_df, path, version, stats_cols, check=gate, column_map=cmap
+    )
+    hit = {
+        r[0]
+        for r in full.filter(cond)
+        .select(
+            F.regexp_extract(
+                F.col("_f"),
+                r"(data/v\d{8}-[0-9a-f]+(?:/_bucket=\d+)?)",
+                1,
+            ).alias("d")
+        )
+        .distinct()
+        .collect()
+    }
+    touched = [d for d in live if d in hit]
+    added, entry_stats = [batch_rel], {}
+    if batch_stats:
+        entry_stats[batch_rel] = batch_stats
+    if touched:
+        keep = _read_live(spark, path, commits, touched, schema).filter(
+            ~F.coalesce(cond, F.lit(False)))
+        if not keep.isEmpty():
+            rel, stats = _write_data(
+                keep, path, version, stats_cols, column_map=cmap)
+            added.append(rel)
+            if stats:
+                entry_stats[rel] = stats
+    entry = {"version": version, "operation": "replace_where",
+             "added": added, "removed": touched,
+             "pruned_dirs": len(live) - len(touched)}
+    if _table_cdf(commits):
+        tcols = [c for c in full.columns if c not in ("_f", "_r")]
+        deletes = full.filter(cond).select(
+            *tcols, F.lit("delete").alias("_change_type"))
+        inserts = batch_df.select(
+            *tcols, F.lit("insert").alias("_change_type"))
+        entry["cdc"] = [_write_cdc(
+            deletes.unionByName(inserts), path, version)]
+    if entry_stats:
+        entry["stats"] = entry_stats
+    return _publish(path, entry)
+
+
 def update_where(
     spark: SparkSession,
     path: str,

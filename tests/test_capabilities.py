@@ -3433,3 +3433,45 @@ def test_commit_log_reader_feature_gate(spark, tmp_path):
     # per-snapshot commit list)
     assert cl.read_table(
         spark, path, version=commits[-1]["version"]).count() == 1
+
+
+def test_commit_log_replace_where(spark, tmp_path):
+    """replace_where (Delta's replaceWhere): out-of-scope batch rows
+    refuse the WHOLE commit (nothing published, orphan reclaimed);
+    key-range predicates prune non-containing directories (only the
+    matching directory is rewritten); CDF tables record delete+insert
+    images in one commit."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k bigint, v string")
+    cl.create_table(spark, path, mk([(1, "a"), (2, "b")]),
+                    stats_cols=["k"], change_data_feed=True)
+    cl.append(spark, path, mk([(10, "c"), (11, "d")]), stats_cols=["k"])
+    v_pre = cl.table_versions(path)[-1]
+
+    # out-of-scope row (k=99 fails k < 5) refuses atomically
+    with _pytest.raises(cl.ConstraintViolationError):
+        cl.replace_where(spark, path, "k < 5", mk([(3, "x"), (99, "y")]))
+    assert cl.table_versions(path)[-1] == v_pre
+
+    # in-scope replacement: only the k<5 directory is rewritten
+    v = cl.replace_where(spark, path, "k < 5", mk([(3, "x"), (4, "y")]))
+    entry = cl._read_commits(path, v)[-1]
+    assert entry["operation"] == "replace_where"
+    assert len(entry["removed"]) == 1  # the k in {1,2} directory only
+    assert entry["pruned_dirs"] == 1   # the k in {10,11} directory kept
+    got = sorted(map(tuple, cl.read_table(spark, path).collect()))
+    assert got == [(3, "x"), (4, "y"), (10, "c"), (11, "d")], got
+    # time travel shows the pre-replace rows
+    old = sorted(map(tuple, cl.read_table(spark, path, v_pre).collect()))
+    assert old == [(1, "a"), (2, "b"), (10, "c"), (11, "d")]
+    # CDF: 2 deletes + 2 inserts in the same commit
+    ch = (spark.read.parquet(
+        *[f"{path}/{d}" for d in entry["cdc"]])
+        .groupBy("_change_type").count().collect())
+    assert {(r[0], r[1]) for r in ch} == {("delete", 2), ("insert", 2)}
