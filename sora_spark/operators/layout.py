@@ -75,3 +75,37 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _bit_terms_n(cols: list[str], bits: int):
+    """(col, src_bit, dst_bit) for an N-way Morton interleave —
+    round-robin across columns, low bits first, so every column's
+    low-order locality lands in the z-value's low-order bits."""
+    n = len(cols)
+    return [
+        (c, i, i * n + j)
+        for i in range(bits)
+        for j, c in enumerate(cols)
+    ]
+
+
+def zvalue_n(cols: list[str], bits: int = 8) -> Column:
+    """N-dimensional Morton interleave of the low `bits` of each
+    non-negative int column (caller normalizes beforehand, like
+    zvalue). bits*len(cols) must fit a signed 64-bit value — 8 bits
+    across up to 7 columns; the 2-column case reproduces zvalue's
+    layout exactly (same round-robin, so the qup22 plans are
+    unchanged under the general path)."""
+    if not cols:
+        raise ValueError("zvalue_n needs at least one column")
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"{len(cols)} columns x {bits} bits exceeds a 64-bit "
+            "z-value; lower bits="
+        )
+    out = F.lit(0).cast("long")
+    for col, src, dst in _bit_terms_n(cols, bits):
+        out = out + F.shiftleft(
+            F.shiftright(F.col(col).cast("long"), src).bitwiseAND(1), dst
+        )
+    return out

@@ -1762,25 +1762,27 @@ def compact(
         {cmap.get(c, c) for c in set(stats_cols) | set(cluster_by)}
     )
     if zorder:
-        if len(cluster_by) != 2:
+        if len(cluster_by) < 2:
             raise ValueError(
-                "zorder=True needs exactly two cluster_by columns "
+                "zorder=True needs at least two cluster_by columns "
                 f"(got {cluster_by})"
             )
-        from sora_spark.operators.layout import zvalue
+        from sora_spark.operators.layout import zvalue_n
 
-        x, y = cluster_by
         # normalize each dimension to 0..255 via width_bucket over its
-        # observed range (one stats pass; layout-only, never the data)
-        lo_hi = full.agg(
-            F.min(x).alias("x0"), F.max(x).alias("x1"),
-            F.min(y).alias("y0"), F.max(y).alias("y1"),
-        ).collect()[0]
+        # observed range (one stats pass; layout-only, never the data);
+        # N dimensions interleave round-robin (zvalue_n — identical to
+        # the original 2-column layout when N=2), so every directory
+        # is a tight box in ALL cluster dimensions
+        aggs = []
+        for i, c in enumerate(cluster_by):
+            aggs += [F.min(c).alias(f"lo{i}"), F.max(c).alias(f"hi{i}")]
+        rng = full.agg(*aggs).collect()[0]
         def _norm(c, lo, hi):
             if lo is None or hi is None or lo == hi:
                 return F.lit(0).cast("long")
             # width_bucket maps v==hi to bucket n+1 — clamp into the
-            # 8-bit range zvalue interleaves (layout-only either way)
+            # 8-bit range the interleave expects (layout-only)
             return F.least(
                 F.greatest(
                     F.width_bucket(
@@ -1791,13 +1793,18 @@ def compact(
                 ),
                 F.lit(255),
             ).cast("long")
+        staged = full
+        zcols = []
+        for i, c in enumerate(cluster_by):
+            zc = f"_z{i}"
+            zcols.append(zc)
+            staged = staged.withColumn(
+                zc, _norm(c, rng[f"lo{i}"], rng[f"hi{i}"]))
         staged = (
-            full.withColumn("_zx", _norm(x, lo_hi["x0"], lo_hi["x1"]))
-            .withColumn("_zy", _norm(y, lo_hi["y0"], lo_hi["y1"]))
-            .withColumn("_z", zvalue("_zx", "_zy", bits=8))
+            staged.withColumn("_z", zvalue_n(zcols, bits=8))
             .repartitionByRange(n_out, "_z")
             .sortWithinPartitions("_z")
-            .drop("_zx", "_zy", "_z")
+            .drop("_z", *zcols)
             .withColumn("_bucket", F.spark_partition_id())
         )
     else:
