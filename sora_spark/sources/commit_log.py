@@ -407,8 +407,17 @@ def _latest_schema(commits: list[dict]) -> str | None:
 
 
 def _table_check(commits: list[dict]) -> str | None:
-    """The table's CHECK constraint expression (create-time only)."""
-    return commits[0].get("check") if commits else None
+    """The table's CHECK constraint expression — the LATEST commit
+    carrying the key wins (key presence: drop_check_constraint
+    records an explicit None), so constraints can be added and
+    dropped after create (add_check_constraint) and time travel
+    resolves the constraint as of its version. Pre-r12 tables carry
+    the key only on the create commit; the fold finds it the same
+    way."""
+    for c in reversed(commits):
+        if "check" in c:
+            return c["check"]
+    return None
 
 
 def _table_cdf(commits: list[dict]) -> bool:
@@ -720,23 +729,17 @@ def _write_data(
     ConstraintViolationError raises. SQL CHECK semantics: NULL
     passes, only FALSE violates.
 
-    `column_map` projects the LOGICAL df to its PHYSICAL names first,
-    so every directory of a renamed table keeps one on-disk schema.
-    The CHECK expression binds AFTER the projection: constraints are
-    declared at create time in create-time names, which ARE the
-    physical names of the original columns — so a rename never breaks
-    an existing constraint. `stats_cols` are likewise translated, and
-    stats are recorded under PHYSICAL names (one keyspace across
-    renames; pruning sites translate their lookups)."""
+    `column_map` projects the LOGICAL df to its PHYSICAL names for
+    the write, so every directory of a renamed table keeps one
+    on-disk schema. The CHECK expression binds BEFORE the projection
+    — constraints reference LOGICAL names (what users declare;
+    rename/drop of a constrained column refuses, so the binding can
+    never dangle). `stats_cols` are translated and stats recorded
+    under PHYSICAL names (one keyspace across renames; pruning sites
+    translate their lookups)."""
     from pyspark.sql import functions as F
     from pyspark.sql import Observation
 
-    if column_map:
-        df = _to_physical(df, column_map)
-        stats_cols = (
-            sorted({column_map.get(c, c) for c in stats_cols})
-            if stats_cols else stats_cols
-        )
     rel = os.path.join(_DATA, f"v{version:08d}-{uuid.uuid4().hex[:12]}")
     full = os.path.join(path, rel)
     obs = None
@@ -747,6 +750,12 @@ def _write_data(
             F.sum(
                 (~F.coalesce(F.expr(check), F.lit(True))).cast("long")
             ).alias("viol"),
+        )
+    if column_map:
+        df = _to_physical(df, column_map)
+        stats_cols = (
+            sorted({column_map.get(c, c) for c in stats_cols})
+            if stats_cols else stats_cols
         )
     df.write.mode("error").parquet(full)
     if obs is not None:
@@ -997,6 +1006,8 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> int:
     A lost version race rebases in place (metadata-only commits
     commute with data commits; a concurrent schema change re-runs
     the validation and may legitimately refuse)."""
+    import re
+
     last: ConcurrentWriteError | None = None
     for _ in range(8):
         commits = _read_state_commits(path)
@@ -1011,6 +1022,12 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> int:
         if new in names:
             raise ValueError(
                 f"rename_column: column {new!r} already exists"
+            )
+        check = _table_check(commits)
+        if check and re.search(rf"\b{re.escape(old)}\b", check):
+            raise ValueError(
+                f"rename_column: the table CHECK ({check}) references "
+                f"{old!r}; drop the constraint, rename, then re-add it"
             )
         cmap = _column_map(commits)
         phys = cmap.pop(old, old)
@@ -1061,11 +1078,10 @@ def drop_column(spark: SparkSession, path: str, col: str) -> int:
         cmap = _column_map(commits)
         phys = cmap.pop(col, col)
         check = _table_check(commits)
-        if check and re.search(rf"\b{re.escape(phys)}\b", check):
+        if check and re.search(rf"\b{re.escape(col)}\b", check):
             raise ValueError(
                 f"drop_column: the table CHECK ({check}) references "
-                f"{phys!r}; drop the constraint path or rewrite the "
-                "table instead"
+                f"{col!r}; drop the constraint first"
             )
         from pyspark.sql.types import StructType
 
@@ -1082,6 +1098,57 @@ def drop_column(spark: SparkSession, path: str, col: str) -> int:
         except ConcurrentWriteError as e:
             last = e
     raise last
+
+
+def add_check_constraint(spark: SparkSession, path: str, expr: str) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT CHECK (expr) after create
+    (Delta's shape): EXISTING rows are validated first with one
+    early-exit scan (the predicate pushes into the pruned parquet
+    read; a single violating row refuses) — a constraint the data
+    already breaks must never be recorded, or every subsequent
+    rewrite would spuriously refuse. From this commit on, every
+    writer validates its batch exactly like a create-time CHECK.
+    Single-constraint model: drop the existing one first (documented
+    trade — one expression slot, compose with AND). Constraints bind
+    LOGICAL column names; rename/drop of a referenced column
+    refuses."""
+    from pyspark.sql import functions as F
+
+    commits = _read_state_commits(path)
+    if _table_check(commits) is not None:
+        raise ValueError(
+            f"table already has a CHECK ({_table_check(commits)}); "
+            "drop_check_constraint first (single-constraint model — "
+            "compose with AND)"
+        )
+    bad = (
+        read_table(spark, path)
+        .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+        .limit(1)
+    )
+    if not bad.isEmpty():
+        raise ConstraintViolationError(
+            f"existing rows violate ({expr}); constraint not added"
+        )
+    version = commits[-1]["version"] + 1
+    return _publish(path, {
+        "version": version, "operation": "add_constraint",
+        "added": [], "removed": [], "check": expr,
+    })
+
+
+def drop_check_constraint(spark: SparkSession, path: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT: records an explicit
+    check=None (key-present, so the fold stops at it); time travel
+    before the drop still enforces on historical rewrites."""
+    commits = _read_state_commits(path)
+    if _table_check(commits) is None:
+        raise ValueError("table has no CHECK constraint to drop")
+    version = commits[-1]["version"] + 1
+    return _publish(path, {
+        "version": version, "operation": "drop_constraint",
+        "added": [], "removed": [], "check": None,
+    })
 
 
 def version_as_of(path: str, timestamp: float) -> int:
@@ -1907,6 +1974,8 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
         entry["column_map"] = _column_map(commits_then)
     if _reserved_physical(commits_then) != _reserved_physical(commits_now):
         entry["reserved_physical"] = _reserved_physical(commits_then)
+    if _table_check(commits_then) != _table_check(commits_now):
+        entry["check"] = _table_check(commits_then)
     then_stats = _live_stats(path, commits=commits_then)
     readd_stats = {
         d: then_stats[d] for d in entry["added"] if then_stats.get(d)

@@ -3506,3 +3506,54 @@ def test_commit_log_zorder_three_columns(spark, tmp_path):
     assert de["pruned_dirs"] >= 1
     # data unharmed: survivors match the predicate's complement
     assert cl.read_table(spark, path).count() == 4096 - 4096 // 8
+
+
+def test_commit_log_add_drop_constraint(spark, tmp_path):
+    """add_check_constraint / drop_check_constraint (ALTER TABLE ..
+    CONSTRAINT, Delta's shape): adding validates EXISTING rows first
+    (a violated constraint is never recorded); once added, writers
+    enforce it like a create-time CHECK; dropping stops enforcement;
+    restore reverts the constraint state; rename/drop of a
+    referenced column refuses while the constraint lives."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, p double")
+    cl.create_table(spark, path, mk([(1, 5.0), (2, 9.0)]))
+
+    # existing data violates -> refused, nothing recorded
+    with _pytest.raises(cl.ConstraintViolationError):
+        cl.add_check_constraint(spark, path, "p < 9")
+    assert cl._table_check(cl._read_state_commits(path)) is None
+
+    v_add = cl.add_check_constraint(spark, path, "p < 100")
+    with _pytest.raises(cl.ConstraintViolationError):
+        cl.append(spark, path, mk([(3, 500.0)]))
+    cl.append(spark, path, mk([(3, 50.0)]))
+
+    # constrained column cannot be renamed or dropped
+    with _pytest.raises(ValueError, match="CHECK"):
+        cl.rename_column(spark, path, "p", "price")
+    with _pytest.raises(ValueError, match="CHECK"):
+        cl.drop_column(spark, path, "p")
+
+    # single-slot model: must drop before re-adding
+    with _pytest.raises(ValueError, match="drop_check_constraint"):
+        cl.add_check_constraint(spark, path, "k > 0")
+    v_drop = cl.drop_check_constraint(spark, path)
+    cl.append(spark, path, mk([(4, 500.0)]))   # enforcement gone
+    assert cl.read_table(spark, path).count() == 4
+    # and now the rename goes through
+    cl.rename_column(spark, path, "p", "price")
+
+    # restore to the constrained era brings the constraint back
+    cl.restore_table(spark, path, v_add)
+    assert cl._table_check(cl._read_state_commits(path)) == "p < 100"
+    with _pytest.raises(cl.ConstraintViolationError):
+        cl.append(spark, path, mk([(9, 1000.0)]))
+    # checkpoint keeps the restored constraint
+    cl.checkpoint_log(path)
+    assert cl._table_check(cl._read_state_commits(path)) == "p < 100"
