@@ -5069,3 +5069,141 @@ def qup25_replace_where(spark, sf_dir):
                          "price"))
         .orderBy("stage", "k")
     )
+
+
+@query(
+    "qpipe6_fim_transform",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+cut AS (
+  SELECT doc_id, w, n,
+         CAST(floor(n / 3) AS BIGINT) AS p1,
+         CAST(floor(2 * n / 3) AS BIGINT) AS p2
+  FROM t WHERE n >= 3)
+SELECT doc_id,
+       CAST(p1 AS INT) AS p1, CAST(p2 AS INT) AS p2,
+       '<PRE>' || array_to_string(w[1 : p1], ' ')
+       || '<SUF>' || array_to_string(w[p2 + 1 : n], ' ')
+       || '<MID>' || array_to_string(w[p1 + 1 : p2], ' ')
+         AS fim_text
+FROM cut ORDER BY doc_id
+""",
+    doc="qpipe6: FILL-IN-MIDDLE transformation (the PSM permutation "
+    "of Bavarian et al. / Code Llama's infilling pipeline): each "
+    "document's token stream splits at deterministic thirds into "
+    "(prefix, middle, suffix) and re-renders as "
+    "<PRE>prefix<SUF>suffix<MID>middle — training on this teaches "
+    "infilling with plain next-token loss, and at corpus scale the "
+    "transform is a pure map (one split, three bounded slices, one "
+    "concat — zero shuffles before the output sort, zero Python). "
+    "Deterministic cut points stand in for the sampled ones "
+    "production uses (an RNG cut could never hash-gate; the "
+    "ARITHMETIC — slice boundaries, 0/1-based conversion, boundary "
+    "docs with n<3 excluded, empty-slice rendering when n%3 rounds "
+    "a segment to zero — is exactly what the oracle pins). Spark "
+    "and DuckDB compute the same floor(n/3), floor(2n/3) BIGINTs, "
+    "so every slice is provably identical.",
+    tags=("llm", "pipeline", "transform", "tokenize"),
+)
+def qpipe6_fim_transform(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    t = docs.select(
+        "doc_id", F.split("text", " ").alias("w"),
+    ).withColumn("n", F.size("w").cast("bigint"))
+    cut = (
+        t.filter(F.col("n") >= 3)
+        .withColumn("p1", F.floor(F.col("n") / 3).cast("bigint"))
+        .withColumn("p2", F.floor(2 * F.col("n") / 3).cast("bigint"))
+    )
+    seg = lambda a, b: F.concat_ws(
+        " ", F.slice(F.col("w"), a, b)
+    )
+    return (
+        cut.select(
+            "doc_id",
+            F.col("p1").cast("int").alias("p1"),
+            F.col("p2").cast("int").alias("p2"),
+            F.concat(
+                F.lit("<PRE>"), seg(F.lit(1), F.col("p1")),
+                F.lit("<SUF>"),
+                seg(F.col("p2") + 1, F.col("n") - F.col("p2")),
+                F.lit("<MID>"), seg(F.col("p1") + 1,
+                                    F.col("p2") - F.col("p1")),
+            ).alias("fim_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "qpipe7_chat_render_budget",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+cut AS (
+  SELECT doc_id, w, n,
+         CAST(floor(n / 4) AS BIGINT) AS np
+  FROM t WHERE n >= 8),
+b AS (
+  SELECT doc_id, w, np,
+         CASE WHEN n - np > 48 - np THEN 48 - np ELSE n - np END AS nc
+  FROM cut)
+SELECT doc_id, CAST(np AS INT) AS n_prompt, CAST(nc AS INT) AS n_completion,
+       '<|user|>' || array_to_string(w[1 : np], ' ')
+       || '<|assistant|>' || array_to_string(w[np + 1 : np + nc], ' ')
+       || '<|end|>' AS rendered
+FROM b ORDER BY doc_id
+""",
+    doc="qpipe7: CHAT-TEMPLATE rendering with a token budget and the "
+    "loss-mask boundary — the SFT-formatting step between curation "
+    "and tokenization: each document becomes a "
+    "<|user|>prompt<|assistant|>completion<|end|> example (prompt = "
+    "first quarter of the tokens, completion = the rest TRUNCATED so "
+    "prompt+completion <= 48), and the emitted (n_prompt, "
+    "n_completion) pair is exactly what the trainer's loss mask "
+    "consumes (loss on completion tokens only). The two classic "
+    "silent bugs this row pins: off-by-one at the prompt/completion "
+    "boundary (a leaked prompt token trains on instructions) and "
+    "budget truncation measured AFTER template tokens instead of "
+    "content (the oracle's arithmetic is content-token exact). Pure "
+    "map — one split, two bounded slices, zero shuffles before the "
+    "output sort; docs under 8 tokens are excluded (too short to "
+    "carry a prompt), the production filter shape.",
+    tags=("llm", "pipeline", "transform", "sft"),
+)
+def qpipe7_chat_render_budget(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    t = docs.select(
+        "doc_id", F.split("text", " ").alias("w"),
+    ).withColumn("n", F.size("w").cast("bigint"))
+    cut = (
+        t.filter(F.col("n") >= 8)
+        .withColumn("np", F.floor(F.col("n") / 4).cast("bigint"))
+        .withColumn(
+            "nc",
+            F.least(F.col("n") - F.col("np"),
+                    F.lit(48) - F.col("np")),
+        )
+    )
+    return (
+        cut.select(
+            "doc_id",
+            F.col("np").cast("int").alias("n_prompt"),
+            F.col("nc").cast("int").alias("n_completion"),
+            F.concat(
+                F.lit("<|user|>"),
+                F.concat_ws(" ", F.slice(F.col("w"), F.lit(1),
+                                         F.col("np"))),
+                F.lit("<|assistant|>"),
+                F.concat_ws(" ", F.slice(F.col("w"), F.col("np") + 1,
+                                         F.col("nc"))),
+                F.lit("<|end|>"),
+            ).alias("rendered"),
+        )
+        .orderBy("doc_id")
+    )
