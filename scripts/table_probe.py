@@ -92,6 +92,10 @@ def main():
         for i in range(2, NB + 1):
             cl.append(spark, p1, tiled.filter(f"_t = {i}").drop("_t"),
                       stats_cols=["k"])
+        # pristine 16-dir snapshot for the replace_where/rename probes
+        # below (the merges about to run collapse p1 to one directory)
+        p1_pristine = os.path.join(d, "disjoint_pristine")
+        shutil.copytree(p1, p1_pristine)
         t0 = time.time()
         v = cl.merge_upsert(spark, p1, batch(), ["k"], "ts", prune=True)
         t_pruned = time.time() - t0
@@ -212,6 +216,59 @@ def main():
             "ckpt_fold_ms": round(t_ckpt_fold * 1000, 1),
             "speedup": round(t_full_fold / max(t_ckpt_fold, 1e-9), 1),
             "state_len_after_ckpt": len(st),
+        }
+        # --- replace_where (r12): predicate-scoped overwrite of the
+        # top-20k key range on FRESH copies of the 16-dir key-disjoint
+        # layout (p1 itself has been collapsed by the full merge above)
+        # — one commit, only the containing directory rewritten + the
+        # batch added; asserted identical to the two-commit
+        # delete+append spelling
+        p7 = os.path.join(d, "rw_one")
+        p8 = os.path.join(d, "rw_two")
+        shutil.copytree(p1_pristine, p7)
+        shutil.copytree(p1_pristine, p8)
+        rcond = f"k >= {maxk - 20000}"
+        repl = batch().withColumn(
+            "price", F.round(F.col("price") + 2, 2))
+        t0 = time.time()
+        vr = cl.replace_where(spark, p7, rcond, repl)
+        t_replace = time.time() - t0
+        t0 = time.time()
+        cl.delete_where(spark, p8, rcond)
+        cl.append(spark, p8, repl, stats_cols=["k"])
+        t_two_step = time.time() - t0
+        er = entry(p7, vr)
+        a, b = cl.read_table(spark, p7), cl.read_table(spark, p8)
+        out["replace_where"] = {
+            "replace_s": round(t_replace, 2),
+            "delete_plus_append_s": round(t_two_step, 2),
+            "dirs_rewritten": len(er["removed"]),
+            "dirs_pruned": er["pruned_dirs"],
+            "identical": bool(
+                a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+                and a.count() == b.count()
+            ),
+            "commits": 1,
+        }
+
+        # --- column mapping (r12): RENAME on the ~650 MB 16-dir
+        # table is metadata-bound (one JSON), and the next key-pruned
+        # merge still prunes through the map
+        t0 = time.time()
+        cl.rename_column(spark, p7, "price", "amount")
+        t_rename = time.time() - t0
+        t0 = time.time()
+        vm = cl.merge_upsert(
+            spark, p7,
+            batch().withColumnRenamed("price", "amount"), ["k"], "ts")
+        t_merge_renamed = time.time() - t0
+        out["column_mapping"] = {
+            "rename_s": round(t_rename, 3),
+            "merge_after_rename_s": round(t_merge_renamed, 2),
+            "dirs_pruned_after_rename": entry(p7, vm)["pruned_dirs"],
+            "renamed_col_readable": bool(
+                "amount" in cl.read_table(spark, p7).columns
+            ),
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
