@@ -420,14 +420,18 @@ def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
     same expression (the qa33 oracle does). If the sketch holds fewer
     than k hashes the domain itself is smaller than k: the sketch IS
     the distinct set and est reports its exact size."""
-    n = sketch.count()
-    kth = sketch.agg(F.max("kmv_hash").alias("kth_hash"))
-    if n < k:
-        return kth.select(
-            "kth_hash", F.round(F.lit(float(n)), 4).alias("est"))
-    v = F.conv(F.substring("kth_hash", 1, 12), 16, 10).cast("double")
-    return kth.select(
-        "kth_hash",
-        F.round(F.lit(float(k - 1)) / (v / F.lit(float(16 ** 12))), 4)
-        .alias("est"),
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("kmv_hash").alias("kth_hash"),
     )
+    v = F.conv(F.substring("kth_hash", 1, 12), 16, 10).cast("double")
+    est = F.when(
+        # a driver-side count() here would re-execute the whole
+        # upstream distinct+top-k pipeline a second time (r12 review
+        # finding); the branch rides the same single aggregation
+        F.col("_n") < k,
+        F.round(F.col("_n").cast("double"), 4),
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) / (v / F.lit(float(16 ** 12))), 4)
+    )
+    return agg.select("kth_hash", est.alias("est"))

@@ -4906,9 +4906,11 @@ FROM v4_table GROUP BY pri ORDER BY pri
     "(update_preimage retracts — the r12 pre-image pair is load-"
     "bearing here exactly as in qmv2), delta-aggregate, and "
     "MERGE INTO the view, itself a commit-log table keyed by group. "
-    "The refresh is replay-idempotent (merging an identical touched-"
-    "group snapshot twice is a no-op for a key-unique view), so a "
-    "failure-replayed batch cannot double-count. The declared output "
+    "Replay safety is an EPOCH WATERMARK carried in the view rows "
+    "(the Delta txnVersion pattern): a crash-replayed batch would "
+    "recompute its delta FROM the already-refreshed view and "
+    "double-apply, so the sink skips any epoch at or below the "
+    "view's recorded one. The declared output "
     "is the VIEW TABLE's final contents vs the from-scratch SQL "
     "replay of all four source stages — integer cents, so any lost/"
     "double-counted change row misses to the last integer. At "
@@ -4964,6 +4966,16 @@ def qmv3_streaming_mv_maintenance(spark, sf_dir):
 
     def maintain(feed, epoch_id):
         sess = feed.sparkSession
+        cur = cl.read_table(sess, vw)
+        # EPOCH WATERMARK precondition (the Delta txnVersion pattern,
+        # carried in the view rows): a batch replayed after a crash
+        # between the view commit and Spark's checkpoint write would
+        # otherwise recompute the refresh FROM THE ALREADY-REFRESHED
+        # view and double-apply the delta — the skip below is what
+        # makes the sink exactly-once, not merge idempotence
+        seen = cur.agg(F.max("_e")).collect()[0][0]
+        if seen is not None and int(seen) >= int(epoch_id):
+            return
         ops = feed.select(
             "pri", "cents",
             F.when(
@@ -4972,11 +4984,8 @@ def qmv3_streaming_mv_maintenance(spark, sf_dir):
             ).otherwise(F.lit("D")).alias("op"),
         )
         refreshed = inc.refresh(
-            cl.read_table(sess, vw).drop("_e"), ops, ["pri"], ["cents"]
+            cur.drop("_e"), ops, ["pri"], ["cents"]
         ).withColumn("_e", F.lit(int(epoch_id)).cast("bigint"))
-        # key-unique view + identical replayed refresh rows => the
-        # merge is replay-idempotent; _e only breaks the ts tie in
-        # the batch's favor
         cl.merge_upsert(sess, vw, refreshed, ["pri"], "_e")
 
     q = (

@@ -502,6 +502,20 @@ def _physical_struct(schema, cmap: dict[str, str]):
     ])
 
 
+def _stats_cols_logical(live_stats: dict, cmap: dict[str, str]) -> list[str]:
+    """LOGICAL names of every column the live directories carry stats
+    for. Recorded stats are keyed by PHYSICAL names; callers that
+    default their stats_cols from them must map BACK through the
+    inverse of the column map before handing the set to _write_data
+    (which translates logical->physical) — passing a physical name
+    through the LOGICAL map can shadow another column after chained
+    renames and silently drop its stats (r12 review finding)."""
+    inv = {p: l for l, p in cmap.items()}
+    return sorted(
+        {inv.get(c, c) for st in live_stats.values() for c in st}
+    )
+
+
 def _to_physical(df: DataFrame, cmap: dict[str, str]) -> DataFrame:
     """Project a LOGICAL frame to its PHYSICAL column names for
     writing — physical names are fixed at each column's introduction
@@ -525,6 +539,38 @@ def _write_cdc(changes: DataFrame, path: str, version: int) -> str:
     rel = os.path.join(_CDC, f"v{version:08d}-{uuid.uuid4().hex[:12]}")
     changes.write.mode("error").parquet(os.path.join(path, rel))
     return rel
+
+
+def _emit_change_pairs(j: DataFrame, cols: list[str], same) -> DataFrame:
+    """Row-level change emission from a prefixed (_a_/_b_, _in_a/_in_b)
+    full-outer diff join: inserts carry b's image, deletes a's, and an
+    updated key explodes to the Delta-complete 'update_preimage' +
+    'update_postimage' PAIR. ONE shared implementation for the CDF
+    writer (_diff_frames) and snapshot CDC (table_changes
+    include_preimages) so the pair encoding can never diverge between
+    the persisted feed and the on-demand diff (r12 review finding)."""
+    from pyspark.sql import functions as F
+
+    pre = F.struct(*[F.col(f"_a_{c}").alias(c) for c in cols])
+    post = F.struct(*[F.col(f"_b_{c}").alias(c) for c in cols])
+
+    def entry(ct, img):
+        return F.struct(F.lit(ct).alias("_ct"), img.alias("img"))
+
+    pair = F.array(
+        entry("update_preimage", pre), entry("update_postimage", post)
+    )
+    emit = (
+        F.when(F.col("_in_a").isNull(), F.array(entry("insert", post)))
+        .when(F.col("_in_b").isNull(), F.array(entry("delete", pre)))
+        .when(same, F.slice(pair, 1, 0))  # typed empty array
+        .otherwise(pair)
+    )
+    e = j.select(F.explode(emit).alias("e"))
+    return e.select(
+        *[F.col(f"e.img.{c}").alias(c) for c in cols],
+        F.col("e._ct").alias("_change_type"),
+    )
 
 
 def _diff_frames(
@@ -564,26 +610,7 @@ def _diff_frames(
         if nonkey
         else F.lit(True)
     )
-    pre = F.struct(*[F.col(f"_a_{c}").alias(c) for c in cols])
-    post = F.struct(*[F.col(f"_b_{c}").alias(c) for c in cols])
-
-    def entry(ct, img):
-        return F.struct(F.lit(ct).alias("_ct"), img.alias("img"))
-
-    pair = F.array(
-        entry("update_preimage", pre), entry("update_postimage", post)
-    )
-    emit = (
-        F.when(F.col("_in_a").isNull(), F.array(entry("insert", post)))
-        .when(F.col("_in_b").isNull(), F.array(entry("delete", pre)))
-        .when(same, F.slice(pair, 1, 0))  # typed empty array
-        .otherwise(pair)
-    )
-    e = j.select(F.explode(emit).alias("e"))
-    return e.select(
-        *[F.col(f"e.img.{c}").alias(c) for c in cols],
-        F.col("e._ct").alias("_change_type"),
-    )
+    return _emit_change_pairs(j, cols, same)
 
 
 def _schema_struct(commits: list[dict]):
@@ -1024,7 +1051,14 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> int:
                 f"rename_column: column {new!r} already exists"
             )
         check = _table_check(commits)
-        if check and re.search(rf"\b{re.escape(old)}\b", check):
+        # case-insensitive (Spark resolves identifiers that way) and
+        # deliberately conservative: a match inside a string literal
+        # also refuses — a spurious refusal is recoverable (drop the
+        # constraint, alter, re-add), a dangling reference blocks
+        # every subsequent write
+        if check and re.search(
+            rf"\b{re.escape(old)}\b", check, re.IGNORECASE
+        ):
             raise ValueError(
                 f"rename_column: the table CHECK ({check}) references "
                 f"{old!r}; drop the constraint, rename, then re-add it"
@@ -1078,7 +1112,9 @@ def drop_column(spark: SparkSession, path: str, col: str) -> int:
         cmap = _column_map(commits)
         phys = cmap.pop(col, col)
         check = _table_check(commits)
-        if check and re.search(rf"\b{re.escape(col)}\b", check):
+        if check and re.search(
+            rf"\b{re.escape(col)}\b", check, re.IGNORECASE
+        ):
             raise ValueError(
                 f"drop_column: the table CHECK ({check}) references "
                 f"{col!r}; drop the constraint first"
@@ -1130,11 +1166,28 @@ def add_check_constraint(spark: SparkSession, path: str, expr: str) -> int:
         raise ConstraintViolationError(
             f"existing rows violate ({expr}); constraint not added"
         )
-    version = commits[-1]["version"] + 1
-    return _publish(path, {
-        "version": version, "operation": "add_constraint",
-        "added": [], "removed": [], "check": expr,
-    })
+    # lost races rebase like the other metadata writers — the
+    # expensive validation above is not repeated (a concurrent append
+    # validated itself against the still-absent constraint; the same
+    # window exists in Delta's ADD CONSTRAINT)
+    last: ConcurrentWriteError | None = None
+    for _ in range(8):
+        if _table_check(commits) is not None:
+            raise ValueError(
+                f"table already has a CHECK "
+                f"({_table_check(commits)}); drop_check_constraint "
+                "first"
+            )
+        try:
+            return _publish(path, {
+                "version": commits[-1]["version"] + 1,
+                "operation": "add_constraint",
+                "added": [], "removed": [], "check": expr,
+            })
+        except ConcurrentWriteError as e:
+            last = e
+            commits = _read_state_commits(path)
+    raise last
 
 
 def drop_check_constraint(spark: SparkSession, path: str) -> int:
@@ -1142,13 +1195,20 @@ def drop_check_constraint(spark: SparkSession, path: str) -> int:
     check=None (key-present, so the fold stops at it); time travel
     before the drop still enforces on historical rewrites."""
     commits = _read_state_commits(path)
-    if _table_check(commits) is None:
-        raise ValueError("table has no CHECK constraint to drop")
-    version = commits[-1]["version"] + 1
-    return _publish(path, {
-        "version": version, "operation": "drop_constraint",
-        "added": [], "removed": [], "check": None,
-    })
+    last: ConcurrentWriteError | None = None
+    for _ in range(8):
+        if _table_check(commits) is None:
+            raise ValueError("table has no CHECK constraint to drop")
+        try:
+            return _publish(path, {
+                "version": commits[-1]["version"] + 1,
+                "operation": "drop_constraint",
+                "added": [], "removed": [], "check": None,
+            })
+        except ConcurrentWriteError as e:
+            last = e
+            commits = _read_state_commits(path)
+    raise last
 
 
 def version_as_of(path: str, timestamp: float) -> int:
@@ -1349,7 +1409,8 @@ def merge_upsert(
     # merge silently erodes pruning on non-key columns while
     # delete/compact preserve it (r11 advisory)
     stats_cols = sorted(
-        set(key_cols) | {c for s in live_stats.values() for c in s}
+        set(key_cols)
+        | set(_stats_cols_logical(live_stats, _column_map(commits)))
     )
 
     touched, untouched = list(live), []
@@ -1463,7 +1524,7 @@ def delete_where(
     live = _fold_live(commits)
     live_stats = _live_stats(path, commits=commits)
     if stats_cols is None:
-        stats_cols = sorted({c for s in live_stats.values() for c in s})
+        stats_cols = _stats_cols_logical(live_stats, _column_map(commits))
 
     schema = _schema_struct(commits)
     full = _read_live(
@@ -1593,7 +1654,7 @@ def replace_where(
     live = _fold_live(commits)
     live_stats = _live_stats(path, commits=commits)
     if stats_cols is None:
-        stats_cols = sorted({c for s in live_stats.values() for c in s})
+        stats_cols = _stats_cols_logical(live_stats, _column_map(commits))
     cmap = _column_map(commits)
     schema = _schema_struct(commits)
     full = _read_live(
@@ -1684,7 +1745,7 @@ def update_where(
     live = _fold_live(commits)
     live_stats = _live_stats(path, commits=commits)
     if stats_cols is None:
-        stats_cols = sorted({c for s in live_stats.values() for c in s})
+        stats_cols = _stats_cols_logical(live_stats, _column_map(commits))
 
     schema = _schema_struct(commits)
     full = _read_live(
@@ -1800,9 +1861,9 @@ def compact(
         return None
     version = commits[-1]["version"] + 1
     live_stats = _live_stats(path, commits=commits)
-    stats_cols = sorted({c for s in live_stats.values() for c in s})
-    schema = _schema_struct(commits)
     cmap = _column_map(commits)
+    stats_cols = _stats_cols_logical(live_stats, cmap)
+    schema = _schema_struct(commits)
     full = _read_live(spark, path, commits, live, schema)
     n_out = max(int(target_partitions), 1)
     # compact rewrites EVERY live directory through the logical
@@ -2145,28 +2206,7 @@ def table_changes(
         else F.lit(True)
     )
     if include_preimages:
-        pre = F.struct(*[F.col(f"_a_{c}").alias(c) for c in cols])
-        post = F.struct(*[F.col(f"_b_{c}").alias(c) for c in cols])
-
-        def entry(ct, img):
-            return F.struct(F.lit(ct).alias("_ct"), img.alias("img"))
-
-        pair = F.array(
-            entry("update_preimage", pre),
-            entry("update_postimage", post),
-        )
-        emit = (
-            F.when(F.col("_in_a").isNull(),
-                   F.array(entry("insert", post)))
-            .when(F.col("_in_b").isNull(), F.array(entry("delete", pre)))
-            .when(same, F.slice(pair, 1, 0))
-            .otherwise(pair)
-        )
-        e = j.select(F.explode(emit).alias("e"))
-        return e.select(
-            *[F.col(f"e.img.{c}").alias(c) for c in cols],
-            F.col("e._ct").alias("_change_type"),
-        )
+        return _emit_change_pairs(j, cols, same)
     change = (
         F.when(F.col("_in_a").isNull(), F.lit("insert"))
         .when(F.col("_in_b").isNull(), F.lit("delete"))

@@ -68,9 +68,21 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from sora_spark.sources.commit_log import _commit_path, table_versions
+from sora_spark.sources.commit_log import (
+    _KNOWN_READER_FEATURES,
+    _commit_path,
+    table_versions,
+)
 
 _APPEND_OPS = {"create", "append", "txn_append"}
+# commits that change NO rows (added=[] and no cdc by construction):
+# constraint management and — when a stream legitimately spans them
+# (startingVersion lands ON a mapping commit) — column-mapping DDL.
+# Both stream as no-ops; mapping commits additionally carry
+# schema_evolved so latestOffset still stops a RUNNING stream at them.
+_METADATA_OPS = {
+    "add_constraint", "drop_constraint", "rename_column", "drop_column",
+}
 
 
 class _FilePartition(InputPartition):
@@ -85,6 +97,22 @@ def _read_commit(table_path: str, version: int) -> dict:
     # layout knowledge lives in commit_log; this module only folds it
     with open(_commit_path(table_path, version)) as f:
         return json.load(f)
+
+
+def _gate_features(entry: dict, where: str) -> None:
+    """The protocol gate, stream-side: a commit demanding a reader
+    feature this engine does not implement must stop the stream —
+    ignoring it emits silently wrong rows (the exact failure
+    read_table's gate refuses). Checked per planned version (cheap:
+    the entry is already in hand) and over the pre-start history at
+    schema() time."""
+    unknown = set(entry.get("reader_features", [])) - _KNOWN_READER_FEATURES
+    if unknown:
+        raise ValueError(
+            f"commitlog source: {where} requires reader feature(s) "
+            f"{sorted(unknown)} this engine does not implement; "
+            "refusing to stream silently wrong data"
+        )
 
 
 def _mapping_asof(table_path: str, start: int):
@@ -233,6 +261,9 @@ class CommitLogStreamReader(DataSourceStreamReader):
                     "(and a fresh sink) to pick up the new columns"
                 )
             op = entry.get("operation")
+            _gate_features(entry, f"version {v}")
+            if op in _METADATA_OPS:
+                continue  # changes no rows; never an error to span
             if self.read_changes:
                 # CHANGE DATA FEED (Delta CDF, r12): appends stream
                 # their added files flagged 'insert'; data-changing
@@ -352,6 +383,7 @@ class CommitLogDataSource(DataSource):
             if v > start:
                 break
             c = _read_commit(path, v)
+            _gate_features(c, f"version {v} (before startingVersion)")
             if c.get("schema_json") or c.get("schema"):
                 entry = c
         if entry is None:

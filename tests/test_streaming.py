@@ -872,3 +872,60 @@ def test_commitlog_stream_column_mapping(spark, tmp_path):
     df2 = spark.read.parquet(out2)
     assert df2.columns == ["k", "val"]
     assert sorted(map(tuple, df2.collect())) == [(4, 40), (5, 50)]
+
+
+def test_commitlog_stream_metadata_commits_and_feature_gate(
+    spark, tmp_path
+):
+    """r12 review fixes: (a) metadata-only commits (constraint
+    add/drop; a mapping commit AT startingVersion) stream as no-ops
+    instead of crashing; (b) the reader-feature protocol gate applies
+    to the STREAM too — an unknown demanded feature stops it rather
+    than emitting silently wrong rows."""
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+    from sora_spark.sources import commit_log_stream as cls_
+
+    cls_.register(spark)
+    path = str(tmp_path / "t")
+    mk = lambda rows, s="k bigint, v bigint": spark.createDataFrame(rows, s)
+    cl.create_table(spark, path, mk([(1, 10)]))          # v1
+    cl.add_check_constraint(spark, path, "v > 0")        # v2 (metadata)
+    cl.append(spark, path, mk([(2, 20)]))                # v3
+    cl.drop_check_constraint(spark, path)                # v4 (metadata)
+    cl.append(spark, path, mk([(3, 30)]))                # v5
+
+    def run(out, ck, **opts):
+        r = spark.readStream.format("commitlog").option("path", path)
+        for k_, v_ in opts.items():
+            r = r.option(k_, v_)
+        q = (r.load().writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    out1 = str(tmp_path / "o1")
+    run(out1, str(tmp_path / "c1"))
+    got = sorted(map(tuple, spark.read.parquet(out1).collect()))
+    assert got == [(1, 10), (2, 20), (3, 30)], got
+
+    # startingVersion landing ON a mapping commit: no-op + projection
+    cl.rename_column(spark, path, "v", "val")            # v6
+    cl.append(spark, path, mk([(4, 40)], "k bigint, val bigint"))  # v7
+    out2 = str(tmp_path / "o2")
+    run(out2, str(tmp_path / "c2"), startingVersion=6)
+    df2 = spark.read.parquet(out2)
+    assert df2.columns == ["k", "val"]
+    assert sorted(map(tuple, df2.collect())) == [(4, 40)]
+
+    # unknown demanded feature: the stream refuses loudly
+    commits = cl._read_commits(path, None)
+    cl._publish(path, {
+        "version": commits[-1]["version"] + 1, "operation": "upgrade",
+        "added": [], "removed": [],
+        "reader_features": ["v9Compaction"],
+    })
+    cl.append(spark, path, mk([(5, 50)], "k bigint, val bigint"))
+    with _pytest.raises(Exception, match="v9Compaction"):
+        run(out2, str(tmp_path / "c2"), startingVersion=6)
