@@ -5216,3 +5216,74 @@ def qpipe7_chat_render_budget(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "qup26_constraint_lifecycle",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 6 = 0),
+capped AS (
+  SELECT k, st,
+         CASE WHEN price > 450000 THEN 450000.0 ELSE price END AS price
+  FROM snap),
+outlier AS (SELECT -1 AS k, 'X' AS st, 999999.0 AS price),
+final AS (SELECT * FROM capped UNION ALL SELECT * FROM outlier),
+stages AS (
+  SELECT 'a_enforced' AS stage, k, st, price FROM capped
+  UNION ALL SELECT 'b_dropped', k, st, price FROM final)
+SELECT stage, k, st, price FROM stages ORDER BY stage, k
+""",
+    doc="qup26: CONSTRAINT LIFECYCLE as data (commit_log."
+    "add_check_constraint / drop_check_constraint — ALTER TABLE "
+    "CONSTRAINT, Delta's shape; the refusal paths are pinned in "
+    "test_commit_log_add_drop_constraint, this row hashes the "
+    "states): the table is created UNconstrained, an UPDATE caps "
+    "every price at 450000 so the data SATISFIES the constraint "
+    "about to be added (add validates existing rows with one "
+    "early-exit pushdown scan — recording a constraint the data "
+    "violates would make every later rewrite refuse), the "
+    "constraint is added ('a_enforced' reads under it — and its "
+    "rewrite-validating effect is live: the capping update itself "
+    "re-runs under the CHECK in the capability test), then DROPPED, "
+    "after which an outlier row far beyond the old bound appends "
+    "cleanly ('b_dropped'). Both stages hash against the SQL "
+    "replay; a stale fold (constraint resurrecting after drop, or "
+    "not enforcing after add) changes which rows exist and "
+    "mismatches.",
+    tags=("sink", "acid", "ddl", "constraint"),
+)
+def qup26_constraint_lifecycle(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    path = os.path.join(_roundtrip_dir("commit_log_constraint"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(spark, path, snap, stats_cols=["k"])
+    cl.update_where(spark, path, "price > 450000", {"price": "450000.0"})
+    cl.add_check_constraint(spark, path, "price <= 450000")
+    enforced = cl.read_table(spark, path)
+    cl.drop_check_constraint(spark, path)
+    cl.append(spark, path, spark.createDataFrame(
+        [(-1, "X", 999999.0)], "k BIGINT, st STRING, price DOUBLE"
+    ).select(
+        "k", "st", F.col("price")))
+    final = cl.read_table(spark, path)
+    return (
+        enforced.select(
+            F.lit("a_enforced").alias("stage"), "k", "st", "price")
+        .unionByName(final.select(
+            F.lit("b_dropped").alias("stage"), "k", "st", "price"))
+        .orderBy("stage", "k")
+    )

@@ -182,10 +182,18 @@ class CommitLogStreamReader(DataSourceStreamReader):
         return {"version": self.starting_version - 1}
 
     def _version_bytes(self, version: int) -> int:
-        """On-disk bytes of one version's added data files — a listing
-        of just that commit's directories (backlog-bounded)."""
+        """On-disk bytes of what THIS reader would emit for one
+        version — added data files, plus cdc sidecars under
+        readChangeFeed (a merge's change volume can dwarf its added
+        files; counting only `added` would let a huge change commit
+        blow through maxBytesPerTrigger unmetered). A listing of just
+        that commit's directories (backlog-bounded)."""
+        entry = _read_commit(self.path, version)
+        rels = list(entry.get("added", []))
+        if self.read_changes:
+            rels += entry.get("cdc", [])
         total = 0
-        for rel in _read_commit(self.path, version).get("added", []):
+        for rel in rels:
             pat = os.path.join(
                 glob.escape(os.path.join(self.path, rel)), "*.parquet"
             )
