@@ -950,8 +950,24 @@ def append(
     df: DataFrame,
     stats_cols: list[str] | None = None,
     merge_schema: bool = False,
+    optimize_write: int | None = None,
+    auto_compact: int | None = None,
 ) -> int:
     """Append-only commit: adds a data directory, removes nothing.
+
+    THE SMALL-FILES LEVERS (Delta's optimizeWrite/autoCompact shapes;
+    at 100 TB the failure mode is not data volume but file count —
+    every scan pays per-file open cost and the driver pays per-file
+    planning):
+    - `optimize_write=N` bin-packs the BATCH before writing: one
+      count pass over the batch (batch-sized, never the table) sizes
+      `repartition(ceil(rows/N))`, so a 10k-partition upstream job
+      appending 1k rows lands 1 file instead of 10k near-empty ones.
+    - `auto_compact=K` triggers a post-commit compact() when the LIVE
+      directory count reaches K — streaming/micro-batch appends then
+      keep a bounded directory count without an external maintenance
+      job. The compact is its own commit (time travel sees both, like
+      Delta); it inherits stats columns so pruning survives.
 
     `merge_schema=True` permits SCHEMA EVOLUTION with Delta's
     mergeSchema contract: the batch may ADD new columns (old files
@@ -972,6 +988,13 @@ def append(
     commits = _read_state_commits(path)
     evolved = _evolution_gate(commits, df, merge_schema, "append")
     version = commits[-1]["version"] + 1
+    if optimize_write is not None:
+        if optimize_write < 1:
+            raise ValueError("optimize_write must be >= 1 rows/file")
+        import math
+
+        n = df.count()
+        df = df.repartition(max(1, math.ceil(n / optimize_write)))
     rel, stats = _write_data(
         df, path, version, stats_cols, check=_table_check(commits),
         column_map=_column_map(commits))
@@ -986,7 +1009,10 @@ def append(
         if stats:
             entry["stats"] = {rel: stats}
         try:
-            return _publish(path, entry)
+            v = _publish(path, entry)
+            if auto_compact is not None:
+                _maybe_auto_compact(spark, path, auto_compact)
+            return v
         except ConcurrentWriteError as e:
             # rebase: someone else took this version — the data dir is
             # already on disk; re-gate the schema against the winner's
@@ -996,6 +1022,22 @@ def append(
             evolved = _evolution_gate(commits, df, merge_schema, "append")
             version = commits[-1]["version"] + 1
     raise last
+
+
+def _maybe_auto_compact(
+    spark: SparkSession, path: str, min_dirs: int
+) -> int | None:
+    """Post-commit auto-compact (Delta's autoCompact): fires only at
+    `min_dirs` live directories, best-effort — a lost race against a
+    concurrent writer skips silently (their commit will trigger its
+    own), exactly because this runs AFTER the append already
+    committed and must never fail it."""
+    if min_dirs < 2:
+        raise ValueError("auto_compact threshold must be >= 2 dirs")
+    try:
+        return compact(spark, path, min_dirs=min_dirs)
+    except ConcurrentWriteError:
+        return None
 
 
 def _mapping_entry(schema, cmap: dict) -> dict:
@@ -1289,6 +1331,7 @@ def describe_detail(spark: SparkSession, path: str) -> DataFrame:
         if c.get("operation") == "optimize":
             break
     n_cdc = sum(len(c.get("cdc", [])) for c in raw)
+    cmap = _column_map(commits)
     row = (
         int(commits[-1]["version"]),
         len(live),
@@ -1304,6 +1347,11 @@ def describe_detail(spark: SparkSession, path: str) -> DataFrame:
         clustered,
         zorder,
         _latest_checkpoint_version(path),
+        (",".join(f"{l}->{p}" for l, p in sorted(cmap.items()))
+         if cmap else None),
+        len(_reserved_physical(commits)),
+        (",".join(sorted(_reader_features(commits)))
+         if _reader_features(commits) else None),
     )
     return spark.createDataFrame(
         [row],
@@ -1311,7 +1359,8 @@ def describe_detail(spark: SparkSession, path: str) -> DataFrame:
         "BIGINT, n_deletion_vectors INT, dv_rows BIGINT, n_cdc_dirs "
         "INT, schema STRING, check_constraint STRING, "
         "change_data_feed BOOLEAN, clustered_by STRING, zorder "
-        "BOOLEAN, checkpoint_version BIGINT",
+        "BOOLEAN, checkpoint_version BIGINT, column_mapping STRING, "
+        "n_reserved_physical INT, reader_features STRING",
     )
 
 

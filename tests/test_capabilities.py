@@ -3253,6 +3253,17 @@ def test_commit_log_describe_detail(spark, tmp_path):
     assert d1["clustered_by"] == "k,p" and d1["zorder"] is True
     assert d1["checkpoint_version"] == 3
     assert d1["n_live_dirs"] == 2
+    assert d1["column_mapping"] is None and d1["reader_features"]
+
+    # column-mapping and protocol facts surface too
+    cl.drop_check_constraint(spark, path)
+    cl.rename_column(spark, path, "p", "price")
+    cl.drop_column(spark, path, "ts")
+    d2 = cl.describe_detail(spark, path).collect()[0]
+    assert d2["column_mapping"] == "price->p"
+    assert d2["n_reserved_physical"] == 1
+    assert "column_mapping" in d2["reader_features"]
+    assert "deletion_vectors" in d2["reader_features"]
 
 
 def test_commit_log_column_mapping(spark, tmp_path):
@@ -3557,3 +3568,41 @@ def test_commit_log_add_drop_constraint(spark, tmp_path):
     # checkpoint keeps the restored constraint
     cl.checkpoint_log(path)
     assert cl._table_check(cl._read_state_commits(path)) == "p < 100"
+
+
+def test_commit_log_optimize_write_auto_compact(spark, tmp_path):
+    """The small-files levers (Delta's optimizeWrite/autoCompact):
+    optimize_write bin-packs an over-partitioned batch to
+    ceil(rows/N) files; auto_compact keeps the live directory count
+    bounded across many small appends, with reads identical and time
+    travel intact."""
+    import glob
+    import os
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    # a 200-partition upstream job appending 100 rows
+    scattered = spark.range(100).repartition(200).selectExpr("id AS k")
+    cl.create_table(spark, path, spark.range(0).selectExpr("id AS k"))
+    v = cl.append(spark, path, scattered, optimize_write=50)
+    rel = cl._read_commits(path, v)[-1]["added"][0]
+    files = glob.glob(os.path.join(path, rel, "*.parquet"))
+    assert len(files) == 2, files  # ceil(100/50), not 200
+    assert cl.read_table(spark, path).count() == 100
+
+    # auto-compact: 10 small appends, live dirs stay under the cap
+    path2 = str(tmp_path / "t2")
+    cl.create_table(spark, path2, spark.range(1).selectExpr("id AS k"))
+    for i in range(10):
+        cl.append(spark, path2,
+                  spark.range(i * 10, i * 10 + 5).selectExpr("id AS k"),
+                  auto_compact=4)
+    commits = cl._read_state_commits(path2)
+    live = cl._fold_live(commits)
+    assert len(live) < 4, live
+    assert any(c.get("operation") == "optimize"
+               for c in cl._read_commits(path2, None))
+    assert cl.read_table(spark, path2).count() == 51
+    # time travel to a pre-compact version still works
+    assert cl.read_table(spark, path2, version=2).count() == 6
