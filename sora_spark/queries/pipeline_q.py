@@ -5287,3 +5287,76 @@ def qup26_constraint_lifecycle(spark, sf_dir):
             F.lit("b_dropped").alias("stage"), "k", "st", "price"))
         .orderBy("stage", "k")
     )
+
+
+@query(
+    "qts14_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+         round(sum(value), 2) AS v
+  FROM events GROUP BY 1, 2),
+med AS (
+  SELECT t, round(quantile_cont(v, 0.5), 2) AS mu FROM daily GROUP BY t),
+c AS (
+  SELECT d.t, d.day, d.v - m.mu AS x
+  FROM daily d JOIN med m USING (t)),
+s1 AS (
+  SELECT t, day, sum(x) OVER (PARTITION BY t ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS run
+  FROM c),
+s2 AS (
+  SELECT t, day, run, min(run) OVER (PARTITION BY t ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS lo
+  FROM s1),
+f AS (SELECT t, day, run - lo AS cusum FROM s2)
+SELECT t, strftime(day, '%Y-%m-%d') AS day_s,
+       round(cusum, 4) AS cusum, cusum > 500 AS breach
+FROM f ORDER BY t, day_s
+""",
+    doc="qts14: CUSUM change-point detection over the daily per-type "
+    "value series — the classic upward-shift monitor (Page 1954), in "
+    "its REFLECTION form: the textbook recursion "
+    "s_t = max(0, s_{t-1} + x_t) is a sequential fold no cross-engine "
+    "hash could pin, but it equals S_t - min_{j<=t} S_j (running sum "
+    "minus running minimum of the running sum), which is two plain "
+    "ordered-frame window passes — and running aggregates over an "
+    "ORDER BY frame evaluate SEQUENTIALLY in both engines, so the "
+    "float sums are bit-identical. The reference level is the "
+    "per-type MEDIAN (interpolated percentile — sort-based and "
+    "cross-engine exact, unlike a mean whose reduction order "
+    "drifts), so x = v - median and a sustained upward shift "
+    "accumulates until the breach flag trips (literal threshold). "
+    "Scale: one agg + one broadcast join + one per-series window — "
+    "state is a running pair per series.",
+    tags=("timeseries", "window", "monitoring"),
+)
+def qts14_cusum_changepoint(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    daily = (
+        ev.groupBy(
+            F.col("event_type").alias("t"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    med = daily.groupBy("t").agg(
+        F.round(F.expr("percentile(v, 0.5)"), 2).alias("mu"))
+    c = daily.join(F.broadcast(med), "t").withColumn(
+        "x", F.col("v") - F.col("mu"))
+    w = (
+        Window.partitionBy("t").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = c.withColumn("run", F.sum("x").over(w))
+    s = s.withColumn("lo", F.min("run").over(w))
+    f = s.withColumn("cusum", F.col("run") - F.col("lo"))
+    return (
+        f.select(
+            "t",
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+            F.round("cusum", 4).alias("cusum"),
+            (F.col("cusum") > 500).alias("breach"),
+        )
+        .orderBy("t", "day_s")
+    )
