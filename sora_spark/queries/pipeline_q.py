@@ -5360,3 +5360,98 @@ def qts14_cusum_changepoint(spark, sf_dir):
         )
         .orderBy("t", "day_s")
     )
+
+
+@query(
+    "qup27_merge_on_read",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price, o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 6 = 0),
+batch AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice + 1000, 2) AS price,
+         o_orderdate + CASE WHEN o_orderkey % 2 = 0
+                            THEN INTERVAL 1 DAY
+                            ELSE INTERVAL '-1' DAY END AS ts
+  FROM orders WHERE o_orderkey % 5 = 0),
+merged AS (
+  SELECT b.k, b.st, b.price, b.ts FROM batch b
+  LEFT JOIN snap s USING (k)
+  WHERE s.k IS NULL OR b.ts >= s.ts
+  UNION ALL
+  SELECT s.k, s.st, s.price, s.ts FROM snap s
+  LEFT JOIN batch b USING (k)
+  WHERE b.k IS NULL OR b.ts < s.ts),
+stages AS (
+  SELECT 'a_mor' AS stage, k, st, price,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM merged
+  UNION ALL
+  SELECT 'b_compacted', k, st, price,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') FROM merged)
+SELECT stage, k, st, price, ts_s FROM stages ORDER BY stage, k
+""",
+    doc="qup27: MERGE-ON-READ (merge_upsert merge_on_read=True — "
+    "Iceberg's merge-on-read / Delta's DV MERGE): the batch's "
+    "superseded current rows die via a deletion-vector sidecar and "
+    "its winning rows land as ONE appended directory — the commit "
+    "touches zero existing data directories (pinned: removed=[] in "
+    "test_commit_log_merge_on_read), so upsert cost tracks the batch "
+    "+ a pruned position scan, deferring physical reconciliation to "
+    "compact. The batch deliberately mixes WINNERS (even keys, ts+1 "
+    "day) and LOSERS (odd existing keys, ts-1 day — their rows must "
+    "NOT replace the newer current ones, the half of merge "
+    "semantics a naive delete+append gets wrong) plus brand-new "
+    "keys. 'a_mor' reads THROUGH the vectors; 'b_compacted' after "
+    "OPTIMIZE physically applied them — both must hash-match the "
+    "rewrite-merge SQL truth exactly, so DV-served merge semantics "
+    "== rewrite semantics == the SQL replay.",
+    tags=("sink", "acid", "dv", "merge"),
+)
+def qup27_merge_on_read(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    batch = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") + 1000, 2).alias("price"),
+        (F.col("o_orderdate") + F.when(
+            F.col("o_orderkey") % 2 == 0, F.expr("INTERVAL 1 DAY")
+        ).otherwise(F.expr("INTERVAL -1 DAY"))).alias("ts"),
+    )
+    tiled = snap.withColumn("_t", F.ntile(3).over(Window.orderBy("k")))
+    path = os.path.join(_roundtrip_dir("commit_log_mor"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(
+        spark, path, tiled.filter("_t = 1").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 2").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 3").drop("_t"), stats_cols=["k"])
+    cl.merge_upsert(spark, path, batch, ["k"], "ts", merge_on_read=True)
+    a = cl.read_table(spark, path)           # through the vectors
+    cl.compact(spark, path)
+    b = cl.read_table(spark, path)           # physically reconciled
+
+    def shape(df, stage):
+        return df.select(
+            F.lit(stage).alias("stage"), "k", "st", "price",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+
+    return (
+        shape(a, "a_mor").unionByName(shape(b, "b_compacted"))
+        .orderBy("stage", "k")
+    )

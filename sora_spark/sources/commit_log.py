@@ -1407,6 +1407,7 @@ def merge_upsert(
     ts_col: str,
     prune: bool = True,
     merge_schema: bool = False,
+    merge_on_read: bool = False,
 ) -> int:
     """MERGE with the qup1 semantics (latest `ts_col` per key, batch
     wins ties) as a commit: reads the current snapshot, writes the
@@ -1479,6 +1480,17 @@ def merge_upsert(
                 for k in key_cols
             )
             (untouched if skip else touched).append(d)
+
+    if merge_on_read:
+        if evolved:
+            raise ValueError(
+                "merge_on_read does not compose with merge_schema "
+                "evolution; use the rewrite merge for schema changes"
+            )
+        return _merge_on_read(
+            spark, path, commits, batch_df, key_cols, ts_col,
+            touched, len(untouched), version, stats_cols, cmap,
+        )
 
     new = batch_df.withColumn("_src", F.lit(1))
     if touched:
@@ -1662,6 +1674,125 @@ def delete_where(
         )]
     if entry_stats:
         entry["stats"] = entry_stats
+    return _publish(path, entry)
+
+
+def _merge_on_read(
+    spark: SparkSession,
+    path: str,
+    commits: list[dict],
+    batch_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    touched: list[str],
+    n_pruned: int,
+    version: int,
+    stats_cols: list[str],
+    cmap: dict[str, str],
+) -> int:
+    """MERGE-ON-READ (Iceberg's merge-on-read / Delta's DV MERGE —
+    merge_upsert's merge_on_read=True): instead of rewriting the
+    touched directories, the current rows the batch supersedes die
+    via a DELETION-VECTOR sidecar (position list, sized by the
+    MATCHED rows) and the batch's winning rows land as one appended
+    directory — the commit touches ZERO existing data directories,
+    so a 20k-row upsert into a 100 TB table costs the batch plus a
+    position scan of the key-overlapping directories (stats pruning
+    applies to the scan exactly as to the rewrite), deferring the
+    physical reconciliation to the next compact. The read-time tax
+    is the DV anti-join on the dirty directories only (_read_live's
+    clean/dirty split). Winner semantics are the rewrite's: latest
+    ts_col per key, batch wins ties; batch rows older than the
+    current row are dropped. Assumes a key-unique table (the
+    create+merge lifecycle guarantee; with duplicate current keys
+    the rewrite dedups, this path keeps the newer duplicate).
+    Refuses under schema evolution — use the rewrite merge there."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc())
+    b = (
+        batch_df.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    schema = _schema_struct(commits)
+    cur = _read_live(
+        spark, path, commits, touched, schema, keep_position=True
+    ) if touched else None
+    dv_rel, n_dv = None, 0
+    cur_wins = None
+    losers = None
+    if cur is not None:
+        bk = b.select(*key_cols, F.col(ts_col).alias("_bts"))
+        j = cur.join(F.broadcast(bk), key_cols, "inner")
+        # batch wins ties — the rewrite path's _src tiebreak
+        losers = j.filter(F.col("_bts") >= F.col(ts_col))
+        obs = Observation()
+        dv = losers.select(
+            F.col("_f").alias("_dv_file"), F.col("_r").alias("_dv_row")
+        ).observe(obs, F.count(F.lit(1)).alias("n"))
+        rel_try = os.path.join(
+            _DV, f"v{version:08d}-{uuid.uuid4().hex[:12]}"
+        )
+        dv.write.mode("error").parquet(os.path.join(path, rel_try))
+        n_dv = int(obs.get["n"] or 0)
+        if n_dv:
+            dv_rel = rel_try
+        else:
+            import shutil
+
+            shutil.rmtree(os.path.join(path, rel_try), ignore_errors=True)
+        cur_wins = (
+            j.filter(F.col("_bts") < F.col(ts_col))
+            .select(*key_cols).distinct()
+        )
+    ins = b
+    if cur_wins is not None:
+        ins = b.join(F.broadcast(cur_wins), key_cols, "left_anti")
+    added, entry_stats = [], {}
+    if not ins.isEmpty():
+        rel, stats = _write_data(
+            ins, path, version, stats_cols,
+            check=_table_check(commits), column_map=cmap,
+        )
+        added = [rel]
+        if stats:
+            entry_stats = {rel: stats}
+    entry = {
+        "version": version, "operation": "merge_upsert",
+        "merge_on_read": True,
+        "added": added, "removed": [],
+        "pruned_dirs": n_pruned,
+    }
+    if dv_rel:
+        entry["dv_added"] = [dv_rel]
+        entry["dv_rows"] = n_dv
+        entry["reader_features"] = ["deletion_vectors"]
+    if entry_stats:
+        entry["stats"] = entry_stats
+    if _table_cdf(commits):
+        tcols = [f.name for f in schema.fields]
+        parts = []
+        if losers is not None:
+            parts.append(losers.select(
+                *tcols, F.lit("update_preimage").alias("_change_type")))
+            upd_keys = losers.select(*key_cols).distinct()
+            parts.append(ins.join(
+                F.broadcast(upd_keys), key_cols, "left_semi"
+            ).select(
+                *tcols, F.lit("update_postimage").alias("_change_type")))
+            parts.append(ins.join(
+                F.broadcast(upd_keys), key_cols, "left_anti"
+            ).select(*tcols, F.lit("insert").alias("_change_type")))
+        else:
+            parts.append(ins.select(
+                *tcols, F.lit("insert").alias("_change_type")))
+        changes = parts[0]
+        for p in parts[1:]:
+            changes = changes.unionByName(p)
+        entry["cdc"] = [_write_cdc(changes, path, version)]
     return _publish(path, entry)
 
 

@@ -3606,3 +3606,49 @@ def test_commit_log_optimize_write_auto_compact(spark, tmp_path):
     assert cl.read_table(spark, path2).count() == 51
     # time travel to a pre-compact version still works
     assert cl.read_table(spark, path2, version=2).count() == 6
+
+
+def test_commit_log_merge_on_read(spark, tmp_path):
+    """merge_on_read MERGE: zero data directories removed (the whole
+    point), superseded rows in a DV sidecar, batch winners appended;
+    stale batch rows (older ts) do NOT replace newer current rows;
+    stats pruning limits the position scan; CDF records the
+    insert/update pre-post pairs; compact reconciles."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k bigint, v string, ts bigint")
+    cl.create_table(spark, path, mk([(1, "a", 10), (2, "b", 10)]),
+                    stats_cols=["k"], change_data_feed=True)
+    cl.append(spark, path, mk([(10, "c", 10), (11, "d", 10)]),
+              stats_cols=["k"])
+    # batch: k=1 newer (wins), k=2 older (loses), k=3 new
+    v = cl.merge_upsert(
+        spark, path, mk([(1, "A", 20), (2, "B", 5), (3, "N", 20)]),
+        ["k"], "ts", merge_on_read=True)
+    e = cl._read_commits(path, v)[-1]
+    assert e["removed"] == [] and e.get("merge_on_read") is True
+    assert e["dv_rows"] == 1 and len(e["dv_added"]) == 1
+    assert e["pruned_dirs"] == 1     # the k in {10,11} dir never scanned
+    got = sorted(map(tuple, cl.read_table(spark, path).collect()))
+    assert got == [(1, "A", 20), (2, "b", 10), (3, "N", 20),
+                   (10, "c", 10), (11, "d", 10)], got
+    # CDF: one update pair (k=1) + one insert (k=3); k=2 no change
+    ch = sorted(map(tuple, spark.read.parquet(
+        *[f"{path}/{d}" for d in e["cdc"]])
+        .select("_change_type", "k").collect()))
+    assert ch == [("insert", 3), ("update_postimage", 1),
+                  ("update_preimage", 1)], ch
+    # compact reconciles; read unchanged
+    cl.compact(spark, path)
+    assert sorted(map(tuple, cl.read_table(spark, path).collect())) == got
+    # refuses to compose with schema evolution
+    with _pytest.raises(ValueError, match="merge_on_read"):
+        cl.merge_upsert(
+            spark, path,
+            mk([(4, "x", 30)]).withColumn("extra", F.lit(1)),
+            ["k"], "ts", merge_on_read=True, merge_schema=True)
