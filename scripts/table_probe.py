@@ -117,6 +117,10 @@ def main():
         for i in range(1, NB):
             cl.append(spark, p2, big.filter(F.col("k") % NB == i),
                       stats_cols=["k"])
+        # pristine interleaved snapshot: the merge-on-read lever below
+        # needs the layout where stats pruning CANNOT help the rewrite
+        p2_pristine = os.path.join(d, "interleaved_pristine")
+        shutil.copytree(p2, p2_pristine)
         t0 = time.time()
         vb = cl.merge_upsert(spark, p2, batch(), ["k"], "ts")
         t_before = time.time() - t0
@@ -249,6 +253,38 @@ def main():
                 and a.count() == b.count()
             ),
             "commits": 1,
+        }
+
+        # --- merge-on-read (r12): the same narrow upsert against the
+        # INTERLEAVED layout — key stats span every directory, so the
+        # rewrite merge must rewrite ALL of them; merge-on-read
+        # touches zero. (On the key-disjoint layout the pruned
+        # rewrite is already narrow and MOR has nothing to beat —
+        # MOR is the lever for tables the layout cannot save.)
+        p9 = os.path.join(d, "mor_copy")
+        shutil.copytree(p2_pristine, p9)
+        t0 = time.time()
+        vmor = cl.merge_upsert(spark, p9, batch(), ["k"], "ts",
+                               merge_on_read=True)
+        t_mor = time.time() - t0
+        emor = entry(p9, vmor)
+        p10 = os.path.join(d, "mor_rw_copy")
+        shutil.copytree(p2_pristine, p10)
+        t0 = time.time()
+        vrw2 = cl.merge_upsert(spark, p10, batch(), ["k"], "ts")
+        t_rw2 = time.time() - t0
+        a, b = cl.read_table(spark, p9), cl.read_table(spark, p10)
+        out["merge_on_read"] = {
+            "mor_s": round(t_mor, 2),
+            "rewrite_merge_s": round(t_rw2, 2),
+            "speedup": round(t_rw2 / t_mor, 1),
+            "dirs_rewritten": len(emor["removed"]),
+            "dv_rows": int(emor.get("dv_rows") or 0),
+            "dirs_pruned": emor["pruned_dirs"],
+            "identical": bool(
+                a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+                and a.count() == b.count()
+            ),
         }
 
         # --- column mapping (r12): RENAME on the ~650 MB 16-dir

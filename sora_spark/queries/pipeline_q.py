@@ -5455,3 +5455,115 @@ def qup27_merge_on_read(spark, sf_dir):
         shape(a, "a_mor").unionByName(shape(b, "b_compacted"))
         .orderBy("stage", "k")
     )
+
+
+@query(
+    "qev13_kaplan_meier",
+    oracle="""
+WITH fv AS (SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+fp AS (SELECT user_id, min(ts) AS t_buy FROM events
+       WHERE event_type = 'purchase' GROUP BY 1),
+obs AS (SELECT max(ts) AS t_end FROM events),
+subj AS (
+  SELECT fv.user_id,
+         CAST(floor((epoch_us(coalesce(t_buy, t_end))
+                     - epoch_us(t_view)) / 86400e6) AS BIGINT) AS dur,
+         (t_buy IS NOT NULL) AS ev
+  FROM fv LEFT JOIN fp USING (user_id) CROSS JOIN obs
+  WHERE t_buy IS NULL OR t_buy >= t_view),
+grp AS (
+  SELECT dur, CAST(count(*) AS BIGINT) AS m,
+         CAST(count(*) FILTER (ev) AS BIGINT) AS e
+  FROM subj GROUP BY dur),
+km AS (
+  SELECT dur, m, e,
+         sum(m) OVER () - coalesce(sum(m) OVER (
+             ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS at_risk
+  FROM grp),
+surv AS (
+  SELECT dur, at_risk, e, m - e AS censored,
+         product(1.0 - CAST(e AS DOUBLE) / at_risk) OVER (
+             ORDER BY dur ROWS UNBOUNDED PRECEDING) AS s
+  FROM km)
+SELECT CAST(dur AS BIGINT) AS dur_days,
+       CAST(at_risk AS BIGINT) AS at_risk,
+       e AS n_events, censored AS n_censored,
+       round(s, 6) AS survival
+FROM surv ORDER BY dur_days
+""",
+    doc="qev13: KAPLAN-MEIER survival over time-to-convert — the "
+    "censoring-correct companion to qev12's converter-only latency "
+    "percentiles (which silently condition on conversion, the classic "
+    "survivorship bias): every first-view user enters, non-converters "
+    "are RIGHT-CENSORED at the observation end, and S(d) multiplies "
+    "(1 - e_d/n_d) over event days with the risk set shrinking by "
+    "both events and censorings. Determinism discipline: durations "
+    "are exact integer DAYS from integer microseconds (qev12's "
+    "dialect-trap note), risk sets and event counts are integers, "
+    "each factor is one IEEE division, and the running product over "
+    "an ORDER BY frame evaluates SEQUENTIALLY in both engines "
+    "(qts14's running-aggregate argument, multiplicative) — so the "
+    "survival curve is bit-identical, rounded 6dp only at the edge. "
+    "Days with zero events contribute factor exactly 1.0 (identity "
+    "multiply, bit-safe) and still report their censoring counts — "
+    "the full KM table. Scale: two conditional-min aggs per user, "
+    "one day-grouped agg, one ordered window — risk-set state is a "
+    "scalar per series.",
+    tags=("events", "survival", "window"),
+)
+def qev13_kaplan_meier(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    fv = ev.filter(F.col("event_type") == "view").groupBy(
+        "user_id").agg(F.min("ts").alias("t_view"))
+    fp = ev.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id").agg(F.min("ts").alias("t_buy"))
+    obs = ev.agg(F.max("ts").alias("t_end"))
+    subj = (
+        fv.join(fp, "user_id", "left")
+        .crossJoin(F.broadcast(obs))
+        .filter(F.col("t_buy").isNull()
+                | (F.col("t_buy") >= F.col("t_view")))
+        .select(
+            F.floor(
+                (F.unix_micros(F.coalesce("t_buy", "t_end"))
+                 - F.unix_micros("t_view")) / F.lit(86400e6)
+            ).cast("bigint").alias("dur"),
+            F.col("t_buy").isNotNull().alias("ev"),
+        )
+    )
+    grp = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.col("ev").cast("bigint")).cast("bigint").alias("e"),
+    )
+    wall = Window.partitionBy()
+    wbefore = (
+        Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    km = grp.withColumn(
+        "at_risk",
+        F.sum("m").over(wall)
+        - F.coalesce(F.sum("m").over(wbefore), F.lit(0)),
+    )
+    surv = km.withColumn(
+        "s",
+        F.product(
+            F.lit(1.0) - F.col("e").cast("double") / F.col("at_risk")
+        ).over(wrun),
+    )
+    return (
+        surv.select(
+            F.col("dur").alias("dur_days"),
+            F.col("at_risk").cast("bigint").alias("at_risk"),
+            F.col("e").alias("n_events"),
+            (F.col("m") - F.col("e")).alias("n_censored"),
+            F.round("s", 6).alias("survival"),
+        )
+        .orderBy("dur_days")
+    )
