@@ -1741,3 +1741,77 @@ def qa33_kmv_bottom_k(spark, sf_dir):
         )
         .orderBy("stage")
     )
+
+
+@query(
+    "qa34_grouped_kmv",
+    oracle="""
+WITH h AS (SELECT DISTINCT l_returnflag AS g,
+                  md5(CAST(l_suppkey AS VARCHAR)) AS hh
+           FROM lineitem),
+r AS (SELECT g, hh, row_number() OVER (PARTITION BY g
+                                       ORDER BY hh) AS rn
+      FROM h),
+b AS (SELECT g, hh, rn FROM r WHERE rn <= 32),
+kth AS (SELECT g, max(hh) AS kth_hash, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY g)
+SELECT g, kth_hash,
+       CASE WHEN n < 32 THEN round(CAST(n AS DOUBLE), 4)
+            ELSE round(31.0 / ((
+           (strpos('0123456789abcdef', substr(kth_hash, 1, 1)) - 1)
+               * 17592186044416.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 2, 1)) - 1)
+               * 1099511627776.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 3, 1)) - 1)
+               * 68719476736.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 4, 1)) - 1)
+               * 4294967296.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 5, 1)) - 1)
+               * 268435456.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 6, 1)) - 1)
+               * 16777216.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 7, 1)) - 1)
+               * 1048576.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 8, 1)) - 1)
+               * 65536.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 9, 1)) - 1)
+               * 4096.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 10, 1)) - 1)
+               * 256.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 11, 1)) - 1)
+               * 16.0
+         + (strpos('0123456789abcdef', substr(kth_hash, 12, 1)) - 1)
+       ) / 281474976710656.0), 4) END AS est
+FROM kth ORDER BY g
+""",
+    doc="qa34: GROUPED KMV sketches — qa33's bottom-k per GROUP BY "
+    "key (distinct l_suppkey per returnflag, k=32): the shape a "
+    "1000-executor per-segment cardinality rollup actually runs — "
+    "one hash pass, one per-group window keeping k rows, estimator "
+    "arithmetic identical to qa33's (exact 48-bit integer, one IEEE "
+    "division; groups smaller than k report their exact size, the "
+    "small-domain branch). Everything remains hash-gated exactly, "
+    "estimator included — per-group sketch state is k rows "
+    "regardless of group size.",
+    tags=("agg", "sketch", "approx", "dedup"),
+)
+def qa34_grouped_kmv(spark, sf_dir):
+    li = tables(spark, sf_dir).lineitem
+    h = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.md5(F.col("l_suppkey").cast("string")).alias("hh"),
+    ).distinct()
+    w = Window.partitionBy("g").orderBy("hh")
+    b = h.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 32)
+    kth = b.groupBy("g").agg(
+        F.max("hh").alias("kth_hash"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    v = F.conv(F.substring("kth_hash", 1, 12), 16, 10).cast("double")
+    est = F.when(
+        F.col("n") < 32, F.round(F.col("n").cast("double"), 4)
+    ).otherwise(
+        F.round(F.lit(31.0) / (v / F.lit(float(16 ** 12))), 4)
+    )
+    return kth.select("g", "kth_hash", est.alias("est")).orderBy("g")

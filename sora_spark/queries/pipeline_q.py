@@ -5567,3 +5567,94 @@ def qev13_kaplan_meier(spark, sf_dir):
         )
         .orderBy("dur_days")
     )
+
+
+@query(
+    "qts16_seasonal_decomposition",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(round(sum(value) * 100) AS BIGINT) AS vc
+  FROM events GROUP BY 1),
+tr AS (
+  SELECT day, vc,
+         sum(vc) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                       AND 3 FOLLOWING) AS w,
+         count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                        AND 3 FOLLOWING) AS nw,
+         row_number() OVER (ORDER BY day) AS rn,
+         count(*) OVER () AS n
+  FROM daily),
+full_tr AS (
+  SELECT day, vc, CAST(w AS DOUBLE) / nw AS trend
+  FROM tr WHERE rn > 3 AND rn <= n - 3),
+det AS (
+  SELECT day, vc, trend, vc - trend AS detrended,
+         CAST(dayofweek(day) AS BIGINT) AS dow
+  FROM full_tr),
+seas AS (
+  SELECT dow, round(quantile_cont(detrended, 0.5), 4) AS seasonal
+  FROM det GROUP BY dow)
+SELECT strftime(d.day, '%Y-%m-%d') AS day_s,
+       round(d.trend / 100.0, 4) + 0.0 AS trend,
+       round(s.seasonal / 100.0, 4) + 0.0 AS seasonal,
+       round((d.detrended - s.seasonal) / 100.0, 4) + 0.0 AS residual
+FROM det d JOIN seas s USING (dow)
+ORDER BY day_s
+""",
+    doc="qts16: SEASONAL DECOMPOSITION (STL-lite, the classic "
+    "additive trend/seasonal/residual split): trend = centered 7-day "
+    "moving average, seasonal = per-day-of-week MEDIAN of the "
+    "detrended series, residual = remainder — the first thing an "
+    "analyst runs on a daily metric. Determinism discipline: the "
+    "daily series is INTEGER CENTS, so the sliding-frame sum is "
+    "exact no matter how each engine maintains its frame (Spark's "
+    "incremental add/subtract vs DuckDB's segment tree would drift "
+    "on floats — the same class of trap qts13 dodged with literal "
+    "coefficients); the trend is then ONE division, the seasonal a "
+    "sort-based interpolated median over exact inputs, and edge "
+    "days without a full 7-day window are excluded (row_number "
+    "against the total, both engines identically). Scale: one agg, "
+    "two window passes, one 7-row broadcast join.",
+    tags=("timeseries", "window", "decomposition"),
+)
+def qts16_seasonal_decomposition(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value") * 100)
+             .cast("bigint").alias("vc"))
+    )
+    wslide = Window.orderBy("day").rowsBetween(-3, 3)
+    wrow = Window.orderBy("day")
+    wall = Window.partitionBy()
+    tr = (
+        daily.withColumn("w", F.sum("vc").over(wslide))
+        .withColumn("nw", F.count(F.lit(1)).over(wslide))
+        .withColumn("rn", F.row_number().over(wrow))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+    )
+    full_tr = tr.filter(
+        (F.col("rn") > 3) & (F.col("rn") <= F.col("n") - 3)
+    ).withColumn("trend", F.col("w").cast("double") / F.col("nw"))
+    det = full_tr.withColumn(
+        "detrended", F.col("vc") - F.col("trend")
+    ).withColumn("dow", F.dayofweek("day").cast("bigint"))
+    seas = det.groupBy("dow").agg(
+        F.round(F.expr("percentile(detrended, 0.5)"), 4)
+        .alias("seasonal"))
+    return (
+        det.join(F.broadcast(seas), "dow")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+            # + 0.0 normalizes IEEE negative zero (round() can emit
+            # -0.0 and the engines disagree on which; -0.0 + 0.0 is
+            # +0.0 by the standard, every other value unchanged)
+            (F.round(F.col("trend") / 100.0, 4) + 0.0).alias("trend"),
+            (F.round(F.col("seasonal") / 100.0, 4) + 0.0)
+            .alias("seasonal"),
+            (F.round((F.col("detrended") - F.col("seasonal")) / 100.0, 4)
+             + 0.0).alias("residual"),
+        )
+        .orderBy("day_s")
+    )
