@@ -1815,3 +1815,125 @@ def qa34_grouped_kmv(spark, sf_dir):
         F.round(F.lit(31.0) / (v / F.lit(float(16 ** 12))), 4)
     )
     return kth.select("g", "kth_hash", est.alias("est")).orderBy("g")
+
+
+@query(
+    "qa35_kmv_set_operations",
+    oracle="""
+WITH a AS (SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS hh
+           FROM orders WHERE o_orderpriority = '1-URGENT'),
+b AS (SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS hh
+      FROM orders WHERE o_orderpriority = '2-HIGH'),
+sa AS (SELECT hh FROM a ORDER BY hh LIMIT 64),
+sb AS (SELECT hh FROM b ORDER BY hh LIMIT 64),
+su AS (SELECT hh FROM (SELECT hh FROM sa UNION SELECT hh FROM sb) u
+       ORDER BY hh LIMIT 64),
+jn AS (SELECT CAST(count(*) AS BIGINT) AS j_num FROM su
+       WHERE hh IN (SELECT hh FROM sa)
+         AND hh IN (SELECT hh FROM sb)),
+kth AS (SELECT max(hh) AS union_kth FROM su),
+uest AS (
+  SELECT union_kth,
+         round(63.0 / ((
+           (strpos('0123456789abcdef', substr(union_kth, 1, 1)) - 1)
+               * 17592186044416.0
+         + (strpos('0123456789abcdef', substr(union_kth, 2, 1)) - 1)
+               * 1099511627776.0
+         + (strpos('0123456789abcdef', substr(union_kth, 3, 1)) - 1)
+               * 68719476736.0
+         + (strpos('0123456789abcdef', substr(union_kth, 4, 1)) - 1)
+               * 4294967296.0
+         + (strpos('0123456789abcdef', substr(union_kth, 5, 1)) - 1)
+               * 268435456.0
+         + (strpos('0123456789abcdef', substr(union_kth, 6, 1)) - 1)
+               * 16777216.0
+         + (strpos('0123456789abcdef', substr(union_kth, 7, 1)) - 1)
+               * 1048576.0
+         + (strpos('0123456789abcdef', substr(union_kth, 8, 1)) - 1)
+               * 65536.0
+         + (strpos('0123456789abcdef', substr(union_kth, 9, 1)) - 1)
+               * 4096.0
+         + (strpos('0123456789abcdef', substr(union_kth, 10, 1)) - 1)
+               * 256.0
+         + (strpos('0123456789abcdef', substr(union_kth, 11, 1)) - 1)
+               * 16.0
+         + (strpos('0123456789abcdef', substr(union_kth, 12, 1)) - 1)
+       ) / 281474976710656.0), 4) AS union_est
+  FROM kth),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderpriority = '2-HIGH') t)
+SELECT jn.j_num, uest.union_kth,
+       round(CAST(jn.j_num AS DOUBLE) / 64.0, 6) AS jaccard,
+       uest.union_est,
+       round((CAST(jn.j_num AS DOUBLE) / 64.0) * uest.union_est, 4)
+         AS inter_est,
+       ex.exact_inter
+FROM jn CROSS JOIN uest CROSS JOIN ex
+""",
+    doc="qa35: KMV SET ALGEBRA (the theta-sketch trade, Dasgupta et "
+    "al.): from two per-segment bottom-64 sketches alone — never the "
+    "raw key sets — estimate the segments' overlap: the union sketch "
+    "is bottom-k of the two sketches' union (qa33's exact "
+    "mergeability), Jaccard = |union-sketch hashes present in BOTH "
+    "inputs| / k (the union sketch is a uniform sample of A∪B, so "
+    "membership in both is a Bernoulli draw of the true Jaccard), "
+    "and |A∩B| ≈ Jaccard × D-hat(A∪B). Every quantity is hash-gated "
+    "EXACTLY — set membership over md5 hashes, integer counts, and "
+    "two fixed-order IEEE ops for the estimate — with the true "
+    "intersection alongside as the honesty column. At 100 TB this "
+    "answers audience-overlap / segment-intersection questions from "
+    "k-row sketches that every segment pipeline already maintains, "
+    "without ever co-shuffling the raw key sets.",
+    tags=("agg", "sketch", "approx", "setops"),
+)
+def qa35_kmv_set_operations(spark, sf_dir):
+    from sora_spark.operators import sketch
+
+    orders = tables(spark, sf_dir).orders
+
+    def seg(p):
+        return orders.filter(F.col("o_orderpriority") == p).select(
+            F.col("o_custkey").alias("k"))
+
+    sa = sketch.kmv_bottom_k(seg("1-URGENT"), "k", 64)
+    sb = sketch.kmv_bottom_k(seg("2-HIGH"), "k", 64)
+    su = (
+        sa.unionByName(sb).distinct()
+        .orderBy("kmv_hash").limit(64)
+    )
+    jn = (
+        su.join(sa.withColumnRenamed("kmv_hash", "ha"),
+                su["kmv_hash"] == F.col("ha"), "left_semi")
+        .join(sb.withColumnRenamed("kmv_hash", "hb"),
+              su["kmv_hash"] == F.col("hb"), "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("j_num"))
+    )
+    uest = sketch.kmv_estimate(su, 64).select(
+        F.col("kth_hash").alias("union_kth"),
+        F.col("est").alias("union_est"),
+    )
+    ex = (
+        seg("1-URGENT").distinct()
+        .intersect(seg("2-HIGH").distinct())
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    return (
+        jn.crossJoin(F.broadcast(uest))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "j_num", "union_kth",
+            F.round(F.col("j_num").cast("double") / 64.0, 6)
+            .alias("jaccard"),
+            "union_est",
+            F.round(
+                (F.col("j_num").cast("double") / 64.0)
+                * F.col("union_est"), 4,
+            ).alias("inter_est"),
+            "exact_inter",
+        )
+    )
