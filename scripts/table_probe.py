@@ -74,11 +74,13 @@ def main():
         with open(os.path.join(path, "_commits", f"{v:08d}.json")) as f:
             return json.load(f)
 
+    def frames_identical(a, b):
+        # two empty exceptAll results already imply equal multisets
+        return bool(a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty())
+
     def identical(path, v1, v2):
-        a, b = cl.read_table(spark, path, v1), cl.read_table(spark, path, v2)
-        return bool(
-            a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
-            and a.count() == b.count()
+        return frames_identical(
+            cl.read_table(spark, path, v1), cl.read_table(spark, path, v2)
         )
 
     out = {"n_rows": n_rows, "n_dirs": NB, "batch_rows": batch().count()}
@@ -155,11 +157,8 @@ def main():
         t0 = time.time()
         vrw = cl.delete_where(spark, p3, cond)
         t_rw = time.time() - t0
-        a, b = cl.read_table(spark, p2), cl.read_table(spark, p3)
-        same = bool(
-            a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
-            and a.count() == b.count()
-        )
+        same = frames_identical(
+            cl.read_table(spark, p2), cl.read_table(spark, p3))
         t0 = time.time()
         n_dv_read = cl.read_table(spark, p2).count()
         t_read_dv = time.time() - t0
@@ -242,16 +241,13 @@ def main():
         cl.append(spark, p8, repl, stats_cols=["k"])
         t_two_step = time.time() - t0
         er = entry(p7, vr)
-        a, b = cl.read_table(spark, p7), cl.read_table(spark, p8)
         out["replace_where"] = {
             "replace_s": round(t_replace, 2),
             "delete_plus_append_s": round(t_two_step, 2),
             "dirs_rewritten": len(er["removed"]),
             "dirs_pruned": er["pruned_dirs"],
-            "identical": bool(
-                a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
-                and a.count() == b.count()
-            ),
+            "identical": frames_identical(
+                cl.read_table(spark, p7), cl.read_table(spark, p8)),
             "commits": 1,
         }
 
@@ -273,7 +269,6 @@ def main():
         t0 = time.time()
         vrw2 = cl.merge_upsert(spark, p10, batch(), ["k"], "ts")
         t_rw2 = time.time() - t0
-        a, b = cl.read_table(spark, p9), cl.read_table(spark, p10)
         out["merge_on_read"] = {
             "mor_s": round(t_mor, 2),
             "rewrite_merge_s": round(t_rw2, 2),
@@ -281,10 +276,8 @@ def main():
             "dirs_rewritten": len(emor["removed"]),
             "dv_rows": int(emor.get("dv_rows") or 0),
             "dirs_pruned": emor["pruned_dirs"],
-            "identical": bool(
-                a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
-                and a.count() == b.count()
-            ),
+            "identical": frames_identical(
+                cl.read_table(spark, p9), cl.read_table(spark, p10)),
         }
 
         # --- column mapping (r12): RENAME on the ~650 MB 16-dir

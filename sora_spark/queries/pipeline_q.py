@@ -5372,7 +5372,7 @@ WITH snap AS (
 batch AS (
   SELECT o_orderkey AS k, o_orderstatus AS st,
          round(o_totalprice + 1000, 2) AS price,
-         o_orderdate + CASE WHEN o_orderkey % 2 = 0
+         o_orderdate + CASE WHEN o_orderkey % 60 = 0
                             THEN INTERVAL 1 DAY
                             ELSE INTERVAL '-1' DAY END AS ts
   FROM orders WHERE o_orderkey % 5 = 0),
@@ -5399,11 +5399,14 @@ SELECT stage, k, st, price, ts_s FROM stages ORDER BY stage, k
     "touches zero existing data directories (pinned: removed=[] in "
     "test_commit_log_merge_on_read), so upsert cost tracks the batch "
     "+ a pruned position scan, deferring physical reconciliation to "
-    "compact. The batch deliberately mixes WINNERS (even keys, ts+1 "
-    "day) and LOSERS (odd existing keys, ts-1 day — their rows must "
-    "NOT replace the newer current ones, the half of merge "
-    "semantics a naive delete+append gets wrong) plus brand-new "
-    "keys. 'a_mor' reads THROUGH the vectors; 'b_compacted' after "
+    "compact. Matched keys are the multiples of 30 (k%6=0 ∩ k%5=0); "
+    "the batch splits them on k%60 so BOTH legs are populated: "
+    "multiples of 60 arrive newer and WIN, the other multiples of 30 "
+    "arrive older and LOSE — their rows must NOT replace the newer "
+    "current ones, the half of merge semantics a naive delete+append "
+    "gets wrong (an earlier k%2 split made every matched key a "
+    "winner, r12 review) — plus brand-new keys as plain inserts. "
+    "'a_mor' reads THROUGH the vectors; 'b_compacted' after "
     "OPTIMIZE physically applied them — both must hash-match the "
     "rewrite-merge SQL truth exactly, so DV-served merge semantics "
     "== rewrite semantics == the SQL replay.",
@@ -5428,7 +5431,7 @@ def qup27_merge_on_read(spark, sf_dir):
         F.col("o_orderstatus").alias("st"),
         F.round(F.col("o_totalprice") + 1000, 2).alias("price"),
         (F.col("o_orderdate") + F.when(
-            F.col("o_orderkey") % 2 == 0, F.expr("INTERVAL 1 DAY")
+            F.col("o_orderkey") % 60 == 0, F.expr("INTERVAL 1 DAY")
         ).otherwise(F.expr("INTERVAL -1 DAY"))).alias("ts"),
     )
     tiled = snap.withColumn("_t", F.ntile(3).over(Window.orderBy("k")))

@@ -988,6 +988,10 @@ def append(
     commits = _read_state_commits(path)
     evolved = _evolution_gate(commits, df, merge_schema, "append")
     version = commits[-1]["version"] + 1
+    if auto_compact is not None and auto_compact < 2:
+        # validate BEFORE the commit: raising after _publish would
+        # make a durably-committed append look failed (r12 review)
+        raise ValueError("auto_compact threshold must be >= 2 dirs")
     if optimize_write is not None:
         if optimize_write < 1:
             raise ValueError("optimize_write must be >= 1 rows/file")
@@ -1027,16 +1031,23 @@ def append(
 def _maybe_auto_compact(
     spark: SparkSession, path: str, min_dirs: int
 ) -> int | None:
-    """Post-commit auto-compact (Delta's autoCompact): fires only at
-    `min_dirs` live directories, best-effort — a lost race against a
-    concurrent writer skips silently (their commit will trigger its
-    own), exactly because this runs AFTER the append already
-    committed and must never fail it."""
-    if min_dirs < 2:
-        raise ValueError("auto_compact threshold must be >= 2 dirs")
+    """Post-commit auto-compact (Delta's autoCompact shape): fires
+    only at `min_dirs` live DIRECTORIES — gated here, not inside
+    compact(), whose own live-DV override would otherwise fire a
+    full rewrite right after every DV delete regardless of the
+    threshold (r12 review). Best-effort by contract: ANY failure is
+    swallowed (the append already committed durably and must never
+    look failed; the next append re-triggers). The compact is the
+    full single-directory rewrite — right for the dimension/state
+    tables micro-batch appends target; fact tables should run
+    compact(target_partitions=live_bytes/128MB) on their own
+    cadence instead of auto_compact."""
     try:
+        commits = _read_state_commits(path)
+        if len(_fold_live(commits)) < min_dirs:
+            return None
         return compact(spark, path, min_dirs=min_dirs)
-    except ConcurrentWriteError:
+    except Exception:
         return None
 
 
@@ -1725,8 +1736,15 @@ def _merge_on_read(
     cur_wins = None
     losers = None
     if cur is not None:
+        # the dedup window over the batch and the DV-aware touched-dir
+        # scan each feed several actions below (DV write, emptiness
+        # probe, data write, CDC) — materialize once, matched-rows /
+        # batch-rows sized respectively (r12 review)
+        b = b.localCheckpoint(eager=True)
         bk = b.select(*key_cols, F.col(ts_col).alias("_bts"))
-        j = cur.join(F.broadcast(bk), key_cols, "inner")
+        j = cur.join(F.broadcast(bk), key_cols, "inner").localCheckpoint(
+            eager=True
+        )
         # batch wins ties — the rewrite path's _src tiebreak
         losers = j.filter(F.col("_bts") >= F.col(ts_col))
         obs = Observation()
@@ -1773,26 +1791,22 @@ def _merge_on_read(
     if entry_stats:
         entry["stats"] = entry_stats
     if _table_cdf(commits):
+        # the rewrite merge's exact emission semantics, via the same
+        # helper: keys only in the batch diff as inserts, superseded
+        # keys as pre/post pairs, and VALUE-IDENTICAL replacements as
+        # nothing — a replayed batch is a physical change (DV + new
+        # file) but a logical no-op, and the feed reports logical
+        # changes (r12 review: the hand-rolled version emitted
+        # spurious pairs the rewrite path suppresses)
         tcols = [f.name for f in schema.fields]
-        parts = []
-        if losers is not None:
-            parts.append(losers.select(
-                *tcols, F.lit("update_preimage").alias("_change_type")))
-            upd_keys = losers.select(*key_cols).distinct()
-            parts.append(ins.join(
-                F.broadcast(upd_keys), key_cols, "left_semi"
-            ).select(
-                *tcols, F.lit("update_postimage").alias("_change_type")))
-            parts.append(ins.join(
-                F.broadcast(upd_keys), key_cols, "left_anti"
-            ).select(*tcols, F.lit("insert").alias("_change_type")))
-        else:
-            parts.append(ins.select(
-                *tcols, F.lit("insert").alias("_change_type")))
-        changes = parts[0]
-        for p in parts[1:]:
-            changes = changes.unionByName(p)
-        entry["cdc"] = [_write_cdc(changes, path, version)]
+        pre = (
+            losers.select(*tcols) if losers is not None
+            else spark.createDataFrame([], ins.select(*tcols).schema)
+        )
+        entry["cdc"] = [_write_cdc(
+            _diff_frames(pre, ins.select(*tcols), key_cols),
+            path, version,
+        )]
     return _publish(path, entry)
 
 

@@ -189,9 +189,19 @@ class CommitLogStreamReader(DataSourceStreamReader):
         blow through maxBytesPerTrigger unmetered). A listing of just
         that commit's directories (backlog-bounded)."""
         entry = _read_commit(self.path, version)
-        rels = list(entry.get("added", []))
         if self.read_changes:
-            rels += entry.get("cdc", [])
+            # meter what the CDF reader actually emits: data files
+            # for append-type commits, the cdc sidecar for change
+            # commits (their `added` rewrites are never read here —
+            # counting them would let one rewritten version eat the
+            # whole byte budget; r12 review)
+            op = entry.get("operation")
+            if op in _APPEND_OPS or op == "clone":
+                rels = list(entry.get("added", []))
+            else:
+                rels = list(entry.get("cdc", []))
+        else:
+            rels = list(entry.get("added", []))
         total = 0
         for rel in rels:
             pat = os.path.join(
