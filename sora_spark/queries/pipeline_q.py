@@ -5661,3 +5661,64 @@ def qts16_seasonal_decomposition(spark, sf_dir):
         )
         .orderBy("day_s")
     )
+
+
+@query(
+    "qup28_write_defaults",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 6 = 0),
+evolved AS (
+  SELECT o_orderkey AS k, round(o_totalprice, 2) AS price,
+         'batch2024' AS src
+  FROM orders WHERE o_orderkey % 6 = 2
+  UNION ALL
+  SELECT o_orderkey, round(o_totalprice, 2), 'legacy'
+  FROM orders WHERE o_orderkey % 6 = 4),
+final AS (
+  SELECT k, price, CAST(NULL AS VARCHAR) AS src FROM snap
+  UNION ALL SELECT * FROM evolved)
+SELECT k, price, src FROM final ORDER BY k
+""",
+    doc="qup28: WRITE-TIME column DEFAULTS (append defaults= — "
+    "Delta's WriteDefault): an evolving append adds `src` with "
+    "default 'legacy'; a later OLD-SHAPED batch (no src column — the "
+    "producer that hasn't upgraded, the reason additive evolution "
+    "exists) appends anyway and lands with the default filled at "
+    "write, while the evolving batch's own values pass through and "
+    "rows written BEFORE the column existed still read NULL — the "
+    "exact three-way split (NULL / explicit / default) the oracle "
+    "replays. The ExistsDefault half (backfilling old rows at read) "
+    "needs per-file metadata and is documented out of scope rather "
+    "than half-implemented. Scale: the fill is a withColumn literal "
+    "on the batch — zero reads of the table; the defaults map rides "
+    "the log fold (checkpoint/clone/rename/drop keep it "
+    "consistent).",
+    tags=("sink", "acid", "ddl", "evolution"),
+)
+def qup28_write_defaults(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+
+    def slc(rem, with_src=None):
+        out = orders.filter(F.col("o_orderkey") % 6 == rem).select(
+            F.col("o_orderkey").alias("k"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        if with_src is not None:
+            out = out.withColumn("src", F.lit(with_src))
+        return out
+
+    path = os.path.join(_roundtrip_dir("commit_log_defaults"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(spark, path, slc(0))                     # v1
+    cl.append(spark, path, slc(2, "batch2024"),              # v2 evolves
+              merge_schema=True, defaults={"src": "'legacy'"})
+    cl.append(spark, path, slc(4))                           # v3 old shape
+    return cl.read_table(spark, path).orderBy("k")

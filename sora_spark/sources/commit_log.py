@@ -176,7 +176,7 @@ def _read_state_commits(path: str) -> list[dict]:
     }
     for k in ("schema", "schema_json", "check", "cdf", "stats",
               "txn_watermarks", "committed_at", "column_map",
-              "reserved_physical", "reader_features"):
+              "reserved_physical", "reader_features", "defaults"):
         if state.get(k):
             synthetic[k] = state[k]
     if state.get("live_dvs"):
@@ -248,6 +248,8 @@ def checkpoint_log(path: str) -> int:
         state["reserved_physical"] = _reserved_physical(commits)
     if _reader_features(commits):
         state["reader_features"] = sorted(_reader_features(commits))
+    if _column_defaults(commits):
+        state["defaults"] = _column_defaults(commits)
     if watermarks:
         state["txn_watermarks"] = watermarks
     final = os.path.join(
@@ -470,6 +472,38 @@ def _column_map(commits: list[dict]) -> dict[str, str]:
         if "column_map" in c:
             return dict(c["column_map"])
     return {}
+
+
+def _column_defaults(commits: list[dict]) -> dict[str, str]:
+    """WRITE-TIME defaults (Delta's WriteDefault half of column
+    DEFAULT semantics): {logical column -> SQL literal/expression
+    text}. A writer whose batch OMITS a defaulted column gets it
+    filled at write time — the producers-upgrade-at-their-own-pace
+    contract behind additive schema evolution; rows written BEFORE
+    the column existed still read NULL (qup13's recorded-schema
+    semantics — the ExistsDefault half would need per-file metadata
+    and is deliberately out of scope, documented). Latest commit
+    carrying the key wins; maps merge at each evolution."""
+    for c in reversed(commits):
+        if "defaults" in c:
+            return dict(c["defaults"])
+    return {}
+
+
+def _fill_defaults(df: DataFrame, commits: list[dict]) -> DataFrame:
+    """Add any missing defaulted columns to a batch, CAST to the
+    table's recorded type — after this the ordinary evolution gate
+    sees a complete batch."""
+    from pyspark.sql import functions as F
+
+    defaults = _column_defaults(commits)
+    if not defaults:
+        return df
+    types = {f.name: f.dataType for f in _schema_struct(commits).fields}
+    for c, expr_text in defaults.items():
+        if c not in df.columns and c in types:
+            df = df.withColumn(c, F.expr(expr_text).cast(types[c]))
+    return df
 
 
 def _reserved_physical(commits: list[dict]) -> list[str]:
@@ -952,8 +986,18 @@ def append(
     merge_schema: bool = False,
     optimize_write: int | None = None,
     auto_compact: int | None = None,
+    defaults: dict[str, str] | None = None,
 ) -> int:
     """Append-only commit: adds a data directory, removes nothing.
+
+    `defaults={"col": "sql literal"}` (with merge_schema=True)
+    declares WRITE-TIME defaults for the columns this evolution
+    adds: from this commit on, a batch that OMITS a defaulted column
+    gets it filled at write (cast to the recorded type) instead of
+    refusing — old-shaped producers keep appending through an
+    additive evolution (Delta's WriteDefault). Pre-evolution ROWS
+    still read NULL (the ExistsDefault half needs per-file metadata
+    — out of scope, documented on _column_defaults).
 
     THE SMALL-FILES LEVERS (Delta's optimizeWrite/autoCompact shapes;
     at 100 TB the failure mode is not data volume but file count —
@@ -986,7 +1030,20 @@ def append(
     concurrent evolution can legitimately flip the verdict);
     ConcurrentWriteError surfaces only after the attempt cap."""
     commits = _read_state_commits(path)
+    df = _fill_defaults(df, commits)
     evolved = _evolution_gate(commits, df, merge_schema, "append")
+    if defaults:
+        if not (merge_schema and evolved):
+            raise ValueError(
+                "defaults= declares write-defaults for an EVOLVING "
+                "append (merge_schema=True adding those columns)"
+            )
+        missing = [c for c in defaults if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"defaults name columns the batch does not add: "
+                f"{missing}"
+            )
     version = commits[-1]["version"] + 1
     if auto_compact is not None and auto_compact < 2:
         # validate BEFORE the commit: raising after _publish would
@@ -1010,6 +1067,10 @@ def append(
             entry["schema"] = df.schema.simpleString()
             entry["schema_json"] = df.schema.json()
             entry["schema_evolved"] = True
+            if defaults:
+                entry["defaults"] = {
+                    **_column_defaults(commits), **defaults
+                }
         if stats:
             entry["stats"] = {rel: stats}
         try:
@@ -1130,6 +1191,10 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> int:
         entry = _mapping_entry(renamed, cmap)
         entry["operation"] = "rename_column"
         entry["renamed"] = {"from": old, "to": new}
+        dfl = _column_defaults(commits)
+        if old in dfl:
+            dfl[new] = dfl.pop(old)
+            entry["defaults"] = dfl
         entry["version"] = commits[-1]["version"] + 1
         try:
             return _publish(path, entry)
@@ -1178,6 +1243,10 @@ def drop_column(spark: SparkSession, path: str, col: str) -> int:
         entry = _mapping_entry(shrunk, cmap)
         entry["operation"] = "drop_column"
         entry["dropped"] = col
+        dfl = _column_defaults(commits)
+        if col in dfl:
+            dfl.pop(col)
+            entry["defaults"] = dfl
         entry["reserved_physical"] = sorted(
             set(_reserved_physical(commits)) | {phys}
         )
@@ -1456,6 +1525,7 @@ def merge_upsert(
     from pyspark.sql.window import Window
 
     commits = _read_state_commits(path)
+    batch_df = _fill_defaults(batch_df, commits)
     # same gate as append: without it a type-drifting batch would
     # be COERCED by unionByName and committed as a silently
     # different table schema, wedging later appends against the
@@ -1843,6 +1913,7 @@ def replace_where(
         raise ValueError("replace_where takes the predicate as SQL text")
     cond = F.expr(condition)
     commits = _read_state_commits(path)
+    batch_df = _fill_defaults(batch_df, commits)
     _evolution_gate(commits, batch_df, False, "replace_where batch")
     version = commits[-1]["version"] + 1
     live = _fold_live(commits)
@@ -2306,6 +2377,8 @@ def clone_table(spark: SparkSession, src: str, dst: str) -> int:
         entry["reserved_physical"] = _reserved_physical(commits)
     if _reader_features(commits):
         entry["reader_features"] = sorted(_reader_features(commits))
+    if _column_defaults(commits):
+        entry["defaults"] = _column_defaults(commits)
     stats = {d: s for d, s in live_stats.items() if s}
     if stats:
         entry["stats"] = stats
@@ -2503,6 +2576,7 @@ def txn_append(
     if seen is not None and seen >= int(txn_version):
         return None
     commits = _read_state_commits(path)
+    df = _fill_defaults(df, commits)
     want = _latest_schema(commits)
     if want and df.schema.simpleString() != want:
         raise ValueError(

@@ -3652,3 +3652,43 @@ def test_commit_log_merge_on_read(spark, tmp_path):
             spark, path,
             mk([(4, "x", 30)]).withColumn("extra", F.lit(1)),
             ["k"], "ts", merge_on_read=True, merge_schema=True)
+
+
+def test_commit_log_write_defaults(spark, tmp_path):
+    """Write-time defaults: the map survives checkpoint/clone,
+    re-keys under rename, dies with drop, and fills old-shaped
+    batches in txn_append/merge too; misuse refuses."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    mk = lambda rows, sch="k bigint, v double": spark.createDataFrame(
+        rows, sch)
+    cl.create_table(spark, path, mk([(1, 1.0)]))
+    # defaults without an evolving batch refuse
+    with _pytest.raises(ValueError, match="EVOLVING"):
+        cl.append(spark, path, mk([(2, 2.0)]), defaults={"v": "0"})
+    cl.append(spark, path,
+              mk([(2, 2.0, "x")], "k bigint, v double, tag string"),
+              merge_schema=True, defaults={"tag": "'none'"})
+    # old-shaped append fills the default; merge does too
+    cl.append(spark, path, mk([(3, 3.0)]))
+    cl.merge_upsert(spark, path, mk([(4, 4.0)]), ["k"], "v")
+    got = dict(
+        (r["k"], r["tag"])
+        for r in cl.read_table(spark, path).collect())
+    assert got == {1: None, 2: "x", 3: "none", 4: "none"}, got
+    # checkpoint keeps the map; rename re-keys it; drop removes it
+    cl.checkpoint_log(path)
+    assert cl._column_defaults(cl._read_state_commits(path)) == {
+        "tag": "'none'"}
+    cl.rename_column(spark, path, "tag", "label")
+    assert cl._column_defaults(cl._read_state_commits(path)) == {
+        "label": "'none'"}
+    cl.append(spark, path, mk([(5, 5.0)]))
+    assert cl.read_table(spark, path).filter("k = 5").collect()[0][
+        "label"] == "none"
+    cl.drop_column(spark, path, "label")
+    assert cl._column_defaults(cl._read_state_commits(path)) == {}
