@@ -5722,3 +5722,62 @@ def qup28_write_defaults(spark, sf_dir):
               merge_schema=True, defaults={"src": "'legacy'"})
     cl.append(spark, path, slc(4))                           # v3 old shape
     return cl.read_table(spark, path).orderBy("k")
+
+
+@query(
+    "qts17_autocorrelation",
+    oracle="""
+WITH daily AS (
+  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+         round(sum(value), 2) AS v
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT t, v,
+         lag(v, 1) OVER w AS v1,
+         lag(v, 2) OVER w AS v2,
+         lag(v, 3) OVER w AS v3
+  FROM daily WINDOW w AS (PARTITION BY t ORDER BY day))
+SELECT t,
+       round(corr(v, v1), 4) AS acf1,
+       round(corr(v, v2), 4) AS acf2,
+       round(corr(v, v3), 4) AS acf3,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM lagged GROUP BY t ORDER BY t
+""",
+    doc="qts17: AUTOCORRELATION function (lags 1-3) of the daily "
+    "per-type value series — the seasonality/persistence diagnostic "
+    "read before fitting any forecaster (qts11's backtest assumes "
+    "weekly structure; this row is how you'd discover it). Pairwise "
+    "corr over (v, lag_k v) with NULL lag heads dropped by corr's "
+    "pair semantics in both engines; corr parity at 4dp is the "
+    "qa8-established contract (both compute sample correlation; the "
+    "reduction-order float drift sits orders of magnitude below the "
+    "rounding). One agg + one window pass + one grouped agg.",
+    tags=("timeseries", "window", "stats"),
+)
+def qts17_autocorrelation(spark, sf_dir):
+    ev = tables(spark, sf_dir).events
+    daily = (
+        ev.groupBy(
+            F.col("event_type").alias("t"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    w = Window.partitionBy("t").orderBy("day")
+    lagged = daily.select(
+        "t", "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 2).over(w).alias("v2"),
+        F.lag("v", 3).over(w).alias("v3"),
+    )
+    return (
+        lagged.groupBy("t")
+        .agg(
+            F.round(F.corr("v", "v1"), 4).alias("acf1"),
+            F.round(F.corr("v", "v2"), 4).alias("acf2"),
+            F.round(F.corr("v", "v3"), 4).alias("acf3"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .orderBy("t")
+    )
