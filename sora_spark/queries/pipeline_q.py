@@ -5781,3 +5781,182 @@ def qts17_autocorrelation(spark, sf_dir):
         )
         .orderBy("t")
     )
+
+
+@query(
+    "qup29_update_on_read",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 6 = 0),
+upd AS (
+  SELECT k,
+         CASE WHEN st = 'F' THEN 'U' ELSE st END AS st,
+         CASE WHEN st = 'F' THEN round(price + 100, 2) ELSE price END
+           AS price
+  FROM snap),
+stages AS (
+  SELECT 'a_dv' AS stage, k, st, price FROM upd
+  UNION ALL SELECT 'b_compacted', k, st, price FROM upd)
+SELECT stage, k, st, price FROM stages ORDER BY stage, k
+""",
+    doc="qup29: DV-MODE UPDATE (update_where merge_on_read=True — "
+    "Delta's deletion-vector UPDATE, r12 verdict item 1, completing "
+    "the zero-rewrite conversion: DELETE got vectors in qup16, MERGE "
+    "in qup27, UPDATE here): the matched rows' positions die via a "
+    "deletion-vector sidecar and their UPDATED images land as ONE "
+    "appended directory — the commit removes zero data directories "
+    "(pinned: removed=[] and dv_rows>0 in test_capabilities.py::"
+    "test_update_on_read), so a selective UPDATE into a 100 TB table "
+    "costs a position scan plus the matched rows, deferring physical "
+    "reconciliation to compact. Identical statement to qup18's "
+    "rewrite UPDATE (SET st='U', price+=100 WHERE st='F' over the "
+    "same three-directory snapshot): 'a_dv' reads THROUGH the "
+    "vectors, 'b_compacted' after OPTIMIZE physically applied them — "
+    "both must hash-match the same SQL truth, so DV-served UPDATE "
+    "semantics == rewrite semantics == the SQL replay. CDC pre/post "
+    "pairs come from the same matched set as the rewrite path "
+    "(equality pinned in the capability test).",
+    tags=("sink", "acid", "update", "dv"),
+)
+def qup29_update_on_read(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    tiled = snap.withColumn("_t", F.ntile(3).over(Window.orderBy("k")))
+    path = os.path.join(_roundtrip_dir("commit_log_update_mor"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(
+        spark, path, tiled.filter("_t = 1").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 2").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 3").drop("_t"), stats_cols=["k"])
+    cl.update_where(
+        spark, path, "st = 'F'",
+        {"st": "'U'", "price": "round(price + 100, 2)"},
+        merge_on_read=True,
+    )
+    a = cl.read_table(spark, path)           # through the vectors
+    cl.compact(spark, path)
+    b = cl.read_table(spark, path)           # physically reconciled
+
+    def shape(df, stage):
+        return df.select(F.lit(stage).alias("stage"), "k", "st", "price")
+
+    return (
+        shape(a, "a_dv").unionByName(shape(b, "b_compacted"))
+        .orderBy("stage", "k")
+    )
+
+
+@query(
+    "qup30_mor_schema_evolution",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price, o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 6 = 0),
+batch AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice + 1000, 2) AS price,
+         o_orderdate + CASE WHEN o_orderkey % 60 = 0
+                            THEN INTERVAL 1 DAY
+                            ELSE INTERVAL '-1' DAY END AS ts,
+         'mor' AS src2
+  FROM orders WHERE o_orderkey % 5 = 0),
+merged AS (
+  SELECT b.k, b.st, b.price, b.ts, b.src2 FROM batch b
+  LEFT JOIN snap s USING (k)
+  WHERE s.k IS NULL OR b.ts >= s.ts
+  UNION ALL
+  SELECT s.k, s.st, s.price, s.ts, CAST(NULL AS VARCHAR) FROM snap s
+  LEFT JOIN batch b USING (k)
+  WHERE b.k IS NULL OR b.ts < s.ts),
+stages AS (
+  SELECT 'a_mor' AS stage, k, st, price, src2,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM merged
+  UNION ALL
+  SELECT 'b_compacted', k, st, price, src2,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') FROM merged)
+SELECT stage, k, st, price, src2, ts_s FROM stages ORDER BY stage, k
+""",
+    doc="qup30: MERGE-ON-READ x SCHEMA EVOLUTION (r12 verdict item 2 "
+    "— the composition the explicit raise previously refused): one "
+    "merge_upsert(merge_schema=True, merge_on_read=True) commit "
+    "whose batch ADDS a column (src2) evolves the recorded schema, "
+    "vectors the superseded current rows (positions are "
+    "shape-agnostic), and appends the winners in the NEW shape — "
+    "zero existing directories touched (pinned: removed=[] and "
+    "schema_evolved in test_capabilities.py::"
+    "test_mor_schema_evolution). Old directories read NULL in src2 "
+    "through the recorded-schema scan (qup13 semantics, no footer "
+    "merge); qup27's winner/loser key split (k%60 wins, other k%30 "
+    "loses) keeps both merge legs populated. 'a_mor' reads through "
+    "the vectors, 'b_compacted' after OPTIMIZE physically applied "
+    "them AND rewrote old rows into the evolved shape — both must "
+    "hash-match the evolve-then-rewrite-merge SQL truth; time travel "
+    "before the merge keeps the old 4-column shape (pinned in the "
+    "capability test).",
+    tags=("sink", "acid", "dv", "merge", "schema-evolution"),
+)
+def qup30_mor_schema_evolution(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    batch = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") + 1000, 2).alias("price"),
+        (F.col("o_orderdate") + F.when(
+            F.col("o_orderkey") % 60 == 0, F.expr("INTERVAL 1 DAY")
+        ).otherwise(F.expr("INTERVAL -1 DAY"))).alias("ts"),
+        F.lit("mor").alias("src2"),
+    )
+    tiled = snap.withColumn("_t", F.ntile(3).over(Window.orderBy("k")))
+    path = os.path.join(_roundtrip_dir("commit_log_mor_evolve"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(
+        spark, path, tiled.filter("_t = 1").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 2").drop("_t"), stats_cols=["k"])
+    cl.append(
+        spark, path, tiled.filter("_t = 3").drop("_t"), stats_cols=["k"])
+    cl.merge_upsert(
+        spark, path, batch, ["k"], "ts",
+        merge_schema=True, merge_on_read=True,
+    )
+    a = cl.read_table(spark, path)           # through the vectors
+    cl.compact(spark, path)
+    b = cl.read_table(spark, path)           # physically reconciled
+
+    def shape(df, stage):
+        return df.select(
+            F.lit(stage).alias("stage"), "k", "st", "price", "src2",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+
+    return (
+        shape(a, "a_mor").unionByName(shape(b, "b_compacted"))
+        .orderBy("stage", "k")
+    )

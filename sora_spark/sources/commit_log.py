@@ -1563,14 +1563,10 @@ def merge_upsert(
             (untouched if skip else touched).append(d)
 
     if merge_on_read:
-        if evolved:
-            raise ValueError(
-                "merge_on_read does not compose with merge_schema "
-                "evolution; use the rewrite merge for schema changes"
-            )
         return _merge_on_read(
             spark, path, commits, batch_df, key_cols, ts_col,
             touched, len(untouched), version, stats_cols, cmap,
+            evolved=evolved,
         )
 
     new = batch_df.withColumn("_src", F.lit(1))
@@ -1770,6 +1766,7 @@ def _merge_on_read(
     version: int,
     stats_cols: list[str],
     cmap: dict[str, str],
+    evolved: bool = False,
 ) -> int:
     """MERGE-ON-READ (Iceberg's merge-on-read / Delta's DV MERGE —
     merge_upsert's merge_on_read=True): instead of rewriting the
@@ -1787,7 +1784,19 @@ def _merge_on_read(
     current row are dropped. Assumes a key-unique table (the
     create+merge lifecycle guarantee; with duplicate current keys
     the rewrite dedups, this path keeps the newer duplicate).
-    Refuses under schema evolution — use the rewrite merge there."""
+
+    `evolved=True` (r12 verdict item 2 — replaces the refusal that
+    previously lived here): the batch legally ADDS columns
+    (merge_upsert's shared evolution gate already vetted it) and
+    this commit re-records the evolved schema: losers die via the
+    vector exactly as before (positions are shape-agnostic), winners
+    land in the NEW shape as the appended directory, and every old
+    directory keeps reading NULL in the added columns through
+    _read_live's explicit-schema scan (qup13's recorded-schema
+    semantics — no footer merge). Time travel before this commit
+    keeps the old shape. Column order of the recorded schema matches
+    the rewrite path's unionByName(allowMissingColumns=True): table
+    columns first, then the batch's added columns in batch order."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -1839,6 +1848,19 @@ def _merge_on_read(
     ins = b
     if cur_wins is not None:
         ins = b.join(F.broadcast(cur_wins), key_cols, "left_anti")
+    out_schema = schema
+    if evolved:
+        # evolved logical shape = table columns (table order) + the
+        # batch's added columns (batch order) — byte-identical column
+        # order to the rewrite path's unionByName, so both physical
+        # strategies record the same schema for the same merge
+        old_names = [f.name for f in schema.fields]
+        ordered = old_names + [
+            f.name for f in b.schema.fields
+            if f.name not in set(old_names)
+        ]
+        ins = ins.select(*ordered)
+        out_schema = ins.schema
     added, entry_stats = [], {}
     if not ins.isEmpty():
         rel, stats = _write_data(
@@ -1858,6 +1880,10 @@ def _merge_on_read(
         entry["dv_added"] = [dv_rel]
         entry["dv_rows"] = n_dv
         entry["reader_features"] = ["deletion_vectors"]
+    if evolved:
+        entry["schema"] = out_schema.simpleString()
+        entry["schema_json"] = out_schema.json()
+        entry["schema_evolved"] = True
     if entry_stats:
         entry["stats"] = entry_stats
     if _table_cdf(commits):
@@ -1867,15 +1893,22 @@ def _merge_on_read(
         # nothing — a replayed batch is a physical change (DV + new
         # file) but a logical no-op, and the feed reports logical
         # changes (r12 review: the hand-rolled version emitted
-        # spurious pairs the rewrite path suppresses)
-        tcols = [f.name for f in schema.fields]
-        pre = (
-            losers.select(*tcols) if losers is not None
-            else spark.createDataFrame([], ins.select(*tcols).schema)
-        )
+        # spurious pairs the rewrite path suppresses). Under
+        # evolution the pre-images NULL-fill the added columns, the
+        # rewrite path's exact projection.
+        tcols = [f.name for f in out_schema.fields]
+        post = ins.select(*tcols)
+        if losers is not None:
+            have = set(losers.columns)
+            pre = losers.select(*[
+                F.col(f.name) if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in out_schema.fields
+            ])
+        else:
+            pre = spark.createDataFrame([], post.schema)
         entry["cdc"] = [_write_cdc(
-            _diff_frames(pre, ins.select(*tcols), key_cols),
-            path, version,
+            _diff_frames(pre, post, key_cols), path, version,
         )]
     return _publish(path, entry)
 
@@ -1981,6 +2014,7 @@ def update_where(
     condition,
     set_exprs: dict,
     stats_cols: list[str] | None = None,
+    merge_on_read: bool = False,
 ) -> int | None:
     """UPDATE table SET col = expr, ... WHERE condition, as a commit.
     Same cost shape as the rewrite DELETE: one pushdown scan over the
@@ -1991,6 +2025,21 @@ def update_where(
     directories stay listed unread. SQL UPDATE semantics: a NULL
     condition leaves the row unchanged. Returns the new version, or
     None when nothing matched (no commit published).
+
+    `merge_on_read=True` (Delta's DV-based UPDATE — r12 verdict item
+    1, the last writer to get a zero-rewrite variant): instead of
+    rewriting the directories that contain matches, the matched rows'
+    positions die via a DELETION-VECTOR sidecar and their UPDATED
+    images land as ONE appended directory — the commit touches zero
+    existing data directories, so a one-row UPDATE into a 100 TB
+    table costs one position scan plus a one-row write, deferring
+    physical reconciliation to the next compact (which applies the
+    vectors and delists them). Read-time tax is the DV anti-join on
+    the dirty directories only (_read_live's clean/dirty split).
+    Semantics are EXACTLY the rewrite path's — same matched set, same
+    cast-back assignments, same CDC pre/post pairs — just a different
+    physical plan; qup29 pins the hash equality both DV-served and
+    post-compact.
 
     `set_exprs` maps column name -> SQL expression string or Column;
     expressions may reference any table column (e.g. {"price":
@@ -2019,6 +2068,12 @@ def update_where(
     bad = [c for c in set_exprs if c not in full.columns]
     if bad:
         raise ValueError(f"update_where sets unknown column(s) {bad}")
+
+    if merge_on_read:
+        return _update_on_read(
+            spark, path, commits, full, cond, set_exprs, live,
+            version, stats_cols,
+        )
     hit = {
         r[0]
         for r in full.filter(cond)
@@ -2061,6 +2116,72 @@ def update_where(
         pre = hit_rows.select(
             "*", F.lit("update_preimage").alias("_change_type"))
         post = hit_rows.select(*out_cols).select(
+            "*", F.lit("update_postimage").alias("_change_type"))
+        entry["cdc"] = [_write_cdc(pre.unionByName(post), path, version)]
+    if stats:
+        entry["stats"] = {rel: stats}
+    return _publish(path, entry)
+
+
+def _update_on_read(
+    spark: SparkSession,
+    path: str,
+    commits: list[dict],
+    full: DataFrame,
+    cond,
+    set_exprs: dict,
+    live: list[str],
+    version: int,
+    stats_cols: list[str],
+) -> int | None:
+    """DV-mode UPDATE (update_where's merge_on_read=True): the matched
+    rows' positions go to a deletion-vector sidecar, their updated
+    images land as one appended directory, and the commit removes
+    NOTHING — the Delta DV-UPDATE shape (vector the old rows, append
+    the new images, reconcile at compact). The matched scan feeds
+    three consumers (the vector, the image write, the CDC pair), so
+    it is materialized ONCE, matched-rows-sized."""
+    from pyspark.sql import functions as F
+
+    matched = F.coalesce(cond, F.lit(False))  # NULL cond -> unchanged
+    hit_rows = full.filter(matched).localCheckpoint(eager=True)
+    n_dv = hit_rows.count()
+    if n_dv == 0:
+        return None
+
+    tcols = [c for c in full.columns if c not in ("_f", "_r")]
+    types = {f.name: f.dataType for f in full.schema.fields}
+    out_cols = []
+    for c in tcols:
+        if c in set_exprs:
+            e = set_exprs[c]
+            e = (F.expr(e) if isinstance(e, str) else e).cast(types[c])
+            out_cols.append(e.alias(c))
+        else:
+            out_cols.append(F.col(c))
+    updated = hit_rows.select(*out_cols)
+
+    dv_rel = os.path.join(_DV, f"v{version:08d}-{uuid.uuid4().hex[:12]}")
+    hit_rows.select(
+        F.col("_f").alias("_dv_file"), F.col("_r").alias("_dv_row")
+    ).write.mode("error").parquet(os.path.join(path, dv_rel))
+    rel, stats = _write_data(
+        updated, path, version, stats_cols, check=_table_check(commits),
+        column_map=_column_map(commits))
+    entry = {
+        "version": version, "operation": "update",
+        "merge_on_read": True,
+        "added": [rel], "removed": [],
+        "dv_added": [dv_rel], "dv_rows": n_dv,
+        "pruned_dirs": len(live),
+        "reader_features": ["deletion_vectors"],
+    }
+    if _table_cdf(commits):
+        # identical emission to the rewrite path: change-sized
+        # pre/post pairs from the same matched set
+        pre = hit_rows.select(
+            *tcols, F.lit("update_preimage").alias("_change_type"))
+        post = updated.select(
             "*", F.lit("update_postimage").alias("_change_type"))
         entry["cdc"] = [_write_cdc(pre.unionByName(post), path, version)]
     if stats:
