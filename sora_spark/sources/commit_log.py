@@ -978,6 +978,51 @@ def _evolution_gate(
     return True
 
 
+def _revalidate_dir(
+    spark: SparkSession,
+    path: str,
+    rel: str,
+    check: str | None,
+    commits: list[dict],
+) -> None:
+    """Semantic conflict rule for rebasing appends (Delta's
+    metadata-change detection, resolved by re-validation instead of a
+    blanket refusal): a rebase claims the next version WITHOUT
+    rewriting its already-written directory, so when a concurrent
+    commit ADDED or CHANGED the table CHECK after this batch
+    validated itself, the batch must be re-validated against the new
+    expression — otherwise the append+ADD-CONSTRAINT race would
+    silently commit rows the just-added constraint forbids (an
+    unserializable schedule: no serial order produces it, because a
+    serial append-after-constraint refuses at write time). One
+    batch-sized early-exit scan; on violation the append refuses with
+    ConstraintViolationError and the orphan directory is left for
+    vacuum. A DROPPED constraint needs no scan (every row passes)."""
+    if check is None:
+        return
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(path, rel))
+    cmap = _column_map(commits)
+    if cmap:
+        # files carry PHYSICAL names; the CHECK binds LOGICAL ones
+        schema = _schema_struct(commits)
+        have = set(df.columns)
+        df = df.select(*[
+            F.col(cmap.get(f.name, f.name)).alias(f.name)
+            for f in schema.fields
+            if cmap.get(f.name, f.name) in have
+        ])
+    bad = df.filter(~F.coalesce(F.expr(check), F.lit(True))).limit(1)
+    if not bad.isEmpty():
+        raise ConstraintViolationError(
+            f"a concurrent commit added CHECK ({check}) while this "
+            "append was in flight and the batch violates it; nothing "
+            "committed (rebase re-validation — the Delta-style "
+            "metadata conflict rule)"
+        )
+
+
 def append(
     spark: SparkSession,
     path: str,
@@ -1056,8 +1101,9 @@ def append(
 
         n = df.count()
         df = df.repartition(max(1, math.ceil(n / optimize_write)))
+    check_seen = _table_check(commits)
     rel, stats = _write_data(
-        df, path, version, stats_cols, check=_table_check(commits),
+        df, path, version, stats_cols, check=check_seen,
         column_map=_column_map(commits))
     last: ConcurrentWriteError | None = None
     for _ in range(8):
@@ -1081,10 +1127,19 @@ def append(
         except ConcurrentWriteError as e:
             # rebase: someone else took this version — the data dir is
             # already on disk; re-gate the schema against the winner's
-            # log and re-claim the next version (no data I/O)
+            # log and re-claim the next version (no data I/O unless
+            # the CHECK changed, below)
             last = e
             commits = _read_state_commits(path)
             evolved = _evolution_gate(commits, df, merge_schema, "append")
+            new_check = _table_check(commits)
+            if new_check != check_seen:
+                # the winner changed the table CHECK: re-validate the
+                # already-written batch before re-claiming (refuses on
+                # violation — the unserializable schedule is rejected,
+                # never silently merged)
+                _revalidate_dir(spark, path, rel, new_check, commits)
+                check_seen = new_check
             version = commits[-1]["version"] + 1
     raise last
 
@@ -1279,19 +1334,16 @@ def add_check_constraint(spark: SparkSession, path: str, expr: str) -> int:
             "drop_check_constraint first (single-constraint model — "
             "compose with AND)"
         )
-    bad = (
-        read_table(spark, path)
-        .filter(~F.coalesce(F.expr(expr), F.lit(True)))
-        .limit(1)
-    )
-    if not bad.isEmpty():
-        raise ConstraintViolationError(
-            f"existing rows violate ({expr}); constraint not added"
-        )
-    # lost races rebase like the other metadata writers — the
-    # expensive validation above is not repeated (a concurrent append
-    # validated itself against the still-absent constraint; the same
-    # window exists in Delta's ADD CONSTRAINT)
+    # validation runs INSIDE the rebase loop: a lost race means some
+    # writer committed between our scan and our claim, and its rows
+    # were validated against the still-absent constraint — they must
+    # pass the new expression too, or the pair append+ADD CONSTRAINT
+    # has no serial equivalent (a serial constraint-then-append would
+    # have refused the batch). Re-scanning on each rebase keeps the
+    # recorded invariant true by construction; the appending side
+    # closes the mirror-image window with _revalidate_dir. Each scan
+    # is the early-exit pushdown read — per-rebase cost is acceptable
+    # for a metadata operation.
     last: ConcurrentWriteError | None = None
     for _ in range(8):
         if _table_check(commits) is not None:
@@ -1299,6 +1351,15 @@ def add_check_constraint(spark: SparkSession, path: str, expr: str) -> int:
                 f"table already has a CHECK "
                 f"({_table_check(commits)}); drop_check_constraint "
                 "first"
+            )
+        bad = (
+            read_table(spark, path)
+            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .limit(1)
+        )
+        if not bad.isEmpty():
+            raise ConstraintViolationError(
+                f"existing rows violate ({expr}); constraint not added"
             )
         try:
             return _publish(path, {
@@ -2706,9 +2767,10 @@ def txn_append(
         )
     version = commits[-1]["version"] + 1
     added, entry_stats = [], {}
+    check_seen = _table_check(commits)
     if not df.isEmpty():
         rel, stats = _write_data(
-            df, path, version, stats_cols, check=_table_check(commits),
+            df, path, version, stats_cols, check=check_seen,
             column_map=_column_map(commits))
         added = [rel]
         if stats:
@@ -2733,6 +2795,12 @@ def txn_append(
             if seen is not None and seen >= int(txn_version):
                 return None
             commits = _read_state_commits(path)
+            new_check = _table_check(commits)
+            if added and new_check != check_seen:
+                # same rebase re-validation as append: a concurrently
+                # added CHECK must veto this batch, not be bypassed
+                _revalidate_dir(spark, path, added[0], new_check, commits)
+                check_seen = new_check
             entry["version"] = commits[-1]["version"] + 1
     raise last
 

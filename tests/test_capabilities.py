@@ -2739,6 +2739,189 @@ def test_commit_log_two_process_race(spark, tmp_path):
     assert got == want
 
 
+def test_commit_log_conflict_matrix(spark, tmp_path):
+    """r12 verdict item 3: the two-process race matrix beyond
+    txn_append — merge vs compact, DV-delete vs compact (the
+    vector's target directories disappear), and append vs ADD
+    CONSTRAINT — each pair raced by two REAL processes (separate
+    Python+JVM) against one table, wrapped in commit_with_retry.
+    Invariants: one winner per version (contiguous log, no gaps);
+    the final table equals SOME serial schedule of the pair; and the
+    one genuinely unserializable pair (append of violating rows vs
+    ADD CONSTRAINT) resolves to exactly ONE success — the loser is
+    REJECTED (ConstraintViolationError via rebase re-validation /
+    in-loop re-scan), never silently merged. The version-claim
+    protocol forces any loser to re-run its whole closure against
+    the winner's state, which is what makes the first two pairs
+    serializable by construction; this test executes that claim for
+    real across process boundaries."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    from sora_spark.sources import commit_log as cl
+
+    base = str(tmp_path)
+    mk = lambda rows, sch: spark.createDataFrame(rows, sch)
+    # t1: merge vs compact (3 dirs; batch updates k=1, inserts k=99)
+    t1 = os.path.join(base, "t1")
+    cl.create_table(spark, t1, mk([(1, "a", 10)], "k bigint, v string, ts bigint"), stats_cols=["k"])
+    cl.append(spark, t1, mk([(2, "b", 10)], "k bigint, v string, ts bigint"), stats_cols=["k"])
+    cl.append(spark, t1, mk([(3, "c", 10)], "k bigint, v string, ts bigint"), stats_cols=["k"])
+    # t2: DV-delete vs compact (3 dirs, delete evens)
+    t2 = os.path.join(base, "t2")
+    cl.create_table(spark, t2, mk([(i, i) for i in range(10)], "k bigint, v bigint"))
+    cl.append(spark, t2, mk([(i, i) for i in range(10, 20)], "k bigint, v bigint"))
+    cl.append(spark, t2, mk([(i, i) for i in range(20, 30)], "k bigint, v bigint"))
+    # t3: append(violating) vs ADD CONSTRAINT v < 100
+    t3 = os.path.join(base, "t3")
+    cl.create_table(spark, t3, mk([(1, 5)], "k bigint, v bigint"))
+
+    script = textwrap.dedent(
+        """
+        import json, os, sys, time
+        base, role = sys.argv[1], sys.argv[2]
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        from sora_spark.sources import commit_log as cl
+        other = "b" if role == "a" else "a"
+
+        def barrier(k):
+            open(os.path.join(base, f"ready-{role}-{k}"), "w").close()
+            while not os.path.exists(os.path.join(base, f"ready-{other}-{k}")):
+                time.sleep(0.01)
+
+        out = {}
+        mk = lambda rows, sch: spark.createDataFrame(rows, sch)
+        # scenario 1: merge vs compact
+        t1 = os.path.join(base, "t1")
+        barrier(1)
+        if role == "a":
+            batch = mk([(1, "A", 20), (99, "N", 20)],
+                       "k bigint, v string, ts bigint")
+            out["s1"] = cl.commit_with_retry(
+                lambda: cl.merge_upsert(spark, t1, batch, ["k"], "ts"))
+        else:
+            out["s1"] = cl.commit_with_retry(
+                lambda: cl.compact(spark, t1, min_dirs=2))
+        # scenario 2: DV-delete vs compact
+        t2 = os.path.join(base, "t2")
+        barrier(2)
+        if role == "a":
+            out["s2"] = cl.commit_with_retry(
+                lambda: cl.delete_where(spark, t2, "k % 2 = 0",
+                                        deletion_vectors=True))
+        else:
+            out["s2"] = cl.commit_with_retry(
+                lambda: cl.compact(spark, t2, min_dirs=2))
+        # scenario 3: append(violating) vs ADD CONSTRAINT
+        t3 = os.path.join(base, "t3")
+        barrier(3)
+        try:
+            if role == "a":
+                out["s3"] = cl.commit_with_retry(
+                    lambda: cl.append(
+                        spark, t3, mk([(2, 500)], "k bigint, v bigint")))
+            else:
+                out["s3"] = cl.commit_with_retry(
+                    lambda: cl.add_check_constraint(spark, t3, "v < 100"))
+            out["s3_ok"] = True
+        except cl.ConstraintViolationError as e:
+            out["s3_ok"] = False
+            out["s3_err"] = str(e)[:200]
+        with open(os.path.join(base, f"out-{role}.json"), "w") as f:
+            json.dump(out, f)
+        spark.stop()
+        """
+    )
+    env = dict(os.environ, PYTHONPATH=os.getcwd())
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, base, role],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for role in ("a", "b")
+    ]
+    outs = {}
+    for p, role in zip(procs, ("a", "b")):
+        _, err = p.communicate(timeout=420)
+        assert p.returncode == 0, err.decode()[-3000:]
+        with open(os.path.join(base, f"out-{role}.json")) as f:
+            outs[role] = _json.load(f)
+
+    # one winner per version, no gaps, on every table
+    for t in (t1, t2, t3):
+        vs = cl.table_versions(t)
+        assert vs == list(range(1, len(vs) + 1)), (t, vs)
+
+    # t1: both serial schedules end at the merged content
+    got1 = sorted(map(tuple, cl.read_table(spark, t1).collect()))
+    assert got1 == [(1, "A", 20), (2, "b", 10), (3, "c", 10),
+                    (99, "N", 20)], got1
+    # t2: evens deleted whatever the interleaving; no resurrections
+    got2 = sorted(r[0] for r in cl.read_table(spark, t2).collect())
+    assert got2 == [k for k in range(30) if k % 2 == 1], got2
+    # t3: the unserializable pair resolves to exactly ONE winner
+    a_ok, b_ok = outs["a"]["s3_ok"], outs["b"]["s3_ok"]
+    assert a_ok != b_ok, (outs["a"], outs["b"])
+    commits3 = cl._read_state_commits(t3)
+    check = cl._table_check(commits3)
+    rows3 = sorted(map(tuple, cl.read_table(spark, t3).collect()))
+    if b_ok:   # constraint won: recorded, and no violating row exists
+        assert check == "v < 100" and rows3 == [(1, 5)], (check, rows3)
+    else:      # append won: rows in, constraint refused (never both)
+        assert check is None and rows3 == [(1, 5), (2, 500)], (
+            check, rows3)
+
+
+def test_append_rebase_revalidates_check(spark, tmp_path, monkeypatch):
+    """Deterministic companion to the conflict-matrix race (which
+    cannot force the interleaving): inject an ADD CONSTRAINT commit
+    that steals the append's claimed version between its data write
+    and its publish. The rebase must re-validate the already-written
+    directory against the new CHECK — a violating batch is REJECTED
+    (the unserializable schedule), a legal one rebases through."""
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, v bigint")
+    cl.create_table(spark, path, mk([(1, 5)]))
+
+    real_publish = cl._publish
+    state = {"arm": False}
+
+    def racing_publish(p, entry):
+        if state["arm"] and entry.get("operation") == "append":
+            state["arm"] = False
+            real_publish(p, {
+                "version": entry["version"],
+                "operation": "add_constraint",
+                "added": [], "removed": [], "check": "v < 100",
+            })
+        return real_publish(p, entry)
+
+    monkeypatch.setattr(cl, "_publish", racing_publish)
+    state["arm"] = True
+    with _pytest.raises(cl.ConstraintViolationError, match="concurrent"):
+        cl.append(spark, path, mk([(2, 500)]))
+    # the losing batch's directory was never committed
+    assert sorted(map(tuple, cl.read_table(spark, path).collect())) \
+        == [(1, 5)]
+    cl.drop_check_constraint(spark, path)
+    # a LEGAL batch rebases straight through the same interleaving
+    state["arm"] = True
+    cl.append(spark, path, mk([(3, 50)]))
+    assert sorted(map(tuple, cl.read_table(spark, path).collect())) \
+        == [(1, 5), (3, 50)]
+    assert cl._table_check(cl._read_state_commits(path)) == "v < 100"
+
+
 def test_commit_log_update_where(spark, tmp_path):
     """UPDATE rewrites only directories containing matched rows
     (commit-pinned pruning), casts assignments back to the column
