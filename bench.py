@@ -259,6 +259,83 @@ def _bench_q15(spark, sf_dir: str, warm: dict, gates: dict,
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
+def _bench_q16(spark, sf_dir: str, warm: dict, gates: dict,
+               exec_metrics: dict, n_runs: int = 4) -> None:
+    """B16: batch upsert into the table format (r12 verdict item 4 —
+    the table format had probes but no round-over-round bench gate).
+    Times merge_upsert(merge_on_read=True) of a ~table/100 batch into
+    a fixed 16-directory commit-log table (the 4x-replicated lineitem
+    fixture shared with the stock twin — 2.4M rows at sf0.1): stats
+    pruning bounds the position scan to the key-overlapping
+    directories and the deletion-vector path rewrites ZERO existing
+    directories (gated in the row: q16_dirs_rewritten). The stock
+    twin (benchmarks/stock_twin_b16.py) is the full-table overwrite
+    merge a plain-parquet user runs for the same logical upsert;
+    output identity is verified by benchmarks/verify_b16_identity.py.
+    Table build is untimed (a table is written once, merged into
+    forever); each timed run is merge + commit, then an untimed
+    restore_table(base) resets the state so every run merges into
+    the identical 16-dir snapshot."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from benchmarks.stock_twin_b16 import b16_batch, b16_snapshot
+    from sora_spark.sources import commit_log as cl
+
+    snap = b16_snapshot(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="sora_b16_")
+    path = f"{base}/table"
+    try:
+        # setup, untimed: 16 key-range directories with k-stats
+        tiled = snap.withColumn(
+            "_t", F.ntile(16).over(Window.orderBy("k"))
+        ).localCheckpoint(eager=True)
+        cl.create_table(spark, path, tiled.filter("_t = 1").drop("_t"),
+                        stats_cols=["k"])
+        for t in range(2, 17):
+            cl.append(spark, path,
+                      tiled.filter(f"_t = {t}").drop("_t"),
+                      stats_cols=["k"])
+        batch = b16_batch(spark, snap)
+        base_v = cl.table_versions(path)[-1]
+
+        times, deltas, entry = [], [], None
+        for i in range(n_runs):
+            gc.collect()
+            before = _stage_totals(spark) if i > 0 else None
+            t0 = time.perf_counter()
+            v = cl.merge_upsert(spark, path, batch, ["k"], "ts",
+                                merge_on_read=True)
+            times.append(time.perf_counter() - t0)
+            if i > 0:
+                deltas.append(_metrics_delta(before, _stage_totals(spark)))
+            entry = cl._read_commits(path, v)[-1]
+            # untimed reset: O(metadata) rollback to the base snapshot
+            cl.restore_table(spark, path, base_v)
+        warm["q16"] = round(statistics.median(times[1:]), 4)
+        exec_metrics["q16"] = _median_metrics(deltas)
+        gates["q16_dirs_rewritten"] = len(entry["removed"])
+        gates["q16_dirs_pruned"] = entry["pruned_dirs"]
+        print(
+            f"[bench] q16 mor_merge_16dir: cold={times[0]:.3f}s "
+            f"warm={warm['q16']:.3f}s "
+            f"rewritten={len(entry['removed'])} "
+            f"pruned={entry['pruned_dirs']}/16 "
+            f"runs={[round(t, 3) for t in times[1:]]}",
+            file=sys.stderr,
+        )
+        if entry["removed"]:
+            raise AssertionError(
+                f"B16 merge rewrote {len(entry['removed'])} data "
+                "directories; the merge-on-read contract is zero"
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -350,6 +427,7 @@ def main() -> None:
             )
 
         _bench_q15(spark, sf_dir, warm, gates, exec_metrics, n_runs)
+        _bench_q16(spark, sf_dir, warm, gates, exec_metrics, n_runs)
 
     try:
         sha = subprocess.run(

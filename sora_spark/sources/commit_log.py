@@ -782,55 +782,81 @@ def _write_data(
     stats_cols: list[str] | None = None,
     check: str | None = None,
     column_map: dict[str, str] | None = None,
-) -> tuple[str, dict]:
-    """Write df to a fresh data directory. With `check`, a CHECK
-    violation count rides the write itself as an Observation (zero
-    extra passes — the scale-right validation); on violation the
-    directory is left UNPUBLISHED (the caller never commits it) and
-    ConstraintViolationError raises. SQL CHECK semantics: NULL
-    passes, only FALSE violates.
+    drop_if_empty: bool = False,
+) -> tuple[str | None, dict]:
+    """Write df to a fresh data directory. The CHECK violation count
+    AND the per-column min/max/null stats all ride the write itself
+    as ONE Observation — zero extra passes: before r13 the stats came
+    from re-reading the just-written parquet, a second full pass over
+    every written byte (at 100 TB, a doubled write path). On a CHECK
+    violation the directory is left UNPUBLISHED (the caller never
+    commits it) and ConstraintViolationError raises. SQL CHECK
+    semantics: NULL passes, only FALSE violates.
 
     `column_map` projects the LOGICAL df to its PHYSICAL names for
     the write, so every directory of a renamed table keeps one
-    on-disk schema. The CHECK expression binds BEFORE the projection
-    — constraints reference LOGICAL names (what users declare;
-    rename/drop of a constrained column refuses, so the binding can
-    never dangle). `stats_cols` are translated and stats recorded
-    under PHYSICAL names (one keyspace across renames; pruning sites
-    translate their lookups)."""
+    on-disk schema. The CHECK expression and the stats aggregates
+    bind BEFORE the projection — both reference LOGICAL names — and
+    stats are recorded under PHYSICAL names (one keyspace across
+    renames; pruning sites translate their lookups), exactly the
+    pre-r13 encoding (_stat_scalar rules: all-null marker, unprunable
+    types omitted).
+
+    `drop_if_empty=True` rides a row count on the same Observation:
+    a zero-row write is REMOVED and (None, {}) returned, saving the
+    caller's separate isEmpty() pre-pass (one whole job per
+    merge/delete on the hot path)."""
     from pyspark.sql import functions as F
     from pyspark.sql import Observation
 
     rel = os.path.join(_DATA, f"v{version:08d}-{uuid.uuid4().hex[:12]}")
     full = os.path.join(path, rel)
-    obs = None
+    scols = [c for c in (stats_cols or []) if c in df.columns]
+    exprs = []
     if check:
-        obs = Observation()
-        df = df.observe(
-            obs,
+        exprs.append(
             F.sum(
                 (~F.coalesce(F.expr(check), F.lit(True))).cast("long")
-            ).alias("viol"),
+            ).alias("viol")
         )
+    if drop_if_empty:
+        exprs.append(F.count(F.lit(1)).alias("nrows"))
+    for i, c in enumerate(scols):
+        exprs += [
+            F.min(c).alias(f"mn{i}"),
+            F.max(c).alias(f"mx{i}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nu{i}"),
+        ]
+    obs = None
+    if exprs:
+        obs = Observation()
+        df = df.observe(obs, *exprs)
     if column_map:
         df = _to_physical(df, column_map)
-        stats_cols = (
-            sorted({column_map.get(c, c) for c in stats_cols})
-            if stats_cols else stats_cols
-        )
     df.write.mode("error").parquet(full)
-    if obs is not None:
-        bad = int(obs.get["viol"] or 0)
+    row = obs.get if obs is not None else {}
+    if check:
+        bad = int(row["viol"] or 0)
         if bad:
             raise ConstraintViolationError(
                 f"{bad} row(s) violate the table CHECK ({check}); "
                 "nothing was committed"
             )
-    stats = (
-        _column_stats(df.sparkSession.read.parquet(full), stats_cols)
-        if stats_cols
-        else {}
-    )
+    if drop_if_empty and int(row["nrows"] or 0) == 0:
+        import shutil
+
+        shutil.rmtree(full, ignore_errors=True)
+        return None, {}
+    pmap = column_map or {}
+    stats = {}
+    for i, c in enumerate(scols):
+        nulls = int(row[f"nu{i}"] or 0)
+        lo, hi = _stat_scalar(row[f"mn{i}"]), _stat_scalar(row[f"mx{i}"])
+        pc = pmap.get(c, c)
+        if row[f"mn{i}"] is None:
+            stats[pc] = {"nulls": nulls, "allnull": True}
+        elif lo is not None and hi is not None:
+            stats[pc] = {"min": lo, "max": hi, "nulls": nulls}
     return rel, stats
 
 
@@ -1793,10 +1819,10 @@ def delete_where(
     keep = _read_live(spark, path, commits, touched, schema).filter(
         ~F.coalesce(cond, F.lit(False)))
     added, entry_stats = [], {}
-    if not keep.isEmpty():
-        rel, stats = _write_data(
-            keep, path, version, stats_cols,
-            column_map=_column_map(commits))
+    rel, stats = _write_data(
+        keep, path, version, stats_cols,
+        column_map=_column_map(commits), drop_if_empty=True)
+    if rel:
         added = [rel]
         if stats:
             entry_stats = {rel: stats}
@@ -1923,11 +1949,12 @@ def _merge_on_read(
         ins = ins.select(*ordered)
         out_schema = ins.schema
     added, entry_stats = [], {}
-    if not ins.isEmpty():
-        rel, stats = _write_data(
-            ins, path, version, stats_cols,
-            check=_table_check(commits), column_map=cmap,
-        )
+    rel, stats = _write_data(
+        ins, path, version, stats_cols,
+        check=_table_check(commits), column_map=cmap,
+        drop_if_empty=True,
+    )
+    if rel:
         added = [rel]
         if stats:
             entry_stats = {rel: stats}
@@ -2047,9 +2074,10 @@ def replace_where(
     if touched:
         keep = _read_live(spark, path, commits, touched, schema).filter(
             ~F.coalesce(cond, F.lit(False)))
-        if not keep.isEmpty():
-            rel, stats = _write_data(
-                keep, path, version, stats_cols, column_map=cmap)
+        rel, stats = _write_data(
+            keep, path, version, stats_cols, column_map=cmap,
+            drop_if_empty=True)
+        if rel:
             added.append(rel)
             if stats:
                 entry_stats[rel] = stats
@@ -2768,10 +2796,10 @@ def txn_append(
     version = commits[-1]["version"] + 1
     added, entry_stats = [], {}
     check_seen = _table_check(commits)
-    if not df.isEmpty():
-        rel, stats = _write_data(
-            df, path, version, stats_cols, check=check_seen,
-            column_map=_column_map(commits))
+    rel, stats = _write_data(
+        df, path, version, stats_cols, check=check_seen,
+        column_map=_column_map(commits), drop_if_empty=True)
+    if rel:
         added = [rel]
         if stats:
             entry_stats = {rel: stats}
