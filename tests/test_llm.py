@@ -1093,6 +1093,88 @@ def test_ivf_clustered_recall(spark, tmp_path):
     assert recall >= 0.9, f"clustered IVF recall {recall:.3f} < 0.9"
 
 
+def test_maintain_ivf_index(spark, tmp_path):
+    """maintain_ivf_index (r12 verdict item 5): on the clustered
+    fixture, a duplicate-region ingest balloons one frozen-centroid
+    list past the 4x trigger; maintenance must actually split
+    (splits non-empty), restore balance (max/median <= 4), keep
+    recall@10 at the pre-drift >= 0.9 pin on the maintained index,
+    and be idempotent (second run: no splits). The degenerate
+    duplicate-mass list flips rebuild_recommended instead of
+    spinning; an IVF-PQ layout refuses with the same flag."""
+    import random
+
+    rng = random.Random(7)
+    dim, n_clusters, n_vecs = 16, 16, 640
+    cents = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        for _ in range(n_clusters)
+    ]
+    rows = [
+        (vid, [x + rng.gauss(0.0, 0.05) for x in cents[vid % n_clusters]])
+        for vid in range(n_vecs)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    probes = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "ivf_maintain")
+    ann.write_ivf_index(emb, path, n_centroids=n_clusters, iters=2)
+
+    # drift: 4x the whole corpus size again, all of it near cluster 0
+    drift_rows = [
+        (10000 + i, [x + rng.gauss(0.0, 0.05) for x in cents[0]])
+        for i in range(4 * n_vecs // n_clusters * n_clusters)
+    ]
+    drift = spark.createDataFrame(
+        drift_rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    ann.append_to_ivf_index(drift, path)
+    stats = {
+        int(r["_cid"]): int(r["n_vectors"])
+        for r in ann.ivf_index_stats(spark, path).collect()
+    }
+    med = sorted(stats.values())[len(stats) // 2]
+    assert max(stats.values()) > 4 * med, (stats, med)  # drift is real
+
+    rep = ann.maintain_ivf_index(spark, path)
+    assert rep["splits"], rep
+    assert rep["max_over_median"] <= 4.0, rep
+    assert rep["n_lists"] == n_clusters + len(rep["splits"])
+    # idempotent: a maintained index needs nothing
+    rep2 = ann.maintain_ivf_index(spark, path)
+    assert rep2["splits"] == [] and not rep2["rebuild_recommended"]
+
+    # recall on the MAINTAINED index >= the pre-drift 0.9 pin, same
+    # 12.5%-of-original scan posture (n_probe grows with the codebook
+    # so the FRACTION, the thing that costs, stays comparable)
+    union = emb.unionByName(drift)
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ann.brute_force_topk(union, probes, k=10).collect()
+    }
+    n_probe = max(2, round(rep["n_lists"] / 8))
+    got = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ann.ivf_topk_indexed(
+            spark, path, probes, k=10, n_probe=n_probe
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"maintained-index recall {recall:.3f} < 0.9"
+
+    # degenerate duplicate mass: enough IDENTICAL vectors that after
+    # the legitimate splits peel off the noisy members, a pure-
+    # identical list is still over-trigger — 2-means cannot separate
+    # it, so maintenance must flag rebuild_recommended instead of
+    # spinning (the no-infinite-loop contract)
+    path2 = str(tmp_path / "ivf_dup")
+    ann.write_ivf_index(emb, path2, n_centroids=4, iters=2)
+    dup = spark.createDataFrame(
+        [(20000 + i, list(cents[0])) for i in range(1600)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    ann.append_to_ivf_index(dup, path2)
+    rep3 = ann.maintain_ivf_index(spark, path2)
+    assert rep3["rebuild_recommended"], rep3
+
+
 def test_neardup_recovers_planted_organic_clusters(spark, tmp_path):
     """End-to-end validation replication could never give (r10, with
     the organic fixture): near_dup_clusters must RECOVER known planted
