@@ -5960,3 +5960,159 @@ def qup30_mor_schema_evolution(spark, sf_dir):
         shape(a, "a_mor").unionByName(shape(b, "b_compacted"))
         .orderBy("stage", "k")
     )
+
+
+@query(
+    "qmv4_rate_limited_cdf_mv",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pri,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 7 = 0),
+b1 AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pri,
+         CAST(round((o_totalprice + 1000) * 100) AS BIGINT) AS cents,
+         o_orderdate + INTERVAL 1 DAY AS ts
+  FROM orders WHERE o_orderkey % 5 = 0),
+v2_t AS (
+  SELECT * FROM b1
+  UNION ALL
+  SELECT * FROM snap WHERE k NOT IN (SELECT k FROM b1)),
+v3_t AS (SELECT * FROM v2_t WHERE k % 3 <> 0),
+v4_t AS (
+  SELECT k, pri,
+         CASE WHEN k % 11 = 0 THEN cents + 12345 ELSE cents END AS cents,
+         ts
+  FROM v3_t),
+b2 AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pri,
+         CAST(round((o_totalprice + 2000) * 100) AS BIGINT) AS cents,
+         o_orderdate + INTERVAL 2 DAY AS ts
+  FROM orders WHERE o_orderkey % 4 = 0),
+v5_t AS (
+  SELECT * FROM b2
+  UNION ALL
+  SELECT * FROM v4_t WHERE k NOT IN (SELECT k FROM b2))
+SELECT pri, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM v5_t GROUP BY pri ORDER BY pri
+""",
+    doc="qmv4: RATE-LIMITED CDF STREAM feeding the MV maintenance "
+    "loop (r12 verdict item 6 — qup23's change feed + qup12's "
+    "admission control + qmv3's refresh, composed): the source table "
+    "takes FOUR change commits — a rewrite MERGE, a DV DELETE, the "
+    "new DV-MODE UPDATE (qup29's writer, proving its CDC pairs ride "
+    "the feed), and a MERGE-ON-READ merge (qup27's CDC path) — and "
+    "the view is maintained from readChangeFeed with "
+    "maxVersionsPerTrigger=1, so the four-version backlog is "
+    "admitted as FOUR micro-batches, each refreshing the view "
+    "incrementally under the epoch watermark (one-version-per-batch "
+    "admission is pinned by counting checkpoint offsets in "
+    "tests/test_streaming.py::test_qmv4_admits_one_version_per_batch"
+    "). The declared gate: the view's final contents must equal the "
+    "from-scratch SQL replay of all five source stages, integer "
+    "cents — a change row lost to admission chunking, a pre-image "
+    "missed from the DV-update sidecar, or a double-applied replay "
+    "misses to the last integer. At 100 TB this is how a view "
+    "catches up a week-long backlog without one giant micro-batch.",
+    tags=("cdc", "incremental", "streaming", "pipeline", "acid"),
+)
+def qmv4_rate_limited_cdf_mv(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.operators import incremental as inc
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+    from sora_spark.sources import commit_log_stream as cls_
+
+    cls_.register(spark)
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    b1 = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round((F.col("o_totalprice") + 1000) * 100)
+        .cast("bigint").alias("cents"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+    )
+    b2 = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round((F.col("o_totalprice") + 2000) * 100)
+        .cast("bigint").alias("cents"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 2 DAY")).alias("ts"),
+    )
+    base = _roundtrip_dir("commit_log_ratelimited_mv")
+    src = os.path.join(base, "source")
+    vw = os.path.join(base, "view")
+    ck = os.path.join(base, "ck")
+    for p in (src, vw, ck):
+        shutil.rmtree(p, ignore_errors=True)
+
+    cl.create_table(spark, src, snap, stats_cols=["k"],         # v1
+                    change_data_feed=True)
+    cl.merge_upsert(spark, src, b1, ["k"], "ts")                # v2
+    cl.delete_where(spark, src, "k % 3 = 0",                    # v3
+                    deletion_vectors=True)
+    cl.update_where(spark, src, "k % 11 = 0",                   # v4
+                    {"cents": "cents + 12345"}, merge_on_read=True)
+    cl.merge_upsert(spark, src, b2, ["k"], "ts",                # v5
+                    merge_on_read=True)
+
+    cl.create_table(
+        spark, vw,
+        inc.build_view(cl.read_table(spark, src, 1), ["pri"], ["cents"])
+        .withColumn("_e", F.lit(-1).cast("bigint")))
+
+    def maintain(feed, epoch_id):
+        sess = feed.sparkSession
+        cur = cl.read_table(sess, vw)
+        seen = cur.agg(F.max("_e")).collect()[0][0]
+        if seen is not None and int(seen) >= int(epoch_id):
+            return
+        ops = feed.select(
+            "pri", "cents",
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit("I"),
+            ).otherwise(F.lit("D")).alias("op"),
+        )
+        refreshed = inc.refresh(
+            cur.drop("_e"), ops, ["pri"], ["cents"]
+        ).withColumn("_e", F.lit(int(epoch_id)).cast("bigint"))
+        cl.merge_upsert(sess, vw, refreshed, ["pri"], "_e")
+
+    # the Python DataSource falls back to single-batch execution under
+    # availableNow (Spark logs it), so the capped stream is DRAINED
+    # the qup12 way: one run per admitted version over the SAME
+    # checkpoint — four runs for the four-version backlog, each batch
+    # one version, batch ids continuing across runs so the epoch
+    # watermark still totally orders the refreshes
+    for _ in range(4):
+        q = (
+            spark.readStream.format("commitlog").option("path", src)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 2)
+            .option("maxVersionsPerTrigger", "1")
+            .load()
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+    return (
+        cl.read_table(spark, vw)
+        .select(
+            "pri",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("pri")
+    )

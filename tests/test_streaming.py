@@ -929,3 +929,31 @@ def test_commitlog_stream_metadata_commits_and_feature_gate(
     cl.append(spark, path, mk([(5, 50)], "k bigint, val bigint"))
     with _pytest.raises(Exception, match="v9Compaction"):
         run(out2, str(tmp_path / "c2"), startingVersion=6)
+
+
+def test_qmv4_admits_one_version_per_batch(spark, sf_dir):
+    """qmv4's rate-limit claim, pinned structurally: the four-version
+    change backlog must drain as FOUR micro-batches (one admitted
+    version each — maxVersionsPerTrigger=1), visible in the stream's
+    own checkpoint: four offset files whose end offsets advance one
+    table version at a time (2 -> 3 -> 4 -> 5). The declared row
+    hash-gates the VALUES; this pins that the admission control
+    actually chunked the backlog rather than one giant batch."""
+    import json
+    import os
+
+    from sora_spark.queries.registry import REGISTRY
+    from sora_spark.queries.relational import _roundtrip_dir
+
+    REGISTRY["qmv4_rate_limited_cdf_mv"].spark_fn(spark, sf_dir)
+    ck = os.path.join(_roundtrip_dir("commit_log_ratelimited_mv"), "ck")
+    offsets_dir = os.path.join(ck, "offsets")
+    batch_ids = sorted(
+        int(f) for f in os.listdir(offsets_dir) if f.isdigit())
+    assert batch_ids == [0, 1, 2, 3], batch_ids
+    ends = []
+    for b in batch_ids:
+        with open(os.path.join(offsets_dir, str(b))) as fh:
+            last = [ln for ln in fh.read().splitlines() if ln][-1]
+        ends.append(int(json.loads(last)["version"]))
+    assert ends == [2, 3, 4, 5], ends
