@@ -280,6 +280,40 @@ def main():
                 cl.read_table(spark, p9), cl.read_table(spark, p10)),
         }
 
+        # --- DV-mode UPDATE (r13): the same selective UPDATE
+        # (k % 1000 = 0 — spread across EVERY directory, the rewrite
+        # path's worst case) as a deletion-vector commit vs the
+        # rewrite on the interleaved layout; identical both DV-served
+        # and post-compact, dirs_rewritten 0 vs N
+        p11 = os.path.join(d, "upd_dv_copy")
+        p12 = os.path.join(d, "upd_rw_copy")
+        shutil.copytree(p2_pristine, p11)
+        shutil.copytree(p2_pristine, p12)
+        usets = {"price": "round(price + 1, 2)", "st": "'U'"}
+        t0 = time.time()
+        vud = cl.update_where(spark, p11, "k % 1000 = 0", usets,
+                              merge_on_read=True)
+        t_udv = time.time() - t0
+        t0 = time.time()
+        cl.update_where(spark, p12, "k % 1000 = 0", usets)
+        t_urw = time.time() - t0
+        eud = entry(p11, vud)
+        same_dv = frames_identical(
+            cl.read_table(spark, p11), cl.read_table(spark, p12))
+        cl.compact(spark, p11, target_partitions=NB)
+        same_compacted = frames_identical(
+            cl.read_table(spark, p11), cl.read_table(spark, p12))
+        out["dv_update"] = {
+            "dv_s": round(t_udv, 2), "rewrite_s": round(t_urw, 2),
+            "speedup": round(t_urw / t_udv, 1),
+            "dv_dirs_rewritten": len(eud["removed"]),
+            "dv_rows": int(eud.get("dv_rows") or 0),
+            "rewrite_dirs_rewritten": len(
+                entry(p12, cl.table_versions(p12)[-1])["removed"]),
+            "identical": same_dv,
+            "identical_after_compact": same_compacted,
+        }
+
         # --- column mapping (r12): RENAME on the ~650 MB 16-dir
         # table is metadata-bound (one JSON), and the next key-pruned
         # merge still prunes through the map
