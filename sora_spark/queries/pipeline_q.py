@@ -6116,3 +6116,238 @@ def qmv4_rate_limited_cdf_mv(spark, sf_dir):
         )
         .orderBy("pri")
     )
+
+
+@query(
+    "qup31_exists_default_backfill",
+    oracle="""
+WITH rows_ AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CASE WHEN o_orderkey % 9 = 6 THEN round(o_totalprice, 2)
+              ELSE -1.23 END AS price
+  FROM orders WHERE o_orderkey % 9 IN (0, 1, 3, 6)),
+stages AS (
+  SELECT 'a_served' AS stage, k, st, price FROM rows_
+  UNION ALL SELECT 'b_compacted', k, st, price FROM rows_)
+SELECT stage, k, st, price FROM stages ORDER BY stage, k
+""",
+    doc="qup31: EXISTS-DEFAULT read-time backfill (append backfill="
+    "True — closing the r12 verdict's residual gap 4, which the docs "
+    "had scoped out as 'needs per-file default metadata': it does "
+    "not — every data directory's NAME embeds the version that "
+    "committed it, so 'was this row written before the column "
+    "existed' is one regexp over the scan's file path, a pure "
+    "projection with zero extra I/O). Two pre-evolution directories "
+    "(k%9 in 0,3) land as (k, st); the evolution adds price with "
+    "defaults + backfill=True; an old-shaped append (k%9=1) then "
+    "fills at write (qup28's WriteDefault). The gate: pre-evolution "
+    "ROWS read the frozen default (-1.23), NOT NULL — Delta's "
+    "ExistsDefault semantics — while the evolution batch's own rows "
+    "keep their real values; 'a_served' reads through the "
+    "projection, 'b_compacted' after OPTIMIZE physically "
+    "MATERIALIZED the defaults (the rewrite reads through the "
+    "backfill, and the new directory's version exceeds every intro "
+    "version) — both hash-match one SQL truth. Time travel keeps "
+    "the old shape; checkpoint/clone/restore carry the map; rename "
+    "re-keys it; drop removes it; post-evolution NULLs stay NULL "
+    "(all pinned in test_capabilities.py::"
+    "test_exists_default_backfill).",
+    tags=("sink", "acid", "schema-evolution", "defaults"),
+)
+def qup31_exists_default_backfill(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+
+    def shaped(res, with_price):
+        base = orders.filter(F.col("o_orderkey") % 9 == res).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        if with_price:
+            base = base.join(
+                orders.select(
+                    F.col("o_orderkey").alias("k"),
+                    F.round("o_totalprice", 2).alias("price"),
+                ),
+                "k",
+            )
+        return base
+
+    path = os.path.join(_roundtrip_dir("commit_log_backfill"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(spark, path, shaped(0, False), stats_cols=["k"])
+    cl.append(spark, path, shaped(3, False), stats_cols=["k"])
+    cl.append(spark, path, shaped(6, True), stats_cols=["k"],
+              merge_schema=True, defaults={"price": "-1.23"},
+              backfill=True)
+    cl.append(spark, path, shaped(1, False), stats_cols=["k"])
+    a = cl.read_table(spark, path)           # backfill projection
+    cl.compact(spark, path)
+    b = cl.read_table(spark, path)           # physically materialized
+
+    def shape(df, stage):
+        return df.select(F.lit(stage).alias("stage"), "k", "st", "price")
+
+    return (
+        shape(a, "a_served").unionByName(shape(b, "b_compacted"))
+        .orderBy("stage", "k")
+    )
+
+
+@query(
+    "qup32_small_file_compaction",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price
+  FROM orders
+  WHERE o_orderkey % 2 = 0 OR o_orderkey % 1000 IN (1, 3, 5, 7))
+SELECT k, st, price FROM t WHERE k % 6 <> 0 ORDER BY k
+""",
+    doc="qup32: SIZE-SELECTIVE OPTIMIZE (commit_log.compact_small — "
+    "r13, closing the r12 watch item 'auto-compact is full-table'): "
+    "three well-sized directories (thirds of the even keys) plus "
+    "four tiny ones (k%1000 residue slices — the micro-batch-ingest "
+    "debris shape) and a live deletion vector (DV DELETE of k%6=0, "
+    "aimed at the big directories); compact_small with a threshold "
+    "measured between the two size classes rewrites ONLY the small "
+    "directories (removed == the small set, big dirs stay listed "
+    "unread — pinned in test_capabilities.py::test_compact_small "
+    "along with the surgical vector handling: vectors aimed at "
+    "selected dirs are applied physically, vectors aimed at "
+    "unselected dirs survive as ONE residual sidecar, so no dead "
+    "row revives and no big directory pays a rewrite). The declared "
+    "gate is content: the post-compaction read must hash-match the "
+    "logical table — survivors of the DV delete over big+small rows "
+    "— proving selection, residual vectors, and the merge left the "
+    "data bit-identical. At 100 TB this is the nightly fact-table "
+    "job: cost tracks the small-file debris, never the bulk.",
+    tags=("sink", "acid", "optimize", "small-files"),
+)
+def qup32_small_file_compaction(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    evens = snap.filter(F.col("k") % 2 == 0)
+    tiled = evens.withColumn("_t", F.ntile(3).over(Window.orderBy("k")))
+    path = os.path.join(_roundtrip_dir("commit_log_small"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(
+        spark, path, tiled.filter("_t = 1").drop("_t"), stats_cols=["k"])
+    for t in (2, 3):
+        cl.append(spark, path, tiled.filter(f"_t = {t}").drop("_t"),
+                  stats_cols=["k"])
+    for res in (1, 3, 5, 7):
+        cl.append(spark, path,
+                  snap.filter(F.col("k") % 1000 == res),
+                  stats_cols=["k"])
+    cl.delete_where(spark, path, "k % 6 = 0", deletion_vectors=True)
+
+    # threshold between the measured size classes: big = the three
+    # ntile dirs, small = the four residue dirs (driver-side stat)
+    commits = cl._read_state_commits(path)
+    live = cl._fold_live(commits)
+
+    def nbytes(rel):
+        tot = 0
+        for root, _d, files in os.walk(os.path.join(path, rel)):
+            tot += sum(os.path.getsize(os.path.join(root, f))
+                       for f in files if not f.startswith(("_", ".")))
+        return tot
+
+    sizes = sorted(nbytes(d) for d in live)
+    thr = (sizes[3] + sizes[4]) // 2 + 1   # 4 small below, 3 big above
+    cl.compact_small(spark, path, thr)
+    return cl.read_table(spark, path).orderBy("k")
+
+
+@query(
+    "qup33_bloom_pruned_merge",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price, o_orderdate AS ts
+  FROM orders),
+sel AS (SELECT k FROM snap ORDER BY k LIMIT 3),
+batch AS (
+  SELECT k, st, round(price + 1000, 2) AS price,
+         ts + INTERVAL 1 DAY AS ts
+  FROM snap WHERE k IN (SELECT k FROM sel)),
+merged AS (
+  SELECT * FROM batch
+  UNION ALL
+  SELECT * FROM snap WHERE k NOT IN (SELECT k FROM sel))
+SELECT k, st, price, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM merged ORDER BY k
+""",
+    doc="qup33: BLOOM-PRUNED MERGE (per-directory bloom filters in "
+    "the commit stats — r13; the Delta bloom-filter-index / Iceberg "
+    "bloom shape rendered portably via operators/sketch's "
+    "4096-bit/k=3 Kirsch-Mitzenmacher construction): the table is "
+    "laid down INTERLEAVED on k%8 — every directory spans the full "
+    "key range, so min/max stats prune NOTHING for any batch (the "
+    "layout stats-based skipping cannot save, qup8's counter-case) "
+    "— but each directory's recorded k-bloom can answer 'could this "
+    "POINT key be here' and merge_upsert probes all candidates with "
+    "one batch-sized aggregation, skipping every directory no batch "
+    "key can inhabit (sound: blooms have no false negatives; FPs "
+    "only cost the scan ranges would have paid anyway). The batch "
+    "updates the 3 smallest keys; the declared gate is merge "
+    "semantics over the full table; exact pruning counts, "
+    "no-false-prune, bloom survival across compact (the stats-"
+    "erosion discipline), and the all-new-keys pure-insert path are "
+    "pinned in test_capabilities.py::test_bloom_dir_stats. At "
+    "100 TB this is how point upserts into an append-ordered fact "
+    "table stop scanning every partition.",
+    tags=("sink", "acid", "merge", "bloom", "pruning"),
+)
+def qup33_bloom_pruned_merge(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    path = os.path.join(_roundtrip_dir("commit_log_bloom"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(spark, path, snap.filter(F.col("k") % 8 == 0),
+                    stats_cols=["k"], bloom_cols=["k"])
+    for res in range(1, 8):
+        cl.append(spark, path, snap.filter(F.col("k") % 8 == res),
+                  stats_cols=["k"])
+    sel = snap.orderBy("k").limit(3).select("k")
+    batch = snap.join(F.broadcast(sel), "k").select(
+        "k", "st",
+        F.round(F.col("price") + 1000, 2).alias("price"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+    )
+    cl.merge_upsert(spark, path, batch, ["k"], "ts")
+    return (
+        cl.read_table(spark, path)
+        .select(
+            "k", "st", "price",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+        .orderBy("k")
+    )

@@ -176,7 +176,8 @@ def _read_state_commits(path: str) -> list[dict]:
     }
     for k in ("schema", "schema_json", "check", "cdf", "stats",
               "txn_watermarks", "committed_at", "column_map",
-              "reserved_physical", "reader_features", "defaults"):
+              "reserved_physical", "reader_features", "defaults",
+              "exists_defaults"):
         if state.get(k):
             synthetic[k] = state[k]
     if state.get("live_dvs"):
@@ -250,6 +251,10 @@ def checkpoint_log(path: str) -> int:
         state["reader_features"] = sorted(_reader_features(commits))
     if _column_defaults(commits):
         state["defaults"] = _column_defaults(commits)
+    if _exists_defaults(commits):
+        state["exists_defaults"] = {
+            k: [e, v] for k, (e, v) in _exists_defaults(commits).items()
+        }
     if watermarks:
         state["txn_watermarks"] = watermarks
     final = os.path.join(
@@ -345,22 +350,53 @@ def _read_live(
     from pyspark.sql import functions as F
 
     cmap = _column_map(commits)
+    ed = {
+        c: (e, v) for c, (e, v) in _exists_defaults(commits).items()
+        if schema is not None and c in {f.name for f in schema.fields}
+    }
 
     def _logical(df: DataFrame) -> DataFrame:
-        if not cmap:
-            return df
-        keep = [c for c in ("_f", "_r") if c in df.columns]
-        return df.select(
-            *[F.col(cmap.get(f.name, f.name)).alias(f.name)
-              for f in schema.fields],
-            *keep,
-        )
+        if cmap:
+            keep = [c for c in ("_f", "_r", "_bf_ver")
+                    if c in df.columns]
+            df = df.select(
+                *[F.col(cmap.get(f.name, f.name)).alias(f.name)
+                  for f in schema.fields],
+                *keep,
+            )
+        if ed:
+            # ExistsDefault backfill: rows from directories written
+            # BEFORE a defaulted column existed read the frozen
+            # default instead of NULL; the directory version comes
+            # from the file path — a pure projection, zero extra I/O
+            types = {f.name: f.dataType for f in schema.fields}
+            for c, (expr, ver) in ed.items():
+                df = df.withColumn(
+                    c,
+                    F.when(
+                        F.col(c).isNull() & (F.col("_bf_ver") < ver),
+                        F.expr(expr).cast(types[c]),
+                    ).otherwise(F.col(c)),
+                )
+            df = df.drop("_bf_ver")
+        return df
+
+    def _scan(ds: list[str]) -> DataFrame:
+        df = _read_dirs(spark, path, ds, pschema)
+        if ed:
+            df = df.withColumn(
+                "_bf_ver",
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), r"data/v(\d{8})-", 1
+                ).cast("long"),
+            )
+        return df
 
     _check_reader_features(commits)
     pschema = _physical_struct(schema, cmap)
     dvs = _fold_live_dvs(commits)
     if not dvs or not dirs:
-        df = _read_dirs(spark, path, dirs, pschema)
+        df = _scan(dirs)
         return _logical(_with_position(df) if keep_position else df)
     dv = _dv_relation(spark, path, commits)
     affected = {
@@ -377,7 +413,7 @@ def _read_live(
     clean = [d for d in dirs if d not in affected]
     parts: list[DataFrame] = []
     if dirty:
-        tagged = _with_position(_read_dirs(spark, path, dirty, pschema))
+        tagged = _with_position(_scan(dirty))
         cond = (
             (tagged["_f"] == dv["_dv_file"])
             & (tagged["_r"] == dv["_dv_row"])
@@ -387,7 +423,7 @@ def _read_live(
             joined = joined.drop("_f", "_r")
         parts.append(joined)
     if clean:
-        cdf = _read_dirs(spark, path, clean, pschema)
+        cdf = _scan(clean)
         parts.append(_with_position(cdf) if keep_position else cdf)
     out = parts[0]
     for p in parts[1:]:
@@ -480,13 +516,38 @@ def _column_defaults(commits: list[dict]) -> dict[str, str]:
     text}. A writer whose batch OMITS a defaulted column gets it
     filled at write time — the producers-upgrade-at-their-own-pace
     contract behind additive schema evolution; rows written BEFORE
-    the column existed still read NULL (qup13's recorded-schema
-    semantics — the ExistsDefault half would need per-file metadata
-    and is deliberately out of scope, documented). Latest commit
-    carrying the key wins; maps merge at each evolution."""
+    the column existed read NULL (qup13's recorded-schema semantics)
+    unless the evolution also passed backfill=True, which records
+    the ExistsDefault half (r13, _exists_defaults: per-directory
+    resolution from the version embedded in the directory NAME — no
+    per-file metadata needed after all). Latest commit carrying the
+    key wins; maps merge at each evolution."""
     for c in reversed(commits):
         if "defaults" in c:
             return dict(c["defaults"])
+    return {}
+
+
+def _exists_defaults(commits: list[dict]) -> dict[str, tuple[str, int]]:
+    """READ-TIME default backfill state (Delta's ExistsDefault half,
+    closing the gap _column_defaults documents): {logical column ->
+    (SQL expression text, intro version)}. A row written BEFORE
+    `intro version` reads the (frozen) default wherever the recorded
+    schema would have served NULL — per-directory knowledge comes
+    FREE from the directory name (`data/v%08d-…`), so the backfill
+    is one pure projection on the scan, no per-file metadata and no
+    extra I/O (_read_live). The map is cumulative, latest commit
+    carrying the key wins (the _column_defaults pattern); rename
+    re-keys it, drop removes, checkpoint re-carries, and compact
+    MATERIALIZES the values (its rewrite reads through the
+    backfill), after which the new directory's version exceeds every
+    intro version and the projection is a no-op for it."""
+    for c in reversed(commits):
+        if "exists_defaults" in c:
+            return {
+                k: (v[0], int(v[1]))
+                for k, v in c["exists_defaults"].items()
+            }
     return {}
 
 
@@ -548,6 +609,98 @@ def _stats_cols_logical(live_stats: dict, cmap: dict[str, str]) -> list[str]:
     return sorted(
         {inv.get(c, c) for st in live_stats.values() for c in st}
     )
+
+
+def _bloom_cols_logical(live_stats: dict, cmap: dict[str, str]) -> list[str]:
+    """LOGICAL names of every column some live directory carries a
+    bloom filter for — the inheritance rule rewrites use so a merge
+    or compact does not silently erode point-prunability (the same
+    preserve-on-rewrite discipline the r11 advisory established for
+    range stats)."""
+    inv = {p: l for l, p in cmap.items()}
+    return sorted({
+        inv.get(c, c)
+        for st in live_stats.values()
+        for c, v in st.items()
+        if isinstance(v, dict) and "bloom" in v
+    })
+
+
+def _bloom_prune(
+    batch_df: DataFrame,
+    key_cols: list[str],
+    touched: list[str],
+    live_stats: dict,
+    cmap: dict[str, str],
+    max_dirs: int = 64,
+) -> tuple[list[str], list[str]]:
+    """POINT-LOOKUP pruning (r13): among range-stats-surviving
+    `touched` directories, probe each directory's per-key-column
+    bloom filters with the batch's keys in ONE batch-sized
+    aggregation (max of the per-row all-columns-hit flag per
+    directory — no distinct, no shuffle beyond the agg) and drop the
+    directories NO batch key can live in. Sound because blooms have
+    no false negatives: a directory containing a batch key always
+    hits. False positives only cost the scan the range stats would
+    have paid anyway. Returns (still_touched, newly_pruned).
+    Directories lacking a bloom on any key column stay touched;
+    above `max_dirs` candidates the phase is skipped outright (the
+    probe expression carries a 64-long literal array per
+    directory-column — bounded plan size beats marginal pruning;
+    at that directory count range stats or clustering are the right
+    lever first)."""
+    from pyspark.sql import functions as F
+
+    from sora_spark.operators import sketch
+
+    cand = []
+    for d in touched:
+        st = live_stats.get(d) or {}
+        if all(
+            isinstance(st.get(cmap.get(k, k)), dict)
+            and "bloom" in st[cmap.get(k, k)]
+            for k in key_cols
+        ):
+            cand.append(d)
+    if not cand or len(cand) > max_dirs:
+        return touched, []
+    aggs = []
+    for i, d in enumerate(cand):
+        hit = F.lit(True)
+        for k in key_cols:
+            words = live_stats[d][cmap.get(k, k)]["bloom"]
+            hit = hit & sketch.bloom_probe_col(k, [int(w) for w in words])
+        aggs.append(F.max(hit.cast("int")).alias(f"h{i}"))
+    # NULL guard, riding the same agg: a batch NULL key matches only
+    # dir NULLs (merge's null-groups-with-null semantics) and blooms
+    # never store NULLs — so when the batch carries a NULL in some
+    # key column, a directory that MAY hold NULLs there (recorded
+    # nulls > 0, or unknown) must stay touched despite a bloom miss
+    aggs += [
+        F.max(F.col(k).isNull().cast("int")).alias(f"_n{j}")
+        for j, k in enumerate(key_cols)
+    ]
+    row = batch_df.agg(*aggs).collect()[0]
+    null_cols = {
+        key_cols[j] for j in range(len(key_cols)) if row[f"_n{j}"]
+    }
+
+    def _may_match_null(d: str) -> bool:
+        st = live_stats[d]
+        return any(
+            st.get(cmap.get(k, k), {}).get("nulls", 1) > 0
+            for k in null_cols
+        )
+
+    miss = {
+        cand[i]
+        for i in range(len(cand))
+        if not row[f"h{i}"]
+        and not (null_cols and _may_match_null(cand[i]))
+    }
+    if not miss:
+        return touched, []
+    return [d for d in touched if d not in miss], sorted(miss)
 
 
 def _to_physical(df: DataFrame, cmap: dict[str, str]) -> DataFrame:
@@ -783,6 +936,7 @@ def _write_data(
     check: str | None = None,
     column_map: dict[str, str] | None = None,
     drop_if_empty: bool = False,
+    bloom_cols: list[str] | None = None,
 ) -> tuple[str | None, dict]:
     """Write df to a fresh data directory. The CHECK violation count
     AND the per-column min/max/null stats all ride the write itself
@@ -805,7 +959,21 @@ def _write_data(
     `drop_if_empty=True` rides a row count on the same Observation:
     a zero-row write is REMOVED and (None, {}) returned, saving the
     caller's separate isEmpty() pre-pass (one whole job per
-    merge/delete on the hot path)."""
+    merge/delete on the hot path).
+
+    `bloom_cols` (r13) additionally records a per-directory BLOOM
+    FILTER (4096-bit/k=3, operators/sketch.bloom_bitmap — the
+    portable construction) under each named column's stats entry:
+    min/max ranges cannot prune POINT lookups on layouts whose key
+    ranges overlap (the interleaved-ingest shape), but a bloom can —
+    merge_upsert probes each candidate directory's filter with the
+    batch's keys and skips directories no batch key can be in
+    (no false negatives -> pruning is sound; false positives only
+    cost an extra scan). Cost: one column-pruned read-back of the
+    just-written directory per bloom column — opt-in, and the one
+    place the r13 stats-ride-the-write rule is traded back
+    (the bitmap needs a distinct-explode the Observation cannot
+    express); documented as the price of point-prunable stats."""
     from pyspark.sql import functions as F
     from pyspark.sql import Observation
 
@@ -857,6 +1025,15 @@ def _write_data(
             stats[pc] = {"nulls": nulls, "allnull": True}
         elif lo is not None and hi is not None:
             stats[pc] = {"min": lo, "max": hi, "nulls": nulls}
+    bcols = [c for c in (bloom_cols or []) if c in df.columns]
+    if bcols:
+        from sora_spark.operators import sketch
+
+        back = df.sparkSession.read.parquet(full)
+        for c in bcols:
+            pc = pmap.get(c, c)
+            stats.setdefault(pc, {})["bloom"] = sketch.bloom_bitmap(
+                back, pc)
     return rel, stats
 
 
@@ -916,6 +1093,7 @@ def create_table(
     stats_cols: list[str] | None = None,
     check: str | None = None,
     change_data_feed: bool = False,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Version 1: initial rows. Fails if the table already has commits.
     `stats_cols` records per-directory min/max/null stats in the
@@ -936,7 +1114,8 @@ def create_table(
     change commits. Appends need no sidecar (their added files ARE
     the inserts). Cost rides the operation: the diff reuses frames
     the writer already computed."""
-    rel, stats = _write_data(df, path, 1, stats_cols, check=check)
+    rel, stats = _write_data(df, path, 1, stats_cols, check=check,
+                             bloom_cols=bloom_cols)
     entry = {"version": 1, "operation": "create", "added": [rel],
              "removed": [], "schema": df.schema.simpleString(),
              "schema_json": df.schema.json()}
@@ -1058,6 +1237,8 @@ def append(
     optimize_write: int | None = None,
     auto_compact: int | None = None,
     defaults: dict[str, str] | None = None,
+    backfill: bool = False,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Append-only commit: adds a data directory, removes nothing.
 
@@ -1066,9 +1247,16 @@ def append(
     adds: from this commit on, a batch that OMITS a defaulted column
     gets it filled at write (cast to the recorded type) instead of
     refusing — old-shaped producers keep appending through an
-    additive evolution (Delta's WriteDefault). Pre-evolution ROWS
-    still read NULL (the ExistsDefault half needs per-file metadata
-    — out of scope, documented on _column_defaults).
+    additive evolution (Delta's WriteDefault). By default,
+    pre-evolution ROWS still read NULL; `backfill=True` additionally
+    records the ExistsDefault half (r13 — the gap the r12 docs
+    declared out of scope is now closed WITHOUT per-file metadata):
+    rows written before this commit read the default instead of
+    NULL, resolved per-directory from the version embedded in every
+    data directory's name — one pure projection on the scan
+    (_exists_defaults / _read_live), frozen at this evolution's
+    expression like Delta's ExistsDefault, materialized physically
+    by the next compact.
 
     THE SMALL-FILES LEVERS (Delta's optimizeWrite/autoCompact shapes;
     at 100 TB the failure mode is not data volume but file count —
@@ -1115,6 +1303,11 @@ def append(
                 f"defaults name columns the batch does not add: "
                 f"{missing}"
             )
+    if backfill and not defaults:
+        raise ValueError(
+            "backfill=True records ExistsDefaults for an evolving "
+            "append's defaults= columns; pass defaults= too"
+        )
     version = commits[-1]["version"] + 1
     if auto_compact is not None and auto_compact < 2:
         # validate BEFORE the commit: raising after _publish would
@@ -1128,9 +1321,13 @@ def append(
         n = df.count()
         df = df.repartition(max(1, math.ceil(n / optimize_write)))
     check_seen = _table_check(commits)
+    if bloom_cols is None:
+        # inherit: dirs this table already blooms keep point-pruning
+        bloom_cols = _bloom_cols_logical(
+            _live_stats(path, commits=commits), _column_map(commits))
     rel, stats = _write_data(
         df, path, version, stats_cols, check=check_seen,
-        column_map=_column_map(commits))
+        column_map=_column_map(commits), bloom_cols=bloom_cols)
     last: ConcurrentWriteError | None = None
     for _ in range(8):
         entry = {"version": version, "operation": "append",
@@ -1143,6 +1340,12 @@ def append(
                 entry["defaults"] = {
                     **_column_defaults(commits), **defaults
                 }
+                if backfill:
+                    entry["exists_defaults"] = {
+                        **{k: [e, v] for k, (e, v)
+                           in _exists_defaults(commits).items()},
+                        **{c: [defaults[c], version] for c in defaults},
+                    }
         if stats:
             entry["stats"] = {rel: stats}
         try:
@@ -1276,6 +1479,10 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> int:
         if old in dfl:
             dfl[new] = dfl.pop(old)
             entry["defaults"] = dfl
+        edl = {k: [e, v] for k, (e, v) in _exists_defaults(commits).items()}
+        if old in edl:
+            edl[new] = edl.pop(old)
+            entry["exists_defaults"] = edl
         entry["version"] = commits[-1]["version"] + 1
         try:
             return _publish(path, entry)
@@ -1328,6 +1535,10 @@ def drop_column(spark: SparkSession, path: str, col: str) -> int:
         if col in dfl:
             dfl.pop(col)
             entry["defaults"] = dfl
+        edl = {k: [e, v] for k, (e, v) in _exists_defaults(commits).items()}
+        if col in edl:
+            edl.pop(col)
+            entry["exists_defaults"] = edl
         entry["reserved_physical"] = sorted(
             set(_reserved_physical(commits)) | {phys}
         )
@@ -1648,12 +1859,18 @@ def merge_upsert(
                 for k in key_cols
             )
             (untouched if skip else touched).append(d)
+        # bloom phase (r13): point-prune the range survivors on
+        # layouts whose key ranges overlap — one batch-sized probe
+        touched, bloom_pruned = _bloom_prune(
+            batch_df, key_cols, touched, live_stats, cmap)
+        untouched += bloom_pruned
 
     if merge_on_read:
         return _merge_on_read(
             spark, path, commits, batch_df, key_cols, ts_col,
             touched, len(untouched), version, stats_cols, cmap,
             evolved=evolved,
+            bloom_cols=_bloom_cols_logical(live_stats, cmap),
         )
 
     new = batch_df.withColumn("_src", F.lit(1))
@@ -1677,7 +1894,8 @@ def merge_upsert(
     )
     rel, stats = _write_data(
         merged, path, version, stats_cols, check=_table_check(commits),
-        column_map=cmap)
+        column_map=cmap,
+        bloom_cols=_bloom_cols_logical(live_stats, cmap))
     entry = {"version": version, "operation": "merge_upsert",
              "added": [rel], "removed": touched,
              "pruned_dirs": len(untouched)}
@@ -1821,7 +2039,8 @@ def delete_where(
     added, entry_stats = [], {}
     rel, stats = _write_data(
         keep, path, version, stats_cols,
-        column_map=_column_map(commits), drop_if_empty=True)
+        column_map=_column_map(commits), drop_if_empty=True,
+        bloom_cols=_bloom_cols_logical(live_stats, _column_map(commits)))
     if rel:
         added = [rel]
         if stats:
@@ -1854,6 +2073,7 @@ def _merge_on_read(
     stats_cols: list[str],
     cmap: dict[str, str],
     evolved: bool = False,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """MERGE-ON-READ (Iceberg's merge-on-read / Delta's DV MERGE —
     merge_upsert's merge_on_read=True): instead of rewriting the
@@ -1952,7 +2172,7 @@ def _merge_on_read(
     rel, stats = _write_data(
         ins, path, version, stats_cols,
         check=_table_check(commits), column_map=cmap,
-        drop_if_empty=True,
+        drop_if_empty=True, bloom_cols=bloom_cols,
     )
     if rel:
         added = [rel]
@@ -2162,6 +2382,8 @@ def update_where(
         return _update_on_read(
             spark, path, commits, full, cond, set_exprs, live,
             version, stats_cols,
+            bloom_cols=_bloom_cols_logical(
+                live_stats, _column_map(commits)),
         )
     hit = {
         r[0]
@@ -2193,7 +2415,8 @@ def update_where(
     updated = cur.select(*out_cols)
     rel, stats = _write_data(
         updated, path, version, stats_cols, check=_table_check(commits),
-        column_map=_column_map(commits))
+        column_map=_column_map(commits),
+        bloom_cols=_bloom_cols_logical(live_stats, _column_map(commits)))
     entry = {"version": version, "operation": "update",
              "added": [rel], "removed": touched,
              "pruned_dirs": len(live) - len(touched)}
@@ -2222,6 +2445,7 @@ def _update_on_read(
     live: list[str],
     version: int,
     stats_cols: list[str],
+    bloom_cols: list[str] | None = None,
 ) -> int | None:
     """DV-mode UPDATE (update_where's merge_on_read=True): the matched
     rows' positions go to a deletion-vector sidecar, their updated
@@ -2256,7 +2480,7 @@ def _update_on_read(
     ).write.mode("error").parquet(os.path.join(path, dv_rel))
     rel, stats = _write_data(
         updated, path, version, stats_cols, check=_table_check(commits),
-        column_map=_column_map(commits))
+        column_map=_column_map(commits), bloom_cols=bloom_cols)
     entry = {
         "version": version, "operation": "update",
         "merge_on_read": True,
@@ -2351,6 +2575,7 @@ def compact(
         rel, stats = _write_data(
             full.repartition(n_out), path, version, stats_cols,
             column_map=cmap,
+            bloom_cols=_bloom_cols_logical(live_stats, cmap),
         )
         entry = {"version": version, "operation": "optimize",
                  "added": [rel], "removed": live,
@@ -2459,6 +2684,94 @@ def compact(
     return _publish(path, entry)
 
 
+def compact_small(
+    spark: SparkSession,
+    path: str,
+    max_dir_bytes: int,
+    target_partitions: int = 1,
+    min_dirs: int = 2,
+) -> int | None:
+    """Size-SELECTIVE OPTIMIZE (r13 — closing the r12 watch item
+    'auto-compact is full-table'): rewrite only the live directories
+    whose data bytes are under `max_dir_bytes`, leaving the
+    well-sized ones untouched and unread — the Delta OPTIMIZE
+    file-selection semantics, and the fact-table maintenance shape:
+    on a 100 TB table the cost tracks the SMALL files a micro-batch
+    ingest leaves behind, never the compacted bulk. A no-op
+    (returns None) below `min_dirs` qualifying directories. Sizes
+    come from a driver-side listing (stat calls bounded by the live
+    file count).
+
+    Deletion vectors are handled surgically, not wholesale: the
+    rewrite reads the selected directories THROUGH the live vectors
+    (their positions are applied physically), and vectors aimed at
+    UNSELECTED directories survive as one re-written residual
+    sidecar — the commit delists every old vector and lists the
+    residual, so no dead row revives and no unselected directory
+    pays a rewrite. Unlike full compact, dropped-column physical
+    names stay reserved (unselected directories may still hold the
+    bytes). Stats columns are inherited; the merged directory gets
+    fresh stats."""
+    from pyspark.sql import functions as F
+
+    commits = _read_state_commits(path)
+    live = _fold_live(commits)
+    cmap = _column_map(commits)
+    live_stats = _live_stats(path, commits=commits)
+    stats_cols = _stats_cols_logical(live_stats, cmap)
+    schema = _schema_struct(commits)
+    live_dvs = _fold_live_dvs(commits)
+
+    def _dir_bytes(rel: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(os.path.join(path, rel)):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    small = [d for d in live if _dir_bytes(d) < int(max_dir_bytes)]
+    if len(small) < max(int(min_dirs), 2):
+        return None
+    version = commits[-1]["version"] + 1
+    merged = _read_live(spark, path, commits, small, schema)
+    rel, stats = _write_data(
+        merged.repartition(max(int(target_partitions), 1)),
+        path, version, stats_cols, column_map=cmap, drop_if_empty=True,
+        bloom_cols=_bloom_cols_logical(live_stats, cmap),
+    )
+    entry = {
+        "version": version, "operation": "optimize",
+        "small_only": True, "max_dir_bytes": int(max_dir_bytes),
+        "added": [rel] if rel else [], "removed": small,
+        "pruned_dirs": len(live) - len(small),
+    }
+    if live_dvs:
+        # vectors aimed at selected dirs were applied by the read;
+        # the rest survive as one residual sidecar
+        dv = spark.read.parquet(
+            *[os.path.join(path, d) for d in live_dvs]
+        ).select("_dv_file", "_dv_row")
+        dircol = F.regexp_extract(
+            "_dv_file", r"(data/v\d{8}-[0-9a-f]+(?:/_bucket=\d+)?)", 1
+        )
+        resid = dv.filter(~dircol.isin(small)).localCheckpoint(
+            eager=True)
+        n_resid = resid.count()
+        entry["dv_removed"] = live_dvs
+        if n_resid:
+            dv_rel = os.path.join(
+                _DV, f"v{version:08d}-{uuid.uuid4().hex[:12]}"
+            )
+            resid.write.mode("error").parquet(os.path.join(path, dv_rel))
+            entry["dv_added"] = [dv_rel]
+            entry["dv_rows"] = n_resid
+            entry["reader_features"] = ["deletion_vectors"]
+    if stats and rel:
+        entry["stats"] = {rel: stats}
+    return _publish(path, entry)
+
+
 def restore_table(spark: SparkSession, path: str, version: int) -> int:
     """RESTORE TABLE ... TO VERSION — Delta's rollback: publish a NEW
     commit whose live file set (and live deletion vectors, and
@@ -2512,6 +2825,15 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
         entry["reserved_physical"] = _reserved_physical(commits_then)
     if _table_check(commits_then) != _table_check(commits_now):
         entry["check"] = _table_check(commits_then)
+    # restore across a defaults-evolution reverts both default maps
+    # (a later re-evolution must not inherit a rolled-back backfill)
+    if _column_defaults(commits_then) != _column_defaults(commits_now):
+        entry["defaults"] = _column_defaults(commits_then)
+    if _exists_defaults(commits_then) != _exists_defaults(commits_now):
+        entry["exists_defaults"] = {
+            k: [e, v]
+            for k, (e, v) in _exists_defaults(commits_then).items()
+        }
     then_stats = _live_stats(path, commits=commits_then)
     readd_stats = {
         d: then_stats[d] for d in entry["added"] if then_stats.get(d)
@@ -2589,6 +2911,12 @@ def clone_table(spark: SparkSession, src: str, dst: str) -> int:
         entry["reader_features"] = sorted(_reader_features(commits))
     if _column_defaults(commits):
         entry["defaults"] = _column_defaults(commits)
+    if _exists_defaults(commits):
+        # the cloned directories keep their source names (and so
+        # their embedded versions) — the intro versions stay valid
+        entry["exists_defaults"] = {
+            k: [e, v] for k, (e, v) in _exists_defaults(commits).items()
+        }
     stats = {d: s for d, s in live_stats.items() if s}
     if stats:
         entry["stats"] = stats

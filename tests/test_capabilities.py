@@ -2739,6 +2739,188 @@ def test_commit_log_two_process_race(spark, tmp_path):
     assert got == want
 
 
+def test_bloom_dir_stats(spark, tmp_path):
+    """Per-directory bloom filters (r13): on an interleaved layout
+    where range stats prune nothing, a point-key merge prunes every
+    directory no batch key can inhabit; directories holding batch
+    keys are NEVER falsely pruned; an all-new-keys batch becomes a
+    pure insert (zero rewrites); blooms survive merge and compact
+    rewrites (the stats-erosion discipline)."""
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    mk = lambda ks: spark.createDataFrame(
+        [(k, float(k), k) for k in ks], "k bigint, v double, ts bigint")
+    keys = list(range(800))
+    cl.create_table(spark, path, mk([k for k in keys if k % 8 == 0]),
+                    stats_cols=["k"], bloom_cols=["k"])
+    for res in range(1, 8):
+        cl.append(spark, path, mk([k for k in keys if k % 8 == res]),
+                  stats_cols=["k"])
+    # every dir spans ~the full range: range stats prune nothing;
+    # batch keys hit residues 0, 1, 2 only
+    batch = spark.createDataFrame(
+        [(0, -1.0, 99), (9, -1.0, 99), (18, -1.0, 99)],
+        "k bigint, v double, ts bigint")
+    v = cl.merge_upsert(spark, path, batch, ["k"], "ts")
+    e = cl._read_commits(path, v)[-1]
+    # at least the 5 bloom-only-prunable dirs minus any (fixed,
+    # deterministic) false positives; never fewer than 3 touched
+    assert e["pruned_dirs"] >= 4, e
+    assert 3 <= len(e["removed"]) <= 4, e
+    got = {r["k"]: r["v"] for r in cl.read_table(spark, path).collect()}
+    assert got[0] == -1.0 and got[9] == -1.0 and got[18] == -1.0
+    assert got[1] == 1.0 and len(got) == 800
+    # the merge's rewrite re-records blooms (no erosion)
+    st = cl._live_stats(path)
+    rewritten = e["added"][0]
+    assert "bloom" in st[rewritten]["k"], st[rewritten]
+    # all-new-keys batch: every dir bloom-misses -> pure insert
+    v2 = cl.merge_upsert(
+        spark, path,
+        spark.createDataFrame([(10_000, 0.0, 1)],
+                              "k bigint, v double, ts bigint"),
+        ["k"], "ts")
+    e2 = cl._read_commits(path, v2)[-1]
+    assert e2["removed"] == [], e2
+    # compact inherits the bloom for the merged directory
+    vc = cl.compact(spark, path)
+    ec = cl._read_commits(path, vc)[-1]
+    st = cl._live_stats(path)
+    assert "bloom" in st[ec["added"][0]]["k"]
+    assert cl.read_table(spark, path).count() == 801
+
+
+def test_compact_small(spark, tmp_path):
+    """compact_small (r13): only directories under the byte
+    threshold are rewritten (big dirs stay LISTED, their relpaths
+    unchanged); vectors aimed at selected dirs are applied
+    physically while vectors aimed at unselected dirs survive as
+    one residual sidecar; content is bit-identical; a second run is
+    a no-op (one merged small dir < min_dirs); below-threshold
+    count is a no-op too."""
+    import os
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    mk = lambda lo, n: spark.range(lo, lo + n).selectExpr(
+        "id AS k", "CAST(id * 2 AS DOUBLE) AS v")
+    cl.create_table(spark, path, mk(0, 500), stats_cols=["k"])      # big
+    cl.append(spark, path, mk(1000, 500), stats_cols=["k"])         # big
+    for lo in (5000, 5010, 5020):                                   # small
+        cl.append(spark, path, mk(lo, 2), stats_cols=["k"])
+    # one vector spanning a big dir (k=7) and a small dir (k=5000)
+    cl.delete_where(spark, path, "k IN (7, 5000)",
+                    deletion_vectors=True)
+    commits = cl._read_state_commits(path)
+    live_before = cl._fold_live(commits)
+    big = live_before[:2]
+    small = live_before[2:]
+    want = sorted(
+        map(tuple, cl.read_table(spark, path).collect()))
+
+    v = cl.compact_small(spark, path, max_dir_bytes=6000)
+    e = cl._read_commits(path, v)[-1]
+    assert sorted(e["removed"]) == sorted(small), e
+    live_after = cl._fold_live(cl._read_state_commits(path))
+    assert set(big) <= set(live_after)            # big dirs untouched
+    assert e["pruned_dirs"] == 2
+    # the old vector is delisted; the residual targets ONLY big dirs
+    assert e["dv_removed"]
+    assert e.get("dv_rows") == 1                  # k=7 survives as DV
+    resid = spark.read.parquet(
+        *[f"{path}/{d}" for d in e["dv_added"]])
+    dirs_hit = {
+        r[0] for r in resid.selectExpr(
+            "regexp_extract(_dv_file, '(data/v[0-9]{8}-[0-9a-f]+)', 1)"
+        ).collect()
+    }
+    assert dirs_hit <= set(big), (dirs_hit, big)
+    # content identical (k=5000's deletion was applied PHYSICALLY)
+    got = sorted(map(tuple, cl.read_table(spark, path).collect()))
+    assert got == want
+    # second run: one merged small dir < min_dirs -> no-op
+    assert cl.compact_small(spark, path, max_dir_bytes=6000) is None
+    # absurdly low threshold: nothing qualifies -> no-op
+    assert cl.compact_small(spark, path, max_dir_bytes=1) is None
+
+
+def test_exists_default_backfill(spark, tmp_path):
+    """ExistsDefault (r13): pre-evolution rows read the frozen
+    default via the directory-version projection; evolution-batch
+    NULLs stay NULL (written at the intro version, not before);
+    time travel keeps the old shape; checkpoint and clone carry the
+    map; rename re-keys it; restore across the evolution reverts
+    it; drop removes it; predicates see backfilled values (a DV
+    delete can match on the default); backfill without defaults
+    refuses."""
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    mk = lambda rows, sch="k bigint, s string": spark.createDataFrame(
+        rows, sch)
+    cl.create_table(spark, path, mk([(1, "a"), (2, "b")]))       # v1
+    cl.append(spark, path, mk([(3, "c")]))                        # v2
+    with _pytest.raises(ValueError, match="backfill"):
+        cl.append(spark, path, mk([(9, "x")]), backfill=True)
+    cl.append(                                                    # v3
+        spark, path,
+        mk([(4, "d", 40.0), (5, "e", None)],
+           "k bigint, s string, p double"),
+        merge_schema=True, defaults={"p": "-1.0"}, backfill=True)
+    cl.append(spark, path, mk([(6, "f")]))                        # v4
+
+    def rows():
+        return {
+            r["k"]: r["p"] for r in cl.read_table(spark, path).collect()
+        }
+
+    # pre-evolution -> default; explicit value kept; the evolution
+    # batch's OWN NULL stays NULL; old-shape append -> write default
+    assert rows() == {1: -1.0, 2: -1.0, 3: -1.0, 4: 40.0,
+                      5: None, 6: -1.0}, rows()
+    # time travel before the evolution keeps the 2-column shape
+    assert cl.read_table(spark, path, version=2).columns == ["k", "s"]
+    # checkpoint carries the map
+    cl.checkpoint_log(path)
+    assert rows()[1] == -1.0
+    # predicates see the backfilled value: a DV delete matches on it
+    cl.delete_where(spark, path, "p = -1.0 AND k = 3",
+                    deletion_vectors=True)
+    assert 3 not in rows()
+    # clone serves the backfill too (source dir names keep versions)
+    dst = str(tmp_path / "clone")
+    cl.clone_table(spark, path, dst)
+    assert {r["k"]: r["p"]
+            for r in cl.read_table(spark, dst).collect()}[1] == -1.0
+    # rename re-keys the map
+    cl.rename_column(spark, path, "p", "q")
+    assert {r["k"]: r["q"]
+            for r in cl.read_table(spark, path).collect()}[2] == -1.0
+    cl.rename_column(spark, path, "q", "p")
+    # compact materializes; map becomes a no-op but reads are equal
+    before = rows()
+    cl.compact(spark, path)
+    assert rows() == before
+    # restore across the evolution reverts the map with the schema
+    v = cl.restore_table(spark, path, 2)
+    assert cl.read_table(spark, path).columns == ["k", "s"]
+    assert cl._exists_defaults(cl._read_state_commits(path)) == {}
+    assert v  # restored
+    # drop removes the map (rebuild the evolved state first)
+    path2 = str(tmp_path / "t2")
+    cl.create_table(spark, path2, mk([(1, "a")]))
+    cl.append(spark, path2,
+              mk([(2, "b", 1.0)], "k bigint, s string, p double"),
+              merge_schema=True, defaults={"p": "0.5"}, backfill=True)
+    assert cl._exists_defaults(cl._read_state_commits(path2))
+    cl.drop_column(spark, path2, "p")
+    assert cl._exists_defaults(cl._read_state_commits(path2)) == {}
+
+
 def test_commit_log_conflict_matrix(spark, tmp_path):
     """r12 verdict item 3: the two-process race matrix beyond
     txn_append — merge vs compact, DV-delete vs compact (the
