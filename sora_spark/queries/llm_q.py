@@ -4252,3 +4252,92 @@ def qix16_kwic_snippets(spark, sf_dir):
         docs.filter(F.col("doc_id") % 4 == 0), path)
     return textindex.kwic_snippets_indexed(
         spark, path, docs, "spark", window=2)
+
+
+@query(
+    "qvq3_matryoshka_prefilter",
+    oracle="""
+WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+s16 AS (
+  SELECT p.pid, c.nid,
+         round(list_cosine_similarity(c.v[1:16], p.v[1:16]), 5) AS s
+  FROM p, c WHERE c.nid <> p.pid),
+r16 AS (SELECT *, row_number() OVER (PARTITION BY pid
+                                     ORDER BY s DESC, nid) AS rn
+        FROM s16),
+cand AS (SELECT pid, nid FROM r16 WHERE rn <= 20),
+s64 AS (
+  SELECT cand.pid AS probe_id, cand.nid AS neighbor_id,
+         round(list_cosine_similarity(c2.v, p2.v), 5) AS sim
+  FROM cand
+  JOIN c c2 ON c2.nid = cand.nid
+  JOIN p p2 ON p2.pid = cand.pid),
+r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM s64)
+SELECT probe_id, CAST(rn AS INT) AS rn, neighbor_id, sim
+FROM r WHERE rn <= 5 ORDER BY probe_id, rn
+""",
+    doc="qvq3: MATRYOSHKA-STYLE two-stage retrieval (the MRL serving "
+    "idiom next to qvq1's int8 and qvq2's PQ compression): stage A "
+    "ranks the corpus by cosine over the FIRST 16 of 64 dimensions "
+    "(a prefix slice — for matryoshka-trained embeddings the "
+    "low-dim prefix is a usable coarse embedding; dot cost drops "
+    "4x) and keeps top-20 candidates per probe; stage B re-ranks "
+    "ONLY those candidates with the full 64-dim cosine and serves "
+    "top-5. Both stages are deterministic (rank on the 5dp-rounded "
+    "similarity with neighbor-id tiebreak, the qix13 discipline), "
+    "so the ENTIRE two-stage pipeline is hash-gated against the "
+    "identical SQL — including which candidates survive the stage-A "
+    "cut, the part a recall-only gate would not pin. Engine "
+    "arithmetic is the ql3-established zip_with/aggregate dot "
+    "(bit-compatible with DuckDB's list_cosine_similarity at 5dp); "
+    "the slice happens before the cast-free dot so stage A "
+    "genuinely reads 16 elements. At 100 TB stage A is the "
+    "brute-force-able cheap pass (or an IVF probe over truncated "
+    "vectors) and stage B touches k candidates per probe — the "
+    "classic funnel.",
+    tags=("llm", "vector", "ann", "quantization"),
+)
+def qvq3_matryoshka_prefilter(spark, sf_dir):
+    from sora_spark.functions import vector
+
+    emb = tables(spark, sf_dir).embeddings
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("pid"),
+        F.col("embedding").alias("pv"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("cv"),
+    )
+    pairs = corpus.crossJoin(F.broadcast(probes)).filter(
+        F.col("nid") != F.col("pid"))
+    s16 = pairs.select(
+        "pid", "nid", "cv", "pv",
+        F.round(
+            vector.cosine(F.slice("cv", 1, 16), F.slice("pv", 1, 16)), 5
+        ).alias("s"),
+    )
+    w16 = Window.partitionBy("pid").orderBy(F.desc("s"), "nid")
+    cand = (
+        s16.withColumn("rn16", F.row_number().over(w16))
+        .filter(F.col("rn16") <= 20)
+    )
+    s64 = cand.select(
+        F.col("pid").alias("probe_id"),
+        F.col("nid").alias("neighbor_id"),
+        F.round(vector.cosine(F.col("cv"), F.col("pv")), 5).alias("sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim"), "neighbor_id")
+    return (
+        s64.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", F.col("rn").cast("int").alias("rn"),
+                "neighbor_id", "sim")
+        .orderBy("probe_id", "rn")
+    )

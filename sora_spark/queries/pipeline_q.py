@@ -6351,3 +6351,166 @@ def qup33_bloom_pruned_merge(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@query(
+    "qup34_cdf_by_timestamp",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price, o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 7 = 0),
+b AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice + 1000, 2) AS price,
+         o_orderdate + INTERVAL 1 DAY AS ts
+  FROM orders WHERE o_orderkey % 5 = 0),
+ch AS (
+  SELECT b.k, b.st, b.price,
+         strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+         CASE WHEN s.k IS NULL THEN 'insert' ELSE 'update' END
+           AS _change_type
+  FROM b LEFT JOIN snap s USING (k))
+SELECT k, st, price, ts_s, _change_type FROM ch ORDER BY k
+""",
+    doc="qup34: CDF ADDRESSED BY TIMESTAMP (table_changes ts_from/"
+    "ts_to — Delta's startingTimestamp/endingTimestamp, r13): the "
+    "caller asks 'what changed between this instant and that one' "
+    "and each instant resolves to the newest version committed at "
+    "or before it (the version_as_of rule AS OF TIMESTAMP time "
+    "travel already uses) — no version bookkeeping at the call "
+    "site. The row captures wall-clock instants between the create "
+    "and the merge and diffs by them: matched keys surface as "
+    "'update' post-images, new keys as 'insert', deletes none — "
+    "hash-matched against the batch-vs-snapshot SQL diff. Exactly-"
+    "one-of validation (version xor timestamp per endpoint) is "
+    "pinned in the capability tier. At 100 TB this is the "
+    "'reconcile since last night's run' call, addressed the way "
+    "operators actually schedule it: by clock, not by version.",
+    tags=("cdc", "acid", "timetravel"),
+)
+def qup34_cdf_by_timestamp(spark, sf_dir):
+    import os
+    import shutil
+    import time
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+    snap = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    batch = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") + 1000, 2).alias("price"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+    )
+    path = os.path.join(_roundtrip_dir("commit_log_ts_cdf"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(spark, path, snap, stats_cols=["k"])        # v1
+    time.sleep(0.05)
+    t_mid = time.time()
+    time.sleep(0.05)
+    cl.merge_upsert(spark, path, batch, ["k"], "ts")            # v2
+    t_end = time.time()
+    return (
+        cl.table_changes(
+            spark, path, key_cols=["k"], ts_from=t_mid, ts_to=t_end)
+        .select(
+            "k", "st", "price",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "_change_type",
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "qup35_generated_columns",
+    oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice, 2) AS price, o_orderdate AS ts
+  FROM orders WHERE o_orderkey % 4 IN (0, 1)),
+b AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         round(o_totalprice + 1000, 2) AS price,
+         o_orderdate + INTERVAL 1 DAY AS ts
+  FROM orders WHERE o_orderkey % 4 IN (0, 2)),
+merged AS (
+  SELECT * FROM b
+  UNION ALL
+  SELECT * FROM snap WHERE k NOT IN (SELECT k FROM b))
+SELECT k, st, price,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day_s
+FROM merged ORDER BY k
+""",
+    doc="qup35: GENERATED COLUMNS (create_table gen_cols= — Delta's "
+    "GENERATED ALWAYS AS, r13): `day` is declared as CAST(ts AS "
+    "DATE) at create and NO writer ever supplies it — create fills "
+    "the initial rows, append fills its batch, merge fills both its "
+    "matched and inserted rows (including the merged rows' NEW ts: "
+    "day re-derives from the post-merge value, not the pre-image) — "
+    "while a writer that DOES supply the column is validated by a "
+    "null-safe equality conjunct riding the data write's existing "
+    "CHECK Observation, zero extra passes (a wrong supplied value "
+    "refuses the whole commit; pinned in test_capabilities.py::"
+    "test_generated_columns along with UPDATE re-derivation, the "
+    "rename/drop fixed-derivation guards, checkpoint carry, and "
+    "day-range data skipping). The declared gate: the full table "
+    "must hash-match the merge SQL truth WITH day recomputed per "
+    "row — any writer that forgot to fill, filled from a stale "
+    "pre-image, or validated against the wrong expression is a "
+    "mismatch. At 100 TB this is the partition-by-derived-date "
+    "idiom: predicates on `day` data-skip via its recorded stats "
+    "without the writer fleet ever computing it.",
+    tags=("sink", "acid", "generated", "schema"),
+)
+def qup35_generated_columns(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+    from sora_spark.sources import commit_log as cl
+
+    orders = tables(spark, sf_dir).orders
+
+    def shaped(pred, bump=False):
+        df = orders.filter(pred).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            F.round(
+                F.col("o_totalprice") + (1000 if bump else 0), 2
+            ).alias("price"),
+            (F.col("o_orderdate")
+             + F.expr(f"INTERVAL {1 if bump else 0} DAY")).alias("ts"),
+        )
+        return df
+
+    path = os.path.join(_roundtrip_dir("commit_log_gen"), "table")
+    shutil.rmtree(path, ignore_errors=True)
+    cl.create_table(
+        spark, path, shaped(F.col("o_orderkey") % 4 == 0),
+        stats_cols=["k", "day"],
+        gen_cols={"day": "CAST(ts AS DATE)"})
+    cl.append(spark, path, shaped(F.col("o_orderkey") % 4 == 1),
+              stats_cols=["k", "day"])
+    cl.merge_upsert(
+        spark, path,
+        shaped((F.col("o_orderkey") % 4).isin(0, 2), bump=True),
+        ["k"], "ts")
+    return (
+        cl.read_table(spark, path)
+        .select(
+            "k", "st", "price",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        )
+        .orderBy("k")
+    )

@@ -177,7 +177,7 @@ def _read_state_commits(path: str) -> list[dict]:
     for k in ("schema", "schema_json", "check", "cdf", "stats",
               "txn_watermarks", "committed_at", "column_map",
               "reserved_physical", "reader_features", "defaults",
-              "exists_defaults"):
+              "exists_defaults", "generated"):
         if state.get(k):
             synthetic[k] = state[k]
     if state.get("live_dvs"):
@@ -255,6 +255,8 @@ def checkpoint_log(path: str) -> int:
         state["exists_defaults"] = {
             k: [e, v] for k, (e, v) in _exists_defaults(commits).items()
         }
+    if _generated_cols(commits):
+        state["generated"] = _generated_cols(commits)
     if watermarks:
         state["txn_watermarks"] = watermarks
     final = os.path.join(
@@ -526,6 +528,82 @@ def _column_defaults(commits: list[dict]) -> dict[str, str]:
         if "defaults" in c:
             return dict(c["defaults"])
     return {}
+
+
+def _generated_cols(commits: list[dict]) -> dict[str, str]:
+    """GENERATED columns (Delta's GENERATED ALWAYS AS shape):
+    {logical column -> SQL expression over the other columns},
+    declared at create. Writers FILL a generated column the batch
+    omits (producers need not know the derivation) and VALIDATE one
+    the batch supplies — the equality conjunct rides the data
+    write's existing CHECK Observation (`_table_gate`), zero extra
+    passes — so the recorded invariant `c == expr` holds on every
+    committed row. With the column in stats_cols, predicates on the
+    GENERATED column data-skip like any other (the
+    partition-by-derived-date idiom without physical partitioning).
+    Latest commit carrying the key wins (create writes it; the
+    checkpoint's synthetic commit re-carries it)."""
+    for c in reversed(commits):
+        if "generated" in c:
+            return dict(c["generated"])
+    return {}
+
+
+def _fill_generated(df: DataFrame, commits: list[dict]) -> DataFrame:
+    """Compute any generated column the batch omits, CAST to the
+    recorded type; supplied columns pass through (the write gate
+    validates them)."""
+    from pyspark.sql import functions as F
+
+    gen = _generated_cols(commits)
+    if not gen:
+        return df
+    schema = _schema_struct(commits)
+    types = {f.name: f.dataType for f in schema.fields} if schema else {}
+    for c, expr_text in gen.items():
+        if c not in df.columns:
+            col = F.expr(expr_text)
+            if c in types:
+                col = col.cast(types[c])
+            df = df.withColumn(c, col)
+    return df
+
+
+def _regen(df: DataFrame, commits: list[dict], set_exprs: dict) -> DataFrame:
+    """Recompute generated columns an UPDATE did not explicitly SET —
+    Delta's generated-column UPDATE semantics: a SET on a source
+    column re-derives the dependents (rows whose sources did not
+    change recompute to their existing value, a no-op); an explicit
+    SET on the generated column itself wins and the write gate then
+    validates it."""
+    from pyspark.sql import functions as F
+
+    gen = _generated_cols(commits)
+    if not gen:
+        return df
+    schema = _schema_struct(commits)
+    types = {f.name: f.dataType for f in schema.fields} if schema else {}
+    for c, e in gen.items():
+        if c in df.columns and c not in set_exprs:
+            col = F.expr(e)
+            if c in types:
+                col = col.cast(types[c])
+            df = df.withColumn(c, col)
+    return df
+
+
+def _table_gate(commits: list[dict]) -> str | None:
+    """The full write-time row gate: the table CHECK (if any) AND one
+    null-safe equality conjunct per generated column — everything a
+    committed row must satisfy, evaluated as ONE Observation riding
+    the data write."""
+    parts = []
+    check = _table_check(commits)
+    if check:
+        parts.append(f"({check})")
+    for c, expr_text in _generated_cols(commits).items():
+        parts.append(f"(`{c}` <=> ({expr_text}))")
+    return " AND ".join(parts) if parts else None
 
 
 def _exists_defaults(commits: list[dict]) -> dict[str, tuple[str, int]]:
@@ -1094,6 +1172,7 @@ def create_table(
     check: str | None = None,
     change_data_feed: bool = False,
     bloom_cols: list[str] | None = None,
+    gen_cols: dict[str, str] | None = None,
 ) -> int:
     """Version 1: initial rows. Fails if the table already has commits.
     `stats_cols` records per-directory min/max/null stats in the
@@ -1114,11 +1193,28 @@ def create_table(
     change commits. Appends need no sidecar (their added files ARE
     the inserts). Cost rides the operation: the diff reuses frames
     the writer already computed."""
-    rel, stats = _write_data(df, path, 1, stats_cols, check=check,
+    write_gate = check
+    if gen_cols:
+        from pyspark.sql import functions as F
+
+        # fill omitted generated columns on the initial rows, then
+        # gate every present one exactly like later writers; the
+        # RECORDED check stays the user's own (gen conjuncts are
+        # re-derived by _table_gate from the generated map)
+        for c, expr_text in gen_cols.items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(expr_text))
+        gen_gate = " AND ".join(
+            f"(`{c}` <=> ({e}))" for c, e in gen_cols.items()
+        )
+        write_gate = f"({check}) AND {gen_gate}" if check else gen_gate
+    rel, stats = _write_data(df, path, 1, stats_cols, check=write_gate,
                              bloom_cols=bloom_cols)
     entry = {"version": 1, "operation": "create", "added": [rel],
              "removed": [], "schema": df.schema.simpleString(),
              "schema_json": df.schema.json()}
+    if gen_cols:
+        entry["generated"] = dict(gen_cols)
     if check:
         entry["check"] = check
     if change_data_feed:
@@ -1289,7 +1385,7 @@ def append(
     concurrent evolution can legitimately flip the verdict);
     ConcurrentWriteError surfaces only after the attempt cap."""
     commits = _read_state_commits(path)
-    df = _fill_defaults(df, commits)
+    df = _fill_generated(_fill_defaults(df, commits), commits)
     evolved = _evolution_gate(commits, df, merge_schema, "append")
     if defaults:
         if not (merge_schema and evolved):
@@ -1320,7 +1416,7 @@ def append(
 
         n = df.count()
         df = df.repartition(max(1, math.ceil(n / optimize_write)))
-    check_seen = _table_check(commits)
+    check_seen = _table_gate(commits)
     if bloom_cols is None:
         # inherit: dirs this table already blooms keep point-pruning
         bloom_cols = _bloom_cols_logical(
@@ -1361,7 +1457,7 @@ def append(
             last = e
             commits = _read_state_commits(path)
             evolved = _evolution_gate(commits, df, merge_schema, "append")
-            new_check = _table_check(commits)
+            new_check = _table_gate(commits)
             if new_check != check_seen:
                 # the winner changed the table CHECK: re-validate the
                 # already-written batch before re-claiming (refuses on
@@ -1461,6 +1557,19 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> int:
                 f"rename_column: the table CHECK ({check}) references "
                 f"{old!r}; drop the constraint, rename, then re-add it"
             )
+        # same conservative word-match guard for GENERATED columns:
+        # the column itself and any source its expression names are
+        # both load-bearing identifiers in the recorded derivation
+        gen = _generated_cols(commits)
+        for gc, ge in gen.items():
+            if old == gc or re.search(
+                rf"\b{re.escape(old)}\b", ge, re.IGNORECASE
+            ):
+                raise ValueError(
+                    f"rename_column: generated column {gc!r} "
+                    f"(= {ge}) involves {old!r}; generated "
+                    "derivations are fixed at create"
+                )
         cmap = _column_map(commits)
         phys = cmap.pop(old, old)
         if new != phys:
@@ -1525,6 +1634,16 @@ def drop_column(spark: SparkSession, path: str, col: str) -> int:
                 f"drop_column: the table CHECK ({check}) references "
                 f"{col!r}; drop the constraint first"
             )
+        gen = _generated_cols(commits)
+        for gc, ge in gen.items():
+            if col == gc or re.search(
+                rf"\b{re.escape(col)}\b", ge, re.IGNORECASE
+            ):
+                raise ValueError(
+                    f"drop_column: generated column {gc!r} (= {ge}) "
+                    f"involves {col!r}; generated derivations are "
+                    "fixed at create"
+                )
         from pyspark.sql.types import StructType
 
         shrunk = StructType([f for f in schema.fields if f.name != col])
@@ -1823,7 +1942,7 @@ def merge_upsert(
     from pyspark.sql.window import Window
 
     commits = _read_state_commits(path)
-    batch_df = _fill_defaults(batch_df, commits)
+    batch_df = _fill_generated(_fill_defaults(batch_df, commits), commits)
     # same gate as append: without it a type-drifting batch would
     # be COERCED by unionByName and committed as a silently
     # different table schema, wedging later appends against the
@@ -1893,7 +2012,7 @@ def merge_upsert(
         .drop("_rn", "_src")
     )
     rel, stats = _write_data(
-        merged, path, version, stats_cols, check=_table_check(commits),
+        merged, path, version, stats_cols, check=_table_gate(commits),
         column_map=cmap,
         bloom_cols=_bloom_cols_logical(live_stats, cmap))
     entry = {"version": version, "operation": "merge_upsert",
@@ -2171,7 +2290,7 @@ def _merge_on_read(
     added, entry_stats = [], {}
     rel, stats = _write_data(
         ins, path, version, stats_cols,
-        check=_table_check(commits), column_map=cmap,
+        check=_table_gate(commits), column_map=cmap,
         drop_if_empty=True, bloom_cols=bloom_cols,
     )
     if rel:
@@ -2254,7 +2373,7 @@ def replace_where(
         raise ValueError("replace_where takes the predicate as SQL text")
     cond = F.expr(condition)
     commits = _read_state_commits(path)
-    batch_df = _fill_defaults(batch_df, commits)
+    batch_df = _fill_generated(_fill_defaults(batch_df, commits), commits)
     _evolution_gate(commits, batch_df, False, "replace_where batch")
     version = commits[-1]["version"] + 1
     live = _fold_live(commits)
@@ -2269,7 +2388,7 @@ def replace_where(
     # the batch-scope gate rides the batch write itself: every row
     # must SATISFY the predicate (strictly — NULL is out of scope)
     scope = f"coalesce(({condition}), false)"
-    check = _table_check(commits)
+    check = _table_gate(commits)
     gate = f"({scope}) AND ({check})" if check else scope
     batch_rel, batch_stats = _write_data(
         batch_df, path, version, stats_cols, check=gate, column_map=cmap
@@ -2412,9 +2531,9 @@ def update_where(
             out_cols.append(F.when(matched, e).otherwise(F.col(c)).alias(c))
         else:
             out_cols.append(F.col(c))
-    updated = cur.select(*out_cols)
+    updated = _regen(cur.select(*out_cols), commits, set_exprs)
     rel, stats = _write_data(
-        updated, path, version, stats_cols, check=_table_check(commits),
+        updated, path, version, stats_cols, check=_table_gate(commits),
         column_map=_column_map(commits),
         bloom_cols=_bloom_cols_logical(live_stats, _column_map(commits)))
     entry = {"version": version, "operation": "update",
@@ -2427,7 +2546,9 @@ def update_where(
         hit_rows = cur.filter(matched)
         pre = hit_rows.select(
             "*", F.lit("update_preimage").alias("_change_type"))
-        post = hit_rows.select(*out_cols).select(
+        post = _regen(
+            hit_rows.select(*out_cols), commits, set_exprs
+        ).select(
             "*", F.lit("update_postimage").alias("_change_type"))
         entry["cdc"] = [_write_cdc(pre.unionByName(post), path, version)]
     if stats:
@@ -2472,14 +2593,14 @@ def _update_on_read(
             out_cols.append(e.alias(c))
         else:
             out_cols.append(F.col(c))
-    updated = hit_rows.select(*out_cols)
+    updated = _regen(hit_rows.select(*out_cols), commits, set_exprs)
 
     dv_rel = os.path.join(_DV, f"v{version:08d}-{uuid.uuid4().hex[:12]}")
     hit_rows.select(
         F.col("_f").alias("_dv_file"), F.col("_r").alias("_dv_row")
     ).write.mode("error").parquet(os.path.join(path, dv_rel))
     rel, stats = _write_data(
-        updated, path, version, stats_cols, check=_table_check(commits),
+        updated, path, version, stats_cols, check=_table_gate(commits),
         column_map=_column_map(commits), bloom_cols=bloom_cols)
     entry = {
         "version": version, "operation": "update",
@@ -2917,6 +3038,8 @@ def clone_table(spark: SparkSession, src: str, dst: str) -> int:
         entry["exists_defaults"] = {
             k: [e, v] for k, (e, v) in _exists_defaults(commits).items()
         }
+    if _generated_cols(commits):
+        entry["generated"] = _generated_cols(commits)
     stats = {d: s for d, s in live_stats.items() if s}
     if stats:
         entry["stats"] = stats
@@ -2926,10 +3049,12 @@ def clone_table(spark: SparkSession, src: str, dst: str) -> int:
 def table_changes(
     spark: SparkSession,
     path: str,
-    v_from: int,
-    v_to: int,
-    key_cols: list[str],
+    v_from: int | None = None,
+    v_to: int | None = None,
+    key_cols: list[str] | None = None,
     include_preimages: bool = False,
+    ts_from: float | None = None,
+    ts_to: float | None = None,
 ) -> DataFrame:
     """Snapshot CDC: the row-level diff between two committed versions
     as a DataFrame with the table's columns plus `_change_type` in
@@ -2946,12 +3071,31 @@ def table_changes(
     (v_to image) — which is what an incremental consumer needs to
     RETRACT the old contribution (qmv2's maintenance feed); the
     default single post-image 'update' row is the compact display
-    form."""
+    form.
+
+    `ts_from`/`ts_to` (r13 — Delta's startingTimestamp /
+    endingTimestamp CDF addressing): pass unix-seconds instants
+    instead of versions; each resolves to the newest version
+    committed AT OR BEFORE that instant (version_as_of — the same
+    rule AS OF TIMESTAMP time travel uses), so 'what changed between
+    yesterday's snapshot and now' needs no version bookkeeping.
+    Exactly one of (v_from, ts_from) and one of (v_to, ts_to) must
+    be given."""
     import functools
     import operator
 
     from pyspark.sql import functions as F
 
+    if key_cols is None:
+        raise ValueError("table_changes requires key_cols")
+    if (v_from is None) == (ts_from is None):
+        raise ValueError("pass exactly one of v_from / ts_from")
+    if (v_to is None) == (ts_to is None):
+        raise ValueError("pass exactly one of v_to / ts_to")
+    if ts_from is not None:
+        v_from = version_as_of(path, ts_from)
+    if ts_to is not None:
+        v_to = version_as_of(path, ts_to)
     a = read_table(spark, path, v_from)
     b = read_table(spark, path, v_to)
     # a rename between the versions would make the same physical
@@ -3114,7 +3258,7 @@ def txn_append(
     if seen is not None and seen >= int(txn_version):
         return None
     commits = _read_state_commits(path)
-    df = _fill_defaults(df, commits)
+    df = _fill_generated(_fill_defaults(df, commits), commits)
     want = _latest_schema(commits)
     if want and df.schema.simpleString() != want:
         raise ValueError(
@@ -3123,7 +3267,7 @@ def txn_append(
         )
     version = commits[-1]["version"] + 1
     added, entry_stats = [], {}
-    check_seen = _table_check(commits)
+    check_seen = _table_gate(commits)
     rel, stats = _write_data(
         df, path, version, stats_cols, check=check_seen,
         column_map=_column_map(commits), drop_if_empty=True)
@@ -3151,7 +3295,7 @@ def txn_append(
             if seen is not None and seen >= int(txn_version):
                 return None
             commits = _read_state_commits(path)
-            new_check = _table_check(commits)
+            new_check = _table_gate(commits)
             if added and new_check != check_seen:
                 # same rebase re-validation as append: a concurrently
                 # added CHECK must veto this batch, not be bypassed

@@ -2739,6 +2739,85 @@ def test_commit_log_two_process_race(spark, tmp_path):
     assert got == want
 
 
+def test_generated_columns(spark, tmp_path):
+    """Generated columns (r13): writers fill an omitted generated
+    column and VALIDATE a supplied one (wrong value refuses the
+    whole commit via the write gate); UPDATE on a source column
+    re-derives the dependent (explicit SET on the generated column
+    wins, then must pass the gate); rename/drop of the generated
+    column or its sources refuses; checkpoint carries the map;
+    timestamp-CDF argument validation; day-range stats prune a
+    delete to the containing directory."""
+    import datetime
+
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    mk = lambda rows, sch="k bigint, ts timestamp": \
+        spark.createDataFrame(rows, sch)
+    d = lambda s: datetime.datetime.fromisoformat(s)
+    cl.create_table(
+        spark, path, mk([(1, d("2024-01-01T10:00")),
+                         (2, d("2024-01-02T11:00"))]),
+        stats_cols=["k", "day"],
+        gen_cols={"day": "CAST(ts AS DATE)"})
+    # create filled the omitted column
+    got = {r["k"]: str(r["day"])
+           for r in cl.read_table(spark, path).collect()}
+    assert got == {1: "2024-01-01", 2: "2024-01-02"}
+    # append without the column fills; with a WRONG value refuses
+    cl.append(spark, path, mk([(3, d("2024-02-05T09:00"))]),
+              stats_cols=["k", "day"])
+    with _pytest.raises(cl.ConstraintViolationError):
+        cl.append(
+            spark, path,
+            mk([(4, d("2024-02-06T09:00"), d("1999-01-01").date())],
+               "k bigint, ts timestamp, day date"))
+    # a CORRECT supplied value passes the gate
+    cl.append(
+        spark, path,
+        mk([(4, d("2024-02-06T09:00"), d("2024-02-06").date())],
+           "k bigint, ts timestamp, day date"))
+    # UPDATE on the source re-derives the generated column
+    cl.update_where(spark, path, "k = 1",
+                    {"ts": "ts + INTERVAL 40 DAY"})
+    row = {r["k"]: str(r["day"])
+           for r in cl.read_table(spark, path).collect()}
+    assert row[1] == "2024-02-10", row
+    # DV-mode UPDATE path re-derives too
+    cl.update_where(spark, path, "k = 2",
+                    {"ts": "ts + INTERVAL 40 DAY"}, merge_on_read=True)
+    row = {r["k"]: str(r["day"])
+           for r in cl.read_table(spark, path).collect()}
+    assert row[2] == "2024-02-11", row
+    # rename/drop of the generated column or its source refuses
+    for bad in ("day", "ts"):
+        with _pytest.raises(ValueError, match="generated"):
+            cl.rename_column(spark, path, bad, "x")
+        with _pytest.raises(ValueError, match="generated"):
+            cl.drop_column(spark, path, bad)
+    # checkpoint carries the map: a post-checkpoint append still fills
+    cl.checkpoint_log(path)
+    cl.append(spark, path, mk([(5, d("2024-03-01T00:30"))]),
+              stats_cols=["k", "day"])
+    row = {r["k"]: str(r["day"])
+           for r in cl.read_table(spark, path).collect()}
+    assert row[5] == "2024-03-01"
+    # day stats prune: delete on a Jan day touches only dirs that
+    # contain it (the Feb/Mar dirs stay listed unread)
+    v = cl.delete_where(spark, path, "day = DATE'2024-02-05'")
+    e = cl._read_commits(path, v)[-1]
+    assert e["pruned_dirs"] >= 2, e
+    # timestamp-CDF argument validation (qup34's machinery)
+    with _pytest.raises(ValueError, match="exactly one"):
+        cl.table_changes(spark, path, v_from=1, ts_from=1.0,
+                         v_to=2, key_cols=["k"])
+    with _pytest.raises(ValueError, match="key_cols"):
+        cl.table_changes(spark, path, v_from=1, v_to=2)
+
+
 def test_bloom_dir_stats(spark, tmp_path):
     """Per-directory bloom filters (r13): on an interleaved layout
     where range stats prune nothing, a point-key merge prunes every
