@@ -799,8 +799,17 @@ def split_ivf_list(
     new_cid = max(by_cid) + 1
     hot = spark.read.parquet(path).filter(F.col("_cid") == int(cid))
     subs = kmeans_centroids(hot, 2, iters, id_col, vec_col)
-    if len(subs) < 2:
-        raise ValueError(f"list _cid={cid} has too few vectors to split")
+    # degenerate 2-means: kmeans_centroids always RETURNS two entries
+    # (stale init centroids carry through an empty cluster), so the
+    # real collapse signal is identical centroids — a list of
+    # (near-)duplicate vectors that no split can separate (r13
+    # review: the old len()<2 guard could never fire and the loop in
+    # maintain_ivf_index would re-split the same list forever)
+    if len(subs) < 2 or subs[0] == subs[1]:
+        raise ValueError(
+            f"list _cid={cid} cannot be split: 2-means collapsed to "
+            "one centroid (duplicate-heavy mass — rebuild or dedup)"
+        )
     reassigned = hot.withColumn(
         "_cid",
         F.when(
@@ -829,6 +838,17 @@ def split_ivf_list(
         if c not in kept:
             shutil.rmtree(os.path.join(path, f"_cid={c}"),
                           ignore_errors=True)
+    if len(kept) < 2:
+        # distinct centroids but a one-sided assignment (all vectors
+        # strictly nearer one sub-centroid): the partition state is
+        # unchanged (the rewrite re-laid the same rows under the old
+        # cid; the empty side was just cleaned) and the codebook has
+        # NOT been swapped — refuse so callers (maintain_ivf_index)
+        # see an unsplittable list, not a phantom success
+        raise ValueError(
+            f"list _cid={cid} cannot be split: 2-means assigned "
+            "every vector to one side"
+        )
     old = by_cid[int(cid)]
     has_branch = "branch" in cent_rows[0].asDict()
     rows = []

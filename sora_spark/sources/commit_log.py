@@ -911,18 +911,13 @@ def _stat_scalar(v):
     return None
 
 
-def _column_stats(df: DataFrame, cols: list[str]) -> dict:
-    """One column-pruned pass: {col: {min, max, nulls}} for every
-    prunable column; all-null columns carry {'nulls': n, 'allnull':
-    True}; unprunable types are omitted entirely (distinct from
-    all-null, so _disjoint_on can still prune against an all-null
-    side). Called on the just-written parquet, so it is a footer-
-    friendly scan of the new directory only, never the table."""
+def _stat_agg_exprs(cols: list[str]) -> list:
+    """The per-column (min, max, null-count) aggregate triple — the
+    ONE encoding of directory stats, shared by _column_stats,
+    _bucket_stats, and the Observation riding _write_data (r13
+    review: three inline copies could drift)."""
     from pyspark.sql import functions as F
 
-    cols = [c for c in cols if c in df.columns]
-    if not cols:
-        return {}
     aggs = []
     for i, c in enumerate(cols):
         aggs += [
@@ -930,46 +925,53 @@ def _column_stats(df: DataFrame, cols: list[str]) -> dict:
             F.max(c).alias(f"mx{i}"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"nu{i}"),
         ]
-    row = df.agg(*aggs).collect()[0]
+    return aggs
+
+
+def _decode_stat(row, i: int) -> dict | None:
+    """Decode one column's triple from an aggregate row: all-null
+    columns carry {'nulls': n, 'allnull': True}; unprunable types
+    (no order-preserving scalar encoding) return None and are
+    omitted entirely — distinct from all-null, so _disjoint_on can
+    still prune against an all-null side."""
+    nulls = int(row[f"nu{i}"] or 0)
+    lo, hi = _stat_scalar(row[f"mn{i}"]), _stat_scalar(row[f"mx{i}"])
+    if row[f"mn{i}"] is None:
+        return {"nulls": nulls, "allnull": True}
+    if lo is not None and hi is not None:
+        return {"min": lo, "max": hi, "nulls": nulls}
+    return None
+
+
+def _column_stats(df: DataFrame, cols: list[str]) -> dict:
+    """One column-pruned pass: {col: {min, max, nulls}} per prunable
+    column (encoding rules in _decode_stat)."""
+    cols = [c for c in cols if c in df.columns]
+    if not cols:
+        return {}
+    row = df.agg(*_stat_agg_exprs(cols)).collect()[0]
     out = {}
     for i, c in enumerate(cols):
-        nulls = int(row[f"nu{i}"] or 0)
-        lo, hi = _stat_scalar(row[f"mn{i}"]), _stat_scalar(row[f"mx{i}"])
-        if row[f"mn{i}"] is None:
-            out[c] = {"nulls": nulls, "allnull": True}
-        elif lo is not None and hi is not None:
-            out[c] = {"min": lo, "max": hi, "nulls": nulls}
-        # else: unprunable type — omit
+        st = _decode_stat(row, i)
+        if st is not None:
+            out[c] = st
     return out
 
 
 def _bucket_stats(df: DataFrame, cols: list[str]) -> dict:
     """Per-_bucket column stats in ONE grouped aggregation:
-    {bucket: {col: {min, max, nulls}}} with _column_stats' exact
+    {bucket: {col: {min, max, nulls}}} with _decode_stat's exact
     encoding/omission rules."""
-    from pyspark.sql import functions as F
-
     cols = [c for c in cols if c in df.columns]
     if not cols:
         return {}
-    aggs = []
-    for i, c in enumerate(cols):
-        aggs += [
-            F.min(c).alias(f"mn{i}"),
-            F.max(c).alias(f"mx{i}"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"nu{i}"),
-        ]
     out: dict = {}
-    for row in df.groupBy("_bucket").agg(*aggs).collect():
+    for row in df.groupBy("_bucket").agg(*_stat_agg_exprs(cols)).collect():
         st = {}
         for i, c in enumerate(cols):
-            nulls = int(row[f"nu{i}"] or 0)
-            lo = _stat_scalar(row[f"mn{i}"])
-            hi = _stat_scalar(row[f"mx{i}"])
-            if row[f"mn{i}"] is None:
-                st[c] = {"nulls": nulls, "allnull": True}
-            elif lo is not None and hi is not None:
-                st[c] = {"min": lo, "max": hi, "nulls": nulls}
+            dec = _decode_stat(row, i)
+            if dec is not None:
+                st[c] = dec
         out[int(row["_bucket"])] = st
     return out
 
@@ -1058,6 +1060,9 @@ def _write_data(
     rel = os.path.join(_DATA, f"v{version:08d}-{uuid.uuid4().hex[:12]}")
     full = os.path.join(path, rel)
     scols = [c for c in (stats_cols or []) if c in df.columns]
+    # filter bloom cols against the LOGICAL frame here — below this
+    # point df may be projected to physical names
+    bcols = [c for c in (bloom_cols or []) if c in df.columns]
     exprs = []
     if check:
         exprs.append(
@@ -1067,12 +1072,7 @@ def _write_data(
         )
     if drop_if_empty:
         exprs.append(F.count(F.lit(1)).alias("nrows"))
-    for i, c in enumerate(scols):
-        exprs += [
-            F.min(c).alias(f"mn{i}"),
-            F.max(c).alias(f"mx{i}"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"nu{i}"),
-        ]
+    exprs += _stat_agg_exprs(scols)
     obs = None
     if exprs:
         obs = Observation()
@@ -1096,14 +1096,9 @@ def _write_data(
     pmap = column_map or {}
     stats = {}
     for i, c in enumerate(scols):
-        nulls = int(row[f"nu{i}"] or 0)
-        lo, hi = _stat_scalar(row[f"mn{i}"]), _stat_scalar(row[f"mx{i}"])
-        pc = pmap.get(c, c)
-        if row[f"mn{i}"] is None:
-            stats[pc] = {"nulls": nulls, "allnull": True}
-        elif lo is not None and hi is not None:
-            stats[pc] = {"min": lo, "max": hi, "nulls": nulls}
-    bcols = [c for c in (bloom_cols or []) if c in df.columns]
+        st = _decode_stat(row, i)
+        if st is not None:
+            stats[pmap.get(c, c)] = st
     if bcols:
         from sora_spark.operators import sketch
 
@@ -1466,6 +1461,19 @@ def append(
                 _revalidate_dir(spark, path, rel, new_check, commits)
                 check_seen = new_check
             version = commits[-1]["version"] + 1
+            # RENAME the written directory to the re-claimed version:
+            # the version embedded in a directory name is load-bearing
+            # (ExistsDefault backfill keys on it) — without this, a
+            # rebased backfill evolution records intro=version while
+            # its own directory keeps the lower pre-rebase number, and
+            # the batch's explicit NULLs would read the default
+            # (r13 review finding). One atomic rename, no data I/O.
+            new_rel = os.path.join(
+                _DATA, f"v{version:08d}-" + rel.rsplit("-", 1)[1]
+            )
+            os.rename(os.path.join(path, rel),
+                      os.path.join(path, new_rel))
+            rel = new_rel
     raise last
 
 
@@ -2390,8 +2398,10 @@ def replace_where(
     scope = f"coalesce(({condition}), false)"
     check = _table_gate(commits)
     gate = f"({scope}) AND ({check})" if check else scope
+    bcols = _bloom_cols_logical(live_stats, cmap)
     batch_rel, batch_stats = _write_data(
-        batch_df, path, version, stats_cols, check=gate, column_map=cmap
+        batch_df, path, version, stats_cols, check=gate, column_map=cmap,
+        bloom_cols=bcols,
     )
     hit = {
         r[0]
@@ -2415,7 +2425,7 @@ def replace_where(
             ~F.coalesce(cond, F.lit(False)))
         rel, stats = _write_data(
             keep, path, version, stats_cols, column_map=cmap,
-            drop_if_empty=True)
+            drop_if_empty=True, bloom_cols=bcols)
         if rel:
             added.append(rel)
             if stats:
@@ -2980,11 +2990,18 @@ def clone_table(spark: SparkSession, src: str, dst: str) -> int:
     HARD-LINKED into the clone (POSIX link: zero-copy, refcounted, so
     either table may vacuum/rewrite independently afterwards; an
     object-store port would reference manifests instead, Delta's
-    shallow-clone shape). The clone starts its own history at
-    version 1, inheriting schema, CHECK constraint, per-directory
-    stats, and live DVs — reads of the clone are immediately
-    identical to the source snapshot. Cost is metadata-only
-    (one link per file), measured in scripts/table_probe.py."""
+    shallow-clone shape). The clone's single commit is published AT
+    THE SOURCE'S latest version number (not 1): cloned directories
+    keep their source relpaths, and the version embedded in a
+    directory name is load-bearing for ExistsDefault backfill
+    (_exists_defaults) — restarting the clone's numbering would give
+    post-clone writes directory versions BELOW the inherited intro
+    versions and backfill their genuine NULLs (r13 review finding).
+    One version namespace, one invariant. The clone inherits schema,
+    CHECK constraint, per-directory stats, default maps, and live
+    DVs — reads of the clone are immediately identical to the source
+    snapshot. Cost is metadata-only (one link per file), measured in
+    scripts/table_probe.py."""
     commits = _read_state_commits(src)
     live, dvs = _fold_live(commits), _fold_live_dvs(commits)
     if os.path.isdir(os.path.join(dst, _COMMITS)):
@@ -3003,7 +3020,8 @@ def clone_table(spark: SparkSession, src: str, dst: str) -> int:
     for rel in live + dvs:
         _link_dir(rel)
     entry = {
-        "version": 1, "operation": "clone", "cloned_from": src,
+        "version": commits[-1]["version"], "operation": "clone",
+        "cloned_from": src,
         "cloned_version": commits[-1]["version"],
         "added": list(live), "removed": [],
     }
@@ -3270,7 +3288,9 @@ def txn_append(
     check_seen = _table_gate(commits)
     rel, stats = _write_data(
         df, path, version, stats_cols, check=check_seen,
-        column_map=_column_map(commits), drop_if_empty=True)
+        column_map=_column_map(commits), drop_if_empty=True,
+        bloom_cols=_bloom_cols_logical(
+            _live_stats(path, commits=commits), _column_map(commits)))
     if rel:
         added = [rel]
         if stats:
