@@ -152,7 +152,23 @@ class CommitLogStreamReader(DataSourceStreamReader):
         self.read_changes = (
             str(options.get("readChangeFeed", "false")).lower() == "true"
         )
-        self.starting_version = int(options.get("startingVersion", 1))
+        st = options.get("startingTimestamp")
+        if st is not None:
+            if options.get("startingVersion") is not None:
+                raise ValueError(
+                    "pass startingVersion or startingTimestamp, not both"
+                )
+            # the qup34/table_changes addressing rule: the timestamp
+            # names a SNAPSHOT (newest version committed at or before
+            # it, version_as_of), and the stream emits the changes
+            # AFTER that snapshot — Delta's startingTimestamp shape
+            from sora_spark.sources.commit_log import version_as_of
+
+            self.starting_version = (
+                version_as_of(self.path, float(st)) + 1
+            )
+        else:
+            self.starting_version = int(options.get("startingVersion", 1))
         mv = options.get("maxVersionsPerTrigger")
         self.max_versions = int(mv) if mv is not None else None
         if self.max_versions is not None and self.max_versions < 1:

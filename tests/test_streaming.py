@@ -957,3 +957,46 @@ def test_qmv4_admits_one_version_per_batch(spark, sf_dir):
             last = [ln for ln in fh.read().splitlines() if ln][-1]
         ends.append(int(json.loads(last)["version"]))
     assert ends == [2, 3, 4, 5], ends
+
+
+def test_commitlog_source_starting_timestamp(spark, tmp_path):
+    """startingTimestamp (r13): the commitlog stream source accepts a
+    wall-clock instant instead of a version — resolved by the
+    version_as_of rule (the instant names a snapshot; the stream
+    emits changes AFTER it), matching table_changes' ts addressing.
+    Both-options-at-once refuses."""
+    import time
+
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+    from sora_spark.sources import commit_log_stream as cls_
+
+    cls_.register(spark)
+    path = str(tmp_path / "t")
+    mk = lambda lo: spark.range(lo, lo + 5).selectExpr("id AS k")
+    cl.create_table(spark, path, mk(0))          # v1
+    time.sleep(0.05)
+    t_mid = time.time()
+    time.sleep(0.05)
+    cl.append(spark, path, mk(10))               # v2
+    cl.append(spark, path, mk(20))               # v3
+
+    got = []
+    q = (
+        spark.readStream.format("commitlog").option("path", path)
+        .option("startingTimestamp", str(t_mid)).load()
+        .writeStream.foreachBatch(
+            lambda b, e: got.extend(r["k"] for r in b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    # only v2+v3 rows: the t_mid snapshot (v1) is the baseline
+    assert sorted(got) == list(range(10, 15)) + list(range(20, 25)), got
+    with _pytest.raises(Exception, match="not both"):
+        (spark.readStream.format("commitlog").option("path", path)
+         .option("startingVersion", "2")
+         .option("startingTimestamp", str(t_mid)).load()
+         .writeStream.format("noop").trigger(availableNow=True).start()
+         .awaitTermination(60))
