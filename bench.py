@@ -1,5 +1,6 @@
-"""Bench harness: runs the ten headline queries (B1–B10, BASELINE.md)
-from the declared-query registry at $SPARK_GRAFT_SF_DIR (default
+"""Bench harness: runs the sixteen headline rows (B1–B16, BASELINE.md
+— B1–B14 from the declared-query registry, B15/B16 as setup-bearing
+hooks) at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS], 1 cold + 3 warm runs each, and
 prints ONE JSON line with the MEDIAN warm wall-clock seconds per query
 (median, not min: the gate compares against a budget, and a median is
