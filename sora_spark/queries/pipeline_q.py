@@ -6514,3 +6514,71 @@ def qup35_generated_columns(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@query(
+    "qcur11_preference_pairs",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, doc_id % 40 AS grp,
+         CAST(2 * len(list_distinct(string_split(text, ' ')))
+              - len(string_split(text, ' ')) AS BIGINT) AS score
+  FROM documents),
+best AS (SELECT *, row_number() OVER (PARTITION BY grp
+                                      ORDER BY score DESC, doc_id) AS r
+         FROM s),
+worst AS (SELECT *, row_number() OVER (PARTITION BY grp
+                                       ORDER BY score ASC, doc_id) AS r
+          FROM s)
+SELECT b.grp, b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+       b.score AS chosen_score, w.score AS rejected_score,
+       b.score - w.score AS margin
+FROM best b JOIN worst w ON b.grp = w.grp AND b.r = 1 AND w.r = 1
+ORDER BY b.grp
+""",
+    doc="qcur11: PREFERENCE-PAIR construction (the RLHF/DPO data-prep "
+    "shape): responses grouped by synthetic prompt (doc_id%40), "
+    "scored by a deterministic lexical-richness proxy (2*distinct "
+    "words - total words, integer — the qta-family discipline: no "
+    "float ever enters the ranking), and each group emits ONE "
+    "(chosen, rejected) pair — argmax vs argmin with doc_id "
+    "tiebreaks, both via rank-1 windows, margins integer. The gate "
+    "hashes the exact pair selection per group, the part that "
+    "silently drifts when someone changes the score or tiebreak and "
+    "every downstream DPO run inherits it. Scale shape: one "
+    "map-side score projection + two rank-1 windows over the group "
+    "key + a group-count-sized join — at 100 TB the windows reduce "
+    "per group, never globally; the margin column doubles as the "
+    "pair-quality filter threshold downstream.",
+    tags=("llm", "pipeline", "curation", "preference"),
+)
+def qcur11_preference_pairs(spark, sf_dir):
+    docs = tables(spark, sf_dir).documents
+    s = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 40).alias("grp"),
+        (2 * F.size(F.array_distinct(F.split("text", " ")))
+         - F.size(F.split("text", " "))).cast("bigint").alias("score"),
+    )
+    wb = Window.partitionBy("grp").orderBy(F.desc("score"), "doc_id")
+    ww = Window.partitionBy("grp").orderBy(F.asc("score"), "doc_id")
+    best = (
+        s.withColumn("r", F.row_number().over(wb)).filter("r = 1")
+        .select("grp", F.col("doc_id").alias("chosen_id"),
+                F.col("score").alias("chosen_score"))
+    )
+    worst = (
+        s.withColumn("r", F.row_number().over(ww)).filter("r = 1")
+        .select("grp", F.col("doc_id").alias("rejected_id"),
+                F.col("score").alias("rejected_score"))
+    )
+    return (
+        best.join(worst, "grp")
+        .select(
+            "grp", "chosen_id", "rejected_id",
+            "chosen_score", "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score"))
+            .alias("margin"),
+        )
+        .orderBy("grp")
+    )
