@@ -818,7 +818,22 @@ def split_ivf_list(
                 F.col(vec_col), F.lit(subs[1]).cast("array<double>")),
             F.lit(int(cid)),
         ).otherwise(F.lit(new_cid)).cast("bigint"),
-    )
+    ).localCheckpoint(eager=True)
+    # one-sidedness must be detected BEFORE the dynamic-overwrite
+    # write: an all-to-new_cid assignment (subs[0] a stale mean of an
+    # emptied 2-means cluster) would emit ONLY the new partition and
+    # leave the old one intact — every hot-list vector then exists
+    # twice in the index (r13 second review). The checkpoint bounds
+    # the extra pass to the hot list it already reads.
+    sides = {
+        int(r["_cid"])
+        for r in reassigned.select("_cid").distinct().collect()
+    }
+    if len(sides) < 2:
+        raise ValueError(
+            f"list _cid={cid} cannot be split: 2-means assigned "
+            "every vector to one side"
+        )
     (
         reassigned.write.partitionBy("_cid")
         .option("partitionOverwriteMode", "dynamic")

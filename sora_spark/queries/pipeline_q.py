@@ -6525,10 +6525,12 @@ WITH s AS (
               - len(string_split(text, ' ')) AS BIGINT) AS score
   FROM documents),
 best AS (SELECT *, row_number() OVER (PARTITION BY grp
-                                      ORDER BY score DESC, doc_id) AS r
+                                      ORDER BY score DESC NULLS LAST,
+                                               doc_id) AS r
          FROM s),
 worst AS (SELECT *, row_number() OVER (PARTITION BY grp
-                                       ORDER BY score ASC, doc_id) AS r
+                                       ORDER BY score ASC NULLS LAST,
+                                                doc_id) AS r
           FROM s)
 SELECT b.grp, b.doc_id AS chosen_id, w.doc_id AS rejected_id,
        b.score AS chosen_score, w.score AS rejected_score,
@@ -6560,8 +6562,13 @@ def qcur11_preference_pairs(spark, sf_dir):
         (2 * F.size(F.array_distinct(F.split("text", " ")))
          - F.size(F.split("text", " "))).cast("bigint").alias("score"),
     )
-    wb = Window.partitionBy("grp").orderBy(F.desc("score"), "doc_id")
-    ww = Window.partitionBy("grp").orderBy(F.asc("score"), "doc_id")
+    # NULLS LAST stated explicitly on both rankings (SURVEY §2.0
+    # rule: Spark's asc defaults NULLS FIRST, DuckDB's NULLS LAST —
+    # one NULL text row would otherwise flip the rejected pick)
+    wb = Window.partitionBy("grp").orderBy(
+        F.desc_nulls_last("score"), "doc_id")
+    ww = Window.partitionBy("grp").orderBy(
+        F.asc_nulls_last("score"), "doc_id")
     best = (
         s.withColumn("r", F.row_number().over(wb)).filter("r = 1")
         .select("grp", F.col("doc_id").alias("chosen_id"),

@@ -3315,6 +3315,19 @@ def txn_append(
             if seen is not None and seen >= int(txn_version):
                 return None
             commits = _read_state_commits(path)
+            # schema re-gate (r13 second review): a concurrent
+            # evolution must not be bypassed by a blind rebase — the
+            # already-written batch has the OLD shape; refuse, and
+            # the foreachBatch retry re-runs txn_append fresh (new
+            # default fill, new write) against the evolved table
+            want = _latest_schema(commits)
+            if want and df.schema.simpleString() != want:
+                raise ValueError(
+                    "txn_append: table schema changed while this "
+                    f"batch was in flight ({df.schema.simpleString()} "
+                    f"!= {want}); refusing the rebase — retry the "
+                    "batch against the evolved table"
+                )
             new_check = _table_gate(commits)
             if added and new_check != check_seen:
                 # same rebase re-validation as append: a concurrently
@@ -3322,6 +3335,21 @@ def txn_append(
                 _revalidate_dir(spark, path, added[0], new_check, commits)
                 check_seen = new_check
             entry["version"] = commits[-1]["version"] + 1
+            if added:
+                # same rename as append's rebase: the directory-name
+                # version is load-bearing for ExistsDefault
+                new_rel = os.path.join(
+                    _DATA,
+                    f"v{entry['version']:08d}-"
+                    + added[0].rsplit("-", 1)[1],
+                )
+                os.rename(os.path.join(path, added[0]),
+                          os.path.join(path, new_rel))
+                if entry_stats:
+                    entry_stats = {new_rel: entry_stats[added[0]]}
+                    entry["stats"] = entry_stats
+                added = [new_rel]
+                entry["added"] = added
     raise last
 
 

@@ -74,7 +74,11 @@ from sora_spark.sources.commit_log import (
     table_versions,
 )
 
-_APPEND_OPS = {"create", "append", "txn_append"}
+_APPEND_OPS = {"create", "append", "txn_append", "clone"}
+# "clone" is create-shaped for a STREAM: the clone commit is the
+# destination table's first commit and its added directories ARE the
+# initial rows (clone_table publishes at the source's version number,
+# so the clamped default start lands exactly on it — r13).
 # commits that change NO rows (added=[] and no cdc by construction):
 # constraint management and — when a stream legitimately spans them
 # (startingVersion lands ON a mapping commit) — column-mapping DDL.
@@ -115,6 +119,38 @@ def _gate_features(entry: dict, where: str) -> None:
         )
 
 
+def _resolve_start(options, path: str) -> int:
+    """The stream's effective starting version from startingVersion /
+    startingTimestamp (mutually exclusive), CLAMPED to the earliest
+    commit the log actually has: a shallow clone's only commit is
+    published at the SOURCE's version number (commit_log.clone_table
+    — the ExistsDefault namespace invariant), so the default start=1
+    must land on it rather than fail schema resolution; and a
+    startingTimestamp before the first commit means 'from the
+    beginning' (Delta's semantics), not an error. A timestamp names a
+    SNAPSHOT (newest version at or before it, the version_as_of /
+    table_changes rule) and the stream emits changes AFTER it.
+    Timestamps are unix seconds, the engine-wide convention."""
+    st = options.get("startingTimestamp")
+    sv = options.get("startingVersion")
+    if st is not None and sv is not None:
+        raise ValueError(
+            "pass startingVersion or startingTimestamp, not both"
+        )
+    vs = table_versions(path)
+    earliest = vs[0] if vs else 1
+    if st is not None:
+        from sora_spark.sources.commit_log import version_as_of
+
+        try:
+            start = version_as_of(path, float(st)) + 1
+        except ValueError:
+            start = earliest
+    else:
+        start = int(sv) if sv is not None else 1
+    return max(start, earliest)
+
+
 def _mapping_asof(table_path: str, start: int):
     """(logical field names, {logical -> physical}) as of `start` —
     what a stream beginning there must project DATA FILES through:
@@ -152,23 +188,7 @@ class CommitLogStreamReader(DataSourceStreamReader):
         self.read_changes = (
             str(options.get("readChangeFeed", "false")).lower() == "true"
         )
-        st = options.get("startingTimestamp")
-        if st is not None:
-            if options.get("startingVersion") is not None:
-                raise ValueError(
-                    "pass startingVersion or startingTimestamp, not both"
-                )
-            # the qup34/table_changes addressing rule: the timestamp
-            # names a SNAPSHOT (newest version committed at or before
-            # it, version_as_of), and the stream emits the changes
-            # AFTER that snapshot — Delta's startingTimestamp shape
-            from sora_spark.sources.commit_log import version_as_of
-
-            self.starting_version = (
-                version_as_of(self.path, float(st)) + 1
-            )
-        else:
-            self.starting_version = int(options.get("startingVersion", 1))
+        self.starting_version = _resolve_start(options, self.path)
         mv = options.get("maxVersionsPerTrigger")
         self.max_versions = int(mv) if mv is not None else None
         if self.max_versions is not None and self.max_versions < 1:
@@ -407,11 +427,14 @@ class CommitLogDataSource(DataSource):
             raise FileNotFoundError(
                 f"commitlog source: no commit-log table at {path!r}"
             )
-        # the schema AS OF startingVersion: every version the stream
-        # can emit conforms to it, because a later schema_evolved
-        # commit stops the stream (see partitions()). Default start=1
-        # resolves to the create commit's schema.
-        start = int(self.options.get("startingVersion", 1))
+        # the schema AS OF the resolved start (startingVersion OR
+        # startingTimestamp — the SAME resolver the reader uses, so
+        # the declared schema and the emitted batches can never
+        # disagree about which mapping epoch they live in; r13
+        # second-review finding): every version the stream can emit
+        # conforms to it, because a later schema_evolved commit stops
+        # the stream (see partitions()).
+        start = _resolve_start(self.options, path)
         entry = None
         for v in vs:
             if v > start:

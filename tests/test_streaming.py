@@ -1000,3 +1000,50 @@ def test_commitlog_source_starting_timestamp(spark, tmp_path):
          .option("startingTimestamp", str(t_mid)).load()
          .writeStream.format("noop").trigger(availableNow=True).start()
          .awaitTermination(60))
+
+
+def test_commitlog_stream_of_clone(spark, tmp_path):
+    """r13 second review: a shallow clone's only commit is published
+    at the SOURCE's version number — the stream's default
+    startingVersion=1 must clamp to the earliest available commit
+    (schema resolves, batches emit) instead of failing; a
+    startingTimestamp BEFORE the table's first commit streams from
+    the beginning (Delta semantics) rather than raising."""
+    import time
+
+    from sora_spark.sources import commit_log as cl
+    from sora_spark.sources import commit_log_stream as cls_
+
+    cls_.register(spark)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    mk = lambda lo: spark.range(lo, lo + 5).selectExpr("id AS k")
+    t0 = time.time() - 10
+    cl.create_table(spark, src, mk(0))
+    cl.append(spark, src, mk(10))
+    cl.append(spark, src, mk(20))
+    cl.clone_table(spark, src, dst)
+    cl.append(spark, dst, mk(30))
+
+    def drain(opts):
+        got = []
+        r = spark.readStream.format("commitlog").option("path", dst)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load().writeStream
+            .foreachBatch(
+                lambda b, e: got.extend(x["k"] for x in b.collect()))
+            .option("checkpointLocation",
+                    str(tmp_path / f"ck{len(opts)}{hash(str(opts))%97}"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        return sorted(got)
+
+    want = (list(range(0, 5)) + list(range(10, 15))
+            + list(range(20, 25)) + list(range(30, 35)))
+    # default start: the clone snapshot + the post-clone append
+    assert drain({}) == want
+    # a timestamp before the first commit = from the beginning
+    assert drain({"startingTimestamp": str(t0)}) == want
