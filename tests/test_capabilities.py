@@ -4244,3 +4244,43 @@ def test_commit_log_write_defaults(spark, tmp_path):
         "label"] == "none"
     cl.drop_column(spark, path, "label")
     assert cl._column_defaults(cl._read_state_commits(path)) == {}
+
+
+def test_backfill_rebase_rename(spark, tmp_path, monkeypatch):
+    """r13 review finding 2, pinned deterministically: a backfill
+    evolution append that LOSES its version claim must rename its
+    directory to the re-claimed version — otherwise the recorded
+    intro version exceeds the directory's embedded version and the
+    batch's own explicit NULLs would read the default."""
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    mk = lambda rows, sch="k bigint, s string": spark.createDataFrame(
+        rows, sch)
+    cl.create_table(spark, path, mk([(1, "a")]))
+
+    real_publish = cl._publish
+    state = {"arm": True}
+
+    def racing_publish(p, entry):
+        if state["arm"] and entry.get("operation") == "append":
+            state["arm"] = False
+            real_publish(p, {
+                "version": entry["version"], "operation": "append",
+                "added": [], "removed": [],
+            })
+        return real_publish(p, entry)
+
+    monkeypatch.setattr(cl, "_publish", racing_publish)
+    v = cl.append(
+        spark, path,
+        mk([(2, "b", 2.0), (3, "c", None)],
+           "k bigint, s string, p double"),
+        merge_schema=True, defaults={"p": "-1.0"}, backfill=True)
+    e = cl._read_commits(path, v)[-1]
+    # the rebased directory carries the FINAL version in its name
+    assert e["added"][0].startswith(f"data/v{v:08d}-"), e["added"]
+    got = {r["k"]: r["p"] for r in cl.read_table(spark, path).collect()}
+    # pre-evolution row backfills; the batch's explicit NULL stays
+    # NULL (the bug: without the rename it read -1.0)
+    assert got == {1: -1.0, 2: 2.0, 3: None}, got
