@@ -3873,7 +3873,11 @@ def test_commit_log_reader_feature_gate(spark, tmp_path):
     assert cl._reader_features(cl._read_state_commits(path)) == feats
     dst = str(tmp_path / "c")
     cl.clone_table(spark, path, dst)
-    assert cl._reader_features(cl._read_commits(dst, 1)) == feats
+    # the clone's single commit sits AT the source's latest version
+    # (one version namespace — the ExistsDefault invariant, r13)
+    assert cl.table_versions(dst) == [
+        cl.table_versions(path)[-1]]
+    assert cl._reader_features(cl._read_commits(dst, None)) == feats
 
     # a future feature this engine does not know -> loud refusal
     commits = cl._read_commits(path, None)
