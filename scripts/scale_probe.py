@@ -257,11 +257,23 @@ def main() -> None:
                 probes = emb.filter(F.col("vec_id") % 10 == 0)
                 ipath = tempfile.mkdtemp(prefix="sora_probe_ivf_") + "/index"
                 try:
-                    ann.write_ivf_index(emb, ipath, n_centroids=16, iters=2)
+                    # bench.py's r14 scaled config: √N codebook at
+                    # build, scan-budget n_probe derived once in setup
+                    # — per-probe work then stays flat as the corpus
+                    # grows, which is exactly the curve this probe
+                    # measures (r13 verdict item 1)
+                    n_vec = emb.count()
+                    cb = ann.write_ivf_index(emb, ipath, iters=2)
+                    np_ = ann.scaled_n_probe(len(cb), n_vec)
+                    print(
+                        f"[probe] q15 {tag}: N={n_vec} "
+                        f"n_lists={len(cb)} n_probe={np_}",
+                        file=sys.stderr,
+                    )
 
-                    def fn(s, _d, _p=ipath, _probes=probes):
+                    def fn(s, _d, _p=ipath, _probes=probes, _np=np_):
                         return ann.ivf_topk_indexed(
-                            s, _p, _probes, k=10, n_probe=8
+                            s, _p, _probes, k=10, n_probe=_np
                         )
 
                     timing[tag] = run_query(spark, fn, d, args.warm)

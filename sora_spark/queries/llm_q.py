@@ -4007,6 +4007,89 @@ def qix17_ivf_maintenance(spark, sf_dir):
 
 
 @query(
+    "qix18_ivf_rebuild",
+    oracle="""
+WITH v0 AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id = 0),
+dup AS (
+  SELECT 200000 + i AS vec_id, (SELECT v FROM v0) AS v
+  FROM unnest(range(0, (SELECT count(*) FROM embeddings))) AS t(i)),
+uni AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id, v FROM dup),
+s AS (
+  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(
+             e.v, CAST(p.embedding AS DOUBLE[])), 5) AS sim
+  FROM embeddings p, uni e
+  WHERE p.vec_id < 20 AND e.vec_id <> p.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM s)
+SELECT probe_id, CAST(rn AS INT) AS rn, neighbor_id, sim
+FROM r WHERE rn <= 3 ORDER BY probe_id, rn
+""",
+    doc="qix18: CLOSED-LOOP REBUILD (llm/ann.py rebuild_ivf_index — "
+    "r13 verdict item 2: qix17's maintenance loop could FLAG "
+    "rebuild_recommended but nothing acted on it): the index is "
+    "built at 8 lists, then a corpus-sized mass of IDENTICAL vectors "
+    "(every one a copy of vec 0's embedding, ids 200000+) lands via "
+    "append — the documented degenerate drift a split cannot fix "
+    "(2-means over identical points collapses). maintain_ivf_index "
+    "peels what it can and flips rebuild_recommended; the query then "
+    "ACTS on the flag: rebuild_ivf_index retrains the codebook from "
+    "the live index rows (a plain IVF layout stores its vectors, so "
+    "the rebuild is self-contained), √N-sized for the corpus's "
+    "CURRENT size, preserves every id, and publishes via staged "
+    "write + per-directory atomic rename (_swap_index_dirs — the "
+    "commit-log two-phase publish shape). Declared gate is qix5's "
+    "exactness shape: an exhaustive probe of the REBUILT index must "
+    "equal brute-force kNN over the union corpus — any vector lost "
+    "in the swap, stale sidecar, or broken id is a hash mismatch. "
+    "Codebook re-sizing, swap hygiene, the PQ twin "
+    "(rebuild_ivfpq_index from the original corpus), sidecar-pruning "
+    "on layout change, recall at the comparable scan fraction, AND "
+    "the honest residual (identical vectors are irreducible to any "
+    "quantizer, so maintenance keeps flagging the blob — dedup is "
+    "its fix) are pinned in tests/test_llm.py::"
+    "test_rebuild_ivf_index. At 100 TB this is the rare full-pass "
+    "job the nightly split loop exists to avoid — run when the flag "
+    "says splitting no longer works.",
+    tags=("llm", "vector", "index", "ann", "maintenance"),
+)
+def qix18_ivf_rebuild(spark, sf_dir):
+    import os
+    import shutil
+
+    from sora_spark.queries.relational import _roundtrip_dir
+
+    emb = tables(spark, sf_dir).embeddings
+    path = os.path.join(_roundtrip_dir("ivf_rebuild_emb"), "index")
+    for p in (path, path + "_centroids", path + "_coarse"):
+        shutil.rmtree(p, ignore_errors=True)
+    ann.write_ivf_index(emb, path, n_centroids=8, iters=2)
+    n = emb.count()
+    v0 = emb.filter(F.col("vec_id") == 0).select("embedding")
+    dup = (
+        spark.range(0, n)
+        .select((F.col("id") + 200000).alias("vec_id"))
+        .crossJoin(F.broadcast(v0))
+    )
+    ann.append_to_ivf_index(dup, path)
+    rep = ann.maintain_ivf_index(spark, path)
+    # corpus-sized identical mass: splitting cannot restore balance
+    n_lists = rep["n_lists"]
+    if rep["rebuild_recommended"]:
+        n_lists = ann.rebuild_ivf_index(spark, path)["n_lists"]
+    probes = emb.filter(F.col("vec_id") < 20)
+    return ann.ivf_topk_indexed(
+        spark, path, probes, k=3, n_probe=n_lists
+    ).orderBy("probe_id", "rn")
+
+
+@query(
     "qcont4_bloom_screen",
     oracle="""
 WITH mem AS (

@@ -1296,14 +1296,35 @@ def _revalidate_dir(
     vacuum. A DROPPED constraint needs no scan (every row passes)."""
     if check is None:
         return
+    import re
+
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(os.path.join(path, rel))
     cmap = _column_map(commits)
+    schema = _schema_struct(commits)
+    have = set(df.columns)
+    # a CHECK added concurrently may bind a column this batch's
+    # directory does not carry (the batch predates a column
+    # evolution): F.expr would raise AnalysisException mid-rebase —
+    # detect it first with the module's conservative word-match and
+    # refuse with a conflict error a caller can act on (r13 advice)
+    missing = [
+        f.name for f in schema.fields
+        if cmap.get(f.name, f.name) not in have and re.search(
+            rf"\b{re.escape(f.name)}\b", check, re.IGNORECASE
+        )
+    ]
+    if missing:
+        raise ConstraintViolationError(
+            f"a concurrent commit added CHECK ({check}) referencing "
+            f"column(s) {missing} this in-flight batch does not carry; "
+            "nothing committed — re-run the append with the evolved "
+            "schema (rebase re-validation cannot evaluate the "
+            "constraint over the batch)"
+        )
     if cmap:
         # files carry PHYSICAL names; the CHECK binds LOGICAL ones
-        schema = _schema_struct(commits)
-        have = set(df.columns)
         df = df.select(*[
             F.col(cmap.get(f.name, f.name)).alias(f.name)
             for f in schema.fields
@@ -1578,6 +1599,27 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> int:
                     f"(= {ge}) involves {old!r}; generated "
                     "derivations are fixed at create"
                 )
+        # same conservative word-match over DEFAULT / ExistsDefault
+        # expression BODIES (r13 advice): re-keying the maps below
+        # fixes the KEY, but an expression that references the renamed
+        # column dangles — later _fill_defaults / backfill projections
+        # would raise AnalysisException mid-scan or mid-write
+        for dc, de in _column_defaults(commits).items():
+            if re.search(rf"\b{re.escape(old)}\b", de, re.IGNORECASE):
+                raise ValueError(
+                    f"rename_column: the default for column {dc!r} "
+                    f"(= {de}) references {old!r}; default expressions "
+                    "are fixed at declaration — compact() and re-evolve "
+                    "to change them"
+                )
+        for dc, (de, _iv) in _exists_defaults(commits).items():
+            if re.search(rf"\b{re.escape(old)}\b", de, re.IGNORECASE):
+                raise ValueError(
+                    f"rename_column: the ExistsDefault for column "
+                    f"{dc!r} (= {de}) references {old!r}; backfill "
+                    "expressions are frozen at their evolution — "
+                    "compact() to materialize them first"
+                )
         cmap = _column_map(commits)
         phys = cmap.pop(old, old)
         if new != phys:
@@ -1651,6 +1693,30 @@ def drop_column(spark: SparkSession, path: str, col: str) -> int:
                     f"drop_column: generated column {gc!r} (= {ge}) "
                     f"involves {col!r}; generated derivations are "
                     "fixed at create"
+                )
+        # the dropped column's OWN default entry is popped below, but
+        # ANOTHER column's default/ExistsDefault expression that
+        # references it would dangle — same conservative word-match
+        # refusal as CHECK and generated expressions (r13 advice)
+        for dc, de in _column_defaults(commits).items():
+            if dc != col and re.search(
+                rf"\b{re.escape(col)}\b", de, re.IGNORECASE
+            ):
+                raise ValueError(
+                    f"drop_column: the default for column {dc!r} "
+                    f"(= {de}) references {col!r}; default expressions "
+                    "are fixed at declaration — compact() and re-evolve "
+                    "to change them"
+                )
+        for dc, (de, _iv) in _exists_defaults(commits).items():
+            if dc != col and re.search(
+                rf"\b{re.escape(col)}\b", de, re.IGNORECASE
+            ):
+                raise ValueError(
+                    f"drop_column: the ExistsDefault for column {dc!r} "
+                    f"(= {de}) references {col!r}; backfill "
+                    "expressions are frozen at their evolution — "
+                    "compact() to materialize them first"
                 )
         from pyspark.sql.types import StructType
 

@@ -177,6 +177,82 @@ def _mapping_asof(table_path: str, start: int):
     return names, cmap
 
 
+def _gate_clone(path: str, entry: dict, version: int,
+                logical: list[str], cmap: dict) -> None:
+    """Refuse clone commits a FILE-LEVEL stream cannot replay
+    faithfully (r13 advice, both findings). A clone folds the source's
+    whole history into one commit, so three read-time projections the
+    batch reader applies can be BAKED INTO its added list with no
+    stream-side equivalent:
+
+    1. live DELETION VECTORS (`dv_added`): the added files still
+       contain DV-deleted rows — streaming them raw resurrects
+       deletions as inserts (plain AND readChangeFeed paths), the
+       exact silently-wrong-rows case `_gate_features` exists to
+       refuse (deletion_vectors is a KNOWN reader feature, so that
+       gate alone passes it).
+    2. ExistsDefault backfill (`exists_defaults`): rows whose
+       directories predate the default's intro version read the
+       frozen default via read_table but would stream as NULL.
+    3. mixed-shape directories from a pre-clone schema evolution:
+       pre-evolution files physically lack columns of the declared
+       schema — the arrow select in read() would fail mid-batch.
+       Detected with ONE parquet footer read per added directory
+       (clone commits only, driver-side, bounded by the clone's
+       directory count).
+
+    In every case the fix is upstream: stream the SOURCE table (its
+    per-version history replays exactly), or compact the clone first
+    (compact materializes DVs, backfill, and the declared shape into
+    plain directories). Refusing beats silently wrong data — the
+    module-wide rule."""
+    if entry.get("dv_added"):
+        raise ValueError(
+            f"commitlog source: version {version} is a clone carrying "
+            "live deletion vectors; its added files still contain "
+            "DV-deleted rows a file-level stream would resurrect as "
+            "inserts. Stream the source table, or compact() the clone "
+            "to materialize the deletes first — refusing to stream "
+            "silently wrong data"
+        )
+    if entry.get("exists_defaults"):
+        raise ValueError(
+            f"commitlog source: version {version} is a clone carrying "
+            "ExistsDefault backfill; pre-evolution rows would stream "
+            "as NULL where reads return the frozen default. Stream "
+            "the source table, or compact() the clone to materialize "
+            "the backfill first — refusing to stream silently wrong "
+            "data"
+        )
+    if entry.get("schema_json"):
+        names = [
+            f["name"] for f in json.loads(entry["schema_json"])["fields"]
+        ]
+    else:
+        names = list(logical)
+    if not names:
+        return
+    import pyarrow.parquet as pq
+
+    expected = {cmap.get(n, n) for n in names}
+    for rel in entry.get("added", []):
+        files = sorted(glob.glob(os.path.join(
+            glob.escape(os.path.join(path, rel)), "*.parquet")))
+        if not files:
+            continue
+        have = set(pq.read_schema(files[0]).names)
+        missing = sorted(expected - have)
+        if missing:
+            raise ValueError(
+                f"commitlog source: version {version} is a clone whose "
+                f"directory {rel!r} predates a schema evolution — its "
+                f"files lack column(s) {missing} of the declared "
+                "schema. Stream the source table, or compact() the "
+                "clone to rewrite every directory to the declared "
+                "shape first"
+            )
+
+
 class CommitLogStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.path = options.get("path")
@@ -316,6 +392,12 @@ class CommitLogStreamReader(DataSourceStreamReader):
                 )
             op = entry.get("operation")
             _gate_features(entry, f"version {v}")
+            if op == "clone":
+                # clone-specific replayability gates (live DVs /
+                # backfill / mixed-shape dirs) — both paths below
+                # would emit the clone's added files raw
+                _gate_clone(self.path, entry, v, self._logical,
+                            self._cmap)
             if op in _METADATA_OPS:
                 continue  # changes no rows; never an error to span
             if self.read_changes:

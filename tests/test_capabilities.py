@@ -3183,6 +3183,77 @@ def test_append_rebase_revalidates_check(spark, tmp_path, monkeypatch):
     assert cl._table_check(cl._read_state_commits(path)) == "v < 100"
 
 
+def test_append_rebase_check_missing_column(spark, tmp_path):
+    """r14 (r13 advice, low): a CHECK added concurrently may bind a
+    column the in-flight batch's directory does not carry (the batch
+    predates a column evolution). _revalidate_dir must refuse with a
+    descriptive ConstraintViolationError instead of letting F.expr
+    raise AnalysisException mid-rebase. Direct unit pin on the
+    re-validation helper (the racing interleaving is covered by
+    test_append_rebase_revalidates_check)."""
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    mk2 = lambda rows: spark.createDataFrame(rows, "k bigint, v bigint")
+    cl.create_table(spark, path, mk2([(1, 5)]))
+    cl.append(
+        spark, path,
+        spark.createDataFrame([(2, 6, 7)], "k bigint, v bigint, w bigint"),
+        merge_schema=True,
+    )
+    commits = cl._read_state_commits(path)
+    # the v1 directory physically lacks `w`
+    rel_v1 = commits[0]["added"][0]
+    with _pytest.raises(cl.ConstraintViolationError,
+                        match="does not carry"):
+        cl._revalidate_dir(spark, path, rel_v1, "w > 0", commits)
+    # a check over columns the dir HAS still validates normally
+    cl._revalidate_dir(spark, path, rel_v1, "v < 100", commits)
+    with _pytest.raises(cl.ConstraintViolationError, match="violates"):
+        cl._revalidate_dir(spark, path, rel_v1, "v > 100", commits)
+
+
+def test_rename_drop_guard_default_bodies(spark, tmp_path):
+    """r14 (r13 advice, low): rename/drop re-key the defaults /
+    exists_defaults map KEYS but a default EXPRESSION that references
+    another column would dangle after that column is renamed or
+    dropped — the same conservative word-match refusal as CHECK and
+    generated expressions must cover the bodies too."""
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+
+    path = str(tmp_path / "t")
+    cl.create_table(
+        spark, path, spark.createDataFrame([(1, 5)], "k bigint, v bigint"))
+    cl.append(
+        spark, path,
+        spark.createDataFrame([(2, 6, 3)], "k bigint, v bigint, w bigint"),
+        merge_schema=True, defaults={"w": "k + 1"}, backfill=True,
+    )
+    # the body of w's default references k: renaming or dropping k
+    # must refuse (the expression text would go stale)
+    with _pytest.raises(ValueError, match="default"):
+        cl.rename_column(spark, path, "k", "kk")
+    with _pytest.raises(ValueError, match="default"):
+        cl.drop_column(spark, path, "k")
+    # renaming/dropping an UNINVOLVED column still works, and the
+    # defaulted column itself can be renamed (its map key re-keys)
+    cl.rename_column(spark, path, "v", "vv")
+    cl.rename_column(spark, path, "w", "ww")
+    commits = cl._read_state_commits(path)
+    assert "ww" in cl._column_defaults(commits)
+    assert "ww" in cl._exists_defaults(commits)
+    # write-default still fills through the re-keyed name
+    cl.append(spark, path,
+              spark.createDataFrame([(9, 9)], "k bigint, vv bigint"))
+    rows = {r["k"]: r["ww"]
+            for r in cl.read_table(spark, path).collect()}
+    assert rows[9] == 10
+
+
 def test_commit_log_update_where(spark, tmp_path):
     """UPDATE rewrites only directories containing matched rows
     (commit-pinned pruning), casts assignments back to the column

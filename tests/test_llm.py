@@ -1092,6 +1092,39 @@ def test_ivf_clustered_recall(spark, tmp_path):
     recall = len(exact & got) / len(exact)
     assert recall >= 0.9, f"clustered IVF recall {recall:.3f} < 0.9"
 
+    # r14 (verdict item 1): the same quality bar at the SCALED
+    # DEFAULTS — √N codebook (scaled_ivf_centroids(640) = 25 lists),
+    # auto n_probe=None (scan-budget rule; 640 <= 1024 clamps to the
+    # exhaustive scan here, so assert the sizing arithmetic separately
+    # at the scale where it bites)
+    path2 = str(tmp_path / "ivf_scaled")
+    cb = ann.write_ivf_index(emb, path2, iters=2)
+    assert len(cb) == ann.scaled_ivf_centroids(n_vecs) == 25
+    got2 = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ann.ivf_topk_indexed(
+            spark, path2, probes, k=10, n_probe=None
+        ).collect()
+    }
+    recall2 = len(exact & got2) / len(exact)
+    assert recall2 >= 0.9, f"scaled-default recall {recall2:.3f} < 0.9"
+    # the sizing rules themselves, at the corpus sizes that matter:
+    # per-probe scanned rows ≈ max(IVF_SCAN_ROWS, one √N-sized list)
+    # — flat until a single list exceeds the budget, then growing only
+    # as √N — so total probe work is at worst N^1.5, never the old
+    # fixed-codebook N² (the curve SCALEPROBE q15 measures)
+    for n in (2_000, 20_000, 2_000_000, 16_000_000):
+        k_ = ann.scaled_ivf_centroids(n)
+        p_ = ann.scaled_n_probe(k_, n)
+        scanned = p_ * n / k_
+        assert k_ == max(16, round(n ** 0.5))
+        floor_ = max(ann.IVF_SCAN_ROWS, n / k_)
+        assert 0.4 * floor_ <= scanned <= 1.6 * floor_
+    # small-N clamp: exhaustive (exact) when the budget covers N
+    assert ann.scaled_n_probe(16, 100) == 16
+    # past max_per_level the √N default routes to the two-level layout
+    assert ann.scaled_ivf_centroids(17_000_000) > 4096
+
 
 def test_maintain_ivf_index(spark, tmp_path):
     """maintain_ivf_index (r12 verdict item 5): on the clustered
@@ -1173,6 +1206,113 @@ def test_maintain_ivf_index(spark, tmp_path):
     ann.append_to_ivf_index(dup, path2)
     rep3 = ann.maintain_ivf_index(spark, path2)
     assert rep3["rebuild_recommended"], rep3
+
+
+def test_rebuild_ivf_index(spark, tmp_path):
+    """rebuild_ivf_index / rebuild_ivfpq_index (r13 verdict item 2 —
+    the closed loop maintain_ivf_index's rebuild_recommended flag was
+    missing): on the clustered fixture, a duplicate-mass drift flips
+    the flag; the rebuild must (a) retrain a √N codebook from the
+    live index rows, (b) preserve EVERY id (exhaustive probe equals
+    brute force — the qix18 gate, asserted here as set equality),
+    (c) keep flagging what rebuild CANNOT fix — identical vectors
+    are indistinguishable to any quantizer, so the dup blob stays
+    one irreducible hot list and maintenance honestly re-flags it
+    (dedup is that blob's fix; the rebuild's job is the codebook
+    resize and the lossless swap),
+    (d) leave no staging/old directories behind (atomic-swap
+    hygiene), and (e) keep recall at the comparable scan fraction.
+    The PQ twin rebuilds from the passed corpus and keeps its
+    recorded geometry; rebuilding a PQ path WITHOUT the corpus
+    refuses; a plain rebuild of a formerly-hierarchical layout prunes
+    the stale `_coarse` sidecar."""
+    import glob as _glob
+    import random
+
+    import pytest as _pytest
+
+    rng = random.Random(11)
+    dim, n_clusters, n_vecs = 16, 16, 640
+    cents = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        for _ in range(n_clusters)
+    ]
+    rows = [
+        (vid, [x + rng.gauss(0.0, 0.05) for x in cents[vid % n_clusters]])
+        for vid in range(n_vecs)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    path = str(tmp_path / "ivf_rb")
+    ann.write_ivf_index(emb, path, n_centroids=4, iters=2)
+    dup = spark.createDataFrame(
+        [(20000 + i, list(cents[0])) for i in range(1600)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    ann.append_to_ivf_index(dup, path)
+    rep = ann.maintain_ivf_index(spark, path)
+    assert rep["rebuild_recommended"], rep
+
+    union = emb.unionByName(dup)
+    n_union = n_vecs + 1600
+    out = ann.rebuild_ivf_index(spark, path)
+    assert out["n_vectors"] == n_union
+    assert out["n_lists"] == ann.scaled_ivf_centroids(n_union)  # √N
+    # (d) staging/old dirs are gone; only the live layout remains
+    leftovers = [
+        p for p in _glob.glob(path + "*")
+        if ".rebuild-" in p or ".old-" in p
+    ]
+    assert leftovers == [], leftovers
+    # (c) identical vectors are irreducible: they land in ONE list no
+    # matter the codebook, so maintenance on the rebuilt index still
+    # (correctly) flags the blob — the honest signal that dedup, not
+    # another rebuild, is that mass's fix
+    rep2 = ann.maintain_ivf_index(spark, path)
+    assert rep2["rebuild_recommended"], rep2
+    # (b) nothing lost or duplicated: exhaustive probe == brute force
+    probes = emb.filter(F.col("vec_id") % 40 == 0)
+    exact = {
+        (r["probe_id"], r["rn"], r["neighbor_id"])
+        for r in ann.brute_force_topk(union, probes, k=5).collect()
+    }
+    got = {
+        (r["probe_id"], r["rn"], r["neighbor_id"])
+        for r in ann.ivf_topk_indexed(
+            spark, path, probes, k=5, n_probe=out["n_lists"]
+        ).collect()
+    }
+    assert got == exact
+    # (e) recall at ~12.5% scan fraction on the clustered corpus
+    got_part = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ann.ivf_topk_indexed(
+            spark, path, probes, k=5,
+            n_probe=max(2, round(out["n_lists"] / 8)),
+        ).collect()
+    }
+    exact_pairs = {(p, n) for p, _rn, n in exact}
+    recall = len(exact_pairs & got_part) / len(exact_pairs)
+    assert recall >= 0.9, f"post-rebuild recall {recall:.3f} < 0.9"
+
+    # PQ twin: geometry inherited from the live sidecar, corpus
+    # required, same swap hygiene
+    pqp = str(tmp_path / "ivfpq_rb")
+    ann.write_ivfpq_index(emb, pqp, n_centroids=4, m_subs=4, n_codes=8,
+                          iters=2)
+    with _pytest.raises(ValueError, match="rebuild_ivfpq_index"):
+        ann.rebuild_ivf_index(spark, pqp)
+    outpq = ann.rebuild_ivfpq_index(spark, pqp, union)
+    assert outpq["n_vectors"] == n_union
+    assert outpq["n_lists"] == ann.scaled_ivf_centroids(n_union)
+    pq_rows = spark.read.parquet(pqp + "_pq").collect()
+    assert {int(r["sub"]) for r in pq_rows} == set(range(4))
+    assert max(int(r["code"]) for r in pq_rows) <= 8
+    # the rebuilt PQ index still serves: ADC probe + exact re-rank
+    # returns k rows per probe
+    res = ann.ivfpq_topk_indexed(
+        spark, pqp, union, probes.limit(2), k=3,
+        n_probe=outpq["n_lists"])
+    assert res.count() == 6
 
 
 def test_neardup_recovers_planted_organic_clusters(spark, tmp_path):

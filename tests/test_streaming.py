@@ -1047,3 +1047,96 @@ def test_commitlog_stream_of_clone(spark, tmp_path):
     assert drain({}) == want
     # a timestamp before the first commit = from the beginning
     assert drain({"startingTimestamp": str(t0)}) == want
+
+
+def test_commitlog_stream_clone_gates(spark, tmp_path):
+    """r14 (r13 advice, high+medium): a clone folds READ-TIME
+    projections — live deletion vectors, ExistsDefault backfill,
+    pre-evolution directory shapes — into its single commit's added
+    list. A file-level stream cannot apply any of them, so streaming
+    such a clone must refuse loudly: raw emission would resurrect
+    DV-deleted rows as inserts, stream NULL where reads return the
+    frozen default, or fail mid-batch on the arrow select. All three
+    gates fire in the plain path and the readChangeFeed path alike
+    (same partitions() walk)."""
+    import pytest as _pytest
+
+    from sora_spark.sources import commit_log as cl
+    from sora_spark.sources import commit_log_stream as cls_
+
+    cls_.register(spark)
+
+    def mk(lo):
+        # nullable column (createDataFrame, not range): the evolved
+        # table's pre-evolution rows read NULL for the added column
+        # after compact, so the declared stream schema must be
+        # nullable for step 4 to round-trip
+        return spark.createDataFrame(
+            [(i,) for i in range(lo, lo + 10)], "k bigint")
+
+    def drain(dst, ck, **opts):
+        r = spark.readStream.format("commitlog").option("path", dst)
+        for k_, v_ in opts.items():
+            r = r.option(k_, v_)
+        q = (
+            r.load().writeStream
+            .foreachBatch(lambda b, e: b.count())
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+
+    # 1) clone carrying live DVs -> refuse (deleted rows would
+    #    otherwise stream back as inserts)
+    src = str(tmp_path / "s_dv")
+    dst = str(tmp_path / "d_dv")
+    cl.create_table(spark, src, mk(0))
+    cl.delete_where(spark, src, "k < 3", deletion_vectors=True)
+    cl.clone_table(spark, src, dst)
+    with _pytest.raises(Exception, match="deletion vectors"):
+        drain(dst, "ck_dv")
+    with _pytest.raises(Exception, match="deletion vectors"):
+        drain(dst, "ck_dv_cdf", readChangeFeed="true")
+
+    # 2) clone carrying ExistsDefault backfill -> refuse (backfilled
+    #    rows would stream NULL)
+    src = str(tmp_path / "s_bf")
+    dst = str(tmp_path / "d_bf")
+    cl.create_table(spark, src, mk(0))
+    cl.append(
+        spark, src, mk(10).selectExpr("k", "CAST(7 AS BIGINT) AS w"),
+        merge_schema=True, defaults={"w": "7"}, backfill=True,
+    )
+    cl.clone_table(spark, src, dst)
+    with _pytest.raises(Exception, match="ExistsDefault"):
+        drain(dst, "ck_bf")
+
+    # 3) clone spanning a plain schema evolution (no backfill):
+    #    pre-evolution dirs physically lack the new column -> refuse
+    src = str(tmp_path / "s_ev")
+    dst = str(tmp_path / "d_ev")
+    cl.create_table(spark, src, mk(0))
+    cl.append(
+        spark, src, mk(10).selectExpr("k", "k * 2 AS w"),
+        merge_schema=True,
+    )
+    cl.clone_table(spark, src, dst)
+    with _pytest.raises(Exception, match="lack column"):
+        drain(dst, "ck_ev")
+
+    # 4) a CLEAN clone after compact() streams fine — compact
+    #    materializes DVs/backfill/shape, which is exactly the
+    #    remediation the gate messages point at
+    cl.compact(spark, src)
+    dst2 = str(tmp_path / "d_ok")
+    cl.clone_table(spark, src, dst2)
+    got = []
+    q = (
+        spark.readStream.format("commitlog").option("path", dst2)
+        .load().writeStream
+        .foreachBatch(lambda b, e: got.extend(r["k"] for r in b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck_ok"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    assert sorted(got) == list(range(20))
