@@ -1970,6 +1970,185 @@ def read_table(
     return _read_live(spark, path, commits, live, schema)
 
 
+def _rename_rebased_rels(path: str, entry: dict, new_version: int) -> None:
+    """Re-home every relpath a rebasing data-change entry publishes
+    (added data dirs, cdc and dv sidecars) into the re-claimed
+    version's name — the version embedded in a directory name is
+    load-bearing for ExistsDefault backfill (the append-rebase rule),
+    and keeping sidecar names consistent with their entry keeps the
+    layout auditable. One atomic rename per directory, no data I/O;
+    stats keys follow their directory."""
+    for key in ("added", "cdc", "dv_added"):
+        rels = entry.get(key)
+        if not rels:
+            continue
+        out = []
+        for rel in rels:
+            head, _, base = rel.rpartition("/")
+            new_rel = f"{head}/v{new_version:08d}-" + base.split("-", 1)[1]
+            os.rename(os.path.join(path, rel), os.path.join(path, new_rel))
+            if rel in entry.get("stats", {}):
+                entry["stats"][new_rel] = entry["stats"].pop(rel)
+            out.append(new_rel)
+        entry[key] = out
+
+
+_METADATA_FOLDS = (
+    ("schema", _latest_schema),
+    ("CHECK constraint", _table_check),
+    ("column mapping", _column_map),
+    ("column defaults", _column_defaults),
+    ("exists-defaults", _exists_defaults),
+    ("generated columns", _generated_cols),
+    ("reserved physical names", _reserved_physical),
+)
+
+
+def _publish_data_change(
+    spark: SparkSession,
+    path: str,
+    entry: dict,
+    commits_then: list[dict],
+    read_dirs: list[str],
+    conflict_rows=None,
+    key_cols: list[str] | None = None,
+    batch_key_stats: dict | None = None,
+    attempts: int = 8,
+) -> int:
+    """Publish a DATA-CHANGING commit (merge/delete/update, both
+    physical strategies) with Delta-style FILE-LEVEL conflict
+    detection (r13 verdict item 3 — these writers previously resolved
+    every lost race by a full re-read-and-rewrite retry through
+    commit_with_retry). A lost version race re-reads the log and
+    classifies each winner:
+
+    - METADATA conflict (any fold in _METADATA_FOLDS differs between
+      our snapshot and now — schema evolution, CHECK, mapping,
+      defaults, generated, reservations): REFUSE. Our delta was
+      computed and validated under the old metadata; only a full
+      re-run can re-validate it.
+    - READ-SET conflict (a winner REMOVED a directory we read —
+      `read_dirs` — or delisted one we are delisting): REFUSE. Our
+      pre-image is stale; rebasing would lose the winner's rewrite
+      or double-apply ours (the lost-update schedules).
+    - DELETION-VECTOR conflict (a winner added DVs): REFUSE — a
+      vector kills rows at sub-directory granularity this check
+      cannot bound, and our rewrite of a dirtied directory would
+      resurrect them.
+    - ADDED-ROWS overlap: a winner's new directories may hold rows
+      our operation SHOULD have seen (keys a merge must dedup
+      against; rows a delete/update predicate matches). Directories
+      whose RECORDED key-column stats are range-disjoint from the
+      batch's key ranges (`batch_key_stats`, physical-name lookup —
+      the same _disjoint_on arithmetic merge pruning uses) are safe
+      without I/O; the rest pay ONE bounded scan of just those
+      directories through `conflict_rows` (a callable mapping the
+      winners' rows to the rows that conflict — key semi-join for
+      merges, the predicate for delete/update). Any surviving row:
+      REFUSE (Delta's ConcurrentAppendException). Zero: the winner
+      commutes with us.
+
+    On refusal a descriptive ConcurrentWriteError surfaces — under
+    commit_with_retry that triggers the pre-existing full re-run
+    against the winner's state, so semantics are unchanged, just
+    slower on true conflicts. When every winner commutes the entry
+    REBASES IN PLACE: directories rename into the re-claimed
+    version's namespace and the publish retries — the already-written
+    delta (batch-sized) is never re-read or re-written, which at
+    100 TB is the difference between a merge retry costing a batch
+    rename and costing the touched-directory rewrite again. Scale
+    posture: the checks are driver-side over the WINNERS' entries
+    (backlog-bounded, never the table) plus at most one scan of the
+    winners' added directories (delta-bounded)."""
+    try:
+        return _publish(path, entry)
+    except ConcurrentWriteError:
+        pass
+    last_msg = "lost the version race"
+    for _ in range(max(int(attempts), 1)):
+        commits_now = _read_state_commits(path)
+        base_v = int(commits_then[-1]["version"])
+        winners = [c for c in commits_now if int(c["version"]) > base_v]
+        for what, fold in _METADATA_FOLDS:
+            if fold(commits_then) != fold(commits_now):
+                raise ConcurrentWriteError(
+                    f"{entry.get('operation')} at {path!r}: a "
+                    f"concurrent commit changed the table {what} "
+                    "while this change was in flight; the delta must "
+                    "be recomputed against the new metadata (retry "
+                    "re-runs it — commit_with_retry does this "
+                    "automatically)"
+                )
+        ours = set(read_dirs) | set(entry.get("removed", []))
+        cmap_now = _column_map(commits_now)
+        scan_rels: list[str] = []
+        for w in winners:
+            clash = set(w.get("removed", [])) & ours
+            if clash:
+                raise ConcurrentWriteError(
+                    f"{entry.get('operation')} at {path!r}: concurrent "
+                    f"{w.get('operation')} (version {w['version']}) "
+                    f"rewrote director{'ies' if len(clash) > 1 else 'y'} "
+                    f"this change read ({sorted(clash)[:3]}...); the "
+                    "pre-image is stale — retry re-runs the change"
+                )
+            if w.get("dv_added"):
+                raise ConcurrentWriteError(
+                    f"{entry.get('operation')} at {path!r}: concurrent "
+                    f"{w.get('operation')} (version {w['version']}) "
+                    "added deletion vectors; row liveness changed at "
+                    "sub-directory granularity — retry re-runs the "
+                    "change against the vectored snapshot"
+                )
+            for rel in w.get("added", []):
+                st = (w.get("stats") or {}).get(rel)
+                if (
+                    key_cols and batch_key_stats and st
+                    and any(
+                        _disjoint_on(
+                            st.get(cmap_now.get(k, k)),
+                            batch_key_stats.get(k),
+                        )
+                        for k in key_cols
+                    )
+                ):
+                    continue  # provably disjoint: no I/O needed
+                scan_rels.append(rel)
+        if scan_rels:
+            if conflict_rows is None:
+                raise ConcurrentWriteError(
+                    f"{entry.get('operation')} at {path!r}: concurrent "
+                    f"commit(s) added director{'ies' if len(scan_rels) > 1 else 'y'} "
+                    "whose overlap with this change cannot be ruled "
+                    "out; retry re-runs the change"
+                )
+            df = _read_live(
+                spark, path, commits_now, scan_rels,
+                _schema_struct(commits_now),
+            )
+            if not conflict_rows(df).limit(1).isEmpty():
+                raise ConcurrentWriteError(
+                    f"{entry.get('operation')} at {path!r}: a "
+                    "concurrent commit added rows this change should "
+                    "have seen (overlapping keys / matching "
+                    "predicate); refusing the rebase — retry re-runs "
+                    "the change over them (Delta's "
+                    "ConcurrentAppendException rule)"
+                )
+        new_version = int(commits_now[-1]["version"]) + 1
+        _rename_rebased_rels(path, entry, new_version)
+        entry["version"] = new_version
+        commits_then = commits_now
+        try:
+            return _publish(path, entry)
+        except ConcurrentWriteError as e:
+            last_msg = str(e)
+    raise ConcurrentWriteError(
+        f"{entry.get('operation')} at {path!r}: {attempts} rebase "
+        f"attempts exhausted ({last_msg})"
+    )
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,
@@ -2036,6 +2215,7 @@ def merge_upsert(
     )
 
     touched, untouched = list(live), []
+    bstats = None
     # compute batch stats ONLY when some live dir can actually be
     # pruned — otherwise the pass over the batch is pure waste
     # (r11 review finding). Recorded stats are keyed by PHYSICAL
@@ -2064,6 +2244,7 @@ def merge_upsert(
             touched, len(untouched), version, stats_cols, cmap,
             evolved=evolved,
             bloom_cols=_bloom_cols_logical(live_stats, cmap),
+            batch_key_stats=bstats,
         )
 
     new = batch_df.withColumn("_src", F.lit(1))
@@ -2115,7 +2296,17 @@ def merge_upsert(
         entry["schema_evolved"] = True
     if stats:
         entry["stats"] = {rel: stats}
-    return _publish(path, entry)
+    # file-level conflict rules (r14): a lost race rebases in place
+    # when every winner is provably disjoint from this merge's keys
+    # and read set; true conflicts refuse descriptively and the
+    # commit_with_retry wrapper re-runs the whole merge as before
+    bk_keys = batch_df.select(*key_cols).distinct()
+    return _publish_data_change(
+        spark, path, entry, commits, read_dirs=touched,
+        conflict_rows=lambda df: df.join(
+            F.broadcast(bk_keys), key_cols, "left_semi"),
+        key_cols=key_cols, batch_key_stats=bstats,
+    )
 
 
 def delete_where(
@@ -2205,7 +2396,14 @@ def delete_where(
                     *tcols, F.lit("delete").alias("_change_type")),
                 path, version,
             )]
-        return _publish(path, entry)
+        # read set = every live dir (the position scan saw them all);
+        # a lost race rebases over winners whose added rows the
+        # predicate provably never matches (r14 file-level rules)
+        return _publish_data_change(
+            spark, path, entry, commits, read_dirs=live,
+            conflict_rows=lambda df: df.filter(
+                F.coalesce(cond, F.lit(False))),
+        )
 
     hit = {
         r[0]
@@ -2250,7 +2448,11 @@ def delete_where(
         )]
     if entry_stats:
         entry["stats"] = entry_stats
-    return _publish(path, entry)
+    return _publish_data_change(
+        spark, path, entry, commits, read_dirs=live,
+        conflict_rows=lambda df: df.filter(
+            F.coalesce(cond, F.lit(False))),
+    )
 
 
 def _merge_on_read(
@@ -2267,6 +2469,7 @@ def _merge_on_read(
     cmap: dict[str, str],
     evolved: bool = False,
     bloom_cols: list[str] | None = None,
+    batch_key_stats: dict | None = None,
 ) -> int:
     """MERGE-ON-READ (Iceberg's merge-on-read / Delta's DV MERGE —
     merge_upsert's merge_on_read=True): instead of rewriting the
@@ -2411,7 +2614,15 @@ def _merge_on_read(
         entry["cdc"] = [_write_cdc(
             _diff_frames(pre, post, key_cols), path, version,
         )]
-    return _publish(path, entry)
+    # read set = the key-overlapping dirs whose positions feed the
+    # vector; same file-level rebase rules as the rewrite path (r14)
+    return _publish_data_change(
+        spark, path, entry, commits, read_dirs=touched,
+        conflict_rows=lambda df: df.join(
+            F.broadcast(b.select(*key_cols).distinct()),
+            key_cols, "left_semi"),
+        key_cols=key_cols, batch_key_stats=batch_key_stats,
+    )
 
 
 def replace_where(
@@ -2629,7 +2840,11 @@ def update_where(
         entry["cdc"] = [_write_cdc(pre.unionByName(post), path, version)]
     if stats:
         entry["stats"] = {rel: stats}
-    return _publish(path, entry)
+    return _publish_data_change(
+        spark, path, entry, commits, read_dirs=live,
+        conflict_rows=lambda df: df.filter(
+            F.coalesce(cond, F.lit(False))),
+    )
 
 
 def _update_on_read(
@@ -2696,7 +2911,11 @@ def _update_on_read(
         entry["cdc"] = [_write_cdc(pre.unionByName(post), path, version)]
     if stats:
         entry["stats"] = {rel: stats}
-    return _publish(path, entry)
+    return _publish_data_change(
+        spark, path, entry, commits, read_dirs=live,
+        conflict_rows=lambda df: df.filter(
+            F.coalesce(cond, F.lit(False))),
+    )
 
 
 def compact(
