@@ -825,16 +825,11 @@ def split_ivf_list(
     import os
     import shutil
 
-    from pyspark.errors import AnalysisException
-
-    try:
-        spark.read.parquet(path + "_pq").limit(1).collect()
+    if _pq_sidecar_exists(spark, path):
         raise ValueError(
             "split_ivf_list cannot split an IVF-PQ list (stored codes "
-            "cannot be re-clustered) — rebuild with write_ivfpq_index"
+            "cannot be re-clustered) — rebuild with rebuild_ivfpq_index"
         )
-    except AnalysisException:
-        pass
     cent_rows = spark.read.parquet(path + "_centroids").collect()
     by_cid = {int(r["cid"]): r for r in cent_rows}
     if int(cid) not in by_cid:
@@ -932,6 +927,18 @@ def split_ivf_list(
     return int(cid), new_cid
 
 
+def _pq_sidecar_exists(spark, path: str) -> bool:
+    """True when `path` is an IVF-PQ layout (a `<path>_pq` codebook
+    sidecar exists) — a FILESYSTEM existence probe, not a spark-job-
+    shaped read.parquet + AnalysisException (r13 verdict nit: the
+    exception form was control flow on a storage probe). Same
+    hadoop-FS idiom as ivf_topk_indexed's `_coarse` detection, so it
+    works on any configured filesystem, not just POSIX."""
+    jp = spark._jvm.org.apache.hadoop.fs.Path(path + "_pq")
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jp))
+
+
 def ivf_index_stats(spark, path: str) -> DataFrame:
     """Per-inverted-list row counts for an on-disk IVF index — the
     imbalance monitor for `append_to_ivf_index`'s frozen-centroid
@@ -979,7 +986,6 @@ def maintain_ivf_index(
     one codebook-sized stats pass per split plus the hot-list passes
     themselves; at 100 TB this is the nightly index job, and it
     touches only the lists that drifted."""
-    from pyspark.errors import AnalysisException
 
     def _stats() -> dict[int, int]:
         return {
@@ -987,8 +993,7 @@ def maintain_ivf_index(
             for r in ivf_index_stats(spark, path).collect()
         }
 
-    try:
-        spark.read.parquet(path + "_pq").limit(1).collect()
+    if _pq_sidecar_exists(spark, path):
         counts = _stats()
         med = sorted(counts.values())[len(counts) // 2]
         return {
@@ -996,10 +1001,8 @@ def maintain_ivf_index(
             "max_over_median": round(max(counts.values()) / max(med, 1), 2),
             "rebuild_recommended": True,
             "reason": "IVF-PQ layout: stored codes cannot be "
-                      "re-clustered — rebuild with write_ivfpq_index",
+                      "re-clustered — rebuild with rebuild_ivfpq_index",
         }
-    except AnalysisException:
-        pass
 
     splits: list[dict] = []
     rebuild = False
@@ -1108,17 +1111,12 @@ def rebuild_ivf_index(
     "n_vectors"} for the rebuilt index."""
     import os
 
-    from pyspark.errors import AnalysisException
-
-    try:
-        spark.read.parquet(path + "_pq").limit(1).collect()
+    if _pq_sidecar_exists(spark, path):
         raise ValueError(
             "rebuild_ivf_index: IVF-PQ layout (stored codes cannot "
             "re-train a codebook) — use rebuild_ivfpq_index with the "
             "original corpus"
         )
-    except AnalysisException:
-        pass
     corpus = spark.read.parquet(path).drop("_cid", "_nrm")
     # the corpus count is needed for √N sizing anyway; reuse it in
     # the report instead of a second pass

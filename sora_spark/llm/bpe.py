@@ -197,6 +197,86 @@ def _adjacent_pairs(df: DataFrame) -> DataFrame:
     )
 
 
+def train_deep(
+    words: DataFrame, n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Learn `n_merges` BPE merges at PRODUCTION depth (r13 verdict
+    item 5 — `train` at depth 4-16 certifies the dataflow, but a real
+    tokenizer needs thousands of merges). Identical semantics to
+    `train` — weighted pair counts over the word-frequency table,
+    argmax with (a, b)-lexicographic ties, greedy leftmost-first
+    apply — but the merge LOOP runs driver-side over the collected
+    (word, n) vocabulary with Sennrich's incremental pair-count
+    updates: each merge touches only the words containing the fused
+    pair, so 1k merges over a fixture vocabulary run in seconds where
+    1k Spark rounds would be 1k job latencies.
+
+    Scale posture: this is how reference BPE trainers are actually
+    shaped at 100 TB — the CORPUS pass (word_counts) is the one
+    distributed shuffle, and the vocabulary it produces is
+    driver-sized by Heaps' law (a few million types for a trillion
+    tokens; cap with a frequency floor upstream if needed). The
+    per-round Spark variant (`train`) stays the oracle-checked twin
+    (qta15 hash-gates 16 rounds of it against unrolled SQL);
+    equality of the two trainers at shared depth plus the pure-Python
+    reference at depth 1000 is pinned in tests/test_llm.py::
+    test_bpe_train_deep."""
+    vocab = {
+        r["word"]: int(r["n"]) for r in words.select("word", "n").collect()
+    }
+    syms: dict[str, list[str]] = {w: list(w) for w in vocab}
+    # pair -> weighted count, and pair -> words currently containing it
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[str]] = {}
+    for w, n in vocab.items():
+        s = syms[w]
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            counts[p] = counts.get(p, 0) + n
+            where.setdefault(p, set()).add(w)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(n_merges)):
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt <= 0:
+            break
+        merges.append((a, b, cnt))
+        fused = a + b
+        for w in list(where.get((a, b), ())):
+            n = vocab[w]
+            old = syms[w]
+            # retract the word's old adjacent pairs...
+            for i in range(len(old) - 1):
+                p = (old[i], old[i + 1])
+                c = counts.get(p, 0) - n
+                if c > 0:
+                    counts[p] = c
+                else:
+                    counts.pop(p, None)
+                ws = where.get(p)
+                if ws is not None:
+                    ws.discard(w)
+                    if not ws:
+                        where.pop(p, None)
+            # ...apply the merge greedily leftmost-first...
+            new: list[str] = []
+            for x in old:
+                if new and new[-1] == a and x == b:
+                    new[-1] = fused
+                else:
+                    new.append(x)
+            syms[w] = new
+            # ...and re-add the new pairs
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                counts[p] = counts.get(p, 0) + n
+                where.setdefault(p, set()).add(w)
+    return merges
+
+
 def train(
     words: DataFrame, n_merges: int
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:

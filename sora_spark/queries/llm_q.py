@@ -1892,13 +1892,22 @@ def _bpe_round_sql(prev_s: str, i: int) -> str:
     """One unrolled BPE merge round: weighted adjacent-pair counts over
     the current symbolization, argmax pair (ties -> lexicographic), and
     the greedy left-to-right fold applying it. DuckDB list slices are
-    INCLUSIVE — acc[:-2] drops exactly the last element."""
+    INCLUSIVE — acc[:-2] drops exactly the last element. Every CTE is
+    MATERIALIZED: s{i} references s{i-1} twice (directly and through
+    t{i}), so DuckDB's default inlining re-evaluates the chain
+    EXPONENTIALLY in round count — 2^16 base-table scans at the r14
+    depth, which exhausts file descriptors before it exhausts time;
+    materialization makes each round evaluate once (linear), which is
+    also what the engine's per-round checkpoint does."""
     return f"""
-p{i} AS (SELECT sym[i] AS a, sym[i + 1] AS b, sum(n) AS cnt
+p{i} AS MATERIALIZED (
+       SELECT sym[i] AS a, sym[i + 1] AS b, sum(n) AS cnt
        FROM (SELECT n, sym, unnest(range(1, len(sym))) AS i FROM {prev_s}) u
        GROUP BY a, b),
-t{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
-s{i} AS (SELECT word, n,
+t{i} AS MATERIALIZED (
+       SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+s{i} AS MATERIALIZED (
+         SELECT word, n,
            list_reduce(list_transform(sym, s -> [s]),
              (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t{i}.a
                                    AND x[1] = t{i}.b
@@ -1907,25 +1916,30 @@ s{i} AS (SELECT word, n,
          FROM s{i - 1} CROSS JOIN t{i})"""
 
 
-_BPE_MERGES = 4
+_BPE_MERGES = 16
 
 
 @query(
     "qta15_bpe_train",
     oracle=(
         """
-WITH w AS (SELECT word, count(*)::BIGINT AS n
+WITH w AS MATERIALIZED (
+           SELECT word, count(*)::BIGINT AS n
            FROM (SELECT unnest(string_split(text, ' ')) AS word
                  FROM documents) u
            WHERE len(word) > 0 GROUP BY word),
-s0 AS (SELECT word, n, string_split(word, '') AS sym FROM w),"""
+s0 AS MATERIALIZED (
+           SELECT word, n, string_split(word, '') AS sym FROM w),"""
         + ",".join(_bpe_round_sql(f"s{i - 1}", i) for i in range(1, _BPE_MERGES + 1))
         + """
 SELECT * FROM (
   SELECT 1 AS merge_rank, a, b, CAST(cnt AS BIGINT) AS cnt FROM t1
-  UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM t2
-  UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM t3
-  UNION ALL SELECT 4, a, b, CAST(cnt AS BIGINT) FROM t4) u
+"""
+        + "\n".join(
+            f"  UNION ALL SELECT {i}, a, b, CAST(cnt AS BIGINT) FROM t{i}"
+            for i in range(2, _BPE_MERGES + 1)
+        )
+        + """) u
 ORDER BY merge_rank"""
     ),
     doc=f"qta15: BPE tokenizer TRAINING — learn the first "
@@ -1935,11 +1949,17 @@ ORDER BY merge_rank"""
     "lexicographic), GREEDY left-to-right merge application "
     "(overlapping runs fuse leftmost-first — the fold both engines "
     "implement; a naive pairwise replace would diverge on 'aaa'). "
-    "Each learned merge depends on all prior merges, so the 4-row "
-    "result transitively certifies the whole iterated pipeline. "
-    "Scale: one corpus shuffle builds (word, n); every round after "
-    "runs on the vocabulary-sized table with one 1-row argmax "
-    "collect — the reference-trainer dataflow, distributed.",
+    "Each learned merge depends on all prior merges, so the "
+    f"{_BPE_MERGES}-row result transitively certifies the whole "
+    "iterated pipeline (depth raised 4 -> 16, r13 verdict item 5 — "
+    "deeper rounds exercise merged-symbol-on-merged-symbol fusions "
+    "the toy depth never reached; PRODUCTION depth lives in "
+    "llm/bpe.py train_deep, the driver-loop twin pinned at 1000 "
+    "merges against the Sennrich reference in tests/test_llm.py::"
+    "test_bpe_train_deep). Scale: one corpus shuffle builds "
+    "(word, n); every round after runs on the vocabulary-sized table "
+    "with one 1-row argmax collect — the reference-trainer dataflow, "
+    "distributed.",
     tags=("llm", "text", "tokenizer", "bpe"),
 )
 def qta15_bpe_train(spark, sf_dir):
@@ -2035,11 +2055,13 @@ _BPE_ENC_MERGES = 6
     "qta20_bpe_encode",
     oracle=(
         """
-WITH w AS (SELECT word, count(*)::BIGINT AS n
+WITH w AS MATERIALIZED (
+           SELECT word, count(*)::BIGINT AS n
            FROM (SELECT unnest(string_split(text, ' ')) AS word
                  FROM documents) u
            WHERE len(word) > 0 GROUP BY word),
-s0 AS (SELECT word, n, string_split(word, '') AS sym FROM w),"""
+s0 AS MATERIALIZED (
+           SELECT word, n, string_split(word, '') AS sym FROM w),"""
         + ",".join(
             _bpe_round_sql(f"s{i - 1}", i)
             for i in range(1, _BPE_ENC_MERGES + 1)

@@ -755,6 +755,106 @@ def test_bpe_greedy_merge_and_reference(spark):
     assert got_syms == syms
 
 
+def _ref_sennrich(vocab: dict, n_merges: int) -> list:
+    """Pure-Python Sennrich reference: naive full pair recount per
+    round — slow but obviously correct, same (cnt desc, a, b) ties
+    and greedy leftmost-first apply as both engine trainers."""
+    from collections import Counter
+
+    syms = {w: list(w) for w in vocab}
+    ref = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, n in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        ref.append((a, b, cnt))
+        for w in vocab:
+            s, out = syms[w], []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    return ref
+
+
+def test_bpe_train_deep(spark, sf_dir):
+    """train_deep (r13 verdict item 5 — production-depth BPE). Two
+    tiers, because the fixture corpus has only ~31 distinct words and
+    EXHAUSTS its merge space at ~89 merges (every word fuses to one
+    symbol — an honest property of the synthetic text, asserted, not
+    hidden):
+
+    - fixture tier: train_deep runs TO EXHAUSTION on the real corpus
+      and equals the pure-Python Sennrich reference merge-for-merge;
+      its prefix equals the per-round Spark trainer (the qta15 tier)
+      at depth 16; the exhausted merge table still drives a lossless
+      encode_words round-trip.
+    - depth tier: a deterministic 2000-word synthetic vocabulary
+      (seeded, zipf-ish counts) supports a genuine 1000-merge train;
+      train_deep(1000) == the Sennrich reference at full depth, and
+      the first 16 merges again equal the Spark trainer. Timing for
+      the BASELINE merge-depth note is printed (driver-loop wall vs
+      the per-round trainer's extrapolated per-merge latency)."""
+    import random
+    import time
+
+    from sora_spark.llm import bpe
+
+    docs = tables(spark, sf_dir).documents
+    wc = bpe.word_counts(docs).localCheckpoint(eager=True)
+
+    # fixture tier: to exhaustion, reference-equal
+    deep = bpe.train_deep(wc, 10_000)
+    vocab = {r["word"]: int(r["n"]) for r in wc.collect()}
+    assert len(deep) < 10_000  # the tiny-vocab corpus exhausts
+    assert deep == _ref_sennrich(vocab, 10_000)
+    shallow, _ = bpe.train(wc, 16)
+    assert deep[:16] == shallow
+    enc = bpe.encode_words(wc, deep)
+    assert enc.filter(
+        F.concat_ws("", F.col("tokens")) != F.col("word")
+    ).count() == 0
+
+    # depth tier: 1000 real merges on a 2000-word vocabulary
+    rng = random.Random(5)
+    big_vocab: dict = {}
+    while len(big_vocab) < 2000:
+        w = "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz")
+            for _ in range(rng.randint(4, 14))
+        )
+        if w not in big_vocab:
+            big_vocab[w] = 1 + int(2000 / (len(big_vocab) + 1))
+    big_wc = spark.createDataFrame(
+        sorted(big_vocab.items()), "word string, n bigint"
+    ).localCheckpoint(eager=True)
+
+    t0 = time.perf_counter()
+    deep2 = bpe.train_deep(big_wc, 1000)
+    deep_s = time.perf_counter() - t0
+    assert len(deep2) == 1000, len(deep2)
+    assert deep2 == _ref_sennrich(dict(big_vocab), 1000)
+    t0 = time.perf_counter()
+    shallow2, _ = bpe.train(big_wc, 16)
+    spark_16_s = time.perf_counter() - t0
+    assert deep2[:16] == shallow2
+    print(
+        f"[bpe-depth] train_deep(1000)={deep_s:.2f}s on 2000-word "
+        f"vocab; spark train(16)={spark_16_s:.2f}s "
+        f"(~{spark_16_s / 16:.2f}s/merge -> "
+        f"~{spark_16_s / 16 * 1000:.0f}s at depth 1000)"
+    )
+
+
 def test_bpe_encode_roundtrip_and_twins(spark, sf_dir):
     """qta20's encoder invariants on the real corpus: (1) ROUND-TRIP —
     concatenating each word's tokens reproduces the word exactly, for
