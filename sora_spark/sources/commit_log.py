@@ -27,6 +27,17 @@ the smallest Delta/Iceberg-shaped core that fixes both:
   is optimistic concurrency for the LOCAL/POSIX filesystems this repo
   targets; object stores need a conditional-put equivalent (S3
   if-none-match / GCS generation-match), same protocol shape.
+- LOST RACES REBASE WHEN THE WINNER COMMUTES (r14, Delta's file-level
+  conflict rules). Appends always rebase in place (blind appends
+  commute; schema/CHECK re-gated). Data-changing writers (merge/
+  delete/update) classify each winner via `_publish_data_change`:
+  metadata changes, read-set rewrites, and deletion-vector winners
+  REFUSE descriptively (commit_with_retry then re-runs the whole
+  operation — the pre-r14 behavior, now reserved for true
+  conflicts); winners whose added rows are provably disjoint from
+  the operation's delta (recorded stats, else one delta-bounded
+  scan) rebase in place — the already-written output is renamed to
+  the re-claimed version, never re-read or re-written.
 
 Scale posture: the log is one tiny JSON per commit and the snapshot
 resolve is a driver-side directory listing bounded by commit count —
