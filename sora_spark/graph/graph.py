@@ -76,6 +76,26 @@ class Graph:
             sc._sora_ckpt_dir = self.reliable_checkpoint_dir
         return df.checkpoint(eager=True)
 
+    def _cp_lazy(self, df: DataFrame) -> DataFrame:
+        """Lineage cut WITHOUT the eager materialization job, for call
+        sites whose very next statement is an action (count/agg) over
+        the cut frame: the action materializes the checkpoint blocks
+        as it aggregates, fusing what used to be two sequential jobs
+        per fixpoint round — a full materialize pass plus a cache-read
+        pass — into ONE pass (r14, guide §1.2: remove whole passes
+        before tuning inside them). Bit-identical data either way;
+        downstream consumers read the same cached/checkpointed blocks.
+        Reliable mode keeps the same contract: doCheckpoint() runs at
+        the end of that first action's job, exactly as it does after
+        the eager count."""
+        if self.reliable_checkpoint_dir is None:
+            return df.localCheckpoint(eager=False)
+        sc = df.sparkSession.sparkContext
+        if getattr(sc, "_sora_ckpt_dir", None) != self.reliable_checkpoint_dir:
+            sc.setCheckpointDir(self.reliable_checkpoint_dir)
+            sc._sora_ckpt_dir = self.reliable_checkpoint_dir
+        return df.checkpoint(eager=False)
+
     # ---- basic structure -------------------------------------------------
 
     def vertex_ids(self) -> DataFrame:
@@ -107,21 +127,37 @@ class Graph:
         (in-edge, out-edge) at its mid vertex, so the edge-set
         SELF-JOIN — which materializes every 2-path row just to count
         it (the path stream can be orders of magnitude larger than the
-        edge set at 100 TB) — collapses to two map-side-partial degree
-        aggregations plus a vertex-sized join. Same scalar, verified
-        against two_hop_count_join (tests/test_graph.py) and the
-        unchanged brute-force oracle. Measured round 6 at sf0.1: the
-        count stage drops 2.67s -> 2.57s head-to-head (the e_co
-        DERIVATION dominates q9 at this scale — 1.88s of it); the
-        rewrite's asymptotic win appears when the 2-path stream
-        outgrows the edge set (hub-heavy graphs, 100 TB regime)."""
-        ind = self.edges.groupBy(F.col("d").alias("v")).agg(
-            F.count("*").alias("i")
+        edge set at 100 TB) — collapses to ONE degree aggregation plus
+        a scalar sum. Same scalar, verified against two_hop_count_join
+        (tests/test_graph.py) and the unchanged brute-force oracle.
+
+        Single-pass shape (r14): the r06 form aggregated in-degrees
+        and out-degrees as two SEPARATE groupBys joined on the vertex
+        — but the edge plan does not canonicalize across the two
+        consumers when it carries lambda expressions (e_co's pair
+        expansion), so the WHOLE upstream derivation ran twice with no
+        ReusedExchange (bench q9 plan, plans/r14/). Exploding each
+        edge into (v=s, out) + (v=d, in) counts both directions in one
+        pass over one derivation: one edge-set read, one exchange on
+        v, no join. A vertex missing either side contributes i·o = 0 —
+        exactly the rows the old inner join dropped — so the scalar is
+        unchanged."""
+        deg = (
+            self.edges.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("s").alias("v"), F.lit(1).alias("o")),
+                        F.struct(F.col("d").alias("v"), F.lit(0).alias("o")),
+                    )
+                ).alias("e")
+            )
+            .groupBy(F.col("e.v").alias("v"))
+            .agg(
+                F.sum("e.o").alias("o"),
+                F.sum(1 - F.col("e.o")).alias("i"),
+            )
         )
-        outd = self.edges.groupBy(F.col("s").alias("v")).agg(
-            F.count("*").alias("o")
-        )
-        return ind.join(outd, "v").agg(
+        return deg.agg(
             F.coalesce(F.sum(F.col("i") * F.col("o")), F.lit(0))
             .cast("bigint")
             .alias("two_hop_count")
@@ -251,10 +287,12 @@ class Graph:
         sym = self.edges.select("s", "d").union(
             self.edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
         )
-        sym = sym.repartition("s").transform(self._cp)
+        # lazy cuts: the first mass/convergence action below (or round
+        # 1's, for sym) materializes the blocks — see _cp_lazy (r14)
+        sym = sym.repartition("s").transform(self._cp_lazy)
         labels = self.vertex_ids().select(
             F.col("v"), F.col("v").alias("component")
-        ).transform(self._cp)
+        ).transform(self._cp_lazy)
 
         from pyspark.sql.types import (
             ByteType,
@@ -314,7 +352,7 @@ class Graph:
                         F.coalesce(F.col("nbr_component"), F.col("component")),
                     ).alias("component"),
                 )
-                .transform(self._cp)
+                .transform(self._cp_lazy)
             )
             if numeric_ids:
                 new_mass = _label_mass(new_labels)
@@ -345,7 +383,7 @@ class Graph:
         chains. Same output contract, same qg4 oracle; `stats` (if
         given) records {"rounds": k} for the round-count comparison.
         """
-        verts = self.vertex_ids().transform(self._cp)
+        verts = self.vertex_ids().transform(self._cp_lazy)
         e = (
             self.edges.select("s", "d")
             .filter(F.col("s") != F.col("d"))
@@ -353,25 +391,28 @@ class Graph:
                 F.greatest("s", "d").alias("u"), F.least("s", "d").alias("v")
             )
             .distinct()
-            .transform(self._cp)
+            .transform(self._cp_lazy)
         )
         rounds = 0
         converged = False
 
-        def _edge_sig(df):
+        def _edge_sig_n(df):
             # order-insensitive exact-decimal sum of per-edge hashes:
             # equal signatures make set equality overwhelmingly likely,
             # and the ONE exact subtract below confirms it — so the
             # per-round full set-difference the loop used to pay
             # becomes a single aggregate scan per round plus one
             # confirm at the fixpoint (change-set-first economics,
-            # SCALE.md).
-            return df.agg(
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
-            ).collect()[0][0]
+            # SCALE.md). Count rides the SAME aggregate (r14): one job
+            # per round where the loop used to run two, and that job
+            # also materializes the round's lazy checkpoint.
+            row = df.agg(
+                F.count(F.lit(1)),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            ).collect()[0]
+            return row[0], row[1]
 
-        sig = _edge_sig(e)
-        n_prev = e.count()
+        n_prev, sig = _edge_sig_n(e)
         for _ in range(max_iter):
             # large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
             sym = e.select("u", "v").union(
@@ -397,10 +438,10 @@ class Graph:
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
                 .union(m2.select("u", F.col("m").alias("v")))
                 .distinct()
-                .transform(self._cp)
+                .transform(self._cp_lazy)
             )
             rounds += 1
-            n2, sig2 = e2.count(), _edge_sig(e2)
+            n2, sig2 = _edge_sig_n(e2)
             if (
                 n2 == n_prev
                 and sig2 == sig
@@ -480,20 +521,27 @@ class Graph:
         warm at sf0.1): bench q10 10.3s (r05 driver record) -> 8.1s;
         output verified byte-identical to the alternating loop on
         e_co_small and the read-overlap graph at sf0.001/0.01."""
-        edges = self.edges.transform(self._cp)
+        edges = self.edges.transform(self._cp_lazy)
         prev = edges.count()
         counts = [prev]
         rounds = 0
         for it in range(max_iter):
             g = Graph(edges, reliable_checkpoint_dir=self.reliable_checkpoint_dir)
+            # seed the broadcast gate with the count the loop already
+            # paid for — a fresh Graph would otherwise re-count the
+            # checkpointed edge set (one redundant job per round, r14)
+            object.__setattr__(g, "_n_edges", prev)
             if it == 0:
                 # checkpoint the reduced edges BEFORE the tip trim: the
                 # trim plan references this subplan several times (edge
                 # stream + degree/tip derivation), and only the input
                 # exchanges — not the 2-path semi-join itself — get
                 # ReusedExchange'd, so without the cut the round's
-                # heaviest join runs 3-4x
-                reduced = g.transitive_reduction_round().transform(self._cp)
+                # heaviest join runs 3-4x. Lazy cut: the tips count job
+                # below materializes it (block-level locks serialize
+                # concurrent first readers), saving the separate
+                # materialize pass (r14).
+                reduced = g.transitive_reduction_round().transform(self._cp_lazy)
             else:
                 reduced = edges
             # tips-first convergence: the tip set is degree-1-bounded
@@ -510,7 +558,7 @@ class Graph:
                 Graph(reduced,
                       reliable_checkpoint_dir=self.reliable_checkpoint_dir)
                 .tips(hub_degree=hub_degree)
-                .transform(self._cp)
+                .transform(self._cp_lazy)
             )
             rounds += 1
             if tips.count() == 0:
@@ -519,7 +567,7 @@ class Graph:
                 break
             edges = self._trim_with_tips(
                 reduced, tips, g._bc(None)
-            ).transform(self._cp)
+            ).transform(self._cp_lazy)
             n = edges.count()
             # nudge the driver GC so py4j refs to the PREVIOUS round's
             # checkpointed blocks release promptly — otherwise the
@@ -636,13 +684,16 @@ class Graph:
         bubble_rounds = 0
         for _ in range(max_iter):
             g = Graph(edges, reliable_checkpoint_dir=self.reliable_checkpoint_dir)
+            # seed the broadcast gate (see reduce_pipeline) — `prev`
+            # is exactly this round's edge count
+            object.__setattr__(g, "_n_edges", prev)
             # removal-first convergence (same trick as the tips-first
             # reduce loop): the removal set is bubble-bounded — when
             # empty, skip the anti-join + full-edge checkpoint AND the
             # legacy no-op confirm round
             removal = g._bubble_removals(
                 min_mids, g._bc(None)
-            ).transform(self._cp)
+            ).transform(self._cp_lazy)
             bubble_rounds += 1
             if removal.count() == 0:
                 counts.append(prev)
@@ -651,7 +702,7 @@ class Graph:
                 F.broadcast(removal) if g._bc(None) else removal,
                 ["s", "d"],
                 "left_anti",
-            ).transform(self._cp)
+            ).transform(self._cp_lazy)
             n = edges.count()
             gc.collect()  # release prior round's checkpoint blocks
             counts.append(n)
@@ -1248,7 +1299,7 @@ class Graph:
             F.col("d").alias("end"),
             F.lit(1).alias("dist"),
             *lab0,
-        ).transform(self._cp)
+        ).transform(self._cp_lazy)
         prev_total = None
         rounds = 0
         for _ in range(max_iter):
@@ -1273,8 +1324,10 @@ class Graph:
                     ).alias("dist"),
                     *lab,
                 )
-                .transform(self._cp)
+                .transform(self._cp_lazy)
             )
+            # the convergence agg materializes the lazy cut — one job
+            # per doubling round instead of two (r14)
             total = p.agg(F.sum("dist")).collect()[0][0]
             if total == prev_total:
                 break

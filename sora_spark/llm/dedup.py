@@ -386,7 +386,11 @@ def near_dup_clusters(
             text_col=text_col,
         )
         .select(F.col("a").alias("s"), F.col("b").alias("d"))
-        .localCheckpoint(eager=True)
+        # lazy cut: _resolve_components' count() is the very next
+        # action — it materializes the checkpoint blocks as it counts,
+        # fusing the old eager-materialize pass + count pass into one
+        # job (r14); every later consumer reads the same blocks
+        .localCheckpoint(eager=False)
     )
     comp = _resolve_components(pairs)
     ids = df.select(F.col(id_col).alias("v"))
@@ -421,7 +425,7 @@ def _resolve_components(pairs: DataFrame) -> DataFrame:
     falls back to the distributed min-label propagation, which is the
     same answer in O(diameter) rounds. Both paths emit rows only for
     vertices that appear in a pair; callers coalesce singletons."""
-    n_pairs = pairs.count()  # free: pairs is eagerly checkpointed
+    n_pairs = pairs.count()  # materializes the caller's lazy checkpoint
     if n_pairs > _DRIVER_UF_MAX_PAIRS:
         from sora_spark.graph import Graph
 

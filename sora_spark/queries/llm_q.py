@@ -4419,23 +4419,41 @@ def qvq3_matryoshka_prefilter(spark, sf_dir):
         F.col("vec_id").alias("nid"),
         F.col("embedding").alias("cv"),
     )
-    pairs = corpus.crossJoin(F.broadcast(probes)).filter(
-        F.col("nid") != F.col("pid"))
-    s16 = pairs.select(
-        "pid", "nid", "cv", "pv",
-        F.round(
-            vector.cosine(F.slice("cv", 1, 16), F.slice("pv", 1, 16)), 5
-        ).alias("s"),
+    # Stage A ranks on (pid, nid, s) ONLY — the corpus/probe vectors
+    # are dropped before the window's pid-shuffle and re-attached to
+    # the 20-per-probe survivors by id afterward (r13 verdict nit:
+    # carrying cv+pv through the exchange shuffled ~16x more bytes
+    # than the rank needs; at 100 TB the funnel's cheap pass must
+    # shuffle scores, not payloads — guide §2.3/§8). The probe slice
+    # happens once on the broadcast side (same array value, so the
+    # rounded cosine is bit-identical).
+    probes16 = probes.select("pid", F.slice("pv", 1, 16).alias("pv16"))
+    s16 = (
+        corpus.crossJoin(F.broadcast(probes16))
+        .filter(F.col("nid") != F.col("pid"))
+        .select(
+            "pid", "nid",
+            F.round(
+                vector.cosine(F.slice("cv", 1, 16), F.col("pv16")), 5
+            ).alias("s"),
+        )
     )
     w16 = Window.partitionBy("pid").orderBy(F.desc("s"), "nid")
     cand = (
         s16.withColumn("rn16", F.row_number().over(w16))
         .filter(F.col("rn16") <= 20)
+        .select("pid", "nid")
     )
-    s64 = cand.select(
-        F.col("pid").alias("probe_id"),
-        F.col("nid").alias("neighbor_id"),
-        F.round(vector.cosine(F.col("cv"), F.col("pv")), 5).alias("sim"),
+    # stage B: candidates are k-per-probe (tiny) — broadcast them and
+    # re-read the vectors map-side; the full-dim payload never shuffles
+    s64 = (
+        corpus.join(F.broadcast(cand), "nid")
+        .join(F.broadcast(probes), "pid")
+        .select(
+            F.col("pid").alias("probe_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.round(vector.cosine(F.col("cv"), F.col("pv")), 5).alias("sim"),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("sim"), "neighbor_id")
