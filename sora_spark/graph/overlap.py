@@ -243,13 +243,18 @@ def kmer_spectrum(df, text_col: str = "text", k: int = 8):
     shorter than k contribute nothing (explicit filter — Spark's
     `sequence(1, 0)` would DESCEND, not return empty).
     """
-    kmers = df.filter(F.length(text_col) >= k).select(
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length({text_col}) - {k} + 1),"
-                f" i -> substring({text_col}, i, {k}))"
-            )
-        ).alias("kmer")
+    # explode-first + scalar substring (r14): same k-mer multiset as
+    # the old transform(...) lambda form, but fully codegen — see
+    # de_bruijn_edges for the HOF-interpretation rationale.
+    kmers = (
+        df.filter(F.length(text_col) >= k)
+        .select(
+            F.col(text_col).alias("_t"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - F.lit(k - 1))
+            ).alias("_i"),
+        )
+        .select(F.col("_t").substr(F.col("_i"), F.lit(k)).alias("kmer"))
     )
     counts = kmers.groupBy("kmer").agg(F.count("*").alias("multiplicity"))
     return (
@@ -396,14 +401,21 @@ def de_bruijn_edges(documents: DataFrame, k: int = DEBRUIJN_K) -> DataFrame:
     and s/d are derived map-side AFTER the dedup. Same distinct edge
     set, ~45% less shuffle payload and half the substr work in the
     expansion (measured 4.4 s -> 2.9 s warm at sf0.1, round-9)."""
+    # explode-FIRST with a scalar substr (r14): the old
+    # transform(sequence, i -> substr) lambda built a per-doc window
+    # ARRAY through the interpreted higher-order-function path (HOF
+    # lambdas don't enter whole-stage codegen — the B12 finding);
+    # exploding the index sequence and slicing with a plain substr
+    # keeps the whole expansion in codegen and allocates no arrays.
+    # Same window strings, same multiplicity, same distinct set.
     n_win = (F.col("n_chars") - F.lit(k)).cast("int")
-    win = F.transform(
-        F.sequence(F.lit(1), n_win),
-        lambda i: F.col("text").substr(i, F.lit(k + 1)),
-    )
     w = (
         documents.filter(F.col("n_chars") >= k + 1)
-        .select(F.explode(win).alias("w"))
+        .select(
+            "text",
+            F.explode(F.sequence(F.lit(1), n_win)).alias("i"),
+        )
+        .select(F.col("text").substr(F.col("i"), F.lit(k + 1)).alias("w"))
         .distinct()
     )
     return w.select(

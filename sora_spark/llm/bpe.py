@@ -284,9 +284,12 @@ def train(
     ordered merge list [(a, b, weighted_count)] and the final
     symbolized word table (word, n, sym). Ties in pair frequency break
     on (a, b) lexicographically — stated rule, portable."""
+    # lazy lineage cuts: each round's argmax collect (the very next
+    # action) materializes the previous cut's blocks — one job per
+    # merge round instead of two (r14). Data identical either way.
     df = words.select(
         "word", "n", chars("word").alias("sym")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         top = (
@@ -303,5 +306,5 @@ def train(
         merges.append((t.a, t.b, int(t.cnt)))
         df = df.withColumn(
             "sym", merge_pair(F.col("sym"), t.a, t.b)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges, df

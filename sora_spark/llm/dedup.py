@@ -130,6 +130,12 @@ def lsh_candidate_pairs(
         .withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy("id", "band")
         .agg(F.concat_ws("|", F.array_sort(F.collect_list("sig"))).alias("bkey"))
+        # lazy cut: without it the WHOLE shingle→minhash→band
+        # derivation runs once per self-join side (no ReusedExchange —
+        # the broadcast join shares nothing; r14 plan finding). The
+        # broadcast-build job materializes the blocks, the probe side
+        # reads them back — one derivation instead of two, no extra job.
+        .localCheckpoint(eager=False)
     )
     a, b = band_keys.alias("a"), band_keys.alias("b")
     return (

@@ -2128,7 +2128,9 @@ def qg44_debruijn_graph(spark, sf_dir):
     from sora_spark.graph.overlap import de_bruijn_edges
 
     docs = tables(spark, sf_dir).documents
-    e = de_bruijn_edges(docs).localCheckpoint(eager=True)
+    # lazy cut: the first downstream action (chain/unitig compute)
+    # materializes the edge blocks — one fewer full pass (r14)
+    e = de_bruijn_edges(docs).localCheckpoint(eager=False)
     g = Graph(e)
     ce = g.chain_edges()
     nodes = (
@@ -2181,7 +2183,9 @@ def qg45_debruijn_unitigs(spark, sf_dir):
     from sora_spark.graph.overlap import de_bruijn_edges
 
     docs = tables(spark, sf_dir).documents
-    e = de_bruijn_edges(docs).localCheckpoint(eager=True)
+    # lazy cut: the first downstream action (chain/unitig compute)
+    # materializes the edge blocks — one fewer full pass (r14)
+    e = de_bruijn_edges(docs).localCheckpoint(eager=False)
     ce = Graph(e).chain_edges()
     return (
         Graph(ce)

@@ -2092,7 +2092,8 @@ def qta20_bpe_encode(spark, sf_dir):
     from sora_spark.llm import bpe
 
     docs = tables(spark, sf_dir).documents
-    wc = bpe.word_counts(docs).localCheckpoint(eager=True)
+    # lazy cut: train's first argmax collect materializes it (r14)
+    wc = bpe.word_counts(docs).localCheckpoint(eager=False)
     merges, _ = bpe.train(wc, _BPE_ENC_MERGES)
     enc = bpe.encode_words(wc, merges)
     return (
@@ -2180,7 +2181,8 @@ def qpipe5_tokenize_and_pack(spark, sf_dir):
     from sora_spark.llm import bpe, curate
 
     docs = tables(spark, sf_dir).documents
-    wc = bpe.word_counts(docs).localCheckpoint(eager=True)
+    # lazy cut: train's first argmax collect materializes it (r14)
+    wc = bpe.word_counts(docs).localCheckpoint(eager=False)
     merges, _ = bpe.train(wc, _BPE_ENC_MERGES)
     wtok = bpe.encode_words(wc, merges).select(
         "word", F.size("tokens").alias("n_tok")
