@@ -243,17 +243,51 @@ class Graph:
 
     def tips(self, hub_degree: int = 3) -> DataFrame:
         """Dead-end vertices: degree-1 vertices whose sole neighbor has
-        degree >= hub_degree (assembly tip-trimming shape)."""
-        deg = self.degrees()
-        ends = self.edges.select(
-            F.col("s").alias("v"), F.col("d").alias("nbr")
-        ).union(self.edges.select(F.col("d").alias("v"), F.col("s").alias("nbr")))
-        d1 = deg.filter(F.col("degree") == 1).select("v")
-        tip_nbr = d1.join(ends, "v").select("v", "nbr")
-        hub = deg.filter(F.col("degree") >= hub_degree).select(
+        degree >= hub_degree (assembly tip-trimming shape).
+
+        Single-aggregation shape (r14): a degree-1 vertex appears in
+        the (v, nbr) end list exactly once, so min(nbr) over its group
+        IS its sole neighbor — one groupBy over the exploded ends
+        yields degree AND neighbor together. The old form derived the
+        ends union twice (once for degrees, once to look the neighbor
+        back up) and shuffled the full end list a second time through
+        the d1⋈ends join: per trim round that was 4 edge-block reads
+        and an ends-sized join exchange; now it is 2 reads, one
+        exchange, and two vertex-sized (broadcast-able) filters. Tip
+        set identical: degree and sole-neighbor are computed over the
+        same multiset the join consumed.
+
+        The explicit null filter is load-bearing twice over: it
+        reproduces the old form's null semantics exactly (its inner
+        join on v dropped null-v rows, its semi join dropped null-nbr
+        rows — aggregate filters alone would keep a null-v group),
+        and it keeps the aggregate's two consumers' pushed predicates
+        identical. Even so, COLUMN PRUNING diverges the two subtrees
+        (the hub side drops min(nbr)), so Catalyst/AQE never reuse the
+        exchange — the vertex-sized aggregate is therefore cut with a
+        lazy checkpoint: the caller's first action over the tip set
+        materializes it once and both consumers read the same blocks
+        (O(V) block traffic replacing a second O(E) ends
+        derivation+exchange)."""
+        ends = (
+            self.edges.select(
+                F.col("s").alias("v"), F.col("d").alias("nbr")
+            )
+            .union(
+                self.edges.select(
+                    F.col("d").alias("v"), F.col("s").alias("nbr")
+                )
+            )
+            .filter(F.col("v").isNotNull() & F.col("nbr").isNotNull())
+        )
+        deg_nbr = ends.groupBy("v").agg(
+            F.count("*").alias("degree"), F.min("nbr").alias("nbr")
+        ).transform(self._cp_lazy)
+        d1 = deg_nbr.filter(F.col("degree") == 1).select("v", "nbr")
+        hub = deg_nbr.filter(F.col("degree") >= hub_degree).select(
             F.col("v").alias("nbr")
         )
-        return tip_nbr.join(hub, "nbr", "left_semi").select("v")
+        return d1.join(hub, "nbr", "left_semi").select("v")
 
     def bubble_pairs(self, min_mids: int = 2) -> DataFrame:
         """(u, w) endpoint pairs joined by >= min_mids distinct internal

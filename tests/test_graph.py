@@ -46,6 +46,40 @@ def test_tips(spark):
     # no hub -> excluded; 3 and 4 are degree-1 off hub 1.
     assert tips == {3, 4}
 
+def test_tips_single_agg_equivalence(spark):
+    """The r14 single-aggregation tips() (degree + min(nbr) in one
+    groupBy) must match the reference join formulation (degree-1 set
+    joined back to the end list, then hub-filtered) on a graph with
+    chains, hubs, isolated pairs and a cycle — min(nbr) over a
+    degree-1 group IS the sole neighbor, so the sets are provably
+    identical; this pins it."""
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 5),        # hub 1, nested tip 5
+        (6, 7),                                 # isolated pair: no hub
+        (8, 9), (9, 10), (10, 8),               # cycle: no degree-1
+        (1, 11), (4, 12), (4, 13), (4, 14),     # 4 becomes a hub too
+    ]
+    g = _g(spark, edges)
+    for hub_degree in (2, 3, 4):
+        got = {r["v"] for r in g.tips(hub_degree=hub_degree).collect()}
+        deg = g.degrees()
+        ends = g.edges.select(
+            F.col("s").alias("v"), F.col("d").alias("nbr")
+        ).union(
+            g.edges.select(F.col("d").alias("v"), F.col("s").alias("nbr"))
+        )
+        d1 = deg.filter(F.col("degree") == 1).select("v")
+        tip_nbr = d1.join(ends, "v").select("v", "nbr")
+        hub = deg.filter(F.col("degree") >= hub_degree).select(
+            F.col("v").alias("nbr")
+        )
+        ref = {
+            r["v"]
+            for r in tip_nbr.join(hub, "nbr", "left_semi").collect()
+        }
+        assert got == ref, f"hub_degree={hub_degree}: {got} != {ref}"
+
+
 def test_bubbles(spark):
     # 1->2->4 and 1->3->4: bubble pair (1,4) with mids {2,3}
     g = _g(spark, [(1, 2), (1, 3), (2, 4), (3, 4)])
