@@ -754,20 +754,35 @@ class Graph:
         (s, d) where s has out-degree 1 and d has in-degree 1. Every
         vertex then has <= 1 outgoing and <= 1 incoming chain edge, so
         the result is a union of simple paths — the precondition
-        `compact_chains` needs. Two bounded degree aggregations + two
-        semi-joins; the degree tables are vertex-sized."""
-        out1 = (
-            self.edges.groupBy("s")
-            .agg(F.count("*").alias("_c"))
-            .filter(F.col("_c") == 1)
-            .select("s")
+        `compact_chains` needs.
+
+        One-pass degrees (r14, the two_hop_count/tips trick): the old
+        form aggregated out-degrees and in-degrees as two separate
+        groupBys — two edge scans, two exchanges. Exploding each edge
+        into (v=s, out) + (v=d, in) counts both directions in one pass
+        over one scan; the vertex-sized degree table is lazily cut
+        (column pruning diverges its two consumers, defeating exchange
+        reuse — the tips() finding) and both semi-joins filter it.
+        out-degree-1 set identical: a vertex absent from the s column
+        has outd = 0 and is excluded either way; same for in."""
+        deg = (
+            self.edges.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("s").alias("v"), F.lit(1).alias("o")),
+                        F.struct(F.col("d").alias("v"), F.lit(0).alias("o")),
+                    )
+                ).alias("e")
+            )
+            .groupBy(F.col("e.v").alias("v"))
+            .agg(
+                F.sum("e.o").alias("outd"),
+                F.sum(1 - F.col("e.o")).alias("ind"),
+            )
+            .transform(self._cp_lazy)
         )
-        in1 = (
-            self.edges.groupBy("d")
-            .agg(F.count("*").alias("_c"))
-            .filter(F.col("_c") == 1)
-            .select("d")
-        )
+        out1 = deg.filter(F.col("outd") == 1).select(F.col("v").alias("s"))
+        in1 = deg.filter(F.col("ind") == 1).select(F.col("v").alias("d"))
         return (
             self.edges.join(out1, "s", "left_semi")
             .join(in1, "d", "left_semi")

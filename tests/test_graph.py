@@ -80,6 +80,45 @@ def test_tips_single_agg_equivalence(spark):
         assert got == ref, f"hub_degree={hub_degree}: {got} != {ref}"
 
 
+def test_chain_edges_single_agg_equivalence(spark):
+    """The r14 one-pass chain_edges() (exploded (v, out/in) counted in
+    one groupBy) must match the reference formulation (separate
+    out-degree-1 / in-degree-1 groupBys, two semi-joins) on a graph
+    with chains, branches, merges, a cycle and a self-contained pair —
+    a vertex absent from the s (resp. d) column has out-degree
+    (resp. in-degree) 0 in both forms, so the edge sets are provably
+    identical; this pins it."""
+    edges = [
+        (1, 2), (2, 3), (3, 4),                 # plain chain
+        (4, 5), (4, 6),                         # branch at 4 (outd 2)
+        (5, 7), (6, 7),                         # merge at 7 (ind 2)
+        (8, 9),                                 # isolated pair
+        (10, 11), (11, 12), (12, 10),           # cycle
+        (13, 13),                               # self-loop
+    ]
+    g = _g(spark, edges)
+    got = {(r["s"], r["d"]) for r in g.chain_edges().collect()}
+    out1 = (
+        g.edges.groupBy("s")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") == 1)
+        .select("s")
+    )
+    in1 = (
+        g.edges.groupBy("d")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") == 1)
+        .select("d")
+    )
+    ref = {
+        (r["s"], r["d"])
+        for r in g.edges.join(out1, "s", "left_semi")
+        .join(in1, "d", "left_semi")
+        .collect()
+    }
+    assert got == ref
+
+
 def test_bubbles(spark):
     # 1->2->4 and 1->3->4: bubble pair (1,4) with mids {2,3}
     g = _g(spark, [(1, 2), (1, 3), (2, 4), (3, 4)])
