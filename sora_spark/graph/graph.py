@@ -648,43 +648,60 @@ class Graph:
         Monotone — only removes edges — so the fixpoint can be
         certified by an unrolled-SQL oracle exactly like the reduction
         loop (qg11b trick). Scale shape mirrors `transitive_edges`:
-        the 2-path stream is aggregated once on (u, w) (partial
-        map-side distinct), the bubble set is bounded by bubble-pair
-        count << |E| and is broadcast into both the mid lookup and the
-        final anti-join, so the edge set itself never shuffles."""
+        the 2-path stream is derived ONCE and aggregated straight to
+        the doomed-mid set (see `_bubble_removals`), the removal set
+        is bounded by bubble-pair count << |E| and is broadcast into
+        the final anti-join, so the edge set itself never shuffles."""
         bc = self._bc(broadcast_edges)
-        removal = self._bubble_removals(min_mids, bc)
+        removal = self._bubble_removals(min_mids)
         rem = F.broadcast(removal) if bc else removal
         return self.edges.join(rem, ["s", "d"], "left_anti")
 
-    def _bubble_removals(self, min_mids: int, bc: bool) -> DataFrame:
+    def _bubble_removals(self, min_mids: int) -> DataFrame:
         """The edge-removal set of one bubble-pop round (see
         `pop_bubbles_round`) — bounded by bubble-pair count << |E|,
         so callers can materialize it to TEST for convergence before
-        paying the edge-set anti-join (the assembly loop does)."""
+        paying the edge-set anti-join (the assembly loop does).
+
+        Single-derivation shape (r14, the tips()/band-keys finding):
+        the 2-path stream — the round's dominant cost — is derived
+        ONCE and aggregated straight to the doomed-mid set via
+        collect_set: per (u, w), mids = the distinct x set, keep =
+        array_min(mids), doomed = explode(mids \\ keep). The old form
+        aggregated tp to (u, w, keep) and then RE-DERIVED tp to probe
+        it against that table — the Σ in(v)·out(v) join ran once per
+        consumer (the aggregation plus each union branch; only the
+        input exchanges get reused). Per-row memory is one distinct-
+        mid set per bubble pair — linear in min(out(u), in(w)), the
+        same bound the old countDistinct paid inside its aggregation
+        buffer, never the k²/2 pair expansion rejected for qd5. The
+        doomed set is lazily cut (bubble-bounded, tiny) so the union's
+        two branches read blocks instead of re-aggregating.
+
+        The explicit null filter reproduces the old tp⋈bub probe
+        join's key semantics bit-exactly: a null u or w never matched
+        the (u, w) join key, so those 2-paths produced no removals;
+        x is a join key (e1.d = e2.s) and can never be null."""
         e1, e2 = self.edges.alias("e1"), self.edges.alias("e2")
-        tp = (
+        doomed = (
             e1.join(e2, F.col("e1.d") == F.col("e2.s"))
             .select(
                 F.col("e1.s").alias("u"),
                 F.col("e1.d").alias("x"),
                 F.col("e2.d").alias("w"),
             )
-        )
-        bub = (
-            tp.groupBy("u", "w")
-            .agg(
-                F.countDistinct("x").alias("n_mids"),
-                F.min("x").alias("keep"),
+            .filter(F.col("u").isNotNull() & F.col("w").isNotNull())
+            .groupBy("u", "w")
+            .agg(F.collect_set("x").alias("mids"))
+            .filter(F.size("mids") >= min_mids)
+            .select(
+                "u",
+                "w",
+                F.explode(
+                    F.array_remove(F.col("mids"), F.array_min(F.col("mids")))
+                ).alias("x"),
             )
-            .filter(F.col("n_mids") >= min_mids)
-            .select("u", "w", "keep")
-        )
-        b = F.broadcast(bub) if bc else bub
-        doomed = (
-            tp.join(b, ["u", "w"])
-            .filter(F.col("x") != F.col("keep"))
-            .select("u", "x", "w")
+            .transform(self._cp_lazy)
         )
         return (
             doomed.select(F.col("u").alias("s"), F.col("x").alias("d"))
@@ -725,9 +742,7 @@ class Graph:
             # reduce loop): the removal set is bubble-bounded — when
             # empty, skip the anti-join + full-edge checkpoint AND the
             # legacy no-op confirm round
-            removal = g._bubble_removals(
-                min_mids, g._bc(None)
-            ).transform(self._cp_lazy)
+            removal = g._bubble_removals(min_mids).transform(self._cp_lazy)
             bubble_rounds += 1
             if removal.count() == 0:
                 counts.append(prev)
@@ -1349,7 +1364,6 @@ class Graph:
             F.lit(1).alias("dist"),
             *lab0,
         ).transform(self._cp_lazy)
-        prev_total = None
         rounds = 0
         for _ in range(max_iter):
             rounds += 1
@@ -1376,11 +1390,21 @@ class Graph:
                 .transform(self._cp_lazy)
             )
             # the convergence agg materializes the lazy cut — one job
-            # per doubling round instead of two (r14)
-            total = p.agg(F.sum("dist")).collect()[0][0]
-            if total == prev_total:
+            # per doubling round instead of two (r14). Cap-based test
+            # (r14, saves the confirm round the old sum-compare always
+            # paid): after k rounds dist = min(chain length from v,
+            # 2^k) (induction: a capped row's successor contributes
+            # min(L - 2^(k-1), 2^(k-1))), so max(dist) < 2^k means no
+            # row hit the cap — every chain already reached its end
+            # and the NEXT round would be the identity the old form
+            # ran just to see the total repeat. A cycle (in/out degree
+            # 1 everywhere, no chain end) pins max(dist) == 2^k
+            # forever and runs to max_iter, exactly like the old
+            # always-growing total; cycle rows drop at the `starts`
+            # semi-join either way.
+            mx = p.agg(F.max("dist")).collect()[0][0]
+            if mx is None or mx < (1 << rounds):
                 break
-            prev_total = total
         if stats is not None:
             stats["rounds"] = rounds
         starts = self.edges.select(F.col("s").alias("v")).subtract(

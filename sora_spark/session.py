@@ -40,9 +40,18 @@ RUNTIME_CONF: dict[str, str] = {
 }
 
 # Confs that only matter at session build time.
+# shuffle.partitions is a CEILING for AQE to coalesce under (module
+# docstring): default 32 locally (bench-comparable across rounds and
+# across the driver's core-count sweep — AQE coalesces the small end
+# regardless of SPARK_GRAFT_CPUS), overridable per deployment via
+# SORA_SHUFFLE_PARTITIONS; at cluster scale set it near
+# input_bytes / advisoryPartitionSizeInBytes (SCALE.md "Session
+# posture").
 BUILD_CONF: dict[str, str] = {
     "spark.ui.enabled": "false",
-    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SORA_SHUFFLE_PARTITIONS", "32"
+    ),
     "spark.driver.memory": os.environ.get("SORA_DRIVER_MEMORY", "8g"),
     # reference-tracked deletion of RELIABLE checkpoint files (the
     # Graph(reliable_checkpoint_dir=...) mode): without it Spark keeps

@@ -128,6 +128,65 @@ def test_bubbles(spark):
     assert pairs == {(1, 4): 2}
 
 
+def test_bubble_removals_single_derivation_equivalence(spark):
+    """The r14 single-derivation _bubble_removals (collect_set of mids
+    aggregated straight to the doomed set) must match the reference
+    formulation (aggregate tp to (u, w, keep), re-derive tp and probe
+    it) on a graph with a 2-mid bubble, a 3-mid bubble, an overlapping
+    bubble sharing a mid, a plain chain, a cycle and a self-loop —
+    per (u, w) the doomed mids are the distinct-mid set minus its
+    minimum in both forms, so the removal edge sets are provably
+    identical; this pins it."""
+    edges = [
+        (1, 2), (1, 3), (2, 4), (3, 4),          # bubble (1,4), mids {2,3}
+        (5, 6), (5, 7), (5, 8),                  # bubble (5,9), mids {6,7,8}
+        (6, 9), (7, 9), (8, 9),
+        (5, 10), (10, 9),                        # 4th mid for (5,9)
+        (3, 11), (2, 11),                        # bubble (1,11) shares mids
+        (12, 13), (13, 14),                      # chain: no bubble
+        (15, 16), (16, 17), (17, 15),            # cycle
+        (18, 18),                                # self-loop
+    ]
+    g = _g(spark, edges)
+    for min_mids in (2, 3):
+        got = {
+            (r["s"], r["d"])
+            for r in g._bubble_removals(min_mids).collect()
+        }
+        e1, e2 = g.edges.alias("e1"), g.edges.alias("e2")
+        tp = e1.join(e2, F.col("e1.d") == F.col("e2.s")).select(
+            F.col("e1.s").alias("u"),
+            F.col("e1.d").alias("x"),
+            F.col("e2.d").alias("w"),
+        )
+        bub = (
+            tp.groupBy("u", "w")
+            .agg(
+                F.countDistinct("x").alias("n_mids"),
+                F.min("x").alias("keep"),
+            )
+            .filter(F.col("n_mids") >= min_mids)
+            .select("u", "w", "keep")
+        )
+        doomed = (
+            tp.join(bub, ["u", "w"])
+            .filter(F.col("x") != F.col("keep"))
+            .select("u", "x", "w")
+        )
+        ref = {
+            (r["s"], r["d"])
+            for r in doomed.select(
+                F.col("u").alias("s"), F.col("x").alias("d")
+            )
+            .union(
+                doomed.select(F.col("x").alias("s"), F.col("w").alias("d"))
+            )
+            .distinct()
+            .collect()
+        }
+        assert got == ref, f"min_mids={min_mids}: {got} != {ref}"
+
+
 def test_compact_chains(spark):
     # chains: 1->2->3->4 (len 3), 5->6 (len 1), 7->8->9 (len 2)
     g = _g(spark, [(1, 2), (2, 3), (3, 4), (5, 6), (7, 8), (8, 9)])
@@ -136,6 +195,59 @@ def test_compact_chains(spark):
         for r in g.compact_chains().collect()
     }
     assert chains == {(1, 4, 3), (5, 6, 1), (7, 9, 2)}
+
+
+def test_compact_chains_cap_convergence(spark):
+    """The r14 cap-based convergence test (stop when max(dist) < 2^k,
+    i.e. no row hit the doubling cap) must be exact on the cases where
+    it differs most from the old sum-compare: a chain of length
+    EXACTLY a power of two (dist == cap at the converged round, so one
+    more round must run before the break), a cycle (dist pinned at
+    the cap forever — rows drop at the starts semi-join, loop bounded
+    by max_iter), and length-1 chains (break after round 1)."""
+    edges = (
+        [(i, i + 1) for i in range(1, 5)]        # 1->..->5, len 4 = 2^2
+        + [(10, 11), (11, 12), (12, 13)]         # len 3
+        + [(20, 21)]                             # len 1
+        + [(30, 31), (31, 32), (32, 30)]         # cycle: no output row
+    )
+    g = _g(spark, edges)
+    st: dict = {}
+    chains = {
+        (r["start"], r["end"], r["length"])
+        for r in g.compact_chains(max_iter=8, stats=st).collect()
+    }
+    assert chains == {(1, 5, 4), (10, 13, 3), (20, 21, 1)}
+    # the cycle pins max(dist) at the cap every round, so the loop is
+    # bounded by max_iter — the old always-growing-total behavior
+    assert st["rounds"] == 8, st
+    # with_paths rides the same loop
+    paths = {
+        r["path"]
+        for r in g.compact_chains(max_iter=8, with_paths=True).collect()
+    }
+    assert paths == {"1-2-3-4-5", "10-11-12-13", "20-21"}
+
+    # acyclic, longest chain EXACTLY 2^2: dist == cap at the converged
+    # round, so round 3 must still run (max 4 < 8 breaks) — the cap
+    # test may never break early on a power-of-two boundary
+    st4: dict = {}
+    g4 = _g(spark, [(i, i + 1) for i in range(1, 5)])
+    got4 = {
+        (r["start"], r["end"], r["length"])
+        for r in g4.compact_chains(max_iter=8, stats=st4).collect()
+    }
+    assert got4 == {(1, 5, 4)} and st4["rounds"] == 3, st4
+
+    # acyclic, longest chain 3 (non-power): round 2 sees max 3 < 4 and
+    # breaks — one round FEWER than the old sum-compare's confirm round
+    st3: dict = {}
+    g3 = _g(spark, [(10, 11), (11, 12), (12, 13), (20, 21)])
+    got3 = {
+        (r["start"], r["end"], r["length"])
+        for r in g3.compact_chains(max_iter=8, stats=st3).collect()
+    }
+    assert got3 == {(10, 13, 3), (20, 21, 1)} and st3["rounds"] == 2, st3
 
 
 def test_bfs_hops(spark):
