@@ -25,36 +25,49 @@ def e_co(lineitem: DataFrame) -> DataFrame:
     """DISTINCT co-occurring part pairs (s < d) per order → (s, d).
 
     Derivation is one groupBy(order) → sorted part set → in-row pair
-    expansion (i < j via nested transform/slice) → DISTINCT, instead
-    of the order-key self-join: the self-join shuffles the lineitem
-    twice conceptually (exchange-reused to once) and generates k^2
-    pairs per order before the s < d filter, while this shape shuffles
-    each lineitem ONCE (with map-side partial collect_set), emits only
-    the k(k-1)/2 ascending pairs, and feeds the same final distinct.
-    Measured ~30% faster at sf0.1 (round 6); per-row expansion stays
-    bounded by items-per-order (~4-7), the same bound that protects
-    the join form at 100 TB. Output is set-identical to the join form
-    (the E_CO_SQL oracle keeps the join formulation)."""
+    expansion (i < j) → DISTINCT, instead of the order-key self-join:
+    the self-join shuffles the lineitem twice conceptually
+    (exchange-reused to once) and generates k^2 pairs per order before
+    the s < d filter, while this shape shuffles each lineitem ONCE
+    (with map-side partial collect_set), emits only the k(k-1)/2
+    ascending pairs, and feeds the same final distinct. Measured ~30%
+    faster at sf0.1 (round 6); per-row expansion stays bounded by
+    items-per-order (~4-7), the same bound that protects the join form
+    at 100 TB. Output is set-identical to the join form (the E_CO_SQL
+    oracle keeps the join formulation).
+
+    Expansion is explode-FIRST over 1-based index sequences with
+    scalar element_at lookups (r14, the de_bruijn_edges finding):
+    the old nested transform/slice lambdas evaluated on the
+    interpreted expression path outside whole-stage codegen AND
+    allocated the full nested pair-struct array per order before
+    exploding it; two chained index Generates + element_at stay
+    inside codegen with zero intermediate array allocation. Pair set
+    identical: (ps[i], ps[j]) for 1 <= i < j <= k either way, and the
+    singleton/empty guard reproduces the old form's no-pairs rows
+    (sequence(1, 0) would step DOWNWARD, not empty — the
+    exploded_shingles guard pattern)."""
     sets = (
         lineitem.select("l_orderkey", "l_partkey")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
+    idx = F.when(
+        F.size("ps") >= 2, F.sequence(F.lit(1), F.size("ps") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     return (
-        sets.select(
+        sets.select("ps", F.explode(idx).alias("i"))
+        .select(
+            "ps",
+            "i",
             F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ps"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ps"), i + 2, F.size("ps")),
-                            lambda y: F.struct(x.alias("s"), y.alias("d")),
-                        ),
-                    )
-                )
-            ).alias("p")
+                F.sequence(F.col("i") + 1, F.size("ps"))
+            ).alias("j"),
         )
-        .select("p.s", "p.d")
+        .select(
+            F.element_at("ps", F.col("i")).alias("s"),
+            F.element_at("ps", F.col("j")).alias("d"),
+        )
         .distinct()
     )
 

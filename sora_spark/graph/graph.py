@@ -99,16 +99,45 @@ class Graph:
     # ---- basic structure -------------------------------------------------
 
     def vertex_ids(self) -> DataFrame:
+        # one scan (r14): explode both ends of each edge instead of a
+        # union of two selects — the union form derived the WHOLE
+        # upstream edge subplan once per branch (no ReusedExchange when
+        # the derivation carries lambda/Generate stages — the qg1 plan
+        # finding). Same vertex set: each edge contributes s and d
+        # either way, nulls included, before the distinct.
         return (
-            self.edges.select(F.col("s").alias("v"))
-            .union(self.edges.select(F.col("d").alias("v")))
+            self.edges.select(
+                F.explode(F.array(F.col("s"), F.col("d"))).alias("v")
+            )
             .distinct()
         )
 
+    def _sym_edges(self) -> DataFrame:
+        """Both orientations of every edge in ONE pass (r14): the
+        union-of-two-selects form re-derived the whole upstream edge
+        subplan once per branch (exchange reuse never fires across the
+        derivations' lambda-bearing aggregates — the qg1/qg4 plan
+        finding); exploding each edge into (s,d) + (d,s) emits the
+        identical row multiset over one derivation."""
+        return self.edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("s").alias("s"), F.col("d").alias("d")),
+                    F.struct(F.col("d").alias("s"), F.col("s").alias("d")),
+                )
+            ).alias("e")
+        ).select("e.s", "e.d")
+
     def degrees(self) -> DataFrame:
-        """Total degree per vertex for canonical undirected edges."""
-        ends = self.edges.select(F.col("s").alias("v")).union(
-            self.edges.select(F.col("d").alias("v"))
+        """Total degree per vertex for canonical undirected edges.
+
+        One scan (r14): the old union-of-two-selects form ran the full
+        upstream edge derivation once per branch (two lineitem scans +
+        two pair expansions in the qg1 plan); exploding both ends
+        counts the identical (v) multiset — nulls included — over ONE
+        derivation and one exchange."""
+        ends = self.edges.select(
+            F.explode(F.array(F.col("s"), F.col("d"))).alias("v")
         )
         return ends.groupBy("v").agg(F.count("*").alias("degree"))
 
@@ -174,8 +203,19 @@ class Graph:
 
     def triangle_count(self) -> DataFrame:
         """Triangles in canonical undirected edges: s < m < d closing
-        edge (s, d). Join order keeps the small closing probe last."""
-        e1, e2, e3 = self.edges.alias("e1"), self.edges.alias("e2"), self.edges.alias("e3")
+        edge (s, d). Join order keeps the small closing probe last.
+
+        The edge frame is lazily cut first (r14): the three join sides
+        each re-derived the WHOLE upstream edge subplan — the qg3 plan
+        held three complete e_co derivations (three lineitem scans)
+        because exchange reuse never fires across the derivation's
+        lambda-bearing aggregate. With the cut, the first action
+        materializes the edges once and all three sides read blocks.
+        Graphs already checkpointed pay one redundant edge-block
+        write — vertex/edge-sized, dwarfed by the two removed
+        derivations everywhere it matters."""
+        e = self.edges.transform(self._cp_lazy)
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
         wedges = e1.join(e2, F.col("e1.d") == F.col("e2.s"))
         return (
             wedges.join(
@@ -269,17 +309,13 @@ class Graph:
         materializes it once and both consumers read the same blocks
         (O(V) block traffic replacing a second O(E) ends
         derivation+exchange)."""
-        ends = (
-            self.edges.select(
-                F.col("s").alias("v"), F.col("d").alias("nbr")
-            )
-            .union(
-                self.edges.select(
-                    F.col("d").alias("v"), F.col("s").alias("nbr")
-                )
-            )
-            .filter(F.col("v").isNotNull() & F.col("nbr").isNotNull())
-        )
+        # (v, nbr) ends are _sym_edges renamed — ONE derivation of the
+        # upstream edge subplan instead of one per union branch (r14;
+        # in the reduce/assembly loops the edges are checkpointed, so
+        # this also halves the per-round block re-reads)
+        ends = self._sym_edges().select(
+            F.col("s").alias("v"), F.col("d").alias("nbr")
+        ).filter(F.col("v").isNotNull() & F.col("nbr").isNotNull())
         deg_nbr = ends.groupBy("v").agg(
             F.count("*").alias("degree"), F.min("nbr").alias("nbr")
         ).transform(self._cp_lazy)
@@ -291,8 +327,14 @@ class Graph:
 
     def bubble_pairs(self, min_mids: int = 2) -> DataFrame:
         """(u, w) endpoint pairs joined by >= min_mids distinct internal
-        vertices via 2-paths u→x→w — the bubble-detection shape."""
-        e1, e2 = self.edges.alias("e1"), self.edges.alias("e2")
+        vertices via 2-paths u→x→w — the bubble-detection shape.
+
+        One-shot op (the loops use _bubble_removals): the edge frame is
+        lazily cut first so the 2-path self-join's two sides read one
+        materialized edge set instead of re-deriving the upstream
+        subplan per side (r14, the triangle_count treatment)."""
+        e = self.edges.transform(self._cp_lazy)
+        e1, e2 = e.alias("e1"), e.alias("e2")
         two_paths = (
             e1.join(e2, F.col("e1.d") == F.col("e2.s"))
             .select(
@@ -318,15 +360,23 @@ class Graph:
         O(diameter) rounds — see `connected_components_twophase` for the
         O(log n) contraction variant. `stats` records {"rounds": k}.
         """
-        sym = self.edges.select("s", "d").union(
-            self.edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
-        )
+        # one scan (r14): the union form derived the edge subplan once
+        # per direction, and vertex_ids() re-derived it twice more —
+        # four full upstream derivations before round 1. _sym_edges
+        # builds sym in ONE derivation, and labels come from the
+        # CHECKPOINTED sym blocks (every vertex appears as sym.s —
+        # each edge contributes both directions), so the edge
+        # derivation now runs exactly once per CC call. The labels
+        # distinct reuses sym's hashpartitioning(s) — no new exchange.
         # lazy cuts: the first mass/convergence action below (or round
         # 1's, for sym) materializes the blocks — see _cp_lazy (r14)
-        sym = sym.repartition("s").transform(self._cp_lazy)
-        labels = self.vertex_ids().select(
-            F.col("v"), F.col("v").alias("component")
-        ).transform(self._cp_lazy)
+        sym = self._sym_edges().repartition("s").transform(self._cp_lazy)
+        labels = (
+            sym.select(F.col("s").alias("v"))
+            .distinct()
+            .select(F.col("v"), F.col("v").alias("component"))
+            .transform(self._cp_lazy)
+        )
 
         from pyspark.sql.types import (
             ByteType,
@@ -508,9 +558,7 @@ class Graph:
         hop = min #edges from any source (≤ max_hops). Frontier
         iteration: each round is one join + one anti-join, frontier
         checkpointed to cut lineage; rounds = graph diameter."""
-        sym = self.edges.select("s", "d").union(
-            self.edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
-        ).transform(self._cp)
+        sym = self._sym_edges().transform(self._cp)
         dist = sources.select(F.col("v"), F.lit(0).alias("hop")).transform(self._cp)
         frontier = dist.select("v")
         for h in range(1, max_hops + 1):
@@ -822,12 +870,7 @@ class Graph:
         sub-k vertices, recompute degrees, repeat to fixpoint — each
         round is one groupBy + two semi-joins on a checkpointed,
         shrinking edge set; rounds bounded by peeling depth."""
-        e = (
-            self.edges.select("s", "d")
-            .union(self.edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
-            .distinct()
-            .transform(self._cp)
-        )
+        e = self._sym_edges().distinct().transform(self._cp)
         for _ in range(max_iter):
             deg = e.groupBy("s").agg(F.count("*").alias("_deg"))
             # change-set-first convergence (SCALE.md): peel only when
@@ -1114,11 +1157,21 @@ class Graph:
                     F.col("e2.d").alias("c"),
                 )
             )
-            per_edge = (
-                tri.select(F.col("a").alias("s"), F.col("b").alias("d"))
-                .union(tri.select(F.col("b").alias("s"), F.col("c").alias("d")))
-                .union(tri.select(F.col("a").alias("s"), F.col("c").alias("d")))
-            )
+            # one derivation (r14): the union-of-three-selects form ran
+            # the triangle-enumeration JOIN — the round's dominant cost
+            # — once per branch (no reuse across the differently-
+            # projected branches); exploding each triangle into its
+            # three edges charges the identical (s, d) multiset over
+            # ONE join
+            per_edge = tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("s"), F.col("b").alias("d")),
+                        F.struct(F.col("b").alias("s"), F.col("c").alias("d")),
+                        F.struct(F.col("a").alias("s"), F.col("c").alias("d")),
+                    )
+                ).alias("e")
+            ).select("e.s", "e.d")
             return per_edge.groupBy("s", "d").agg(
                 F.count("*").alias("support")
             )
@@ -1201,11 +1254,17 @@ class Graph:
         flat. Dangling mass rides the same round as a broadcast 1-row
         aggregate (cross-join), so each round is exactly ONE action
         (the ranks checkpoint) — no separate driver-side scalar job."""
-        verts = self.vertex_ids().transform(self._cp)
-        n_v = verts.count()
         # checkpoint the edge set and degree table once so the per-round
-        # action never re-evaluates the full edge derivation
+        # action never re-evaluates the full edge derivation; verts come
+        # from the CHECKPOINTED blocks (one upstream derivation total —
+        # the old vertex_ids()-first order paid a second one, r14)
         edges = self.edges.select("s", "d").transform(self._cp)
+        verts = (
+            edges.select(F.explode(F.array("s", "d")).alias("v"))
+            .distinct()
+            .transform(self._cp)
+        )
+        n_v = verts.count()
         out_deg = edges.groupBy("s").agg(
             F.count("*").alias("_od")
         ).transform(self._cp)
@@ -1251,7 +1310,14 @@ class Graph:
             raise ValueError(
                 "personalized_pagerank: seeds must be non-empty"
             )
-        verts = self.vertex_ids().transform(self._cp)
+        # edges first, verts from the CHECKPOINTED blocks — one
+        # upstream derivation instead of two (r14, the pagerank order)
+        edges = self.edges.select("s", "d").transform(self._cp)
+        verts = (
+            edges.select(F.explode(F.array("s", "d")).alias("v"))
+            .distinct()
+            .transform(self._cp)
+        )
         present = {
             r.v
             for r in verts.filter(F.col("v").isin(list(seeds))).collect()
@@ -1261,7 +1327,6 @@ class Graph:
             raise ValueError(
                 f"personalized_pagerank: seeds not in graph: {missing!r}"
             )
-        edges = self.edges.select("s", "d").transform(self._cp)
         out_deg = edges.groupBy("s").agg(
             F.count("*").alias("_od")
         ).transform(self._cp)
@@ -1456,17 +1521,19 @@ class Graph:
         """
         from pyspark.sql.window import Window
 
+        # one derivation (r14): _sym_edges + labels drawn from the
+        # CHECKPOINTED sym blocks (every vertex appears as sym.s) —
+        # the old union + vertex_ids() pair ran the upstream edge
+        # derivation four times before round 1 (the qg4 finding)
         sym = (
-            self.edges.select("s", "d")
-            .union(
-                self.edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
-            )
+            self._sym_edges()
             .distinct()
             .repartition("d")
             .transform(self._cp)
         )
         labels = (
-            self.vertex_ids()
+            sym.select(F.col("s").alias("v"))
+            .distinct()
             .select("v", F.col("v").alias("lab"))
             .transform(self._cp)
         )
@@ -1521,7 +1588,14 @@ class Graph:
         the block boundary re-checks convergence/cycle exactly as
         before."""
         remaining = self.edges.select("s", "d").transform(self._cp)
-        verts = self.vertex_ids().transform(self._cp)
+        # verts from the CHECKPOINTED blocks (remaining is the
+        # unfiltered edge set, so its endpoints ARE the vertex set) —
+        # one upstream derivation instead of two (r14)
+        verts = (
+            remaining.select(F.explode(F.array("s", "d")).alias("v"))
+            .distinct()
+            .transform(self._cp)
+        )
         out: DataFrame | None = None
         level = 0
         while level < max_iter:
@@ -1578,9 +1652,15 @@ class Graph:
         count. Two equi-join shuffles + two groupBys, candidate wedges
         bounded by per-vertex degree exactly like the 2-hop operator.
         """
-        e1 = self.edges.alias("e1")
-        e2 = self.edges.alias("e2")
-        e3 = self.edges.alias("e3")
+        # lazy cut (r14): tri's three join sides + degrees() would
+        # otherwise each re-derive the full upstream edge subplan
+        # (four derivations for one coefficient — the qg3 finding);
+        # with the cut everything reads one materialized edge set
+        e = self.edges.transform(self._cp_lazy)
+        g = Graph(e, reliable_checkpoint_dir=self.reliable_checkpoint_dir)
+        e1 = e.alias("e1")
+        e2 = e.alias("e2")
+        e3 = e.alias("e3")
         tri = (
             e1.join(e2, F.col("e1.d") == F.col("e2.s"))
             .join(
@@ -1602,7 +1682,7 @@ class Graph:
             .agg(F.count("*").alias("t"))
         )
         return (
-            self.degrees()
+            g.degrees()
             .join(per_v, "v", "left")
             .select(
                 "v",
@@ -1641,8 +1721,13 @@ class Graph:
             F.greatest("s", "d").alias("d"),
             F.col(weight_col).alias("w"),
         ).transform(self._cp)
+        # comp from the CHECKPOINTED canonical edges: least/greatest
+        # keeps every endpoint (self-loops fold to (x, x)), so the
+        # exploded ends are exactly the vertex set — one upstream
+        # derivation instead of two (r14)
         comp = (
-            self.vertex_ids()
+            e.select(F.explode(F.array("s", "d")).alias("v"))
+            .distinct()
             .select("v", F.col("v").alias("c"))
             .transform(self._cp)
         )

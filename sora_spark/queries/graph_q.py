@@ -226,11 +226,25 @@ FROM deg GROUP BY out_degree, in_degree ORDER BY out_degree, in_degree
 def qg1b_directed_degrees(spark, sf_dir):
     ev = tables(spark, sf_dir).events
     e = e_seq(ev).select("src", "dst")
+    # one pass (r14, the chain_edges trick): the union form derived the
+    # e_seq window subplan once per branch; exploding each edge into
+    # (v=src, out) + (v=dst, in) counts both directions in one pass
     ends = e.select(
-        F.col("src").alias("v"), F.lit(1).alias("outd"), F.lit(0).alias("ind")
-    ).union(
-        e.select(F.col("dst").alias("v"), F.lit(0).alias("outd"), F.lit(1).alias("ind"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("v"),
+                    F.lit(1).alias("outd"),
+                    F.lit(0).alias("ind"),
+                ),
+                F.struct(
+                    F.col("dst").alias("v"),
+                    F.lit(0).alias("outd"),
+                    F.lit(1).alias("ind"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.v", "e.outd", "e.ind")
     deg = ends.groupBy("v").agg(
         F.sum("outd").alias("out_degree"), F.sum("ind").alias("in_degree")
     )
@@ -305,7 +319,9 @@ FROM d GROUP BY hop ORDER BY hop
 )
 def qg9_bfs_hops(spark, sf_dir):
     li = tables(spark, sf_dir).lineitem
-    g = Graph(e_co_small(li))
+    # lazy cut (r14): the source argmin and bfs_hops' sym derivation
+    # would otherwise each run the full e_co_small derivation
+    g = Graph(e_co_small(li).localCheckpoint(eager=False))
     src = g.edges.agg(F.min("s").alias("v"))
     return (
         g.bfs_hops(src, max_hops=10)
@@ -335,7 +351,13 @@ SELECT
 )
 def qg5_transitive_reduction(spark, sf_dir):
     li = tables(spark, sf_dir).lineitem
-    g = Graph(e_co_small(li))
+    # lazy cut (r14): transitive_edges consumes the edge frame three
+    # times (2-path sides + semi target) and transitive_reduction_round
+    # re-derives the removal set plus the anti side — SEVEN full
+    # e_co_small derivations in one query without the cut (the loops
+    # in reduce_pipeline already checkpoint; this is the one-shot row).
+    # The first count materializes the blocks; every consumer reads them.
+    g = Graph(e_co_small(li).localCheckpoint(eager=False))
     removed = g.transitive_edges().agg(F.count("*").alias("n_removed"))
     surviving = g.transitive_reduction_round().agg(
         F.count("*").alias("n_surviving")

@@ -711,3 +711,76 @@ def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
         for dp, _, fs in os.walk(ckpt) for f in fs
     ]
     assert written, "reliable mode must write checkpoint files"
+
+
+def test_one_pass_end_forms_match_union_references(spark):
+    """The r14 one-derivation forms (explode(array(s, d)) for
+    vertex_ids/degrees, _sym_edges for both orientations) must emit the
+    same sets/multisets as the old union-of-two-selects — including
+    NULL endpoints (explode of an array emits null elements exactly
+    like the union did) and string vertex ids (the CC fallback type).
+    """
+    for schema, edges in (
+        ("s long, d long", [(1, 2), (2, 3), (2, 3), (4, None), (5, 5)]),
+        ("s string, d string", [("a", "b"), ("b", "c"), ("d", "d")]),
+    ):
+        g = Graph(spark.createDataFrame(edges, schema))
+        e = g.edges
+        vid_ref = {
+            r["v"]
+            for r in e.select(F.col("s").alias("v"))
+            .union(e.select(F.col("d").alias("v")))
+            .distinct()
+            .collect()
+        }
+        assert {r["v"] for r in g.vertex_ids().collect()} == vid_ref
+        ends_ref = e.select(F.col("s").alias("v")).union(
+            e.select(F.col("d").alias("v"))
+        )
+        deg_ref = {
+            (r["v"], r["degree"])
+            for r in ends_ref.groupBy("v")
+            .agg(F.count("*").alias("degree"))
+            .collect()
+        }
+        assert {
+            (r["v"], r["degree"]) for r in g.degrees().collect()
+        } == deg_ref
+        key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+        sym_ref = sorted(
+            (
+                (r["s"], r["d"])
+                for r in e.select("s", "d")
+                .union(
+                    e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+                )
+                .collect()
+            ),
+            key=key,
+        )
+        got = sorted(
+            ((r["s"], r["d"]) for r in g._sym_edges().collect()), key=key
+        )
+        assert got == sym_ref
+
+
+def test_e_co_explode_expansion_matches_join_form(spark, sf_dir):
+    """The r14 explode-first e_co pair expansion (chained index
+    Generates + scalar element_at) must be set-identical to the
+    order-key self-join formulation the E_CO_SQL oracle keeps —
+    including orders with a single distinct part (no pairs)."""
+    from sora_spark.graph import e_co
+
+    li = tables(spark, sf_dir).lineitem
+    got = {(r["s"], r["d"]) for r in e_co(li).collect()}
+    a = li.select("l_orderkey", F.col("l_partkey").alias("s"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("d"))
+    ref = {
+        (r["s"], r["d"])
+        for r in a.join(b, "l_orderkey")
+        .filter(F.col("s") < F.col("d"))
+        .select("s", "d")
+        .distinct()
+        .collect()
+    }
+    assert got == ref and got
