@@ -937,13 +937,23 @@ class Graph:
                     F.col("d").cast("string"),
                 )
             )
+            # one pass (r14): the union form scanned the checkpointed
+            # edge blocks once per branch and computed the per-edge md5
+            # TWICE (once per orientation); explode emits both
+            # orientations around ONE hash evaluation per edge
             sym = e.select(
-                F.col("s").alias("v"), F.col("d").alias("u"), ph.alias("ph")
-            ).union(
-                e.select(
-                    F.col("d").alias("v"), F.col("s").alias("u"), ph.alias("ph")
-                )
-            )
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("s").alias("v"), F.col("d").alias("u")
+                        ),
+                        F.struct(
+                            F.col("d").alias("v"), F.col("s").alias("u")
+                        ),
+                    )
+                ).alias("p"),
+                ph.alias("ph"),
+            ).select("p.v", "p.u", "ph")
             cand = (
                 sym.groupBy("v")
                 .agg(F.min(F.struct("ph", "u")).alias("p"))
