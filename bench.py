@@ -108,13 +108,17 @@ BENCH_QUERIES = {
 # output-identical: the engine side is approximate by design, so the
 # quality delta is gated IN the row — recall@10 vs the exact scan.
 #
-# CONFIG (r14, closing the r13 `weak`): the index is built at the √N
-# codebook default and probed at scaled_n_probe's ~1024-candidate
-# budget — per-probe cost then stays flat as the corpus grows (total
-# probe work linear, not quadratic; SCALEPROBE q15 is the measured
-# curve). At sf0.1 (N=2000 -> 45 lists, n_probe 23) the expected scan
-# fraction is ~0.51, so the 0.70 recall floor calibrated for the old
-# fixed 50% scan carries over unchanged. HONESTY: this fixture's
+# CONFIG (r14, closing the r13 `weak`; r15 small-corpus clamp): the
+# index is built at the scaled codebook default (√N capped so every
+# list holds >= IVF_SCAN_ROWS rows) and probed at scaled_n_probe's
+# ~1024-candidate budget — per-probe cost then stays flat as the
+# corpus grows (total probe work linear, not quadratic; SCALEPROBE
+# q15 is the measured curve). At sf0.1 (N=2000 -> 1 full list,
+# n_probe 1) the probe is exhaustive/exact — r14's unclamped √N gave
+# 45 lists of ~44 rows whose per-file/per-task overhead tripled the
+# probe wall and ANTI-scaled with cores (the r14 verdict's one real
+# bench regression); the 0.70 recall floor is trivially met at this N
+# and starts binding once the clamp releases. HONESTY: this fixture's
 # vectors are measured-isotropic (intra- and inter-label mean cosine
 # both ~1e-5) — no partitioning beats the scan fraction on such data,
 # and at larger corpora the shrinking scan FRACTION would shrink

@@ -219,13 +219,22 @@ IVF_SCAN_ROWS = 1024
 
 
 def scaled_ivf_centroids(n_vectors: int) -> int:
-    """The standard IVF sizing rule: n_centroids ≈ √N (FAISS guidance;
-    balances the two probe-side costs, the n_centroids-sized argmin
-    and the N/n_centroids-sized list scans). Floor 16 keeps tiny
-    corpora from degenerating into near-exhaustive single lists."""
+    """The standard IVF sizing rule, clamped for small corpora:
+    n_centroids ≈ √N (FAISS guidance; balances the two probe-side
+    costs, the n_centroids-sized argmin and the N/n_centroids-sized
+    list scans), capped so every list holds ≥ IVF_SCAN_ROWS rows
+    (n_lists ≤ N // IVF_SCAN_ROWS). Below N = IVF_SCAN_ROWS² the √N
+    codebook would split the corpus into lists SMALLER than one
+    probe's candidate budget — pure per-file/per-task overhead with
+    zero scan saved (the r14 bench regression: 45 lists of ~44 rows
+    at N=2000 tripled probe wall and anti-scaled with cores). Tiny
+    corpora therefore get few, full lists — down to one exhaustive
+    (exact) list — and the √N asymptote takes over once a list can
+    afford it (N ≥ ~1M at the 1024-row budget)."""
     import math
 
-    return max(16, round(math.sqrt(max(n_vectors, 1))))
+    n = max(n_vectors, 1)
+    return max(1, min(round(math.sqrt(n)), n // IVF_SCAN_ROWS))
 
 
 def scaled_n_probe(
@@ -1249,7 +1258,7 @@ def _probe_cids_hierarchical(
 
 def _probe_cids_flat(
     spark, path, probes, n_probe, id_col, vec_col
-) -> DataFrame:
+) -> tuple[DataFrame, list[int] | None]:
     """Probe rows exploded to their n_probe candidate list ids under
     the single-level layout: (dist, cid) structs via ONE transform
     over the single-literal centroid matrix (the per-scalar F.lit
@@ -1258,10 +1267,32 @@ def _probe_cids_flat(
     r11 review finding, same fix as the hierarchical branch path).
     Struct natural order sorts by dist then cid, so the slice is the
     n_probe nearest lists deterministically — identical selection to
-    the old literal-struct form."""
+    the old literal-struct form.
+
+    Returns (probe frame, statically-known candidate cid list) — the
+    list is non-None exactly when the probe is exhaustive (n_probe
+    covers the codebook), letting the caller skip the distinct-cid
+    collect job that would re-derive what is already known."""
     cents_rows = (
         spark.read.parquet(path + "_centroids").orderBy("cid").collect()
     )
+    base = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+    )
+    if n_probe >= len(cents_rows):
+        # exhaustive probe (n_probe covers the whole codebook — the
+        # r15 small-corpus clamp makes this the normal tiny-index
+        # shape): every list is a candidate for every probe, so the
+        # centroid-distance argsort would compute distances only to
+        # throw the ordering away. Skip it — candidates are the
+        # literal cid set (identical rows to the argsort form, which
+        # slices ALL structs when n_probe >= n_lists).
+        cids = [int(r["cid"]) for r in cents_rows]
+        return base.withColumn(
+            "_cid",
+            F.explode(F.array(*[F.lit(c).cast("long") for c in cids])),
+        ), cids
     cents = [list(r["centroid"]) for r in cents_rows]
     pd_structs = F.transform(
         _lit_matrix(cents),
@@ -1270,24 +1301,20 @@ def _probe_cids_flat(
             (i + 1).cast("long").alias("cid"),
         ),
     )
-    return (
-        probes.select(
-            F.col(id_col).alias("probe_id"),
-            F.col(vec_col).alias("probe_vec"),
-        )
-        .withColumn(
-            "_cid",
-            F.explode(
-                F.transform(
-                    F.slice(F.array_sort(pd_structs), 1, n_probe),
-                    lambda s: s["cid"],
-                )
-            ),
-        )
-    )
+    return base.withColumn(
+        "_cid",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(pd_structs), 1, n_probe),
+                lambda s: s["cid"],
+            )
+        ),
+    ), None
 
 
-def _pruned_read(spark, path: str, p: DataFrame) -> DataFrame | None:
+def _pruned_read(
+    spark, path: str, p: DataFrame, cand_cids: list[int] | None = None
+) -> DataFrame | None:
     """Read ONLY the candidate inverted-list directories named by the
     probe frame's distinct `_cid`s (collected driver-side — bounded by
     the codebook, never probe count). Reading the index ROOT makes the
@@ -1297,8 +1324,13 @@ def _pruned_read(spark, path: str, p: DataFrame) -> DataFrame | None:
     a partition column; the isin filter stays as defense-in-depth (and
     keeps the pruning visible in the plan); empty inverted lists have
     no directory, so existence-check the candidate paths. Returns None
-    when no candidate directory exists."""
-    cand_cids = [r["_cid"] for r in p.select("_cid").distinct().collect()]
+    when no candidate directory exists. A statically-known candidate
+    set (the exhaustive-probe fast path) skips the distinct-cid
+    collect job."""
+    if cand_cids is None:
+        cand_cids = [
+            r["_cid"] for r in p.select("_cid").distinct().collect()
+        ]
     hconf = spark._jsc.hadoopConfiguration()
     jPath = spark._jvm.org.apache.hadoop.fs.Path
     fs = jPath(path).getFileSystem(hconf)
@@ -1312,6 +1344,27 @@ def _pruned_read(spark, path: str, p: DataFrame) -> DataFrame | None:
         spark.read.option("basePath", path).parquet(*cand_dirs)
         .filter(F.col("_cid").isin(cand_cids))
     )
+
+
+def _parallelize_candidates(spark, corpus: DataFrame) -> DataFrame:
+    """Floor the candidate-scoring parallelism at the session's core
+    count. Pair scoring (one interpreted array-dot per candidate×probe
+    pair) runs map-side on the pruned list scan, so its task count is
+    whatever the FILE layout yields — and a small index (few lists,
+    tiny files packed into one split) serializes the entire scoring
+    loop into a single task (r15 measurement: the sf0.1 exhaustive
+    1-list probe ran 400k pair-dots in ONE task, 7-9 s wall vs ~0.3 s
+    of 32-way work; guide §2.6 stragglers/idle capacity). When the
+    scan already supplies >= defaultParallelism splits — the large-
+    index regime, where probed lists are many or multi-hundred-MB —
+    this is a no-op and no exchange is added; otherwise the
+    round-robin exchange moves only the bytes the probe must scan
+    anyway (bounded by the candidate scan itself, and the scoring it
+    unlocks costs ~10x more per byte than the shuffle)."""
+    par = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
+    return corpus
 
 
 def _empty_topk(spark, path: str, probes: DataFrame, id_col: str):
@@ -1396,17 +1449,19 @@ def ivf_topk_indexed(
         # below skips this: its probe subplan is a literal-struct
         # projection, cheaper to evaluate twice than to materialize.
         p = p.localCheckpoint(eager=True)
+        known_cids = None
     else:  # single-level layout
-        p = _probe_cids_flat(
+        p, known_cids = _probe_cids_flat(
             spark, path, probes, n_probe, id_col, vec_col
         )
-    corpus = _pruned_read(spark, path, p)
+    corpus = _pruned_read(spark, path, p, known_cids)
     if corpus is None:
         return _empty_topk(spark, path, probes, id_col)
     if where is not None:
         corpus = corpus.filter(
             F.expr(where) if isinstance(where, str) else where
         )
+    corpus = _parallelize_candidates(spark, corpus)
     # probe norms once per probe row, MATERIALIZED by the broadcast
     # exchange (not inlined past the join into the pair loop)
     p = p.withColumn("_pnrm", vector.norm(F.col("probe_vec")))
@@ -1418,7 +1473,11 @@ def ivf_topk_indexed(
         # factors hoisted, each candidate pair pays ONE interpreted
         # array aggregate (the dot) instead of three — bit-identical
         # to cosine(): same IEEE ops in the same order, the
-        # sqrt(dot(x,x)) factors are just evaluated once
+        # sqrt(dot(x,x)) factors are just evaluated once. (r15
+        # measured-and-rejected: unrolling the dot into a scalar
+        # element_at chain — the de_bruijn HOF-removal recipe — is
+        # 2.4-4x SLOWER per pair here; a 64-wide add chain codegens
+        # worse than the tight fold loop. Keep the fold.)
         sim = F.round(
             vector.dot(F.col(vec_col), F.col("probe_vec"))
             / (F.col("_nrm") * F.col("_pnrm")),
@@ -1835,9 +1894,12 @@ def ivfpq_topk_indexed(
         p = _probe_cids_hierarchical(
             spark, path, probes, n_probe, n_probe_coarse, id_col, vec_col
         ).localCheckpoint(eager=True)
+        known_cids = None
     else:
-        p = _probe_cids_flat(spark, path, probes, n_probe, id_col, vec_col)
-    lists = _pruned_read(spark, path, p)
+        p, known_cids = _probe_cids_flat(
+            spark, path, probes, n_probe, id_col, vec_col
+        )
+    lists = _pruned_read(spark, path, p, known_cids)
     if lists is None:
         return _empty_topk(spark, path, probes, id_col)
     pv = vector.to_double(F.col("probe_vec"))

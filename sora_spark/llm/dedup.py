@@ -107,19 +107,19 @@ def minhash_signatures(
     return wide.selectExpr("id", f"stack({num_perm}, {stack}) AS (perm, sig)")
 
 
-def lsh_candidate_pairs(
+def _band_keys(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_perm: int = 8,
-    bands: int = 4,
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    bands: int,
 ) -> DataFrame:
-    """Multi-band MinHash LSH: band key = concatenated signatures of
-    the band's permutations; docs sharing any band key are candidates.
-    Returns distinct (a, b) with a < b."""
+    """(id, band, bkey) MinHash band keys — the shared front half of
+    `lsh_candidate_pairs` (full pair semantics, qd4) and
+    `near_dup_clusters`' star edges (connectivity only, qd5)."""
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, num_perm)
-    band_keys = (
+    return (
         # docs with no shingles (fewer than shingle_n words) have NULL
         # signatures; collect_list would drop them and give every such
         # doc the SAME empty band key, pairing all short docs with
@@ -130,6 +130,21 @@ def lsh_candidate_pairs(
         .withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy("id", "band")
         .agg(F.concat_ws("|", F.array_sort(F.collect_list("sig"))).alias("bkey"))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Multi-band MinHash LSH: band key = concatenated signatures of
+    the band's permutations; docs sharing any band key are candidates.
+    Returns distinct (a, b) with a < b."""
+    band_keys = (
+        _band_keys(df, text_col, id_col, num_perm, bands)
         # lazy cut: without it the WHOLE shingle→minhash→band
         # derivation runs once per self-join side (no ReusedExchange —
         # the broadcast join shares nothing; r14 plan finding). The
