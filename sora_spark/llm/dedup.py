@@ -400,13 +400,31 @@ def near_dup_clusters(
     member pair shares a band bucket), so the fallback converges in
     ~2 rounds where the O(log n) contraction pays its per-round
     constant for nothing. Docs with no near-dup are their
-    own singleton cluster (cluster_id = doc_id)."""
+    own singleton cluster (cluster_id = doc_id).
+
+    EDGES ARE STARS, NOT CLIQUES (r15, the VERDICT-item-4 skew bound,
+    solved structurally instead of by salting): connected components
+    only need each band bucket CONNECTED, and a bucket of k docs is
+    exactly as connected by its k-1 (min-id -> member) star edges as
+    by the k(k-1)/2 candidate pairs `lsh_candidate_pairs` emits —
+    components, hence cluster ids and canonicals, are provably
+    identical (pinned by test_near_dup_clusters_star_equivalence).
+    The quadratic hot-bucket blowup (one boilerplate bucket of 1M
+    docs = 5*10^11 pairs under the pair join, unsalvageable by any
+    salt) becomes linear: one hash exchange of the band-key rows and
+    at most bands*n_docs edges, which also keeps the driver-side
+    union-find under its 5M bound at corpora where the pair form
+    overflowed it. The corpus-sized broadcast the pair self-join
+    leaned on is gone too (an 8 GB-cap liability at 100 TB).
+    `lsh_candidate_pairs` keeps full pair semantics for its own
+    declared consumers (qd4)."""
+    w_b = Window.partitionBy("band", "bkey")
     pairs = (
-        lsh_candidate_pairs(
-            df, num_perm=num_perm, bands=bands, id_col=id_col,
-            text_col=text_col,
-        )
-        .select(F.col("a").alias("s"), F.col("b").alias("d"))
+        _band_keys(df, text_col, id_col, num_perm, bands)
+        .withColumn("root", F.min("id").over(w_b))
+        .filter(F.col("id") != F.col("root"))
+        .select(F.col("root").alias("s"), F.col("id").alias("d"))
+        .distinct()
         # lazy cut: _resolve_components' count() is the very next
         # action — it materializes the checkpoint blocks as it counts,
         # fusing the old eager-materialize pass + count pass into one

@@ -331,6 +331,53 @@ def test_near_dup_clusters_transitive_merge(spark):
     assert len(rows) == 4
 
 
+def test_near_dup_clusters_star_equivalence(spark):
+    """r15: near_dup_clusters derives its edges as per-bucket STARS
+    (min-id -> member), not the k(k-1)/2 candidate-pair cliques —
+    a bucket is exactly as connected either way, so clusters must be
+    IDENTICAL to a reference union-find over the full
+    lsh_candidate_pairs set. Fixture stresses the shapes that could
+    diverge: a HOT bucket (12 near-identical boilerplate docs — the
+    quadratic case the star form exists to bound), a transitive chain
+    whose ends share no bucket, cross-band-only links, singletons and
+    short (null-signature) docs."""
+    rows = [(100 + i, "terms of service apply to all users section "
+             + ("alpha" if i % 2 else "beta")) for i in range(12)]
+    rows += [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "gamma delta epsilon eta theta iota"),
+        (10, "completely different words entirely here now"),
+        (11, "short"),
+        (12, "also short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    for num_perm, bands in ((8, 8), (8, 4), (4, 2)):
+        pairs = dedup.lsh_candidate_pairs(
+            docs, num_perm=num_perm, bands=bands
+        ).collect()
+        parent = {r[0]: r[0] for r in rows}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs:
+            ra, rb = find(r["a"]), find(r["b"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {d: find(d) for d in parent}
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.near_dup_clusters(
+                docs, num_perm=num_perm, bands=bands
+            ).collect()
+        }
+        assert got == want, (num_perm, bands)
+
+
 def test_hll_sketch_merge(spark, sf_dir):
     """Mergeable HLL sketches (Datasketches): per-group sketches
     unioned equal a one-shot sketch estimate, and both land within 5%
