@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sora_spark.functions.text import char_shingles, tokens, word_shingles
+from sora_spark.functions.text import tokens, word_shingles
 
 # Tiny per-language stopword lexicon for the language-ID heuristic.
 # Deliberately small and fixed: the declared query mirrors it as a SQL
@@ -617,11 +617,30 @@ def chargram_language_id(
     data, not the operator; the oracle certifies the math, and the
     confusion matrix makes the floor visible instead of hiding it.
     """
-    g = df.select(
-        "doc_id",
-        "lang",
-        (F.col("doc_id") % mod < train_lt).alias("is_train"),
-        F.explode(char_shingles(F.col(text_col), n)).alias("g"),
+    # explode the index sequence FIRST, then slice with a scalar
+    # substr (r15, the de_bruijn/e_co recipe — guide §4.1): the
+    # transform() lambda form evaluates interpreted outside
+    # whole-stage codegen and allocates an n-gram array per document
+    # before exploding it; same gram multiset, zero intermediate
+    # arrays. This is the corpus-sized stage of the query.
+    idx = F.when(
+        F.length(F.col(text_col)) >= n,
+        F.sequence(F.lit(1), F.length(F.col(text_col)) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    g = (
+        df.select(
+            "doc_id",
+            "lang",
+            (F.col("doc_id") % mod < train_lt).alias("is_train"),
+            F.col(text_col),
+        )
+        .withColumn("_i", F.explode(idx))
+        .select(
+            "doc_id",
+            "lang",
+            "is_train",
+            F.substring(F.col(text_col), F.col("_i"), F.lit(n)).alias("g"),
+        )
     )
     train_g = g.filter("is_train")
     prof = train_g.groupBy("lang", "g").agg(

@@ -25,28 +25,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sora_spark.functions.text import char_shingles
 from sora_spark.operators._util import suffix_columns
 
 
 _SHORT_KEY = "\x01short\x01"  # cannot collide with a real q-gram
 
 
-def _grams(col, q: int, max_distance: int):
-    empty = F.expr("CAST(array() AS array<string>)")
-    shingles = F.when(F.length(col) >= q, char_shingles(col, q)).otherwise(
-        empty
-    )
-    # every string that COULD pair with a string below the q(d+1)
-    # exact-gram-recall bound joins the one short bucket: if
-    # min(len) < q(d+1) then max(len) < q(d+1)+d, so this cutoff
-    # catches both sides of every such pair; strings meeting the
-    # bound on both sides are covered by gram blocking alone
+def _with_grams(df: DataFrame, col_name: str, q: int, max_distance: int):
+    """`df` with one row per block key in `_g`: the string's q-grams
+    plus (below the short cutoff) the dedicated short-string key.
+
+    Explode-first (r15, the de_bruijn recipe — guide §4.1): the old
+    form built the gram ARRAY via a transform() lambda (interpreted,
+    one array allocation per row) and exploded it; here the index
+    stream explodes first and a scalar substring slices each gram
+    inside whole-stage codegen. Index i <= n_grams is the i-th gram;
+    the one extra index (present iff len < cutoff) is the short key —
+    same key multiset as concat(grams, short) exploded.
+
+    Short-bucket semantics unchanged: every string that COULD pair
+    with a string below the q(d+1) exact-gram-recall bound joins the
+    one short bucket — if min(len) < q(d+1) then max(len) < q(d+1)+d,
+    so the cutoff catches both sides of every such pair; strings
+    meeting the bound on both sides are covered by gram blocking
+    alone. NULL strings produce no keys (length(NULL) comparisons are
+    false-ish in both forms)."""
+    col = F.col(col_name)
     cutoff = q * (max_distance + 1) + max_distance
-    short = F.when(
-        F.length(col) < cutoff, F.array(F.lit(_SHORT_KEY))
-    ).otherwise(empty)
-    return F.concat(shingles, short)
+    n_grams = F.when(F.length(col) >= q, F.length(col) - (q - 1)).otherwise(
+        F.lit(0)
+    )
+    total = n_grams + F.when(F.length(col) < cutoff, 1).otherwise(0)
+    # total == 0 only for NULL strings (len < q always implies
+    # len < cutoff); guard anyway — sequence(1, 0) would step DOWN
+    idx = F.when(
+        total >= 1, F.sequence(F.lit(1), total)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("_i", F.explode(idx)).withColumn(
+        "_g",
+        F.when(
+            F.col("_i") <= n_grams, F.substring(col, F.col("_i"), F.lit(q))
+        ).otherwise(F.lit(_SHORT_KEY)),
+    ).drop("_i")
 
 
 def fuzzy_join(
@@ -67,12 +87,8 @@ def fuzzy_join(
     when row identity matters (then full-row dedup keys on it)."""
     r = suffix_columns(right, "_r")
     right_col_r = right_col + "_r"
-    lg = left.withColumn(
-        "_g", F.explode(_grams(F.col(left_col), q, max_distance))
-    )
-    rg = r.withColumn(
-        "_g", F.explode(_grams(F.col(right_col_r), q, max_distance))
-    )
+    lg = _with_grams(left, left_col, q, max_distance)
+    rg = _with_grams(r, right_col_r, q, max_distance)
     cand = lg.join(rg, "_g").drop("_g").dropDuplicates()
     dist = F.levenshtein(F.col(left_col), F.col(right_col_r))
     return cand.withColumn("distance", dist).filter(
