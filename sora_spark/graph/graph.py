@@ -96,27 +96,6 @@ class Graph:
             sc._sora_ckpt_dir = self.reliable_checkpoint_dir
         return df.checkpoint(eager=False)
 
-    def _floor_partitions(self, df: DataFrame) -> DataFrame:
-        """Floor a MATERIALIZED checkpoint's block count at the
-        session's core count (r15, guide §2.6 idle capacity / the q15
-        finding applied to the fixpoint loops): AQE rightly coalesces
-        a bench-scale edge shuffle (~34 MB) to a handful of
-        partitions, but every downstream broadcast join in the loop
-        inherits its STREAMING side's partitioning — so the round-1
-        2-path generate+probe (49M rows at sf0.1, the loop's dominant
-        CPU) ran ~10-wide on a 32-core session (measured: 7.9 s -> 5.7
-        s warm once floored). At cluster scale the blocks already
-        exceed the core count and this is a no-op — no exchange is
-        added; when it fires, the one round-robin shuffle moves only
-        the checkpointed bytes, once per loop, and the re-cut blocks
-        feed every subsequent round. Call only on a frame whose
-        checkpoint has been materialized (getNumPartitions is then
-        the true block count, not a pre-AQE estimate)."""
-        par = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
-            df = df.repartition(par).transform(self._cp_lazy)
-        return df
-
     # ---- basic structure -------------------------------------------------
 
     def vertex_ids(self) -> DataFrame:
@@ -626,11 +605,18 @@ class Graph:
         e_co_small and the read-overlap graph at sf0.001/0.01."""
         edges = self.edges.transform(self._cp_lazy)
         prev = edges.count()
-        # the count above materialized the blocks; floor their count at
-        # the core count so the loop's broadcast joins (which inherit
-        # the streaming side's partitioning) run the 2-path stage at
-        # full width (r15 — see _floor_partitions)
-        edges = self._floor_partitions(edges)
+        # MEASURED AND REJECTED (r15): flooring the checkpointed edge
+        # blocks at the core count (the q15 _parallelize_candidates
+        # recipe) widened the 2-path stage from ~10 to 32 tasks and
+        # looked faster in isolation (7.9 -> 5.7 s wall), but task CPU
+        # DOUBLED (round: 30 -> 62 s; whole pipeline: 40 -> 117 s,
+        # q11 wall 6.3 -> 10.5 s) — each extra task re-pays a
+        # broadcast-relation deserialization proportional to the
+        # 1.2M-edge build side, so per-task overhead here scales with
+        # the broadcast size, not a constant. AQE's coalescing of the
+        # edge shuffle is protecting CPU, not wasting width; the q15
+        # floor remains correct because its broadcast side is
+        # probe-sized (hundreds of rows), not edge-sized.
         counts = [prev]
         rounds = 0
         for it in range(max_iter):
